@@ -1,0 +1,104 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB-oracle correctness gate.
+
+Reads Verify output (parquet per query + oracle_sql.json), runs each
+oracle SQL in DuckDB over the sf tables, and compares: schema (column
+names, sorted), row count, and values (rows sorted by all columns,
+column order = sorted by name — mirroring the driver's described
+compare). Floats compared exactly AND with max-abs-diff reporting so
+near-misses are visible.
+
+Usage: check.py <sfDir> <verifyOutDir> [query ...]
+"""
+import sys, json, os, math
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return ("f", "nan")
+        return ("f", v)
+    if isinstance(v, bytes):
+        return ("b", v.hex())
+    if isinstance(v, list):
+        return ("l", tuple(norm_cell(x) for x in v))
+    return (type(v).__name__[0], v)
+
+
+def sorted_rows(cols, rows):
+    # column order: sorted by name; row order: sorted by all values
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda t: [repr(x) for x in t])
+    return [cols[i] for i in order], out
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(os.listdir(out_dir)):
+        qdir = os.path.join(out_dir, name)
+        if not os.path.isdir(qdir) or (only and name not in only):
+            continue
+        got_tbl = pq.read_table(qdir)
+        got_cols = list(got_tbl.column_names)
+        got_rows = [tuple(r) for r in zip(*[got_tbl.column(c).to_pylist()
+                                            for c in got_cols])] if got_cols else []
+        if name not in oracles:
+            print(f"  ~ {name}: no oracle (rows-only): {len(got_rows)} rows")
+            continue
+        try:
+            cur = con.execute(oracles[name])
+            exp_cols = [d[0] for d in cur.description]
+            exp_rows = cur.fetchall()
+        except Exception as e:
+            print(f"  ✗ {name}: ORACLE SQL ERROR: {e}")
+            n_fail += 1
+            continue
+        gc, gr = sorted_rows(got_cols, got_rows)
+        ec, er = sorted_rows(exp_cols, exp_rows)
+        ok = True
+        if gc != ec:
+            print(f"  ✗ {name}: SCHEMA got={gc} exp={ec}")
+            ok = False
+        elif len(gr) != len(er):
+            print(f"  ✗ {name}: ROWCOUNT got={len(gr)} exp={len(er)}")
+            ok = False
+        elif gr != er:
+            # find first diff + max float diff
+            maxd, nd, first = 0.0, 0, None
+            for i, (a, b) in enumerate(zip(gr, er)):
+                if a != b:
+                    nd += 1
+                    if first is None:
+                        first = (i, a, b)
+                    for x, y in zip(a, b):
+                        if x[0] == "f" == y[0] and isinstance(x[1], float) and isinstance(y[1], float):
+                            maxd = max(maxd, abs(x[1] - y[1]))
+            print(f"  ✗ {name}: VALUES {nd} differing rows; maxFloatDiff={maxd:.3e}")
+            if first:
+                print(f"      row {first[0]}:\n      got {first[1]}\n      exp {first[2]}")
+            ok = False
+        if ok:
+            print(f"  ✓ {name}: {len(gr)} rows")
+            n_pass += 1
+        else:
+            n_fail += 1
+    print(f"PASS {n_pass} FAIL {n_fail}")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Central registry of oracle-checked queries.
+  *
+  * Each Q pairs a Spark implementation with (optionally) the equivalent
+  * ANSI SQL the driver runs in DuckDB over the same parquet tables.
+  * Determinism contract for hash-stable comparison:
+  *   - every query ends in a total-order `orderBy`;
+  *   - double outputs are rounded (arithmetic results) or untouched
+  *     (values read straight from parquet);
+  *   - timestamps are emitted as epoch microseconds (BIGINT) or
+  *     formatted strings, never raw timestamp columns;
+  *   - aggregate counts use count(...) on both sides (DuckDB sum(int)
+  *     widens to HUGEINT, which would break schema comparison).
+  */
+object Catalog {
+  type QueryFn = (SparkSession, String) => DataFrame
+
+  final case class Q(name: String, fn: QueryFn, oracle: Option[String])
+
+  def all: Seq[Q] =
+    queries.ReferenceQueries.all ++
+    queries.RelationalQueries.all ++
+    queries.EventQueries.all ++
+    queries.DedupQueries.all ++
+    queries.SimilarityQueries.all ++
+    queries.TextQueries.all
+
+  lazy val queryMap: Map[String, QueryFn] =
+    all.map(q => q.name -> q.fn).toMap
+
+  lazy val oracleMap: Map[String, String] =
+    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+}

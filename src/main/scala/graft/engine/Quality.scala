@@ -1,0 +1,58 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-quality gate as a composable Check ADT.
+  *
+  * Mirrors the reference's DataQualityOperator
+  * (reference: plugins/data_quality_operator.py:57-71): non-empty dataset,
+  * minimum record count, and NULL-or-empty scans over critical columns.
+  * The reference treats quality failures as control flow (raise ->
+  * Airflow retry); `assertGate` keeps that contract, while `report`
+  * exposes the same checks as a DataFrame for the oracle harness.
+  *
+  * Scale notes: `minCount` uses the reference's bounded-probe pattern
+  * (`limit(n).count() < n`, :65) so the scan stops after n rows instead of
+  * counting 100 TB; the violation probe uses `limit(1)` the same way (:70).
+  * `report` does one full pass with conditional aggregates (one job, one
+  * scan) instead of the reference's one-job-per-column loop.
+  */
+object Quality {
+
+  sealed trait Check
+  /** dataset must have at least n rows (reference :64-66, default 50). */
+  final case class MinCount(n: Long) extends Check
+  /** column must be neither NULL nor '' (reference :68-71). */
+  final case class NotNullOrEmpty(column: String) extends Check
+
+  /** NULL-or-empty predicate (reference :70). */
+  def nullOrEmpty(c: Column): Column = c.isNull || c === ""
+
+  /** Early-exit gate; throws on first violation like the reference. */
+  def assertGate(df: DataFrame, checks: Seq[Check]): Unit = {
+    if (df.isEmpty) throw new IllegalStateException("dataset is empty")
+    checks.foreach {
+      case MinCount(n) =>
+        // bounded probe: reads at most n rows, never the full table
+        if (df.limit(n.toInt).count() < n)
+          throw new IllegalStateException(s"record count below $n")
+      case NotNullOrEmpty(c) =>
+        if (df.filter(nullOrEmpty(col(c))).limit(1).count() > 0)
+          throw new IllegalStateException(s"critical column $c has null/empty values")
+    }
+  }
+
+  /** All critical-column violation counts in ONE scan (vs the reference's
+    * job-per-column), as (column, violations) rows.
+    */
+  def report(df: DataFrame, criticalColumns: Seq[String]): DataFrame = {
+    val aggs = criticalColumns.map { c =>
+      sum(when(nullOrEmpty(col(c)), 1L).otherwise(0L)).as(c)
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    // unpivot to long form so adding a column never changes the schema
+    wide.unpivot(Array.empty, criticalColumns.map(col).toArray,
+      "column_name", "violations")
+  }
+}
