@@ -1,7 +1,257 @@
 package graft.queries
 
-import graft.Catalog.Q
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
+import graft.Catalog.Q
+import graft.engine.Tables
+
+/** Join / aggregation / window / set-op suite (SURVEY.md §2.3-§2.5
+  * extensions — the reference has no joins, windows, or set ops, but a
+  * credible engine needs them; see SURVEY.md §7.4).
+  *
+  * Scale design notes (100 TB):
+  *  - dimension joins (nation, region, customer) are explicitly
+  *    `broadcast()` — no shuffle of the fact side;
+  *  - fact-fact joins (lineitem x orders) shuffle on the join key and are
+  *    AQE-coalesced; at cluster scale these tables would be bucketed by
+  *    orderkey, making the exchange disappear;
+  *  - windows partition by a key (never a global window), so state is
+  *    bounded per key group;
+  *  - the only global sorts are over already-aggregated (small) results,
+  *    or top-n (TakeOrderedAndProject — no full sort materialization).
+  */
 object RelationalQueries {
-  val all: Seq[Q] = Seq()
+
+  /** Broadcast-hash dimension join: customer -> nation -> region. */
+  val q06JoinDims: Q = Q(
+    "q06_join_dims",
+    (s, dir) => {
+      val cust = Tables.load(s, dir, "customer")
+      val nation = Tables.load(s, dir, "nation")
+      val region = Tables.load(s, dir, "region")
+      cust
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"),
+          round(avg(col("c_acctbal")), 2).as("avg_bal"))
+        .orderBy("r_name", "n_name")
+    },
+    Some("""SELECT r_name, n_name, count(*) AS n_cust,
+            round(avg(c_acctbal), 2) AS avg_bal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name ORDER BY r_name, n_name"""))
+
+  /** Star join: fact-fact shuffle join (lineitem x orders) + broadcast
+    * dims; revenue per nation.
+    */
+  val q07StarRevenue: Q = Q(
+    "q07_star_revenue",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val orders = Tables.load(s, dir, "orders")
+      val cust = Tables.load(s, dir, "customer")
+      val nation = Tables.load(s, dir, "nation")
+      li.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"),
+          count_distinct(col("o_orderkey")).as("n_orders"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    },
+    Some("""SELECT n_name,
+            round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+            count(DISTINCT o_orderkey) AS n_orders, count(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name ORDER BY n_name"""))
+
+  /** Left-semi join (EXISTS): customers having at least one 'F' order. */
+  val q08SemiJoin: Q = Q(
+    "q08_semi_join",
+    (s, dir) => {
+      val cust = Tables.load(s, dir, "customer")
+      val orders = Tables.load(s, dir, "orders")
+      val fOrders = orders.filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("c_custkey"))
+      cust.join(fOrders, Seq("c_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_cust"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""SELECT c_mktsegment, count(*) AS n_cust FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+            GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  /** Left-anti join (NOT EXISTS): customers with no orders at all. */
+  val q09AntiJoin: Q = Q(
+    "q09_anti_join",
+    (s, dir) => {
+      val cust = Tables.load(s, dir, "customer")
+      val orders = Tables.load(s, dir, "orders")
+      val withOrders = orders.select(col("o_custkey").as("c_custkey"))
+      cust.join(withOrders, Seq("c_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"))
+        .orderBy("c_nationkey")
+    },
+    Some("""SELECT c_nationkey, count(*) AS n_cust FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            GROUP BY c_nationkey ORDER BY c_nationkey"""))
+
+  /** Multi-aggregate stats incl. exact distinct count per group. */
+  val q10AggStats: Q = Q(
+    "q10_agg_stats",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      li.groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(avg(col("l_extendedprice")), 2).as("avg_price"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"),
+          count_distinct(col("l_suppkey")).as("n_supp"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag, count(*) AS cnt,
+            round(sum(l_quantity), 2) AS sum_qty,
+            round(avg(l_extendedprice), 2) AS avg_price,
+            min(l_extendedprice) AS min_price,
+            max(l_extendedprice) AS max_price,
+            count(DISTINCT l_suppkey) AS n_supp
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** ROLLUP with grouping_id — subtotal rows keyed by gid. */
+  val q11Rollup: Q = Q(
+    "q11_rollup",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      li.rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          grouping_id().as("gid"))
+        .select(
+          coalesce(col("l_returnflag"), lit("(all)")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("lstatus"),
+          col("cnt"), col("sum_qty"), col("gid"))
+        .orderBy("gid", "rflag", "lstatus")
+    },
+    Some("""SELECT coalesce(l_returnflag, '(all)') AS rflag,
+            coalesce(l_linestatus, '(all)') AS lstatus,
+            count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty,
+            GROUPING(l_returnflag, l_linestatus) AS gid
+            FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+            ORDER BY gid, rflag, lstatus"""))
+
+  /** Exact multi-column distinct counts (single + tuple). */
+  val q12DistinctExact: Q = Q(
+    "q12_distinct_exact",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      li.agg(
+        count_distinct(col("l_partkey")).as("d_part"),
+        count_distinct(col("l_suppkey")).as("d_supp"),
+        count_distinct(col("l_partkey"), col("l_suppkey")).as("d_part_supp"))
+    },
+    Some("""SELECT count(DISTINCT l_partkey) AS d_part,
+            count(DISTINCT l_suppkey) AS d_supp,
+            count(DISTINCT (l_partkey, l_suppkey)) AS d_part_supp
+            FROM lineitem"""))
+
+  /** Ranked window: top-3 customers by balance within each nation. */
+  val q13WindowTopK: Q = Q(
+    "q13_window_topk",
+    (s, dir) => {
+      val cust = Tables.load(s, dir, "customer")
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      cust.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("c_nationkey"), col("rn"), col("c_custkey"), col("c_acctbal"))
+        .orderBy("c_nationkey", "rn")
+    },
+    Some("""SELECT c_nationkey, rn, c_custkey, c_acctbal FROM (
+              SELECT c_nationkey, c_custkey, c_acctbal,
+                     row_number() OVER (PARTITION BY c_nationkey
+                       ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+              FROM customer)
+            WHERE rn <= 3 ORDER BY c_nationkey, rn"""))
+
+  /** Running-sum window: cumulative order value per customer over time. */
+  val q14RunningSum: Q = Q(
+    "q14_running_sum",
+    (s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      orders
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(sum(col("o_totalprice")).over(w), 2).as("running_total"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+            round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+              ORDER BY o_orderdate ASC, o_orderkey ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+              AS running_total
+            FROM orders ORDER BY o_custkey, o_orderkey"""))
+
+  /** Set operations: INTERSECT and EXCEPT over customer key sets. */
+  val q16SetOps: Q = Q(
+    "q16_setops",
+    (s, dir) => {
+      val cust = Tables.load(s, dir, "customer")
+      val orders = Tables.load(s, dir, "orders")
+      val fCust = orders.filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("k"))
+      val oCust = orders.filter(col("o_orderstatus") === "O")
+        .select(col("o_custkey").as("k"))
+      val allCust = cust.select(col("c_custkey").as("k"))
+      val anyCust = orders.select(col("o_custkey").as("k"))
+      val both = fCust.intersect(oCust).select(lit("both_f_and_o").as("op"), col("k"))
+      val none = allCust.except(anyCust).select(lit("no_orders").as("op"), col("k"))
+      both.unionByName(none).orderBy("op", "k")
+    },
+    Some("""SELECT * FROM (
+              SELECT 'both_f_and_o' AS op, k FROM (
+                SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+                INTERSECT
+                SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+              UNION ALL
+              SELECT 'no_orders' AS op, k FROM (
+                SELECT c_custkey AS k FROM customer
+                EXCEPT
+                SELECT o_custkey FROM orders))
+            ORDER BY op, k"""))
+
+  /** Global top-n (TakeOrderedAndProject — no full sort at scale). */
+  val q17GlobalTopN: Q = Q(
+    "q17_global_topn",
+    (s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+      orders
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          unix_micros(col("o_orderdate").cast("timestamp_ltz")).as("order_ts_us"))
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice,
+            epoch_us(o_orderdate) AS order_ts_us
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10"""))
+
+  val all: Seq[Q] = Seq(q06JoinDims, q07StarRevenue, q08SemiJoin, q09AntiJoin,
+    q10AggStats, q11Rollup, q12DistinctExact, q13WindowTopK, q14RunningSum,
+    q16SetOps, q17GlobalTopN)
 }
