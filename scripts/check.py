@@ -48,6 +48,16 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    # Anti-false-green: every expected query (oracle keys, plus any
+    # explicitly requested names) must have an output dir. A query dropped
+    # from Catalog, a Verify crash mid-run, or a typo'd filter otherwise
+    # silently shrinks the comparison set and still exits 0.
+    have = {n for n in os.listdir(out_dir)
+            if os.path.isdir(os.path.join(out_dir, n))}
+    expected = only if only else set(oracles)
+    for name in sorted(expected - have):
+        print(f"  ✗ {name}: NO OUTPUT (expected but missing from {out_dir})")
+        n_fail += 1
     for name in sorted(os.listdir(out_dir)):
         qdir = os.path.join(out_dir, name)
         if not os.path.isdir(qdir) or (only and name not in only):

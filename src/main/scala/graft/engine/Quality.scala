@@ -33,9 +33,15 @@ object Quality {
   def assertGate(df: DataFrame, checks: Seq[Check]): Unit = {
     if (df.isEmpty) throw new IllegalStateException("dataset is empty")
     checks.foreach {
-      case MinCount(n) =>
-        // bounded probe: reads at most n rows, never the full table
+      case MinCount(n) if n <= Int.MaxValue =>
+        // bounded probe: reads at most n rows, never the full table.
         if (df.limit(n.toInt).count() < n)
+          throw new IllegalStateException(s"record count below $n")
+      case MinCount(n) =>
+        // limit() takes an Int; a >2^31 threshold would wrap negative and
+        // silently gut the gate. Fall back to a full count — correct, and
+        // a caller demanding >2 billion rows has priced in a full scan.
+        if (df.count() < n)
           throw new IllegalStateException(s"record count below $n")
       case NotNullOrEmpty(c) =>
         if (df.filter(nullOrEmpty(col(c))).limit(1).count() > 0)
@@ -48,7 +54,9 @@ object Quality {
     */
   def report(df: DataFrame, criticalColumns: Seq[String]): DataFrame = {
     val aggs = criticalColumns.map { c =>
-      sum(when(nullOrEmpty(col(c)), 1L).otherwise(0L)).as(c)
+      // coalesce: sum over an EMPTY input is NULL, but "0 violations" is
+      // the correct report for an empty dataset (count(*) FILTER parity).
+      coalesce(sum(when(nullOrEmpty(col(c)), 1L).otherwise(0L)), lit(0L)).as(c)
     }
     val wide = df.agg(aggs.head, aggs.tail: _*)
     // unpivot to long form so adding a column never changes the schema

@@ -1,0 +1,38 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared SparkSession factory (SURVEY.md §7.1, operator S11).
+  *
+  * The reference builds three near-identical sessions per pipeline run
+  * (reference: plugins/brewery_operators.py:229-244,358-371;
+  * plugins/data_quality_operator.py:43-53) — config drift between them is
+  * a documented hazard. The engine has exactly one builder.
+  *
+  * Config posture:
+  *  - `shuffle.partitions` = cores in local mode (the reference leaves the
+  *    200 default untuned — pure overhead at small scale; on a real
+  *    cluster this would be sized to data volume / 128 MB-256 MB per
+  *    partition, with AQE coalescing the rest);
+  *  - AQE on (runtime re-plan: skew-join splitting, partition coalescing,
+  *    broadcast demotion/promotion at 100 TB);
+  *  - session timezone pinned UTC so timestamp semantics are stable
+  *    across the engine, the DuckDB oracle, and any cluster locale.
+  */
+object Sessions {
+
+  /** Local session sized from env (driver harness contract). */
+  def local(appName: String = "graft"): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .appName(appName)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

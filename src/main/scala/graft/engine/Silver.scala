@@ -20,11 +20,13 @@ import org.apache.spark.sql.functions._
   */
 object Silver {
 
-  /** trim + rename (reference :257 `trim(name).alias("brewery_name")`). */
-  def cleanName(c: Column, as: String): Column = trim(c).as(as)
+  /** whitespace-strip (reference :257 `trim(name)`); naming is applied
+    * once, by [[project]] — helpers return bare columns.
+    */
+  def cleanName(c: Column): Column = trim(c)
 
   /** lower-case normalization of a categorical key (reference :258). */
-  def normKey(c: Column, as: String): Column = lower(c).as(as)
+  def normKey(c: Column): Column = lower(c)
 
   /** Null-skipping ", "-join of address parts (reference :259). */
   def fullAddress(parts: Column*): Column = concat_ws(", ", parts: _*)

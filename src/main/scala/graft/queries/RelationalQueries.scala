@@ -35,11 +35,15 @@ object RelationalQueries {
         .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
         .agg(count(lit(1)).as("n_cust"),
-          round(avg(col("c_acctbal")), 2).as("avg_bal"))
+          // exact decimal sum → double, so combine order can't shift the
+          // rounding (see q10 note).
+          round(sum(col("c_acctbal").cast("decimal(30,10)"))
+            .cast("double") / count(lit(1)), 2).as("avg_bal"))
         .orderBy("r_name", "n_name")
     },
     Some("""SELECT r_name, n_name, count(*) AS n_cust,
-            round(avg(c_acctbal), 2) AS avg_bal
+            round(CAST(sum(CAST(c_acctbal AS DECIMAL(30,10))) AS DOUBLE)
+              / count(*), 2) AS avg_bal
             FROM customer
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
@@ -60,14 +64,18 @@ object RelationalQueries {
         .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-            .as("revenue"),
+          // per-row product in double (bit-identical both engines), then an
+          // EXACT decimal sum — order-independent, so Spark's partial-agg
+          // combine order can't flip a rounding boundary vs the oracle.
+          round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(30,10)")).cast("double"), 2).as("revenue"),
           count_distinct(col("o_orderkey")).as("n_orders"),
           count(lit(1)).as("n_items"))
         .orderBy("n_name")
     },
     Some("""SELECT n_name,
-            round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+            round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+              AS DECIMAL(30,10))) AS DOUBLE), 2) AS revenue,
             count(DISTINCT o_orderkey) AS n_orders, count(*) AS n_items
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
@@ -117,16 +125,23 @@ object RelationalQueries {
       li.groupBy(col("l_returnflag"))
         .agg(
           count(lit(1)).as("cnt"),
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(avg(col("l_extendedprice")), 2).as("avg_price"),
+          // exact decimal sums: double partial-agg order is nondeterministic
+          // in Spark, so sums/avgs are accumulated in decimal and only then
+          // cast back — identical on both engines regardless of order.
+          round(sum(col("l_quantity").cast("decimal(30,10)"))
+            .cast("double"), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice").cast("decimal(30,10)"))
+            .cast("double") / count(lit(1)), 2).as("avg_price"),
           min(col("l_extendedprice")).as("min_price"),
           max(col("l_extendedprice")).as("max_price"),
           count_distinct(col("l_suppkey")).as("n_supp"))
         .orderBy("l_returnflag")
     },
     Some("""SELECT l_returnflag, count(*) AS cnt,
-            round(sum(l_quantity), 2) AS sum_qty,
-            round(avg(l_extendedprice), 2) AS avg_price,
+            round(CAST(sum(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE), 2)
+              AS sum_qty,
+            round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE)
+              / count(*), 2) AS avg_price,
             min(l_extendedprice) AS min_price,
             max(l_extendedprice) AS max_price,
             count(DISTINCT l_suppkey) AS n_supp
@@ -139,7 +154,8 @@ object RelationalQueries {
       val li = Tables.load(s, dir, "lineitem")
       li.rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("cnt"),
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_quantity").cast("decimal(30,10)"))
+            .cast("double"), 2).as("sum_qty"),
           grouping_id().as("gid"))
         .select(
           coalesce(col("l_returnflag"), lit("(all)")).as("rflag"),
@@ -149,7 +165,9 @@ object RelationalQueries {
     },
     Some("""SELECT coalesce(l_returnflag, '(all)') AS rflag,
             coalesce(l_linestatus, '(all)') AS lstatus,
-            count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty,
+            count(*) AS cnt,
+            round(CAST(sum(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE), 2)
+              AS sum_qty,
             GROUPING(l_returnflag, l_linestatus) AS gid
             FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
             ORDER BY gid, rflag, lstatus"""))
@@ -164,9 +182,15 @@ object RelationalQueries {
         count_distinct(col("l_suppkey")).as("d_supp"),
         count_distinct(col("l_partkey"), col("l_suppkey")).as("d_part_supp"))
     },
+    // NB: Spark count_distinct(a, b) drops rows where ANY column is NULL;
+    // DuckDB count(DISTINCT (a, b)) would count NULL-bearing tuples — the
+    // WHERE-guarded subquery pins the Spark semantics explicitly instead
+    // of relying on the fixture keys being non-null.
     Some("""SELECT count(DISTINCT l_partkey) AS d_part,
             count(DISTINCT l_suppkey) AS d_supp,
-            count(DISTINCT (l_partkey, l_suppkey)) AS d_part_supp
+            (SELECT count(DISTINCT (l_partkey, l_suppkey)) FROM lineitem
+             WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL)
+              AS d_part_supp
             FROM lineitem"""))
 
   /** Ranked window: top-3 customers by balance within each nation. */
@@ -198,15 +222,41 @@ object RelationalQueries {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       orders
         .select(col("o_custkey"), col("o_orderkey"),
-          round(sum(col("o_totalprice")).over(w), 2).as("running_total"))
+          // decimal accumulation: window-sum evaluation order differs
+          // across engines (DuckDB uses segment trees), so a double
+          // running sum is not bit-stable — an exact decimal sum is.
+          round(sum(col("o_totalprice").cast("decimal(30,10)")).over(w)
+            .cast("double"), 2).as("running_total"))
         .orderBy("o_custkey", "o_orderkey")
     },
     Some("""SELECT o_custkey, o_orderkey,
-            round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+            round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) OVER (
+              PARTITION BY o_custkey
               ORDER BY o_orderdate ASC, o_orderkey ASC
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2)
               AS running_total
             FROM orders ORDER BY o_custkey, o_orderkey"""))
+
+  /** Pivot (wide aggregation): order counts per priority × status.
+    * The pivot values are passed explicitly — with an inferred value list
+    * Spark must run an extra distinct job over 100 TB just to name the
+    * output columns; a declared list keeps it a single pass.
+    */
+  val q15Pivot: Q = Q(
+    "q15_pivot",
+    (s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+      orders.groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L) // absent combos: NULL under pivot, 0 under FILTER
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority,
+            count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+            count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+            count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
   /** Set operations: INTERSECT and EXCEPT over customer key sets. */
   val q16SetOps: Q = Q(
@@ -253,5 +303,5 @@ object RelationalQueries {
 
   val all: Seq[Q] = Seq(q06JoinDims, q07StarRevenue, q08SemiJoin, q09AntiJoin,
     q10AggStats, q11Rollup, q12DistinctExact, q13WindowTopK, q14RunningSum,
-    q16SetOps, q17GlobalTopN)
+    q15Pivot, q16SetOps, q17GlobalTopN)
 }
