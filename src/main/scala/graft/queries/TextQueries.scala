@@ -1,7 +1,173 @@
 package graft.queries
 
-import graft.Catalog.Q
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
 
+import graft.Catalog.Q
+import graft.engine.Tables
+import graft.engine.ext.Text
+
+/** Text-analysis suite over `documents` (SURVEY.md §7.4 north-star:
+  * language-ID, quality scoring, token counting, term frequency).
+  *
+  * ## 100 TB notes
+  * Every per-doc computation here is a pure projection (codegen'd, no
+  * shuffle); the only exchanges are the final group-bys, which aggregate
+  * on low-cardinality keys (lang/source/token) with map-side partial
+  * aggregation. Term frequency over a 100 TB corpus is explode +
+  * partial-agg — the shuffle carries one row per (token, map task), not
+  * per token occurrence. Top-k uses orderBy+limit = TakeOrderedAndProject
+  * (per-partition heap, no global sort materialization).
+  */
 object TextQueries {
-  val all: Seq[Q] = Seq()
+
+  // Word lists for the scoring heuristics. The fixture corpus is a
+  // synthetic shared vocabulary, so these are drawn from it — on a real
+  // corpus they'd be per-language stopword lists; the operator shape
+  // (set-membership counting inside a projection) is identical.
+  private val wordsDe = Seq("scan", "filter", "merge")
+  private val wordsEn = Seq("the", "a", "spark")
+  private val wordsEs = Seq("query", "table", "data")
+  private val wordsFr = Seq("join", "sort", "group")
+  private val wordsZh = Seq("window", "stream", "batch")
+
+  private val duckToks = "string_split(text, ' ')"
+  private def duckHits(set: Seq[String]): String =
+    s"len(list_filter($duckToks, t -> t IN (${set.map("'" + _ + "'").mkString(",")})))"
+
+  /** Corpus stats per language: doc/token/vocab counts over one explode. */
+  val q18TextStats: Q = Q(
+    "q18_text_stats",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      docs
+        .select(col("lang"), col("doc_id"),
+          explode(Text.tokens(col("text"))).as("tok"))
+        .groupBy(col("lang"))
+        .agg(
+          count_distinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_tokens"),
+          count_distinct(col("tok")).as("vocab"),
+          round(count(lit(1)).cast("double") / count_distinct(col("doc_id")), 2)
+            .as("avg_tokens"))
+        .orderBy("lang")
+    },
+    Some("""SELECT lang, count(DISTINCT doc_id) AS n_docs,
+            count(*) AS n_tokens, count(DISTINCT tok) AS vocab,
+            round(count(*)::DOUBLE / count(DISTINCT doc_id), 2) AS avg_tokens
+            FROM (SELECT lang, doc_id, unnest(string_split(text, ' ')) AS tok
+                  FROM documents)
+            GROUP BY lang ORDER BY lang"""))
+
+  /** Global term frequency, top 20 (count desc, token asc tie-break). */
+  val q19TermFreq: Q = Q(
+    "q19_term_freq",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      docs
+        .select(explode(Text.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok").asc)
+        .limit(20)
+    },
+    Some("""SELECT tok, count(*) AS cnt
+            FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+            GROUP BY tok ORDER BY cnt DESC, tok ASC LIMIT 20"""))
+
+  /** Language-ID heuristic: word-set hit counts per candidate language,
+    * argmax with alphabetical tie-break; output is the confusion matrix
+    * against the labeled `lang` column.
+    */
+  val q20LangId: Q = Q(
+    "q20_langid",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val toks = Text.tokens(col("text"))
+      def hits(set: Seq[String]): Column = Text.wordSetHits(toks, set)
+      val (sDe, sEn, sEs, sFr, sZh) =
+        (hits(wordsDe), hits(wordsEn), hits(wordsEs), hits(wordsFr), hits(wordsZh))
+      val predicted =
+        when(sDe >= sEn && sDe >= sEs && sDe >= sFr && sDe >= sZh, "de")
+          .when(sEn >= sEs && sEn >= sFr && sEn >= sZh, "en")
+          .when(sEs >= sFr && sEs >= sZh, "es")
+          .when(sFr >= sZh, "fr")
+          .otherwise("zh")
+      docs.select(col("lang"), predicted.as("predicted"))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "predicted")
+    },
+    Some(s"""SELECT lang, predicted, count(*) AS n_docs FROM (
+               SELECT lang,
+                 CASE
+                   WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                   WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                   WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                   WHEN s_fr >= s_zh THEN 'fr'
+                   ELSE 'zh' END AS predicted
+               FROM (SELECT lang,
+                       ${duckHits(wordsDe)} AS s_de, ${duckHits(wordsEn)} AS s_en,
+                       ${duckHits(wordsEs)} AS s_es, ${duckHits(wordsFr)} AS s_fr,
+                       ${duckHits(wordsZh)} AS s_zh
+                     FROM documents))
+             GROUP BY lang, predicted ORDER BY lang, predicted"""))
+
+  /** Per-document quality score: bounded length score + stopword ratio +
+    * mean token length, pure IEEE arithmetic (bit-identical across
+    * engines, no transcendental functions).
+    */
+  val q21QualityScore: Q = Q(
+    "q21_quality_score",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val toks = Text.tokens(col("text"))
+      val nTok = size(toks).cast("double")
+      val stopRatio = Text.wordSetHits(toks, wordsEn).cast("double") / nTok
+      val avgLen = col("n_chars").cast("double") / nTok
+      val score = round(
+        least(lit(1.0), nTok / 200.0) * 0.5
+          + stopRatio * 0.3
+          + least(lit(1.0), avgLen / 8.0) * 0.2, 4)
+      docs.select(
+          col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          score.as("score"),
+          floor(score * 10).cast("long").as("bucket"))
+        .orderBy("doc_id")
+    },
+    Some(s"""SELECT doc_id, n_tokens, score, floor(score * 10)::BIGINT AS bucket
+             FROM (SELECT doc_id, len($duckToks)::BIGINT AS n_tokens,
+                     round(least(1.0::DOUBLE, len($duckToks) / 200.0) * 0.5
+                       + (${duckHits(wordsEn)}::DOUBLE / len($duckToks)) * 0.3
+                       + least(1.0::DOUBLE, (n_chars::DOUBLE / len($duckToks)) / 8.0) * 0.2,
+                       4) AS score
+                   FROM documents)
+             ORDER BY doc_id"""))
+
+  /** Regex (BPE-ish pre-tokenizer) token counting + vocab per source. */
+  val q22RegexTokens: Q = Q(
+    "q22_regex_tokens",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      docs
+        .select(col("source"), col("doc_id"),
+          explode(Text.regexTokens(col("text"))).as("tok"))
+        .groupBy(col("source"))
+        .agg(count_distinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_tokens"),
+          count_distinct(col("tok")).as("vocab"))
+        .orderBy("source")
+    },
+    Some("""SELECT source, count(DISTINCT doc_id) AS n_docs,
+            count(*) AS n_tokens, count(DISTINCT tok) AS vocab
+            FROM (SELECT source, doc_id,
+                    unnest(list_filter(
+                      string_split_regex(lower(text), '[^a-z0-9]+'),
+                      t -> t != '')) AS tok
+                  FROM documents)
+            GROUP BY source ORDER BY source"""))
+
+  val all: Seq[Q] =
+    Seq(q18TextStats, q19TermFreq, q20LangId, q21QualityScore, q22RegexTokens)
 }
