@@ -56,4 +56,9 @@ object Text {
     * simhash bit extraction; DuckDB mirror: ('0x' || substr(md5(s),1,8))::BIGINT.
     */
   def hash32(s: Column): Column = conv(substring(md5(s), 1, 8), 16, 10).cast("long")
+
+  /** 60-bit hash (15 md5 hex chars) — the widest md5 prefix that stays
+    * comfortably inside a signed 64-bit integer on both engines.
+    */
+  def hash60(s: Column): Column = conv(substring(md5(s), 1, 15), 16, 10).cast("long")
 }

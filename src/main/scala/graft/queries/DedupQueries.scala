@@ -1,7 +1,245 @@
 package graft.queries
 
-import graft.Catalog.Q
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
+import graft.Catalog.Q
+import graft.engine.Tables
+import graft.engine.ext.Text
+
+/** Deduplication suite over `documents` (SURVEY.md §7.4 north-star):
+  * exact (fingerprint), MinHash+LSH, rare-shingle-blocked n-gram Jaccard,
+  * and SimHash near-dup detection.
+  *
+  * ## 100 TB notes
+  * The cardinal rule at scale: candidate generation is always BUCKETED —
+  * documents only meet inside an LSH band bucket / rare-shingle block /
+  * simhash byte-band, so the join is an equi-join Catalyst shuffles on the
+  * bucket key (or broadcasts when one side is small). There is no
+  * cross join anywhere. MinHash signatures are computed entirely inside a
+  * projection (array ops over the token array — zero shuffles, zero
+  * explode); only the band table (4 rows/doc) and the candidate pairs are
+  * ever shuffled. Skewed buckets (a shingle shared by millions of docs)
+  * are excluded up-front by the df-bound on blocking shingles — the same
+  * technique that bounds bucket size at 100 TB.
+  */
 object DedupQueries {
-  val all: Seq[Q] = Seq()
+
+  private val K = 3        // shingle width (tokens)
+  private val NumHashes = 16
+  private val Bands = 4    // 4 bands x 4 rows: catches J>=0.8 w.h.p.
+  private val RowsPerBand = NumHashes / Bands
+
+  /** doc_id + distinct k-shingle array (the unit near-dup works on). */
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        array_distinct(Text.shingles(Text.tokens(col("text")), K)).as("sh"))
+
+  private val duckShingled =
+    s"""SELECT doc_id,
+          list_distinct(list_transform(range(1, greatest(len(toks) - ${K - 1}, 1) + 1),
+            i -> array_to_string(toks[i:i+${K - 1}], ' '))) AS sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)"""
+
+  /** Exact set-Jaccard between two distinct-shingle arrays. */
+  private def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  /** Exact dedup via content fingerprint: md5(normalized text) groups
+    * identical docs; keep the lowest doc_id of each group.
+    */
+  val q23DedupExact: Q = Q(
+    "q23_dedup_exact",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val w = Window.partitionBy(col("fp"))
+      docs.select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+        .withColumn("rn", row_number().over(w.orderBy(col("doc_id").asc)))
+        .withColumn("n_copies", count(lit(1)).over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("fp"), col("n_copies"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, fp, n_copies FROM (
+              SELECT doc_id, fp,
+                     row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn,
+                     count(*) OVER (PARTITION BY fp) AS n_copies
+              FROM (SELECT doc_id, md5(trim(lower(text))) AS fp FROM documents))
+            WHERE rn = 1 ORDER BY doc_id"""))
+
+  /** MinHash + LSH near-dup: 16 keyed-md5 minhashes per doc (computed as
+    * array ops inside the projection — no shuffle), banded 4x4; docs
+    * sharing a band bucket become candidates; candidates are verified
+    * with exact shingle-set Jaccard >= 0.8.
+    */
+  val q24MinhashLsh: Q = Q(
+    "q24_minhash_lsh",
+    (s, dir) => {
+      val base = shingled(s, dir)
+      // signature: for each hash fn h, the lexicographic min of
+      // md5(h + ":" + shingle) — a pure projection over the shingle array
+      val sig = base.withColumn("sig",
+        transform(sequence(lit(0), lit(NumHashes - 1)),
+          h => array_min(transform(col("sh"), sch => Text.keyedHash(h, sch)))))
+      // band table: Bands rows per doc, keyed by the band's joined hashes
+      val bands = sig.select(col("doc_id"),
+          explode(sequence(lit(0), lit(Bands - 1))).as("b"),
+          col("sig"))
+        .select(col("doc_id"), col("b"),
+          md5(concat_ws(",",
+            slice(col("sig"), col("b") * RowsPerBand + 1, lit(RowsPerBand))))
+            .as("bk"))
+      val cand = bands.as("x")
+        .join(bands.as("y"),
+          col("x.b") === col("y.b") && col("x.bk") === col("y.bk")
+            && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        .distinct()
+      cand
+        .join(base.select(col("doc_id").as("d1"), col("sh").as("sh1")), Seq("d1"))
+        .join(base.select(col("doc_id").as("d2"), col("sh").as("sh2")), Seq("d2"))
+        .select(col("d1"), col("d2"),
+          round(jaccard(col("sh1"), col("sh2")), 4).as("jacc"))
+        .filter(col("jacc") >= 0.8)
+        .orderBy("d1", "d2")
+    },
+    Some(s"""WITH shs AS ($duckShingled),
+             sig AS (SELECT doc_id, sh,
+                       list_transform(range(0, $NumHashes),
+                         h -> list_min(list_transform(sh,
+                                s -> md5(h::VARCHAR || ':' || s)))) AS sig
+                     FROM shs),
+             bands AS (SELECT doc_id, b,
+                         md5(array_to_string(
+                           sig[b*$RowsPerBand+1:b*$RowsPerBand+$RowsPerBand], ',')) AS bk
+                       FROM sig, range(0, $Bands) t(b)),
+             cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+                      FROM bands x JOIN bands y
+                        ON x.b = y.b AND x.bk = y.bk AND x.doc_id < y.doc_id)
+             SELECT d1, d2,
+               round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                 / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jacc
+             FROM cand JOIN shs a ON a.doc_id = d1 JOIN shs b ON b.doc_id = d2
+             WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE
+               / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.8
+             ORDER BY d1, d2"""))
+
+  /** N-gram Jaccard with rare-shingle blocking: only shingles with
+    * document frequency in [2, 5] generate candidates (df=1 can't pair;
+    * a df bound also caps bucket skew at scale), then exact Jaccard >= 0.5.
+    */
+  val q25JaccardBlocked: Q = Q(
+    "q25_jaccard_blocked",
+    (s, dir) => {
+      val base = shingled(s, dir)
+      val exploded = base.select(col("doc_id"), explode(col("sh")).as("s"))
+      val rare = exploded.groupBy(col("s"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= 5)
+        .select(col("s"))
+      val blocked = exploded.join(rare, Seq("s"))
+      val cand = blocked.as("x")
+        .join(blocked.as("y"),
+          col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        .distinct()
+      cand
+        .join(base.select(col("doc_id").as("d1"), col("sh").as("sh1")), Seq("d1"))
+        .join(base.select(col("doc_id").as("d2"), col("sh").as("sh2")), Seq("d2"))
+        .select(col("d1"), col("d2"),
+          round(jaccard(col("sh1"), col("sh2")), 4).as("jacc"))
+        .filter(col("jacc") >= 0.5)
+        .orderBy("d1", "d2")
+    },
+    Some(s"""WITH shs AS ($duckShingled),
+             ex AS (SELECT doc_id, unnest(sh) AS s FROM shs),
+             rare AS (SELECT s FROM ex GROUP BY s HAVING count(*) BETWEEN 2 AND 5),
+             blocked AS (SELECT doc_id, s FROM ex JOIN rare USING (s)),
+             cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+                      FROM blocked x JOIN blocked y
+                        ON x.s = y.s AND x.doc_id < y.doc_id)
+             SELECT d1, d2,
+               round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                 / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jacc
+             FROM cand JOIN shs a ON a.doc_id = d1 JOIN shs b ON b.doc_id = d2
+             WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE
+               / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.5
+             ORDER BY d1, d2"""))
+
+  /** SimHash: 60-bit token-multiset fingerprint per doc; near-dup pairs
+    * via 15-bit-band blocking + Hamming distance <= 4. Bit j of the hash
+    * is the sign of sum over token occurrences of (+-1 by bit j of the
+    * token's 60-bit md5-derived hash) — token frequency weights naturally.
+    *
+    * The Spark side computes the whole fingerprint inside one projection
+    * (60 statically-unrolled array folds over the token-hash array — no
+    * explode, no shuffle until the 4-rows/doc band table). The oracle
+    * computes the same integer math relationally (explode + group-by);
+    * all-integer arithmetic makes the two paths bit-identical.
+    *
+    * Caveats, by design: banding is approximate (a pair with <=4 flipped
+    * bits spread over all 4 bands is missed — both engines miss it
+    * identically, so parity holds), and on this fixture's shared ~40-word
+    * vocabulary simhash separates weakly (random pairs reach hamming 4-5);
+    * on a real corpus the hamming gap is far wider.
+    */
+  val q26Simhash: Q = Q(
+    "q26_simhash",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val hs = transform(Text.tokens(col("text")), t => Text.hash60(t))
+      // bit j (weight 2^(59-j)): sign of the +-1 vote sum over token hashes
+      val simhash = (0 until 60).map { j =>
+        val votes = aggregate(col("hs"), lit(0),
+          (a, h) => a + when(shiftrightunsigned(h, 59 - j).bitwiseAND(1) === 1, 1)
+            .otherwise(-1))
+        when(votes > 0, lit(1L << (59 - j))).otherwise(0L)
+      }.reduce(_ + _)
+      val sim = docs.select(col("doc_id"), hs.as("hs"))
+        .select(col("doc_id"), simhash.as("simhash"))
+      // band on each 15-bit quarter: hamming<=4 pairs agree on >=1 band
+      // unless the flips cover all 4 bands
+      val bvs = array((0 until 4).map(i =>
+        shiftrightunsigned(col("simhash"), 15 * i).bitwiseAND(32767)): _*)
+      val bands = sim.select(col("doc_id"), col("simhash"),
+        posexplode(bvs).as(Seq("band_i", "bv")))
+      val pairs = bands.as("x")
+        .join(bands.as("y"),
+          col("x.band_i") === col("y.band_i") && col("x.bv") === col("y.bv")
+            && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+          col("x.simhash").as("h1"), col("y.simhash").as("h2"))
+        .distinct()
+      pairs
+        .select(col("d1"), col("d2"),
+          bit_count(col("h1").bitwiseXOR(col("h2"))).cast("long").as("hamming"))
+        .filter(col("hamming") <= 4)
+        .orderBy("d1", "d2")
+    },
+    Some("""WITH th AS (
+              SELECT doc_id, ('0x' || substring(md5(t), 1, 15))::BIGINT AS h
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                    FROM documents)),
+            bits AS (
+              SELECT doc_id, j,
+                CASE WHEN sum(CASE WHEN (h // power(2, 59-j)::BIGINT) % 2 = 1
+                              THEN 1 ELSE -1 END) > 0
+                     THEN power(2, 59-j)::BIGINT ELSE 0 END AS w
+              FROM th, range(0, 60) r(j) GROUP BY doc_id, j),
+            sim AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS simhash
+                    FROM bits GROUP BY doc_id),
+            bands AS (SELECT doc_id, simhash, b,
+                        (simhash // power(2, b*15)::BIGINT) % 32768 AS bv
+                      FROM sim, range(0, 4) r(b)),
+            pairs AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
+                        x.simhash AS h1, y.simhash AS h2
+                      FROM bands x JOIN bands y
+                        ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id)
+            SELECT d1, d2, bit_count(xor(h1, h2))::BIGINT AS hamming
+            FROM pairs WHERE bit_count(xor(h1, h2)) <= 4
+            ORDER BY d1, d2"""))
+
+  val all: Seq[Q] = Seq(q23DedupExact, q24MinhashLsh, q25JaccardBlocked, q26Simhash)
 }
