@@ -1,7 +1,196 @@
 package graft.queries
 
-import graft.Catalog.Q
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
+import graft.Catalog.Q
+import graft.engine.Tables
+import graft.functions.GraftFunctions.cosineSim
+
+/** Similarity search over `embeddings` (64-dim float vectors): brute-force
+  * top-k cosine, sign-LSH bucketed ANN, bucketed near-dup pairs, and an
+  * IVF-style centroid assignment. All cosine math runs through the custom
+  * codegen'd [[graft.functions.CosineSimilarity]] expression.
+  *
+  * ## 100 TB notes
+  *  - Brute-force kNN broadcasts the (small) query set and STREAMS the
+  *    candidate corpus (BroadcastNestedLoopJoin): one scan, no shuffle of
+  *    the big side, per-partition heap via the rank filter. That is the
+  *    correct exhaustive baseline at any scale; its cost is one full pass.
+  *  - The ANN path buckets both sides with sign-LSH so candidate
+  *    generation is an equi-join on the bucket key — the only shuffled
+  *    payload is (bucket, id, vector), and a probe touches ~1/2^bits of
+  *    the corpus. More planes (or multi-probe) trades recall for cost
+  *    without changing the plan shape.
+  *  - Near-dup runs the same bucket equi-join both-sides; never all-pairs.
+  *  - IVF: centroids are tiny (clusters x dims) and broadcast; assignment
+  *    is a map-side argmax — no shuffle of the vector corpus at all.
+  *  - Ordering ties are broken on the ROUNDED score + id so the top-k
+  *    cut is identical across engines (raw float ordering is not).
+  */
 object SimilarityQueries {
-  val all: Seq[Q] = Seq()
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  /** 4-bit sign-LSH bucket from the leading dims (axis-aligned planes). */
+  private def signBucket(e: Column): Column =
+    (0 until 4).map(i => when(element_at(e, i + 1) >= 0, 1 << i).otherwise(0))
+      .reduce(_ + _)
+
+  private val duckBucket =
+    "(CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END" +
+      " + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END)"
+
+  /** DuckDB mirror of CosineSimilarity's pinned math: per-element double
+    * products, sequential sums, dot / (sqrt(na)*sqrt(nb)).
+    */
+  private def duckCos(a: String, b: String): String =
+    s"""(list_sum(list_transform(list_zip($a, $b), x -> x[1]*x[2]))
+        / (sqrt(list_sum(list_transform($a, v -> v*v)))
+           * sqrt(list_sum(list_transform($b, v -> v*v)))))"""
+
+  /** Exhaustive top-5 cosine neighbors for a fixed query set. */
+  val q27KnnBrute: Q = Q(
+    "q27_knn_brute",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
+      val scored = c.crossJoin(broadcast(q))
+        .filter(col("cand_id") =!= col("q_id"))
+        .select(col("q_id"), col("cand_id"),
+          round(cosineSim(col("qe"), col("ce")), 4).as("score"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("score").desc, col("cand_id").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("rank"), col("cand_id"), col("score"))
+        .orderBy("q_id", "rank")
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+                        FROM embeddings WHERE vec_id < 3),
+             c AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS ce
+                   FROM embeddings),
+             s AS (SELECT q_id, cand_id,
+                     round(${duckCos("qe", "ce")}, 4) AS score
+                   FROM c, q WHERE cand_id != q_id),
+             r AS (SELECT q_id, cand_id, score,
+                     row_number() OVER (PARTITION BY q_id
+                       ORDER BY score DESC, cand_id ASC) AS rank
+                   FROM s)
+             SELECT q_id, rank, cand_id, score FROM r
+             WHERE rank <= 5 ORDER BY q_id, rank"""))
+
+  /** ANN: probe only the query's sign-LSH bucket, top-3 within it. */
+  val q28AnnLsh: Q = Q(
+    "q28_ann_lsh",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val withB = e.select(col("vec_id"), col("embedding"),
+        signBucket(col("embedding")).as("bucket"))
+      val q = withB.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("bucket"))
+      val c = withB.select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
+        col("bucket"))
+      val scored = c.join(broadcast(q), Seq("bucket"))
+        .filter(col("cand_id") =!= col("q_id"))
+        .select(col("q_id"), col("cand_id"),
+          round(cosineSim(col("qe"), col("ce")), 4).as("score"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("score").desc, col("cand_id").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("rank"), col("cand_id"), col("score"))
+        .orderBy("q_id", "rank")
+    },
+    Some(s"""WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                          $duckBucket AS bucket
+                        FROM embeddings),
+             q AS (SELECT vec_id AS q_id, e AS qe, bucket FROM b WHERE vec_id < 10),
+             s AS (SELECT q_id, c.vec_id AS cand_id,
+                     round(${duckCos("qe", "c.e")}, 4) AS score
+                   FROM b c JOIN q USING (bucket) WHERE c.vec_id != q_id),
+             r AS (SELECT q_id, cand_id, score,
+                     row_number() OVER (PARTITION BY q_id
+                       ORDER BY score DESC, cand_id ASC) AS rank
+                   FROM s)
+             SELECT q_id, rank, cand_id, score FROM r
+             WHERE rank <= 3 ORDER BY q_id, rank"""))
+
+  /** Embedding near-dup: same-bucket pairs with cosine >= 0.4. */
+  val q29EmbNearDup: Q = Q(
+    "q29_emb_neardup",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val withB = e.select(col("vec_id"), col("embedding"),
+        signBucket(col("embedding")).as("bucket"))
+      withB.as("x").join(withB.as("y"),
+          col("x.bucket") === col("y.bucket")
+            && col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"),
+          round(cosineSim(col("x.embedding"), col("y.embedding")), 4).as("score"))
+        .filter(col("score") >= 0.4)
+        .orderBy("v1", "v2")
+    },
+    Some(s"""WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                          $duckBucket AS bucket
+                        FROM embeddings)
+             SELECT x.vec_id AS v1, y.vec_id AS v2,
+               round(${duckCos("x.e", "y.e")}, 4) AS score
+             FROM b x JOIN b y
+               ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+             WHERE round(${duckCos("x.e", "y.e")}, 4) >= 0.4
+             ORDER BY v1, v2"""))
+
+  /** IVF-style assignment: per-label centroids (exact decimal mean per
+    * dimension), broadcast, each vector assigned to its argmax-cosine
+    * centroid; output is the label-vs-assigned confusion matrix.
+    */
+  val q30IvfCentroid: Q = Q(
+    "q30_ivf_centroid",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val pe = e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      val cent = pe.groupBy(col("label"), col("pos"))
+        .agg((sum(col("v").cast("double").cast("decimal(30,15)")).cast("double")
+          / count(lit(1))).as("cv"))
+        .groupBy(col("label"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+          x => x.getField("cv")).as("cemb"))
+        .select(col("label").as("c_label"), col("cemb"))
+      val scored = e.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("label"), col("c_label"),
+          round(cosineSim(col("embedding"), col("cemb")), 4).as("score"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("score").desc, col("c_label").asc)
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy(col("label"), col("c_label").as("assigned"))
+        .agg(count(lit(1)).as("n_vecs"))
+        .orderBy("label", "assigned")
+    },
+    Some(s"""WITH pe AS (SELECT label, j AS pos, embedding[j+1] AS v
+                         FROM embeddings, range(0, 64) r(j)),
+             cd AS (SELECT label, pos,
+                      CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE)
+                        / count(*) AS cv
+                    FROM pe GROUP BY label, pos),
+             cent AS (SELECT label AS c_label, list(cv ORDER BY pos) AS cemb
+                      FROM cd GROUP BY label),
+             s AS (SELECT vec_id, label, c_label,
+                     round(${duckCos("CAST(embedding AS DOUBLE[])", "cemb")}, 4)
+                       AS score
+                   FROM embeddings, cent),
+             a AS (SELECT vec_id, label, c_label,
+                     row_number() OVER (PARTITION BY vec_id
+                       ORDER BY score DESC, c_label ASC) AS rn
+                   FROM s)
+             SELECT label, c_label AS assigned, count(*) AS n_vecs
+             FROM a WHERE rn = 1
+             GROUP BY label, assigned ORDER BY label, assigned"""))
+
+  val all: Seq[Q] = Seq(q27KnnBrute, q28AnnLsh, q29EmbNearDup, q30IvfCentroid)
 }
