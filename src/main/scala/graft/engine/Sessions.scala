@@ -31,6 +31,10 @@ object Sessions {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // the events fixture stores TIMESTAMP(NANOS) which Spark 4 rejects
+      // outright (PARQUET_TYPE_ILLEGAL); this reads NANOS as BIGINT ns
+      // and the engine converts explicitly (see EventQueries)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1,7 +1,202 @@
 package graft.queries
 
-import graft.Catalog.Q
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 
+import graft.Catalog.Q
+import graft.engine.Tables
+
+/** Event-time suite over `events` (SURVEY.md §2.7/§7.4 extension surface):
+  * `from_json` property extraction, tumbling and sliding event-time
+  * windows, sessionization both ways (gaps-and-islands and Spark's
+  * `session_window`), and keyed first-event dedup. These run in batch so
+  * the DuckDB oracle can check them; the same expressions run unchanged
+  * under Structured Streaming (see graft.streaming) with `withWatermark`
+  * bounding state.
+  *
+  * ## 100 TB notes
+  *  - Tumbling/sliding windows are plain hash aggregates on
+  *    (window, keys): partial agg map-side, one shuffle on the group key.
+  *    A sliding window multiplies rows by windows-per-event (2 here) BEFORE
+  *    the partial agg — still linear, never materialized globally.
+  *  - Sessionization shuffles once on user_id (the window partition key),
+  *    then every window function and the final session aggregate reuse
+  *    that partitioning — Catalyst plans a single Exchange.
+  *  - Timestamps: fixture parquet is ns-precision; Spark reads µs-truncated
+  *    TIMESTAMP_NTZ, DuckDB truncates via CAST(ts AS TIMESTAMP) — outputs
+  *    are epoch-µs BIGINTs on both sides (never raw timestamps).
+  */
 object EventQueries {
-  val all: Seq[Q] = Seq()
+
+  private val propsSchema = StructType(Seq(StructField("k", IntegerType)))
+
+  /** `events.ts` is TIMESTAMP(NANOS) in parquet; Spark 4 reads it (under
+    * `nanosAsLong`, see Sessions) as BIGINT nanoseconds. Everything
+    * downstream works on epoch-µs BIGINTs / explicit µs timestamps:
+    */
+  /** epoch-µs from the ns BIGINT (floor division; all fixture ts > 0). */
+  private val tsUs: Column = expr("ts div 1000")
+  /** µs TIMESTAMP (LTZ; session is UTC) for window()/session_window(). */
+  private val tsStamp: Column = timestamp_micros(tsUs)
+  /** epoch-µs of a window-struct bound (already LTZ). */
+  private def us(c: Column): Column = unix_micros(c.cast("timestamp_ltz"))
+
+  private val duckUs = (e: String) => s"epoch_us(CAST($e AS TIMESTAMP))"
+
+  /** Tumbling 1-hour windows: counts, exact-decimal value sums, and the
+    * sum of the JSON-extracted `props.k` per (window, event_type).
+    */
+  val q31HourlyFromJson: Q = Q(
+    "q31_hourly_from_json",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      ev.select(tsStamp.as("tss"), col("event_type"), col("value"),
+          from_json(col("props"), propsSchema).getField("k").as("k"))
+        .groupBy(window(col("tss"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value").cast("decimal(30,10)")).cast("double"), 2)
+            .as("total_value"),
+          sum(col("k").cast("long")).as("sum_k"))
+        .select(us(col("w.start")).as("window_start_us"), col("event_type"),
+          col("n_events"), col("total_value"), col("sum_k"))
+        .orderBy("window_start_us", "event_type")
+    },
+    Some(s"""SELECT ${duckUs("date_trunc('hour', CAST(ts AS TIMESTAMP))")}
+               AS window_start_us,
+             event_type, count(*) AS n_events,
+             round(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 2)
+               AS total_value,
+             CAST(sum(CAST(json_extract(props, 'k') AS INT)) AS BIGINT) AS sum_k
+             FROM events
+             GROUP BY 1, 2 ORDER BY window_start_us, event_type"""))
+
+  /** Sliding windows (2 h length, 1 h slide) over error events: each event
+    * lands in 2 windows; per-window counts + distinct users.
+    */
+  val q32SlidingWindow: Q = Q(
+    "q32_sliding_window",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      ev.filter(col("event_type") === "error")
+        .select(col("user_id"), tsStamp.as("tss"))
+        .groupBy(window(col("tss"), "2 hours", "1 hour").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          count_distinct(col("user_id")).as("n_users"))
+        .select(us(col("w.start")).as("window_start_us"),
+          col("n_events"), col("n_users"))
+        .orderBy("window_start_us")
+    },
+    // each event belongs to windows starting at trunc(hour) and
+    // trunc(hour) - 1h — enumerate them relationally
+    Some(s"""SELECT ${duckUs("ws")} AS window_start_us,
+             count(*) AS n_events, count(DISTINCT user_id) AS n_users
+             FROM (SELECT user_id,
+                     date_trunc('hour', CAST(ts AS TIMESTAMP))
+                       - i * INTERVAL 1 HOUR AS ws
+                   FROM events, range(0, 2) r(i)
+                   WHERE event_type = 'error')
+             GROUP BY ws ORDER BY window_start_us"""))
+
+  /** Sessionization via gaps-and-islands: a 30-min silence per user starts
+    * a new session; emits per-session span, size, and exact value total.
+    */
+  val q33Sessionize: Q = Q(
+    "q33_sessionize",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us").asc, col("event_id").asc)
+      val gapUs = 30L * 60 * 1000000
+      val newSession = when(
+        col("prev_us").isNull || (col("ts_us") - col("prev_us")) > gapUs, 1L)
+        .otherwise(0L)
+      ev.select(col("user_id"), col("event_id"), col("value"),
+          tsUs.as("ts_us"))
+        .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+        .withColumn("is_new", newSession)
+        .withColumn("session_seq",
+          sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"),
+          count(lit(1)).as("n_events"),
+          round(sum(col("value").cast("decimal(30,10)")).cast("double"), 2)
+            .as("total_value"))
+        .orderBy("user_id", "session_seq")
+    },
+    Some(s"""WITH e AS (SELECT user_id, event_id, value,
+                          ${duckUs("ts")} AS ts_us FROM events),
+             flags AS (SELECT *, CASE WHEN prev_us IS NULL
+                           OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS is_new
+                       FROM (SELECT *, lag(ts_us) OVER (PARTITION BY user_id
+                               ORDER BY ts_us, event_id) AS prev_us FROM e)),
+             sess AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id
+                        ORDER BY ts_us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS session_seq
+                      FROM flags)
+             SELECT user_id, session_seq, min(ts_us) AS start_us,
+               max(ts_us) AS end_us, count(*) AS n_events,
+               round(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 2)
+                 AS total_value
+             FROM sess GROUP BY user_id, session_seq
+             ORDER BY user_id, session_seq"""))
+
+  /** Spark's built-in `session_window` (30-min gap): window end is
+    * last-event + gap by definition; the oracle reproduces that via
+    * gaps-and-islands (end = max(ts) + 30 min).
+    */
+  val q34SessionWindow: Q = Q(
+    "q34_session_window",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      ev.select(col("user_id"), tsStamp.as("tss"))
+        .groupBy(col("user_id"), session_window(col("tss"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), us(col("w.start")).as("start_us"),
+          us(col("w.end")).as("end_us"), col("n_events"))
+        .orderBy("user_id", "start_us")
+    },
+    Some(s"""WITH e AS (SELECT user_id, event_id, ${duckUs("ts")} AS ts_us
+                        FROM events),
+             flags AS (SELECT *, CASE WHEN prev_us IS NULL
+                           OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS is_new
+                       FROM (SELECT *, lag(ts_us) OVER (PARTITION BY user_id
+                               ORDER BY ts_us, event_id) AS prev_us FROM e)),
+             sess AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id
+                        ORDER BY ts_us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS session_seq
+                      FROM flags)
+             SELECT user_id, min(ts_us) AS start_us,
+               max(ts_us) + 1800000000 AS end_us, count(*) AS n_events
+             FROM sess GROUP BY user_id, session_seq
+             ORDER BY user_id, start_us"""))
+
+  /** Keyed first-event dedup (batch analog of streaming
+    * `dropDuplicates(user_id, event_type)` within a watermark).
+    */
+  val q35EventFirst: Q = Q(
+    "q35_event_first",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts_us").asc, col("event_id").asc)
+      ev.select(col("user_id"), col("event_type"), col("event_id"),
+          tsUs.as("ts_us"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"), col("ts_us"))
+        .orderBy("user_id", "event_type")
+    },
+    Some(s"""SELECT user_id, event_type, event_id, ${duckUs("ts")} AS ts_us
+             FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                     ORDER BY ts, event_id) AS rn FROM events)
+             WHERE rn = 1 ORDER BY user_id, event_type"""))
+
+  val all: Seq[Q] =
+    Seq(q31HourlyFromJson, q32SlidingWindow, q33Sessionize, q34SessionWindow,
+      q35EventFirst)
 }
