@@ -1,0 +1,70 @@
+package graft.engine
+
+import java.sql.DriverManager
+import java.util.Properties
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Write paths (SURVEY.md §2.1 S2/S5/S7/S8/S9) — the medallion layers all
+  * end in a write; this is the engine API for them.
+  *
+  * ## 100 TB notes
+  *  - The partitioned silver sink is dynamic-partition overwrite territory:
+  *    a full `Overwrite` (the reference's semantics,
+  *    brewery_operators.py:194-196) rewrites the whole dataset each run; at
+  *    scale you flip `partitionOverwriteMode=dynamic` and only changed
+  *    partitions land. The API takes the mode so both postures are one
+  *    call.
+  *  - Partition-count hygiene: the caller controls parallelism upstream
+  *    (`repartition(partitionCols)` before a partitioned write avoids the
+  *    many-small-files explosion of one file per task per partition value).
+  *  - JDBC lands through executor-side batch inserts; `overwrite`
+  *    drop+recreates like the reference (brewery_operators.py:386-387).
+  *    The serving database is the scale bottleneck by design — gold tables
+  *    are small aggregates.
+  */
+object Sinks {
+
+  /** Bronze write (S2): one run-timestamped JSON directory per ingest,
+    * mirroring the reference's `{prefix}_{yyyyMMdd_HHmmss}.json` blob
+    * naming (brewery_operators.py:117-130) as a `run_ts=` directory.
+    * Returns the directory written.
+    */
+  def writeBronzeJson(df: DataFrame, bronzeRoot: String, runTs: String): String = {
+    val dir = s"$bronzeRoot/run_ts=$runTs"
+    df.write.mode(SaveMode.Overwrite).json(dir)
+    dir
+  }
+
+  /** Partitioned parquet sink (S5): silver layout, hive-partitioned. */
+  def writePartitionedParquet(df: DataFrame, path: String,
+                              partitionCols: Seq[String],
+                              mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.partitionBy(partitionCols: _*).mode(mode).parquet(path)
+
+  /** Unpartitioned parquet sink (S7): gold layout. */
+  def writeParquet(df: DataFrame, path: String,
+                   mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).parquet(path)
+
+  /** JDBC sink (S8): drop+recreate like the reference's overwrite. */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+                props: Properties = new Properties()): Unit =
+    df.write.mode(SaveMode.Overwrite).jdbc(url, table, props)
+
+  /** DDL side-channel (S9): the reference pre-creates the serving schema
+    * with psycopg2 before the Spark JDBC write
+    * (brewery_operators.py:335-356); plain JDBC from the driver here.
+    */
+  def createSchema(url: String, schema: String): Unit = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      conn.createStatement().execute(s"CREATE SCHEMA $schema")
+    } catch {
+      // idempotent: schema may already exist (SQLSTATE X0Y68 on Derby,
+      // 42P06 on Postgres); anything else propagates
+      case e: java.sql.SQLException
+        if e.getSQLState == "X0Y68" || e.getSQLState == "42P06" => ()
+    } finally conn.close()
+  }
+}

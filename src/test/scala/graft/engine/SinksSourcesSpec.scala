@@ -1,0 +1,83 @@
+package graft.engine
+
+import org.apache.hadoop.fs.Path
+
+import graft.SparkSpec
+
+/** Write/read-back round trips for every sink/source operator
+  * (SURVEY.md §2.1; FIXTURES.md §C: S2/S3/S5/S7/S8 are unit-tested, not
+  * oracle-checked).
+  */
+class SinksSourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sampleDf =
+    Seq(("a", "CA", 1.5), ("b", "CA", 2.5), ("c", "NY", 3.5))
+      .toDF("id", "state", "v")
+
+  test("bronze JSON write -> read-back preserves rows (S2/S4)") {
+    withTempDir { root =>
+      val dir = Sinks.writeBronzeJson(sampleDf, s"$root/bronze", "20240101_000000")
+      dir should endWith("run_ts=20240101_000000")
+      val back = Sources.readJson(spark, dir)
+      back.select("id", "state", "v").as[(String, String, Double)]
+        .collect().toSet shouldBe
+        Set(("a", "CA", 1.5), ("b", "CA", 2.5), ("c", "NY", 3.5))
+    }
+  }
+
+  test("latest-snapshot selection picks max mtime (S3)") {
+    withTempDir { root =>
+      val bronze = s"$root/bronze"
+      val d1 = Sinks.writeBronzeJson(sampleDf.limit(1), bronze, "run_a")
+      val d2 = Sinks.writeBronzeJson(sampleDf, bronze, "run_b")
+      // pin mtimes: directory mtime granularity can make writes tie
+      val fs = new Path(bronze).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.setTimes(new Path(d1), 1000000L, -1)
+      fs.setTimes(new Path(d2), 2000000L, -1)
+      Sources.latestSnapshotPath(spark, bronze).get should endWith("run_ts=run_b")
+      Sources.readLatestJsonSnapshot(spark, bronze).get.count() shouldBe 3
+      // flip the order: now run_a is "newest"
+      fs.setTimes(new Path(d1), 3000000L, -1)
+      Sources.latestSnapshotPath(spark, bronze).get should endWith("run_ts=run_a")
+      Sources.latestSnapshotPath(spark, s"$root/missing") shouldBe None
+    }
+  }
+
+  test("partitioned parquet sink: hive layout + row equality (S5)") {
+    withTempDir { root =>
+      val path = s"$root/silver"
+      Sinks.writePartitionedParquet(sampleDf, path, Seq("state"))
+      new java.io.File(s"$path/state=CA").isDirectory shouldBe true
+      new java.io.File(s"$path/state=NY").isDirectory shouldBe true
+      val back = Sources.readParquet(spark, path)
+      back.select("id", "state", "v").as[(String, String, Double)]
+        .collect().toSet shouldBe
+        Set(("a", "CA", 1.5), ("b", "CA", 2.5), ("c", "NY", 3.5))
+      // overwrite replaces, not appends
+      Sinks.writePartitionedParquet(sampleDf.filter($"state" === "CA"), path, Seq("state"))
+      Sources.readParquet(spark, path).count() shouldBe 2
+    }
+  }
+
+  test("unpartitioned parquet sink round trip (S7)") {
+    withTempDir { root =>
+      Sinks.writeParquet(sampleDf, s"$root/gold")
+      Sources.readParquet(spark, s"$root/gold").count() shouldBe 3
+    }
+  }
+
+  test("JDBC sink: schema DDL + overwrite semantics on embedded Derby (S8/S9)") {
+    val url = "jdbc:derby:memory:graftdb;create=true"
+    Sinks.createSchema(url, "gold_layer")
+    Sinks.createSchema(url, "gold_layer") // idempotent second call
+    val gold = Seq(("micro", "CA", 2L), ("brewpub", "NY", 1L))
+      .toDF("brewery_type", "state", "brewery_count")
+    Sinks.writeJdbc(gold, url, "gold_layer.brewery_summary")
+    // overwrite = drop + recreate, like the reference
+    Sinks.writeJdbc(gold.limit(1), url, "gold_layer.brewery_summary")
+    val back = spark.read.jdbc(url, "gold_layer.brewery_summary",
+      new java.util.Properties())
+    back.count() shouldBe 1
+  }
+}
