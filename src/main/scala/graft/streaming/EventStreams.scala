@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming transforms over the event schema
+  * (SURVEY.md §2.7: the reference is strictly daily batch with incremental
+  * processing deferred as future work — this module is that future work,
+  * Spark-first). The batch queries in EventQueries use the same
+  * expressions; here they run incrementally with watermarks bounding
+  * state.
+  *
+  * ## 100 TB/day notes
+  *  - Watermarks make every stateful op's footprint proportional to the
+  *    in-flight window, not history: a 1-hour watermark on hourly windows
+  *    keeps ~2 windows of partial aggregates per key in the state store.
+  *  - `dropDuplicates` after a watermark holds only in-watermark keys.
+  *  - Sessionization uses `flatMapGroupsWithState` with event-time
+  *    timeouts: state per ACTIVE user only, closed sessions are emitted
+  *    and dropped as the watermark passes (gap + timeout), so state never
+  *    accumulates beyond live sessions.
+  */
+object EventStreams {
+
+  final case class Ev(user_id: Long, ts_us: Long, value: Double)
+  final case class Session(user_id: Long, start_us: Long, end_us: Long,
+                           n_events: Long, total_value: Double)
+  /** open-session accumulator carried between micro-batches */
+  final case class OpenSession(start_us: Long, end_us: Long, n: Long, total: Double)
+
+  val SessionGapUs: Long = 30L * 60 * 1000000
+
+  /** Tumbling event-time window counts with a watermark (append-ready). */
+  def hourlyCounts(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withColumn("tss", timestamp_micros(col("ts_us")))
+      .withWatermark("tss", watermark)
+      .groupBy(window(col("tss"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_micros(col("w.start")).as("window_start_us"),
+        col("event_type"), col("n_events"))
+
+  /** Exactly-once-per-key within the watermark horizon. */
+  def dedupWithinWatermark(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withColumn("tss", timestamp_micros(col("ts_us")))
+      .withWatermark("tss", watermark)
+      .dropDuplicates("user_id", "event_type", "tss")
+
+  /** Stateful sessionization: 30-min-gap sessions per user, emitted when
+    * the gap elapses in event time (or the session is superseded within a
+    * batch). State = at most one open session per active user.
+    */
+  def sessionize(events: Dataset[Ev]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("tss", timestamp_micros(col("ts_us")))
+      .withWatermark("tss", "30 minutes")
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[Ev], state: GroupState[OpenSession]) =>
+          if (batch.isEmpty && state.hasTimedOut) {
+            // watermark passed start-of-gap: the open session is final
+            val out = state.getOption.map(s =>
+              Session(uid, s.start_us, s.end_us, s.n, s.total)).toList
+            state.remove()
+            out.iterator
+          } else {
+            val evs = batch.toSeq.sortBy(e => (e.ts_us))
+            var open = state.getOption
+            val closed = List.newBuilder[Session]
+            evs.foreach { e =>
+              open match {
+                case Some(s) if e.ts_us - s.end_us <= SessionGapUs =>
+                  open = Some(OpenSession(s.start_us, e.ts_us, s.n + 1,
+                    s.total + e.value))
+                case Some(s) =>
+                  closed += Session(uid, s.start_us, s.end_us, s.n, s.total)
+                  open = Some(OpenSession(e.ts_us, e.ts_us, 1, e.value))
+                case None =>
+                  open = Some(OpenSession(e.ts_us, e.ts_us, 1, e.value))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              // fire once the watermark passes the session's gap horizon
+              state.setTimeoutTimestamp((s.end_us + SessionGapUs) / 1000)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

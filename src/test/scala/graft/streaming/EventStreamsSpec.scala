@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.SparkSpec
+import graft.streaming.EventStreams.{Ev, Session}
+
+/** Streaming semantics under a real micro-batch executor (MemoryStream ->
+  * memory sink): watermark-driven window finalization, in-watermark
+  * dedup, and stateful session emission via event-time timeout.
+  */
+class EventStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val H = 3600L * 1000000 // one hour in µs
+
+  private case class Raw(user_id: Long, event_type: String, ts_us: Long, value: Double)
+
+  private def runUntilIdle(q: StreamingQuery): Unit = q.processAllAvailable()
+
+  test("hourly counts finalize when the watermark passes (append mode)") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Raw]
+    val q = EventStreams.hourlyCounts(in.toDF())
+      .writeStream.format("memory").queryName("hourly").outputMode("append")
+      .start()
+    try {
+      in.addData(Raw(1, "view", 10 * H + 1, 1.0), Raw(2, "view", 10 * H + 2, 1.0))
+      runUntilIdle(q)
+      // watermark still inside hour 10: nothing final yet
+      spark.table("hourly").count() shouldBe 0
+      // an event 2 hours later pushes the watermark past hour 10's end
+      in.addData(Raw(3, "view", 12 * H + 1, 1.0))
+      runUntilIdle(q)
+      spark.table("hourly").as[(Long, String, Long)].collect().toSet shouldBe
+        Set((10 * H, "view", 2L))
+    } finally q.stop()
+  }
+
+  test("dropDuplicates within watermark dedups across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Raw]
+    val q = EventStreams.dedupWithinWatermark(in.toDF())
+      .writeStream.format("memory").queryName("dedup").outputMode("append")
+      .start()
+    try {
+      in.addData(Raw(1, "click", 10 * H, 1.0))
+      runUntilIdle(q)
+      in.addData(Raw(1, "click", 10 * H, 99.0)) // same key+ts: duplicate
+      in.addData(Raw(1, "click", 10 * H + 5, 1.0)) // new ts: kept
+      runUntilIdle(q)
+      spark.table("dedup").count() shouldBe 2
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState emits sessions on gap and on timeout") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventStreams.sessionize(in.toDS())
+      .writeStream.format("memory").queryName("sessions").outputMode("append")
+      .start()
+    try {
+      // user 1: two events 5 min apart -> one open session
+      in.addData(Ev(1, 10 * H, 1.0), Ev(1, 10 * H + 300L * 1000000, 2.0))
+      runUntilIdle(q)
+      spark.table("sessions").count() shouldBe 0 // still open
+      // user 1 again, 2 hours later: closes the first session in-batch
+      in.addData(Ev(1, 12 * H, 4.0))
+      runUntilIdle(q)
+      val afterGap = spark.table("sessions").as[Session].collect()
+      afterGap.map(s => (s.user_id, s.start_us, s.end_us, s.n_events, s.total_value))
+        .toSet shouldBe Set((1L, 10 * H, 10 * H + 300L * 1000000, 2L, 3.0))
+      // push the watermark far ahead with another user: the open session
+      // times out and is emitted
+      in.addData(Ev(2, 20 * H, 1.0))
+      runUntilIdle(q)
+      in.addData(Ev(2, 30 * H, 1.0)) // advance again so user 2's also fires
+      runUntilIdle(q)
+      val users = spark.table("sessions").as[Session].collect().map(_.user_id).toSet
+      users should contain(1L)
+      spark.table("sessions").as[Session].collect()
+        .find(s => s.user_id == 1L && s.start_us == 12 * H)
+        .map(_.n_events) shouldBe Some(1L)
+    } finally q.stop()
+  }
+}
