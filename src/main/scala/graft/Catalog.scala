@@ -26,7 +26,8 @@ object Catalog {
     queries.EventQueries.all ++
     queries.DedupQueries.all ++
     queries.SimilarityQueries.all ++
-    queries.TextQueries.all
+    queries.TextQueries.all ++
+    queries.MultimodalQueries.all
 
   lazy val queryMap: Map[String, QueryFn] =
     all.map(q => q.name -> q.fn).toMap
