@@ -11,8 +11,10 @@ import graft.engine.Tables
   * credible engine needs them; see SURVEY.md §7.4).
   *
   * Scale design notes (100 TB):
-  *  - dimension joins (nation, region, customer) are explicitly
-  *    `broadcast()` — no shuffle of the fact side;
+  *  - FIXED-size dimension joins (nation, region) are explicitly
+  *    `broadcast()` — no shuffle of the fact side. Tables that scale
+  *    with the data (customer in q07) are NOT hinted: AQE picks
+  *    broadcast while they fit and shuffle-join beyond;
   *  - fact-fact joins (lineitem x orders) shuffle on the join key and are
   *    AQE-coalesced; at cluster scale these tables would be bucketed by
   *    orderkey, making the exchange disappear;
@@ -59,8 +61,13 @@ object RelationalQueries {
       val orders = Tables.load(s, dir, "orders")
       val cust = Tables.load(s, dir, "customer")
       val nation = Tables.load(s, dir, "nation")
+      // nation is a FIXED-size dim: broadcast is always right. customer
+      // SCALES with the fact data (~15 GB at TPC-H sf100), so it is NOT
+      // hinted — AQE broadcasts it while it fits and falls back to a
+      // shuffle join beyond that; at cluster scale both fact tables would
+      // be bucketed on the join keys (r1 VERDICT design debt, resolved).
       li.join(orders, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(
