@@ -37,14 +37,16 @@ object Multimodal {
   /** Opaque-binary media table derived from a text corpus (fixture
     * stand-in for real image/audio bytes) with a typed metadata struct.
     */
-  def mediaFromText(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(
+  def mediaFromText(docs: DataFrame, idCol: String, textCol: String,
+                    passthrough: Seq[String] = Nil): DataFrame =
+    docs.select(Seq(
       col(idCol).as("id"),
       col(textCol).cast("binary").as("media"),
       struct(
         lit("text/plain").as("mime"),
         octet_length(col(textCol).cast("binary")).as("n_bytes"),
         md5(col(textCol).cast("binary")).as("content_hash")).as("meta"))
+      ++ passthrough.map(col): _*)
 
   /** Bound per-task bytes by clustering rows into size buckets before a
     * decode pass (log2 of the blob size).

@@ -45,13 +45,6 @@ object Text {
   /** Content fingerprint: md5 of the normalized text. */
   def fingerprint(text: Column): Column = md5(trim(lower(text)))
 
-  /** The i-th minhash function: md5 keyed by the hash index. Minhash
-    * values are compared as hex STRINGS (lexicographic min) — portable
-    * across engines, no hex->int conversion needed.
-    */
-  def keyedHash(i: Column, s: Column): Column =
-    md5(concat(i.cast("string"), lit(":"), s))
-
   /** 32-bit hash of a string as a BIGINT (first 8 md5 hex chars). Used for
     * simhash bit extraction; DuckDB mirror: ('0x' || substr(md5(s),1,8))::BIGINT.
     */

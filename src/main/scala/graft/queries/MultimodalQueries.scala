@@ -20,9 +20,8 @@ object MultimodalQueries {
     "q36_multimodal_meta",
     (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      val media = Multimodal.mediaFromText(docs.withColumn("source", col("source")),
-        "doc_id", "text")
-        .join(docs.select(col("doc_id").as("id"), col("source")), Seq("id"))
+      val media = Multimodal.mediaFromText(docs, "doc_id", "text",
+        passthrough = Seq("source"))
       media
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_media"),
