@@ -49,6 +49,18 @@ object Quality {
     }
   }
 
+  /** Quarantine split: one pass tagging each row, returning (clean rows,
+    * violating rows). The reference's gate is all-or-nothing control flow
+    * (assertGate keeps that contract); quarantine is the extension for
+    * pipelines that should keep flowing while bad rows land in a side
+    * table for triage — at 100 TB a gate that fails the whole run on one
+    * bad row is rarely what you want.
+    */
+  def quarantine(df: DataFrame, criticalColumns: Seq[String]): (DataFrame, DataFrame) = {
+    val bad = criticalColumns.map(c => nullOrEmpty(col(c))).reduce(_ || _)
+    (df.filter(!bad), df.filter(bad))
+  }
+
   /** All critical-column violation counts in ONE scan (vs the reference's
     * job-per-column), as (column, violations) rows.
     */

@@ -1,0 +1,50 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.engine.Silver
+
+/** The DSv2 paged-ingest source: partition-per-page parallelism, the
+  * short-last-page stop condition, column pruning pushdown, determinism,
+  * and composition with the silver projection (S1 -> P1 path).
+  */
+class PagedSourceSpec extends SparkSpec {
+
+  private def read(pages: Int, perPage: Int) =
+    spark.read.format("paged-api")
+      .option("pages", pages).option("per_page", perPage).load()
+
+  test("one InputPartition per page; last page is short (stop condition)") {
+    val df = read(pages = 4, perPage = 50)
+    df.rdd.getNumPartitions shouldBe 4
+    df.count() shouldBe (3 * 50 + 25)
+  }
+
+  test("deterministic content, stable across reads") {
+    val a = read(3, 10).orderBy("id").collect()
+    val b = read(3, 10).orderBy("id").collect()
+    a.toSeq shouldBe b.toSeq
+    a.head.getAs[String]("id") shouldBe "b0"
+  }
+
+  test("column pruning reaches the reader (ReadSchema is pruned)") {
+    val pruned = read(2, 10).select("id", "state_province")
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().head
+    scan.schema.fieldNames.toSeq shouldBe Seq("id", "state_province")
+    pruned.count() shouldBe 15
+  }
+
+  test("feeds the silver projection (S1 -> P1-P6)") {
+    val silver = Silver.project(read(2, 20), Seq(
+      "id" -> col("id"),
+      "brewery_name" -> Silver.cleanName(col("name")),
+      "brewery_type" -> Silver.normKey(col("brewery_type")),
+      "state" -> col("state_province"),
+      "longitude" -> Silver.castDoubleLenient(col("longitude"))))
+    silver.count() shouldBe 30
+    // k % 13 == 0 rows carry the malformed longitude -> NULL under try_cast
+    silver.filter(col("longitude").isNull).count() shouldBe
+      (0 until 30).count(_ % 13 == 0)
+  }
+}
