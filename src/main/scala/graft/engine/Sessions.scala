@@ -35,6 +35,10 @@ object Sessions {
       // outright (PARQUET_TYPE_ILLEGAL); this reads NANOS as BIGINT ns
       // and the engine converts explicitly (see EventQueries)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // saveAsTable target for bucketed-table workflows; keep it out of
+      // the repo working tree
+      .config("spark.sql.warehouse.dir",
+        s"${sys.props("java.io.tmpdir")}/graft-warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
