@@ -60,6 +60,20 @@ class SinksSourcesSpec extends SparkSpec {
     }
   }
 
+  test("partition pruning fires on the partitioned silver layout (SURVEY §4)") {
+    withTempDir { root =>
+      val path = s"$root/silver"
+      Sinks.writePartitionedParquet(sampleDf, path, Seq("state"))
+      val filtered = Sources.readParquet(spark, path).filter($"state" === "CA")
+      filtered.count() shouldBe 2
+      // the state predicate must become a PartitionFilter on the scan
+      // (directory pruning), not a post-scan Filter over all partitions
+      val scan = filtered.queryExecution.executedPlan.collectLeaves().head.toString
+      scan should include("PartitionFilters")
+      scan should include("state")
+    }
+  }
+
   test("unpartitioned parquet sink round trip (S7)") {
     withTempDir { root =>
       Sinks.writeParquet(sampleDf, s"$root/gold")
