@@ -1,0 +1,68 @@
+package graft.engine.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Temporal join operators Spark lacks as built-ins: AS-OF join and
+  * bounded RANGE join (SURVEY §7.3 decision (a): compose existing ops —
+  * no custom strategy needed; both reduce to one equi-shuffle).
+  *
+  * ## 100 TB notes
+  *  - asofJoin is the union trick: interleave both sides in one
+  *    window over (key, time) and carry the last right-row struct
+  *    forward. ONE shuffle on the key, state = one struct per key —
+  *    strictly better than the naive "join then keep max(right.ts)"
+  *    which materializes every (left, earlier-right) pair first.
+  *  - rangeJoin buckets time into window-width cells so candidates meet
+  *    only inside (key, cell) — an equi-join with a 2x probe fan-out,
+  *    never an inequality cross product. Catalyst cannot plan this
+  *    rewrite itself; the operator encodes it.
+  */
+object Temporal {
+
+  /** For each left row: the latest right row with the same key and
+    * `rightTs <= leftTs` (inner semantics — unmatched left rows drop).
+    * Right payload columns are packed into one struct so the matched
+    * values always come from a single right row.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+               leftTs: String, rightTs: String,
+               rightPayload: Seq[String]): DataFrame = {
+    val l = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__tag", lit(1))
+    // right side carries ONLY key/time/payload-struct, tagged 0 so a
+    // right row at the same instant sorts before the left row (<=);
+    // unionByName(allowMissingColumns) nulls __asof on left rows and the
+    // left-only columns on right rows
+    val r = right.select(
+      col(key), col(rightTs).as("__ts"), lit(0).as("__tag"),
+      struct(rightPayload.map(col): _*).as("__asof"))
+    val both = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__ts").asc, col("__tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    both
+      .withColumn("__matched", last(col("__asof"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1 && col("__matched").isNotNull)
+      .drop("__ts", "__tag", "__asof")
+  }
+
+  /** All (left, right) pairs with equal key and
+    * `rightTs - leftTs` in (0, windowUs]. Times are epoch-µs BIGINTs.
+    */
+  def rangeJoin(left: DataFrame, right: DataFrame, key: String,
+                leftTs: String, rightTs: String, windowUs: Long): DataFrame = {
+    // cell = floor(ts / width): a qualifying pair is always in the same
+    // or adjacent cell, so the left probes exactly two cells
+    def cell(ts: Column): Column = floor(ts / windowUs).cast("long")
+    val l = left.withColumn("__cell",
+      explode(array(cell(col(leftTs)), cell(col(leftTs)) + 1)))
+    val r = right.withColumn("__cell", cell(col(rightTs)))
+    l.join(r, Seq(key, "__cell"))
+      .filter(col(rightTs) > col(leftTs)
+        && col(rightTs) - col(leftTs) <= windowUs)
+      .drop("__cell")
+  }
+}

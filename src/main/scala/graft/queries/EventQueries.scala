@@ -196,7 +196,75 @@ object EventQueries {
                      ORDER BY ts, event_id) AS rn FROM events)
              WHERE rn = 1 ORDER BY user_id, event_type"""))
 
+  /** AS-OF join (engine ext operator): for each error event, the latest
+    * purchase by the same user at or before it. One shuffle on user_id
+    * (the union trick in [[graft.engine.ext.Temporal.asofJoin]]); the
+    * oracle is DuckDB's native ASOF JOIN.
+    */
+  val q37AsofJoin: Q = Q(
+    "q37_asof_join",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          tsUs.as("ts_us"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("user_id"),
+          col("ts_us").as("err_ts_us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pur_id"), col("user_id"),
+          col("ts_us").as("pur_ts_us"))
+      graft.engine.ext.Temporal
+        .asofJoin(errors, purchases, "user_id", "err_ts_us", "pur_ts_us",
+          rightPayload = Seq("pur_id", "pur_ts_us"))
+        .select(col("user_id"), col("err_id"), col("err_ts_us"),
+          col("__matched.pur_id").as("pur_id"),
+          col("__matched.pur_ts_us").as("pur_ts_us"),
+          (col("err_ts_us") - col("__matched.pur_ts_us")).as("gap_us"))
+        .orderBy("err_id")
+    },
+    Some(s"""WITH ev AS (SELECT event_id, user_id, event_type,
+                           ${duckUs("ts")} AS ts_us FROM events),
+             e AS (SELECT event_id AS err_id, user_id, ts_us AS err_ts_us
+                   FROM ev WHERE event_type = 'error'),
+             p AS (SELECT event_id AS pur_id, user_id, ts_us AS pur_ts_us
+                   FROM ev WHERE event_type = 'purchase')
+             SELECT e.user_id, err_id, err_ts_us, pur_id, pur_ts_us,
+               err_ts_us - pur_ts_us AS gap_us
+             FROM e ASOF JOIN p
+               ON e.user_id = p.user_id AND p.pur_ts_us <= e.err_ts_us
+             ORDER BY err_id"""))
+
+  /** Bounded RANGE join (engine ext operator): same-user event pairs at
+    * most 10 minutes apart, via time-cell bucketing (equi-join + 2x
+    * probe, never an inequality cross product). Oracle: the plain
+    * inequality join, safe at oracle scale.
+    */
+  val q38RangeJoin: Q = Q(
+    "q38_range_join",
+    (s, dir) => {
+      val tenMinUs = 600L * 1000000
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"), tsUs.as("ts_us"))
+      val a = ev.select(col("user_id"), col("event_id").as("id1"),
+        col("ts_us").as("ts1"))
+      val b = ev.select(col("user_id"), col("event_id").as("id2"),
+        col("ts_us").as("ts2"))
+      graft.engine.ext.Temporal
+        .rangeJoin(a, b, "user_id", "ts1", "ts2", tenMinUs)
+        .select(col("user_id"), col("id1"), col("id2"),
+          (col("ts2") - col("ts1")).as("dt_us"))
+        .orderBy("id1", "id2")
+    },
+    Some(s"""WITH ev AS (SELECT event_id, user_id, ${duckUs("ts")} AS ts_us
+                         FROM events)
+             SELECT a.user_id, a.event_id AS id1, b.event_id AS id2,
+               b.ts_us - a.ts_us AS dt_us
+             FROM ev a JOIN ev b
+               ON a.user_id = b.user_id AND b.ts_us > a.ts_us
+               AND b.ts_us - a.ts_us <= 600000000
+             ORDER BY id1, id2"""))
+
   val all: Seq[Q] =
     Seq(q31HourlyFromJson, q32SlidingWindow, q33Sessionize, q34SessionWindow,
-      q35EventFirst)
+      q35EventFirst, q37AsofJoin, q38RangeJoin)
 }
