@@ -8,8 +8,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * ANSI SQL the driver runs in DuckDB over the same parquet tables.
   * Determinism contract for hash-stable comparison:
   *   - every query ends in a total-order `orderBy`;
-  *   - double outputs are rounded (arithmetic results) or untouched
-  *     (values read straight from parquet);
+  *   - double SUMS are accumulated in decimal(30,10) (exact, order-
+  *     independent), rounded IN DECIMAL (half-away, identical on both
+  *     engines), then cast to double;
+  *   - divisions / cosines / scores are emitted as RAW doubles: identical
+  *     IEEE op trees are bit-identical across engines, whereas a double
+  *     round() can flip on ties (Spark rounds the exact decimal expansion
+  *     half-up; DuckDB rounds via scaling — they disagree when x*10^k
+  *     lands on .5) — so round() is NEVER applied to a double;
   *   - timestamps are emitted as epoch microseconds (BIGINT) or
   *     formatted strings, never raw timestamp columns;
   *   - aggregate counts use count(...) on both sides (DuckDB sum(int)

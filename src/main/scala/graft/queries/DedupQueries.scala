@@ -119,7 +119,7 @@ object DedupQueries {
         .join(base.select(col("doc_id").as("d1"), col("sh").as("sh1")), Seq("d1"))
         .join(base.select(col("doc_id").as("d2"), col("sh").as("sh2")), Seq("d2"))
         .select(col("d1"), col("d2"),
-          round(jaccard(col("sh1"), col("sh2")), 4).as("jacc"))
+          jaccard(col("sh1"), col("sh2")).as("jacc"))
         .filter(col("jacc") >= 0.8)
         .orderBy("d1", "d2")
     },
@@ -139,11 +139,11 @@ object DedupQueries {
                       FROM bands x JOIN bands y
                         ON x.b = y.b AND x.bk = y.bk AND x.doc_id < y.doc_id)
              SELECT d1, d2,
-               round(len(list_intersect(a.sh, b.sh))::DOUBLE
-                 / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jacc
+               len(list_intersect(a.sh, b.sh))::DOUBLE
+                 / len(list_distinct(list_concat(a.sh, b.sh))) AS jacc
              FROM cand JOIN shs a ON a.doc_id = d1 JOIN shs b ON b.doc_id = d2
-             WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE
-               / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.8
+             WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+               / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
              ORDER BY d1, d2"""))
 
   /** N-gram Jaccard with rare-shingle blocking: only shingles with
@@ -170,7 +170,7 @@ object DedupQueries {
         .join(base.select(col("doc_id").as("d1"), col("sh").as("sh1")), Seq("d1"))
         .join(base.select(col("doc_id").as("d2"), col("sh").as("sh2")), Seq("d2"))
         .select(col("d1"), col("d2"),
-          round(jaccard(col("sh1"), col("sh2")), 4).as("jacc"))
+          jaccard(col("sh1"), col("sh2")).as("jacc"))
         .filter(col("jacc") >= 0.5)
         .orderBy("d1", "d2")
     },
@@ -182,11 +182,11 @@ object DedupQueries {
                       FROM blocked x JOIN blocked y
                         ON x.s = y.s AND x.doc_id < y.doc_id)
              SELECT d1, d2,
-               round(len(list_intersect(a.sh, b.sh))::DOUBLE
-                 / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jacc
+               len(list_intersect(a.sh, b.sh))::DOUBLE
+                 / len(list_distinct(list_concat(a.sh, b.sh))) AS jacc
              FROM cand JOIN shs a ON a.doc_id = d1 JOIN shs b ON b.doc_id = d2
-             WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE
-               / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.5
+             WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+               / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
              ORDER BY d1, d2"""))
 
   /** SimHash: 60-bit token-multiset fingerprint per doc; near-dup pairs

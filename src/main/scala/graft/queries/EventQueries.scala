@@ -56,7 +56,7 @@ object EventQueries {
           from_json(col("props"), propsSchema).getField("k").as("k"))
         .groupBy(window(col("tss"), "1 hour").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n_events"),
-          round(sum(col("value").cast("decimal(30,10)")).cast("double"), 2)
+          round(sum(col("value").cast("decimal(30,10)")), 2).cast("double")
             .as("total_value"),
           sum(col("k").cast("long")).as("sum_k"))
         .select(us(col("w.start")).as("window_start_us"), col("event_type"),
@@ -66,7 +66,7 @@ object EventQueries {
     Some(s"""SELECT ${duckUs("date_trunc('hour', CAST(ts AS TIMESTAMP))")}
                AS window_start_us,
              event_type, count(*) AS n_events,
-             round(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 2)
+             CAST(round(sum(CAST(value AS DECIMAL(30,10))), 2) AS DOUBLE)
                AS total_value,
              CAST(sum(CAST(json_extract(props, 'k') AS INT)) AS BIGINT) AS sum_k
              FROM events
@@ -122,7 +122,7 @@ object EventQueries {
         .groupBy(col("user_id"), col("session_seq"))
         .agg(min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"),
           count(lit(1)).as("n_events"),
-          round(sum(col("value").cast("decimal(30,10)")).cast("double"), 2)
+          round(sum(col("value").cast("decimal(30,10)")), 2).cast("double")
             .as("total_value"))
         .orderBy("user_id", "session_seq")
     },
@@ -139,7 +139,7 @@ object EventQueries {
                       FROM flags)
              SELECT user_id, session_seq, min(ts_us) AS start_us,
                max(ts_us) AS end_us, count(*) AS n_events,
-               round(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 2)
+               CAST(round(sum(CAST(value AS DECIMAL(30,10))), 2) AS DOUBLE)
                  AS total_value
              FROM sess GROUP BY user_id, session_seq
              ORDER BY user_id, session_seq"""))

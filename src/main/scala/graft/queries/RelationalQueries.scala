@@ -37,15 +37,18 @@ object RelationalQueries {
         .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
         .agg(count(lit(1)).as("n_cust"),
-          // exact decimal sum → double, so combine order can't shift the
-          // rounding (see q10 note).
-          round(sum(col("c_acctbal").cast("decimal(30,10)"))
-            .cast("double") / count(lit(1)), 2).as("avg_bal"))
+          // the decimal sum is cent-rounded BEFORE the double cast: a
+          // low-scale decimal -> double is bit-identical across engines
+          // (high-scale is not — DuckDB converts int128 then divides by
+          // 10^scale, two roundings), and the single IEEE division after
+          // it is too. No double round() anywhere (tie hazard).
+          (round(sum(col("c_acctbal").cast("decimal(30,10)")), 2)
+            .cast("double") / count(lit(1))).as("avg_bal"))
         .orderBy("r_name", "n_name")
     },
     Some("""SELECT r_name, n_name, count(*) AS n_cust,
-            round(CAST(sum(CAST(c_acctbal AS DECIMAL(30,10))) AS DOUBLE)
-              / count(*), 2) AS avg_bal
+            CAST(round(sum(CAST(c_acctbal AS DECIMAL(30,10))), 2) AS DOUBLE)
+              / count(*) AS avg_bal
             FROM customer
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
@@ -75,14 +78,14 @@ object RelationalQueries {
           // EXACT decimal sum — order-independent, so Spark's partial-agg
           // combine order can't flip a rounding boundary vs the oracle.
           round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .cast("decimal(30,10)")).cast("double"), 2).as("revenue"),
+            .cast("decimal(30,10)")), 2).cast("double").as("revenue"),
           count_distinct(col("o_orderkey")).as("n_orders"),
           count(lit(1)).as("n_items"))
         .orderBy("n_name")
     },
     Some("""SELECT n_name,
-            round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
-              AS DECIMAL(30,10))) AS DOUBLE), 2) AS revenue,
+            CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount)
+              AS DECIMAL(30,10))), 2) AS DOUBLE) AS revenue,
             count(DISTINCT o_orderkey) AS n_orders, count(*) AS n_items
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
@@ -132,23 +135,24 @@ object RelationalQueries {
       li.groupBy(col("l_returnflag"))
         .agg(
           count(lit(1)).as("cnt"),
-          // exact decimal sums: double partial-agg order is nondeterministic
-          // in Spark, so sums/avgs are accumulated in decimal and only then
-          // cast back — identical on both engines regardless of order.
-          round(sum(col("l_quantity").cast("decimal(30,10)"))
-            .cast("double"), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice").cast("decimal(30,10)"))
-            .cast("double") / count(lit(1)), 2).as("avg_price"),
+          // exact decimal sums (partial-agg order can't change them),
+          // ROUNDED IN DECIMAL (exact half-away, identical across engines)
+          // before the double cast; averages are emitted as one unrounded
+          // IEEE division — double round() is never applied (tie hazard).
+          round(sum(col("l_quantity").cast("decimal(30,10)")), 2)
+            .cast("double").as("sum_qty"),
+          (round(sum(col("l_extendedprice").cast("decimal(30,10)")), 2)
+            .cast("double") / count(lit(1))).as("avg_price"),
           min(col("l_extendedprice")).as("min_price"),
           max(col("l_extendedprice")).as("max_price"),
           count_distinct(col("l_suppkey")).as("n_supp"))
         .orderBy("l_returnflag")
     },
     Some("""SELECT l_returnflag, count(*) AS cnt,
-            round(CAST(sum(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE), 2)
+            CAST(round(sum(CAST(l_quantity AS DECIMAL(30,10))), 2) AS DOUBLE)
               AS sum_qty,
-            round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE)
-              / count(*), 2) AS avg_price,
+            CAST(round(sum(CAST(l_extendedprice AS DECIMAL(30,10))), 2) AS DOUBLE)
+              / count(*) AS avg_price,
             min(l_extendedprice) AS min_price,
             max(l_extendedprice) AS max_price,
             count(DISTINCT l_suppkey) AS n_supp
@@ -161,8 +165,8 @@ object RelationalQueries {
       val li = Tables.load(s, dir, "lineitem")
       li.rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("cnt"),
-          round(sum(col("l_quantity").cast("decimal(30,10)"))
-            .cast("double"), 2).as("sum_qty"),
+          round(sum(col("l_quantity").cast("decimal(30,10)")), 2)
+            .cast("double").as("sum_qty"),
           grouping_id().as("gid"))
         .select(
           coalesce(col("l_returnflag"), lit("(all)")).as("rflag"),
@@ -173,7 +177,7 @@ object RelationalQueries {
     Some("""SELECT coalesce(l_returnflag, '(all)') AS rflag,
             coalesce(l_linestatus, '(all)') AS lstatus,
             count(*) AS cnt,
-            round(CAST(sum(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE), 2)
+            CAST(round(sum(CAST(l_quantity AS DECIMAL(30,10))), 2) AS DOUBLE)
               AS sum_qty,
             GROUPING(l_returnflag, l_linestatus) AS gid
             FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
@@ -232,15 +236,15 @@ object RelationalQueries {
           // decimal accumulation: window-sum evaluation order differs
           // across engines (DuckDB uses segment trees), so a double
           // running sum is not bit-stable — an exact decimal sum is.
-          round(sum(col("o_totalprice").cast("decimal(30,10)")).over(w)
-            .cast("double"), 2).as("running_total"))
+          round(sum(col("o_totalprice").cast("decimal(30,10)")).over(w), 2)
+            .cast("double").as("running_total"))
         .orderBy("o_custkey", "o_orderkey")
     },
     Some("""SELECT o_custkey, o_orderkey,
-            round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) OVER (
+            CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,10))) OVER (
               PARTITION BY o_custkey
               ORDER BY o_orderdate ASC, o_orderkey ASC
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2)
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
               AS running_total
             FROM orders ORDER BY o_custkey, o_orderkey"""))
 

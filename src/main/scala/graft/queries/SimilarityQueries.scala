@@ -26,8 +26,10 @@ import graft.functions.GraftFunctions.cosineSim
   *  - Near-dup runs the same bucket equi-join both-sides; never all-pairs.
   *  - IVF: centroids are tiny (clusters x dims) and broadcast; assignment
   *    is a map-side argmax — no shuffle of the vector corpus at all.
-  *  - Ordering ties are broken on the ROUNDED score + id so the top-k
-  *    cut is identical across engines (raw float ordering is not).
+  *  - Scores are emitted as RAW doubles: the cosine op tree (sequential
+  *    per-element sums, dot/(sqrt*sqrt)) is bit-identical on both engines
+  *    (verified against DuckDB's sequential list_sum), while round() tie
+  *    algorithms are not; id tie-breaks keep the top-k cut stable.
   */
 object SimilarityQueries {
 
@@ -62,7 +64,7 @@ object SimilarityQueries {
       val scored = c.crossJoin(broadcast(q))
         .filter(col("cand_id") =!= col("q_id"))
         .select(col("q_id"), col("cand_id"),
-          round(cosineSim(col("qe"), col("ce")), 4).as("score"))
+          cosineSim(col("qe"), col("ce")).as("score"))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("score").desc, col("cand_id").asc)
       scored.withColumn("rank", row_number().over(w))
@@ -75,7 +77,7 @@ object SimilarityQueries {
              c AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS ce
                    FROM embeddings),
              s AS (SELECT q_id, cand_id,
-                     round(${duckCos("qe", "ce")}, 4) AS score
+                     ${duckCos("qe", "ce")} AS score
                    FROM c, q WHERE cand_id != q_id),
              r AS (SELECT q_id, cand_id, score,
                      row_number() OVER (PARTITION BY q_id
@@ -98,7 +100,7 @@ object SimilarityQueries {
       val scored = c.join(broadcast(q), Seq("bucket"))
         .filter(col("cand_id") =!= col("q_id"))
         .select(col("q_id"), col("cand_id"),
-          round(cosineSim(col("qe"), col("ce")), 4).as("score"))
+          cosineSim(col("qe"), col("ce")).as("score"))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("score").desc, col("cand_id").asc)
       scored.withColumn("rank", row_number().over(w))
@@ -111,7 +113,7 @@ object SimilarityQueries {
                         FROM embeddings),
              q AS (SELECT vec_id AS q_id, e AS qe, bucket FROM b WHERE vec_id < 10),
              s AS (SELECT q_id, c.vec_id AS cand_id,
-                     round(${duckCos("qe", "c.e")}, 4) AS score
+                     ${duckCos("qe", "c.e")} AS score
                    FROM b c JOIN q USING (bucket) WHERE c.vec_id != q_id),
              r AS (SELECT q_id, cand_id, score,
                      row_number() OVER (PARTITION BY q_id
@@ -131,7 +133,7 @@ object SimilarityQueries {
           col("x.bucket") === col("y.bucket")
             && col("x.vec_id") < col("y.vec_id"))
         .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"),
-          round(cosineSim(col("x.embedding"), col("y.embedding")), 4).as("score"))
+          cosineSim(col("x.embedding"), col("y.embedding")).as("score"))
         .filter(col("score") >= 0.4)
         .orderBy("v1", "v2")
     },
@@ -139,10 +141,10 @@ object SimilarityQueries {
                           $duckBucket AS bucket
                         FROM embeddings)
              SELECT x.vec_id AS v1, y.vec_id AS v2,
-               round(${duckCos("x.e", "y.e")}, 4) AS score
+               ${duckCos("x.e", "y.e")} AS score
              FROM b x JOIN b y
                ON x.bucket = y.bucket AND x.vec_id < y.vec_id
-             WHERE round(${duckCos("x.e", "y.e")}, 4) >= 0.4
+             WHERE ${duckCos("x.e", "y.e")} >= 0.4
              ORDER BY v1, v2"""))
 
   /** IVF-style assignment: per-label centroids (exact decimal mean per
@@ -155,15 +157,15 @@ object SimilarityQueries {
       val e = emb(s, dir)
       val pe = e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
       val cent = pe.groupBy(col("label"), col("pos"))
-        .agg((sum(col("v").cast("double").cast("decimal(30,15)")).cast("double")
-          / count(lit(1))).as("cv"))
+        .agg((round(sum(col("v").cast("double").cast("decimal(30,15)")), 9)
+          .cast("double") / count(lit(1))).as("cv"))
         .groupBy(col("label"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
           x => x.getField("cv")).as("cemb"))
         .select(col("label").as("c_label"), col("cemb"))
       val scored = e.crossJoin(broadcast(cent))
         .select(col("vec_id"), col("label"), col("c_label"),
-          round(cosineSim(col("embedding"), col("cemb")), 4).as("score"))
+          cosineSim(col("embedding"), col("cemb")).as("score"))
       val w = Window.partitionBy(col("vec_id"))
         .orderBy(col("score").desc, col("c_label").asc)
       scored.withColumn("rn", row_number().over(w))
@@ -175,14 +177,13 @@ object SimilarityQueries {
     Some(s"""WITH pe AS (SELECT label, j AS pos, embedding[j+1] AS v
                          FROM embeddings, range(0, 64) r(j)),
              cd AS (SELECT label, pos,
-                      CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE)
-                        / count(*) AS cv
+                      CAST(round(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(30,15))), 9)
+                        AS DOUBLE) / count(*) AS cv
                     FROM pe GROUP BY label, pos),
              cent AS (SELECT label AS c_label, list(cv ORDER BY pos) AS cemb
                       FROM cd GROUP BY label),
              s AS (SELECT vec_id, label, c_label,
-                     round(${duckCos("CAST(embedding AS DOUBLE[])", "cemb")}, 4)
-                       AS score
+                     ${duckCos("CAST(embedding AS DOUBLE[])", "cemb")} AS score
                    FROM embeddings, cent),
              a AS (SELECT vec_id, label, c_label,
                      row_number() OVER (PARTITION BY vec_id

@@ -48,13 +48,13 @@ object TextQueries {
           count_distinct(col("doc_id")).as("n_docs"),
           count(lit(1)).as("n_tokens"),
           count_distinct(col("tok")).as("vocab"),
-          round(count(lit(1)).cast("double") / count_distinct(col("doc_id")), 2)
+          (count(lit(1)).cast("double") / count_distinct(col("doc_id")))
             .as("avg_tokens"))
         .orderBy("lang")
     },
     Some("""SELECT lang, count(DISTINCT doc_id) AS n_docs,
             count(*) AS n_tokens, count(DISTINCT tok) AS vocab,
-            round(count(*)::DOUBLE / count(DISTINCT doc_id), 2) AS avg_tokens
+            count(*)::DOUBLE / count(DISTINCT doc_id) AS avg_tokens
             FROM (SELECT lang, doc_id, unnest(string_split(text, ' ')) AS tok
                   FROM documents)
             GROUP BY lang ORDER BY lang"""))
@@ -125,10 +125,12 @@ object TextQueries {
       val nTok = size(toks).cast("double")
       val stopRatio = Text.wordSetHits(toks, wordsEn).cast("double") / nTok
       val avgLen = col("n_chars").cast("double") / nTok
-      val score = round(
-        least(lit(1.0), nTok / 200.0) * 0.5
-          + stopRatio * 0.3
-          + least(lit(1.0), avgLen / 8.0) * 0.2, 4)
+      // raw double: the op tree is identical on both engines, so the
+      // value is bit-identical; a round() here could flip on ties
+      val score =
+        least(lit(1.0), nTok / 200.0) * 0.5 +
+          stopRatio * 0.3 +
+          least(lit(1.0), avgLen / 8.0) * 0.2
       docs.select(
           col("doc_id"),
           size(toks).cast("long").as("n_tokens"),
@@ -138,10 +140,10 @@ object TextQueries {
     },
     Some(s"""SELECT doc_id, n_tokens, score, floor(score * 10)::BIGINT AS bucket
              FROM (SELECT doc_id, len($duckToks)::BIGINT AS n_tokens,
-                     round(least(1.0::DOUBLE, len($duckToks) / 200.0) * 0.5
+                     least(1.0::DOUBLE, len($duckToks) / 200.0) * 0.5
                        + (${duckHits(wordsEn)}::DOUBLE / len($duckToks)) * 0.3
-                       + least(1.0::DOUBLE, (n_chars::DOUBLE / len($duckToks)) / 8.0) * 0.2,
-                       4) AS score
+                       + least(1.0::DOUBLE, (n_chars::DOUBLE / len($duckToks)) / 8.0) * 0.2
+                       AS score
                    FROM documents)
              ORDER BY doc_id"""))
 
