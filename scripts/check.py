@@ -73,13 +73,34 @@ def main():
             cur = con.execute(oracles[name])
             exp_cols = [d[0] for d in cur.description]
             exp_rows = cur.fetchall()
+            # Arrow-level type parity: the driver hashes typed values, so a
+            # DuckDB HUGEINT/DECIMAL column (e.g. window sum) hash-mismatches
+            # a Spark BIGINT even when every value is equal. fetchall()
+            # collapses both to Python int and hides it — compare the arrow
+            # schemas' type *families* explicitly.
+            def fam(t):
+                t = str(t)
+                if t.startswith("int") or t.startswith("uint"):
+                    return "int"
+                if t in ("float", "double") or t.startswith("halffloat"):
+                    return "float"
+                return t  # decimal128(...), string, bool, ... compare verbatim
+            exp_types = {f.name: fam(f.type)
+                         for f in con.execute(oracles[name]).arrow().schema}
+            got_types = {f.name: fam(f.type) for f in got_tbl.schema}
+            type_ok = True
+            for c in set(exp_types) & set(got_types):
+                if exp_types[c] != got_types[c]:
+                    print(f"  ✗ {name}: TYPE {c} oracle={exp_types[c]} "
+                          f"spark={got_types[c]} (driver hash would differ)")
+                    type_ok = False
         except Exception as e:
             print(f"  ✗ {name}: ORACLE SQL ERROR: {e}")
             n_fail += 1
             continue
         gc, gr = sorted_rows(got_cols, got_rows)
         ec, er = sorted_rows(exp_cols, exp_rows)
-        ok = True
+        ok = type_ok
         if gc != ec:
             print(f"  ✗ {name}: SCHEMA got={gc} exp={ec}")
             ok = False

@@ -38,6 +38,21 @@ object DedupQueries {
       .select(col("doc_id"),
         array_distinct(Text.shingles(Text.tokens(col("text")), K)).as("sh"))
 
+  /** Persist AND materialize now. A lazily-persisted table feeding both
+    * sides of a self-join (plus verification joins) is computed
+    * concurrently by every branch inside the one action — the branches
+    * race on the block-manager cache-fill locks ("Block already exists"
+    * warnings) and the signature pipeline runs up to 4x; measured 8.4 s
+    * -> 1.4 s at sf0.1 by forcing the fill with a count() first. Same
+    * rule at 100 TB: checkpoint/materialize the band table before
+    * self-joining it.
+    */
+  private def eager(df: DataFrame): DataFrame = {
+    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+    p.count()
+    p
+  }
+
   private val duckShingled =
     s"""SELECT doc_id,
           list_distinct(list_transform(range(1, greatest(len(toks) - ${K - 1}, 1) + 1),
@@ -80,37 +95,42 @@ object DedupQueries {
     * Signature construction is the Carter-Wegman family: ONE md5 per
     * shingle yields (h1, h2) 32-bit halves, and hash_i = (h1 + i*h2) mod P
     * gives 16 independent functions for the price of integer arithmetic —
-    * 16x fewer md5 evaluations than hashing (i, shingle) pairs, measured
-    * 5x faster end-to-end at sf0.1. The whole signature is computed inside
-    * one projection (array ops, no shuffle, no explode); the band table
-    * (4 small rows/doc) is persisted so the self-join and the verification
-    * join reuse it instead of recomputing the signatures.
+    * 16x fewer md5 evaluations than hashing (i, shingle) pairs.
+    *
+    * The signature is computed as explode(shingles) -> hash projection ->
+    * groupBy(doc_id) with 16 plain `min` aggregates, NOT as nested
+    * higher-order array functions. Nested HOFs build a giant interpreted
+    * expression tree whose generated classes took ~11 s of one-time
+    * Janino/JIT work at first execution (the data itself computes in
+    * <1 s); the flat explode+agg shape is ordinary whole-stage codegen.
+    * It is also the scale-correct shape: explode keeps each doc's
+    * shingles partition-local, partial aggregation collapses to one row
+    * per doc map-side, and only the 5k-rows/partition signature table
+    * ever shuffles.
     */
   val q24MinhashLsh: Q = Q(
     "q24_minhash_lsh",
     (s, dir) => {
-      val base = shingled(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
-      // (h1, h2) per shingle from a single md5
-      val hp = transform(transform(col("sh"), sch => md5(sch)),
-        m => struct(
-          conv(substring(m, 1, 8), 16, 10).cast("long").as("h1"),
-          conv(substring(m, 9, 8), 16, 10).cast("long").as("h2")))
-      val sig = base.withColumn("hp", hp).withColumn("sig",
-        transform(sequence(lit(0), lit(NumHashes - 1)),
-          i => array_min(transform(col("hp"),
-            x => pmod(x.getField("h1") + i.cast("long") * x.getField("h2"), lit(P))))))
+      val base = eager(shingled(s, dir))
+      // (h1, h2) 32-bit halves from a single md5 per shingle
+      val ex = base
+        .select(col("doc_id"), explode(col("sh")).as("sch"))
+        .select(col("doc_id"), md5(col("sch")).as("m"))
+        .select(col("doc_id"),
+          conv(substring(col("m"), 1, 8), 16, 10).cast("long").as("h1"),
+          conv(substring(col("m"), 9, 8), 16, 10).cast("long").as("h2"))
+      val sigCols = (0 until NumHashes).map(i =>
+        min(pmod(col("h1") + lit(i.toLong) * col("h2"), lit(P))).as(s"m$i"))
+      val sig = ex.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
       // band table: Bands rows per doc, keyed by the band's joined hashes
+      val bkCols = (0 until Bands).map(b =>
+        md5(concat_ws(",", (0 until RowsPerBand).map(r =>
+          col(s"m${b * RowsPerBand + r}").cast("string")): _*)))
       val bands = sig.select(col("doc_id"),
-          explode(sequence(lit(0), lit(Bands - 1))).as("b"),
-          col("sig"))
-        .select(col("doc_id"), col("b"),
-          md5(concat_ws(",",
-            transform(slice(col("sig"), col("b") * RowsPerBand + 1, lit(RowsPerBand)),
-              v => v.cast("string"))))
-            .as("bk"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val cand = bands.as("x")
-        .join(bands.as("y"),
+        posexplode(array(bkCols: _*)).as(Seq("b", "bk")))
+      val bandsM = eager(bands)
+      val cand = bandsM.as("x")
+        .join(bandsM.as("y"),
           col("x.b") === col("y.b") && col("x.bk") === col("y.bk")
             && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
@@ -153,14 +173,13 @@ object DedupQueries {
   val q25JaccardBlocked: Q = Q(
     "q25_jaccard_blocked",
     (s, dir) => {
-      val base = shingled(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+      val base = eager(shingled(s, dir))
       val exploded = base.select(col("doc_id"), explode(col("sh")).as("s"))
       val rare = exploded.groupBy(col("s"))
         .agg(count(lit(1)).as("df"))
         .filter(col("df") >= 2 && col("df") <= 5)
         .select(col("s"))
-      val blocked = exploded.join(rare, Seq("s"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val blocked = eager(exploded.join(rare, Seq("s")))
       val cand = blocked.as("x")
         .join(blocked.as("y"),
           col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
@@ -194,9 +213,15 @@ object DedupQueries {
     * is the sign of sum over token occurrences of (+-1 by bit j of the
     * token's 60-bit md5-derived hash) — token frequency weights naturally.
     *
-    * The Spark side computes the whole fingerprint inside one projection
-    * (60 statically-unrolled array folds over the token-hash array — no
-    * explode, no shuffle until the 4-rows/doc band table). The oracle
+    * The Spark side computes the fingerprint as explode(tokens) ->
+    * groupBy(doc_id) with 60 plain conditional-sum aggregates (one per
+    * bit), then reassembles the 60-bit hash in a single projection. An
+    * earlier version folded the token-hash array with 60 unrolled
+    * `aggregate` higher-order functions inside one projection — zero
+    * shuffles, but the giant interpreted expression tree cost seconds of
+    * one-time codegen/JIT; the flat explode+agg shape is ordinary
+    * whole-stage codegen, and partial aggregation collapses the exploded
+    * rows to one per doc map-side before the (tiny) shuffle. The oracle
     * computes the same integer math relationally (explode + group-by);
     * all-integer arithmetic makes the two paths bit-identical.
     *
@@ -210,23 +235,27 @@ object DedupQueries {
     "q26_simhash",
     (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      val hs = transform(Text.tokens(col("text")), t => Text.hash60(t))
-      // bit j (weight 2^(59-j)): sign of the +-1 vote sum over token hashes
+      // one row per token occurrence (frequency weights naturally), h = 60-bit hash
+      val ex = docs
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("t"))
+        .select(col("doc_id"), Text.hash60(col("t")).as("h"))
+      // vote_j: +-1 sum over occurrences by bit j of the token hash
+      val voteCols = (0 until 60).map { j =>
+        sum(when(shiftrightunsigned(col("h"), 59 - j).bitwiseAND(1) === 1, 1)
+          .otherwise(-1)).as(s"v$j")
+      }
+      val votes = ex.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
+      // bit j (weight 2^(59-j)): sign of the vote sum
       val simhash = (0 until 60).map { j =>
-        val votes = aggregate(col("hs"), lit(0),
-          (a, h) => a + when(shiftrightunsigned(h, 59 - j).bitwiseAND(1) === 1, 1)
-            .otherwise(-1))
-        when(votes > 0, lit(1L << (59 - j))).otherwise(0L)
+        when(col(s"v$j") > 0, lit(1L << (59 - j))).otherwise(0L)
       }.reduce(_ + _)
-      val sim = docs.select(col("doc_id"), hs.as("hs"))
-        .select(col("doc_id"), simhash.as("simhash"))
+      val sim = votes.select(col("doc_id"), simhash.as("simhash"))
       // band on each 15-bit quarter: hamming<=4 pairs agree on >=1 band
       // unless the flips cover all 4 bands
       val bvs = array((0 until 4).map(i =>
         shiftrightunsigned(col("simhash"), 15 * i).bitwiseAND(32767)): _*)
-      val bands = sim.select(col("doc_id"), col("simhash"),
-          posexplode(bvs).as(Seq("band_i", "bv")))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val bands = eager(sim.select(col("doc_id"), col("simhash"),
+          posexplode(bvs).as(Seq("band_i", "bv"))))
       val pairs = bands.as("x")
         .join(bands.as("y"),
           col("x.band_i") === col("y.band_i") && col("x.bv") === col("y.bv")

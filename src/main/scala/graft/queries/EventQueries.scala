@@ -137,7 +137,8 @@ object EventQueries {
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                         AS session_seq
                       FROM flags)
-             SELECT user_id, session_seq, min(ts_us) AS start_us,
+             SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+               min(ts_us) AS start_us,
                max(ts_us) AS end_us, count(*) AS n_events,
                CAST(round(sum(CAST(value AS DECIMAL(30,10))), 2) AS DOUBLE)
                  AS total_value
