@@ -312,7 +312,98 @@ object RelationalQueries {
             epoch_us(o_orderdate) AS order_ts_us
             FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10"""))
 
+  /** Exact grouped quantiles, DISCRETE variant: the value at rank
+    * ceil(p*n) within each group. Discrete (an actual element, no
+    * interpolation arithmetic) is chosen deliberately: the picked double
+    * is bit-identical across engines, whereas continuous-quantile
+    * interpolation formulas can differ in op order. Shape at scale: one
+    * shuffle on the group key, a per-group sort (bounded by group size),
+    * and conditional aggregates — no global sort.
+    */
+  val q40QuantilesDisc: Q = Q(
+    "q40_quantiles_disc",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val byFlag = Window.partitionBy(col("l_returnflag"))
+      val ranked = li.select(col("l_returnflag"), col("l_extendedprice"))
+        .withColumn("rn", row_number().over(byFlag.orderBy(col("l_extendedprice"))))
+        .withColumn("n", count(lit(1)).over(byFlag))
+      def pick(p: Double) =
+        max(when(col("rn") === ceil(col("n") * p), col("l_extendedprice")))
+      ranked.groupBy(col("l_returnflag"))
+        .agg(max(col("n")).as("n"),
+          pick(0.25).as("p25"), pick(0.5).as("p50"),
+          pick(0.75).as("p75"), pick(0.9).as("p90"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag, max(n) AS n,
+              max(CASE WHEN rn = ceil(n * 0.25) THEN l_extendedprice END) AS p25,
+              max(CASE WHEN rn = ceil(n * 0.5)  THEN l_extendedprice END) AS p50,
+              max(CASE WHEN rn = ceil(n * 0.75) THEN l_extendedprice END) AS p75,
+              max(CASE WHEN rn = ceil(n * 0.9)  THEN l_extendedprice END) AS p90
+            FROM (SELECT l_returnflag, l_extendedprice,
+                    row_number() OVER (PARTITION BY l_returnflag
+                      ORDER BY l_extendedprice) AS rn,
+                    count(*) OVER (PARTITION BY l_returnflag) AS n
+                  FROM lineitem)
+            GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** Distributed second moments, deterministically: population variance /
+    * stddev of price and covariance(quantity, price) per group — never
+    * the stddev()/covar() builtins, whose double accumulation order is
+    * partitioning-dependent. The moment formula n*Sxy - Sx*Sy suffers
+    * catastrophic cancellation, so ulp-level input differences explode:
+    * the fix is EXACT arithmetic until the final op. Prices are integer
+    * cents and quantities integers in this domain, so every sum and the
+    * whole numerator are exact integers (decimal(38,0) on Spark, HUGEINT
+    * on DuckDB); the single scale-0 cast to double is correctly rounded
+    * on both engines, and the closing division is one identical IEEE op
+    * tree. One partial-agg shuffle; scales like any grouped sum (the
+    * int64 cents sums would widen to decimal at ~sf10, stated inline).
+    */
+  val q41Moments: Q = Q(
+    "q41_moments",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      // exact integer units: cents for price, whole units for quantity
+      val centsY = round(col("l_extendedprice") * 100).cast("long")
+      val intX = round(col("l_quantity")).cast("long")
+      // sums in decimal(38,0): exact, order-independent; int64 would
+      // overflow sum(cents^2) beyond ~sf1
+      def isum(c: org.apache.spark.sql.Column) = sum(c.cast("decimal(38,0)"))
+      val agged = li
+        .select(col("l_returnflag"), centsY.as("yc"), intX.as("xi"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          isum(col("yc")).as("sy"), isum(col("yc") * col("yc")).as("syy"),
+          isum(col("xi")).as("sx"), isum(col("xi") * col("yc")).as("sxy"))
+      val nDec = col("n").cast("decimal(38,0)")
+      val numVar = (nDec * col("syy") - col("sy") * col("sy")).cast("double")
+      val numCov = (nDec * col("sxy") - col("sx") * col("sy")).cast("double")
+      val nD = col("n").cast("double")
+      val varY = numVar / (nD * nD * 10000.0) // cents^2 -> currency^2
+      agged.select(col("l_returnflag"), col("n"),
+          varY.as("var_price"),
+          sqrt(varY).as("stddev_price"),
+          (numCov / (nD * nD * 100.0)).as("covar_qty_price"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag, n,
+              CAST(n*syy - sy*sy AS DOUBLE) / (nd * nd * 10000.0) AS var_price,
+              sqrt(CAST(n*syy - sy*sy AS DOUBLE) / (nd * nd * 10000.0))
+                AS stddev_price,
+              CAST(n*sxy - sx*sy AS DOUBLE) / (nd * nd * 100.0)
+                AS covar_qty_price
+            FROM (SELECT l_returnflag, count(*) AS n, count(*)::DOUBLE AS nd,
+                    sum(yc) AS sy, sum(yc*yc) AS syy,
+                    sum(xi) AS sx, sum(xi*yc) AS sxy
+                  FROM (SELECT l_returnflag,
+                          CAST(round(l_extendedprice * 100) AS BIGINT) AS yc,
+                          CAST(round(l_quantity) AS BIGINT) AS xi
+                        FROM lineitem) GROUP BY l_returnflag)
+            ORDER BY l_returnflag"""))
+
   val all: Seq[Q] = Seq(q06JoinDims, q07StarRevenue, q08SemiJoin, q09AntiJoin,
     q10AggStats, q11Rollup, q12DistinctExact, q13WindowTopK, q14RunningSum,
-    q15Pivot, q16SetOps, q17GlobalTopN)
+    q15Pivot, q16SetOps, q17GlobalTopN, q40QuantilesDisc, q41Moments)
 }

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 import graft.Catalog.Q
 import graft.engine.Tables
@@ -170,6 +171,94 @@ object TextQueries {
                   FROM documents)
             GROUP BY source ORDER BY source"""))
 
+  /** Winnowing document fingerprints (MOSS-style, Schleimer et al. 2003):
+    * hash every k-token gram IN ORDER, slide a w-hash window over the
+    * stream, keep the minimum hash of each window; the distinct kept
+    * hashes are the doc's fingerprint set. Guarantees any match of
+    * k+w-1 tokens or longer shares at least one fingerprint.
+    *
+    * Shape at scale: posexplode keeps the gram stream partition-local;
+    * the per-window minimum is a bounded-frame window function over
+    * (doc_id, pos) — one shuffle on doc_id, state bounded by w rows; the
+    * fingerprint summary is an ordinary partial-agg group-by. Output is
+    * one summary row per doc (never the fingerprint set itself).
+    */
+  val q39WinnowFp: Q = Q(
+    "q39_winnow_fp",
+    (s, dir) => {
+      val k = 4  // gram width (tokens)
+      val w = 4  // winnowing window (hashes)
+      val docs = Tables.load(s, dir, "documents")
+      // ordered gram-hash stream: (doc_id, pos, h) — NO distinct, order matters
+      val ex = docs
+        .select(col("doc_id"),
+          posexplode(Text.shingles(Text.tokens(col("text")), k)).as(Seq("pos", "g")))
+        .select(col("doc_id"), col("pos"), Text.hash32(col("g")).as("h"))
+      val byDoc = Window.partitionBy(col("doc_id"))
+      val frame = byDoc.orderBy(col("pos")).rowsBetween(Window.currentRow, w - 1)
+      ex.withColumn("n", count(lit(1)).over(byDoc))
+        .withColumn("wmin", min(col("h")).over(frame))
+        .filter(col("pos") <= col("n") - w) // full windows only (pos 0-based)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_windows"),
+          count_distinct(col("wmin")).as("n_fp"),
+          min(col("wmin")).as("fp_min"),
+          max(col("wmin")).as("fp_max"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH shs AS (SELECT doc_id,
+                list_transform(range(1, greatest(len(toks) - 3, 1) + 1),
+                  i -> array_to_string(toks[i:i+3], ' ')) AS sh
+              FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+            exu AS (SELECT doc_id,
+                unnest(list_transform(range(0, len(sh)), i -> struct_pack(
+                  pos := i,
+                  h := ('0x' || substring(md5(sh[i + 1]), 1, 8))::BIGINT))) AS u
+              FROM shs),
+            ex AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM exu),
+            wm AS (SELECT doc_id, pos,
+                count(*) OVER (PARTITION BY doc_id) AS n,
+                min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+              FROM ex)
+            SELECT doc_id, count(*) AS n_windows,
+              count(DISTINCT wmin) AS n_fp,
+              min(wmin) AS fp_min, max(wmin) AS fp_max
+            FROM wm WHERE pos <= n - 4
+            GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** Edit-distance near-dup: candidate pairs blocked on the first three
+    * tokens (prefix block), verified with exact Levenshtein distance.
+    * Integer DP — bit-identical across engines. Prefix blocking is the
+    * scale story: candidates meet only inside a block (equi-join on the
+    * block key), never all-pairs; a df-style cap on block size (as in
+    * q25) bounds skew at 100 TB.
+    */
+  val q42EditDistance: Q = Q(
+    "q42_edit_distance",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val keyed = docs.select(col("doc_id"), col("text"),
+        concat_ws(" ", slice(Text.tokens(col("text")), 1, 3)).as("blk"))
+      keyed.as("x")
+        .join(keyed.as("y"),
+          col("x.blk") === col("y.blk") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+          levenshtein(col("x.text"), col("y.text")).cast("long").as("dist"))
+        .filter(col("dist") <= 40)
+        .orderBy("d1", "d2")
+    },
+    Some("""WITH keyed AS (SELECT doc_id, text,
+                array_to_string(string_split(text, ' ')[1:3], ' ') AS blk
+              FROM documents)
+            SELECT x.doc_id AS d1, y.doc_id AS d2,
+              levenshtein(x.text, y.text)::BIGINT AS dist
+            FROM keyed x JOIN keyed y
+              ON x.blk = y.blk AND x.doc_id < y.doc_id
+            WHERE levenshtein(x.text, y.text) <= 40
+            ORDER BY d1, d2"""))
+
   val all: Seq[Q] =
-    Seq(q18TextStats, q19TermFreq, q20LangId, q21QualityScore, q22RegexTokens)
+    Seq(q18TextStats, q19TermFreq, q20LangId, q21QualityScore, q22RegexTokens,
+      q39WinnowFp, q42EditDistance)
 }
