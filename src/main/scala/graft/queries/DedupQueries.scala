@@ -292,5 +292,88 @@ object DedupQueries {
             FROM pairs WHERE bit_count(xor(h1, h2)) <= 4
             ORDER BY d1, d2"""))
 
-  val all: Seq[Q] = Seq(q23DedupExact, q24MinhashLsh, q25JaccardBlocked, q26Simhash)
+  /** Dedup-cluster connected components: union the exact-fingerprint
+    * duplicate pairs with the prefix-blocked Levenshtein near-dup pairs
+    * into an edge set, then resolve each doc to the minimum doc_id
+    * reachable from it (its component id) — the step every dedup
+    * pipeline needs between "pairs found" and "keep one per cluster".
+    *
+    * Spark side is iterative min-label propagation: each round joins the
+    * label table to the (undirected) edges, takes the per-vertex min of
+    * self and neighbor labels, and stops when a round changes nothing.
+    * Rounds needed = component diameter; dup clusters are near-cliques,
+    * so 2-3 in practice. Each round is one equi-join shuffle on a table
+    * bounded by |V| — the standard scale-out CC shape (label propagation
+    * a la large-star/small-star), no driver-side graph. The convergence
+    * probe is an aggregate count, not a collect. The oracle computes the
+    * same fixpoint declaratively with a recursive CTE.
+    */
+  val q43DedupComponents: Q = Q(
+    "q43_dedup_components",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val fp = docs.select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+      val exactPairs = fp.as("x")
+        .join(fp.as("y"),
+          col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      val keyed = docs.select(col("doc_id"), col("text"),
+        concat_ws(" ", slice(Text.tokens(col("text")), 1, 3)).as("blk"))
+      val levPairs = keyed.as("x")
+        .join(keyed.as("y"),
+          col("x.blk") === col("y.blk") && col("x.doc_id") < col("y.doc_id"))
+        .filter(levenshtein(col("x.text"), col("y.text")) <= 40)
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      val edges = eager(exactPairs.union(levPairs).distinct())
+      val undirected = edges
+        .union(edges.select(col("b").as("a"), col("a").as("b")))
+      var lbl = eager(edges.select(col("a").as("v"))
+        .union(edges.select(col("b").as("v"))).distinct()
+        .select(col("v"), col("v").as("lbl")))
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 50) {
+        val nbrMin = undirected
+          .join(lbl.select(col("v").as("b"), col("lbl").as("nl")), Seq("b"))
+          .groupBy(col("a")).agg(min(col("nl")).as("nbr"))
+        val next = eager(lbl
+          .join(nbrMin.select(col("a").as("v"), col("nbr")), Seq("v"), "left")
+          .select(col("v"), least(col("lbl"), coalesce(col("nbr"), col("lbl")))
+            .as("lbl")))
+        val changed = next.as("n")
+          .join(lbl.as("o"), col("n.v") === col("o.v"))
+          .filter(col("n.lbl") =!= col("o.lbl")).limit(1).count()
+        lbl.unpersist()
+        lbl = next
+        converged = changed == 0
+        rounds += 1
+      }
+      lbl.select(col("v").as("doc_id"), col("lbl").as("component"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH RECURSIVE fp AS (SELECT doc_id, md5(trim(lower(text))) AS fp
+              FROM documents),
+            exact_pairs AS (SELECT x.doc_id AS a, y.doc_id AS b
+              FROM fp x JOIN fp y ON x.fp = y.fp AND x.doc_id < y.doc_id),
+            keyed AS (SELECT doc_id, text,
+                array_to_string(string_split(text, ' ')[1:3], ' ') AS blk
+              FROM documents),
+            lev_pairs AS (SELECT x.doc_id AS a, y.doc_id AS b
+              FROM keyed x JOIN keyed y
+              ON x.blk = y.blk AND x.doc_id < y.doc_id
+              WHERE levenshtein(x.text, y.text) <= 40),
+            edges AS (SELECT a, b FROM exact_pairs UNION
+                      SELECT a, b FROM lev_pairs),
+            und AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+            verts AS (SELECT DISTINCT a AS v FROM und),
+            reach AS (
+              SELECT v, v AS r FROM verts
+              UNION
+              SELECT und.a AS v, reach.r
+              FROM und JOIN reach ON und.b = reach.v)
+            SELECT v AS doc_id, min(r) AS component
+            FROM reach GROUP BY v ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(q23DedupExact, q24MinhashLsh, q25JaccardBlocked,
+    q26Simhash, q43DedupComponents)
 }

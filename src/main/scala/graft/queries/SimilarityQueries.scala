@@ -193,5 +193,71 @@ object SimilarityQueries {
              FROM a WHERE rn = 1
              GROUP BY label, assigned ORDER BY label, assigned"""))
 
-  val all: Seq[Q] = Seq(q27KnnBrute, q28AnnLsh, q29EmbNearDup, q30IvfCentroid)
+  /** One Lloyd (k-means) update step on top of q30's assignment: after
+    * each vector picks its argmax-cosine centroid, recompute every
+    * centroid as the per-dimension mean of its assigned vectors — the
+    * iteration body of distributed k-means. Means are decimal-accumulated
+    * (order-independent) then divided once in double, so the refined
+    * centroids hash-match the oracle exactly.
+    *
+    * Scale shape: centroids broadcast (tiny), assignment is a map-side
+    * argmax over the streamed corpus, and the recompute is posexplode +
+    * one partial-agg shuffle on (cluster, dim) — k*dims result rows. The
+    * full algorithm is this step in a driver loop, exactly like q43's
+    * label propagation.
+    */
+  val q44KmeansStep: Q = Q(
+    "q44_kmeans_step",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val pe = e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      val cent = pe.groupBy(col("label"), col("pos"))
+        .agg((round(sum(col("v").cast("double").cast("decimal(30,15)")), 9)
+          .cast("double") / count(lit(1))).as("cv"))
+        .groupBy(col("label"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+          x => x.getField("cv")).as("cemb"))
+        .select(col("label").as("c_label"), col("cemb"))
+      val scored = e.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("embedding"), col("c_label"),
+          cosineSim(col("embedding"), col("cemb")).as("score"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("score").desc, col("c_label").asc)
+      val assigned = scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("c_label").as("cluster"), col("embedding"))
+      assigned
+        .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(count(lit(1)).as("n"),
+          (round(sum(col("v").cast("double").cast("decimal(30,15)")), 9)
+            .cast("double") / count(lit(1))).as("cv"))
+        .orderBy("cluster", "pos")
+    },
+    Some(s"""WITH pe AS (SELECT label, j AS pos, embedding[j+1] AS v
+                         FROM embeddings, range(0, 64) r(j)),
+             cd AS (SELECT label, pos,
+                      CAST(round(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(30,15))), 9)
+                        AS DOUBLE) / count(*) AS cv
+                    FROM pe GROUP BY label, pos),
+             cent AS (SELECT label AS c_label, list(cv ORDER BY pos) AS cemb
+                      FROM cd GROUP BY label),
+             s AS (SELECT vec_id, embedding, c_label,
+                     ${duckCos("CAST(embedding AS DOUBLE[])", "cemb")} AS score
+                   FROM embeddings, cent),
+             a AS (SELECT vec_id, embedding, c_label AS cluster,
+                     row_number() OVER (PARTITION BY vec_id
+                       ORDER BY score DESC, c_label ASC) AS rn
+                   FROM s),
+             m AS (SELECT cluster, embedding FROM a WHERE rn = 1),
+             pe2 AS (SELECT cluster, j AS pos, embedding[j+1] AS v
+                     FROM m, range(0, 64) r(j))
+             SELECT cluster, pos, count(*) AS n,
+               CAST(round(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(30,15))), 9)
+                 AS DOUBLE) / count(*) AS cv
+             FROM pe2 GROUP BY cluster, pos
+             ORDER BY cluster, pos"""))
+
+  val all: Seq[Q] = Seq(q27KnnBrute, q28AnnLsh, q29EmbNearDup, q30IvfCentroid,
+    q44KmeansStep)
 }

@@ -258,7 +258,55 @@ object TextQueries {
             WHERE levenshtein(x.text, y.text) <= 40
             ORDER BY d1, d2"""))
 
+  /** TF-IDF term importance, top-3 terms per document. The idf factor is
+    * the rational N/df (no logarithm: libm log() implementations are not
+    * pinned across engines, a ratio of exact integers is), score =
+    * tf * N / df as one fixed IEEE op tree. Ties broken by token.
+    *
+    * Scale shape: one explode feeding two partial-agg group-bys (tf on
+    * (doc, tok), df on tok); N is a scalar broadcast; the df table joins
+    * back on tok (broadcast while it fits, AQE otherwise); top-k per doc
+    * is a bounded window. No global sort of the corpus.
+    */
+  val q45TfidfTopk: Q = Q(
+    "q45_tfidf_topk",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val toks = docs.select(col("doc_id"),
+        explode(Text.tokens(col("text"))).as("tok"))
+      val tf = toks.groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      val df = toks.groupBy(col("tok"))
+        .agg(count_distinct(col("doc_id")).as("df"))
+      val n = docs.select(count_distinct(col("doc_id")).as("n"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("tok").asc)
+      tf.join(df, Seq("tok")).crossJoin(broadcast(n))
+        .select(col("doc_id"), col("tok"),
+          (col("tf").cast("double") * col("n") / col("df")).as("score"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("tok"), col("score"))
+        .orderBy("doc_id", "rank")
+    },
+    Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+            tf AS (SELECT doc_id, tok, count(*) AS tf
+                   FROM toks GROUP BY doc_id, tok),
+            df AS (SELECT tok, count(DISTINCT doc_id) AS df
+                   FROM toks GROUP BY tok),
+            n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+            scored AS (SELECT doc_id, tok,
+                CAST(tf AS DOUBLE) * n / df AS score
+              FROM tf JOIN df USING (tok), n),
+            ranked AS (SELECT doc_id, tok, score,
+                row_number() OVER (PARTITION BY doc_id
+                  ORDER BY score DESC, tok ASC) AS rank
+              FROM scored)
+            SELECT doc_id, rank, tok, score FROM ranked
+            WHERE rank <= 3 ORDER BY doc_id, rank"""))
+
   val all: Seq[Q] =
     Seq(q18TextStats, q19TermFreq, q20LangId, q21QualityScore, q22RegexTokens,
-      q39WinnowFp, q42EditDistance)
+      q39WinnowFp, q42EditDistance, q45TfidfTopk)
 }

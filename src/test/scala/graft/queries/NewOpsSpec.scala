@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Semantics of the round-3 operators (winnowing fingerprints, Levenshtein
+  * near-dup, connected components, exact moments, tf-idf) on crafted
+  * fixtures small enough to reason about by hand. The oracle harness
+  * checks engine parity; these pin the intended MEANING.
+  */
+class NewOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeDocs(dir: String, docs: Seq[(Long, String)]): Unit =
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", org.apache.spark.sql.functions.length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+  test("q39 winnowing: window count and fingerprint bounds per doc") {
+    withTempDir { dir =>
+      // 10 tokens -> 7 4-grams -> 4 full 4-hash windows; 5 tokens -> 2
+      // 4-grams -> 0 full windows (doc absent from output)
+      writeDocs(dir, Seq(
+        1L -> "a b c d e f g h i j",
+        2L -> "a b c d e"))
+      val out = TextQueries.q39WinnowFp.fn(spark, dir)
+        .select("doc_id", "n_windows", "n_fp", "fp_min", "fp_max")
+        .as[(Long, Long, Long, Long, Long)].collect().toList
+      out.map(_._1) shouldBe List(1L)
+      val (_, nWin, nFp, fpMin, fpMax) = out.head
+      nWin shouldBe 4L
+      nFp should be >= 1L
+      nFp should be <= 4L
+      fpMin should be <= fpMax
+    }
+  }
+
+  test("q39 winnowing: identical docs get identical fingerprint summaries") {
+    withTempDir { dir =>
+      val text = "the quick brown fox jumps over the lazy dog again and again"
+      writeDocs(dir, Seq(1L -> text, 2L -> text))
+      val rows = TextQueries.q39WinnowFp.fn(spark, dir)
+        .select("n_windows", "n_fp", "fp_min", "fp_max")
+        .as[(Long, Long, Long, Long)].collect().toList
+      rows.distinct.size shouldBe 1
+    }
+  }
+
+  test("q42 edit distance: near-identical docs pair, far docs don't") {
+    withTempDir { dir =>
+      writeDocs(dir, Seq(
+        1L -> "alpha beta gamma delta epsilon zeta",
+        2L -> "alpha beta gamma delta epsilon zeta eta",   // dist 4
+        3L -> ("alpha beta gamma " + ("x" * 60)),            // same block, far
+        4L -> "other prefix here whatever"))               // different block
+      val pairs = TextQueries.q42EditDistance.fn(spark, dir)
+        .select("d1", "d2", "dist").as[(Long, Long, Long)].collect().toList
+      pairs.map(p => (p._1, p._2)) shouldBe List((1L, 2L))
+      pairs.head._3 shouldBe 4L
+    }
+  }
+
+  test("q43 connected components: chains collapse to the min doc_id") {
+    withTempDir { dir =>
+      // 1=2 exactly (fingerprint edge); 2~3 within lev 40 (chain 1-2-3);
+      // 10~11 a separate pair; 20 isolated (absent from output)
+      writeDocs(dir, Seq(
+        1L -> "p q r s t u v w",
+        2L -> "p q r s t u v w",
+        3L -> "p q r s t u v w x y",
+        10L -> "m n o p q r s",
+        11L -> "m n o p q r s z",
+        20L -> "lonely document entirely elsewhere"))
+      val comp = DedupQueries.q43DedupComponents.fn(spark, dir)
+        .as[(Long, Long)].collect().toMap
+      comp shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L)
+    }
+  }
+
+  test("q41 moments agree with var_pop/covar_pop on integral data") {
+    withTempDir { dir =>
+      val rows = Seq(
+        ("A", 1.0, 100.00), ("A", 2.0, 150.50), ("A", 3.0, 99.25),
+        ("B", 5.0, 10.00), ("B", 7.0, 30.00))
+      rows.toDF("l_returnflag", "l_quantity", "l_extendedprice")
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      val got = RelationalQueries.q41Moments.fn(spark, dir)
+        .select("l_returnflag", "var_price", "covar_qty_price")
+        .as[(String, Double, Double)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      val exp = rows.toDF("f", "x", "y")
+        .groupBy("f").agg(var_pop(col("y")), covar_pop(col("x"), col("y")))
+        .as[(String, Double, Double)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      for (f <- Seq("A", "B")) {
+        got(f)._1 shouldBe exp(f)._1 +- 1e-9
+        got(f)._2 shouldBe exp(f)._2 +- 1e-9
+      }
+    }
+  }
+
+  test("q45 tf-idf: a repeated unique token dominates its document") {
+    withTempDir { dir =>
+      writeDocs(dir, Seq(
+        1L -> "common words here plus zebra zebra zebra",
+        2L -> "common words here plus nothing else",
+        3L -> "common words here plus more common words"))
+      val top1 = TextQueries.q45TfidfTopk.fn(spark, dir)
+        .filter(col("doc_id") === 1 && col("rank") === 1)
+        .select("tok").as[String].collect().toList
+      top1 shouldBe List("zebra")
+    }
+  }
+}
