@@ -319,6 +319,10 @@ object DedupQueries {
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       val keyed = docs.select(col("doc_id"), col("text"),
         concat_ws(" ", slice(Text.tokens(col("text")), 1, 3)).as("blk"))
+        // explicit count: AQE would coalesce a bare repartition(col) to 1
+        // partition on byte size, serializing the Levenshtein DP (see q42)
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
+          col("blk"))
       val levPairs = keyed.as("x")
         .join(keyed.as("y"),
           col("x.blk") === col("y.blk") && col("x.doc_id") < col("y.doc_id"))
@@ -327,24 +331,28 @@ object DedupQueries {
       val edges = eager(exactPairs.union(levPairs).distinct())
       val undirected = edges
         .union(edges.select(col("b").as("a"), col("a").as("b")))
-      var lbl = eager(edges.select(col("a").as("v"))
+      var cached = eager(edges.select(col("a").as("v"))
         .union(edges.select(col("b").as("v"))).distinct()
         .select(col("v"), col("v").as("lbl")))
+      var lbl = cached
       var converged = false
       var rounds = 0
       while (!converged && rounds < 50) {
         val nbrMin = undirected
           .join(lbl.select(col("v").as("b"), col("lbl").as("nl")), Seq("b"))
           .groupBy(col("a")).agg(min(col("nl")).as("nbr"))
-        val next = eager(lbl
+        // one action per round: the changed-flag count both materializes
+        // the persisted label table and decides convergence
+        val next = lbl
           .join(nbrMin.select(col("a").as("v"), col("nbr")), Seq("v"), "left")
-          .select(col("v"), least(col("lbl"), coalesce(col("nbr"), col("lbl")))
-            .as("lbl")))
-        val changed = next.as("n")
-          .join(lbl.as("o"), col("n.v") === col("o.v"))
-          .filter(col("n.lbl") =!= col("o.lbl")).limit(1).count()
-        lbl.unpersist()
-        lbl = next
+          .select(col("v"),
+            least(col("lbl"), coalesce(col("nbr"), col("lbl"))).as("nlbl"),
+            (coalesce(col("nbr"), col("lbl")) < col("lbl")).as("chg"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val changed = next.filter(col("chg")).count()
+        cached.unpersist()
+        cached = next
+        lbl = next.select(col("v"), col("nlbl").as("lbl"))
         converged = changed == 0
         rounds += 1
       }

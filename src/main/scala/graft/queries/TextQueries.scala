@@ -238,8 +238,18 @@ object TextQueries {
     "q42_edit_distance",
     (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
+      // repartition on the block key with an EXPLICIT count: the probe
+      // side is otherwise a handful of file partitions, serializing the
+      // O(len^2) Levenshtein DP onto a few cores (14.5 s -> 1.3 s at
+      // sf0.1). The count must be explicit because AQE's coalescing is
+      // bytes-based: 5000 rows look tiny, so a bare repartition(col) gets
+      // coalesced straight back to one partition — wrong for CPU-bound
+      // per-row work. Same at 100 TB: pin parallelism for compute-heavy
+      // verification stages; let AQE size only the data-bound exchanges.
       val keyed = docs.select(col("doc_id"), col("text"),
         concat_ws(" ", slice(Text.tokens(col("text")), 1, 3)).as("blk"))
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
+          col("blk"))
       keyed.as("x")
         .join(keyed.as("y"),
           col("x.blk") === col("y.blk") && col("x.doc_id") < col("y.doc_id"))
