@@ -403,7 +403,70 @@ object RelationalQueries {
                         FROM lineitem) GROUP BY l_returnflag)
             ORDER BY l_returnflag"""))
 
+  /** CUBE over two dimensions (all four grouping sets), keyed by
+    * grouping_id — same shuffle shape as rollup (q11), one pass with the
+    * expanded grouping-set projection.
+    */
+  val q46Cube: Q = Q(
+    "q46_cube",
+    (s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      o.cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("o_totalprice").cast("decimal(30,10)")), 2)
+            .cast("double").as("sum_price"),
+          grouping_id().as("gid"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+          coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+          col("cnt"), col("sum_price"), col("gid"))
+        .orderBy("gid", "status", "priority")
+    },
+    Some("""SELECT coalesce(o_orderstatus, '(all)') AS status,
+            coalesce(o_orderpriority, '(all)') AS priority,
+            count(*) AS cnt,
+            CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,10))), 2) AS DOUBLE)
+              AS sum_price,
+            GROUPING(o_orderstatus, o_orderpriority) AS gid
+            FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+            ORDER BY gid, status, priority"""))
+
+  /** lead/lag deltas + ntile quartiles inside one keyed window: per
+    * customer order history, the gap to the next order and the spend
+    * quartile. One shuffle on the partition key; state bounded per
+    * customer.
+    */
+  val q47LeadNtile: Q = Q(
+    "q47_lead_ntile",
+    (s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("ts_us").asc, col("o_orderkey").asc)
+      val wPrice = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      o.select(col("o_custkey"), col("o_orderkey"),
+          unix_micros(col("o_orderdate").cast("timestamp_ltz")).as("ts_us"),
+          col("o_totalprice"))
+        .withColumn("next_gap_us",
+          lead(col("ts_us"), 1).over(w) - col("ts_us"))
+        .withColumn("spend_quartile", ntile(4).over(wPrice))
+        .filter(col("o_custkey") <= 100)
+        .select(col("o_custkey"), col("o_orderkey"), col("ts_us"),
+          col("next_gap_us"), col("spend_quartile"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey, ts_us,
+              lead(ts_us, 1) OVER (PARTITION BY o_custkey
+                ORDER BY ts_us, o_orderkey) - ts_us AS next_gap_us,
+              ntile(4) OVER (PARTITION BY o_custkey
+                ORDER BY o_totalprice, o_orderkey) AS spend_quartile
+            FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                    epoch_us(o_orderdate) AS ts_us FROM orders)
+            WHERE o_custkey <= 100
+            ORDER BY o_custkey, o_orderkey"""))
+
   val all: Seq[Q] = Seq(q06JoinDims, q07StarRevenue, q08SemiJoin, q09AntiJoin,
     q10AggStats, q11Rollup, q12DistinctExact, q13WindowTopK, q14RunningSum,
-    q15Pivot, q16SetOps, q17GlobalTopN, q40QuantilesDisc, q41Moments)
+    q15Pivot, q16SetOps, q17GlobalTopN, q40QuantilesDisc, q41Moments,
+    q46Cube, q47LeadNtile)
 }

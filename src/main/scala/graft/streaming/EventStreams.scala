@@ -41,6 +41,16 @@ object EventStreams {
       .select(unix_micros(col("w.start")).as("window_start_us"),
         col("event_type"), col("n_events"))
 
+  /** Stream-static enrichment: join the stream to a static dimension.
+    * The dim is broadcast to every micro-batch (re-resolved per batch, so
+    * a reloaded static table is picked up) — no streaming state at all.
+    * At 100 TB/day this is the right shape for fixed-size dims; a dim
+    * that scales with the data becomes a stream-stream join with
+    * watermarks instead.
+    */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** Exactly-once-per-key within the watermark horizon. */
   def dedupWithinWatermark(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     events

@@ -1,6 +1,8 @@
 package graft.streaming
 
+import org.apache.spark.sql.SaveMode
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.SparkSpec
@@ -10,12 +12,14 @@ import graft.streaming.EventStreams.{Ev, Session}
   * memory sink): watermark-driven window finalization, in-watermark
   * dedup, and stateful session emission via event-time timeout.
   */
+/** Top-level so the encoder codegens (a spec-nested case class captures
+  * the outer class and forces interpreter fallback). */
+final case class Raw(user_id: Long, event_type: String, ts_us: Long, value: Double)
+
 class EventStreamsSpec extends SparkSpec {
   import spark.implicits._
 
   private val H = 3600L * 1000000 // one hour in µs
-
-  private case class Raw(user_id: Long, event_type: String, ts_us: Long, value: Double)
 
   private def runUntilIdle(q: StreamingQuery): Unit = q.processAllAvailable()
 
@@ -52,6 +56,45 @@ class EventStreamsSpec extends SparkSpec {
       runUntilIdle(q)
       spark.table("dedup").count() shouldBe 2
     } finally q.stop()
+  }
+
+  test("stream-static enrich joins each micro-batch to the dim table") {
+    implicit val sq = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "segment")
+    val in = MemoryStream[Raw]
+    val q = EventStreams.enrich(in.toDF(), dim, "user_id")
+      .select("user_id", "event_type", "segment")
+      .writeStream.format("memory").queryName("enriched").outputMode("append")
+      .start()
+    try {
+      in.addData(Raw(1, "view", 10 * H, 1.0), Raw(3, "view", 10 * H, 1.0))
+      runUntilIdle(q)
+      spark.table("enriched").as[(Long, String, Option[String])]
+        .collect().toSet shouldBe
+        Set((1L, "view", Some("gold")), (3L, "view", None)) // left join keeps unmatched
+    } finally q.stop()
+  }
+
+  test("foreachBatch lands micro-batches through the partitioned sink") {
+    implicit val sq = spark.sqlContext
+    withTempDir { dir =>
+      val in = MemoryStream[Raw]
+      val out = s"$dir/events_silver"
+      val q = in.toDF().writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          graft.engine.Sinks.writeParquet(
+            batch.withColumn("hour", (col("ts_us") / H).cast("long")), out,
+            mode = SaveMode.Append)
+        }
+        .start()
+      try {
+        in.addData(Raw(1, "view", 10 * H, 1.0), Raw(2, "click", 11 * H, 2.0))
+        runUntilIdle(q)
+        in.addData(Raw(3, "view", 12 * H, 3.0))
+        runUntilIdle(q)
+        spark.read.parquet(out).count() shouldBe 3
+      } finally q.stop()
+    }
   }
 
   test("flatMapGroupsWithState emits sessions on gap and on timeout") {
