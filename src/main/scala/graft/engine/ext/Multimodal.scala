@@ -55,6 +55,54 @@ object Multimodal {
     media.repartition(partitions,
       ceil(log(2.0, greatest(octet_length(col("media")).cast("double"), lit(1.0)))))
 
+  final case class Frame(id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** Frame sampling: one media blob -> every-Nth fixed-size frame.
+    *
+    * STUB framing: a real build demuxes with a video codec; here a
+    * "frame" is a fixed-width byte window. The real part is the shape:
+    * flatMap with a LAZY iterator keeps one frame in flight per row (a
+    * 10 GB video never materializes all frames in memory), the 1->many
+    * explosion happens executor-side with no shuffle, and downstream
+    * per-frame work sees ordinary rows.
+    */
+  def sampleFrames(media: Dataset[Media], frameBytes: Int,
+                   everyN: Int): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    require(frameBytes > 0 && everyN > 0)
+    media.flatMap { m =>
+      val bytes = Option(m.media).getOrElse(Array.emptyByteArray)
+      val nFrames = (bytes.length + frameBytes - 1) / frameBytes
+      Iterator.range(0, nFrames).filter(_ % everyN == 0).map { i =>
+        Frame(m.id, i, java.util.Arrays.copyOfRange(
+          bytes, i * frameBytes, math.min((i + 1) * frameBytes, bytes.length)))
+      }
+    }
+  }
+
+  /** "Resize" a feature vector by average-pooling to targetDim (the
+    * tail pool absorbs the remainder). Stands where a real image resize
+    * kernel would run; pure per-row projection — no shuffle, no state.
+    */
+  def resizeFeatures(feats: Dataset[MediaFeatures],
+                     targetDim: Int): Dataset[MediaFeatures] = {
+    import feats.sparkSession.implicits._
+    require(targetDim > 0)
+    feats.map { f =>
+      val src = f.features
+      val out =
+        if (src.isEmpty) Array.fill(targetDim)(0.0f)
+        else Array.tabulate(targetDim) { i =>
+          val lo = (i.toLong * src.length / targetDim).toInt
+          val hi = math.max((((i + 1).toLong * src.length) / targetDim).toInt, lo + 1)
+          var s = 0.0; var j = lo
+          while (j < hi && j < src.length) { s += src(j); j += 1 }
+          (s / math.max(math.min(hi, src.length) - lo, 1)).toFloat
+        }
+      MediaFeatures(f.id, f.n_bytes, out)
+    }
+  }
+
   /** Partition-wise decode + feature extraction.
     *
     * STUB: the per-row body fakes a decode by averaging fixed byte

@@ -38,6 +38,32 @@ class MultimodalSpec extends SparkSpec {
     again(0).features.toSeq shouldBe out(0).features.toSeq
   }
 
+  test("sampleFrames: fixed windows, every-Nth stride, partial tail") {
+    val media = Seq(Media(1L, (0 until 25).map(_.toByte).toArray, "video/fake"))
+      .toDS()
+    // 25 bytes / 10-byte frames -> frames 0,1,2 (last is 5 bytes); every 2nd -> 0,2
+    val frames = Multimodal.sampleFrames(media, frameBytes = 10, everyN = 2)
+      .collect().sortBy(_.frame_idx)
+    frames.map(_.frame_idx).toSeq shouldBe Seq(0, 2)
+    frames(0).frame.length shouldBe 10
+    frames(1).frame.length shouldBe 5 // tail frame keeps the remainder
+    frames(1).frame.head shouldBe 20.toByte
+    // empty media yields no frames
+    Multimodal.sampleFrames(Seq(Media(2L, Array.emptyByteArray, "v")).toDS(),
+      10, 1).count() shouldBe 0
+  }
+
+  test("resizeFeatures: average pooling preserves id and byte count") {
+    val fs = Seq(Multimodal.MediaFeatures(7L, 42L,
+      Array(0.0f, 1.0f, 0.0f, 1.0f, 0.5f, 0.5f, 0.25f, 0.75f))).toDS()
+    val out = Multimodal.resizeFeatures(fs, 4).collect().head
+    out.id shouldBe 7L
+    out.n_bytes shouldBe 42L
+    out.features.toSeq shouldBe Seq(0.5f, 0.5f, 0.5f, 0.5f)
+    // upsizing still yields the requested dim
+    Multimodal.resizeFeatures(fs, 16).collect().head.features.length shouldBe 16
+  }
+
   test("repartitionBySize groups comparable blob sizes") {
     val media = Multimodal.mediaFromText(
       Seq((1L, "x"), (2L, "y" * 1000), (3L, "z")).toDF("doc_id", "text"),
