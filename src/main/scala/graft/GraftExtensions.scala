@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, JaccardSimilarity}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions in the session FunctionRegistry, so SQL users get
@@ -23,6 +23,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2, "cosine_sim takes exactly 2 arguments")
         CosineSimilarity(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("jaccard_sim"),
+      new ExpressionInfo(classOf[JaccardSimilarity].getName, "jaccard_sim"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "jaccard_sim takes exactly 2 arguments")
+        JaccardSimilarity(children.head, children(1))
       }))
   }
 }

@@ -100,4 +100,8 @@ object GraftFunctions {
   def cosineSim(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSimilarity(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def jaccardSim(a: Column, b: Column): Column =
+    ColumnBridge.column(JaccardSimilarity(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

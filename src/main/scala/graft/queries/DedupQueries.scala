@@ -59,9 +59,14 @@ object DedupQueries {
             i -> array_to_string(toks[i:i+${K - 1}], ' '))) AS sh
         FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)"""
 
-  /** Exact set-Jaccard between two distinct-shingle arrays. */
+  /** Exact set-Jaccard between two distinct-shingle arrays, via the fused
+    * codegen'd expression (one pass, no intermediate arrays) — vs the
+    * composed size(array_intersect)/size(array_union), which materializes
+    * two throwaway arrays per candidate pair. Identical value (double
+    * division of the same two integers), so the oracle is unchanged.
+    */
   private def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+    graft.functions.GraftFunctions.jaccardSim(a, b)
 
   /** Exact dedup via content fingerprint: md5(normalized text) groups
     * identical docs; keep the lowest doc_id of each group.
