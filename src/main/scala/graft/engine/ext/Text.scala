@@ -1,6 +1,7 @@
 package graft.engine.ext
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis primitives for the LLM-data-pipeline extension surface
@@ -54,4 +55,25 @@ object Text {
     * comfortably inside a signed 64-bit integer on both engines.
     */
   def hash60(s: Column): Column = conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  /** Winnowing fingerprint stream (Schleimer et al. 2003): hash every
+    * k-token gram of `textCol` in order, slide a w-hash window, keep each
+    * window's minimum. Returns one row per FULL window:
+    * (idCol, pos, wmin). Guarantee: two docs sharing a run of at least
+    * k+w-1 tokens share at least one wmin value (property-tested).
+    * One shuffle on the id; window state bounded by w rows.
+    */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int, w: Int): DataFrame = {
+    val ex = docs
+      .select(col(idCol),
+        posexplode(shingles(tokens(col(textCol)), k)).as(Seq("pos", "g")))
+      .select(col(idCol), col("pos"), hash32(col("g")).as("h"))
+    val byDoc = Window.partitionBy(col(idCol))
+    val frame = byDoc.orderBy(col("pos")).rowsBetween(Window.currentRow, w - 1)
+    ex.withColumn("n", count(lit(1)).over(byDoc))
+      .withColumn("wmin", min(col("h")).over(frame))
+      .filter(col("pos") <= col("n") - w) // full windows only (pos 0-based)
+      .select(col(idCol), col("pos"), col("wmin"))
+  }
 }

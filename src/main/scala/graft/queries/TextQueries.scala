@@ -186,19 +186,8 @@ object TextQueries {
   val q39WinnowFp: Q = Q(
     "q39_winnow_fp",
     (s, dir) => {
-      val k = 4  // gram width (tokens)
-      val w = 4  // winnowing window (hashes)
       val docs = Tables.load(s, dir, "documents")
-      // ordered gram-hash stream: (doc_id, pos, h) — NO distinct, order matters
-      val ex = docs
-        .select(col("doc_id"),
-          posexplode(Text.shingles(Text.tokens(col("text")), k)).as(Seq("pos", "g")))
-        .select(col("doc_id"), col("pos"), Text.hash32(col("g")).as("h"))
-      val byDoc = Window.partitionBy(col("doc_id"))
-      val frame = byDoc.orderBy(col("pos")).rowsBetween(Window.currentRow, w - 1)
-      ex.withColumn("n", count(lit(1)).over(byDoc))
-        .withColumn("wmin", min(col("h")).over(frame))
-        .filter(col("pos") <= col("n") - w) // full windows only (pos 0-based)
+      Text.winnowFingerprints(docs, "doc_id", "text", k = 4, w = 4)
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_windows"),
           count_distinct(col("wmin")).as("n_fp"),
