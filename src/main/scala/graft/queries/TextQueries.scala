@@ -305,7 +305,41 @@ object TextQueries {
             SELECT doc_id, rank, tok, score FROM ranked
             WHERE rank <= 3 ORDER BY doc_id, rank"""))
 
+  /** Deterministic train/val/test split by CONTENT hash (80/10/10): the
+    * reproducible-split operator every training pipeline needs. Hashing
+    * the text (not the id) sends byte-identical duplicates to the same
+    * split — the standard guard against train/test leakage through dups.
+    * Pure projection + one small group-by; rerunning on a regrown corpus
+    * keeps every unchanged document in its old split (no RNG, no seed
+    * drift across engines or cluster sizes).
+    */
+  val q48SplitAssign: Q = Q(
+    "q48_split_assign",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val bucket = pmod(Text.hash32(col("text")), lit(100))
+      val split = when(bucket < 80, "train").when(bucket < 90, "val")
+        .otherwise("test")
+      docs.select(split.as("split"), col("doc_id"),
+          size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .orderBy("split")
+    },
+    Some("""SELECT split, count(*) AS n_docs,
+              CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+              min(doc_id) AS min_doc, max(doc_id) AS max_doc
+            FROM (SELECT doc_id,
+                    CASE WHEN b < 80 THEN 'train'
+                         WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+                    len(string_split(text, ' '))::BIGINT AS n_tokens
+                  FROM (SELECT doc_id, text,
+                          ('0x' || substring(md5(text), 1, 8))::BIGINT % 100 AS b
+                        FROM documents))
+            GROUP BY split ORDER BY split"""))
+
   val all: Seq[Q] =
     Seq(q18TextStats, q19TermFreq, q20LangId, q21QualityScore, q22RegexTokens,
-      q39WinnowFp, q42EditDistance, q45TfidfTopk)
+      q39WinnowFp, q42EditDistance, q45TfidfTopk, q48SplitAssign)
 }
