@@ -316,21 +316,33 @@ object RelationalQueries {
     * ceil(p*n) within each group. Discrete (an actual element, no
     * interpolation arithmetic) is chosen deliberately: the picked double
     * is bit-identical across engines, whereas continuous-quantile
-    * interpolation formulas can differ in op order. Shape at scale: one
-    * shuffle on the group key, a per-group sort (bounded by group size),
-    * and conditional aggregates — no global sort.
+    * interpolation formulas can differ in op order.
+    *
+    * Computed as a two-phase distributed selection, NOT a per-group
+    * row_number sort: with only a handful of group keys, a window sorted
+    * by raw rows would funnel ~n/3 rows into each of 3 partitions — a
+    * 33 TB in-partition sort at the target scale. Instead: (1) histogram
+    * shuffle on (group, value) — well-distributed however few groups;
+    * (2) cumulative counts over the DISTINCT-value table, whose size is
+    * bounded by the value domain, not the row count; the rank-r value is
+    * the first distinct value whose cumulative count reaches r. Same
+    * result, plan survives any group skew.
     */
   val q40QuantilesDisc: Q = Q(
     "q40_quantiles_disc",
     (s, dir) => {
       val li = Tables.load(s, dir, "lineitem")
+      val hist = li.groupBy(col("l_returnflag"), col("l_extendedprice"))
+        .agg(count(lit(1)).as("c"))
       val byFlag = Window.partitionBy(col("l_returnflag"))
-      val ranked = li.select(col("l_returnflag"), col("l_extendedprice"))
-        .withColumn("rn", row_number().over(byFlag.orderBy(col("l_extendedprice"))))
-        .withColumn("n", count(lit(1)).over(byFlag))
+      val cum = hist
+        .withColumn("cum", sum(col("c")).over(
+          byFlag.orderBy(col("l_extendedprice"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", sum(col("c")).over(byFlag))
       def pick(p: Double) =
-        max(when(col("rn") === ceil(col("n") * p), col("l_extendedprice")))
-      ranked.groupBy(col("l_returnflag"))
+        min(when(col("cum") >= ceil(col("n") * p), col("l_extendedprice")))
+      cum.groupBy(col("l_returnflag"))
         .agg(max(col("n")).as("n"),
           pick(0.25).as("p25"), pick(0.5).as("p50"),
           pick(0.75).as("p75"), pick(0.9).as("p90"))
