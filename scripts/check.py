@@ -70,14 +70,19 @@ def main():
             print(f"  ~ {name}: no oracle (rows-only): {len(got_rows)} rows")
             continue
         try:
-            cur = con.execute(oracles[name])
-            exp_cols = [d[0] for d in cur.description]
-            exp_rows = cur.fetchall()
+            # ONE execution: the arrow table provides both the values and
+            # the schema (some oracles — recursive CTEs, levenshtein
+            # self-joins — are expensive enough that a second run for the
+            # type check would double the gate's wall clock).
+            exp_tbl = con.execute(oracles[name]).arrow()
+            exp_cols = list(exp_tbl.column_names)
+            exp_rows = [tuple(r) for r in
+                        zip(*[exp_tbl.column(c).to_pylist()
+                              for c in exp_cols])] if exp_cols else []
             # Arrow-level type parity: the driver hashes typed values, so a
             # DuckDB HUGEINT/DECIMAL column (e.g. window sum) hash-mismatches
-            # a Spark BIGINT even when every value is equal. fetchall()
-            # collapses both to Python int and hides it — compare the arrow
-            # schemas' type *families* explicitly.
+            # a Spark BIGINT even when every value is equal — compare the
+            # arrow schemas' type *families* explicitly.
             def fam(t):
                 t = str(t)
                 if t.startswith("int") or t.startswith("uint"):
@@ -85,8 +90,7 @@ def main():
                 if t in ("float", "double") or t.startswith("halffloat"):
                     return "float"
                 return t  # decimal128(...), string, bool, ... compare verbatim
-            exp_types = {f.name: fam(f.type)
-                         for f in con.execute(oracles[name]).arrow().schema}
+            exp_types = {f.name: fam(f.type) for f in exp_tbl.schema}
             got_types = {f.name: fam(f.type) for f in got_tbl.schema}
             type_ok = True
             for c in set(exp_types) & set(got_types):

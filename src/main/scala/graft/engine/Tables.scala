@@ -1,6 +1,7 @@
 package graft.engine
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
 
 /** Fixture-table loaders (one parquet per table, see /root/repo/TESTDATA.md).
   *
@@ -15,4 +16,17 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Persist AND materialize now. A lazily-persisted table consumed by
+    * several branches of one action (self-joins, derived aggregates) is
+    * otherwise computed concurrently by every branch — they race on the
+    * block-manager cache-fill locks and the upstream pipeline runs up to
+    * once per branch (measured 8.4 s -> 1.4 s on the LSH band table at
+    * sf0.1). Same rule at 100 TB: materialize/checkpoint before fan-out.
+    */
+  def eager(df: DataFrame): DataFrame = {
+    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+    p.count()
+    p
+  }
 }

@@ -18,12 +18,13 @@ import graft.engine.ext.Text
   * documents only meet inside an LSH band bucket / rare-shingle block /
   * simhash byte-band, so the join is an equi-join Catalyst shuffles on the
   * bucket key (or broadcasts when one side is small). There is no
-  * cross join anywhere. MinHash signatures are computed entirely inside a
-  * projection (array ops over the token array — zero shuffles, zero
-  * explode); only the band table (4 rows/doc) and the candidate pairs are
-  * ever shuffled. Skewed buckets (a shingle shared by millions of docs)
-  * are excluded up-front by the df-bound on blocking shingles — the same
-  * technique that bounds bucket size at 100 TB.
+  * cross join anywhere. Signatures are computed as explode -> flat
+  * groupBy aggregates (partial aggregation collapses to one row per doc
+  * map-side; see the q24 note for why NOT nested array HOFs); only the
+  * signature/band tables and the candidate pairs are ever shuffled.
+  * Skewed buckets (a shingle shared by millions of docs) are excluded
+  * up-front by the df-bound on blocking shingles — the same technique
+  * that bounds bucket size at 100 TB.
   */
 object DedupQueries {
 
@@ -38,20 +39,8 @@ object DedupQueries {
       .select(col("doc_id"),
         array_distinct(Text.shingles(Text.tokens(col("text")), K)).as("sh"))
 
-  /** Persist AND materialize now. A lazily-persisted table feeding both
-    * sides of a self-join (plus verification joins) is computed
-    * concurrently by every branch inside the one action — the branches
-    * race on the block-manager cache-fill locks ("Block already exists"
-    * warnings) and the signature pipeline runs up to 4x; measured 8.4 s
-    * -> 1.4 s at sf0.1 by forcing the fill with a count() first. Same
-    * rule at 100 TB: checkpoint/materialize the band table before
-    * self-joining it.
-    */
-  private def eager(df: DataFrame): DataFrame = {
-    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-    p.count()
-    p
-  }
+  /** See [[Tables.eager]]: materialize before multi-branch consumption. */
+  private def eager(df: DataFrame): DataFrame = Tables.eager(df)
 
   private val duckShingled =
     s"""SELECT doc_id,
@@ -322,17 +311,9 @@ object DedupQueries {
         .join(fp.as("y"),
           col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      val keyed = docs.select(col("doc_id"), col("text"),
-        concat_ws(" ", slice(Text.tokens(col("text")), 1, 3)).as("blk"))
-        // explicit count: AQE would coalesce a bare repartition(col) to 1
-        // partition on byte size, serializing the Levenshtein DP (see q42)
-        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
-          col("blk"))
-      val levPairs = keyed.as("x")
-        .join(keyed.as("y"),
-          col("x.blk") === col("y.blk") && col("x.doc_id") < col("y.doc_id"))
-        .filter(levenshtein(col("x.text"), col("y.text")) <= 40)
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      val levPairs = Text
+        .levNearDupPairs(docs, "doc_id", "text", blockTokens = 3, maxDist = 40)
+        .select(col("d1").as("a"), col("d2").as("b"))
       val edges = eager(exactPairs.union(levPairs).distinct())
       val undirected = edges
         .union(edges.select(col("b").as("a"), col("a").as("b")))
@@ -361,22 +342,21 @@ object DedupQueries {
         converged = changed == 0
         rounds += 1
       }
+      // never emit a partially-propagated clustering: a component whose
+      // diameter exceeds the cap would silently split into several
+      if (!converged)
+        throw new IllegalStateException(
+          s"connected components did not converge in $rounds rounds")
       lbl.select(col("v").as("doc_id"), col("lbl").as("component"))
         .orderBy("doc_id")
     },
-    Some("""WITH RECURSIVE fp AS (SELECT doc_id, md5(trim(lower(text))) AS fp
+    Some(s"""WITH RECURSIVE fp AS (SELECT doc_id, md5(trim(lower(text))) AS fp
               FROM documents),
             exact_pairs AS (SELECT x.doc_id AS a, y.doc_id AS b
               FROM fp x JOIN fp y ON x.fp = y.fp AND x.doc_id < y.doc_id),
-            keyed AS (SELECT doc_id, text,
-                array_to_string(string_split(text, ' ')[1:3], ' ') AS blk
-              FROM documents),
-            lev_pairs AS (SELECT x.doc_id AS a, y.doc_id AS b
-              FROM keyed x JOIN keyed y
-              ON x.blk = y.blk AND x.doc_id < y.doc_id
-              WHERE levenshtein(x.text, y.text) <= 40),
+            ${TextQueries.duckLevPairCtes},
             edges AS (SELECT a, b FROM exact_pairs UNION
-                      SELECT a, b FROM lev_pairs),
+                      SELECT d1 AS a, d2 AS b FROM lev_pairs),
             und AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
             verts AS (SELECT DISTINCT a AS v FROM und),
             reach AS (

@@ -33,6 +33,20 @@ object TextQueries {
   private val wordsZh = Seq("window", "stream", "batch")
 
   private val duckToks = "string_split(text, ' ')"
+
+  /** Oracle mirror of [[Text.levNearDupPairs]] (blockTokens=3, maxDist=40),
+    * shared by q42 and q43's edge construction so both stay in lockstep
+    * with the engine helper.
+    */
+  private[queries] val duckLevPairCtes =
+    """keyed AS (SELECT doc_id, text,
+                array_to_string(string_split(text, ' ')[1:3], ' ') AS blk
+              FROM documents),
+            lev_pairs AS (SELECT x.doc_id AS d1, y.doc_id AS d2,
+                levenshtein(x.text, y.text)::BIGINT AS dist
+              FROM keyed x JOIN keyed y
+                ON x.blk = y.blk AND x.doc_id < y.doc_id
+              WHERE levenshtein(x.text, y.text) <= 40)"""
   private def duckHits(set: Seq[String]): String =
     s"len(list_filter($duckToks, t -> t IN (${set.map("'" + _ + "'").mkString(",")})))"
 
@@ -227,57 +241,36 @@ object TextQueries {
     "q42_edit_distance",
     (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      // repartition on the block key with an EXPLICIT count: the probe
-      // side is otherwise a handful of file partitions, serializing the
-      // O(len^2) Levenshtein DP onto a few cores (14.5 s -> 1.3 s at
-      // sf0.1). The count must be explicit because AQE's coalescing is
-      // bytes-based: 5000 rows look tiny, so a bare repartition(col) gets
-      // coalesced straight back to one partition — wrong for CPU-bound
-      // per-row work. Same at 100 TB: pin parallelism for compute-heavy
-      // verification stages; let AQE size only the data-bound exchanges.
-      val keyed = docs.select(col("doc_id"), col("text"),
-        concat_ws(" ", slice(Text.tokens(col("text")), 1, 3)).as("blk"))
-        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
-          col("blk"))
-      keyed.as("x")
-        .join(keyed.as("y"),
-          col("x.blk") === col("y.blk") && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
-          levenshtein(col("x.text"), col("y.text")).cast("long").as("dist"))
-        .filter(col("dist") <= 40)
+      Text.levNearDupPairs(docs, "doc_id", "text", blockTokens = 3, maxDist = 40)
         .orderBy("d1", "d2")
     },
-    Some("""WITH keyed AS (SELECT doc_id, text,
-                array_to_string(string_split(text, ' ')[1:3], ' ') AS blk
-              FROM documents)
-            SELECT x.doc_id AS d1, y.doc_id AS d2,
-              levenshtein(x.text, y.text)::BIGINT AS dist
-            FROM keyed x JOIN keyed y
-              ON x.blk = y.blk AND x.doc_id < y.doc_id
-            WHERE levenshtein(x.text, y.text) <= 40
-            ORDER BY d1, d2"""))
+    Some(s"""WITH $duckLevPairCtes
+             SELECT d1, d2, dist FROM lev_pairs ORDER BY d1, d2"""))
 
   /** TF-IDF term importance, top-3 terms per document. The idf factor is
     * the rational N/df (no logarithm: libm log() implementations are not
     * pinned across engines, a ratio of exact integers is), score =
     * tf * N / df as one fixed IEEE op tree. Ties broken by token.
     *
-    * Scale shape: one explode feeding two partial-agg group-bys (tf on
-    * (doc, tok), df on tok); N is a scalar broadcast; the df table joins
-    * back on tok (broadcast while it fits, AQE otherwise); top-k per doc
-    * is a bounded window. No global sort of the corpus.
+    * Scale shape: ONE scan+explode builds the (doc, tok, tf) table, which
+    * is materialized (Tables.eager) and then feeds everything else —
+    * df(tok) is just the per-token row count of tf, and N its distinct
+    * doc count — so the corpus is tokenized exactly once however many
+    * branches consume it. The df table joins back on tok (broadcast
+    * while it fits, AQE otherwise); top-k per doc is a bounded window.
+    * No global sort of the corpus.
     */
   val q45TfidfTopk: Q = Q(
     "q45_tfidf_topk",
     (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      val toks = docs.select(col("doc_id"),
-        explode(Text.tokens(col("text"))).as("tok"))
-      val tf = toks.groupBy(col("doc_id"), col("tok"))
-        .agg(count(lit(1)).as("tf"))
-      val df = toks.groupBy(col("tok"))
-        .agg(count_distinct(col("doc_id")).as("df"))
-      val n = docs.select(count_distinct(col("doc_id")).as("n"))
+      val tf = Tables.eager(docs
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf")))
+      // tf is distinct on (doc, tok): df = rows per tok, N = distinct docs
+      val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val n = tf.select(count_distinct(col("doc_id")).as("n"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("score").desc, col("tok").asc)
       tf.join(df, Seq("tok")).crossJoin(broadcast(n))
