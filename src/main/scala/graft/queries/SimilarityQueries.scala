@@ -258,6 +258,78 @@ object SimilarityQueries {
              FROM pe2 GROUP BY cluster, pos
              ORDER BY cluster, pos"""))
 
+  /** ANN index evaluation: recall@3 of the sign-LSH probe (q28's method)
+    * against exhaustive ground truth (q27's method) for the same query
+    * set — the measurement every ANN deployment needs before trading
+    * recall for cost. Both pipelines run inside the query; the hit test
+    * is a left-semi join on (q_id, cand_id).
+    *
+    * Scale shape: ground truth is one streamed pass of the corpus
+    * against the broadcast query set (the exhaustive baseline's
+    * irreducible cost — run it on a sample in production); the ANN side
+    * is the bucket equi-join; the recall join handles k*|Q| rows.
+    */
+  val q49AnnRecall: Q = Q(
+    "q49_ann_recall",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+          signBucket(col("embedding")).as("bucket"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("score").desc, col("cand_id").asc)
+      val truth = e
+        .select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
+        .crossJoin(broadcast(q.select(col("q_id"), col("qe"))))
+        .filter(col("cand_id") =!= col("q_id"))
+        .select(col("q_id"), col("cand_id"),
+          cosineSim(col("qe"), col("ce")).as("score"))
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+        .select(col("q_id"), col("cand_id"))
+      val cb = e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
+        signBucket(col("embedding")).as("bucket"))
+      val ann = cb.join(broadcast(q), Seq("bucket"))
+        .filter(col("cand_id") =!= col("q_id"))
+        .select(col("q_id"), col("cand_id"),
+          cosineSim(col("qe"), col("ce")).as("score"))
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+        .select(col("q_id"), col("cand_id"))
+      val hits = truth.join(ann, Seq("q_id", "cand_id"), "left_semi")
+        .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+      truth.groupBy(col("q_id")).agg(count(lit(1)).as("n_truth"))
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"), col("n_truth"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_truth"))
+            .as("recall"))
+        .orderBy("q_id")
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe,
+                          $duckBucket AS bucket
+                        FROM embeddings WHERE vec_id < 10),
+             c AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS ce,
+                     $duckBucket AS bucket
+                   FROM embeddings),
+             ts AS (SELECT q_id, cand_id,
+                      row_number() OVER (PARTITION BY q_id ORDER BY
+                        ${duckCos("qe", "ce")} DESC, cand_id ASC) AS rank
+                    FROM c, q WHERE cand_id != q_id),
+             truth AS (SELECT q_id, cand_id FROM ts WHERE rank <= 3),
+             asr AS (SELECT q_id, cand_id,
+                      row_number() OVER (PARTITION BY q_id ORDER BY
+                        ${duckCos("qe", "ce")} DESC, cand_id ASC) AS rank
+                    FROM c JOIN q USING (bucket) WHERE cand_id != q_id),
+             ann AS (SELECT q_id, cand_id FROM asr WHERE rank <= 3),
+             hits AS (SELECT t.q_id, count(*) AS n_hit
+                      FROM truth t JOIN ann a
+                        ON t.q_id = a.q_id AND t.cand_id = a.cand_id
+                      GROUP BY t.q_id)
+             SELECT t.q_id, count(*) AS n_truth,
+               coalesce(max(h.n_hit), 0) AS n_hit,
+               coalesce(max(h.n_hit), 0)::DOUBLE / count(*) AS recall
+             FROM truth t LEFT JOIN hits h ON t.q_id = h.q_id
+             GROUP BY t.q_id ORDER BY t.q_id"""))
+
   val all: Seq[Q] = Seq(q27KnnBrute, q28AnnLsh, q29EmbNearDup, q30IvfCentroid,
-    q44KmeansStep)
+    q44KmeansStep, q49AnnRecall)
 }
