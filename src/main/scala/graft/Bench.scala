@@ -21,7 +21,13 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try run(fn) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // measurement hygiene: queries that persist intermediates (dedup
+      // band tables, CC labels) would otherwise leak cache blocks into
+      // every later query's JVM, adding GC noise the later query didn't
+      // cause. No cross-query reuse is intended, so drop them.
+      spark.sharedState.cacheManager.clearCache()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

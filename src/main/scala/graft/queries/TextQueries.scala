@@ -93,22 +93,36 @@ object TextQueries {
   /** Language-ID heuristic: word-set hit counts per candidate language,
     * argmax with alphabetical tie-break; output is the confusion matrix
     * against the labeled `lang` column.
+    *
+    * Hit counts come from explode -> conditional-sum aggregates, not the
+    * size(filter(...)) array HOF: the argmax when-chain references each
+    * count up to 4 times, and interpreted HOFs have no common-
+    * subexpression elimination — the projection re-scanned the token
+    * array ~15x per doc and its timing swung 1-8 s at sf0.1. Plain
+    * aggregates codegen once and read each count as a column.
     */
   val q20LangId: Q = Q(
     "q20_langid",
     (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      val toks = Text.tokens(col("text"))
-      def hits(set: Seq[String]): Column = Text.wordSetHits(toks, set)
+      def hits(set: Seq[String]) =
+        sum(when(col("tok").isin(set.map(lit): _*), 1L).otherwise(0L))
+      val perDoc = docs
+        .select(col("doc_id"), col("lang"),
+          explode(Text.tokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(hits(wordsDe).as("s_de"), hits(wordsEn).as("s_en"),
+          hits(wordsEs).as("s_es"), hits(wordsFr).as("s_fr"),
+          hits(wordsZh).as("s_zh"))
       val (sDe, sEn, sEs, sFr, sZh) =
-        (hits(wordsDe), hits(wordsEn), hits(wordsEs), hits(wordsFr), hits(wordsZh))
+        (col("s_de"), col("s_en"), col("s_es"), col("s_fr"), col("s_zh"))
       val predicted =
         when(sDe >= sEn && sDe >= sEs && sDe >= sFr && sDe >= sZh, "de")
           .when(sEn >= sEs && sEn >= sFr && sEn >= sZh, "en")
           .when(sEs >= sFr && sEs >= sZh, "es")
           .when(sFr >= sZh, "fr")
           .otherwise("zh")
-      docs.select(col("lang"), predicted.as("predicted"))
+      perDoc.select(col("lang"), predicted.as("predicted"))
         .groupBy(col("lang"), col("predicted"))
         .agg(count(lit(1)).as("n_docs"))
         .orderBy("lang", "predicted")
