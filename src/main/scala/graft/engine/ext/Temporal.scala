@@ -25,27 +25,49 @@ object Temporal {
     * `rightTs <= leftTs` (inner semantics — unmatched left rows drop).
     * Right payload columns are packed into one struct so the matched
     * values always come from a single right row.
+    *
+    * `direction = "forward"` matches the EARLIEST right row with
+    * `rightTs >= leftTs` instead (the other half of pandas merge_asof).
+    * `toleranceUs` bounds the time gap: matches farther than the
+    * tolerance are dropped (times must be epoch-µs for tolerance use).
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
                leftTs: String, rightTs: String,
-               rightPayload: Seq[String]): DataFrame = {
+               rightPayload: Seq[String],
+               direction: String = "backward",
+               toleranceUs: Option[Long] = None): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
     val l = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__tag", lit(1))
-    // right side carries ONLY key/time/payload-struct, tagged 0 so a
-    // right row at the same instant sorts before the left row (<=);
+    // right side carries ONLY key/time/payload-struct (the matched ts
+    // rides in the struct for the tolerance check), tagged 0 so a right
+    // row at the same instant sorts before (backward) / after (forward)
+    // the left row, keeping both bounds inclusive;
     // unionByName(allowMissingColumns) nulls __asof on left rows and the
     // left-only columns on right rows
     val r = right.select(
       col(key), col(rightTs).as("__ts"), lit(0).as("__tag"),
-      struct(rightPayload.map(col): _*).as("__asof"))
+      struct((col(rightTs).as("__mts") +: rightPayload.map(col)): _*)
+        .as("__asof"))
     val both = l.unionByName(r, allowMissingColumns = true)
-    val w = Window.partitionBy(col(key))
-      .orderBy(col("__ts").asc, col("__tag").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = Window.partitionBy(col(key))
+    val w =
+      if (direction == "backward")
+        base.orderBy(col("__ts").asc, col("__tag").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      else // forward: scan from the future end; right-at-same-ts first
+        base.orderBy(col("__ts").desc, col("__tag").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gap =
+      if (direction == "backward") col("__ts") - col("__matched.__mts")
+      else col("__matched.__mts") - col("__ts")
     both
       .withColumn("__matched", last(col("__asof"), ignoreNulls = true).over(w))
       .filter(col("__tag") === 1 && col("__matched").isNotNull)
+      .filter(toleranceUs.map(t => gap <= t).getOrElse(lit(true)))
+      .withColumn("__matched", col("__matched").dropFields("__mts"))
       .drop("__ts", "__tag", "__asof")
   }
 

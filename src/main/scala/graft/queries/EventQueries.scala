@@ -235,6 +235,48 @@ object EventQueries {
                ON e.user_id = p.user_id AND p.pur_ts_us <= e.err_ts_us
              ORDER BY err_id"""))
 
+  /** Forward AS-OF join with tolerance (the other half of the as-of
+    * surface): for each error, the NEXT purchase by the same user within
+    * 2 hours — "did the error block the conversion?". Same single-shuffle
+    * union-trick plan as q37, scanned from the future end; the tolerance
+    * is a post-filter on the carried match timestamp.
+    */
+  val q50AsofForward: Q = Q(
+    "q50_asof_forward",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          tsUs.as("ts_us"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("user_id"),
+          col("ts_us").as("err_ts_us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pur_id"), col("user_id"),
+          col("ts_us").as("pur_ts_us"))
+      graft.engine.ext.Temporal
+        .asofJoin(errors, purchases, "user_id", "err_ts_us", "pur_ts_us",
+          rightPayload = Seq("pur_id", "pur_ts_us"),
+          direction = "forward", toleranceUs = Some(2L * 3600 * 1000000))
+        .select(col("user_id"), col("err_id"), col("err_ts_us"),
+          col("__matched.pur_id").as("pur_id"),
+          col("__matched.pur_ts_us").as("pur_ts_us"),
+          (col("__matched.pur_ts_us") - col("err_ts_us")).as("gap_us"))
+        .orderBy("err_id")
+    },
+    Some(s"""WITH ev AS (SELECT event_id, user_id, event_type,
+                           ${duckUs("ts")} AS ts_us FROM events),
+             e AS (SELECT event_id AS err_id, user_id, ts_us AS err_ts_us
+                   FROM ev WHERE event_type = 'error'),
+             p AS (SELECT event_id AS pur_id, user_id, ts_us AS pur_ts_us
+                   FROM ev WHERE event_type = 'purchase')
+             SELECT * FROM (
+               SELECT e.user_id, err_id, err_ts_us, pur_id, pur_ts_us,
+                 pur_ts_us - err_ts_us AS gap_us
+               FROM e ASOF JOIN p
+                 ON e.user_id = p.user_id AND p.pur_ts_us >= e.err_ts_us)
+             WHERE gap_us <= ${2L * 3600 * 1000000}
+             ORDER BY err_id"""))
+
   /** Bounded RANGE join (engine ext operator): same-user event pairs at
     * most 10 minutes apart, via time-cell bucketing (equi-join + 2x
     * probe, never an inequality cross product). Oracle: the plain
@@ -267,5 +309,5 @@ object EventQueries {
 
   val all: Seq[Q] =
     Seq(q31HourlyFromJson, q32SlidingWindow, q33Sessionize, q34SessionWindow,
-      q35EventFirst, q37AsofJoin, q38RangeJoin)
+      q35EventFirst, q37AsofJoin, q38RangeJoin, q50AsofForward)
 }
