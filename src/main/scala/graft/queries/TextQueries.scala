@@ -346,7 +346,47 @@ object TextQueries {
                         FROM documents))
             GROUP BY split ORDER BY split"""))
 
+  /** Stratified deterministic sampling: per-language keep-rates (e.g.
+    * downsample over-represented languages when rebalancing a corpus),
+    * implemented as content-hash-mod thresholds — no RNG, no seed, same
+    * sample on every engine, cluster size, and rerun, and byte-identical
+    * duplicates sample together (consistent with q48's split). Reports
+    * kept/total per language. Pure projection + small group-by.
+    */
+  val q51StratifiedSample: Q = Q(
+    "q51_stratified_sample",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      // keep-rate percent per language; default 25
+      val rates = Map("en" -> 75, "de" -> 50, "es" -> 50)
+      val bucket = pmod(Text.hash32(col("text")), lit(100))
+      val rate = rates.foldLeft(lit(25)) { case (acc, (l, r)) =>
+        when(col("lang") === l, r).otherwise(acc)
+      }
+      docs
+        .select(col("lang"), col("doc_id"),
+          (bucket < rate).as("kept"),
+          size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_total"),
+          count(when(col("kept"), 1)).as("n_kept"),
+          sum(when(col("kept"), col("n_tokens")).otherwise(0L)).as("kept_tokens"))
+        .orderBy("lang")
+    },
+    Some("""SELECT lang, count(*) AS n_total,
+              count(*) FILTER (kept) AS n_kept,
+              CAST(sum(CASE WHEN kept THEN n_tokens ELSE 0 END) AS BIGINT)
+                AS kept_tokens
+            FROM (SELECT lang, doc_id,
+                    ('0x' || substring(md5(text), 1, 8))::BIGINT % 100 <
+                      (CASE lang WHEN 'en' THEN 75 WHEN 'de' THEN 50
+                                 WHEN 'es' THEN 50 ELSE 25 END) AS kept,
+                    len(string_split(text, ' '))::BIGINT AS n_tokens
+                  FROM documents)
+            GROUP BY lang ORDER BY lang"""))
+
   val all: Seq[Q] =
     Seq(q18TextStats, q19TermFreq, q20LangId, q21QualityScore, q22RegexTokens,
-      q39WinnowFp, q42EditDistance, q45TfidfTopk, q48SplitAssign)
+      q39WinnowFp, q42EditDistance, q45TfidfTopk, q48SplitAssign,
+      q51StratifiedSample)
 }
