@@ -1,0 +1,73 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+import graft.SparkSpec
+
+/** MinHash+LSH invariants on generated corpora: exact duplicates have
+  * identical signatures, so they ALWAYS share every band bucket and
+  * survive verification at Jaccard exactly 1.0 — LSH is probabilistic
+  * for near-dups but deterministic for true dups. Also q23/q24/q43
+  * agreement: every exact-dup pair q23 collapses appears in q24's
+  * verified pairs and lands in one q43 component.
+  */
+class DedupPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vocab = Gen.oneOf(
+    "scan", "filter", "merge", "join", "sort", "group", "window", "stream",
+    "batch", "query", "table", "data", "spark", "the", "a")
+
+  private def writeDocs(dir: String, docs: Seq[(Long, String)]): Unit =
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", org.apache.spark.sql.functions.length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+  test("exact duplicates always survive LSH + verification at jacc = 1.0") {
+    withTempDir { dir =>
+      // 8 random base docs; docs 100+i duplicate doc i for i in 0..3
+      val bases = Gen.listOfN(8, Gen.listOfN(20, vocab)).sample.get
+        .map(_.mkString(" "))
+      val docs = bases.zipWithIndex.map { case (t, i) => (i.toLong, t) } ++
+        (0 until 4).map(i => (100L + i, bases(i)))
+      writeDocs(dir, docs)
+      val pairs = DedupQueries.q24MinhashLsh.fn(spark, dir)
+        .select("d1", "d2", "jacc").as[(Long, Long, Double)].collect()
+        .map(p => (p._1, p._2) -> p._3).toMap
+      (0 until 4).foreach { i =>
+        withClue(s"dup pair ($i, ${100 + i}): ") {
+          pairs.get((i.toLong, 100L + i)) shouldBe Some(1.0)
+        }
+      }
+    }
+  }
+
+  test("q23 groups, q24 pairs, and q43 components agree on exact dups") {
+    withTempDir { dir =>
+      val t1 = "p q r s t u v w x y"
+      val t2 = "a b c d e f g h i j"
+      writeDocs(dir, Seq(1L -> t1, 2L -> t1, 3L -> t1, 10L -> t2, 11L -> t2,
+        20L -> "solo doc with nothing shared"))
+      // q23: one survivor per fingerprint group, with the right copy count
+      val q23 = DedupQueries.q23DedupExact.fn(spark, dir)
+        .select("doc_id", "n_copies").as[(Long, Long)].collect().toMap
+      q23(1L) shouldBe 3L
+      q23(10L) shouldBe 2L
+      q23(20L) shouldBe 1L
+      q23.keySet shouldBe Set(1L, 10L, 20L)
+      // q24: every within-group pair verified at 1.0
+      val q24 = DedupQueries.q24MinhashLsh.fn(spark, dir)
+        .select("d1", "d2").as[(Long, Long)].collect().toSet
+      Set((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L)).subsetOf(q24) shouldBe true
+      // q43: groups collapse to min-id components; solo doc absent
+      val comp = DedupQueries.q43DedupComponents.fn(spark, dir)
+        .as[(Long, Long)].collect().toMap
+      comp(2L) shouldBe 1L
+      comp(3L) shouldBe 1L
+      comp(11L) shouldBe 10L
+      comp.contains(20L) shouldBe false
+    }
+  }
+}
