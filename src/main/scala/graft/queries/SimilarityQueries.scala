@@ -330,6 +330,43 @@ object SimilarityQueries {
              FROM truth t LEFT JOIN hits h ON t.q_id = h.q_id
              GROUP BY t.q_id ORDER BY t.q_id"""))
 
+  /** The SQL entry path, end-to-end: the same engine capabilities through
+    * `spark.sql` with the session-extension-registered `cosine_sim` —
+    * what a SQL-only user of the library sees. Semantics and plan are
+    * identical to the Column-API q27 (top-1 instead of top-5); the point
+    * is that the custom codegen'd expression resolves from the
+    * FunctionRegistry inside ordinary SQL.
+    */
+  val q52SqlSurface: Q = Q(
+    "q52_sql_surface",
+    (s, dir) => {
+      emb(s, dir).createOrReplaceTempView("embeddings_v")
+      s.sql("""
+        WITH q AS (SELECT vec_id AS q_id, embedding AS qe
+                   FROM embeddings_v WHERE vec_id < 5),
+             sc AS (SELECT /*+ BROADCAST(q) */ q_id, c.vec_id AS cand_id,
+                      cosine_sim(qe, c.embedding) AS score
+                    FROM embeddings_v c JOIN q ON c.vec_id != q.q_id),
+             r AS (SELECT q_id, cand_id, score,
+                     row_number() OVER (PARTITION BY q_id
+                       ORDER BY score DESC, cand_id ASC) AS rn
+                   FROM sc)
+        SELECT q_id, cand_id AS best_id, score AS best_score
+        FROM r WHERE rn = 1 ORDER BY q_id""")
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+                        FROM embeddings WHERE vec_id < 5),
+             c AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS ce
+                   FROM embeddings),
+             sc AS (SELECT q_id, cand_id, ${duckCos("qe", "ce")} AS score
+                    FROM c, q WHERE cand_id != q_id),
+             r AS (SELECT q_id, cand_id, score,
+                     row_number() OVER (PARTITION BY q_id
+                       ORDER BY score DESC, cand_id ASC) AS rn
+                   FROM sc)
+             SELECT q_id, cand_id AS best_id, score AS best_score
+             FROM r WHERE rn = 1 ORDER BY q_id"""))
+
   val all: Seq[Q] = Seq(q27KnnBrute, q28AnnLsh, q29EmbNearDup, q30IvfCentroid,
-    q44KmeansStep, q49AnnRecall)
+    q44KmeansStep, q49AnnRecall, q52SqlSurface)
 }
