@@ -51,6 +51,35 @@ object EventStreams {
   def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** Stream-stream interval join: for each left event, right events by
+    * the same key within (0, windowUs] AFTER it — the streaming form of
+    * the batch range join (Temporal.rangeJoin / q38). Both sides carry
+    * watermarks and the join condition bounds the time range in BOTH
+    * directions, so each side's buffered state is limited to
+    * watermark + window and rows are dropped as the watermark passes —
+    * the only shape under which Spark allows an append-mode
+    * stream-stream inner join to be run at all.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   windowUs: Long, watermark: String = "1 hour"): DataFrame = {
+    val l = left
+      .withColumn("l_tss", timestamp_micros(col("ts_us")))
+      .withWatermark("l_tss", watermark)
+      .select(col(key), col("l_tss"),
+        col("ts_us").as("l_ts_us"), col("event_type").as("l_type"))
+    val r = right
+      .withColumn("r_tss", timestamp_micros(col("ts_us")))
+      .withWatermark("r_tss", watermark)
+      .select(col(key).as("r_key"), col("r_tss"),
+        col("ts_us").as("r_ts_us"), col("event_type").as("r_type"))
+    l.join(r,
+      col(key) === col("r_key")
+        && col("r_tss") > col("l_tss")
+        && col("r_tss") <= col("l_tss") + expr(s"INTERVAL ${windowUs / 1000000} SECONDS"))
+      .select(col(key), col("l_ts_us"), col("l_type"),
+        col("r_ts_us"), col("r_type"))
+  }
+
   /** Exactly-once-per-key within the watermark horizon. */
   def dedupWithinWatermark(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     events

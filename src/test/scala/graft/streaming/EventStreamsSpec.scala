@@ -102,6 +102,28 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("stream-stream interval join pairs events within the window only") {
+    implicit val sq = spark.sqlContext
+    val lIn = MemoryStream[Raw]
+    val rIn = MemoryStream[Raw]
+    val q = EventStreams.intervalJoin(
+        lIn.toDF(), rIn.toDF(), "user_id", windowUs = 600L * 1000000)
+      .writeStream.format("memory").queryName("ivj").outputMode("append")
+      .start()
+    try {
+      val t0 = 10 * H
+      lIn.addData(Raw(1, "error", t0, 1.0))
+      rIn.addData(
+        Raw(1, "purchase", t0 + 300L * 1000000, 5.0),  // +5 min: in window
+        Raw(1, "purchase", t0 + 900L * 1000000, 6.0),  // +15 min: out
+        Raw(2, "purchase", t0 + 60L * 1000000, 7.0))   // other key: out
+      runUntilIdle(q)
+      spark.table("ivj")
+        .select("user_id", "r_ts_us").as[(Long, Long)].collect().toSet shouldBe
+        Set((1L, t0 + 300L * 1000000))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState emits sessions on gap and on timeout") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[Ev]
