@@ -18,21 +18,31 @@ object Bench {
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
     // warm-up: not timed, not reported
     try run(SparkEntry.queries("q01_gold_count")) catch { case _: Throwable => () }
+    // Each query is timed twice: COLD (first execution in this JVM —
+    // includes the one-time Catalyst/Janino/JIT cost of its generated
+    // classes) and WARM (codegen cached — the steady-state data-path
+    // cost, which is what amortizes at 100 TB). `value` stays the cold
+    // total for round-over-round comparability; the warm numbers ride
+    // along as extra keys.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try run(fn) catch { case _: Throwable => () }
-      val dt = (System.nanoTime() - t0) / 1e9
+      val cold = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      try run(fn) catch { case _: Throwable => () }
+      val warm = (System.nanoTime() - t1) / 1e9
       // measurement hygiene: queries that persist intermediates (dedup
       // band tables, CC labels) would otherwise leak cache blocks into
       // every later query's JVM, adding GC noise the later query didn't
       // cause. No cross-query reuse is intended, so drop them.
       spark.sharedState.cacheManager.clearCache()
-      name -> dt
+      (name, cold, warm)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def obj(f: ((String, Double, Double)) => Double): String =
+      results.map(r => s"\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val totalWarm = results.map(_._3).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(_._2)},"total_warm":$totalWarm,"queries_warm":${obj(_._3)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
