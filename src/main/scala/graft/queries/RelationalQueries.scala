@@ -477,8 +477,40 @@ object RelationalQueries {
             WHERE o_custkey <= 100
             ORDER BY o_custkey, o_orderkey"""))
 
+  /** Grouped top-k via the custom typed [[graft.functions.TopByValue]]
+    * Aggregator instead of a window sort: partial aggregation reduces
+    * every map task's slice to at most k pairs per group BEFORE the
+    * exchange — the shuffle carries k rows per (group, partition), not
+    * the group (see the Aggregator's scaladoc for the comparison with
+    * WindowGroupLimit). Same results as q13's window form, checked by
+    * the same window-style oracle.
+    */
+  val q53TopkAgg: Q = Q(
+    "q53_topk_agg",
+    (s, dir) => {
+      import s.implicits._
+      val cust = Tables.load(s, dir, "customer")
+      val ds = cust.select(col("c_nationkey").cast("int"),
+          col("c_acctbal").cast("double"), col("c_custkey").cast("long"))
+        .as[(Int, Double, Long)]
+      val agg = new graft.functions.TopByValue.OfTriple(3)
+      ds.groupByKey(_._1)
+        .agg(agg.toColumn.name("topk"))
+        .flatMap { case (nk, list) =>
+          list.zipWithIndex.map { case ((bal, ck), i) => (nk, i + 1, ck, bal) }
+        }
+        .toDF("c_nationkey", "rank", "c_custkey", "c_acctbal")
+        .orderBy("c_nationkey", "rank")
+    },
+    Some("""SELECT c_nationkey, rank, c_custkey, c_acctbal FROM (
+              SELECT c_nationkey, c_custkey, c_acctbal,
+                row_number() OVER (PARTITION BY c_nationkey
+                  ORDER BY c_acctbal DESC, c_custkey ASC) AS rank
+              FROM customer)
+            WHERE rank <= 3 ORDER BY c_nationkey, rank"""))
+
   val all: Seq[Q] = Seq(q06JoinDims, q07StarRevenue, q08SemiJoin, q09AntiJoin,
     q10AggStats, q11Rollup, q12DistinctExact, q13WindowTopK, q14RunningSum,
     q15Pivot, q16SetOps, q17GlobalTopN, q40QuantilesDisc, q41Moments,
-    q46Cube, q47LeadNtile)
+    q46Cube, q47LeadNtile, q53TopkAgg)
 }
