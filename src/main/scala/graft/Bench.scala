@@ -28,13 +28,15 @@ object Bench {
       val t0 = System.nanoTime()
       try run(fn) catch { case _: Throwable => () }
       val cold = (System.nanoTime() - t0) / 1e9
+      // clear BETWEEN the passes too: queries that persist intermediates
+      // (dedup band tables, CC labels) would otherwise serve the warm
+      // pass from the cold run's cache and the warm number would measure
+      // cache hits, not the recomputed data path.
+      spark.sharedState.cacheManager.clearCache()
       val t1 = System.nanoTime()
       try run(fn) catch { case _: Throwable => () }
       val warm = (System.nanoTime() - t1) / 1e9
-      // measurement hygiene: queries that persist intermediates (dedup
-      // band tables, CC labels) would otherwise leak cache blocks into
-      // every later query's JVM, adding GC noise the later query didn't
-      // cause. No cross-query reuse is intended, so drop them.
+      // and after: leaked blocks otherwise add GC noise to later queries
       spark.sharedState.cacheManager.clearCache()
       (name, cold, warm)
     }

@@ -52,13 +52,18 @@ object Temporal {
       struct((col(rightTs).as("__mts") +: rightPayload.map(col)): _*)
         .as("__asof"))
     val both = l.unionByName(r, allowMissingColumns = true)
+    // the trailing __asof key makes ties among right rows at the same
+    // (key, ts) deterministic: struct ordering is field-wise, so last()
+    // always carries the same (max-payload) right row regardless of
+    // partition-internal order. Left rows have __asof null (sorts first
+    // under ASC, so never between a right row and its consumer).
     val base = Window.partitionBy(col(key))
     val w =
       if (direction == "backward")
-        base.orderBy(col("__ts").asc, col("__tag").asc)
+        base.orderBy(col("__ts").asc, col("__tag").asc, col("__asof").asc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       else // forward: scan from the future end; right-at-same-ts first
-        base.orderBy(col("__ts").desc, col("__tag").asc)
+        base.orderBy(col("__ts").desc, col("__tag").asc, col("__asof").asc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val gap =
       if (direction == "backward") col("__ts") - col("__matched.__mts")

@@ -25,8 +25,16 @@ final class TopByValue(k: Int)
     extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
   require(k > 0)
 
-  private val ord: Ordering[(Double, Long)] =
-    Ordering.by { case (v, id) => (-v, id) }
+  // matches SQL `ORDER BY v DESC, id ASC` exactly: Spark sorts NaN as the
+  // LARGEST double and treats -0.0 == 0.0; scala's Ordering.by(-v) would
+  // rank NaN last and split the zeros before consulting the id tie-break.
+  private val ord: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
+    private def norm(v: Double): Double = if (v == 0.0) 0.0 else v
+    override def compare(a: (Double, Long), b: (Double, Long)): Int = {
+      val c = java.lang.Double.compare(norm(b._1), norm(a._1)) // desc, NaN first
+      if (c != 0) c else java.lang.Long.compare(a._2, b._2)    // id asc
+    }
+  }
 
   override def zero: Seq[(Double, Long)] = Vector.empty
 

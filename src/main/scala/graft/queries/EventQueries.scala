@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
@@ -202,18 +202,24 @@ object EventQueries {
     * (the union trick in [[graft.engine.ext.Temporal.asofJoin]]); the
     * oracle is DuckDB's native ASOF JOIN.
     */
+  /** (errors, purchases) frames shared by the as-of queries q37/q50. */
+  private def errorsAndPurchases(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val ev = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        tsUs.as("ts_us"))
+    (ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("user_id"),
+          col("ts_us").as("err_ts_us")),
+      ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pur_id"), col("user_id"),
+          col("ts_us").as("pur_ts_us")))
+  }
+
   val q37AsofJoin: Q = Q(
     "q37_asof_join",
     (s, dir) => {
-      val ev = Tables.load(s, dir, "events")
-        .select(col("event_id"), col("user_id"), col("event_type"),
-          tsUs.as("ts_us"))
-      val errors = ev.filter(col("event_type") === "error")
-        .select(col("event_id").as("err_id"), col("user_id"),
-          col("ts_us").as("err_ts_us"))
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("event_id").as("pur_id"), col("user_id"),
-          col("ts_us").as("pur_ts_us"))
+      val (errors, purchases) = errorsAndPurchases(s, dir)
       graft.engine.ext.Temporal
         .asofJoin(errors, purchases, "user_id", "err_ts_us", "pur_ts_us",
           rightPayload = Seq("pur_id", "pur_ts_us"))
@@ -244,15 +250,7 @@ object EventQueries {
   val q50AsofForward: Q = Q(
     "q50_asof_forward",
     (s, dir) => {
-      val ev = Tables.load(s, dir, "events")
-        .select(col("event_id"), col("user_id"), col("event_type"),
-          tsUs.as("ts_us"))
-      val errors = ev.filter(col("event_type") === "error")
-        .select(col("event_id").as("err_id"), col("user_id"),
-          col("ts_us").as("err_ts_us"))
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("event_id").as("pur_id"), col("user_id"),
-          col("ts_us").as("pur_ts_us"))
+      val (errors, purchases) = errorsAndPurchases(s, dir)
       graft.engine.ext.Temporal
         .asofJoin(errors, purchases, "user_id", "err_ts_us", "pur_ts_us",
           rightPayload = Seq("pur_id", "pur_ts_us"),

@@ -278,14 +278,16 @@ object SimilarityQueries {
           signBucket(col("embedding")).as("bucket"))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("score").desc, col("cand_id").asc)
-      val truth = e
+      // materialized: truth feeds both the hit join and the n_truth
+      // aggregation — without this the exhaustive pass would run twice
+      val truth = Tables.eager(e
         .select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
         .crossJoin(broadcast(q.select(col("q_id"), col("qe"))))
         .filter(col("cand_id") =!= col("q_id"))
         .select(col("q_id"), col("cand_id"),
           cosineSim(col("qe"), col("ce")).as("score"))
         .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
-        .select(col("q_id"), col("cand_id"))
+        .select(col("q_id"), col("cand_id")))
       val cb = e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
         signBucket(col("embedding")).as("bucket"))
       val ann = cb.join(broadcast(q), Seq("bucket"))

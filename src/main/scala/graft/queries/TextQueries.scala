@@ -100,6 +100,10 @@ object TextQueries {
     * subexpression elimination — the projection re-scanned the token
     * array ~15x per doc and its timing swung 1-8 s at sf0.1. Plain
     * aggregates codegen once and read each count as a column.
+    *
+    * NULL-text documents are excluded on BOTH sides (explode emits no
+    * row; the oracle filters explicitly) — the one row-dropping
+    * difference explode introduces vs the old per-row projection.
     */
   val q20LangId: Q = Q(
     "q20_langid",
@@ -139,7 +143,7 @@ object TextQueries {
                        ${duckHits(wordsDe)} AS s_de, ${duckHits(wordsEn)} AS s_en,
                        ${duckHits(wordsEs)} AS s_es, ${duckHits(wordsFr)} AS s_fr,
                        ${duckHits(wordsZh)} AS s_zh
-                     FROM documents))
+                     FROM documents WHERE text IS NOT NULL))
              GROUP BY lang, predicted ORDER BY lang, predicted"""))
 
   /** Per-document quality score: bounded length score + stopword ratio +

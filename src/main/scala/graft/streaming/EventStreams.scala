@@ -61,21 +61,25 @@ object EventStreams {
     * stream-stream inner join to be run at all.
     */
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
-                   windowUs: Long, watermark: String = "1 hour"): DataFrame = {
+                   windowUs: Long, watermark: String = "1 hour",
+                   tsCol: String = "ts_us",
+                   typeCol: String = "event_type"): DataFrame = {
     val l = left
-      .withColumn("l_tss", timestamp_micros(col("ts_us")))
+      .withColumn("l_tss", timestamp_micros(col(tsCol)))
       .withWatermark("l_tss", watermark)
       .select(col(key), col("l_tss"),
-        col("ts_us").as("l_ts_us"), col("event_type").as("l_type"))
+        col(tsCol).as("l_ts_us"), col(typeCol).as("l_type"))
     val r = right
-      .withColumn("r_tss", timestamp_micros(col("ts_us")))
+      .withColumn("r_tss", timestamp_micros(col(tsCol)))
       .withWatermark("r_tss", watermark)
       .select(col(key).as("r_key"), col("r_tss"),
-        col("ts_us").as("r_ts_us"), col("event_type").as("r_type"))
+        col(tsCol).as("r_ts_us"), col(typeCol).as("r_type"))
+    // MICROSECOND interval: dividing down to whole seconds would silently
+    // turn a sub-second window into an always-empty join
     l.join(r,
       col(key) === col("r_key")
         && col("r_tss") > col("l_tss")
-        && col("r_tss") <= col("l_tss") + expr(s"INTERVAL ${windowUs / 1000000} SECONDS"))
+        && col("r_tss") <= col("l_tss") + expr(s"INTERVAL $windowUs MICROSECOND"))
       .select(col(key), col("l_ts_us"), col("l_type"),
         col("r_ts_us"), col("r_type"))
   }
