@@ -36,6 +36,28 @@ object Sinks {
     dir
   }
 
+  /** Latest-wins upsert resolution: union the existing table with an
+    * updates delta and keep, per key, the row with the greatest version
+    * column (updates win ties). The incremental alternative to the
+    * reference's full-overwrite-every-run posture — compute the merged
+    * state relationally, then land it through any sink (with
+    * dynamic-partition overwrite, only touched partitions rewrite).
+    * One shuffle on the key; at scale the window prunes map-side when
+    * the inputs are bucketed by the key.
+    */
+  def upsertLatestWins(base: DataFrame, updates: DataFrame,
+                       keyCols: Seq[String], versionCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val tagged = base.withColumn("__src", lit(0))
+      .unionByName(updates.withColumn("__src", lit(1)))
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(versionCol).desc, col("__src").desc)
+    tagged.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__src")
+  }
+
   /** Partitioned parquet sink (S5): silver layout, hive-partitioned. */
   def writePartitionedParquet(df: DataFrame, path: String,
                               partitionCols: Seq[String],

@@ -94,4 +94,21 @@ class SinksSourcesSpec extends SparkSpec {
       new java.util.Properties())
     back.count() shouldBe 1
   }
+
+  test("upsertLatestWins: updates win on version, ties, and new keys append") {
+    val base = Seq((1L, "old-a", 10L), (2L, "old-b", 10L), (3L, "keep-c", 10L))
+      .toDF("k", "payload", "ver")
+    val updates = Seq(
+      (1L, "new-a", 20L),  // newer version wins
+      (2L, "tie-b", 10L),  // same version: update wins the tie
+      (9L, "ins-i", 5L))   // new key appends
+    .toDF("k", "payload", "ver")
+    val merged = Sinks.upsertLatestWins(base, updates, Seq("k"), "ver")
+      .select("k", "payload").as[(Long, String)].collect().toMap
+    merged shouldBe Map(
+      1L -> "new-a", 2L -> "tie-b", 3L -> "keep-c", 9L -> "ins-i")
+    // result carries no helper columns
+    Sinks.upsertLatestWins(base, updates, Seq("k"), "ver")
+      .columns.toSeq shouldBe Seq("k", "payload", "ver")
+  }
 }
