@@ -389,8 +389,38 @@ object TextQueries {
                   FROM documents)
             GROUP BY lang ORDER BY lang"""))
 
+  /** Approximate sketches per language: HyperLogLog++ distinct tokens
+    * (`approx_count_distinct`) and t-digest median doc length
+    * (`percentile_approx`) — the sub-linear-memory forms of q18's exact
+    * vocab count and q40's exact quantiles. At 100 TB these are the ops
+    * you actually run first: fixed-size sketch state per group, one
+    * partial-agg shuffle, mergeable across partitions.
+    *
+    * NO oracle SQL by design: sketch estimates are implementation-
+    * specific, so DuckDB's sketches would legitimately differ — the
+    * driver records the weaker rows-only check, and SketchAccuracySpec
+    * asserts the error bounds against the exact answers instead.
+    */
+  val q54Sketches: Q = Q(
+    "q54_sketches",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      // two granularities: vocab over exploded tokens, median over DOCS —
+      // sketching n_chars on the exploded frame would token-weight it
+      // (longer docs counted once per token)
+      val vocab = docs
+        .select(col("lang"), explode(Text.tokens(col("text"))).as("tok"))
+        .groupBy(col("lang"))
+        .agg(approx_count_distinct(col("tok"), rsd = 0.02).as("approx_vocab"))
+      val med = docs.groupBy(col("lang"))
+        .agg(percentile_approx(col("n_chars"), lit(0.5), lit(10000))
+          .as("approx_median_chars"))
+      vocab.join(med, Seq("lang")).orderBy("lang")
+    },
+    None)
+
   val all: Seq[Q] =
     Seq(q18TextStats, q19TermFreq, q20LangId, q21QualityScore, q22RegexTokens,
       q39WinnowFp, q42EditDistance, q45TfidfTopk, q48SplitAssign,
-      q51StratifiedSample)
+      q51StratifiedSample, q54Sketches)
 }
