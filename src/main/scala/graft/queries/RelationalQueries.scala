@@ -509,8 +509,59 @@ object RelationalQueries {
               FROM customer)
             WHERE rank <= 3 ORDER BY c_nationkey, rank"""))
 
+  /** Deterministic string aggregation: nations per region as a sorted,
+    * comma-joined list. collect_list's arrival order is partitioning-
+    * dependent, so the array is SORTED before joining — the only way a
+    * concatenation aggregate is reproducible on a cluster. State is
+    * bounded by group member count (fine for dimension rollups; don't
+    * string-agg a fact table).
+    */
+  val q55StringAgg: Q = Q(
+    "q55_string_agg",
+    (s, dir) => {
+      val nation = Tables.load(s, dir, "nation")
+      val region = Tables.load(s, dir, "region")
+      nation.join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_nations"),
+          array_join(array_sort(collect_list(col("n_name"))), ",")
+            .as("nations"))
+        .orderBy("r_name")
+    },
+    Some("""SELECT r_name, count(*) AS n_nations,
+              string_agg(n_name, ',' ORDER BY n_name) AS nations
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name ORDER BY r_name"""))
+
+  /** Regex extraction inside a projection: the leading digit of
+    * o_orderpriority ('1-URGENT' -> 1) feeding a conditional aggregate —
+    * regexp_extract parity holds across engines for such anchored
+    * digit-class patterns (no engine-specific regex features).
+    */
+  val q56RegexExtract: Q = Q(
+    "q56_regex_extract",
+    (s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      o.select(col("o_orderstatus"),
+          regexp_extract(col("o_orderpriority"), "^(\\d+)", 1)
+            .cast("int").as("prio"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          count(when(col("prio") <= 2, 1)).as("n_high_prio"),
+          min(col("prio")).as("min_prio"), max(col("prio")).as("max_prio"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""SELECT o_orderstatus, count(*) AS n_orders,
+              count(*) FILTER (prio <= 2) AS n_high_prio,
+              min(prio) AS min_prio, max(prio) AS max_prio
+            FROM (SELECT o_orderstatus,
+                    CAST(regexp_extract(o_orderpriority, '^(\d+)', 1) AS INT)
+                      AS prio
+                  FROM orders)
+            GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
   val all: Seq[Q] = Seq(q06JoinDims, q07StarRevenue, q08SemiJoin, q09AntiJoin,
     q10AggStats, q11Rollup, q12DistinctExact, q13WindowTopK, q14RunningSum,
     q15Pivot, q16SetOps, q17GlobalTopN, q40QuantilesDisc, q41Moments,
-    q46Cube, q47LeadNtile, q53TopkAgg)
+    q46Cube, q47LeadNtile, q53TopkAgg, q55StringAgg, q56RegexExtract)
 }
