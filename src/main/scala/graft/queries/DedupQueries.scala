@@ -57,6 +57,30 @@ object DedupQueries {
   private def jaccard(a: Column, b: Column): Column =
     graft.functions.GraftFunctions.jaccardSim(a, b)
 
+  /** Candidate verification shared by q24/q25: join (d1, d2) pairs back
+    * to the shingle table on both sides, keep pairs with exact Jaccard
+    * at or above the threshold.
+    */
+  private def verifyPairs(cand: DataFrame, base: DataFrame,
+                          threshold: Double): DataFrame =
+    cand
+      .join(base.select(col("doc_id").as("d1"), col("sh").as("sh1")), Seq("d1"))
+      .join(base.select(col("doc_id").as("d2"), col("sh").as("sh2")), Seq("d2"))
+      .select(col("d1"), col("d2"),
+        jaccard(col("sh1"), col("sh2")).as("jacc"))
+      .filter(col("jacc") >= threshold)
+      .orderBy("d1", "d2")
+
+  /** Oracle mirror of [[verifyPairs]] over CTEs `cand` and `shs`. */
+  private def duckVerify(threshold: String): String =
+    s"""SELECT d1, d2,
+               len(list_intersect(a.sh, b.sh))::DOUBLE
+                 / len(list_distinct(list_concat(a.sh, b.sh))) AS jacc
+             FROM cand JOIN shs a ON a.doc_id = d1 JOIN shs b ON b.doc_id = d2
+             WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+               / len(list_distinct(list_concat(a.sh, b.sh))) >= $threshold
+             ORDER BY d1, d2"""
+
   /** Exact dedup via content fingerprint: md5(normalized text) groups
     * identical docs; keep the lowest doc_id of each group.
     */
@@ -129,13 +153,7 @@ object DedupQueries {
             && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
         .distinct()
-      cand
-        .join(base.select(col("doc_id").as("d1"), col("sh").as("sh1")), Seq("d1"))
-        .join(base.select(col("doc_id").as("d2"), col("sh").as("sh2")), Seq("d2"))
-        .select(col("d1"), col("d2"),
-          jaccard(col("sh1"), col("sh2")).as("jacc"))
-        .filter(col("jacc") >= 0.8)
-        .orderBy("d1", "d2")
+      verifyPairs(cand, base, threshold = 0.8)
     },
     Some(s"""WITH shs AS ($duckShingled),
              sig AS (SELECT doc_id, sh,
@@ -152,13 +170,7 @@ object DedupQueries {
              cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
                       FROM bands x JOIN bands y
                         ON x.b = y.b AND x.bk = y.bk AND x.doc_id < y.doc_id)
-             SELECT d1, d2,
-               len(list_intersect(a.sh, b.sh))::DOUBLE
-                 / len(list_distinct(list_concat(a.sh, b.sh))) AS jacc
-             FROM cand JOIN shs a ON a.doc_id = d1 JOIN shs b ON b.doc_id = d2
-             WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
-               / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
-             ORDER BY d1, d2"""))
+             ${duckVerify("0.8")}"""))
 
   /** N-gram Jaccard with rare-shingle blocking: only shingles with
     * document frequency in [2, 5] generate candidates (df=1 can't pair;
@@ -179,13 +191,7 @@ object DedupQueries {
           col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
         .distinct()
-      cand
-        .join(base.select(col("doc_id").as("d1"), col("sh").as("sh1")), Seq("d1"))
-        .join(base.select(col("doc_id").as("d2"), col("sh").as("sh2")), Seq("d2"))
-        .select(col("d1"), col("d2"),
-          jaccard(col("sh1"), col("sh2")).as("jacc"))
-        .filter(col("jacc") >= 0.5)
-        .orderBy("d1", "d2")
+      verifyPairs(cand, base, threshold = 0.5)
     },
     Some(s"""WITH shs AS ($duckShingled),
              ex AS (SELECT doc_id, unnest(sh) AS s FROM shs),
@@ -194,13 +200,7 @@ object DedupQueries {
              cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
                       FROM blocked x JOIN blocked y
                         ON x.s = y.s AND x.doc_id < y.doc_id)
-             SELECT d1, d2,
-               len(list_intersect(a.sh, b.sh))::DOUBLE
-                 / len(list_distinct(list_concat(a.sh, b.sh))) AS jacc
-             FROM cand JOIN shs a ON a.doc_id = d1 JOIN shs b ON b.doc_id = d2
-             WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
-               / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
-             ORDER BY d1, d2"""))
+             ${duckVerify("0.5")}"""))
 
   /** SimHash: 60-bit token-multiset fingerprint per doc; near-dup pairs
     * via 15-bit-band blocking + Hamming distance <= 4. Bit j of the hash

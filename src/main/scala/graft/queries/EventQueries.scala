@@ -192,15 +192,18 @@ object EventQueries {
         .select(col("user_id"), col("event_type"), col("event_id"), col("ts_us"))
         .orderBy("user_id", "event_type")
     },
-    Some(s"""SELECT user_id, event_type, event_id, ${duckUs("ts")} AS ts_us
+    Some(s"""SELECT user_id, event_type, event_id, ts_us
              FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
-                     ORDER BY ts, event_id) AS rn FROM events)
+                     ORDER BY ts_us, event_id) AS rn
+                   FROM (SELECT user_id, event_type, event_id,
+                           ${duckUs("ts")} AS ts_us FROM events))
              WHERE rn = 1 ORDER BY user_id, event_type"""))
 
   /** AS-OF join (engine ext operator): for each error event, the latest
     * purchase by the same user at or before it. One shuffle on user_id
     * (the union trick in [[graft.engine.ext.Temporal.asofJoin]]); the
-    * oracle is DuckDB's native ASOF JOIN.
+    * oracle is an inequality join with a deterministic max-(ts, id)
+    * window pick — same tie-break the engine operator pins.
     */
   /** (errors, purchases) frames shared by the as-of queries q37/q50. */
   private def errorsAndPurchases(s: SparkSession, dir: String)
@@ -235,11 +238,14 @@ object EventQueries {
                    FROM ev WHERE event_type = 'error'),
              p AS (SELECT event_id AS pur_id, user_id, ts_us AS pur_ts_us
                    FROM ev WHERE event_type = 'purchase')
-             SELECT e.user_id, err_id, err_ts_us, pur_id, pur_ts_us,
+             SELECT user_id, err_id, err_ts_us, pur_id, pur_ts_us,
                err_ts_us - pur_ts_us AS gap_us
-             FROM e ASOF JOIN p
-               ON e.user_id = p.user_id AND p.pur_ts_us <= e.err_ts_us
-             ORDER BY err_id"""))
+             FROM (SELECT e.user_id, err_id, err_ts_us, pur_id, pur_ts_us,
+                     row_number() OVER (PARTITION BY err_id
+                       ORDER BY pur_ts_us DESC, pur_id DESC) AS rn
+                   FROM e JOIN p
+                     ON e.user_id = p.user_id AND p.pur_ts_us <= e.err_ts_us)
+             WHERE rn = 1 ORDER BY err_id"""))
 
   /** Forward AS-OF join with tolerance (the other half of the as-of
     * surface): for each error, the NEXT purchase by the same user within
@@ -267,12 +273,14 @@ object EventQueries {
                    FROM ev WHERE event_type = 'error'),
              p AS (SELECT event_id AS pur_id, user_id, ts_us AS pur_ts_us
                    FROM ev WHERE event_type = 'purchase')
-             SELECT * FROM (
-               SELECT e.user_id, err_id, err_ts_us, pur_id, pur_ts_us,
-                 pur_ts_us - err_ts_us AS gap_us
-               FROM e ASOF JOIN p
-                 ON e.user_id = p.user_id AND p.pur_ts_us >= e.err_ts_us)
-             WHERE gap_us <= ${2L * 3600 * 1000000}
+             SELECT user_id, err_id, err_ts_us, pur_id, pur_ts_us, gap_us
+             FROM (SELECT e.user_id, err_id, err_ts_us, pur_id, pur_ts_us,
+                     pur_ts_us - err_ts_us AS gap_us,
+                     row_number() OVER (PARTITION BY err_id
+                       ORDER BY pur_ts_us ASC, pur_id DESC) AS rn
+                   FROM e JOIN p
+                     ON e.user_id = p.user_id AND p.pur_ts_us >= e.err_ts_us)
+             WHERE rn = 1 AND gap_us <= ${2L * 3600 * 1000000}
              ORDER BY err_id"""))
 
   /** Bounded RANGE join (engine ext operator): same-user event pairs at

@@ -543,8 +543,10 @@ object RelationalQueries {
     (s, dir) => {
       val o = Tables.load(s, dir, "orders")
       o.select(col("o_orderstatus"),
+          // try_cast: regexp_extract yields '' on non-match, and a strict
+          // ANSI cast would crash the query instead of producing NULL
           regexp_extract(col("o_orderpriority"), "^(\\d+)", 1)
-            .cast("int").as("prio"))
+            .try_cast("int").as("prio"))
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n_orders"),
           count(when(col("prio") <= 2, 1)).as("n_high_prio"),
@@ -555,7 +557,7 @@ object RelationalQueries {
               count(*) FILTER (prio <= 2) AS n_high_prio,
               min(prio) AS min_prio, max(prio) AS max_prio
             FROM (SELECT o_orderstatus,
-                    CAST(regexp_extract(o_orderpriority, '^(\d+)', 1) AS INT)
+                    TRY_CAST(regexp_extract(o_orderpriority, '^(\d+)', 1) AS INT)
                       AS prio
                   FROM orders)
             GROUP BY o_orderstatus ORDER BY o_orderstatus"""))

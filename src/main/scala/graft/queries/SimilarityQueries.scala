@@ -147,6 +147,53 @@ object SimilarityQueries {
              WHERE ${duckCos("x.e", "y.e")} >= 0.4
              ORDER BY v1, v2"""))
 
+  /** Per-label exact-decimal centroids (order-independent means), shaped
+    * for broadcast — shared by q30 (assignment audit) and q44 (Lloyd
+    * update) so the centroid math can never diverge between them.
+    */
+  private def centroids(e: DataFrame): DataFrame =
+    e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg((round(sum(col("v").cast("double").cast("decimal(30,15)")), 9)
+        .cast("double") / count(lit(1))).as("cv"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+        x => x.getField("cv")).as("cemb"))
+      .select(col("label").as("c_label"), col("cemb"))
+
+  /** Argmax-cosine assignment of every vector to a broadcast centroid,
+    * carrying the listed columns through; emits (vec_id, c_label, carry...).
+    */
+  private def assignToCentroid(e: DataFrame, carry: Seq[String]): DataFrame = {
+    val scored = e.crossJoin(broadcast(centroids(e)))
+      .select(col("vec_id") +: col("c_label") +:
+        cosineSim(col("embedding"), col("cemb")).as("score") +:
+        carry.map(col): _*)
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("score").desc, col("c_label").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+  }
+
+  /** Oracle mirror of [[centroids]]+[[assignToCentroid]] as CTEs
+    * pe/cd/cent/s/a (rank rn = 1 is the assignment).
+    */
+  private def duckAssignCtes(carry: String): String =
+    s"""pe AS (SELECT label, j AS pos, embedding[j+1] AS v
+               FROM embeddings, range(0, 64) r(j)),
+             cd AS (SELECT label, pos,
+                      CAST(round(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(30,15))), 9)
+                        AS DOUBLE) / count(*) AS cv
+                    FROM pe GROUP BY label, pos),
+             cent AS (SELECT label AS c_label, list(cv ORDER BY pos) AS cemb
+                      FROM cd GROUP BY label),
+             s AS (SELECT vec_id, $carry c_label,
+                     ${duckCos("CAST(embedding AS DOUBLE[])", "cemb")} AS score
+                   FROM embeddings, cent),
+             a AS (SELECT vec_id, $carry c_label,
+                     row_number() OVER (PARTITION BY vec_id
+                       ORDER BY score DESC, c_label ASC) AS rn
+                   FROM s)"""
+
   /** IVF-style assignment: per-label centroids (exact decimal mean per
     * dimension), broadcast, each vector assigned to its argmax-cosine
     * centroid; output is the label-vs-assigned confusion matrix.
@@ -154,41 +201,12 @@ object SimilarityQueries {
   val q30IvfCentroid: Q = Q(
     "q30_ivf_centroid",
     (s, dir) => {
-      val e = emb(s, dir)
-      val pe = e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      val cent = pe.groupBy(col("label"), col("pos"))
-        .agg((round(sum(col("v").cast("double").cast("decimal(30,15)")), 9)
-          .cast("double") / count(lit(1))).as("cv"))
-        .groupBy(col("label"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
-          x => x.getField("cv")).as("cemb"))
-        .select(col("label").as("c_label"), col("cemb"))
-      val scored = e.crossJoin(broadcast(cent))
-        .select(col("vec_id"), col("label"), col("c_label"),
-          cosineSim(col("embedding"), col("cemb")).as("score"))
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("score").desc, col("c_label").asc)
-      scored.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+      assignToCentroid(emb(s, dir), carry = Seq("label"))
         .groupBy(col("label"), col("c_label").as("assigned"))
         .agg(count(lit(1)).as("n_vecs"))
         .orderBy("label", "assigned")
     },
-    Some(s"""WITH pe AS (SELECT label, j AS pos, embedding[j+1] AS v
-                         FROM embeddings, range(0, 64) r(j)),
-             cd AS (SELECT label, pos,
-                      CAST(round(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(30,15))), 9)
-                        AS DOUBLE) / count(*) AS cv
-                    FROM pe GROUP BY label, pos),
-             cent AS (SELECT label AS c_label, list(cv ORDER BY pos) AS cemb
-                      FROM cd GROUP BY label),
-             s AS (SELECT vec_id, label, c_label,
-                     ${duckCos("CAST(embedding AS DOUBLE[])", "cemb")} AS score
-                   FROM embeddings, cent),
-             a AS (SELECT vec_id, label, c_label,
-                     row_number() OVER (PARTITION BY vec_id
-                       ORDER BY score DESC, c_label ASC) AS rn
-                   FROM s)
+    Some(s"""WITH ${duckAssignCtes("label,")}
              SELECT label, c_label AS assigned, count(*) AS n_vecs
              FROM a WHERE rn = 1
              GROUP BY label, assigned ORDER BY label, assigned"""))
@@ -209,22 +227,7 @@ object SimilarityQueries {
   val q44KmeansStep: Q = Q(
     "q44_kmeans_step",
     (s, dir) => {
-      val e = emb(s, dir)
-      val pe = e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      val cent = pe.groupBy(col("label"), col("pos"))
-        .agg((round(sum(col("v").cast("double").cast("decimal(30,15)")), 9)
-          .cast("double") / count(lit(1))).as("cv"))
-        .groupBy(col("label"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
-          x => x.getField("cv")).as("cemb"))
-        .select(col("label").as("c_label"), col("cemb"))
-      val scored = e.crossJoin(broadcast(cent))
-        .select(col("vec_id"), col("embedding"), col("c_label"),
-          cosineSim(col("embedding"), col("cemb")).as("score"))
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("score").desc, col("c_label").asc)
-      val assigned = scored.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+      val assigned = assignToCentroid(emb(s, dir), carry = Seq("embedding"))
         .select(col("vec_id"), col("c_label").as("cluster"), col("embedding"))
       assigned
         .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "v")))
@@ -234,22 +237,8 @@ object SimilarityQueries {
             .cast("double") / count(lit(1))).as("cv"))
         .orderBy("cluster", "pos")
     },
-    Some(s"""WITH pe AS (SELECT label, j AS pos, embedding[j+1] AS v
-                         FROM embeddings, range(0, 64) r(j)),
-             cd AS (SELECT label, pos,
-                      CAST(round(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(30,15))), 9)
-                        AS DOUBLE) / count(*) AS cv
-                    FROM pe GROUP BY label, pos),
-             cent AS (SELECT label AS c_label, list(cv ORDER BY pos) AS cemb
-                      FROM cd GROUP BY label),
-             s AS (SELECT vec_id, embedding, c_label,
-                     ${duckCos("CAST(embedding AS DOUBLE[])", "cemb")} AS score
-                   FROM embeddings, cent),
-             a AS (SELECT vec_id, embedding, c_label AS cluster,
-                     row_number() OVER (PARTITION BY vec_id
-                       ORDER BY score DESC, c_label ASC) AS rn
-                   FROM s),
-             m AS (SELECT cluster, embedding FROM a WHERE rn = 1),
+    Some(s"""WITH ${duckAssignCtes("embedding,")},
+             m AS (SELECT c_label AS cluster, embedding FROM a WHERE rn = 1),
              pe2 AS (SELECT cluster, j AS pos, embedding[j+1] AS v
                      FROM m, range(0, 64) r(j))
              SELECT cluster, pos, count(*) AS n,

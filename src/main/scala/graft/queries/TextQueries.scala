@@ -305,7 +305,7 @@ object TextQueries {
                    FROM toks GROUP BY doc_id, tok),
             df AS (SELECT tok, count(DISTINCT doc_id) AS df
                    FROM toks GROUP BY tok),
-            n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+            n AS (SELECT count(DISTINCT doc_id) AS n FROM toks),
             scored AS (SELECT doc_id, tok,
                 CAST(tf AS DOUBLE) * n / df AS score
               FROM tf JOIN df USING (tok), n),
