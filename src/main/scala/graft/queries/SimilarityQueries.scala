@@ -358,6 +358,52 @@ object SimilarityQueries {
              SELECT q_id, cand_id AS best_id, score AS best_score
              FROM r WHERE rn = 1 ORDER BY q_id"""))
 
+  /** Euclidean (L2) top-3 neighbors via the BUILT-IN higher-order array
+    * functions — `zip_with` for the element-wise squared difference and
+    * `aggregate` for the sequential fold — the compose-first alternative
+    * to a custom expression (SURVEY §7.3 preference (a) before (b)).
+    * The custom-codegen route (cosine_sim) exists for the hot path; this
+    * query keeps the built-in route exercised and oracle-checked. Fold
+    * order is sequential ascending on both engines, so the raw double
+    * distances are bit-identical.
+    */
+  val q57L2Knn: Q = Q(
+    "q57_l2_knn",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
+      def l2(a: Column, b: Column): Column = sqrt(aggregate(
+        zip_with(a, b, (x, y) =>
+          (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double"))),
+        lit(0.0), (acc, v) => acc + v))
+      val scored = c.crossJoin(broadcast(q))
+        .filter(col("cand_id") =!= col("q_id"))
+        .select(col("q_id"), col("cand_id"), l2(col("qe"), col("ce")).as("dist"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("dist").asc, col("cand_id").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("rank"), col("cand_id"), col("dist"))
+        .orderBy("q_id", "rank")
+    },
+    Some("""WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+                        FROM embeddings WHERE vec_id < 3),
+             c AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS ce
+                   FROM embeddings),
+             s AS (SELECT q_id, cand_id,
+                     sqrt(list_sum(list_transform(list_zip(qe, ce),
+                       x -> (x[1] - x[2]) * (x[1] - x[2])))) AS dist
+                   FROM c, q WHERE cand_id != q_id),
+             r AS (SELECT q_id, cand_id, dist,
+                     row_number() OVER (PARTITION BY q_id
+                       ORDER BY dist ASC, cand_id ASC) AS rank
+                   FROM s)
+             SELECT q_id, rank, cand_id, dist FROM r
+             WHERE rank <= 3 ORDER BY q_id, rank"""))
+
   val all: Seq[Q] = Seq(q27KnnBrute, q28AnnLsh, q29EmbNearDup, q30IvfCentroid,
-    q44KmeansStep, q49AnnRecall, q52SqlSurface)
+    q44KmeansStep, q49AnnRecall, q52SqlSurface, q57L2Knn)
 }
