@@ -26,8 +26,12 @@ object Quality {
   /** column must be neither NULL nor '' (reference :68-71). */
   final case class NotNullOrEmpty(column: String) extends Check
 
-  /** NULL-or-empty predicate (reference :70). */
-  def nullOrEmpty(c: Column): Column = c.isNull || c === ""
+  /** NULL-or-empty predicate (reference :70). The comparison goes
+    * through a string cast: under Spark 4's default ANSI mode,
+    * `doubleCol === ""` would coerce '' to double and THROW instead of
+    * evaluating the check (the ANSI-off reference silently null'd it).
+    */
+  def nullOrEmpty(c: Column): Column = c.isNull || c.cast("string") === ""
 
   /** Early-exit gate; throws on first violation like the reference. */
   def assertGate(df: DataFrame, checks: Seq[Check]): Unit = {
@@ -57,6 +61,10 @@ object Quality {
     * bad row is rarely what you want.
     */
   def quarantine(df: DataFrame, criticalColumns: Seq[String]): (DataFrame, DataFrame) = {
+    require(criticalColumns.nonEmpty, "quarantine needs at least one column")
+    // NB: the two filters are separate scans of df — persist upstream if
+    // the input is expensive or non-deterministic (a re-fetched source
+    // could otherwise classify a row differently in each scan)
     val bad = criticalColumns.map(c => nullOrEmpty(col(c))).reduce(_ || _)
     (df.filter(!bad), df.filter(bad))
   }
@@ -65,6 +73,7 @@ object Quality {
     * job-per-column), as (column, violations) rows.
     */
   def report(df: DataFrame, criticalColumns: Seq[String]): DataFrame = {
+    require(criticalColumns.nonEmpty, "report needs at least one column")
     val aggs = criticalColumns.map { c =>
       // coalesce: sum over an EMPTY input is NULL, but "0 violations" is
       // the correct report for an empty dataset (count(*) FILTER parity).

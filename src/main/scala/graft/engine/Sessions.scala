@@ -35,6 +35,10 @@ object Sessions {
       // outright (PARQUET_TYPE_ILLEGAL); this reads NANOS as BIGINT ns
       // and the engine converts explicitly (see EventQueries)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // partition columns read back EXACTLY as written: inference would
+      // silently retype numeric-looking string partitions (state "00901"
+      // -> INT 901, leading zeros lost) on the medallion read-back path
+      .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
       // saveAsTable target for bucketed-table workflows; keep it out of
       // the repo working tree
       .config("spark.sql.warehouse.dir",

@@ -51,8 +51,13 @@ object Sinks {
     import org.apache.spark.sql.functions._
     val tagged = base.withColumn("__src", lit(0))
       .unionByName(updates.withColumn("__src", lit(1)))
+    // trailing whole-row struct: two updates fully tied on (key, version)
+    // would otherwise be resolved by partition-internal order — the
+    // surviving payload must not depend on the shuffle
+    val payload = struct(tagged.columns.filterNot(c =>
+      keyCols.contains(c) || c == "__src").map(col): _*)
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(versionCol).desc, col("__src").desc)
+      .orderBy(col(versionCol).desc, col("__src").desc, payload.desc)
     tagged.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn", "__src")

@@ -20,8 +20,9 @@ import org.apache.spark.sql.functions._
   *    metadata-only queries prune the scan to kilobytes per row group
   *    (columnar pruning does this for free — never pack bytes in structs
   *    with hot columns).
-  *  - `repartitionBySize` bounds per-task memory: tasks get either many
-  *    small blobs or few large ones, not a skewed mix.
+  *  - `repartitionForDecode` spreads blobs uniformly by id: per-task
+  *    memory is bounded by the largest single blob (rows stream one at
+  *    a time), and uniform size mixing balances per-task duration.
   *  - Decode is embarrassingly parallel; the expensive init (codec
   *    context) happens once per PARTITION inside mapPartitions, not per
   *    row.
@@ -48,12 +49,17 @@ object Multimodal {
         md5(col(textCol).cast("binary")).as("content_hash")).as("meta"))
       ++ passthrough.map(col): _*)
 
-  /** Bound per-task bytes by clustering rows into size buckets before a
-    * decode pass (log2 of the blob size).
+  /** Balance a decode pass across tasks. Two facts drive the shape:
+    * per-task MEMORY is bounded by the largest single blob (mapPartitions
+    * streams one row at a time), and per-task DURATION is proportional to
+    * total bytes — so the right layout mixes sizes uniformly. Hashing on
+    * a size bucket (an earlier design) did the opposite: every same-
+    * size-class blob landed in ONE partition. Hash on the unique id,
+    * uniform by construction.
     */
-  def repartitionBySize(media: DataFrame, partitions: Int): DataFrame =
-    media.repartition(partitions,
-      ceil(log(2.0, greatest(octet_length(col("media")).cast("double"), lit(1.0)))))
+  def repartitionForDecode(media: DataFrame, partitions: Int,
+                           idCol: String = "id"): DataFrame =
+    media.repartition(partitions, col(idCol))
 
   final case class Frame(id: Long, frame_idx: Int, frame: Array[Byte])
 

@@ -38,6 +38,9 @@ object Temporal {
                toleranceUs: Option[Long] = None): DataFrame = {
     require(direction == "backward" || direction == "forward",
       s"direction must be backward|forward, got $direction")
+    require(rightPayload.nonEmpty,
+      "rightPayload must name at least one column (dropFields would " +
+        "otherwise empty the match struct)")
     val l = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__tag", lit(1))
@@ -81,12 +84,16 @@ object Temporal {
     */
   def rangeJoin(left: DataFrame, right: DataFrame, key: String,
                 leftTs: String, rightTs: String, windowUs: Long): DataFrame = {
-    // cell = floor(ts / width): a qualifying pair is always in the same
-    // or adjacent cell, so the left probes exactly two cells
-    def cell(ts: Column): Column = floor(ts / windowUs).cast("long")
+    // cell = ts div width — INTEGER division: Column./ on longs is
+    // double division, which mis-buckets timestamps beyond 2^53 (e.g.
+    // raw epoch-ns values) and silently drops qualifying pairs. Times
+    // must be non-negative (div truncates toward zero). A qualifying
+    // pair is always in the same or adjacent cell, so the left probes
+    // exactly two cells.
+    def cell(name: String): Column = expr(s"`$name` div ${windowUs}L")
     val l = left.withColumn("__cell",
-      explode(array(cell(col(leftTs)), cell(col(leftTs)) + 1)))
-    val r = right.withColumn("__cell", cell(col(rightTs)))
+      explode(array(cell(leftTs), cell(leftTs) + 1)))
+    val r = right.withColumn("__cell", cell(rightTs))
     l.join(r, Seq(key, "__cell"))
       .filter(col(rightTs) > col(leftTs)
         && col(rightTs) - col(leftTs) <= windowUs)

@@ -39,10 +39,15 @@ class PagedSource extends TableProvider with DataSourceRegister {
     PagedSource.schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: util.Map[String, String]): Table =
+                        properties: util.Map[String, String]): Table = {
+    // DSv2 options are case-insensitive everywhere else in Spark — honor
+    // that here too (a mis-cased .option("Pages", ...) must not be
+    // silently ignored)
+    val opts = new CaseInsensitiveStringMap(properties)
     new PagedTable(
-      properties.asScala.getOrElse("pages", "3").toInt,
-      properties.asScala.getOrElse("per_page", "50").toInt)
+      opts.getInt("pages", 3),
+      opts.getInt("per_page", 50))
+  }
 }
 
 object PagedSource {
@@ -119,11 +124,21 @@ private class PagedReaderFactory(required: StructType)
       private val rows = PagedSource.fetchPage(part.page, part.perPage, part.pages)
       private var i = -1
 
+      // reused per-row buffer: the scan inner loop must not allocate a
+      // fresh Seq + boxed copies per row
+      private val buf = new Array[Any](proj.length)
+
       override def next(): Boolean = { i += 1; i < rows.length }
       override def get(): InternalRow = {
         val full = rows(i)
-        InternalRow.fromSeq(proj.toSeq.map(j =>
-          if (full(j) == null) null else UTF8String.fromString(full(j))))
+        var k = 0
+        while (k < proj.length) {
+          val v = full(proj(k))
+          buf(k) = if (v == null) null else UTF8String.fromString(v)
+          k += 1
+        }
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          buf.clone())
       }
       override def close(): Unit = ()
     }

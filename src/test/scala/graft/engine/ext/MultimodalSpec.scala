@@ -4,7 +4,7 @@ import graft.SparkSpec
 import graft.engine.ext.Multimodal.Media
 
 /** The multimodal plumbing around the stubbed decoder: schema, metadata
-  * struct, size-bucketed partitioning, and the mapPartitions batch shape.
+  * struct, decode-pass partitioning, and the mapPartitions batch shape.
   */
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
@@ -64,12 +64,15 @@ class MultimodalSpec extends SparkSpec {
     Multimodal.resizeFeatures(fs, 16).collect().head.features.length shouldBe 16
   }
 
-  test("repartitionBySize groups comparable blob sizes") {
+  test("repartitionForDecode spreads blobs uniformly by id") {
     val media = Multimodal.mediaFromText(
-      Seq((1L, "x"), (2L, "y" * 1000), (3L, "z")).toDF("doc_id", "text"),
+      (1L to 64L).map(i => (i, "x" * (i.toInt % 7 + 1))).toDF("doc_id", "text"),
       "doc_id", "text")
-    val parts = Multimodal.repartitionBySize(media, 4)
+    val parts = Multimodal.repartitionForDecode(media, 4)
     parts.rdd.getNumPartitions shouldBe 4
-    parts.count() shouldBe 3
+    parts.count() shouldBe 64
+    // uniform hash spread: no partition hoards the rows
+    val sizes = parts.rdd.mapPartitions(it => Iterator(it.size)).collect()
+    all(sizes) should be < 40
   }
 }
