@@ -8,7 +8,15 @@ package graft
   *    total-order sort that a bare `.count()` would let Catalyst delete;
   *  - one un-timed warm-up execution (the flagship q01) absorbs JVM /
   *    session / codegen start-up cost so per-query numbers are comparable
-  *    across rounds (round-1 note: first query absorbed ~4.8 s of warm-up).
+  *    across rounds (round-1 note: first query absorbed ~4.8 s of warm-up);
+  *  - a query that THROWS is reported in an `"errors"` object rather than
+  *    silently recording a near-zero (i.e. flatteringly fast) time —
+  *    correctness is gated elsewhere, but the bench artifact must not let
+  *    a broken query masquerade as a fast one;
+  *  - the warm figure is the MIN of two cache-cleared executions: single
+  *    warm samples proved noisy under machine contention (round-3 driver
+  *    pass showed 3-5x outliers vs a rerun minutes later), and min-of-N
+  *    is the standard de-noising for "steady-state cost" on a shared box.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -18,33 +26,47 @@ object Bench {
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
     // warm-up: not timed, not reported
     try run(SparkEntry.queries("q01_gold_count")) catch { case _: Throwable => () }
-    // Each query is timed twice: COLD (first execution in this JVM —
+    // Each query is timed three times: COLD (first execution in this JVM —
     // includes the one-time Catalyst/Janino/JIT cost of its generated
-    // classes) and WARM (codegen cached — the steady-state data-path
-    // cost, which is what amortizes at 100 TB). `value` stays the cold
-    // total for round-over-round comparability; the warm numbers ride
-    // along as extra keys.
+    // classes) and twice WARM (codegen cached — the steady-state data-path
+    // cost, which is what amortizes at 100 TB; min of the two reported).
+    // `value` stays the cold total for round-over-round comparability.
+    // The cache is cleared between every pass: queries that persist
+    // intermediates (dedup band tables, CC labels) would otherwise serve
+    // later passes from cache and measure cache hits, not the recomputed
+    // data path — and leaked blocks add GC noise to later queries.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try run(fn) catch { case _: Throwable => () }
-      val cold = (System.nanoTime() - t0) / 1e9
-      // clear BETWEEN the passes too: queries that persist intermediates
-      // (dedup band tables, CC labels) would otherwise serve the warm
-      // pass from the cold run's cache and the warm number would measure
-      // cache hits, not the recomputed data path.
+      def timed(): (Double, Option[String]) = {
+        val t0 = System.nanoTime()
+        val err =
+          try { run(fn); None }
+          catch { case e: Throwable =>
+            Some(e.getClass.getSimpleName + ": " +
+              Option(e.getMessage).getOrElse("").take(200))
+          }
+        ((System.nanoTime() - t0) / 1e9, err)
+      }
+      val (cold, coldErr) = timed()
       spark.sharedState.cacheManager.clearCache()
-      val t1 = System.nanoTime()
-      try run(fn) catch { case _: Throwable => () }
-      val warm = (System.nanoTime() - t1) / 1e9
-      // and after: leaked blocks otherwise add GC noise to later queries
+      val (warm1, warmErr1) = timed()
       spark.sharedState.cacheManager.clearCache()
-      (name, cold, warm)
+      val (warm2, warmErr2) = timed()
+      spark.sharedState.cacheManager.clearCache()
+      (name, cold, math.min(warm1, warm2), coldErr.orElse(warmErr1).orElse(warmErr2))
     }
-    def obj(f: ((String, Double, Double)) => Double): String =
-      results.map(r => s"\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    def obj(f: ((String, Double, Double, Option[String])) => Double): String =
+      results.map(r => jstr(r._1) + ":" + f(r)).mkString("{", ",", "}")
+    val errors = results.collect { case (n, _, _, Some(e)) => jstr(n) + ":" + jstr(e) }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val totalWarm = results.map(_._3).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(_._2)},"total_warm":$totalWarm,"queries_warm":${obj(_._3)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(_._2)},"total_warm":$totalWarm,"queries_warm":${obj(_._3)},"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

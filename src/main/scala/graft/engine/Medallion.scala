@@ -1,5 +1,7 @@
 package graft.engine
 
+import scala.util.{Failure, Success, Try}
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** The reference's whole pipeline as function composition
@@ -17,6 +19,59 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 object Medallion {
 
   final case class Layout(bronzeRoot: String, silverPath: String, goldPath: String)
+
+  /** S10 failure: the source-availability probe never succeeded, so the
+    * gated pipeline stage was NOT run (the reference's sensor contract:
+    * no 200, no pipeline — dags/dag-brewery_pipeline.py:53-62).
+    */
+  final case class SourceUnavailable(message: String, last: Throwable)
+    extends RuntimeException(message, last)
+
+  /** S10: source-availability probe as an engine-side precondition — the
+    * library form of the reference's `HttpSensor` (poke with a timeout
+    * and bounded retries; anything but success means downstream work must
+    * not start). The probe is any `() => Try[Unit]` so tests and non-HTTP
+    * sources (JDBC ping, path existence) plug in directly; `httpProbe`
+    * below is the HTTP form.
+    *
+    * `body` is by-name and is never evaluated unless a probe attempt
+    * succeeds — the gate is control flow, exactly like the DQ gate.
+    */
+  def requireAvailable[A](probe: () => Try[Unit], attempts: Int = 3,
+                          delayMs: Long = 0L)(body: => A): A = {
+    require(attempts >= 1, s"attempts must be >= 1, got $attempts")
+    var last: Throwable = null
+    var i = 0
+    while (i < attempts) {
+      probe() match {
+        case Success(()) => return body
+        case Failure(e) =>
+          last = e
+          i += 1
+          if (i < attempts && delayMs > 0) Thread.sleep(delayMs)
+      }
+    }
+    throw SourceUnavailable(
+      s"source probe failed after $attempts attempt(s): ${last.getMessage}", last)
+  }
+
+  /** HTTP-HEAD availability probe with explicit connect/read timeouts;
+    * non-2xx (or no answer inside the timeout) = unavailable. Mirrors the
+    * reference sensor's "GET with timeout, expect 200" poke.
+    */
+  def httpProbe(url: String, connectTimeoutMs: Int = 5000,
+                readTimeoutMs: Int = 5000): () => Try[Unit] = () => Try {
+    val conn = new java.net.URI(url).toURL.openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    conn.setRequestMethod("HEAD")
+    conn.setConnectTimeout(connectTimeoutMs)
+    conn.setReadTimeout(readTimeoutMs)
+    try {
+      val code = conn.getResponseCode
+      if (code < 200 || code >= 300)
+        throw new java.io.IOException(s"probe $url: HTTP $code")
+    } finally conn.disconnect()
+  }
 
   /** Ingested batch -> bronze JSON snapshot (returns the snapshot dir). */
   def toBronze(raw: DataFrame, layout: Layout, runTs: String): String =

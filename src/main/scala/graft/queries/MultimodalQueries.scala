@@ -36,5 +36,44 @@ object MultimodalQueries {
             count(DISTINCT md5(text)) AS distinct_contents
             FROM documents GROUP BY source ORDER BY source"""))
 
-  val all: Seq[Q] = Seq(q36MultimodalMeta)
+  /** Oracle for the feature-pooling COMPUTE path: the pooled sums are
+    * spelled out as explicit left-associated `+` chains so DuckDB
+    * performs the exact same IEEE op sequence as [[Multimodal.resizeFeatures]]
+    * (sequential double accumulation over float inputs, /8 — an exact
+    * power-of-two scale — then round-to-nearest float). Bit-identical by
+    * construction, no rounding tolerance needed.
+    */
+  private val poolOracle: String = {
+    val pools = (0 until 8).map { i =>
+      val terms = (1 to 8).map(k => s"embedding[${8 * i + k}]::DOUBLE")
+        .mkString(" + ")
+      s"(($terms) / 8)::REAL AS p$i"
+    }.mkString(", ")
+    // scalar columns, not a LIST: nested arrow types carry element-name/
+    // nullability noise that can hash-differ even when every value matches
+    s"SELECT vec_id, $pools FROM embeddings ORDER BY vec_id"
+  }
+
+  /** Average-pool 64-dim embeddings to 8 via the REAL engine path
+    * ([[Multimodal.resizeFeatures]], the stand-in for an image resize
+    * kernel) — oracle-checking the multimodal compute math itself, not a
+    * Column re-implementation of it. Pure per-row projection: no
+    * shuffle, scale-free.
+    */
+  val q58FeaturePool: Q = Q(
+    "q58_feature_pool",
+    (s, dir) => {
+      import s.implicits._
+      val feats = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), lit(0L).as("n_bytes"),
+          col("embedding").as("features"))
+        .as[Multimodal.MediaFeatures]
+      Multimodal.resizeFeatures(feats, targetDim = 8)
+        .select(col("id").as("vec_id") +:
+          (0 until 8).map(i => col("features")(i).as(s"p$i")): _*)
+        .orderBy("vec_id")
+    },
+    Some(poolOracle))
+
+  val all: Seq[Q] = Seq(q36MultimodalMeta, q58FeaturePool)
 }

@@ -396,10 +396,24 @@ object TextQueries {
     * you actually run first: fixed-size sketch state per group, one
     * partial-agg shuffle, mergeable across partitions.
     *
-    * NO oracle SQL by design: sketch estimates are implementation-
-    * specific, so DuckDB's sketches would legitimately differ — the
-    * driver records the weaker rows-only check, and SketchAccuracySpec
-    * asserts the error bounds against the exact answers instead.
+    * Sketch estimates are implementation-specific, so the raw estimates
+    * can't hash-match a DuckDB oracle. Instead the query ALSO computes
+    * the exact answers and emits `within_bounds` BOOLEANS — quality
+    * checks as data, same ethos as the reference's DQ operator
+    * (`plugins/data_quality_operator.py:57-71`):
+    *   - `vocab_within_bounds`: |HLL − exact| ≤ 3·rsd·exact (≥3σ of the
+    *     HLL guarantee; deterministic for a fixed hash + dataset, so the
+    *     check is stable, not flaky);
+    *   - `median_within_bounds`: a RANK bound, not a value interval —
+    *     the returned value's rank window [n_lt, n_le] must intersect
+    *     0.5·n ± (ε·n + 1), ε = 1/accuracy. Robust for tiny groups and
+    *     duplicate-heavy columns, where a value-interval check against
+    *     interpolated percentiles breaks down.
+    * The oracle computes the exact columns and literal `true`s, so the
+    * row hash verifies both the exact side and the bounds. The exact
+    * side exists only to make the sketch verifiable — production at
+    * 100 TB runs the sketch alone. `SketchAccuracySpec` keeps the unit-
+    * level error-bound coverage.
     */
   val q54Sketches: Q = Q(
     "q54_sketches",
@@ -408,16 +422,54 @@ object TextQueries {
       // two granularities: vocab over exploded tokens, median over DOCS —
       // sketching n_chars on the exploded frame would token-weight it
       // (longer docs counted once per token)
+      val rsd = 0.02
+      val accuracy = 10000
       val vocab = docs
         .select(col("lang"), explode(Text.tokens(col("text"))).as("tok"))
         .groupBy(col("lang"))
-        .agg(approx_count_distinct(col("tok"), rsd = 0.02).as("approx_vocab"))
+        .agg(
+          approx_count_distinct(col("tok"), rsd).as("approx_vocab"),
+          count_distinct(col("tok")).as("exact_vocab"))
       val med = docs.groupBy(col("lang"))
-        .agg(percentile_approx(col("n_chars"), lit(0.5), lit(10000))
-          .as("approx_median_chars"))
-      vocab.join(med, Seq("lang")).orderBy("lang")
+        .agg(
+          percentile_approx(col("n_chars"), lit(0.5), lit(accuracy))
+            .as("approx_median"),
+          // exact interpolated median: 0.5 over integer n_chars lands on
+          // x.0/x.5 — exactly representable, bit-identical to DuckDB's
+          // quantile_cont-based median()
+          percentile(col("n_chars"), lit(0.5)).as("exact_median_chars"))
+      // rank-bound check: broadcast the 5-row per-lang approx medians
+      // back over documents and count rows (<, <=) the returned value
+      val ranks = docs
+        .join(broadcast(med.select(col("lang"), col("approx_median"))),
+          Seq("lang"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("n_chars") <= col("approx_median"), 1L).otherwise(0L))
+            .as("n_le"),
+          sum(when(col("n_chars") < col("approx_median"), 1L).otherwise(0L))
+            .as("n_lt"))
+      val eps = 1.0 / accuracy
+      vocab.join(med, Seq("lang")).join(ranks, Seq("lang"))
+        .select(
+          col("lang"), col("exact_vocab"), col("exact_median_chars"),
+          (abs(col("approx_vocab") - col("exact_vocab")).cast("double")
+            <= col("exact_vocab") * (3 * rsd)).as("vocab_within_bounds"),
+          (col("n_le").cast("double") >= col("n") * (0.5 - eps) - 1 &&
+            col("n_lt").cast("double") <= col("n") * (0.5 + eps) + 1)
+            .as("median_within_bounds"))
+        .orderBy("lang")
     },
-    None)
+    Some("""SELECT v.lang, v.exact_vocab, m.exact_median_chars,
+              true AS vocab_within_bounds, true AS median_within_bounds
+            FROM (SELECT lang, count(DISTINCT tok) AS exact_vocab
+                  FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok
+                        FROM documents)
+                  GROUP BY lang) v
+            JOIN (SELECT lang, median(n_chars)::DOUBLE AS exact_median_chars
+                  FROM documents GROUP BY lang) m USING (lang)
+            ORDER BY lang"""))
 
   val all: Seq[Q] =
     Seq(q18TextStats, q19TermFreq, q20LangId, q21QualityScore, q22RegexTokens,

@@ -4,38 +4,50 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
-/** q54's sketches can't be oracle-checked (estimates are implementation-
-  * specific), so this spec is their correctness story: error bounds
-  * against the exact answers on the real sf0.001 fixture.
+/** q54's sketch ESTIMATES are implementation-specific, so the query now
+  * verifies them in-query (exact-vs-sketch `within_bounds` booleans that
+  * the DuckDB oracle hash-checks as literal trues). This spec keeps the
+  * unit-level story: the booleans really hold on a second fixture
+  * (sf0.001), and an independently-computed HLL estimate honors the
+  * 3-sigma rsd envelope the query claims.
   */
 class SketchAccuracySpec extends SparkSpec {
   import spark.implicits._
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("q54's in-query bound booleans hold on sf0.001") {
+    val rows = TextQueries.q54Sketches.fn(spark, dir)
+      .select("lang", "vocab_within_bounds", "median_within_bounds")
+      .as[(String, Boolean, Boolean)].collect()
+    rows should not be empty
+    rows.foreach { case (lang, vocabOk, medianOk) =>
+      withClue(s"$lang: ") { (vocabOk, medianOk) shouldBe ((true, true)) }
+    }
+  }
+
   test("HLL vocab estimate within 3x the configured rsd of exact") {
     val docs = graft.engine.Tables.load(spark, dir, "documents")
     val toks = docs.select(col("lang"), explode(split(col("text"), " ")).as("tok"))
-    val exact = toks.groupBy("lang").agg(count_distinct(col("tok")).as("v"))
-      .as[(String, Long)].collect().toMap
-    val approx = TextQueries.q54Sketches.fn(spark, dir)
-      .select("lang", "approx_vocab").as[(String, Long)].collect().toMap
-    exact.foreach { case (lang, ex) =>
-      val ap = approx(lang).toDouble
+    val both = toks.groupBy("lang")
+      .agg(count_distinct(col("tok")).as("exact"),
+        approx_count_distinct(col("tok"), rsd = 0.02).as("approx"))
+      .as[(String, Long, Long)].collect()
+    both should not be empty
+    both.foreach { case (lang, ex, ap) =>
       withClue(s"$lang exact=$ex approx=$ap: ") {
-        math.abs(ap - ex) / ex should be <= 0.06 // rsd=0.02, 3 sigma
+        math.abs(ap.toDouble - ex) / ex should be <= 0.06 // rsd=0.02, 3 sigma
       }
     }
   }
 
-  test("approx median within the rank tolerance of the exact median") {
+  test("approx median lands inside a 45th-55th percentile envelope") {
     val docs = graft.engine.Tables.load(spark, dir, "documents")
-    val approx = TextQueries.q54Sketches.fn(spark, dir)
-      .select("lang", "approx_median_chars").as[(String, Long)].collect().toMap
+    val approx = docs.groupBy("lang")
+      .agg(percentile_approx(col("n_chars"), lit(0.5), lit(10000)).as("m"))
+      .as[(String, Long)].collect().toMap
+    approx should not be empty
     approx.foreach { case (lang, ap) =>
-      // exact rank window: with accuracy 10000 the estimate's rank error
-      // is <= n/10000 — assert the value lies between the 45th and 55th
-      // percentile values (a loose but meaningful envelope)
       val vals = docs.filter(col("lang") === lang)
         .select(col("n_chars").cast("long")).as[Long].collect().sorted
       val lo = vals((vals.length * 0.45).toInt)
