@@ -69,6 +69,19 @@ object Sinks {
                               mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.partitionBy(partitionCols: _*).mode(mode).parquet(path)
 
+  /** Dynamic-partition overwrite: land ONLY the partitions present in
+    * `df`, leaving sibling partitions untouched — the at-scale posture the
+    * header note describes (a daily run rewrites one `run_date=` slice of
+    * a 100 TB silver table, not the table). The writer-level option
+    * overrides the session's `partitionOverwriteMode`, so callers don't
+    * need session mutation.
+    */
+  def overwritePartitionsDynamic(df: DataFrame, path: String,
+                                 partitionCols: Seq[String]): Unit =
+    df.write.partitionBy(partitionCols: _*)
+      .option("partitionOverwriteMode", "dynamic")
+      .mode(SaveMode.Overwrite).parquet(path)
+
   /** Unpartitioned parquet sink (S7): gold layout. */
   def writeParquet(df: DataFrame, path: String,
                    mode: SaveMode = SaveMode.Overwrite): Unit =

@@ -124,8 +124,10 @@ private class PagedReaderFactory(required: StructType)
       private val rows = PagedSource.fetchPage(part.page, part.perPage, part.pages)
       private var i = -1
 
-      // reused per-row buffer: the scan inner loop must not allocate a
-      // fresh Seq + boxed copies per row
+      // staging array reused across rows for the projection copy; each
+      // emitted row still clones it — downstream operators may buffer
+      // InternalRows, so handing out the shared array would alias rows.
+      // The reuse avoids a per-row Seq builder + re-boxing, not the copy.
       private val buf = new Array[Any](proj.length)
 
       override def next(): Boolean = { i += 1; i < rows.length }

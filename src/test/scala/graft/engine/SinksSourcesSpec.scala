@@ -60,6 +60,25 @@ class SinksSourcesSpec extends SparkSpec {
     }
   }
 
+  test("dynamic partition overwrite rewrites only the touched partition") {
+    withTempDir { root =>
+      val path = s"$root/silver"
+      Sinks.writePartitionedParquet(sampleDf, path, Seq("state"))
+      def nyFiles = new java.io.File(s"$path/state=NY").listFiles()
+        .map(_.getName).filter(_.endsWith(".parquet")).toSet
+      val nyBefore = nyFiles
+      nyBefore should not be empty
+      // overwrite ONLY the CA slice with new values; NY must survive
+      // byte-for-byte (same files), unlike the static overwrite above
+      Sinks.overwritePartitionsDynamic(
+        Seq(("a2", "CA", 9.9)).toDF("id", "state", "v"), path, Seq("state"))
+      nyFiles shouldBe nyBefore
+      Sources.readParquet(spark, path).select("id", "state", "v")
+        .as[(String, String, Double)].collect().toSet shouldBe
+        Set(("a2", "CA", 9.9), ("c", "NY", 3.5))
+    }
+  }
+
   test("partition pruning fires on the partitioned silver layout (SURVEY §4)") {
     withTempDir { root =>
       val path = s"$root/silver"
