@@ -79,8 +79,12 @@ object Text {
       .join(keyed.as("y"),
         col("x.blk") === col("y.blk") && col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("d1"), col(s"y.$idCol").as("d2"),
-        levenshtein(col("x.__text"), col("y.__text")).cast("long").as("dist"))
-      .filter(col("dist") <= maxDist)
+        // thresholded form: banded O(len*maxDist) DP instead of the full
+        // O(len^2) table, returning -1 above the bound — identical output
+        // after the filter, and the bound is exactly the filter we apply
+        levenshtein(col("x.__text"), col("y.__text"), maxDist)
+          .cast("long").as("dist"))
+      .filter(col("dist").between(0, maxDist))
   }
 
   /** Winnowing fingerprint stream (Schleimer et al. 2003): hash every
