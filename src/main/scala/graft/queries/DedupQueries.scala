@@ -301,6 +301,17 @@ object DedupQueries {
     * a la large-star/small-star), no driver-side graph. The convergence
     * probe is an aggregate count, not a collect. The oracle computes the
     * same fixpoint declaratively with a recursive CTE.
+    *
+    * Design note — plain propagation vs large-star/small-star: the
+    * Kiveris et al. alternating large-star/small-star rounds REWRITE the
+    * edge set each round and converge in O(log^2 n) rounds on
+    * pathological long chains. Dedup graphs are the opposite shape
+    * (near-cliques of duplicates, diameter 2-3), where plain label
+    * propagation converges in as many rounds WITHOUT the edge-rewrite
+    * shuffle each round — so plain propagation is the deliberate choice
+    * here, and star-contraction is the documented upgrade path if a
+    * corpus ever produced chain-shaped near-dup graphs (e.g. drifting
+    * boilerplate).
     */
   val q43DedupComponents: Q = Q(
     "q43_dedup_components",
