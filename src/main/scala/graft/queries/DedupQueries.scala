@@ -313,55 +313,65 @@ object DedupQueries {
     * corpus ever produced chain-shaped near-dup graphs (e.g. drifting
     * boilerplate).
     */
-  val q43DedupComponents: Q = Q(
-    "q43_dedup_components",
-    (s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      val fp = docs.select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
-      val exactPairs = fp.as("x")
-        .join(fp.as("y"),
-          col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      val levPairs = Text
-        .levNearDupPairs(docs, "doc_id", "text", blockTokens = 3, maxDist = 40)
-        .select(col("d1").as("a"), col("d2").as("b"))
-      val edges = eager(exactPairs.union(levPairs).distinct())
-      val undirected = edges
-        .union(edges.select(col("b").as("a"), col("a").as("b")))
-      var cached = eager(edges.select(col("a").as("v"))
-        .union(edges.select(col("b").as("v"))).distinct()
-        .select(col("v"), col("v").as("lbl")))
-      var lbl = cached
-      var converged = false
-      var rounds = 0
-      while (!converged && rounds < 50) {
-        val nbrMin = undirected
-          .join(lbl.select(col("v").as("b"), col("lbl").as("nl")), Seq("b"))
-          .groupBy(col("a")).agg(min(col("nl")).as("nbr"))
-        // one action per round: the changed-flag count both materializes
-        // the persisted label table and decides convergence
-        val next = lbl
-          .join(nbrMin.select(col("a").as("v"), col("nbr")), Seq("v"), "left")
-          .select(col("v"),
-            least(col("lbl"), coalesce(col("nbr"), col("lbl"))).as("nlbl"),
-            (coalesce(col("nbr"), col("lbl")) < col("lbl")).as("chg"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        val changed = next.filter(col("chg")).count()
-        cached.unpersist()
-        cached = next
-        lbl = next.select(col("v"), col("nlbl").as("lbl"))
-        converged = changed == 0
-        rounds += 1
-      }
-      // never emit a partially-propagated clustering: a component whose
-      // diameter exceeds the cap would silently split into several
-      if (!converged)
-        throw new IllegalStateException(
-          s"connected components did not converge in $rounds rounds")
-      lbl.select(col("v").as("doc_id"), col("lbl").as("component"))
-        .orderBy("doc_id")
-    },
-    Some(s"""WITH RECURSIVE fp AS (SELECT doc_id, md5(trim(lower(text))) AS fp
+  /** Converged (doc_id, component) labels over the exact-dup + lev-near-
+    * dup edge set — the iterative body described above, shared by q43
+    * (label output) and q59 (corpus materialization) so the clustering
+    * can never silently diverge between them. The returned table is
+    * bounded by |V(edges)| — only docs that appear in some duplicate
+    * pair — which is tiny relative to the corpus.
+    */
+  private def componentLabels(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val fp = docs.select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+    val exactPairs = fp.as("x")
+      .join(fp.as("y"),
+        col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+    val levPairs = Text
+      .levNearDupPairs(docs, "doc_id", "text", blockTokens = 3, maxDist = 40)
+      .select(col("d1").as("a"), col("d2").as("b"))
+    val edges = eager(exactPairs.union(levPairs).distinct())
+    val undirected = edges
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+    var cached = eager(edges.select(col("a").as("v"))
+      .union(edges.select(col("b").as("v"))).distinct()
+      .select(col("v"), col("v").as("lbl")))
+    var lbl = cached
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      val nbrMin = undirected
+        .join(lbl.select(col("v").as("b"), col("lbl").as("nl")), Seq("b"))
+        .groupBy(col("a")).agg(min(col("nl")).as("nbr"))
+      // one action per round: the changed-flag count both materializes
+      // the persisted label table and decides convergence
+      val next = lbl
+        .join(nbrMin.select(col("a").as("v"), col("nbr")), Seq("v"), "left")
+        .select(col("v"),
+          least(col("lbl"), coalesce(col("nbr"), col("lbl"))).as("nlbl"),
+          (coalesce(col("nbr"), col("lbl")) < col("lbl")).as("chg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = next.filter(col("chg")).count()
+      cached.unpersist()
+      cached = next
+      lbl = next.select(col("v"), col("nlbl").as("lbl"))
+      converged = changed == 0
+      rounds += 1
+    }
+    // never emit a partially-propagated clustering: a component whose
+    // diameter exceeds the cap would silently split into several
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge in $rounds rounds")
+    lbl.select(col("v").as("doc_id"), col("lbl").as("component"))
+  }
+
+  /** Oracle CTE chain shared by q43/q59: same edge set, same fixpoint,
+    * declaratively via a recursive CTE, ending in
+    * `comp(doc_id, component)`.
+    */
+  private val duckComponentCtes =
+    s"""fp AS (SELECT doc_id, md5(trim(lower(text))) AS fp
               FROM documents),
             exact_pairs AS (SELECT x.doc_id AS a, y.doc_id AS b
               FROM fp x JOIN fp y ON x.fp = y.fp AND x.doc_id < y.doc_id),
@@ -374,10 +384,123 @@ object DedupQueries {
               SELECT v, v AS r FROM verts
               UNION
               SELECT und.a AS v, reach.r
-              FROM und JOIN reach ON und.b = reach.v)
-            SELECT v AS doc_id, min(r) AS component
-            FROM reach GROUP BY v ORDER BY doc_id"""))
+              FROM und JOIN reach ON und.b = reach.v),
+            comp AS (SELECT v AS doc_id, min(r) AS component
+                     FROM reach GROUP BY v)"""
+
+  val q43DedupComponents: Q = Q(
+    "q43_dedup_components",
+    (s, dir) => componentLabels(s, dir).orderBy("doc_id"),
+    Some(s"""WITH RECURSIVE $duckComponentCtes
+            SELECT doc_id, component FROM comp ORDER BY doc_id"""))
+
+  /** Corpus materialization — the step AFTER clustering: keep the
+    * canonical doc per duplicate cluster (the component label, i.e. the
+    * min doc_id) plus every never-edged singleton, and report per-
+    * language kept/dropped counts. This is the actual deliverable of a
+    * dedup pipeline: the training corpus that ships.
+    *
+    * ## 100 TB notes
+    * The component table only holds docs that appear in some duplicate
+    * pair — orders of magnitude smaller than the corpus — so the
+    * left join is broadcast-able at scale; the kept-predicate is then a
+    * map-side projection and the only shuffle is the final low-
+    * cardinality group-by.
+    */
+  val q59DedupMaterialize: Q = Q(
+    "q59_dedup_materialize",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val comp = componentLabels(s, dir)
+      docs.join(comp, Seq("doc_id"), "left")
+        .select(col("lang"),
+          (col("component").isNull || col("component") === col("doc_id"))
+            .as("kept"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          count(when(col("kept"), 1)).as("n_kept"),
+          count(when(!col("kept"), 1)).as("n_dropped"))
+        .orderBy("lang")
+    },
+    Some(s"""WITH RECURSIVE $duckComponentCtes,
+            flags AS (SELECT d.lang,
+                (c.doc_id IS NULL OR c.component = d.doc_id) AS kept
+              FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+            SELECT lang, count(*) AS n_docs,
+              count(*) FILTER (kept) AS n_kept,
+              count(*) FILTER (NOT kept) AS n_dropped
+            FROM flags GROUP BY lang ORDER BY lang"""))
+
+  /** Incremental dedup — the production ingest path: a NEW batch (here:
+    * doc_id % 3 = 0) is admitted against an EXISTING corpus (the rest).
+    * A batch doc is rejected if it is a near-dup (the same prefix-blocked
+    * Levenshtein relation as q42/q43; exact dups are its dist=0 case) of
+    * any corpus doc (`dup_of_corpus`), else if it near-dups an EARLIER
+    * batch doc (`dup_in_batch`, by doc_id). Greedy one-pass admission by
+    * design: an earlier batch doc blocks its later near-dups regardless
+    * of its own fate — the standard streaming-ingest approximation
+    * (chained resolution is the clustering path, q43/q59). Output:
+    * per-language admission accounting.
+    *
+    * ## 100 TB notes
+    * Candidates come from the same bucketed (prefix-blocked) equi-join as
+    * q42 — never batch x corpus. The per-doc flags are one partial-agg
+    * `bool_or` shuffle over the (tiny) pair set, and the batch-side left
+    * join broadcasts at scale. With an exact-fingerprint relation the
+    * corpus side collapses to an fp-only ledger projection plus a
+    * broadcast Bloom-filter pre-pass; the near-dup relation shown here is
+    * the harder, more realistic case.
+    */
+  val q60IncrementalDedup: Q = Q(
+    "q60_incremental_dedup",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      def isBatch(c: Column): Column = c % 3 === 0
+      val pairs = Text
+        .levNearDupPairs(docs, "doc_id", "text", blockTokens = 3, maxDist = 40)
+      // batch doc -> each near-dup partner, both directions
+      val partners = pairs.select(col("d1").as("doc"), col("d2").as("other"))
+        .union(pairs.select(col("d2").as("doc"), col("d1").as("other")))
+        .filter(isBatch(col("doc")))
+      val flags = partners.groupBy(col("doc"))
+        .agg(
+          bool_or(!isBatch(col("other"))).as("corpus_dup"),
+          bool_or(isBatch(col("other")) && col("other") < col("doc"))
+            .as("batch_dup"))
+      docs.filter(isBatch(col("doc_id")))
+        .join(flags, col("doc_id") === col("doc"), "left")
+        .select(col("lang"),
+          when(coalesce(col("corpus_dup"), lit(false)), "dup_of_corpus")
+            .when(coalesce(col("batch_dup"), lit(false)), "dup_in_batch")
+            .otherwise("admitted").as("status"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_batch"),
+          count(when(col("status") === "admitted", 1)).as("n_admitted"),
+          count(when(col("status") === "dup_of_corpus", 1)).as("n_dup_corpus"),
+          count(when(col("status") === "dup_in_batch", 1)).as("n_dup_batch"))
+        .orderBy("lang")
+    },
+    Some(s"""WITH ${TextQueries.duckLevPairCtes},
+            partners AS (SELECT d1 AS doc, d2 AS other FROM lev_pairs
+                         UNION ALL SELECT d2, d1 FROM lev_pairs),
+            flags AS (SELECT doc,
+                bool_or(other % 3 <> 0) AS corpus_dup,
+                bool_or(other % 3 = 0 AND other < doc) AS batch_dup
+              FROM partners WHERE doc % 3 = 0 GROUP BY doc),
+            status AS (SELECT d.lang,
+                CASE WHEN coalesce(f.corpus_dup, false) THEN 'dup_of_corpus'
+                     WHEN coalesce(f.batch_dup, false) THEN 'dup_in_batch'
+                     ELSE 'admitted' END AS status
+              FROM documents d LEFT JOIN flags f ON d.doc_id = f.doc
+              WHERE d.doc_id % 3 = 0)
+            SELECT lang, count(*) AS n_batch,
+              count(*) FILTER (status = 'admitted') AS n_admitted,
+              count(*) FILTER (status = 'dup_of_corpus') AS n_dup_corpus,
+              count(*) FILTER (status = 'dup_in_batch') AS n_dup_batch
+            FROM status GROUP BY lang ORDER BY lang"""))
 
   val all: Seq[Q] = Seq(q23DedupExact, q24MinhashLsh, q25JaccardBlocked,
-    q26Simhash, q43DedupComponents)
+    q26Simhash, q43DedupComponents, q59DedupMaterialize, q60IncrementalDedup)
 }

@@ -70,4 +70,31 @@ class DedupPropertySpec extends SparkSpec {
       comp.contains(20L) shouldBe false
     }
   }
+
+  test("q59 keeps exactly one doc per cluster plus singletons") {
+    withTempDir { dir =>
+      val t1 = "p q r s t u v w x y"
+      val t2 = "a b c d e f g h i j"
+      writeDocs(dir, Seq(1L -> t1, 2L -> t1, 3L -> t1, 10L -> t2, 11L -> t2,
+        20L -> "solo doc with nothing shared"))
+      val row = DedupQueries.q59DedupMaterialize.fn(spark, dir)
+        .select("lang", "n_docs", "n_kept", "n_dropped")
+        .as[(String, Long, Long, Long)].collect().toList
+      // 6 docs: {1,2,3} keep 1, {10,11} keep 10, 20 is a singleton -> 3 kept
+      row shouldBe List(("en", 6L, 3L, 3L))
+    }
+  }
+
+  test("q60 admission accounting: statuses partition the batch") {
+    // on the real fixture so all three statuses occur (verified non-zero
+    // at sf0.01 during oracle design; sf0.001 exercises the invariant)
+    val rows = DedupQueries.q60IncrementalDedup.fn(spark, "/root/testdata/sf0.001")
+      .select("n_batch", "n_admitted", "n_dup_corpus", "n_dup_batch")
+      .as[(Long, Long, Long, Long)].collect()
+    rows should not be empty
+    rows.foreach { case (b, a, c, ib) =>
+      a + c + ib shouldBe b
+      a should be > 0L
+    }
+  }
 }
