@@ -48,21 +48,21 @@ object Bench {
       }
       val (cold, coldErr) = timed()
       spark.sharedState.cacheManager.clearCache()
-      val (warm1, warmErr1) = timed()
-      spark.sharedState.cacheManager.clearCache()
-      val (warm2, warmErr2) = timed()
-      spark.sharedState.cacheManager.clearCache()
-      (name, cold, math.min(warm1, warm2), coldErr.orElse(warmErr1).orElse(warmErr2))
+      val warmSamples = Seq.fill(2) {
+        val s = timed(); spark.sharedState.cacheManager.clearCache(); s
+      }
+      // a pass that threw measured the time-to-failure, not the data path
+      // — never let it undercut a successful sample's warm figure
+      val okWarm = warmSamples.collect { case (t, None) => t }
+      val warm = if (okWarm.nonEmpty) okWarm.min else warmSamples.map(_._1).min
+      (name, cold, warm, coldErr.orElse(warmSamples.collectFirst {
+        case (_, Some(e)) => e
+      }))
     }
-    def jstr(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
     def obj(f: ((String, Double, Double, Option[String])) => Double): String =
-      results.map(r => jstr(r._1) + ":" + f(r)).mkString("{", ",", "}")
-    val errors = results.collect { case (n, _, _, Some(e)) => jstr(n) + ":" + jstr(e) }
+      results.map(r => Jsons.quote(r._1) + ":" + f(r)).mkString("{", ",", "}")
+    val errors = results
+      .collect { case (n, _, _, Some(e)) => Jsons.quote(n) + ":" + Jsons.quote(e) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val totalWarm = results.map(_._3).sum

@@ -43,7 +43,9 @@ object Medallion {
     var last: Throwable = null
     var i = 0
     while (i < attempts) {
-      probe() match {
+      // Try(...).flatten: a probe that THROWS instead of returning Failure
+      // still gets the retry/typed-failure contract
+      Try(probe()).flatten match {
         case Success(()) => return body
         case Failure(e) =>
           last = e

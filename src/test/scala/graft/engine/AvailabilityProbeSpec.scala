@@ -48,6 +48,23 @@ class AvailabilityProbeSpec extends AnyFunSuite with Matchers {
     probeCalls.get() shouldBe 3
   }
 
+  test("probe that THROWS (instead of returning Failure) still gets retries") {
+    val probeCalls = new AtomicInteger(0)
+    val out = Medallion.requireAvailable(
+      () => { if (probeCalls.incrementAndGet() < 2)
+                throw new RuntimeException("threw, not Failure")
+              Success(()) },
+      attempts = 3) { "ran" }
+    out shouldBe "ran"
+    probeCalls.get() shouldBe 2
+    // and an always-throwing probe exhausts into the typed failure
+    val ex = intercept[Medallion.SourceUnavailable] {
+      Medallion.requireAvailable(
+        () => throw new RuntimeException("hard down"), attempts = 2) { () }
+    }
+    ex.getCause.getMessage shouldBe "hard down"
+  }
+
   test("attempts < 1 is rejected") {
     intercept[IllegalArgumentException] {
       Medallion.requireAvailable(() => Success(()), attempts = 0) { () }
