@@ -501,6 +501,45 @@ object DedupQueries {
               count(*) FILTER (status = 'dup_in_batch') AS n_dup_batch
             FROM status GROUP BY lang ORDER BY lang"""))
 
+  /** Benchmark decontamination — detect corpus documents that overlap an
+    * evaluation/benchmark set (here: doc_id % 97 = 0) by >= 3 distinct
+    * shared k-shingles, the standard n-gram-overlap contamination test a
+    * pre-training pipeline runs before shipping a corpus. Emits the
+    * (corpus_doc, bench_doc, overlap) evidence pairs.
+    *
+    * ## 100 TB notes
+    * The benchmark side is fixed-size (an eval suite, MBs) — broadcast by
+    * construction, so the corpus is scanned ONCE map-side with no shuffle
+    * for candidate generation; the only exchange is the partial-agg
+    * distinct-count on (corpus_doc, bench_doc). The >= threshold also
+    * caps chance matches from a shared vocabulary (measured here:
+    * 207 pairs share 1 shingle by chance, 3 pairs share >= 3).
+    */
+  val q61Decontaminate: Q = Q(
+    "q61_decontaminate",
+    (s, dir) => {
+      val sh = eager(shingled(s, dir))
+      val benchEx = sh.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("bench_doc"), explode(col("sh")).as("s"))
+      val corpEx = sh.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), explode(col("sh")).as("s"))
+      corpEx.join(broadcast(benchEx), Seq("s"))
+        .groupBy(col("doc_id"), col("bench_doc"))
+        .agg(count_distinct(col("s")).as("shared_shingles"))
+        .filter(col("shared_shingles") >= 3)
+        .orderBy("doc_id", "bench_doc")
+    },
+    Some(s"""WITH shs AS ($duckShingled),
+            bench AS (SELECT doc_id AS bench_doc, unnest(sh) AS s
+              FROM shs WHERE doc_id % 97 = 0),
+            corp AS (SELECT doc_id, unnest(sh) AS s
+              FROM shs WHERE doc_id % 97 <> 0)
+            SELECT doc_id, bench_doc, count(DISTINCT s) AS shared_shingles
+            FROM corp JOIN bench USING (s)
+            GROUP BY doc_id, bench_doc HAVING count(DISTINCT s) >= 3
+            ORDER BY doc_id, bench_doc"""))
+
   val all: Seq[Q] = Seq(q23DedupExact, q24MinhashLsh, q25JaccardBlocked,
-    q26Simhash, q43DedupComponents, q59DedupMaterialize, q60IncrementalDedup)
+    q26Simhash, q43DedupComponents, q59DedupMaterialize, q60IncrementalDedup,
+    q61Decontaminate)
 }

@@ -471,8 +471,49 @@ object TextQueries {
                   FROM documents GROUP BY lang) m USING (lang)
             ORDER BY lang"""))
 
+  /** Sequence-packing accounting: assign documents (per language, in
+    * doc_id order) to fixed-capacity context windows of 2048 tokens and
+    * report per-window doc/token counts — how many training sequences the
+    * corpus yields. Offset-contiguous semantics: a doc belongs to the
+    * window containing its FIRST token (docs may straddle boundaries),
+    * i.e. bin = floor(preceding_cumulative_tokens / capacity) — the
+    * deterministic, relational form of packing; true first-fit bin
+    * packing is inherently sequential and buys only ~capacity/2 tokens
+    * per partition boundary over this.
+    *
+    * ## 100 TB notes
+    * One window cumsum per language partition = one shuffle; at scale the
+    * partition key widens (lang, shard) so no single sort exceeds a task,
+    * at the cost of one partially-filled window per shard — the same
+    * boundary waste every distributed packer accepts.
+    */
+  val q62PackSequences: Q = Q(
+    "q62_pack_sequences",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      docs
+        .select(col("lang"), col("doc_id"),
+          coalesce(size(Text.tokens(col("text"))).cast("long"), lit(0L))
+            .as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("bin", expr("(cum - n_tokens) div 2048"))
+        .groupBy(col("lang"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
+        .orderBy("lang", "bin")
+    },
+    Some("""WITH toks AS (SELECT lang, doc_id,
+              coalesce(len(string_split(text, ' ')), 0)::BIGINT AS n_tokens
+              FROM documents),
+            cum AS (SELECT lang, doc_id, n_tokens,
+              sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) AS cum
+              FROM toks)
+            SELECT lang, ((cum - n_tokens) // 2048)::BIGINT AS bin,
+              count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+            FROM cum GROUP BY lang, bin ORDER BY lang, bin"""))
+
   val all: Seq[Q] =
     Seq(q18TextStats, q19TermFreq, q20LangId, q21QualityScore, q22RegexTokens,
       q39WinnowFp, q42EditDistance, q45TfidfTopk, q48SplitAssign,
-      q51StratifiedSample, q54Sketches)
+      q51StratifiedSample, q54Sketches, q62PackSequences)
 }
