@@ -539,7 +539,54 @@ object DedupQueries {
             GROUP BY doc_id, bench_doc HAVING count(DISTINCT s) >= 3
             ORDER BY doc_id, bench_doc"""))
 
+  /** Boilerplate detection (C4/RefinedWeb-style): a k-shingle occurring
+    * in >= 4 documents is "boilerplate"; each doc's boilerplate ratio is
+    * the fraction of its distinct shingles that are boilerplate, and docs
+    * with ratio >= 0.2 are flagged. Per-language accounting with the max
+    * observed ratio.
+    *
+    * ## 100 TB notes
+    * The naive shape — join every (doc, shingle) row back to the df
+    * table on the shingle — is EXACTLY wrong at scale: boilerplate
+    * shingles are the high-df keys, so that join is skewed by the very
+    * rows being hunted. Instead the df aggregation reduces to the
+    * (small) boilerplate SET first, which broadcasts; the per-doc ratio
+    * is then a map-side membership count, and the only other exchange is
+    * the per-doc group-by. max(ratio) is order-independent (unlike a
+    * mean of doubles), keeping the output hash-stable.
+    */
+  val q63Boilerplate: Q = Q(
+    "q63_boilerplate",
+    (s, dir) => {
+      val ex = eager(shingled(s, dir)
+        .select(col("doc_id"), explode(col("sh")).as("s")))
+      val bp = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 4).select(col("s"), lit(true).as("bp"))
+      val ratio = ex.join(broadcast(bp), Seq("s"), "left")
+        .groupBy(col("doc_id"))
+        .agg((count(col("bp")).cast("double") / count(lit(1))).as("ratio"))
+      Tables.load(s, dir, "documents").select(col("doc_id"), col("lang"))
+        .join(ratio, Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          count(when(col("ratio") >= 0.2, 1)).as("n_flagged"),
+          max(col("ratio")).as("max_ratio"))
+        .orderBy("lang")
+    },
+    Some(s"""WITH shs AS ($duckShingled),
+            ex AS (SELECT doc_id, unnest(sh) AS s FROM shs),
+            bp AS (SELECT s FROM ex GROUP BY s HAVING count(*) >= 4),
+            ratio AS (SELECT e.doc_id,
+                count(b.s)::DOUBLE / count(*) AS ratio
+              FROM ex e LEFT JOIN bp b ON e.s = b.s GROUP BY e.doc_id)
+            SELECT d.lang, count(*) AS n_docs,
+              count(*) FILTER (ratio >= 0.2) AS n_flagged,
+              max(ratio) AS max_ratio
+            FROM documents d JOIN ratio r ON d.doc_id = r.doc_id
+            GROUP BY d.lang ORDER BY d.lang"""))
+
   val all: Seq[Q] = Seq(q23DedupExact, q24MinhashLsh, q25JaccardBlocked,
     q26Simhash, q43DedupComponents, q59DedupMaterialize, q60IncrementalDedup,
-    q61Decontaminate)
+    q61Decontaminate, q63Boilerplate)
 }
