@@ -44,11 +44,24 @@ class PagedSource extends TableProvider with DataSourceRegister {
     // that here too (a mis-cased .option("Pages", ...) must not be
     // silently ignored)
     val opts = new CaseInsensitiveStringMap(properties)
-    new PagedTable(
-      opts.getInt("pages", 3),
-      opts.getInt("per_page", 50))
+    new PagedTable(PagedConf(
+      pages = opts.getInt("pages", 3),
+      perPage = opts.getInt("per_page", 50),
+      retries = opts.getInt("retries", 3),
+      backoffMs = opts.getLong("retry_backoff_ms", 0L),
+      flakyFailFirst = opts.getInt("flaky_fail_first", 0)))
   }
 }
+
+/** Source options, carried into each partition (serialized to executors):
+  * `retries`/`retry_backoff_ms` mirror the reference's operator retry
+  * posture (dag-brewery_pipeline.py:29-33: retries=3 with a fixed delay;
+  * here the delay doubles per attempt). `flaky_fail_first` is a TEST
+  * fault injector: every page's first N fetch attempts throw, so specs
+  * can prove the retry path end-to-end through a real scan.
+  */
+private[sources] case class PagedConf(pages: Int, perPage: Int, retries: Int,
+                                      backoffMs: Long, flakyFailFirst: Int)
 
 object PagedSource {
   /** The bronze record shape (all strings, like the inferred-JSON bronze). */
@@ -64,11 +77,17 @@ object PagedSource {
   private val types = Array("micro", "brewpub", "regional", "nano", "planning")
 
   /** ---- STUB fetch: deterministic synthetic page. A real build replaces
-    * only this method with the HTTP GET (+ retry/backoff); everything
-    * else — partition-per-page, executor-side fetch, pruning — stays.
-    * Mirrors the reference's stop condition: the LAST page is short.
+    * only this method's body with the HTTP GET; everything else —
+    * partition-per-page, executor-side fetch, retry/backoff, pruning —
+    * stays. Mirrors the reference's stop condition: the LAST page is
+    * short. `attempt`/`failFirst` drive the test fault injector (the
+    * stand-in for a transient HTTP failure).
     */
-  def fetchPage(page: Int, perPage: Int, pages: Int): Seq[Array[String]] = {
+  def fetchPage(page: Int, perPage: Int, pages: Int,
+                attempt: Int = 0, failFirst: Int = 0): Seq[Array[String]] = {
+    if (attempt < failFirst)
+      throw new java.io.IOException(
+        s"transient fetch failure: page=$page attempt=$attempt")
     val n = if (page == pages - 1) math.max(perPage / 2, 1) else perPage
     (0 until n).map { i =>
       val k = page * perPage + i
@@ -79,19 +98,43 @@ object PagedSource {
         s"${30 + (k % 20)}.${k % 100}")
     }
   }
+
+  /** Bounded-retry fetch with doubling backoff — the engine-side analog
+    * of the reference's `retries=3` / fixed-delay operator posture. Runs
+    * ON THE EXECUTOR inside the partition reader: a transient page
+    * failure retries locally without failing the task (and without
+    * re-fetching any other page); a persistent one propagates after
+    * `retries` attempts and surfaces through Spark's own task retry.
+    */
+  def fetchPageWithRetry(page: Int, perPage: Int, pages: Int,
+                         retries: Int, backoffMs: Long,
+                         failFirst: Int = 0): Seq[Array[String]] = {
+    require(retries >= 1, s"retries must be >= 1, got $retries")
+    var attempt = 0
+    var out: Seq[Array[String]] = null
+    while (out == null) {
+      try out = fetchPage(page, perPage, pages, attempt, failFirst)
+      catch {
+        case scala.util.control.NonFatal(e) if attempt + 1 < retries =>
+          if (backoffMs > 0) Thread.sleep(backoffMs << attempt)
+          attempt += 1
+      }
+    }
+    out
+  }
 }
 
-private class PagedTable(pages: Int, perPage: Int) extends Table with SupportsRead {
-  override def name(): String = s"paged-api($pages x $perPage)"
+private class PagedTable(conf: PagedConf) extends Table with SupportsRead {
+  override def name(): String = s"paged-api(${conf.pages} x ${conf.perPage})"
   override def schema(): StructType = PagedSource.schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new PagedScanBuilder(pages, perPage)
+    new PagedScanBuilder(conf)
 }
 
-private class PagedScanBuilder(pages: Int, perPage: Int)
+private class PagedScanBuilder(conf: PagedConf)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = PagedSource.schema
 
@@ -102,13 +145,14 @@ private class PagedScanBuilder(pages: Int, perPage: Int)
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
     override def planInputPartitions(): Array[InputPartition] =
-      (0 until pages).map(p => PagePartition(p, perPage, pages): InputPartition).toArray
+      (0 until conf.pages)
+        .map(p => PagePartition(p, conf): InputPartition).toArray
     override def createReaderFactory(): PartitionReaderFactory =
       new PagedReaderFactory(required)
   }
 }
 
-private case class PagePartition(page: Int, perPage: Int, pages: Int)
+private case class PagePartition(page: Int, conf: PagedConf)
     extends InputPartition
 
 private class PagedReaderFactory(required: StructType)
@@ -120,8 +164,13 @@ private class PagedReaderFactory(required: StructType)
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
       private val part = p.asInstanceOf[PagePartition]
-      // executor-side "fetch" — this is where the HTTP call would happen
-      private val rows = PagedSource.fetchPage(part.page, part.perPage, part.pages)
+      // executor-side fetch with bounded retry — this is where the HTTP
+      // call would happen
+      private val rows = {
+        val c = part.conf
+        PagedSource.fetchPageWithRetry(part.page, c.perPage, c.pages,
+          c.retries, c.backoffMs, c.flakyFailFirst)
+      }
       private var i = -1
 
       // staging array reused across rows for the projection copy; each

@@ -15,6 +15,27 @@ class PagedSourceSpec extends SparkSpec {
     spark.read.format("paged-api")
       .option("pages", pages).option("per_page", perPage).load()
 
+  test("transient fetch failures are absorbed by executor-side retry") {
+    // every page's first 2 attempts throw; retries=3 -> scan succeeds
+    // with content identical to the healthy source
+    val flaky = spark.read.format("paged-api")
+      .option("pages", 3).option("per_page", 10)
+      .option("flaky_fail_first", 2).option("retries", 3)
+      .load().orderBy("id").collect()
+    flaky.toSeq shouldBe read(3, 10).orderBy("id").collect().toSeq
+  }
+
+  test("persistent fetch failure propagates after retries are exhausted") {
+    val ex = intercept[Exception] {
+      spark.read.format("paged-api")
+        .option("pages", 2).option("per_page", 5)
+        .option("flaky_fail_first", 5).option("retries", 3)
+        .load().count()
+    }
+    // the underlying transient error surfaces through Spark's task failure
+    ex.toString + Option(ex.getCause).mkString should include("transient fetch failure")
+  }
+
   test("one InputPartition per page; last page is short (stop condition)") {
     val df = read(pages = 4, perPage = 50)
     df.rdd.getNumPartitions shouldBe 4
