@@ -313,7 +313,70 @@ object EventQueries {
                AND b.ts_us - a.ts_us <= 600000000
              ORDER BY id1, id2"""))
 
+  /** An ACTUAL Structured Streaming run, hash-checked by the oracle —
+    * closing the "streaming is not oracle-able" gap: a bounded file
+    * stream over the same events parquet, `AvailableNow` trigger,
+    * 10-minute watermark, append-mode tumbling hourly counts into a
+    * memory sink; the materialized sink table is the query result.
+    *
+    * The oracle mirrors the APPEND-MODE EMISSION RULE, not just the
+    * aggregate: only windows whose end is at or before
+    * `max(event time) - watermark delay` have been finalized when the
+    * bounded stream drains (the trailing window is deliberately absent
+    * on both sides — 719 of 720 at sf0.01/0.1). Equality at the
+    * boundary cannot occur on this data (watermarks carry sub-second
+    * precision, window ends are exact hours), so the <= mirror is exact.
+    *
+    * ## 100 TB notes
+    * This is the replayable-backfill path of the lambda-free design: the
+    * SAME windowed aggregation runs unbounded with watermark-bounded
+    * state (see graft.streaming for the state-size story); `AvailableNow`
+    * over a file listing is how a 100 TB backlog is drained in bounded
+    * batches with streaming semantics preserved.
+    */
+  val q64StreamHourly: Q = Q(
+    "q64_stream_hourly",
+    (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+      // the file source requires a DIRECTORY; the fixture is one file in
+      // a dir shared with other tables, so expose it alone via a symlink
+      // in a per-sf staging dir (read-only fixtures stay untouched)
+      val streamDir = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        "graft_q64_events_" + Integer.toHexString(dir.hashCode))
+      java.nio.file.Files.createDirectories(streamDir)
+      val link = streamDir.resolve("events.parquet")
+      if (!java.nio.file.Files.exists(link))
+        java.nio.file.Files.createSymbolicLink(
+          link, java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
+      val agg = s.readStream.schema(batchSchema)
+        .parquet(streamDir.toString)
+        .select(tsStamp.as("tss"), col("event_type"))
+        .withWatermark("tss", "10 minutes")
+        .groupBy(window(col("tss"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(us(col("w.start")).as("window_start_us"), col("event_type"),
+          col("n_events"))
+      val mem = "q64_stream_hourly_mem"
+      s.catalog.dropTempView(mem) // stale table from a prior run, if any
+      val query = agg.writeStream.format("memory").queryName(mem)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+      s.table(mem).orderBy("window_start_us", "event_type")
+    },
+    Some(s"""WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS t, event_type
+              FROM events),
+            mx AS (SELECT max(t) AS mt FROM e)
+            SELECT epoch_us(date_trunc('hour', t)) AS window_start_us,
+              event_type, count(*) AS n_events
+            FROM e, mx
+            WHERE date_trunc('hour', t) + INTERVAL 1 HOUR
+              <= mt - INTERVAL 10 MINUTE
+            GROUP BY 1, 2 ORDER BY window_start_us, event_type"""))
+
   val all: Seq[Q] =
     Seq(q31HourlyFromJson, q32SlidingWindow, q33Sessionize, q34SessionWindow,
-      q35EventFirst, q37AsofJoin, q38RangeJoin, q50AsofForward)
+      q35EventFirst, q37AsofJoin, q38RangeJoin, q50AsofForward,
+      q64StreamHourly)
 }

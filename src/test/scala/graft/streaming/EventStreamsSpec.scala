@@ -154,4 +154,20 @@ class EventStreamsSpec extends SparkSpec {
         .map(_.n_events) shouldBe Some(1L)
     } finally q.stop()
   }
+
+  test("q64 bounded file stream: rerun-stable and held-back last window") {
+    val dir = "/root/testdata/sf0.001"
+    val a = graft.queries.EventQueries.q64StreamHourly.fn(spark, dir).collect()
+    // bench executes each query repeatedly in one session — the memory
+    // sink and checkpoint must reset cleanly
+    val b = graft.queries.EventQueries.q64StreamHourly.fn(spark, dir).collect()
+    a.toSeq shouldBe b.toSeq
+    a should not be empty
+    // append-mode emission: the window containing max(ts) is NOT final
+    val maxUs = spark.read.parquet(s"$dir/events.parquet")
+      .selectExpr("max(ts div 1000)").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .head()
+    val lastWindowStart = maxUs - maxUs % (3600L * 1000000)
+    a.map(_.getLong(0)).max should be < lastWindowStart
+  }
 }
