@@ -540,10 +540,15 @@ object DedupQueries {
             ORDER BY doc_id, bench_doc"""))
 
   /** Boilerplate detection (C4/RefinedWeb-style): a k-shingle occurring
-    * in >= 4 documents is "boilerplate"; each doc's boilerplate ratio is
-    * the fraction of its distinct shingles that are boilerplate, and docs
-    * with ratio >= 0.2 are flagged. Per-language accounting with the max
-    * observed ratio.
+    * in >= 0.8% of corpus documents is "boilerplate" — a RELATIVE
+    * threshold, because an absolute df is meaningless across corpus
+    * sizes (an earlier df>=4 flagged 8% of docs at sf0.01 and 100% at
+    * sf0.1). Each doc's boilerplate ratio is the fraction of its
+    * distinct shingles that are boilerplate; docs with ratio >= 0.2 are
+    * flagged. Per-language accounting with the max observed ratio. On
+    * this uniform synthetic corpus the relative threshold calibrates to
+    * the verification SF (= df 4 at sf0.01, where it splits 41/459);
+    * corpora without a heavy df tail correctly flag ~nothing.
     *
     * ## 100 TB notes
     * The naive shape — join every (doc, shingle) row back to the df
@@ -560,8 +565,13 @@ object DedupQueries {
     (s, dir) => {
       val ex = eager(shingled(s, dir)
         .select(col("doc_id"), explode(col("sh")).as("s")))
+      // 1-row corpus size, same crossJoin(broadcast) pattern as q45's idf
+      val nDocs = Tables.load(s, dir, "documents")
+        .agg(count(lit(1)).as("nd"))
       val bp = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
-        .filter(col("df") >= 4).select(col("s"), lit(true).as("bp"))
+        .crossJoin(broadcast(nDocs))
+        .filter(col("df") >= col("nd") * 0.008)
+        .select(col("s"), lit(true).as("bp"))
       val ratio = ex.join(broadcast(bp), Seq("s"), "left")
         .groupBy(col("doc_id"))
         .agg((count(col("bp")).cast("double") / count(lit(1))).as("ratio"))
@@ -576,7 +586,9 @@ object DedupQueries {
     },
     Some(s"""WITH shs AS ($duckShingled),
             ex AS (SELECT doc_id, unnest(sh) AS s FROM shs),
-            bp AS (SELECT s FROM ex GROUP BY s HAVING count(*) >= 4),
+            n AS (SELECT count(*) AS nd FROM documents),
+            bp AS (SELECT s FROM ex GROUP BY s
+                   HAVING count(*) >= 0.008 * (SELECT nd FROM n)),
             ratio AS (SELECT e.doc_id,
                 count(b.s)::DOUBLE / count(*) AS ratio
               FROM ex e LEFT JOIN bp b ON e.s = b.s GROUP BY e.doc_id)
