@@ -341,15 +341,26 @@ object EventQueries {
       val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
       // the file source requires a DIRECTORY; the fixture is one file in
       // a dir shared with other tables, so expose it alone via a symlink
-      // in a per-sf staging dir (read-only fixtures stay untouched)
+      // in a per-sf staging dir (read-only fixtures stay untouched). The
+      // staging name embeds the sanitized source path (collision-free,
+      // unlike a hash), the link is validated against its expected
+      // target (a stale/dangling link from a moved fixture is recreated,
+      // never silently streamed), and a concurrent creator winning the
+      // race is fine because the name pins the target.
       val streamDir = java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir"),
-        "graft_q64_events_" + Integer.toHexString(dir.hashCode))
+        "graft_q64_events_" + dir.replaceAll("[^A-Za-z0-9._-]", "_"))
       java.nio.file.Files.createDirectories(streamDir)
+      val target = java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath
       val link = streamDir.resolve("events.parquet")
-      if (!java.nio.file.Files.exists(link))
-        java.nio.file.Files.createSymbolicLink(
-          link, java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
+      val linkOk = java.nio.file.Files.isSymbolicLink(link) &&
+        java.nio.file.Files.readSymbolicLink(link) == target &&
+        java.nio.file.Files.exists(link) // target still resolves
+      if (!linkOk) {
+        java.nio.file.Files.deleteIfExists(link)
+        try java.nio.file.Files.createSymbolicLink(link, target)
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      }
       val agg = s.readStream.schema(batchSchema)
         .parquet(streamDir.toString)
         .select(tsStamp.as("tss"), col("event_type"))

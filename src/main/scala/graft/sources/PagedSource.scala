@@ -61,7 +61,11 @@ class PagedSource extends TableProvider with DataSourceRegister {
   * can prove the retry path end-to-end through a real scan.
   */
 private[sources] case class PagedConf(pages: Int, perPage: Int, retries: Int,
-                                      backoffMs: Long, flakyFailFirst: Int)
+                                      backoffMs: Long, flakyFailFirst: Int) {
+  // fail fast at load() on the driver, not per task on the executors
+  require(retries >= 1, s"retries must be >= 1, got $retries")
+  require(backoffMs >= 0, s"retry_backoff_ms must be >= 0, got $backoffMs")
+}
 
 object PagedSource {
   /** The bronze record shape (all strings, like the inferred-JSON bronze). */
@@ -116,12 +120,19 @@ object PagedSource {
       try out = fetchPage(page, perPage, pages, attempt, failFirst)
       catch {
         case scala.util.control.NonFatal(e) if attempt + 1 < retries =>
-          if (backoffMs > 0) Thread.sleep(backoffMs << attempt)
+          // doubling delay, capped: an uncapped shift overflows past
+          // attempt 62 and already hangs effectively forever long before
+          if (backoffMs > 0)
+            Thread.sleep(math.min(MaxBackoffMs,
+              backoffMs << math.min(attempt, 20)))
           attempt += 1
       }
     }
     out
   }
+
+  /** Ceiling on a single retry delay (1 min, the reference's poke scale). */
+  private val MaxBackoffMs = 60000L
 }
 
 private class PagedTable(conf: PagedConf) extends Table with SupportsRead {
