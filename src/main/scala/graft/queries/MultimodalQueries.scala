@@ -75,5 +75,40 @@ object MultimodalQueries {
     },
     Some(poolOracle))
 
-  val all: Seq[Q] = Seq(q36MultimodalMeta, q58FeaturePool)
+  /** Frame sampling through the REAL engine path ([[Multimodal.sampleFrames]]:
+    * lazy per-row iterator, every-Nth fixed-width byte window, short tail
+    * frame) — oracle-checked byte-for-byte against DuckDB blob slicing.
+    * With q36 (metadata) and q58 (feature pooling) this leaves only the
+    * codec-bound decode stub outside oracle coverage, by container
+    * necessity. Pure executor-side 1->many explosion: no shuffle before
+    * the output sort.
+    */
+  val q65FrameSample: Q = Q(
+    "q65_frame_sample",
+    (s, dir) => {
+      import s.implicits._
+      val media = Multimodal.mediaFromText(
+          Tables.load(s, dir, "documents"), "doc_id", "text")
+        .select(col("id"), col("media"), col("meta.mime").as("mime"))
+        .as[Multimodal.Media]
+      Multimodal.sampleFrames(media, frameBytes = 64, everyN = 2)
+        .select(col("id").as("doc_id"), col("frame_idx"),
+          octet_length(col("frame")).as("n_bytes"), col("frame"))
+        .orderBy("doc_id", "frame_idx")
+    },
+    // DuckDB can't substring a BLOB, but the fixture text is pure ASCII
+    // at every SF (asserted: octet_length(encode(text)) = length(text)
+    // for all rows), so char-slice-then-encode IS the byte slice
+    Some("""WITH m AS (SELECT doc_id, text AS t
+              FROM documents WHERE text IS NOT NULL),
+            f AS (SELECT doc_id, t,
+                unnest(list_filter(range(0, (length(t) + 63) // 64),
+                  i -> i % 2 = 0)) AS i
+              FROM m)
+            SELECT doc_id, i::INT AS frame_idx,
+              length(substring(t, (i * 64 + 1)::INT, 64))::INT AS n_bytes,
+              encode(substring(t, (i * 64 + 1)::INT, 64)) AS frame
+            FROM f ORDER BY doc_id, frame_idx"""))
+
+  val all: Seq[Q] = Seq(q36MultimodalMeta, q58FeaturePool, q65FrameSample)
 }
