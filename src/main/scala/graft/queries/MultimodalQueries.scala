@@ -96,10 +96,16 @@ object MultimodalQueries {
           octet_length(col("frame")).as("n_bytes"), col("frame"))
         .orderBy("doc_id", "frame_idx")
     },
-    // DuckDB can't substring a BLOB, but the fixture text is pure ASCII
-    // at every SF (asserted: octet_length(encode(text)) = length(text)
-    // for all rows), so char-slice-then-encode IS the byte slice
-    Some("""WITH m AS (SELECT doc_id, text AS t
+    // DuckDB can't substring a BLOB; char-slice-then-encode IS the byte
+    // slice iff the text is pure ASCII — which the oracle ENFORCES
+    // per-row (lazy error() in the CASE), so a regenerated fixture with
+    // multibyte text fails loudly at the precondition, not as an opaque
+    // VALUES diff. The Spark side slices real bytes and needs no guard.
+    Some("""WITH m AS (SELECT doc_id,
+              CASE WHEN octet_length(encode(text)) <> length(text)
+                   THEN error('q65 oracle needs ASCII text; doc_id='
+                              || doc_id)
+                   ELSE text END AS t
               FROM documents WHERE text IS NOT NULL),
             f AS (SELECT doc_id, t,
                 unnest(list_filter(range(0, (length(t) + 63) // 64),
