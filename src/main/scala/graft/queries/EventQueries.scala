@@ -313,6 +313,33 @@ object EventQueries {
                AND b.ts_us - a.ts_us <= 600000000
              ORDER BY id1, id2"""))
 
+  /** Staging dir for the streaming queries: the file source requires a
+    * DIRECTORY, and the fixture is one file in a dir shared with other
+    * tables, so expose it alone via a symlink (read-only fixtures stay
+    * untouched). The staging name embeds the sanitized source path
+    * (collision-free, unlike a hash), the link is validated against its
+    * expected target (a stale/dangling link from a moved fixture is
+    * recreated, never silently streamed), and a concurrent creator
+    * winning the race is fine because the name pins the target.
+    */
+  private def eventsStreamDir(dir: String): String = {
+    val streamDir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_stream_events_" + dir.replaceAll("[^A-Za-z0-9._-]", "_"))
+    java.nio.file.Files.createDirectories(streamDir)
+    val target = java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath
+    val link = streamDir.resolve("events.parquet")
+    val linkOk = java.nio.file.Files.isSymbolicLink(link) &&
+      java.nio.file.Files.readSymbolicLink(link) == target &&
+      java.nio.file.Files.exists(link) // target still resolves
+    if (!linkOk) {
+      java.nio.file.Files.deleteIfExists(link)
+      try java.nio.file.Files.createSymbolicLink(link, target)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    }
+    streamDir.toString
+  }
+
   /** An ACTUAL Structured Streaming run, hash-checked by the oracle —
     * closing the "streaming is not oracle-able" gap: a bounded file
     * stream over the same events parquet, `AvailableNow` trigger,
@@ -339,30 +366,8 @@ object EventQueries {
     (s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
-      // the file source requires a DIRECTORY; the fixture is one file in
-      // a dir shared with other tables, so expose it alone via a symlink
-      // in a per-sf staging dir (read-only fixtures stay untouched). The
-      // staging name embeds the sanitized source path (collision-free,
-      // unlike a hash), the link is validated against its expected
-      // target (a stale/dangling link from a moved fixture is recreated,
-      // never silently streamed), and a concurrent creator winning the
-      // race is fine because the name pins the target.
-      val streamDir = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"),
-        "graft_q64_events_" + dir.replaceAll("[^A-Za-z0-9._-]", "_"))
-      java.nio.file.Files.createDirectories(streamDir)
-      val target = java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath
-      val link = streamDir.resolve("events.parquet")
-      val linkOk = java.nio.file.Files.isSymbolicLink(link) &&
-        java.nio.file.Files.readSymbolicLink(link) == target &&
-        java.nio.file.Files.exists(link) // target still resolves
-      if (!linkOk) {
-        java.nio.file.Files.deleteIfExists(link)
-        try java.nio.file.Files.createSymbolicLink(link, target)
-        catch { case _: java.nio.file.FileAlreadyExistsException => () }
-      }
       val agg = s.readStream.schema(batchSchema)
-        .parquet(streamDir.toString)
+        .parquet(eventsStreamDir(dir))
         .select(tsStamp.as("tss"), col("event_type"))
         .withWatermark("tss", "10 minutes")
         .groupBy(window(col("tss"), "1 hour").as("w"), col("event_type"))
@@ -386,8 +391,42 @@ object EventQueries {
               <= mt - INTERVAL 10 MINUTE
             GROUP BY 1, 2 ORDER BY window_start_us, event_type"""))
 
+  /** Streaming dedup through the REAL state-store path
+    * (`StreamingDeduplicateExec`): watermarked `dropDuplicates` on
+    * (user_id, hour) over the bounded file stream, emitting each kept
+    * key exactly once. Only the KEY columns are output, so the result is
+    * the deterministic distinct-key set even though which duplicate row
+    * is "first" within a batch is not defined. The watermark bounds the
+    * dedup state at 10 minutes past the max seen event time — the
+    * unbounded-run story; on a drained bounded stream nothing is late,
+    * so the oracle is the plain DISTINCT.
+    */
+  val q66StreamDedup: Q = Q(
+    "q66_stream_dedup",
+    (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val dedup = s.readStream.schema(batchSchema)
+        .parquet(eventsStreamDir(dir))
+        .select(tsStamp.as("tss"), col("user_id"))
+        .withColumn("hour_us",
+          unix_micros(date_trunc("hour", col("tss")).cast("timestamp_ltz")))
+        .withWatermark("tss", "10 minutes")
+        .dropDuplicates("user_id", "hour_us")
+        .select(col("user_id"), col("hour_us"))
+      val mem = "q66_stream_dedup_mem"
+      s.catalog.dropTempView(mem)
+      val query = dedup.writeStream.format("memory").queryName(mem)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+      s.table(mem).orderBy("user_id", "hour_us")
+    },
+    Some(s"""SELECT DISTINCT user_id,
+              ${duckUs("date_trunc('hour', CAST(ts AS TIMESTAMP))")} AS hour_us
+            FROM events ORDER BY user_id, hour_us"""))
+
   val all: Seq[Q] =
     Seq(q31HourlyFromJson, q32SlidingWindow, q33Sessionize, q34SessionWindow,
       q35EventFirst, q37AsofJoin, q38RangeJoin, q50AsofForward,
-      q64StreamHourly)
+      q64StreamHourly, q66StreamDedup)
 }
