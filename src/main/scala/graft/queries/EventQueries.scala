@@ -392,14 +392,17 @@ object EventQueries {
             GROUP BY 1, 2 ORDER BY window_start_us, event_type"""))
 
   /** Streaming dedup through the REAL state-store path
-    * (`StreamingDeduplicateExec`): watermarked `dropDuplicates` on
-    * (user_id, hour) over the bounded file stream, emitting each kept
-    * key exactly once. Only the KEY columns are output, so the result is
-    * the deterministic distinct-key set even though which duplicate row
-    * is "first" within a batch is not defined. The watermark bounds the
-    * dedup state at 10 minutes past the max seen event time — the
-    * unbounded-run story; on a drained bounded stream nothing is late,
-    * so the oracle is the plain DISTINCT.
+    * (`StreamingDeduplicateWithinWatermarkExec`):
+    * `dropDuplicatesWithinWatermark` on (user_id, hour) over the bounded
+    * file stream, emitting each kept key once. Within-watermark is the
+    * form whose state the watermark actually EVICTS (a plain
+    * `dropDuplicates` on non-event-time keys never drops state — its
+    * eviction predicate requires the watermark-tagged column in the key
+    * set); the trade, by design, is that at scale a key recurring more
+    * than the delay apart may re-emit. Only the KEY columns are output,
+    * so on the drained bounded stream (one batch, nothing evicted
+    * mid-run) the result is the deterministic distinct-key set and the
+    * oracle is the plain DISTINCT.
     */
   val q66StreamDedup: Q = Q(
     "q66_stream_dedup",
@@ -409,10 +412,9 @@ object EventQueries {
       val dedup = s.readStream.schema(batchSchema)
         .parquet(eventsStreamDir(dir))
         .select(tsStamp.as("tss"), col("user_id"))
-        .withColumn("hour_us",
-          unix_micros(date_trunc("hour", col("tss")).cast("timestamp_ltz")))
+        .withColumn("hour_us", us(date_trunc("hour", col("tss"))))
         .withWatermark("tss", "10 minutes")
-        .dropDuplicates("user_id", "hour_us")
+        .dropDuplicatesWithinWatermark("user_id", "hour_us")
         .select(col("user_id"), col("hour_us"))
       val mem = "q66_stream_dedup_mem"
       s.catalog.dropTempView(mem)

@@ -170,4 +170,16 @@ class EventStreamsSpec extends SparkSpec {
     val lastWindowStart = maxUs - maxUs % (3600L * 1000000)
     a.map(_.getLong(0)).max should be < lastWindowStart
   }
+
+  test("q66 streaming dedup: rerun-stable, equals the batch distinct") {
+    val dir = "/root/testdata/sf0.001"
+    val a = graft.queries.EventQueries.q66StreamDedup.fn(spark, dir).collect()
+    val b = graft.queries.EventQueries.q66StreamDedup.fn(spark, dir).collect()
+    a.toSeq shouldBe b.toSeq
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+      .selectExpr("user_id",
+        "unix_micros(date_trunc('hour', timestamp_micros(ts div 1000))) AS h")
+      .distinct().count()
+    a.length.toLong shouldBe batch
+  }
 }
