@@ -568,9 +568,11 @@ object DedupQueries {
       // 1-row corpus size, same crossJoin(broadcast) pattern as q45's idf
       val nDocs = Tables.load(s, dir, "documents")
         .agg(count(lit(1)).as("nd"))
+      // floor of 2: df=1 can never be boilerplate, and below ~250 docs
+      // the relative bound alone would degenerate to "every shingle"
       val bp = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
         .crossJoin(broadcast(nDocs))
-        .filter(col("df") >= col("nd") * 0.008)
+        .filter(col("df") >= greatest(lit(2.0), col("nd") * 0.008))
         .select(col("s"), lit(true).as("bp"))
       val ratio = ex.join(broadcast(bp), Seq("s"), "left")
         .groupBy(col("doc_id"))
@@ -588,7 +590,7 @@ object DedupQueries {
             ex AS (SELECT doc_id, unnest(sh) AS s FROM shs),
             n AS (SELECT count(*) AS nd FROM documents),
             bp AS (SELECT s FROM ex GROUP BY s
-                   HAVING count(*) >= 0.008 * (SELECT nd FROM n)),
+                   HAVING count(*) >= greatest(2, 0.008 * (SELECT nd FROM n))),
             ratio AS (SELECT e.doc_id,
                 count(b.s)::DOUBLE / count(*) AS ratio
               FROM ex e LEFT JOIN bp b ON e.s = b.s GROUP BY e.doc_id)

@@ -85,6 +85,45 @@ class DedupPropertySpec extends SparkSpec {
     }
   }
 
+  test("q61 flags a planted contaminated doc, not an unrelated one") {
+    withTempDir { dir =>
+      // doc 0 is BENCHMARK (0 % 97 = 0); doc 5 copies an 8-token run from
+      // it (>= 3 shared 3-shingles); doc 6 shares nothing
+      val benchText = "alpha beta gamma delta epsilon zeta eta theta"
+      writeDocs(dir, Seq(
+        0L -> benchText,
+        5L -> ("intro words then " + benchText + " trailing bits"),
+        6L -> "completely different content with no overlap at all"))
+      val pairs = DedupQueries.q61Decontaminate.fn(spark, dir)
+        .select("doc_id", "bench_doc").as[(Long, Long)].collect().toSet
+      pairs should contain((5L, 0L))
+      pairs.map(_._1) should not contain 6L
+    }
+  }
+
+  test("q63 boilerplate: planted shared phrase flags its docs only") {
+    withTempDir { dir =>
+      // 6 docs; docs 1-3 share a phrase (shingle df=3 >= floor 2);
+      // docs 4-6 are fully unique -> ratio 0
+      val phrase = "shared boiler plate phrase here"
+      val docs = (1L to 3L).map(i => i -> s"$phrase unique$i tail$i") ++
+        (4L to 6L).map(i => i -> s"only$i unique$i words$i content$i never$i")
+      writeDocs(dir, docs)
+      val row = DedupQueries.q63Boilerplate.fn(spark, dir)
+        .select("n_docs", "n_flagged", "max_ratio")
+        .as[(Long, Long, Double)].collect().head
+      row._1 shouldBe 6L
+      row._2 should be >= 1L   // the phrase-sharing docs cross 0.2
+      row._3 should be > 0.0
+      // and a corpus of fully unique docs flags nothing (df floor of 2)
+      writeDocs(dir, (1L to 6L).map(i =>
+        i -> s"a$i b$i c$i d$i e$i f$i g$i"))
+      val clean = DedupQueries.q63Boilerplate.fn(spark, dir)
+        .select("n_flagged", "max_ratio").as[(Long, Double)].collect().head
+      clean shouldBe ((0L, 0.0))
+    }
+  }
+
   test("q60 admission accounting: statuses partition the batch") {
     // on the real fixture so all three statuses occur (verified non-zero
     // at sf0.01 during oracle design; sf0.001 exercises the invariant)

@@ -113,4 +113,27 @@ class NewOpsSpec extends SparkSpec {
       top1 shouldBe List("zebra")
     }
   }
+
+  test("q62 packing: bins conserve tokens and docs per language") {
+    val dir = "/root/testdata/sf0.001"
+    val out = TextQueries.q62PackSequences.fn(spark, dir)
+      .select("lang", "bin", "n_docs", "bin_tokens")
+      .as[(String, Long, Long, Long)].collect()
+    out should not be empty
+    val totals = graft.engine.Tables.load(spark, dir, "documents")
+      .selectExpr("lang", "coalesce(size(split(text, ' ')), 0) AS n")
+      .groupBy("lang")
+      .agg(sum(col("n")).as("t"), count(lit(1)).as("nd"))
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    out.groupBy(_._1).foreach { case (lang, rows) =>
+      withClue(s"$lang: ") {
+        rows.map(_._4).sum shouldBe totals(lang)._1 // every token binned once
+        rows.map(_._3).sum shouldBe totals(lang)._2 // every doc binned once
+        val bins = rows.map(_._2).sorted
+        bins.head shouldBe 0L                       // packing starts at window 0
+        bins.distinct.length shouldBe bins.length   // one row per window
+      }
+    }
+  }
 }
