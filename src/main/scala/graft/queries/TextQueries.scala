@@ -512,8 +512,137 @@ object TextQueries {
               count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
             FROM cum GROUP BY lang, bin ORDER BY lang, bin"""))
 
+  /** Intra-document repetition signals (the Gopher/MassiveText-style
+    * quality rules): per doc, the duplicate-unigram fraction
+    * (1 − distinct/total tokens) and the top-bigram fraction (occurrences
+    * of the most frequent bigram over all bigram slots); a doc is flagged
+    * `repetitious` above either threshold. Highly repetitive documents
+    * (boilerplate loops, degenerate generations) are a standard pre-
+    * training filter. Per-doc output keeps the hash check strong.
+    *
+    * ## 100 TB notes
+    * The unigram stats are pure per-row compute (size/array_distinct HOFs,
+    * no shuffle). The bigram mode needs per-(doc, bigram) counts: explode
+    * → two groupBys, both map-side-partial — the shuffle carries one row
+    * per DISTINCT (doc, bigram), bounded by per-doc vocabulary, not token
+    * count. The per-doc constants (n_toks, n_uniq, n_bg) ride through
+    * both aggregations as max() of a constant instead of a join back to
+    * the doc table — one pass over the corpus, no second scan. Thresholds
+    * are per-doc ratios, so they are scale-free by construction (the q63
+    * df lesson does not apply).
+    */
+  val q67Repetition: Q = Q(
+    "q67_repetition",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val toks = Text.tokens(col("text"))
+      val ex = docs
+        .select(col("doc_id"),
+          size(toks).as("n_toks"),
+          size(array_distinct(toks)).as("n_uniq"),
+          Text.shingles(toks, 2).as("bgs"))
+        .select(col("doc_id"), col("n_toks"), col("n_uniq"),
+          size(col("bgs")).as("n_bg"), explode(col("bgs")).as("bg"))
+      ex.groupBy(col("doc_id"), col("bg"))
+        .agg(count(lit(1)).as("c"), max(col("n_toks")).as("n_toks"),
+          max(col("n_uniq")).as("n_uniq"), max(col("n_bg")).as("n_bg"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("c")).as("top_c"), max(col("n_toks")).as("n_toks"),
+          max(col("n_uniq")).as("n_uniq"), max(col("n_bg")).as("n_bg"))
+        // both operands cast to double BEFORE the division: ANSI Spark 4
+        // throws on int division, and n_toks/n_bg are >= 1 by construction
+        // (shingles yields one degenerate shingle for short docs)
+        .select(col("doc_id"), col("n_toks").cast("long").as("n_toks"),
+          ((col("n_toks") - col("n_uniq")).cast("double")
+            / col("n_toks").cast("double")).as("dup_uni_frac"),
+          (col("top_c").cast("double") / col("n_bg").cast("double"))
+            .as("top_bigram_frac"))
+        .withColumn("repetitious",
+          col("dup_uni_frac") > 0.6 || col("top_bigram_frac") > 0.06)
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                       FROM documents),
+            base AS (SELECT doc_id, len(toks) AS n_toks,
+                       len(list_distinct(toks)) AS n_uniq,
+                       list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
+                         i -> array_to_string(toks[i:i+1], ' ')) AS bgs
+                     FROM t),
+            ex AS (SELECT doc_id, n_toks, n_uniq, len(bgs) AS n_bg,
+                     unnest(bgs) AS bg FROM base),
+            cnt AS (SELECT doc_id, bg, count(*) AS c, max(n_toks) AS n_toks,
+                      max(n_uniq) AS n_uniq, max(n_bg) AS n_bg
+                    FROM ex GROUP BY doc_id, bg),
+            per AS (SELECT doc_id, max(c) AS top_c, max(n_toks) AS n_toks,
+                      max(n_uniq) AS n_uniq, max(n_bg) AS n_bg
+                    FROM cnt GROUP BY doc_id)
+            SELECT doc_id, n_toks::BIGINT AS n_toks,
+              (n_toks - n_uniq)::DOUBLE / n_toks::DOUBLE AS dup_uni_frac,
+              top_c::DOUBLE / n_bg::DOUBLE AS top_bigram_frac,
+              ((n_toks - n_uniq)::DOUBLE / n_toks::DOUBLE > 0.6
+                OR top_c::DOUBLE / n_bg::DOUBLE > 0.06) AS repetitious
+            FROM per ORDER BY doc_id"""))
+
+  /** Mixture rebalancing toward a uniform per-language target with
+    * CORPUS-DERIVED keep rates (vs q51's hand-fixed rates): measure the
+    * per-language doc counts, set the per-language document budget to
+    * total ÷ n_langs, and keep each doc iff its content-hash bucket
+    * clears the budget — `bucket · n_lang < budget · M` in pure integer
+    * arithmetic, so the keep decision (≈ min(1, budget/n_lang)) is exact
+    * and engine-portable: no double rate is ever materialized, no
+    * rounding ever disagrees. Under-represented languages keep
+    * everything; over-represented ones are deterministically downsampled
+    * (content-hashed, so byte-identical duplicates sample together,
+    * consistent with q48/q51).
+    *
+    * ## 100 TB notes
+    * Two passes: a count-per-language aggregation (tiny result), then one
+    * corpus scan with the ≤#langs-row rate table broadcast back. Both
+    * group-bys are low-cardinality with map-side partial aggregation.
+    * Integer-overflow headroom: bucket < 10^6 and budget·M needs
+    * n_docs·10^6 < 2^63, safe to ~9·10^12 documents.
+    */
+  val q68MixtureRebalance: Q = Q(
+    "q68_mixture_rebalance",
+    (s, dir) => {
+      val M = 1000000L
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("lang"),
+          pmod(Text.hash32(col("text")), lit(M)).as("b"),
+          size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+      val perLang = docs.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_lang"))
+      val budget = perLang
+        .agg(sum(col("n_lang")).as("total"), count(lit(1)).as("n_langs"))
+        .select(expr("total div n_langs").as("budget"))
+      val rates = broadcast(Tables.eager(perLang.crossJoin(broadcast(budget))))
+      docs.join(rates, Seq("lang"))
+        .withColumn("kept", col("b") * col("n_lang") < col("budget") * M)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_total"), max(col("budget")).as("target_docs"),
+          count(when(col("kept"), 1)).as("n_kept"),
+          sum(when(col("kept"), col("n_tokens")).otherwise(0L))
+            .as("kept_tokens"))
+        .orderBy("lang")
+    },
+    Some("""WITH d AS (SELECT lang,
+                    ('0x' || substring(md5(text), 1, 8))::BIGINT % 1000000 AS b,
+                    len(string_split(text, ' '))::BIGINT AS n_tokens
+                  FROM documents),
+            sc AS (SELECT lang, count(*) AS n_lang FROM d GROUP BY lang),
+            t AS (SELECT CAST(sum(n_lang) AS BIGINT) // count(*) AS budget
+                  FROM sc)
+            SELECT d.lang, count(*) AS n_total, max(budget) AS target_docs,
+              count(*) FILTER (b * n_lang < budget * 1000000) AS n_kept,
+              CAST(sum(CASE WHEN b * n_lang < budget * 1000000
+                            THEN n_tokens ELSE 0 END) AS BIGINT)
+                AS kept_tokens
+            FROM d JOIN sc USING (lang) CROSS JOIN t
+            GROUP BY d.lang ORDER BY d.lang"""))
+
   val all: Seq[Q] =
     Seq(q18TextStats, q19TermFreq, q20LangId, q21QualityScore, q22RegexTokens,
       q39WinnowFp, q42EditDistance, q45TfidfTopk, q48SplitAssign,
-      q51StratifiedSample, q54Sketches, q62PackSequences)
+      q51StratifiedSample, q54Sketches, q62PackSequences, q67Repetition,
+      q68MixtureRebalance)
 }

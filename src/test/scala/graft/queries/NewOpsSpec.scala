@@ -136,4 +136,58 @@ class NewOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("q67 repetition: degenerate doc flagged, diverse doc not") {
+    withTempDir { dir =>
+      // doc 1: "x y" * 15 -> 30 tokens, 2 distinct, top bigram "x y" 15/29
+      // doc 2: 25 distinct tokens -> dup 0, top bigram 1/24 ~ 0.042 < 0.06
+      writeDocs(dir, Seq(
+        1L -> Seq.fill(15)("x y").mkString(" "),
+        2L -> (1 to 25).map(i => s"t$i").mkString(" ")))
+      val out = TextQueries.q67Repetition.fn(spark, dir)
+        .select("doc_id", "n_toks", "dup_uni_frac", "top_bigram_frac",
+          "repetitious")
+        .as[(Long, Long, Double, Double, Boolean)].collect()
+        .map(r => r._1 -> r).toMap
+      val (_, n1, dup1, bi1, flag1) = out(1L)
+      n1 shouldBe 30L
+      dup1 shouldBe 28.0 / 30.0
+      bi1 shouldBe 15.0 / 29.0
+      flag1 shouldBe true
+      val (_, n2, dup2, bi2, flag2) = out(2L)
+      n2 shouldBe 25L
+      dup2 shouldBe 0.0
+      bi2 shouldBe 1.0 / 24.0
+      flag2 shouldBe false
+    }
+  }
+
+  test("q68 rebalance: over-represented lang downsampled to the budget rule") {
+    withTempDir { dir =>
+      // lang a: 8 docs, lang b: 2 docs -> budget = 10 div 2 = 5;
+      // b is under budget (fully kept), a keeps docs with bucket*8 < 5M
+      val docs = (1 to 8).map(i => (i.toLong, s"alpha doc number $i", "a")) ++
+        Seq((9L, "beta one", "b"), (10L, "beta two", "b"))
+      docs.toDF("doc_id", "text", "lang")
+        .withColumn("source", lit("t"))
+        .withColumn("n_chars", org.apache.spark.sql.functions.length(col("text")))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val out = TextQueries.q68MixtureRebalance.fn(spark, dir)
+        .select("lang", "n_total", "target_docs", "n_kept")
+        .as[(String, Long, Long, Long)].collect()
+        .map(r => r._1 -> r).toMap
+      out("b") shouldBe ("b", 2L, 5L, 2L) // under budget: everything kept
+      val (_, nA, tA, keptA) = out("a")
+      nA shouldBe 8L
+      tA shouldBe 5L
+      // the keep rule, recomputed independently over the same fixture
+      val expectA = docs.filter(_._3 == "a").map(_._2).count { t =>
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+          .digest(t.getBytes("UTF-8")).take(4)
+          .foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL))
+        (md5 % 1000000L) * 8L < 5L * 1000000L
+      }
+      keptA shouldBe expectA.toLong
+    }
+  }
 }
