@@ -320,7 +320,11 @@ object DedupQueries {
     * bounded by |V(edges)| — only docs that appear in some duplicate
     * pair — which is tiny relative to the corpus.
     */
-  private def componentLabels(s: SparkSession, dir: String): DataFrame = {
+  /** The duplicate-pair edge set shared by q43/q59/q69: exact-fingerprint
+    * pairs union the prefix-blocked Levenshtein near-dup relation,
+    * materialized once (both component algorithms branch over it).
+    */
+  private def dupEdges(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
     val fp = docs.select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
     val exactPairs = fp.as("x")
@@ -330,7 +334,11 @@ object DedupQueries {
     val levPairs = Text
       .levNearDupPairs(docs, "doc_id", "text", blockTokens = 3, maxDist = 40)
       .select(col("d1").as("a"), col("d2").as("b"))
-    val edges = eager(exactPairs.union(levPairs).distinct())
+    eager(exactPairs.union(levPairs).distinct())
+  }
+
+  private def componentLabels(s: SparkSession, dir: String): DataFrame = {
+    val edges = dupEdges(s, dir)
     val undirected = edges
       .union(edges.select(col("b").as("a"), col("a").as("b")))
     var cached = eager(edges.select(col("a").as("v"))
@@ -391,6 +399,23 @@ object DedupQueries {
   val q43DedupComponents: Q = Q(
     "q43_dedup_components",
     (s, dir) => componentLabels(s, dir).orderBy("doc_id"),
+    Some(s"""WITH RECURSIVE $duckComponentCtes
+            SELECT doc_id, component FROM comp ORDER BY doc_id"""))
+
+  /** The same clustering as q43, computed by the alternating large-star/
+    * small-star algorithm ([[graft.engine.ext.Graph.largeSmallStarComponents]])
+    * over the same shared edge set — O(log n) rounds on any component
+    * shape vs label propagation's O(diameter). Identical output by
+    * construction (same oracle as q43), so the two engine paths
+    * cross-check each other; `GraphSpec` additionally pins the algorithm
+    * against a driver-side union-find on random graphs and shows the
+    * round-count win on a long chain.
+    */
+  val q69ComponentsStar: Q = Q(
+    "q69_components_star",
+    (s, dir) =>
+      graft.engine.ext.Graph.largeSmallStarComponents(dupEdges(s, dir))
+        .orderBy("doc_id"),
     Some(s"""WITH RECURSIVE $duckComponentCtes
             SELECT doc_id, component FROM comp ORDER BY doc_id"""))
 
@@ -602,5 +627,5 @@ object DedupQueries {
 
   val all: Seq[Q] = Seq(q23DedupExact, q24MinhashLsh, q25JaccardBlocked,
     q26Simhash, q43DedupComponents, q59DedupMaterialize, q60IncrementalDedup,
-    q61Decontaminate, q63Boilerplate)
+    q61Decontaminate, q63Boilerplate, q69ComponentsStar)
 }
