@@ -313,16 +313,12 @@ object DedupQueries {
     * corpus ever produced chain-shaped near-dup graphs (e.g. drifting
     * boilerplate).
     */
-  /** Converged (doc_id, component) labels over the exact-dup + lev-near-
-    * dup edge set — the iterative body described above, shared by q43
-    * (label output) and q59 (corpus materialization) so the clustering
-    * can never silently diverge between them. The returned table is
-    * bounded by |V(edges)| — only docs that appear in some duplicate
-    * pair — which is tiny relative to the corpus.
-    */
-  /** The duplicate-pair edge set shared by q43/q59/q69: exact-fingerprint
-    * pairs union the prefix-blocked Levenshtein near-dup relation,
-    * materialized once (both component algorithms branch over it).
+  /** The duplicate-pair edge set: exact-fingerprint pairs union the
+    * prefix-blocked Levenshtein near-dup relation. Built per query
+    * invocation (q43/q59/q69 run as independent harness entries) and
+    * eager'd so the one invocation's multiple consumers — the undirected
+    * union, the per-round joins — don't recompute the Levenshtein
+    * relation.
     */
   private def dupEdges(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
@@ -337,6 +333,13 @@ object DedupQueries {
     eager(exactPairs.union(levPairs).distinct())
   }
 
+  /** Converged (doc_id, component) labels over [[dupEdges]] — the
+    * iterative body described above, shared by q43 (label output) and
+    * q59 (corpus materialization) so the clustering can never silently
+    * diverge between them. The returned table is bounded by |V(edges)| —
+    * only docs that appear in some duplicate pair — which is tiny
+    * relative to the corpus.
+    */
   private def componentLabels(s: SparkSession, dir: String): DataFrame = {
     val edges = dupEdges(s, dir)
     val undirected = edges

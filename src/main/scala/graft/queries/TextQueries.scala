@@ -516,7 +516,9 @@ object TextQueries {
     * quality rules): per doc, the duplicate-unigram fraction
     * (1 − distinct/total tokens) and the top-bigram fraction (occurrences
     * of the most frequent bigram over all bigram slots); a doc is flagged
-    * `repetitious` above either threshold. Highly repetitive documents
+    * `repetitious` above either threshold (the bigram rule additionally
+    * requires a bigram that actually repeats — see the inline note on the
+    * short-doc lower bound). Highly repetitive documents
     * (boilerplate loops, degenerate generations) are a standard pre-
     * training filter. Per-doc output keeps the hash check strong.
     *
@@ -551,14 +553,21 @@ object TextQueries {
           max(col("n_uniq")).as("n_uniq"), max(col("n_bg")).as("n_bg"))
         // both operands cast to double BEFORE the division: ANSI Spark 4
         // throws on int division, and n_toks/n_bg are >= 1 by construction
-        // (shingles yields one degenerate shingle for short docs)
+        // (shingles yields one degenerate shingle for short docs).
+        // The bigram rule requires top_c >= 2: top_bigram_frac is bounded
+        // below by 1/n_bg, so on short docs a NEVER-repeated bigram would
+        // clear the ratio threshold by length alone — a bigram that
+        // occurs once cannot make a doc repetitious at any length.
         .select(col("doc_id"), col("n_toks").cast("long").as("n_toks"),
           ((col("n_toks") - col("n_uniq")).cast("double")
             / col("n_toks").cast("double")).as("dup_uni_frac"),
           (col("top_c").cast("double") / col("n_bg").cast("double"))
-            .as("top_bigram_frac"))
+            .as("top_bigram_frac"),
+          (col("top_c") >= 2).as("has_repeat"))
         .withColumn("repetitious",
-          col("dup_uni_frac") > 0.6 || col("top_bigram_frac") > 0.06)
+          col("dup_uni_frac") > 0.6 ||
+            (col("has_repeat") && col("top_bigram_frac") > 0.06))
+        .drop("has_repeat")
         .orderBy("doc_id")
     },
     Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
@@ -580,7 +589,8 @@ object TextQueries {
               (n_toks - n_uniq)::DOUBLE / n_toks::DOUBLE AS dup_uni_frac,
               top_c::DOUBLE / n_bg::DOUBLE AS top_bigram_frac,
               ((n_toks - n_uniq)::DOUBLE / n_toks::DOUBLE > 0.6
-                OR top_c::DOUBLE / n_bg::DOUBLE > 0.06) AS repetitious
+                OR (top_c >= 2 AND top_c::DOUBLE / n_bg::DOUBLE > 0.06))
+                AS repetitious
             FROM per ORDER BY doc_id"""))
 
   /** Mixture rebalancing toward a uniform per-language target with

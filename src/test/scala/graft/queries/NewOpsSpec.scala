@@ -141,9 +141,12 @@ class NewOpsSpec extends SparkSpec {
     withTempDir { dir =>
       // doc 1: "x y" * 15 -> 30 tokens, 2 distinct, top bigram "x y" 15/29
       // doc 2: 25 distinct tokens -> dup 0, top bigram 1/24 ~ 0.042 < 0.06
+      // doc 3: 10 distinct tokens -> top bigram 1/9 ~ 0.11 EXCEEDS the
+      //   ratio threshold, but top_c = 1 (nothing repeats) -> not flagged
       writeDocs(dir, Seq(
         1L -> Seq.fill(15)("x y").mkString(" "),
-        2L -> (1 to 25).map(i => s"t$i").mkString(" ")))
+        2L -> (1 to 25).map(i => s"t$i").mkString(" "),
+        3L -> (1 to 10).map(i => s"u$i").mkString(" ")))
       val out = TextQueries.q67Repetition.fn(spark, dir)
         .select("doc_id", "n_toks", "dup_uni_frac", "top_bigram_frac",
           "repetitious")
@@ -159,6 +162,13 @@ class NewOpsSpec extends SparkSpec {
       dup2 shouldBe 0.0
       bi2 shouldBe 1.0 / 24.0
       flag2 shouldBe false
+      // short diverse doc: ratio exceeds 0.06 by length alone, but no
+      // bigram repeats, so the flag must stay false
+      val (_, n3, dup3, bi3, flag3) = out(3L)
+      n3 shouldBe 10L
+      dup3 shouldBe 0.0
+      bi3 shouldBe 1.0 / 9.0
+      flag3 shouldBe false
     }
   }
 
