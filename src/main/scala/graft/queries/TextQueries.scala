@@ -650,9 +650,62 @@ object TextQueries {
             FROM d JOIN sc USING (lang) CROSS JOIN t
             GROUP BY d.lang ORDER BY d.lang"""))
 
+  /** Split-leakage audit: near-duplicate pairs that straddle q48's
+    * train/val/test boundary. Hashing the TEXT sends byte-identical
+    * duplicates to the same split by construction — but NEAR-duplicates
+    * (the same prefix-blocked Levenshtein relation as q42/q43) can land
+    * on different sides, leaking train content into eval. This query
+    * counts pairs per (split, split) cell; the off-diagonal `leaky` rows
+    * are the contamination a pipeline must drive to ~zero (by splitting
+    * on the q43 component label instead of the raw doc).
+    *
+    * ## 100 TB notes
+    * The pair relation is bucketed (prefix blocks), never all-pairs, and
+    * is tiny relative to the corpus; the split column is a pure
+    * projection of the scan. Joining corpus-projection to pairs twice on
+    * doc_id lets AQE broadcast the pair side; the final group-by has at
+    * most 6 cells.
+    */
+  val q70SplitLeakage: Q = Q(
+    "q70_split_leakage",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val bucket = pmod(Text.hash32(col("text")), lit(100))
+      val split = when(bucket < 80, "train").when(bucket < 90, "val")
+        .otherwise("test")
+      val splits = docs.select(col("doc_id"), split.as("split"))
+      Text.levNearDupPairs(docs, "doc_id", "text", blockTokens = 3, maxDist = 40)
+        .join(splits.select(col("doc_id").as("d1"), col("split").as("sp1")),
+          Seq("d1"))
+        .join(splits.select(col("doc_id").as("d2"), col("split").as("sp2")),
+          Seq("d2"))
+        .select(least(col("sp1"), col("sp2")).as("split_a"),
+          greatest(col("sp1"), col("sp2")).as("split_b"))
+        .groupBy(col("split_a"), col("split_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("leaky", col("split_a") =!= col("split_b"))
+        .orderBy("split_a", "split_b")
+    },
+    Some(s"""WITH $duckLevPairCtes,
+            sp AS (SELECT doc_id,
+                     CASE WHEN b < 80 THEN 'train'
+                          WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+                   FROM (SELECT doc_id,
+                           ('0x' || substring(md5(text), 1, 8))::BIGINT % 100
+                             AS b
+                         FROM documents))
+            SELECT least(x.split, y.split) AS split_a,
+                   greatest(x.split, y.split) AS split_b,
+                   count(*) AS n_pairs,
+                   least(x.split, y.split) <> greatest(x.split, y.split)
+                     AS leaky
+            FROM lev_pairs JOIN sp x ON x.doc_id = d1
+                           JOIN sp y ON y.doc_id = d2
+            GROUP BY split_a, split_b ORDER BY split_a, split_b"""))
+
   val all: Seq[Q] =
     Seq(q18TextStats, q19TermFreq, q20LangId, q21QualityScore, q22RegexTokens,
       q39WinnowFp, q42EditDistance, q45TfidfTopk, q48SplitAssign,
       q51StratifiedSample, q54Sketches, q62PackSequences, q67Repetition,
-      q68MixtureRebalance)
+      q68MixtureRebalance, q70SplitLeakage)
 }

@@ -191,13 +191,43 @@ class NewOpsSpec extends SparkSpec {
       nA shouldBe 8L
       tA shouldBe 5L
       // the keep rule, recomputed independently over the same fixture
-      val expectA = docs.filter(_._3 == "a").map(_._2).count { t =>
-        val md5 = java.security.MessageDigest.getInstance("MD5")
-          .digest(t.getBytes("UTF-8")).take(4)
-          .foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL))
-        (md5 % 1000000L) * 8L < 5L * 1000000L
-      }
+      val expectA = docs.filter(_._3 == "a").map(_._2)
+        .count(t => (md5Bucket(t) % 1000000L) * 8L < 5L * 1000000L)
       keptA shouldBe expectA.toLong
+    }
+  }
+
+  /** First 32 md5 bits as a long — the JVM mirror of Text.hash32. */
+  private def md5Bucket(t: String): Long =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).take(4)
+      .foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL))
+
+  test("q70 split leakage: cells match driver-recomputed splits over known pairs") {
+    withTempDir { dir =>
+      // three docs sharing the 3-token block prefix, pairwise within
+      // lev <= 40 -> pairs (1,2),(1,3),(2,3); doc 9 shares no block
+      val texts = Map(
+        1L -> "common block prefix alpha beta gamma delta",
+        2L -> "common block prefix alpha beta gamma epsilon",
+        3L -> "common block prefix alpha beta zeta delta",
+        9L -> "totally different block with other words")
+      writeDocs(dir, texts.toSeq)
+      def split(t: String): String = {
+        val b = md5Bucket(t) % 100L
+        if (b < 80) "train" else if (b < 90) "val" else "test"
+      }
+      val expected = Seq((1L, 2L), (1L, 3L), (2L, 3L))
+        .map { case (a, b) =>
+          val (s1, s2) = (split(texts(a)), split(texts(b)))
+          (if (s1 <= s2) s1 else s2, if (s1 <= s2) s2 else s1)
+        }
+        .groupBy(identity).map { case (k, v) =>
+          (k._1, k._2, v.size.toLong, k._1 != k._2)
+        }.toSet
+      val got = TextQueries.q70SplitLeakage.fn(spark, dir)
+        .as[(String, String, Long, Boolean)].collect().toSet
+      got shouldBe expected
     }
   }
 }
