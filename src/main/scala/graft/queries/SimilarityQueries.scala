@@ -404,6 +404,63 @@ object SimilarityQueries {
              SELECT q_id, rank, cand_id, dist FROM r
              WHERE rank <= 3 ORDER BY q_id, rank"""))
 
+  /** Int8 embedding quantization accounting — the serving-side
+    * compression every large-scale vector store applies (4x smaller, SIMD
+    * int8 distance kernels). Per vector: symmetric scale = max|x|/127,
+    * codes = floor(x/scale), and the audit columns a quantization rollout
+    * needs: scale basis, code range (saturation check), and the exact
+    * integer code sum.
+    *
+    * Engine-parity design: floor-quantization instead of round — floor of
+    * an identical IEEE double is bit-identical across engines, while
+    * round() on doubles is the known half-tie divergence (Catalog notes);
+    * and the cross-element reduction is an INTEGER sum of codes —
+    * order-independent, so no accumulation-order mirroring is needed.
+    * Codes may reach -128 when fl(maxabs/(maxabs/127)) lands above 127 in
+    * magnitude on the negative side — kept unclamped (both engines agree
+    * bit-for-bit), matching symmetric-int8 hardware ranges.
+    *
+    * ## 100 TB notes
+    * Pure per-row projection over single-level array HOFs — no shuffle at
+    * all except the output order; at scale this runs as a map-only pass
+    * feeding the quantized sink.
+    */
+  val q71Int8Quant: Q = Q(
+    "q71_int8_quant",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val mx = array_max(transform(col("embedding"), x => abs(x)))
+      val scale = mx.cast("double") / lit(127.0)
+      val codes = transform(col("embedding"), x =>
+        when(mx === 0f, lit(0L))
+          .otherwise(floor(x.cast("double") / scale).cast("long")))
+      e.select(col("vec_id"), mx.cast("double").as("maxabs"),
+          codes.as("codes"))
+        .select(col("vec_id"), col("maxabs"),
+          array_min(col("codes")).as("q_min"),
+          array_max(col("codes")).as("q_max"),
+          aggregate(col("codes"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+          size(filter(col("codes"),
+            c => c === 127L || c === -128L)).cast("long").as("n_sat"))
+        .orderBy("vec_id")
+    },
+    Some("""WITH q AS (SELECT vec_id,
+                    list_max(list_transform(embedding, x -> abs(x))) AS mx,
+                    CASE WHEN list_max(list_transform(embedding, x -> abs(x))) = 0
+                         THEN list_transform(embedding, x -> 0::BIGINT)
+                         ELSE list_transform(embedding, x ->
+                           floor(x::DOUBLE /
+                             (list_max(list_transform(embedding, y -> abs(y)))::DOUBLE
+                               / 127.0))::BIGINT)
+                    END AS codes
+                  FROM embeddings)
+            SELECT vec_id, mx::DOUBLE AS maxabs,
+              list_min(codes) AS q_min, list_max(codes) AS q_max,
+              CAST(list_sum(codes) AS BIGINT) AS q_sum,
+              len(list_filter(codes, c -> c = 127 OR c = -128))::BIGINT
+                AS n_sat
+            FROM q ORDER BY vec_id"""))
+
   val all: Seq[Q] = Seq(q27KnnBrute, q28AnnLsh, q29EmbNearDup, q30IvfCentroid,
-    q44KmeansStep, q49AnnRecall, q52SqlSurface, q57L2Knn)
+    q44KmeansStep, q49AnnRecall, q52SqlSurface, q57L2Knn, q71Int8Quant)
 }

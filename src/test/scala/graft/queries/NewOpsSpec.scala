@@ -230,4 +230,20 @@ class NewOpsSpec extends SparkSpec {
       got shouldBe expected
     }
   }
+
+  test("q71 int8 quantization: hand-computed codes, zero-vector guard") {
+    withTempDir { dir =>
+      // scale = 1/127; 1.0 -> 127, -1.0 -> -127, 0.5 -> floor(63.5) = 63
+      // (fl(1.0/fl(1.0/127.0)) is exactly 127.0 in IEEE doubles)
+      Seq((1L, Seq(1.0f, -1.0f, 0.5f), 0), (2L, Seq(0.0f, 0.0f, 0.0f), 0))
+        .toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val out = SimilarityQueries.q71Int8Quant.fn(spark, dir)
+        .select("vec_id", "maxabs", "q_min", "q_max", "q_sum", "n_sat")
+        .as[(Long, Double, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> r).toMap
+      out(1L) shouldBe (1L, 1.0, -127L, 127L, 63L, 1L)
+      out(2L) shouldBe (2L, 0.0, 0L, 0L, 0L, 0L)
+    }
+  }
 }
