@@ -315,12 +315,12 @@ object DedupQueries {
     */
   /** The duplicate-pair edge set: exact-fingerprint pairs union the
     * prefix-blocked Levenshtein near-dup relation. Built per query
-    * invocation (q43/q59/q69 run as independent harness entries) and
+    * invocation (q43/q59/q69/q70 run as independent harness entries) and
     * eager'd so the one invocation's multiple consumers — the undirected
     * union, the per-round joins — don't recompute the Levenshtein
     * relation.
     */
-  private def dupEdges(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def dupEdges(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
     val fp = docs.select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
     val exactPairs = fp.as("x")
@@ -381,14 +381,25 @@ object DedupQueries {
     * declaratively via a recursive CTE, ending in
     * `comp(doc_id, component)`.
     */
-  private val duckComponentCtes =
+  /** Oracle CTEs for [[dupEdges]] alone, ending in `edges(a, b)` —
+    * shared with q70's leakage audit so the audited relation is exactly
+    * the clustering relation. A `def`, not a `val`: TextQueries and this
+    * object reference each other during object init (q70's oracle embeds
+    * this string; this string embeds duckLevPairCtes), and a val on both
+    * sides of that cycle would be observed as null by whichever object
+    * initializes second.
+    */
+  private[queries] def duckDupEdgeCtes: String =
     s"""fp AS (SELECT doc_id, md5(trim(lower(text))) AS fp
               FROM documents),
             exact_pairs AS (SELECT x.doc_id AS a, y.doc_id AS b
               FROM fp x JOIN fp y ON x.fp = y.fp AND x.doc_id < y.doc_id),
             ${TextQueries.duckLevPairCtes},
             edges AS (SELECT a, b FROM exact_pairs UNION
-                      SELECT d1 AS a, d2 AS b FROM lev_pairs),
+                      SELECT d1 AS a, d2 AS b FROM lev_pairs)"""
+
+  private val duckComponentCtes =
+    s"""$duckDupEdgeCtes,
             und AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
             verts AS (SELECT DISTINCT a AS v FROM und),
             reach AS (

@@ -428,37 +428,44 @@ object SimilarityQueries {
   val q71Int8Quant: Q = Q(
     "q71_int8_quant",
     (s, dir) => {
-      val e = emb(s, dir)
-      val mx = array_max(transform(col("embedding"), x => abs(x)))
-      val scale = mx.cast("double") / lit(127.0)
+      // maxabs is PROJECTED before the codes lambda references it:
+      // interpreted HOFs get no common-subexpression elimination (the q20
+      // lesson), so computing mx inside the per-element lambda would
+      // rescan the array per element — O(d^2) per row
+      val staged = emb(s, dir).select(col("vec_id"), col("embedding"),
+        array_max(transform(col("embedding"), x => abs(x)))
+          .cast("double").as("maxabs"))
       val codes = transform(col("embedding"), x =>
-        when(mx === 0f, lit(0L))
-          .otherwise(floor(x.cast("double") / scale).cast("long")))
-      e.select(col("vec_id"), mx.cast("double").as("maxabs"),
-          codes.as("codes"))
+        when(col("maxabs") === 0.0, lit(0L))
+          .otherwise(floor(x.cast("double") / (col("maxabs") / lit(127.0)))
+            .cast("long")))
+      staged.select(col("vec_id"), col("maxabs"), codes.as("codes"))
         .select(col("vec_id"), col("maxabs"),
           array_min(col("codes")).as("q_min"),
           array_max(col("codes")).as("q_max"),
           aggregate(col("codes"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+          // symmetric full scale: +-127 both saturate (and the floor
+          // artifact -128); counting only the endpoints would hide
+          // negative-heavy saturation
           size(filter(col("codes"),
-            c => c === 127L || c === -128L)).cast("long").as("n_sat"))
+            c => abs(c) >= 127L)).cast("long").as("n_sat"))
         .orderBy("vec_id")
     },
-    Some("""WITH q AS (SELECT vec_id,
-                    list_max(list_transform(embedding, x -> abs(x))) AS mx,
-                    CASE WHEN list_max(list_transform(embedding, x -> abs(x))) = 0
+    Some("""WITH m AS (SELECT vec_id, embedding,
+                    list_max(list_transform(embedding, x -> abs(x)))::DOUBLE
+                      AS maxabs
+                  FROM embeddings),
+            q AS (SELECT vec_id, maxabs,
+                    CASE WHEN maxabs = 0
                          THEN list_transform(embedding, x -> 0::BIGINT)
                          ELSE list_transform(embedding, x ->
-                           floor(x::DOUBLE /
-                             (list_max(list_transform(embedding, y -> abs(y)))::DOUBLE
-                               / 127.0))::BIGINT)
+                           floor(x::DOUBLE / (maxabs / 127.0))::BIGINT)
                     END AS codes
-                  FROM embeddings)
-            SELECT vec_id, mx::DOUBLE AS maxabs,
+                  FROM m)
+            SELECT vec_id, maxabs,
               list_min(codes) AS q_min, list_max(codes) AS q_max,
-              CAST(list_sum(codes) AS BIGINT) AS q_sum,
-              len(list_filter(codes, c -> c = 127 OR c = -128))::BIGINT
-                AS n_sat
+              CAST(coalesce(list_sum(codes), 0) AS BIGINT) AS q_sum,
+              len(list_filter(codes, c -> abs(c) >= 127))::BIGINT AS n_sat
             FROM q ORDER BY vec_id"""))
 
   val all: Seq[Q] = Seq(q27KnnBrute, q28AnnLsh, q29EmbNearDup, q30IvfCentroid,

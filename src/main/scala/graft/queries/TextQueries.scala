@@ -324,30 +324,42 @@ object TextQueries {
     * keeps every unchanged document in its old split (no RNG, no seed
     * drift across engines or cluster sizes).
     */
+  /** The train/val/test assignment shared by q48 (its definition) and
+    * q70 (which audits leakage across it) — one expression so the audit
+    * can never drift from the boundary it audits.
+    */
+  private[queries] def splitCol: Column = {
+    val bucket = pmod(Text.hash32(col("text")), lit(100))
+    when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+  }
+
+  /** Oracle mirror of [[splitCol]]: CTE `sp(doc_id, split)`. */
+  private[queries] val duckSplitCte =
+    """sp AS (SELECT doc_id,
+              CASE WHEN b < 80 THEN 'train'
+                   WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                    ('0x' || substring(md5(text), 1, 8))::BIGINT % 100 AS b
+                  FROM documents))"""
+
   val q48SplitAssign: Q = Q(
     "q48_split_assign",
     (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      val bucket = pmod(Text.hash32(col("text")), lit(100))
-      val split = when(bucket < 80, "train").when(bucket < 90, "val")
-        .otherwise("test")
-      docs.select(split.as("split"), col("doc_id"),
+      docs.select(splitCol.as("split"), col("doc_id"),
           size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
           min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
         .orderBy("split")
     },
-    Some("""SELECT split, count(*) AS n_docs,
+    Some(s"""WITH $duckSplitCte
+            SELECT split, count(*) AS n_docs,
               CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
               min(doc_id) AS min_doc, max(doc_id) AS max_doc
-            FROM (SELECT doc_id,
-                    CASE WHEN b < 80 THEN 'train'
-                         WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
-                    len(string_split(text, ' '))::BIGINT AS n_tokens
-                  FROM (SELECT doc_id, text,
-                          ('0x' || substring(md5(text), 1, 8))::BIGINT % 100 AS b
-                        FROM documents))
+            FROM (SELECT d.doc_id, sp.split,
+                    len(string_split(d.text, ' '))::BIGINT AS n_tokens
+                  FROM documents d JOIN sp ON sp.doc_id = d.doc_id)
             GROUP BY split ORDER BY split"""))
 
   /** Stratified deterministic sampling: per-language keep-rates (e.g.
@@ -650,31 +662,33 @@ object TextQueries {
             FROM d JOIN sc USING (lang) CROSS JOIN t
             GROUP BY d.lang ORDER BY d.lang"""))
 
-  /** Split-leakage audit: near-duplicate pairs that straddle q48's
-    * train/val/test boundary. Hashing the TEXT sends byte-identical
-    * duplicates to the same split by construction — but NEAR-duplicates
-    * (the same prefix-blocked Levenshtein relation as q42/q43) can land
-    * on different sides, leaking train content into eval. This query
-    * counts pairs per (split, split) cell; the off-diagonal `leaky` rows
-    * are the contamination a pipeline must drive to ~zero (by splitting
-    * on the q43 component label instead of the raw doc).
+  /** Split-leakage audit: duplicate-relation pairs that straddle q48's
+    * train/val/test boundary. The audited relation is EXACTLY the q43
+    * clustering relation ([[DedupQueries.dupEdges]]): fingerprint-exact
+    * pairs — which CAN straddle, because the fingerprint normalizes
+    * (trim/lower) while the split hashes raw bytes, so case/whitespace
+    * variants of one document may split apart — union the prefix-blocked
+    * Levenshtein near-dup pairs. Counts pairs per (split, split) cell;
+    * the off-diagonal `leaky` rows are the train/eval contamination a
+    * pipeline must drive to ~zero (by splitting on the q43 component
+    * label instead of the raw doc). Split definition is [[splitCol]],
+    * shared with q48, so the audit can never drift from the boundary it
+    * audits.
     *
     * ## 100 TB notes
-    * The pair relation is bucketed (prefix blocks), never all-pairs, and
-    * is tiny relative to the corpus; the split column is a pure
-    * projection of the scan. Joining corpus-projection to pairs twice on
-    * doc_id lets AQE broadcast the pair side; the final group-by has at
-    * most 6 cells.
+    * The pair relation is bucketed (fingerprint groups / prefix blocks),
+    * never all-pairs, and is tiny relative to the corpus; the split
+    * column is a pure projection of the scan. Joining corpus-projection
+    * to pairs twice on doc_id lets AQE broadcast the pair side; the
+    * final group-by has at most 6 cells.
     */
   val q70SplitLeakage: Q = Q(
     "q70_split_leakage",
     (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      val bucket = pmod(Text.hash32(col("text")), lit(100))
-      val split = when(bucket < 80, "train").when(bucket < 90, "val")
-        .otherwise("test")
-      val splits = docs.select(col("doc_id"), split.as("split"))
-      Text.levNearDupPairs(docs, "doc_id", "text", blockTokens = 3, maxDist = 40)
+      val splits = docs.select(col("doc_id"), splitCol.as("split"))
+      DedupQueries.dupEdges(s, dir)
+        .select(col("a").as("d1"), col("b").as("d2"))
         .join(splits.select(col("doc_id").as("d1"), col("split").as("sp1")),
           Seq("d1"))
         .join(splits.select(col("doc_id").as("d2"), col("split").as("sp2")),
@@ -686,21 +700,15 @@ object TextQueries {
         .withColumn("leaky", col("split_a") =!= col("split_b"))
         .orderBy("split_a", "split_b")
     },
-    Some(s"""WITH $duckLevPairCtes,
-            sp AS (SELECT doc_id,
-                     CASE WHEN b < 80 THEN 'train'
-                          WHEN b < 90 THEN 'val' ELSE 'test' END AS split
-                   FROM (SELECT doc_id,
-                           ('0x' || substring(md5(text), 1, 8))::BIGINT % 100
-                             AS b
-                         FROM documents))
+    Some(s"""WITH ${DedupQueries.duckDupEdgeCtes},
+            $duckSplitCte
             SELECT least(x.split, y.split) AS split_a,
                    greatest(x.split, y.split) AS split_b,
                    count(*) AS n_pairs,
                    least(x.split, y.split) <> greatest(x.split, y.split)
                      AS leaky
-            FROM lev_pairs JOIN sp x ON x.doc_id = d1
-                           JOIN sp y ON y.doc_id = d2
+            FROM edges JOIN sp x ON x.doc_id = a
+                       JOIN sp y ON y.doc_id = b
             GROUP BY split_a, split_b ORDER BY split_a, split_b"""))
 
   val all: Seq[Q] =

@@ -205,19 +205,24 @@ class NewOpsSpec extends SparkSpec {
 
   test("q70 split leakage: cells match driver-recomputed splits over known pairs") {
     withTempDir { dir =>
-      // three docs sharing the 3-token block prefix, pairwise within
-      // lev <= 40 -> pairs (1,2),(1,3),(2,3); doc 9 shares no block
+      // docs 1-3 share the 3-token block prefix, pairwise within
+      // lev <= 40 -> lev pairs (1,2),(1,3),(2,3); docs 9/10 differ only
+      // by CASE in the first token: different raw bytes (so q48 may split
+      // them apart) and different lev blocks (so the lev relation misses
+      // them) but equal normalized fingerprints -> the exact-pair leg of
+      // the audited relation must count (9,10)
       val texts = Map(
         1L -> "common block prefix alpha beta gamma delta",
         2L -> "common block prefix alpha beta gamma epsilon",
         3L -> "common block prefix alpha beta zeta delta",
-        9L -> "totally different block with other words")
+        9L -> "totally different block with other words",
+        10L -> "Totally different block with other words")
       writeDocs(dir, texts.toSeq)
       def split(t: String): String = {
         val b = md5Bucket(t) % 100L
         if (b < 80) "train" else if (b < 90) "val" else "test"
       }
-      val expected = Seq((1L, 2L), (1L, 3L), (2L, 3L))
+      val expected = Seq((1L, 2L), (1L, 3L), (2L, 3L), (9L, 10L))
         .map { case (a, b) =>
           val (s1, s2) = (split(texts(a)), split(texts(b)))
           (if (s1 <= s2) s1 else s2, if (s1 <= s2) s2 else s1)
@@ -242,7 +247,8 @@ class NewOpsSpec extends SparkSpec {
         .select("vec_id", "maxabs", "q_min", "q_max", "q_sum", "n_sat")
         .as[(Long, Double, Long, Long, Long, Long)].collect()
         .map(r => r._1 -> r).toMap
-      out(1L) shouldBe (1L, 1.0, -127L, 127L, 63L, 1L)
+      // n_sat = 2: +-127 are both full scale (symmetric saturation)
+      out(1L) shouldBe (1L, 1.0, -127L, 127L, 63L, 2L)
       out(2L) shouldBe (2L, 0.0, 0L, 0L, 0L, 0L)
     }
   }
