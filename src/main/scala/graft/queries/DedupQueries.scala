@@ -340,7 +340,7 @@ object DedupQueries {
     * only docs that appear in some duplicate pair — which is tiny
     * relative to the corpus.
     */
-  private def componentLabels(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def componentLabels(s: SparkSession, dir: String): DataFrame = {
     val edges = dupEdges(s, dir)
     val undirected = edges
       .union(edges.select(col("b").as("a"), col("a").as("b")))
@@ -398,7 +398,10 @@ object DedupQueries {
             edges AS (SELECT a, b FROM exact_pairs UNION
                       SELECT d1 AS a, d2 AS b FROM lev_pairs)"""
 
-  private val duckComponentCtes =
+  // a def for the same cross-object-init reason as duckDupEdgeCtes:
+  // q72's oracle (in TextQueries) embeds this string while this object's
+  // own init embeds TextQueries.duckLevPairCtes
+  private[queries] def duckComponentCtes: String =
     s"""$duckDupEdgeCtes,
             und AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
             verts AS (SELECT DISTINCT a AS v FROM und),

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -545,44 +545,50 @@ object TextQueries {
     * are per-doc ratios, so they are scale-free by construction (the q63
     * df lesson does not apply).
     */
-  val q67Repetition: Q = Q(
-    "q67_repetition",
-    (s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      val toks = Text.tokens(col("text"))
-      val ex = docs
-        .select(col("doc_id"),
-          size(toks).as("n_toks"),
-          size(array_distinct(toks)).as("n_uniq"),
-          Text.shingles(toks, 2).as("bgs"))
-        .select(col("doc_id"), col("n_toks"), col("n_uniq"),
-          size(col("bgs")).as("n_bg"), explode(col("bgs")).as("bg"))
-      ex.groupBy(col("doc_id"), col("bg"))
-        .agg(count(lit(1)).as("c"), max(col("n_toks")).as("n_toks"),
-          max(col("n_uniq")).as("n_uniq"), max(col("n_bg")).as("n_bg"))
-        .groupBy(col("doc_id"))
-        .agg(max(col("c")).as("top_c"), max(col("n_toks")).as("n_toks"),
-          max(col("n_uniq")).as("n_uniq"), max(col("n_bg")).as("n_bg"))
-        // both operands cast to double BEFORE the division: ANSI Spark 4
-        // throws on int division, and n_toks/n_bg are >= 1 by construction
-        // (shingles yields one degenerate shingle for short docs).
-        // The bigram rule requires top_c >= 2: top_bigram_frac is bounded
-        // below by 1/n_bg, so on short docs a NEVER-repeated bigram would
-        // clear the ratio threshold by length alone — a bigram that
-        // occurs once cannot make a doc repetitious at any length.
-        .select(col("doc_id"), col("n_toks").cast("long").as("n_toks"),
-          ((col("n_toks") - col("n_uniq")).cast("double")
-            / col("n_toks").cast("double")).as("dup_uni_frac"),
-          (col("top_c").cast("double") / col("n_bg").cast("double"))
-            .as("top_bigram_frac"),
-          (col("top_c") >= 2).as("has_repeat"))
-        .withColumn("repetitious",
-          col("dup_uni_frac") > 0.6 ||
-            (col("has_repeat") && col("top_bigram_frac") > 0.06))
-        .drop("has_repeat")
-        .orderBy("doc_id")
-    },
-    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+  /** Per-doc repetition counters (doc_id, n_toks, n_uniq, top_c, n_bg) —
+    * the aggregation described in q67's scaladoc, shared by q67 (which
+    * derives the fractions/flag) and q72's funnel stage.
+    */
+  private[queries] def repetitionPerDoc(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val toks = Text.tokens(col("text"))
+    docs
+      .select(col("doc_id"),
+        size(toks).as("n_toks"),
+        size(array_distinct(toks)).as("n_uniq"),
+        Text.shingles(toks, 2).as("bgs"))
+      .select(col("doc_id"), col("n_toks"), col("n_uniq"),
+        size(col("bgs")).as("n_bg"), explode(col("bgs")).as("bg"))
+      .groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("c"), max(col("n_toks")).as("n_toks"),
+        max(col("n_uniq")).as("n_uniq"), max(col("n_bg")).as("n_bg"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_c"), max(col("n_toks")).as("n_toks"),
+        max(col("n_uniq")).as("n_uniq"), max(col("n_bg")).as("n_bg"))
+  }
+
+  /** The q67 flag over [[repetitionPerDoc]]'s columns. Both operands cast
+    * to double BEFORE the division: ANSI Spark 4 throws on int division,
+    * and n_toks/n_bg are >= 1 by construction (shingles yields one
+    * degenerate shingle for short docs). The bigram rule requires
+    * top_c >= 2: top_bigram_frac is bounded below by 1/n_bg, so on short
+    * docs a NEVER-repeated bigram would clear the ratio threshold by
+    * length alone — a bigram that occurs once cannot make a doc
+    * repetitious at any length.
+    */
+  private[queries] def repetitiousCol: Column = {
+    val dupUni = (col("n_toks") - col("n_uniq")).cast("double") /
+      col("n_toks").cast("double")
+    val topBi = col("top_c").cast("double") / col("n_bg").cast("double")
+    dupUni > 0.6 || (col("top_c") >= 2 && topBi > 0.06)
+  }
+
+  /** Oracle CTE chain mirroring [[repetitionPerDoc]], ending in
+    * `per(doc_id, top_c, n_toks, n_uniq, n_bg)`; [[duckRepetitiousExpr]]
+    * mirrors [[repetitiousCol]] over it.
+    */
+  private[queries] val duckRepetitionCtes =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS toks
                        FROM documents),
             base AS (SELECT doc_id, len(toks) AS n_toks,
                        len(list_distinct(toks)) AS n_uniq,
@@ -596,13 +602,28 @@ object TextQueries {
                     FROM ex GROUP BY doc_id, bg),
             per AS (SELECT doc_id, max(c) AS top_c, max(n_toks) AS n_toks,
                       max(n_uniq) AS n_uniq, max(n_bg) AS n_bg
-                    FROM cnt GROUP BY doc_id)
+                    FROM cnt GROUP BY doc_id)"""
+
+  private[queries] val duckRepetitiousExpr =
+    """((n_toks - n_uniq)::DOUBLE / n_toks::DOUBLE > 0.6
+                OR (top_c >= 2 AND top_c::DOUBLE / n_bg::DOUBLE > 0.06))"""
+
+  val q67Repetition: Q = Q(
+    "q67_repetition",
+    (s, dir) =>
+      repetitionPerDoc(s, dir)
+        .select(col("doc_id"), col("n_toks").cast("long").as("n_toks"),
+          ((col("n_toks") - col("n_uniq")).cast("double")
+            / col("n_toks").cast("double")).as("dup_uni_frac"),
+          (col("top_c").cast("double") / col("n_bg").cast("double"))
+            .as("top_bigram_frac"),
+          repetitiousCol.as("repetitious"))
+        .orderBy("doc_id"),
+    Some(s"""WITH $duckRepetitionCtes
             SELECT doc_id, n_toks::BIGINT AS n_toks,
               (n_toks - n_uniq)::DOUBLE / n_toks::DOUBLE AS dup_uni_frac,
               top_c::DOUBLE / n_bg::DOUBLE AS top_bigram_frac,
-              ((n_toks - n_uniq)::DOUBLE / n_toks::DOUBLE > 0.6
-                OR (top_c >= 2 AND top_c::DOUBLE / n_bg::DOUBLE > 0.06))
-                AS repetitious
+              $duckRepetitiousExpr AS repetitious
             FROM per ORDER BY doc_id"""))
 
   /** Mixture rebalancing toward a uniform per-language target with
@@ -711,9 +732,77 @@ object TextQueries {
                        JOIN sp y ON y.doc_id = b
             GROUP BY split_a, split_b ORDER BY split_a, split_b"""))
 
+  /** End-to-end corpus funnel — the accounting a training-data pipeline
+    * ships with every corpus build: per language, how many documents
+    * survive each gate in sequence (length floor → repetition filter →
+    * dedup keep) and how the survivors distribute over the q48 splits.
+    * Every gate is the exact predicate of its standalone query (q67 flag,
+    * q59 keep rule, q48 split), composed — so the funnel can't drift
+    * from the operators it summarizes.
+    *
+    * Dedup components are computed on the FULL corpus, not on
+    * quality-survivors: a near-dup cluster is a cluster regardless of
+    * which members fail other gates, and full-corpus components make the
+    * keep decision stable as upstream thresholds move (the conservative
+    * choice a production funnel wants).
+    *
+    * ## 100 TB notes
+    * The length/repetition columns ride the q67 aggregation (one explode,
+    * two map-side-partial groupBys); the component and split columns join
+    * on doc_id (component table is |V(edges)|-bounded → broadcast); the
+    * funnel itself is one low-cardinality group-by. Nothing here adds a
+    * shuffle beyond its standalone constituents.
+    */
+  val q72CorpusFunnel: Q = Q(
+    "q72_corpus_funnel",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val staged = docs
+        .select(col("doc_id"), col("lang"), splitCol.as("split"))
+        .join(repetitionPerDoc(s, dir), Seq("doc_id"))
+        .join(DedupQueries.componentLabels(s, dir), Seq("doc_id"), "left")
+        .select(col("lang"), col("split"),
+          (col("n_toks") >= 30).as("len_ok"),
+          (!repetitiousCol).as("not_rep"),
+          (col("component").isNull || col("component") === col("doc_id"))
+            .as("dedup_keep"))
+      val kept = col("len_ok") && col("not_rep") && col("dedup_keep")
+      staged.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_total"),
+          count(when(col("len_ok"), 1)).as("n_len_ok"),
+          count(when(col("len_ok") && col("not_rep"), 1)).as("n_clean"),
+          count(when(kept, 1)).as("n_kept"),
+          count(when(kept && col("split") === "train", 1)).as("n_train"),
+          count(when(kept && col("split") === "val", 1)).as("n_val"),
+          count(when(kept && col("split") === "test", 1)).as("n_test"))
+        .orderBy("lang")
+    },
+    Some(s"""WITH RECURSIVE ${DedupQueries.duckComponentCtes},
+            $duckRepetitionCtes,
+            $duckSplitCte,
+            staged AS (SELECT d.lang, sp.split,
+                (per.n_toks >= 30) AS len_ok,
+                (NOT $duckRepetitiousExpr) AS not_rep,
+                (c.doc_id IS NULL OR c.component = d.doc_id) AS dedup_keep
+              FROM documents d
+              JOIN per ON per.doc_id = d.doc_id
+              JOIN sp ON sp.doc_id = d.doc_id
+              LEFT JOIN comp c ON c.doc_id = d.doc_id)
+            SELECT lang, count(*) AS n_total,
+              count(*) FILTER (len_ok) AS n_len_ok,
+              count(*) FILTER (len_ok AND not_rep) AS n_clean,
+              count(*) FILTER (len_ok AND not_rep AND dedup_keep) AS n_kept,
+              count(*) FILTER (len_ok AND not_rep AND dedup_keep
+                AND split = 'train') AS n_train,
+              count(*) FILTER (len_ok AND not_rep AND dedup_keep
+                AND split = 'val') AS n_val,
+              count(*) FILTER (len_ok AND not_rep AND dedup_keep
+                AND split = 'test') AS n_test
+            FROM staged GROUP BY lang ORDER BY lang"""))
+
   val all: Seq[Q] =
     Seq(q18TextStats, q19TermFreq, q20LangId, q21QualityScore, q22RegexTokens,
       q39WinnowFp, q42EditDistance, q45TfidfTopk, q48SplitAssign,
       q51StratifiedSample, q54Sketches, q62PackSequences, q67Repetition,
-      q68MixtureRebalance, q70SplitLeakage)
+      q68MixtureRebalance, q70SplitLeakage, q72CorpusFunnel)
 }

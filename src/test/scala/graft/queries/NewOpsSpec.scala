@@ -252,4 +252,20 @@ class NewOpsSpec extends SparkSpec {
       out(2L) shouldBe (2L, 0.0, 0L, 0L, 0L, 0L)
     }
   }
+
+  test("q72 funnel: stages shrink monotonically and splits partition the kept set") {
+    val out = TextQueries.q72CorpusFunnel.fn(spark, "/root/testdata/sf0.001")
+      .select("lang", "n_total", "n_len_ok", "n_clean", "n_kept",
+        "n_train", "n_val", "n_test")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect()
+    out should not be empty
+    out.foreach { case (lang, total, lenOk, clean, kept, tr, va, te) =>
+      withClue(s"$lang: ") {
+        total should be >= lenOk
+        lenOk should be >= clean
+        clean should be >= kept
+        tr + va + te shouldBe kept // every kept doc lands in exactly one split
+      }
+    }
+  }
 }
