@@ -449,15 +449,25 @@ object DedupQueries {
     * map-side projection and the only shuffle is the final low-
     * cardinality group-by.
     */
+  /** The canonical-doc keep rule over a `left`-joined [[componentLabels]]
+    * table: never edged, or the component's min-id representative. Shared
+    * by q59 (its definition) and q72's funnel stage so the two can't
+    * drift. The oracle mirror assumes aliases `d` (documents) and `c`
+    * (comp).
+    */
+  private[queries] def dedupKeepCol: Column =
+    col("component").isNull || col("component") === col("doc_id")
+
+  private[queries] def duckDedupKeepExpr: String =
+    "(c.doc_id IS NULL OR c.component = d.doc_id)"
+
   val q59DedupMaterialize: Q = Q(
     "q59_dedup_materialize",
     (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       val comp = componentLabels(s, dir)
       docs.join(comp, Seq("doc_id"), "left")
-        .select(col("lang"),
-          (col("component").isNull || col("component") === col("doc_id"))
-            .as("kept"))
+        .select(col("lang"), dedupKeepCol.as("kept"))
         .groupBy(col("lang"))
         .agg(
           count(lit(1)).as("n_docs"),
@@ -466,8 +476,7 @@ object DedupQueries {
         .orderBy("lang")
     },
     Some(s"""WITH RECURSIVE $duckComponentCtes,
-            flags AS (SELECT d.lang,
-                (c.doc_id IS NULL OR c.component = d.doc_id) AS kept
+            flags AS (SELECT d.lang, $duckDedupKeepExpr AS kept
               FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
             SELECT lang, count(*) AS n_docs,
               count(*) FILTER (kept) AS n_kept,

@@ -736,9 +736,11 @@ object TextQueries {
     * ships with every corpus build: per language, how many documents
     * survive each gate in sequence (length floor → repetition filter →
     * dedup keep) and how the survivors distribute over the q48 splits.
-    * Every gate is the exact predicate of its standalone query (q67 flag,
-    * q59 keep rule, q48 split), composed — so the funnel can't drift
-    * from the operators it summarizes.
+    * The repetition, dedup, and split gates are the exact predicates of
+    * their standalone queries (q67 flag, q59 keep rule, q48 split) via
+    * shared helpers — the funnel can't drift from the operators it
+    * summarizes; the length floor is q72's own gate, pinned by
+    * [[MinDocTokens]] on both engine and oracle sides.
     *
     * Dedup components are computed on the FULL corpus, not on
     * quality-survivors: a near-dup cluster is a cluster regardless of
@@ -753,19 +755,27 @@ object TextQueries {
     * funnel itself is one low-cardinality group-by. Nothing here adds a
     * shuffle beyond its standalone constituents.
     */
+  /** q72's length floor (tokens). One constant interpolated into BOTH
+    * the engine predicate and the oracle SQL — editing a single side
+    * cannot diverge them.
+    */
+  private val MinDocTokens = 30
+
   val q72CorpusFunnel: Q = Q(
     "q72_corpus_funnel",
     (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
+      // LEFT join the metrics: a NULL-text doc has no shingle rows, but
+      // it must still count in n_total (and then fail every gate via
+      // NULL predicates) rather than vanish from the funnel's top line
       val staged = docs
         .select(col("doc_id"), col("lang"), splitCol.as("split"))
-        .join(repetitionPerDoc(s, dir), Seq("doc_id"))
+        .join(repetitionPerDoc(s, dir), Seq("doc_id"), "left")
         .join(DedupQueries.componentLabels(s, dir), Seq("doc_id"), "left")
         .select(col("lang"), col("split"),
-          (col("n_toks") >= 30).as("len_ok"),
+          (col("n_toks") >= MinDocTokens).as("len_ok"),
           (!repetitiousCol).as("not_rep"),
-          (col("component").isNull || col("component") === col("doc_id"))
-            .as("dedup_keep"))
+          DedupQueries.dedupKeepCol.as("dedup_keep"))
       val kept = col("len_ok") && col("not_rep") && col("dedup_keep")
       staged.groupBy(col("lang"))
         .agg(count(lit(1)).as("n_total"),
@@ -781,11 +791,11 @@ object TextQueries {
             $duckRepetitionCtes,
             $duckSplitCte,
             staged AS (SELECT d.lang, sp.split,
-                (per.n_toks >= 30) AS len_ok,
+                (per.n_toks >= $MinDocTokens) AS len_ok,
                 (NOT $duckRepetitiousExpr) AS not_rep,
-                (c.doc_id IS NULL OR c.component = d.doc_id) AS dedup_keep
+                ${DedupQueries.duckDedupKeepExpr} AS dedup_keep
               FROM documents d
-              JOIN per ON per.doc_id = d.doc_id
+              LEFT JOIN per ON per.doc_id = d.doc_id
               JOIN sp ON sp.doc_id = d.doc_id
               LEFT JOIN comp c ON c.doc_id = d.doc_id)
             SELECT lang, count(*) AS n_total,

@@ -268,4 +268,15 @@ class NewOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("q72 funnel: NULL-text doc counts in n_total and fails every gate") {
+    withTempDir { dir =>
+      writeDocs(dir, Seq(1L -> "short doc here",
+        2L -> null.asInstanceOf[String]))
+      val row = TextQueries.q72CorpusFunnel.fn(spark, dir)
+        .select("n_total", "n_len_ok", "n_kept")
+        .as[(Long, Long, Long)].collect().head
+      row shouldBe ((2L, 0L, 0L)) // both counted; both below the floor
+    }
+  }
 }
