@@ -427,8 +427,96 @@ object EventQueries {
               ${duckUs("date_trunc('hour', CAST(ts AS TIMESTAMP))")} AS hour_us
             FROM events ORDER BY user_id, hour_us"""))
 
+  /** Skew-safe two-phase aggregation under oracle check: salt each row
+    * (from its IDENTITY, not the group key — `engine/Skew`'s rule), run
+    * the partial aggregate on (key, salt), then merge the partials per
+    * key. The result is provably identical to the plain groupBy — counts
+    * add, and the value sums are exact decimals, so merge order cannot
+    * change them — which is exactly what the plain-SQL oracle asserts.
+    * This is the manual form of what map-side partial aggregation does
+    * automatically, made explicit for the case where ONE key dominates:
+    * the salt bounds any single reduce task to 1/16 of the hot key.
+    *
+    * ## 100 TB notes
+    * Two shuffles instead of one, but the first is on (key, salt) — 16
+    * reducers share the hot key's rows, and the second shuffle carries
+    * only 16 partial rows per key. The plain groupBy's partial agg
+    * already handles MODERATE skew; explicit salting is for the key so
+    * hot that even one reducer's merge of its map-side partials is the
+    * straggler. Exact-decimal sums make the two-phase merge value-stable.
+    */
+  val q73SaltedAgg: Q = Q(
+    "q73_salted_agg",
+    (s, dir) => {
+      val events = Tables.load(s, dir, "events")
+      events
+        .select(col("event_type"), col("value"),
+          pmod(col("event_id"), lit(16)).as("salt"))
+        .groupBy(col("event_type"), col("salt"))
+        .agg(count(lit(1)).as("pn"),
+          sum(col("value").cast("decimal(30,10)")).as("pv"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("pn")).as("n_events"),
+          round(sum(col("pv")), 2).cast("double").as("total_value"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, count(*) AS n_events,
+              CAST(round(sum(CAST(value AS DECIMAL(30,10))), 2) AS DOUBLE)
+                AS total_value
+            FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  /** Per-user inter-arrival gap accounting — the measurement that SIZES
+    * the 30-minute session gap (q33/q34) and a streaming watermark
+    * before anyone picks them: per user's event stream, the gaps between
+    * consecutive events, aggregated per event_type of the later event
+    * (count, max, and mean — the mean as one double division of exact
+    * integer sums, bit-identical across engines). A session gap of G
+    * merges every pair with gap < G; reading this table against a
+    * candidate G is how the threshold is justified. (The fixture's
+    * arrival order equals event-time order, so a LATENESS audit would be
+    * all zeros here — gap sizing is the non-degenerate half of the same
+    * watermark question.)
+    *
+    * ## 100 TB notes
+    * One shuffle on user_id for the lag window (the same partitioning
+    * every per-user analysis reuses), then a low-cardinality group-by.
+    * lag(1) is O(1) state per row.
+    */
+  val q74EventGaps: Q = Q(
+    "q74_event_gaps",
+    (s, dir) => {
+      val events = Tables.load(s, dir, "events")
+      // (us, event_id) order: µs truncation can tie two events, and a
+      // nondeterministic tie order would attribute gaps to different
+      // event_types on each engine
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      events
+        .select(col("event_type"), col("user_id"), col("event_id"),
+          tsUs.as("us"))
+        .withColumn("gap_us", col("us") - lag(col("us"), 1).over(byUser))
+        .filter(col("gap_us").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_gaps"),
+          max(col("gap_us")).as("max_gap_us"),
+          (sum(col("gap_us")).cast("double")
+            / count(lit(1)).cast("double")).as("avg_gap_us"))
+        .orderBy("event_type")
+    },
+    Some(s"""WITH t AS (SELECT event_type, user_id, event_id,
+                    ${duckUs("ts")} AS us FROM events),
+            g AS (SELECT event_type,
+                    us - lag(us, 1) OVER (PARTITION BY user_id
+                      ORDER BY us, event_id) AS gap_us
+                  FROM t)
+            SELECT event_type, count(*) AS n_gaps,
+              CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+              CAST(sum(gap_us) AS DOUBLE) / count(*)::DOUBLE AS avg_gap_us
+            FROM g WHERE gap_us IS NOT NULL
+            GROUP BY event_type ORDER BY event_type"""))
+
   val all: Seq[Q] =
     Seq(q31HourlyFromJson, q32SlidingWindow, q33Sessionize, q34SessionWindow,
       q35EventFirst, q37AsofJoin, q38RangeJoin, q50AsofForward,
-      q64StreamHourly, q66StreamDedup)
+      q64StreamHourly, q66StreamDedup, q73SaltedAgg, q74EventGaps)
 }

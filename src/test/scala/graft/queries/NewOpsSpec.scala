@@ -269,6 +269,30 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("q73 salted two-phase agg equals the plain groupBy") {
+    val dir = "/root/testdata/sf0.001"
+    val salted = EventQueries.q73SaltedAgg.fn(spark, dir)
+      .as[(String, Long, Double)].collect().toList
+    val plain = graft.engine.Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(30,10)")), 2).cast("double")
+          .as("v"))
+      .orderBy("event_type")
+      .as[(String, Long, Double)].collect().toList
+    salted shouldBe plain
+  }
+
+  test("q74 gaps: every user contributes exactly (events - 1) gaps") {
+    val dir = "/root/testdata/sf0.001"
+    val nGaps = EventQueries.q74EventGaps.fn(spark, dir)
+      .agg(sum(col("n_gaps"))).as[Long].collect().head
+    val ev = graft.engine.Tables.load(spark, dir, "events")
+    val nEvents = ev.count()
+    val nUsers = ev.select("user_id").distinct().count()
+    nGaps shouldBe nEvents - nUsers
+  }
+
   test("q72 funnel: NULL-text doc counts in n_total and fails every gate") {
     withTempDir { dir =>
       writeDocs(dir, Seq(1L -> "short doc here",
