@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, JaccardSimilarity}
+import graft.functions.{ArrayModeCount, CosineSimilarity, JaccardSimilarity}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions in the session FunctionRegistry, so SQL users get
@@ -30,6 +30,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2, "jaccard_sim takes exactly 2 arguments")
         JaccardSimilarity(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("array_mode_count"),
+      new ExpressionInfo(classOf[ArrayModeCount].getName, "array_mode_count"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "array_mode_count takes exactly 1 argument")
+        ArrayModeCount(children.head)
       }))
   }
 }

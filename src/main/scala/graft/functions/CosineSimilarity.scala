@@ -104,4 +104,7 @@ object GraftFunctions {
   def jaccardSim(a: Column, b: Column): Column =
     ColumnBridge.column(JaccardSimilarity(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def arrayModeCount(a: Column): Column =
+    ColumnBridge.column(ArrayModeCount(ColumnBridge.expression(a)))
 }

@@ -545,9 +545,16 @@ object TextQueries {
     * are per-doc ratios, so they are scale-free by construction (the q63
     * df lesson does not apply).
     */
-  /** Per-doc repetition counters (doc_id, n_toks, n_uniq, top_c, n_bg) —
-    * the aggregation described in q67's scaladoc, shared by q67 (which
-    * derives the fractions/flag) and q72's funnel stage.
+  /** Per-doc repetition counters (doc_id, n_toks, n_uniq, top_c, n_bg),
+    * shared by q67 (which derives the fractions/flag) and q72's funnel
+    * stage. A pure two-projection pass: the bigram mode is the fused
+    * codegen'd [[graft.functions.ArrayModeCount]] — one O(n) hash-map
+    * pass per row — so the metric needs NO exchange at all. The earlier
+    * shape (explode → groupBy(doc, bg) → groupBy(doc) max) shuffled one
+    * row per distinct (doc, bigram) twice; a per-document property
+    * shouldn't cost a cluster-wide aggregation. The bgs staging select
+    * keeps the interpreted shingles HOF evaluated once (CollapseProject
+    * refuses to inline non-cheap expressions referenced twice).
     */
   private[queries] def repetitionPerDoc(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
@@ -558,13 +565,8 @@ object TextQueries {
         size(array_distinct(toks)).as("n_uniq"),
         Text.shingles(toks, 2).as("bgs"))
       .select(col("doc_id"), col("n_toks"), col("n_uniq"),
-        size(col("bgs")).as("n_bg"), explode(col("bgs")).as("bg"))
-      .groupBy(col("doc_id"), col("bg"))
-      .agg(count(lit(1)).as("c"), max(col("n_toks")).as("n_toks"),
-        max(col("n_uniq")).as("n_uniq"), max(col("n_bg")).as("n_bg"))
-      .groupBy(col("doc_id"))
-      .agg(max(col("c")).as("top_c"), max(col("n_toks")).as("n_toks"),
-        max(col("n_uniq")).as("n_uniq"), max(col("n_bg")).as("n_bg"))
+        graft.functions.GraftFunctions.arrayModeCount(col("bgs")).as("top_c"),
+        size(col("bgs")).as("n_bg"))
   }
 
   /** The q67 flag over [[repetitionPerDoc]]'s columns. Both operands cast
@@ -612,6 +614,10 @@ object TextQueries {
     "q67_repetition",
     (s, dir) =>
       repetitionPerDoc(s, dir)
+        // NULL-text docs have no tokens to judge: absent from the report
+        // (the oracle's unnest drops them identically); q72 instead
+        // left-joins the helper so they still count in its funnel top line
+        .filter(col("n_toks").isNotNull)
         .select(col("doc_id"), col("n_toks").cast("long").as("n_toks"),
           ((col("n_toks") - col("n_uniq")).cast("double")
             / col("n_toks").cast("double")).as("dup_uni_frac"),
