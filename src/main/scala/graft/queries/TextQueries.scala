@@ -535,31 +535,36 @@ object TextQueries {
     * training filter. Per-doc output keeps the hash check strong.
     *
     * ## 100 TB notes
-    * The unigram stats are pure per-row compute (size/array_distinct HOFs,
-    * no shuffle). The bigram mode needs per-(doc, bigram) counts: explode
-    * → two groupBys, both map-side-partial — the shuffle carries one row
-    * per DISTINCT (doc, bigram), bounded by per-doc vocabulary, not token
-    * count. The per-doc constants (n_toks, n_uniq, n_bg) ride through
-    * both aggregations as max() of a constant instead of a join back to
-    * the doc table — one pass over the corpus, no second scan. Thresholds
-    * are per-doc ratios, so they are scale-free by construction (the q63
-    * df lesson does not apply).
+    * Everything is per-row compute, no exchange at all: unigram stats via
+    * size/array_distinct HOFs, the bigram mode via the fused codegen'd
+    * [[graft.functions.ArrayModeCount]] (one O(n) hash-map pass per row,
+    * map bounded by the doc's own vocabulary). The original shape —
+    * explode → groupBy(doc, bigram) → groupBy(doc) max — shuffled one
+    * row per distinct (doc, bigram) twice; a per-document property
+    * shouldn't cost a cluster-wide aggregation. Thresholds are per-doc
+    * ratios, so they are scale-free by construction (the q63 df lesson
+    * does not apply).
     */
   /** Per-doc repetition counters (doc_id, n_toks, n_uniq, top_c, n_bg),
     * shared by q67 (which derives the fractions/flag) and q72's funnel
-    * stage. A pure two-projection pass: the bigram mode is the fused
-    * codegen'd [[graft.functions.ArrayModeCount]] — one O(n) hash-map
-    * pass per row — so the metric needs NO exchange at all. The earlier
-    * shape (explode → groupBy(doc, bg) → groupBy(doc) max) shuffled one
-    * row per distinct (doc, bigram) twice; a per-document property
-    * shouldn't cost a cluster-wide aggregation. The bgs staging select
-    * keeps the interpreted shingles HOF evaluated once (CollapseProject
-    * refuses to inline non-cheap expressions referenced twice).
+    * stage — the pure two-projection pass described in the 100 TB notes
+    * above. The bgs staging select keeps the interpreted shingles HOF
+    * evaluated once (CollapseProject refuses to inline non-cheap
+    * expressions referenced twice).
+    *
+    * `dropNullText = true` filters NULL-text docs at the SCAN (a
+    * parquet-pushable `text IS NOT NULL`, q67's contract); `false` keeps
+    * them, with NULL metric columns (q72 counts them in its funnel top
+    * line). Filtering later on a derived column would re-tokenize every
+    * row inside the pushed-down Filter — per-operator subexpression
+    * elimination doesn't reach across the Filter/Project boundary.
     */
-  private[queries] def repetitionPerDoc(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def repetitionPerDoc(s: SparkSession, dir: String,
+      dropNullText: Boolean): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
+    val base = if (dropNullText) docs.filter(col("text").isNotNull) else docs
     val toks = Text.tokens(col("text"))
-    docs
+    base
       .select(col("doc_id"),
         size(toks).as("n_toks"),
         size(array_distinct(toks)).as("n_uniq"),
@@ -613,11 +618,9 @@ object TextQueries {
   val q67Repetition: Q = Q(
     "q67_repetition",
     (s, dir) =>
-      repetitionPerDoc(s, dir)
-        // NULL-text docs have no tokens to judge: absent from the report
-        // (the oracle's unnest drops them identically); q72 instead
-        // left-joins the helper so they still count in its funnel top line
-        .filter(col("n_toks").isNotNull)
+      // NULL-text docs have no tokens to judge: dropped at the scan
+      // (the oracle's unnest drops them identically)
+      repetitionPerDoc(s, dir, dropNullText = true)
         .select(col("doc_id"), col("n_toks").cast("long").as("n_toks"),
           ((col("n_toks") - col("n_uniq")).cast("double")
             / col("n_toks").cast("double")).as("dup_uni_frac"),
@@ -755,8 +758,8 @@ object TextQueries {
     * choice a production funnel wants).
     *
     * ## 100 TB notes
-    * The length/repetition columns ride the q67 aggregation (one explode,
-    * two map-side-partial groupBys); the component and split columns join
+    * The length/repetition columns are q67's no-shuffle projection pass;
+    * the component and split columns join
     * on doc_id (component table is |V(edges)|-bounded → broadcast); the
     * funnel itself is one low-cardinality group-by. Nothing here adds a
     * shuffle beyond its standalone constituents.
@@ -771,12 +774,13 @@ object TextQueries {
     "q72_corpus_funnel",
     (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      // LEFT join the metrics: a NULL-text doc has no shingle rows, but
-      // it must still count in n_total (and then fail every gate via
-      // NULL predicates) rather than vanish from the funnel's top line
+      // keep NULL-text docs: their metric columns are NULL, so they
+      // count in n_total and then fail every gate via NULL predicates
+      // rather than vanish from the funnel's top line
       val staged = docs
         .select(col("doc_id"), col("lang"), splitCol.as("split"))
-        .join(repetitionPerDoc(s, dir), Seq("doc_id"), "left")
+        .join(repetitionPerDoc(s, dir, dropNullText = false),
+          Seq("doc_id"), "left")
         .join(DedupQueries.componentLabels(s, dir), Seq("doc_id"), "left")
         .select(col("lang"), col("split"),
           (col("n_toks") >= MinDocTokens).as("len_ok"),
