@@ -515,8 +515,71 @@ object EventQueries {
             FROM g WHERE gap_us IS NOT NULL
             GROUP BY event_type ORDER BY event_type"""))
 
+  /** STATEFUL streaming under oracle hash check — the third and hardest
+    * real-streaming oracle after q64 (windowed agg) and q66 (state-store
+    * dedup): `flatMapGroupsWithState` sessionization
+    * ([[graft.streaming.EventStreams.sessionize]]) over the bounded file
+    * stream. The oracle mirrors the append-mode emission rule exactly:
+    *  - a session CLOSED by a later same-user event emits from the data
+    *    batch — every session except each user's last;
+    *  - each user's LAST (still-open) session emits only if its
+    *    event-time timeout fires in the no-data final micro-batch, i.e.
+    *    `floor((end+gap)/1000) < floor(max_ts/1000) − delay_ms` (Spark
+    *    tracks watermarks in ms and fires on STRICT less-than; both
+    *    floors mirrored in the SQL); otherwise it is held in state and
+    *    is verified ABSENT on both sides.
+    * Only the integer columns are emitted: the per-session value total
+    * is accumulated in ts-sort order inside the state function, and
+    * equal-µs ties would make a double sum order-ambiguous (q33 checks
+    * the session totals with exact decimals on the batch path).
+    */
+  val q75StreamSessions: Q = Q(
+    "q75_stream_sessions",
+    (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val evs = s.readStream.schema(batchSchema)
+        .parquet(eventsStreamDir(dir))
+        .select(col("user_id"), tsUs.as("ts_us"), col("value"))
+        .as[graft.streaming.EventStreams.Ev]
+      val out = graft.streaming.EventStreams.sessionize(evs)
+        .select(col("user_id"), col("start_us"), col("end_us"),
+          col("n_events"))
+      val mem = "q75_stream_sessions_mem"
+      s.catalog.dropTempView(mem) // stale table from a prior run, if any
+      val query = out.writeStream.format("memory").queryName(mem)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+      s.table(mem).orderBy("user_id", "start_us")
+    },
+    Some(s"""WITH e AS (SELECT user_id, event_id,
+                    ${duckUs("ts")} AS us FROM events),
+            mx AS (SELECT max(us) AS max_us FROM e),
+            lagd AS (SELECT user_id, event_id, us,
+                CASE WHEN lag(us, 1) OVER w IS NULL
+                     OR us - lag(us, 1) OVER w > 1800000000
+                     THEN 1 ELSE 0 END AS is_new
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+            seq AS (SELECT user_id, us,
+                sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+              FROM lagd),
+            sess AS (SELECT user_id, sid, min(us) AS start_us,
+                max(us) AS end_us, count(*) AS n_events
+              FROM seq GROUP BY user_id, sid),
+            last AS (SELECT user_id, max(sid) AS last_sid
+                     FROM sess GROUP BY user_id)
+            SELECT s.user_id, s.start_us, s.end_us,
+              CAST(s.n_events AS BIGINT) AS n_events
+            FROM sess s JOIN last l ON s.user_id = l.user_id CROSS JOIN mx
+            WHERE s.sid <> l.last_sid
+               OR (s.end_us + 1800000000) // 1000 < max_us // 1000 - 1800000
+            ORDER BY s.user_id, s.start_us"""))
+
   val all: Seq[Q] =
     Seq(q31HourlyFromJson, q32SlidingWindow, q33Sessionize, q34SessionWindow,
       q35EventFirst, q37AsofJoin, q38RangeJoin, q50AsofForward,
-      q64StreamHourly, q66StreamDedup, q73SaltedAgg, q74EventGaps)
+      q64StreamHourly, q66StreamDedup, q73SaltedAgg, q74EventGaps,
+      q75StreamSessions)
 }

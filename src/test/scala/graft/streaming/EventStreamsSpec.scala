@@ -182,4 +182,22 @@ class EventStreamsSpec extends SparkSpec {
       .distinct().count()
     a.length.toLong shouldBe batch
   }
+
+  test("q75 streaming sessions: rerun-stable, a subset of batch sessions") {
+    val dir = "/root/testdata/sf0.001"
+    val a = graft.queries.EventQueries.q75StreamSessions.fn(spark, dir).collect()
+    val b = graft.queries.EventQueries.q75StreamSessions.fn(spark, dir).collect()
+    a.toSeq shouldBe b.toSeq
+    a should not be empty
+    // every emitted session is a session of the batch gaps-and-islands
+    // relation, and at least each user's last one is withheld when its
+    // timeout hasn't fired (strictly fewer emitted than batch sessions)
+    val batch = graft.queries.EventQueries.q33Sessionize.fn(spark, dir)
+      .select("user_id", "start_us", "end_us", "n_events")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val emitted = a.map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    emitted.subsetOf(batch) shouldBe true
+    emitted.size should be < batch.size
+  }
 }
