@@ -45,6 +45,44 @@ object EventQueries {
 
   private val duckUs = (e: String) => s"epoch_us(CAST($e AS TIMESTAMP))"
 
+  /** The session gap, single-sourced from the streaming implementation so
+    * the batch relations (q33/q34), the streaming path, and every oracle
+    * agree by construction.
+    */
+  private val GapUs: Long = graft.streaming.EventStreams.SessionGapUs
+
+  /** Gaps-and-islands session core shared by the q33/q34/q75 oracles:
+    * CTEs `e(user_id, event_id, value, ts_us)` →
+    * `sess(..., is_new, session_seq)`.
+    */
+  private def duckSessionCtes: String =
+    s"""e AS (SELECT user_id, event_id, value,
+                          ${duckUs("ts")} AS ts_us FROM events),
+             flags AS (SELECT *, CASE WHEN prev_us IS NULL
+                           OR ts_us - prev_us > $GapUs THEN 1 ELSE 0 END AS is_new
+                       FROM (SELECT *, lag(ts_us) OVER (PARTITION BY user_id
+                               ORDER BY ts_us, event_id) AS prev_us FROM e)),
+             sess AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id
+                        ORDER BY ts_us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS session_seq
+                      FROM flags)"""
+
+  /** Run a streaming DataFrame to completion through a memory sink
+    * (append mode, AvailableNow) and return the drained table — the
+    * bounded-stream harness shared by q64/q66/q75. Drops any stale view
+    * from a prior run in the same session first.
+    */
+  private def runToMemorySink(s: SparkSession, df: DataFrame,
+      name: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    s.catalog.dropTempView(name)
+    val query = df.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    query.awaitTermination()
+    s.table(name)
+  }
+
   /** Tumbling 1-hour windows: counts, exact-decimal value sums, and the
     * sum of the JSON-extracted `props.k` per (window, event_type).
     */
@@ -108,9 +146,8 @@ object EventQueries {
       val ev = Tables.load(s, dir, "events")
       val byUser = Window.partitionBy(col("user_id"))
         .orderBy(col("ts_us").asc, col("event_id").asc)
-      val gapUs = 30L * 60 * 1000000
       val newSession = when(
-        col("prev_us").isNull || (col("ts_us") - col("prev_us")) > gapUs, 1L)
+        col("prev_us").isNull || (col("ts_us") - col("prev_us")) > GapUs, 1L)
         .otherwise(0L)
       ev.select(col("user_id"), col("event_id"), col("value"),
           tsUs.as("ts_us"))
@@ -126,17 +163,7 @@ object EventQueries {
             .as("total_value"))
         .orderBy("user_id", "session_seq")
     },
-    Some(s"""WITH e AS (SELECT user_id, event_id, value,
-                          ${duckUs("ts")} AS ts_us FROM events),
-             flags AS (SELECT *, CASE WHEN prev_us IS NULL
-                           OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS is_new
-                       FROM (SELECT *, lag(ts_us) OVER (PARTITION BY user_id
-                               ORDER BY ts_us, event_id) AS prev_us FROM e)),
-             sess AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id
-                        ORDER BY ts_us, event_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                        AS session_seq
-                      FROM flags)
+    Some(s"""WITH $duckSessionCtes
              SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
                min(ts_us) AS start_us,
                max(ts_us) AS end_us, count(*) AS n_events,
@@ -160,19 +187,9 @@ object EventQueries {
           us(col("w.end")).as("end_us"), col("n_events"))
         .orderBy("user_id", "start_us")
     },
-    Some(s"""WITH e AS (SELECT user_id, event_id, ${duckUs("ts")} AS ts_us
-                        FROM events),
-             flags AS (SELECT *, CASE WHEN prev_us IS NULL
-                           OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS is_new
-                       FROM (SELECT *, lag(ts_us) OVER (PARTITION BY user_id
-                               ORDER BY ts_us, event_id) AS prev_us FROM e)),
-             sess AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id
-                        ORDER BY ts_us, event_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                        AS session_seq
-                      FROM flags)
+    Some(s"""WITH $duckSessionCtes
              SELECT user_id, min(ts_us) AS start_us,
-               max(ts_us) + 1800000000 AS end_us, count(*) AS n_events
+               max(ts_us) + $GapUs AS end_us, count(*) AS n_events
              FROM sess GROUP BY user_id, session_seq
              ORDER BY user_id, start_us"""))
 
@@ -374,12 +391,8 @@ object EventQueries {
         .agg(count(lit(1)).as("n_events"))
         .select(us(col("w.start")).as("window_start_us"), col("event_type"),
           col("n_events"))
-      val mem = "q64_stream_hourly_mem"
-      s.catalog.dropTempView(mem) // stale table from a prior run, if any
-      val query = agg.writeStream.format("memory").queryName(mem)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      query.awaitTermination()
-      s.table(mem).orderBy("window_start_us", "event_type")
+      runToMemorySink(s, agg, "q64_stream_hourly_mem")
+        .orderBy("window_start_us", "event_type")
     },
     Some(s"""WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS t, event_type
               FROM events),
@@ -416,12 +429,8 @@ object EventQueries {
         .withWatermark("tss", "10 minutes")
         .dropDuplicatesWithinWatermark("user_id", "hour_us")
         .select(col("user_id"), col("hour_us"))
-      val mem = "q66_stream_dedup_mem"
-      s.catalog.dropTempView(mem)
-      val query = dedup.writeStream.format("memory").queryName(mem)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      query.awaitTermination()
-      s.table(mem).orderBy("user_id", "hour_us")
+      runToMemorySink(s, dedup, "q66_stream_dedup_mem")
+        .orderBy("user_id", "hour_us")
     },
     Some(s"""SELECT DISTINCT user_id,
               ${duckUs("date_trunc('hour', CAST(ts AS TIMESTAMP))")} AS hour_us
@@ -546,36 +555,23 @@ object EventQueries {
       val out = graft.streaming.EventStreams.sessionize(evs)
         .select(col("user_id"), col("start_us"), col("end_us"),
           col("n_events"))
-      val mem = "q75_stream_sessions_mem"
-      s.catalog.dropTempView(mem) // stale table from a prior run, if any
-      val query = out.writeStream.format("memory").queryName(mem)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      query.awaitTermination()
-      s.table(mem).orderBy("user_id", "start_us")
+      runToMemorySink(s, out, "q75_stream_sessions_mem")
+        .orderBy("user_id", "start_us")
     },
-    Some(s"""WITH e AS (SELECT user_id, event_id,
-                    ${duckUs("ts")} AS us FROM events),
-            mx AS (SELECT max(us) AS max_us FROM e),
-            lagd AS (SELECT user_id, event_id, us,
-                CASE WHEN lag(us, 1) OVER w IS NULL
-                     OR us - lag(us, 1) OVER w > 1800000000
-                     THEN 1 ELSE 0 END AS is_new
-              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
-            seq AS (SELECT user_id, us,
-                sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-              FROM lagd),
-            sess AS (SELECT user_id, sid, min(us) AS start_us,
-                max(us) AS end_us, count(*) AS n_events
-              FROM seq GROUP BY user_id, sid),
-            last AS (SELECT user_id, max(sid) AS last_sid
-                     FROM sess GROUP BY user_id)
-            SELECT s.user_id, s.start_us, s.end_us,
-              CAST(s.n_events AS BIGINT) AS n_events
-            FROM sess s JOIN last l ON s.user_id = l.user_id CROSS JOIN mx
-            WHERE s.sid <> l.last_sid
-               OR (s.end_us + 1800000000) // 1000 < max_us // 1000 - 1800000
-            ORDER BY s.user_id, s.start_us"""))
+    Some(s"""WITH $duckSessionCtes,
+            mx AS (SELECT max(ts_us) AS max_us FROM e),
+            agg AS (SELECT user_id, session_seq, min(ts_us) AS start_us,
+                max(ts_us) AS end_us, count(*) AS n_events
+              FROM sess GROUP BY user_id, session_seq),
+            last AS (SELECT user_id, max(session_seq) AS last_seq
+                     FROM agg GROUP BY user_id)
+            SELECT a.user_id, a.start_us, a.end_us,
+              CAST(a.n_events AS BIGINT) AS n_events
+            FROM agg a JOIN last l ON a.user_id = l.user_id CROSS JOIN mx
+            WHERE a.session_seq <> l.last_seq
+               OR (a.end_us + $GapUs) // 1000
+                  < max_us // 1000 - ${GapUs / 1000}
+            ORDER BY a.user_id, a.start_us"""))
 
   val all: Seq[Q] =
     Seq(q31HourlyFromJson, q32SlidingWindow, q33Sessionize, q34SessionWindow,

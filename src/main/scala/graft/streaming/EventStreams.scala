@@ -31,6 +31,12 @@ object EventStreams {
 
   val SessionGapUs: Long = 30L * 60 * 1000000
 
+  /** Sessionization's watermark delay, DERIVED from the gap so the two
+    * stay equal by construction — q75's oracle cutoff
+    * (`end + gap < max − delay`, in ms) assumes it.
+    */
+  val SessionWatermark: String = s"${SessionGapUs / 60000000} minutes"
+
   /** Tumbling event-time window counts with a watermark (append-ready). */
   def hourlyCounts(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     events
@@ -99,7 +105,7 @@ object EventStreams {
     import events.sparkSession.implicits._
     events
       .withColumn("tss", timestamp_micros(col("ts_us")))
-      .withWatermark("tss", "30 minutes")
+      .withWatermark("tss", SessionWatermark)
       .as[Ev]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[OpenSession, Session](
