@@ -77,11 +77,17 @@ object MultimodalQueries {
 
   /** Frame sampling through the REAL engine path ([[Multimodal.sampleFrames]]:
     * lazy per-row iterator, every-Nth fixed-width byte window, short tail
-    * frame) — oracle-checked byte-for-byte against DuckDB blob slicing.
+    * frame) — oracle-checked byte-for-byte against DuckDB string slicing.
     * With q36 (metadata) and q58 (feature pooling) this leaves only the
     * codec-bound decode stub outside oracle coverage, by container
     * necessity. Pure executor-side 1->many explosion: no shuffle before
     * the output sort.
+    *
+    * The frame bytes are emitted as `md5(frame)` hex, NOT the raw binary:
+    * the digest is over the exact sampled bytes (still a byte-exact
+    * check), but a raw `binary` output column crashes the driver's
+    * pandas comparator ("unhashable type: bytearray"). The comparator
+    * contract is enforced build-time by ComparatorContractSpec.
     */
   val q65FrameSample: Q = Q(
     "q65_frame_sample",
@@ -93,14 +99,16 @@ object MultimodalQueries {
         .as[Multimodal.Media]
       Multimodal.sampleFrames(media, frameBytes = 64, everyN = 2)
         .select(col("id").as("doc_id"), col("frame_idx"),
-          octet_length(col("frame")).as("n_bytes"), col("frame"))
+          octet_length(col("frame")).as("n_bytes"),
+          md5(col("frame")).as("frame_md5"))
         .orderBy("doc_id", "frame_idx")
     },
-    // DuckDB can't substring a BLOB; char-slice-then-encode IS the byte
-    // slice iff the text is pure ASCII — which the oracle ENFORCES
-    // per-row (lazy error() in the CASE), so a regenerated fixture with
-    // multibyte text fails loudly at the precondition, not as an opaque
-    // VALUES diff. The Spark side slices real bytes and needs no guard.
+    // DuckDB md5(VARCHAR) digests the string's bytes, which equal the
+    // Spark-side sliced bytes iff the text is pure ASCII — which the
+    // oracle ENFORCES per-row (lazy error() in the CASE), so a
+    // regenerated fixture with multibyte text fails loudly at the
+    // precondition, not as an opaque VALUES diff. The Spark side slices
+    // real bytes and needs no guard. Both engines emit lowercase hex.
     Some("""WITH m AS (SELECT doc_id,
               CASE WHEN octet_length(encode(text)) <> length(text)
                    THEN error('q65 oracle needs ASCII text; doc_id='
@@ -113,7 +121,7 @@ object MultimodalQueries {
               FROM m)
             SELECT doc_id, i::INT AS frame_idx,
               length(substring(t, (i * 64 + 1)::INT, 64))::INT AS n_bytes,
-              encode(substring(t, (i * 64 + 1)::INT, 64)) AS frame
+              md5(substring(t, (i * 64 + 1)::INT, 64)) AS frame_md5
             FROM f ORDER BY doc_id, frame_idx"""))
 
   val all: Seq[Q] = Seq(q36MultimodalMeta, q58FeaturePool, q65FrameSample)
