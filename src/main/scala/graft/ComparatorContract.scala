@@ -39,7 +39,16 @@ object ComparatorContract {
         case _: TimestampType | _: TimestampNTZType | DateType =>
           Some(s"${f.name}: ${f.dataType.simpleString} " +
             "(emit epoch micros BIGINT or a formatted string)")
-        case _ => None
+        // ALLOWLIST: the only types the pandas comparator is known to
+        // sort/hash stably. Anything else — interval types, NullType
+        // from a bare lit(null), future additions — is rejected by
+        // default rather than silently passed through to an opaque
+        // driver-side failure.
+        case _: NumericType | _: StringType | BooleanType => None
+        case other =>
+          Some(s"${f.name}: ${other.simpleString} " +
+            "(outside the comparator-safe allowlist: numeric, string, " +
+            "boolean)")
       }
     }
 

@@ -21,6 +21,7 @@ object Verify {
     val selected =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => only(n) }
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
     selected.foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
@@ -28,6 +29,12 @@ object Verify {
         ComparatorContract.require(name, df.schema)
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       } catch { case e: Throwable =>
+        // a failure must not be maskable: remove any stale result a
+        // prior run left for this query, and remember it for the exit
+        // code — a zero exit with old parquet in place would read as
+        // green driver-side
+        deleteRecursively(Paths.get(s"$outDir/$name"))
+        failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -36,5 +43,21 @@ object Verify {
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(
+        s"[verify] ${failed.size} quer${if (failed.size == 1) "y" else "ies"} " +
+          s"failed: ${failed.sorted.mkString(", ")}")
+      sys.exit(1)
+    }
   }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      if (Files.isDirectory(p)) {
+        val s = Files.list(p)
+        try s.forEach(deleteRecursively(_)) finally s.close()
+      }
+      Files.deleteIfExists(p)
+      ()
+    }
 }

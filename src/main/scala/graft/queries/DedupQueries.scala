@@ -377,6 +377,41 @@ object DedupQueries {
     lbl.select(col("v").as("doc_id"), col("lbl").as("component"))
   }
 
+  /** Materialize-once-reuse for [[componentLabels]] — the 100 TB posture
+    * ("compute the clustering once, land it, let every consumer read the
+    * table") as code instead of a comment: the FIRST consumer per
+    * (JVM, fixture dir) computes the labels and lands them through the
+    * gold parquet sink ([[graft.engine.Sinks.writeParquet]]); every later
+    * consumer (q59's corpus materialization, q72's funnel) reads that
+    * parquet back instead of re-running the iterative clustering. The
+    * table lives under a per-JVM temp root, so a regenerated fixture or
+    * a new run can never observe a stale clustering; q43/q69 keep
+    * computing from scratch — they ARE the definition the oracle checks.
+    */
+  private lazy val labelRoot: java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("graft_labels_")
+  private val labelPaths =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  /** Number of from-scratch label computations this JVM has run through
+    * the materialized path (spec hook: two consumers, one compute).
+    */
+  private[graft] val labelComputeCount =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private[queries] def componentLabelTable(s: SparkSession,
+                                           dir: String): DataFrame = {
+    val path = labelPaths.getOrElseUpdate(dir, {
+      val p = labelRoot
+        .resolve(s"${labelPaths.size}_" +
+          dir.replaceAll("[^A-Za-z0-9._-]", "_"))
+        .toString
+      labelComputeCount.incrementAndGet()
+      graft.engine.Sinks.writeParquet(componentLabels(s, dir), p)
+      p
+    })
+    s.read.parquet(path)
+  }
+
   /** Oracle CTE chain shared by q43/q59: same edge set, same fixpoint,
     * declaratively via a recursive CTE, ending in
     * `comp(doc_id, component)`.
@@ -465,7 +500,7 @@ object DedupQueries {
     "q59_dedup_materialize",
     (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      val comp = componentLabels(s, dir)
+      val comp = componentLabelTable(s, dir)
       docs.join(comp, Seq("doc_id"), "left")
         .select(col("lang"), dedupKeepCol.as("kept"))
         .groupBy(col("lang"))

@@ -1,5 +1,7 @@
 package graft.queries
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -357,6 +359,98 @@ object EventQueries {
     streamDir.toString
   }
 
+  /** Three-file OUT-OF-ORDER staging for the late-data oracle (q76),
+    * admitted oldest-mtime-first as one micro-batch each
+    * (`maxFilesPerTrigger=1`):
+    *   - `a.parquet`: the even event_ids (full time span) — batch 0
+    *     advances the watermark to max(a) − delay;
+    *   - `b.parquet`: the odd ids BEYOND max(a) (may be empty) — batch 1
+    *     exists because Spark's late filter LAGS eviction by one batch
+    *     (SPARK-40925: late events are filtered with the PREVIOUS
+    *     batch's watermark, state is evicted with the current one), so
+    *     rows dropped in batch k must be late against the watermark that
+    *     batch k−1 already started with;
+    *   - `c.parquet`: the odd ids at or before max(a) — batch 2, where
+    *     every row whose hour window closed at or before max(a) − delay
+    *     is DROPPED. The dropping half of the watermark contract, which
+    *     the in-arrival-order staging ([[eventsStreamDir]]) can never
+    *     exercise.
+    * Rebuilt whenever the marker's recorded source (size, mtime) stops
+    * matching: a regenerated fixture invalidates the staging, a repeated
+    * run reuses it.
+    */
+  private def eventsOooStreamDir(s: SparkSession, dir: String): String = {
+    import java.nio.file.{Files, Paths, Path}
+    val staging = Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_stream_events_ooo_" + dir.replaceAll("[^A-Za-z0-9._-]", "_"))
+    val src = Paths.get(s"$dir/events.parquet")
+    val stamp =
+      s"${Files.size(src)}:${Files.getLastModifiedTime(src).toMillis}"
+    val marker = staging.resolve("_STAGED")
+    val fresh = Files.exists(marker) && Files.readString(marker) == stamp
+    if (!fresh) {
+      def rm(p: Path): Unit = if (Files.exists(p)) {
+        if (Files.isDirectory(p)) {
+          val l = Files.list(p)
+          try l.forEach(rm(_)) finally l.close()
+        }
+        Files.deleteIfExists(p); ()
+      }
+      rm(staging)
+      Files.createDirectories(staging)
+      val ev = s.read.parquet(src.toString)
+      def stageOne(df: DataFrame, name: String, mtimeMs: Long): Unit = {
+        val tmp = staging.resolve(name + ".tmp")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val l = Files.list(tmp)
+        val part =
+          try l.iterator().asScala
+            .find(_.getFileName.toString.endsWith(".parquet"))
+            .getOrElse(throw new IllegalStateException(
+              s"no part file written under $tmp"))
+          finally l.close()
+        Files.move(part, staging.resolve(name))
+        rm(tmp)
+        Files.setLastModifiedTime(staging.resolve(name),
+          java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+      }
+      // 30 s apart: unambiguous ordering even on coarse-mtime filesystems
+      val now = System.currentTimeMillis()
+      val evens = ev.filter(col("event_id") % 2 === 0)
+      val odds = ev.filter(col("event_id") % 2 =!= 0)
+      val maxEvenUs = evens.agg(max(tsUs)).head.getLong(0)
+      stageOne(evens, "a.parquet", now - 90000)
+      stageOne(odds.filter(tsUs > maxEvenUs), "b.parquet", now - 60000)
+      stageOne(odds.filter(tsUs <= maxEvenUs), "c.parquet", now - 30000)
+      Files.writeString(marker, stamp)
+    }
+    staging.toString
+  }
+
+  /** q66's plain-DISTINCT oracle is valid only while the bounded stream
+    * drains in ONE micro-batch: across batches,
+    * `dropDuplicatesWithinWatermark` may legitimately re-emit a key that
+    * recurs more than the delay apart once the first occurrence's state
+    * is evicted. That precondition is enforced HERE, in code — a
+    * regenerated multi-file staging dir fails at this check, never as an
+    * opaque driver-side VALUES diff.
+    */
+  private[queries] def requireSingleDataFile(stagingDir: String): Unit = {
+    val s = java.nio.file.Files.list(java.nio.file.Paths.get(stagingDir))
+    val n =
+      try {
+        val it = s.iterator()
+        var c = 0
+        while (it.hasNext) {
+          if (it.next().getFileName.toString.endsWith(".parquet")) c += 1
+        }
+        c
+      } finally s.close()
+    if (n != 1) throw new IllegalStateException(
+      s"single-micro-batch oracle precondition: expected exactly 1 data " +
+        s"file in $stagingDir, found $n")
+  }
+
   /** An ACTUAL Structured Streaming run, hash-checked by the oracle —
     * closing the "streaming is not oracle-able" gap: a bounded file
     * stream over the same events parquet, `AvailableNow` trigger,
@@ -422,8 +516,10 @@ object EventQueries {
     (s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val stagingDir = eventsStreamDir(dir)
+      requireSingleDataFile(stagingDir)
       val dedup = s.readStream.schema(batchSchema)
-        .parquet(eventsStreamDir(dir))
+        .parquet(stagingDir)
         .select(tsStamp.as("tss"), col("user_id"))
         .withColumn("hour_us", us(date_trunc("hour", col("tss"))))
         .withWatermark("tss", "10 minutes")
@@ -573,9 +669,88 @@ object EventQueries {
                   < max_us // 1000 - ${GapUs / 1000}
             ORDER BY a.user_id, a.start_us"""))
 
+  /** Run q76's two-batch late-data stream and surface the state
+    * operator's `numRowsDroppedByWatermark` alongside the drained result
+    * — the spec asserts the drop count is REALLY nonzero, so a future
+    * fixture/split change can't silently degenerate this back into the
+    * in-order (nothing-late) case while the oracle still matches.
+    */
+  private[graft] def runQ76(s: SparkSession, dir: String): (DataFrame, Long) = {
+    import org.apache.spark.sql.streaming.Trigger
+    val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+    val agg = s.readStream.schema(batchSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(eventsOooStreamDir(s, dir))
+      .select(tsStamp.as("tss"), col("event_type"))
+      .withWatermark("tss", "10 minutes")
+      .groupBy(window(col("tss"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(us(col("w.start")).as("window_start_us"), col("event_type"),
+        col("n_events"))
+    val name = "q76_stream_late_mem"
+    s.catalog.dropTempView(name)
+    val query = agg.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    query.awaitTermination()
+    val dropped = query.recentProgress.toSeq
+      .flatMap(_.stateOperators.toSeq.map(_.numRowsDroppedByWatermark)).sum
+    (s.table(name).orderBy("window_start_us", "event_type"), dropped)
+  }
+
+  /** The DROPPING half of the watermark contract under oracle hash check
+    * — the complement of q64, whose in-arrival-order fixture never drops
+    * a row: the same hourly aggregation drains the three-file
+    * out-of-order staging ([[eventsOooStreamDir]]) in three
+    * micro-batches. Batch 0 (file `a`: even event_ids, full time span)
+    * advances the watermark to wm0 = max(a) − 10 min; batch 1 (file `b`:
+    * the trailing odds) cements wm0 as the PREVIOUS-batch watermark the
+    * late filter lags on; batch 2 (file `c`: the remaining odds) then
+    * finds most of its rows late — every row whose hour window closed at
+    * or before wm0 is dropped before the aggregation and must be absent
+    * from its window's count on BOTH engines.
+    *
+    * The oracle mirrors the full contract in milliseconds (Spark tracks
+    * watermarks as floor-ms of the max event time):
+    *   - acceptance: batches 0/1 are filtered against watermark 0
+    *     (nothing drops); a batch-2 row survives iff its window's end is
+    *     strictly after wm0 = floor(max_a_us / 1000) − 600000;
+    *   - no double emission: state evicted before batch 2 covers exactly
+    *     the windows at or before wm0 — the same bound the late filter
+    *     applies to batch 2 — so an accepted row can never re-open an
+    *     already-emitted window;
+    *   - emission: a window is final iff its end is at or before
+    *     wm_final = floor(max_all_us / 1000) − 600000 — q64's append
+    *     rule. Boundary ties cannot occur: window ends are whole hours,
+    *     watermarks carry the fixture's sub-second precision.
+    */
+  val q76StreamLateDrop: Q = Q(
+    "q76_stream_late_drop",
+    (s, dir) => runQ76(s, dir)._1,
+    Some(s"""WITH e AS (SELECT event_id, event_type,
+                   CAST(ts AS TIMESTAMP) AS t, ${duckUs("ts")} AS us
+                 FROM events),
+            m0 AS (SELECT max(us) AS us FROM e WHERE event_id % 2 = 0),
+            wm0 AS (SELECT us // 1000 - 600000 AS ms FROM m0),
+            wmf AS (SELECT max(us) // 1000 - 600000 AS ms FROM e),
+            acc AS (SELECT t, event_type FROM e WHERE event_id % 2 = 0
+                    UNION ALL
+                    SELECT e.t, e.event_type FROM e, m0
+                    WHERE e.event_id % 2 = 1 AND e.us > m0.us
+                    UNION ALL
+                    SELECT e.t, e.event_type FROM e, m0, wm0
+                    WHERE e.event_id % 2 = 1 AND e.us <= m0.us
+                      AND epoch_ms(date_trunc('hour', e.t)
+                                   + INTERVAL 1 HOUR) > wm0.ms)
+            SELECT epoch_us(date_trunc('hour', t)) AS window_start_us,
+              event_type, count(*) AS n_events
+            FROM acc, wmf
+            WHERE epoch_ms(date_trunc('hour', t) + INTERVAL 1 HOUR)
+              <= wmf.ms
+            GROUP BY 1, 2 ORDER BY window_start_us, event_type"""))
+
   val all: Seq[Q] =
     Seq(q31HourlyFromJson, q32SlidingWindow, q33Sessionize, q34SessionWindow,
       q35EventFirst, q37AsofJoin, q38RangeJoin, q50AsofForward,
       q64StreamHourly, q66StreamDedup, q73SaltedAgg, q74EventGaps,
-      q75StreamSessions)
+      q75StreamSessions, q76StreamLateDrop)
 }

@@ -124,5 +124,61 @@ object MultimodalQueries {
               md5(substring(t, (i * 64 + 1)::INT, 64)) AS frame_md5
             FROM f ORDER BY doc_id, frame_idx"""))
 
-  val all: Seq[Q] = Seq(q36MultimodalMeta, q58FeaturePool, q65FrameSample)
+  /** The decode STUB's byte math under the oracle — with q36 (metadata),
+    * q58 (pooling), and q65 (framing) green, the stride arithmetic
+    * inside [[Multimodal.decodeFeatures]] was the last fake math outside
+    * verification; this closes it, leaving only the codec call itself
+    * (absent from the container by necessity) untested.
+    *
+    * The features run through the REAL `mapPartitions` decode path, and
+    * each float feature is mapped back to its exact integer stride sum:
+    * the stub emits `(s % 256).toFloat / 255f`, whose float error is far
+    * below 0.5 ulp-of-integer, so `round(f * 255)` recovers `s % 256`
+    * exactly. DuckDB recomputes the sums from the ASCII text with
+    * `ascii(substring(...))` arithmetic over an unnested position range
+    * (the same per-row ASCII guard as q65's oracle: a regenerated
+    * multibyte fixture fails loudly at the precondition). NULL-text docs
+    * flow through both sides as zero-byte media: n_bytes 0, all-zero
+    * features.
+    */
+  val q77DecodeStub: Q = Q(
+    "q77_decode_stub",
+    (s, dir) => {
+      import s.implicits._
+      val media = Multimodal.mediaFromText(
+          Tables.load(s, dir, "documents"), "doc_id", "text")
+        .select(col("id"), col("media"), col("meta.mime").as("mime"))
+        .as[Multimodal.Media]
+      val feats = Multimodal.decodeFeatures(media)
+      feats.select(col("id").as("doc_id") +: col("n_bytes") +:
+          (0 until Multimodal.FeatureDim).map(i =>
+            round(col("features")(i) * 255).cast("long").as(s"f$i")): _*)
+        .orderBy("doc_id")
+    },
+    Some {
+      val dim = Multimodal.FeatureDim
+      val fs = (0 until dim).map(i =>
+        s"CAST(coalesce(a.f$i, 0) AS BIGINT) AS f$i").mkString(", ")
+      val pivots = (0 until dim).map(i =>
+        s"sum(CASE WHEN i = $i THEN v END) % 256 AS f$i").mkString(", ")
+      s"""WITH m AS (SELECT doc_id,
+              CASE WHEN text IS NULL THEN ''
+                   WHEN octet_length(encode(text)) <> length(text)
+                   THEN error('q77 oracle needs ASCII text; doc_id='
+                              || doc_id)
+                   ELSE text END AS t
+            FROM documents),
+          pos AS (SELECT doc_id, t, unnest(range(0, length(t))) AS j
+                  FROM m),
+          b AS (SELECT doc_id, (j % $dim) AS i,
+                  ascii(substring(t, (j + 1)::INT, 1)) AS v
+                FROM pos),
+          agg AS (SELECT doc_id, $pivots FROM b GROUP BY doc_id)
+          SELECT m.doc_id, CAST(length(m.t) AS BIGINT) AS n_bytes, $fs
+          FROM m LEFT JOIN agg a ON a.doc_id = m.doc_id
+          ORDER BY m.doc_id"""
+    })
+
+  val all: Seq[Q] =
+    Seq(q36MultimodalMeta, q58FeaturePool, q65FrameSample, q77DecodeStub)
 }

@@ -781,7 +781,7 @@ object TextQueries {
         .select(col("doc_id"), col("lang"), splitCol.as("split"))
         .join(repetitionPerDoc(s, dir, dropNullText = false),
           Seq("doc_id"), "left")
-        .join(DedupQueries.componentLabels(s, dir), Seq("doc_id"), "left")
+        .join(DedupQueries.componentLabelTable(s, dir), Seq("doc_id"), "left")
         .select(col("lang"), col("split"),
           (col("n_toks") >= MinDocTokens).as("len_ok"),
           (!repetitiousCol).as("not_rep"),

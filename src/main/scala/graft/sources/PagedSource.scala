@@ -120,19 +120,26 @@ object PagedSource {
       try out = fetchPage(page, perPage, pages, attempt, failFirst)
       catch {
         case scala.util.control.NonFatal(e) if attempt + 1 < retries =>
-          // doubling delay, capped: an uncapped shift overflows past
-          // attempt 62 and already hangs effectively forever long before
-          if (backoffMs > 0)
-            Thread.sleep(math.min(MaxBackoffMs,
-              backoffMs << math.min(attempt, 20)))
+          if (backoffMs > 0) Thread.sleep(delayMs(backoffMs, attempt))
           attempt += 1
       }
     }
     out
   }
 
+  /** Single retry delay: doubling from `backoffMs`, capped at
+    * [[MaxBackoffMs]]. The cap is applied BEFORE the shift: a large
+    * configured base shifted first overflows Long to a negative, and
+    * `Thread.sleep(negative)` throws — turning a transient page failure
+    * into a task crash instead of a capped wait.
+    */
+  private[sources] def delayMs(backoffMs: Long, attempt: Int): Long = {
+    val base = math.min(backoffMs, MaxBackoffMs)
+    math.min(MaxBackoffMs, base << math.min(attempt, 20))
+  }
+
   /** Ceiling on a single retry delay (1 min, the reference's poke scale). */
-  private val MaxBackoffMs = 60000L
+  private[sources] val MaxBackoffMs = 60000L
 }
 
 private class PagedTable(conf: PagedConf) extends Table with SupportsRead {

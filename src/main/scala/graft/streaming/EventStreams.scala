@@ -33,9 +33,17 @@ object EventStreams {
 
   /** Sessionization's watermark delay, DERIVED from the gap so the two
     * stay equal by construction — q75's oracle cutoff
-    * (`end + gap < max − delay`, in ms) assumes it.
+    * (`end + gap < max − delay`, in ms) assumes it. Derived in
+    * MILLISECONDS under a whole-ms guard: a division to coarser units
+    * (the previous `/ 60000000` minutes form) silently SHRINKS the delay
+    * for any non-whole-unit gap while the oracle keeps the exact gap.
     */
-  val SessionWatermark: String = s"${SessionGapUs / 60000000} minutes"
+  val SessionWatermark: String = {
+    require(SessionGapUs % 1000 == 0,
+      s"session gap must be whole milliseconds for an exact watermark " +
+        s"delay, got ${SessionGapUs}us")
+    s"${SessionGapUs / 1000} milliseconds"
+  }
 
   /** Tumbling event-time window counts with a watermark (append-ready). */
   def hourlyCounts(events: DataFrame, watermark: String = "1 hour"): DataFrame =

@@ -50,4 +50,18 @@ class ComparatorContractSpec extends SparkSpec {
       StructField("flag", BooleanType),
       StructField("dec", DecimalType(30, 10))))) shouldBe empty
   }
+
+  test("types outside the allowlist are rejected, not silently passed") {
+    // the pandas comparator can't sort/hash these either; the guard is an
+    // allowlist so a FUTURE unhandled type fails here, not driver-side
+    ComparatorContract.violations(StructType(Seq(
+      StructField("iv", DayTimeIntervalType())))) should have size 1
+    ComparatorContract.violations(StructType(Seq(
+      StructField("iv", YearMonthIntervalType())))) should have size 1
+    ComparatorContract.violations(StructType(Seq(
+      StructField("iv", CalendarIntervalType)))) should have size 1
+    // a bare lit(null) column is NullType
+    ComparatorContract.violations(StructType(Seq(
+      StructField("n", NullType)))) should have size 1
+  }
 }

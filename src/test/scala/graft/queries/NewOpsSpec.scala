@@ -293,6 +293,40 @@ class NewOpsSpec extends SparkSpec {
     nGaps shouldBe nEvents - nUsers
   }
 
+  test("component labels materialize once and serve q59 AND q72") {
+    val dir = "/root/testdata/sf0.001"
+    val before = DedupQueries.labelComputeCount.get
+    val table = DedupQueries.componentLabelTable(spark, dir)
+    val mid = DedupQueries.labelComputeCount.get
+    // first call for this (JVM, dir) computes and lands the table; any
+    // later call — including one from an earlier test — reads parquet
+    (mid - before) should be <= 1
+    // both production consumers run WITHOUT another clustering compute
+    DedupQueries.q59DedupMaterialize.fn(spark, dir).collect()
+    TextQueries.q72CorpusFunnel.fn(spark, dir).collect()
+    DedupQueries.componentLabelTable(spark, dir)
+    DedupQueries.labelComputeCount.get shouldBe mid
+    // and the landed table IS the from-scratch clustering
+    val mat = table.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = DedupQueries.componentLabels(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    mat shouldBe direct
+  }
+
+  test("single-data-file precondition trips on a multi-file staging") {
+    withTempDir { dir =>
+      java.nio.file.Files.createFile(
+        java.nio.file.Paths.get(dir, "part-0.parquet"))
+      java.nio.file.Files.createFile(
+        java.nio.file.Paths.get(dir, "part-1.parquet"))
+      an[IllegalStateException] should be thrownBy
+        EventQueries.requireSingleDataFile(dir)
+      java.nio.file.Files.delete(
+        java.nio.file.Paths.get(dir, "part-1.parquet"))
+      noException should be thrownBy EventQueries.requireSingleDataFile(dir)
+    }
+  }
+
   test("q72 funnel: NULL-text doc counts in n_total and fails every gate") {
     withTempDir { dir =>
       writeDocs(dir, Seq(1L -> "short doc here",

@@ -25,6 +25,23 @@ class PagedSourceSpec extends SparkSpec {
     flaky.toSeq shouldBe read(3, 10).orderBy("id").collect().toSeq
   }
 
+  test("retry delay clamps BEFORE shifting: huge base cannot overflow") {
+    // the round-5 latent defect: cap applied after the shift overflows to
+    // a negative for base >= ~2^43, and Thread.sleep(negative) throws
+    PagedSource.delayMs(Long.MaxValue / 2, 0) shouldBe PagedSource.MaxBackoffMs
+    PagedSource.delayMs(Long.MaxValue / 2, 20) shouldBe PagedSource.MaxBackoffMs
+    PagedSource.delayMs(Long.MaxValue, 63) shouldBe PagedSource.MaxBackoffMs
+    for (base <- Seq(1L, 100L, 60000L, Long.MaxValue / 2);
+         attempt <- 0 to 64) {
+      val d = PagedSource.delayMs(base, attempt)
+      d should be >= 0L
+      d should be <= PagedSource.MaxBackoffMs
+    }
+    // doubling still doubles below the cap
+    PagedSource.delayMs(100, 0) shouldBe 100
+    PagedSource.delayMs(100, 3) shouldBe 800
+  }
+
   test("persistent fetch failure propagates after retries are exhausted") {
     val ex = intercept[Exception] {
       spark.read.format("paged-api")

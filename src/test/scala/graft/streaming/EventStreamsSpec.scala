@@ -183,6 +183,37 @@ class EventStreamsSpec extends SparkSpec {
     a.length.toLong shouldBe batch
   }
 
+  test("q76 late-data stream: watermark REALLY drops rows, rerun-stable") {
+    val dir = "/root/testdata/sf0.001"
+    val (df1, dropped1) = graft.queries.EventQueries.runQ76(spark, dir)
+    val a = df1.collect()
+    // the whole point of the out-of-order staging: a nonzero drop count,
+    // so the oracle match below can't be the degenerate nothing-was-late
+    // case q64 already covers
+    dropped1 should be > 0L
+    val (df2, dropped2) = graft.queries.EventQueries.runQ76(spark, dir)
+    a.toSeq shouldBe df2.collect().toSeq
+    dropped2 shouldBe dropped1
+    // dropped rows are ABSENT from their windows: the total across all
+    // emitted windows is short of the full row count by at least the
+    // drop count (trailing windows account for the rest)
+    val total = a.map(_.getLong(2)).sum
+    val allRows = spark.read.parquet(s"$dir/events.parquet").count()
+    total should be <= (allRows - dropped1)
+  }
+
+  test("session watermark delay is derived exactly, in milliseconds") {
+    EventStreams.SessionGapUs % 1000 shouldBe 0
+    EventStreams.SessionWatermark shouldBe
+      s"${EventStreams.SessionGapUs / 1000} milliseconds"
+    // the delay round-trips through Spark's interval parser unchanged
+    val parsed = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(
+        org.apache.spark.unsafe.types.UTF8String
+          .fromString(EventStreams.SessionWatermark))
+    parsed.microseconds shouldBe EventStreams.SessionGapUs
+  }
+
   test("q75 streaming sessions: rerun-stable, a subset of batch sessions") {
     val dir = "/root/testdata/sf0.001"
     val a = graft.queries.EventQueries.q75StreamSessions.fn(spark, dir).collect()
