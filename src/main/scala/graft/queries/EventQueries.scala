@@ -427,13 +427,15 @@ object EventQueries {
     staging.toString
   }
 
-  /** q66's plain-DISTINCT oracle is valid only while the bounded stream
+  /** The q66 and q78 oracles are valid only while the bounded stream
     * drains in ONE micro-batch: across batches,
     * `dropDuplicatesWithinWatermark` may legitimately re-emit a key that
     * recurs more than the delay apart once the first occurrence's state
-    * is evicted. That precondition is enforced HERE, in code — a
-    * regenerated multi-file staging dir fails at this check, never as an
-    * opaque driver-side VALUES diff.
+    * is evicted (q66), and a stream-stream join may drop cross-batch
+    * pairs once the watermark passes one side's buffered rows (q78).
+    * That precondition is enforced HERE, in code — a regenerated
+    * multi-file staging dir fails at this check, never as an opaque
+    * driver-side VALUES diff.
     */
   private[queries] def requireSingleDataFile(stagingDir: String): Unit = {
     val s = java.nio.file.Files.list(java.nio.file.Paths.get(stagingDir))
@@ -748,9 +750,55 @@ object EventQueries {
               <= wmf.ms
             GROUP BY 1, 2 ORDER BY window_start_us, event_type"""))
 
+  /** STREAM-STREAM interval join under oracle hash check — the fourth
+    * real-streaming oracle (after q64 windowed agg, q66 state-store
+    * dedup, q75 stateful sessions) and the last streaming operator that
+    * was only unit-tested: [[graft.streaming.EventStreams.intervalJoin]]
+    * with both sides reading the SAME bounded file stream, each-side
+    * watermarks, and a two-sided time-bound join condition — the only
+    * shape Spark admits for an append-mode stream-stream inner join.
+    *
+    * On the single-file staging both sides drain in one micro-batch with
+    * watermark 0, so no buffered row is ever evicted before its partner
+    * arrives and the result is exactly the batch interval join — which
+    * is what the oracle asserts (same relation as q38, keyed by types
+    * instead of ids). [[requireSingleDataFile]] enforces that
+    * precondition in code; cross-batch eviction semantics are exercised
+    * separately by q76's late-drop path.
+    *
+    * ## 100 TB notes
+    * Each side buffers only watermark + window of rows per key — the
+    * join never holds history. The equi-key (`user_id`) carries the
+    * shuffle; the time bound is evaluated within the key's buffered
+    * rows. This is the unbounded form of the batch time-cell bucketed
+    * range join (q38): same join surface, state bounded by the
+    * watermark instead of the bucket width.
+    */
+  val q78StreamIntervalJoin: Q = Q(
+    "q78_stream_interval_join",
+    (s, dir) => {
+      val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val stagingDir = eventsStreamDir(dir)
+      requireSingleDataFile(stagingDir)
+      def side(): DataFrame = s.readStream.schema(batchSchema)
+        .parquet(stagingDir)
+        .select(col("user_id"), tsUs.as("ts_us"), col("event_type"))
+      val joined = graft.streaming.EventStreams.intervalJoin(
+        side(), side(), "user_id", windowUs = 600L * 1000000)
+      runToMemorySink(s, joined, "q78_stream_interval_mem")
+        .orderBy("user_id", "l_ts_us", "r_ts_us", "l_type", "r_type")
+    },
+    Some(s"""WITH ev AS (SELECT user_id, ${duckUs("ts")} AS us, event_type
+                         FROM events)
+            SELECT a.user_id, a.us AS l_ts_us, a.event_type AS l_type,
+              b.us AS r_ts_us, b.event_type AS r_type
+            FROM ev a JOIN ev b ON a.user_id = b.user_id
+              AND b.us > a.us AND b.us - a.us <= 600000000
+            ORDER BY a.user_id, l_ts_us, r_ts_us, l_type, r_type"""))
+
   val all: Seq[Q] =
     Seq(q31HourlyFromJson, q32SlidingWindow, q33Sessionize, q34SessionWindow,
       q35EventFirst, q37AsofJoin, q38RangeJoin, q50AsofForward,
       q64StreamHourly, q66StreamDedup, q73SaltedAgg, q74EventGaps,
-      q75StreamSessions, q76StreamLateDrop)
+      q75StreamSessions, q76StreamLateDrop, q78StreamIntervalJoin)
 }

@@ -202,6 +202,26 @@ class EventStreamsSpec extends SparkSpec {
     total should be <= (allRows - dropped1)
   }
 
+  test("q78 stream-stream interval join equals the batch join, rerun-stable") {
+    val dir = "/root/testdata/sf0.001"
+    val a = graft.queries.EventQueries.q78StreamIntervalJoin.fn(spark, dir).collect()
+    val b = graft.queries.EventQueries.q78StreamIntervalJoin.fn(spark, dir).collect()
+    a.toSeq shouldBe b.toSeq
+    a should not be empty
+    // single-batch drain: the streamed result IS the batch interval join
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .selectExpr("user_id", "ts div 1000 AS us", "event_type")
+    val batch = ev.as("x").join(ev.as("y"),
+        col("x.user_id") === col("y.user_id") &&
+          col("y.us") > col("x.us") &&
+          col("y.us") <= col("x.us") + 600L * 1000000)
+      .select(col("x.user_id"), col("x.us"), col("x.event_type"),
+        col("y.us"), col("y.event_type"))
+      .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    val streamed = a.map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    streamed shouldBe batch
+  }
+
   test("session watermark delay is derived exactly, in milliseconds") {
     EventStreams.SessionGapUs % 1000 shouldBe 0
     EventStreams.SessionWatermark shouldBe
