@@ -48,6 +48,13 @@ object DedupQueries {
             i -> array_to_string(toks[i:i+${K - 1}], ' '))) AS sh
         FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)"""
 
+  /** [[duckShingled]] carrying `source` instead of `doc_id` (q81). */
+  private val duckShingledSrc =
+    s"""SELECT source,
+          list_distinct(list_transform(range(1, greatest(len(toks) - ${K - 1}, 1) + 1),
+            i -> array_to_string(toks[i:i+${K - 1}], ' '))) AS sh
+        FROM (SELECT source, string_split(text, ' ') AS toks FROM documents)"""
+
   /** Exact set-Jaccard between two distinct-shingle arrays, via the fused
     * codegen'd expression (one pass, no intermediate arrays) — vs the
     * composed size(array_intersect)/size(array_union), which materializes
@@ -686,7 +693,64 @@ object DedupQueries {
             FROM documents d JOIN ratio r ON d.doc_id = r.doc_id
             GROUP BY d.lang ORDER BY d.lang"""))
 
+  /** Cross-source contamination matrix: for every source pair, the
+    * shared k-shingle vocabulary count and the Jaccard between the two
+    * sources' shingle vocabularies — the corpus-level view of the
+    * per-document overlap machinery (q24/q25/q61 ask "which DOCUMENTS
+    * overlap"; this asks "which SOURCES leak into each other", the audit
+    * run before mixing crawl snapshots or vendor drops into one corpus).
+    *
+    * ## 100 TB notes
+    * The key move is the DISTINCT (source, shingle) projection before
+    * the self-join: after it, a shingle contributes at most
+    * |sources|^2/2 pair rows no matter how many billions of documents
+    * contain it — the join fan-out is bounded by the (small, known)
+    * source count, not by document frequency, so the usual high-df skew
+    * bomb cannot arise. The vocabulary projection itself is
+    * explode + partial-agg dedup, one shuffle on the shingle. With
+    * thousands of sources, drop the exact vocabularies for per-source
+    * MinHash signatures (q24's machinery aggregated one level up).
+    */
+  val q81SourceOverlap: Q = Q(
+    "q81_source_overlap",
+    (s, dir) => {
+      // distinct (source, shingle) vocabulary — reused by both join
+      // sides and the per-source size aggregate
+      val sv = eager(Tables.load(s, dir, "documents")
+        .select(col("source"),
+          explode(array_distinct(Text.shingles(Text.tokens(col("text")), K)))
+            .as("sg"))
+        .distinct())
+      val vocab = sv.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+      sv.as("x").join(sv.as("y"),
+          col("x.sg") === col("y.sg") && col("x.source") < col("y.source"))
+        .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .join(broadcast(vocab.select(col("source").as("src_a"),
+          col("n_sh").as("n_a"))), Seq("src_a"))
+        .join(broadcast(vocab.select(col("source").as("src_b"),
+          col("n_sh").as("n_b"))), Seq("src_b"))
+        .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+          col("n_shared"),
+          (col("n_shared").cast("double")
+            / (col("n_a") + col("n_b") - col("n_shared"))).as("jaccard"))
+        .orderBy("src_a", "src_b")
+    },
+    Some(s"""WITH shs AS (SELECT source, sh FROM ($duckShingledSrc)),
+             sv AS (SELECT DISTINCT source, unnest(sh) AS sg FROM shs),
+             vocab AS (SELECT source, count(*) AS n_sh FROM sv GROUP BY 1),
+             ov AS (SELECT x.source AS src_a, y.source AS src_b,
+                      count(*) AS n_shared
+                    FROM sv x JOIN sv y
+                      ON x.sg = y.sg AND x.source < y.source
+                    GROUP BY 1, 2)
+             SELECT src_a, src_b, a.n_sh AS n_a, b.n_sh AS n_b, n_shared,
+               n_shared::DOUBLE / (a.n_sh + b.n_sh - n_shared) AS jaccard
+             FROM ov JOIN vocab a ON ov.src_a = a.source
+                     JOIN vocab b ON ov.src_b = b.source
+             ORDER BY src_a, src_b"""))
+
   val all: Seq[Q] = Seq(q23DedupExact, q24MinhashLsh, q25JaccardBlocked,
     q26Simhash, q43DedupComponents, q59DedupMaterialize, q60IncrementalDedup,
-    q61Decontaminate, q63Boilerplate, q69ComponentsStar)
+    q61Decontaminate, q63Boilerplate, q69ComponentsStar, q81SourceOverlap)
 }

@@ -796,9 +796,92 @@ object EventQueries {
               AND b.us > a.us AND b.us - a.us <= 600000000
             ORDER BY a.user_id, l_ts_us, r_ts_us, l_type, r_type"""))
 
+  /** Cohort retention — the day-grain activity matrix every
+    * product-analytics stack derives from an event stream: each user's
+    * cohort is their first active day; each (cohort, day-offset) cell
+    * counts the distinct users from that cohort active that many days
+    * later. Offset 0 is the cohort size, so a row's n_users / its
+    * cohort's offset-0 n_users is the retention curve.
+    *
+    * ## 100 TB notes
+    * Two aggregations, one reusable partitioning: the first-touch min
+    * and the activity dedup both shuffle on user_id (the first-touch
+    * table is |users| rows — AQE broadcasts it back), and only the
+    * already-tiny (cohort, offset, user-distinct) partials hit the
+    * second shuffle. No window function, no per-user history held.
+    */
+  val q80CohortRetention: Q = Q(
+    "q80_cohort_retention",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .select(col("user_id"), to_date(tsStamp).as("day"))
+      val first = e.groupBy(col("user_id"))
+        .agg(min(col("day")).as("cohort_day"))
+      e.join(first, Seq("user_id"))
+        .groupBy(col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+          col("day_offset"), col("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    },
+    Some("""WITH e AS (SELECT user_id,
+                         CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+                       FROM events),
+            f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1),
+            j AS (SELECT e.user_id, f.cohort_day,
+                    (e.day - f.cohort_day)::INT AS day_offset
+                  FROM e JOIN f USING (user_id))
+            SELECT strftime(j.cohort_day, '%Y-%m-%d') AS cohort_day,
+              day_offset, count(DISTINCT user_id) AS n_users
+            FROM j GROUP BY j.cohort_day, day_offset
+            ORDER BY cohort_day, day_offset"""))
+
+  /** Stream-STATIC broadcast enrichment — the remaining streaming join
+    * shape (q78 covers stream-stream): the unbounded event stream joins
+    * a bounded dimension (`customer`) that Spark re-broadcasts per
+    * micro-batch, no state store involved (the static side is not
+    * buffered, so no watermark is needed and the join is stateless).
+    * The streamed surface is the JOIN; the drained sink is then
+    * aggregated in batch per (segment, event_type) so the oracle is the
+    * plain relational join+agg — on an inner join with a static side,
+    * batch and streaming semantics coincide row-for-row.
+    *
+    * ## 100 TB notes
+    * This is the canonical streaming enrich: dimension small enough to
+    * broadcast → zero shuffle of the stream, map-side hash join per
+    * batch. A dimension too big to broadcast flips to the state-store
+    * stream-stream join (q78's shape) or a pre-bucketed side input;
+    * nothing in between survives at scale.
+    */
+  val q83StreamStaticEnrich: Q = Q(
+    "q83_stream_static_enrich",
+    (s, dir) => {
+      val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val enriched = s.readStream.schema(batchSchema)
+        .parquet(eventsStreamDir(dir))
+        .select(col("user_id"), col("event_type"), col("value"))
+        .join(broadcast(cust), col("user_id") === col("c_custkey"))
+        .select(col("c_mktsegment"), col("event_type"), col("value"))
+      runToMemorySink(s, enriched, "q83_stream_static_mem")
+        .groupBy(col("c_mktsegment"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value").cast("decimal(30,10)")), 2).cast("double")
+            .as("total_value"))
+        .orderBy("c_mktsegment", "event_type")
+    },
+    Some("""SELECT c_mktsegment, event_type, count(*) AS n_events,
+              CAST(round(sum(CAST(value AS DECIMAL(30,10))), 2) AS DOUBLE)
+                AS total_value
+            FROM events e JOIN customer c ON e.user_id = c.c_custkey
+            GROUP BY 1, 2 ORDER BY c_mktsegment, event_type"""))
+
   val all: Seq[Q] =
     Seq(q31HourlyFromJson, q32SlidingWindow, q33Sessionize, q34SessionWindow,
       q35EventFirst, q37AsofJoin, q38RangeJoin, q50AsofForward,
       q64StreamHourly, q66StreamDedup, q73SaltedAgg, q74EventGaps,
-      q75StreamSessions, q76StreamLateDrop, q78StreamIntervalJoin)
+      q75StreamSessions, q76StreamLateDrop, q78StreamIntervalJoin,
+      q80CohortRetention, q83StreamStaticEnrich)
 }

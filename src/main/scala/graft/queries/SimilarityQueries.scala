@@ -468,6 +468,67 @@ object SimilarityQueries {
               len(list_filter(codes, c -> abs(c) >= 127))::BIGINT AS n_sat
             FROM q ORDER BY vec_id"""))
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus, then look for near-duplicate
+    * pairs ONLY inside a cluster — the clustering is what turns the
+    * quadratic all-pairs problem into k independent cluster-local ones.
+    * Assignment reuses q30's broadcast-centroid argmax; a vector is
+    * DROPPED iff a lower-id vector in its cluster has cosine >= 0.35
+    * (the keep-lowest-id rule of q23/q59/q60, applied per pair — a
+    * dropped vector can itself justify dropping a higher id, exactly
+    * like the EXISTS form of exact dedup). Output is the per-cluster
+    * dedup ledger: size, drops, survivors.
+    *
+    * ## 100 TB notes
+    * The pairwise stage is bounded by the LARGEST CLUSTER, not the
+    * corpus: pick k so clusters hold ~10^4-10^5 vectors (SemDeDup used
+    * k=11k for 1.3e9 embeddings) and each cluster's pair join is a
+    * partition-local problem after one shuffle on the cluster key.
+    * Centroids stay broadcast; the assignment pass is map-only. A
+    * pathological mega-cluster is the same skew problem as q73's hot
+    * key — re-split it with a second-level clustering, which changes
+    * nothing in this plan shape.
+    */
+  val q79SemanticDedup: Q = Q(
+    "q79_semantic_dedup",
+    (s, dir) => {
+      // materialized: the assignment feeds both sides of the pair join
+      // and the per-cluster size aggregate — three consumers
+      val assigned = Tables.eager(
+        assignToCentroid(emb(s, dir), carry = Seq("embedding"))
+          .select(col("vec_id"), col("c_label").as("cluster"),
+            col("embedding")))
+      val dropped = assigned.as("x").join(assigned.as("y"),
+          col("x.cluster") === col("y.cluster")
+            && col("x.vec_id") < col("y.vec_id"))
+        .filter(cosineSim(col("x.embedding"), col("y.embedding")) >= 0.35)
+        .select(col("x.cluster").as("cluster"), col("y.vec_id").as("vid"))
+        .distinct()
+        .groupBy(col("cluster")).agg(count(lit(1)).as("n_dropped"))
+      assigned.groupBy(col("cluster")).agg(count(lit(1)).as("n_vecs"))
+        .join(dropped, Seq("cluster"), "left")
+        .select(col("cluster"), col("n_vecs"),
+          coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+          (col("n_vecs") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"))
+        .orderBy("cluster")
+    },
+    Some(s"""WITH ${duckAssignCtes("embedding,")},
+             m AS (SELECT vec_id, c_label AS cluster,
+                     CAST(embedding AS DOUBLE[]) AS e
+                   FROM a WHERE rn = 1),
+             pr AS (SELECT DISTINCT x.cluster, y.vec_id AS vid
+                    FROM m x JOIN m y
+                      ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+                    WHERE ${duckCos("x.e", "y.e")} >= 0.35),
+             d AS (SELECT cluster, count(*) AS n_dropped FROM pr GROUP BY 1),
+             v AS (SELECT cluster, count(*) AS n_vecs FROM m GROUP BY 1)
+             SELECT v.cluster, v.n_vecs,
+               coalesce(d.n_dropped, 0) AS n_dropped,
+               v.n_vecs - coalesce(d.n_dropped, 0) AS n_kept
+             FROM v LEFT JOIN d ON v.cluster = d.cluster
+             ORDER BY v.cluster"""))
+
   val all: Seq[Q] = Seq(q27KnnBrute, q28AnnLsh, q29EmbNearDup, q30IvfCentroid,
-    q44KmeansStep, q49AnnRecall, q52SqlSurface, q57L2Knn, q71Int8Quant)
+    q44KmeansStep, q49AnnRecall, q52SqlSurface, q57L2Knn, q71Int8Quant,
+    q79SemanticDedup)
 }

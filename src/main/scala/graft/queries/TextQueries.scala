@@ -50,6 +50,27 @@ object TextQueries {
   private def duckHits(set: Seq[String]): String =
     s"len(list_filter($duckToks, t -> t IN (${set.map("'" + _ + "'").mkString(",")})))"
 
+  /** q21's document quality score, single-sourced so the budgeted
+    * selection (q82) ranks by EXACTLY the score the scoring query (q21)
+    * emits — bounded length score + stopword ratio + bounded mean token
+    * length, each term weighted. Raw double by the Catalog contract.
+    */
+  private[queries] def qualityScoreCol: Column = {
+    val toks = Text.tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val stopRatio = Text.wordSetHits(toks, wordsEn).cast("double") / nTok
+    val avgLen = col("n_chars").cast("double") / nTok
+    least(lit(1.0), nTok / 200.0) * 0.5 +
+      stopRatio * 0.3 +
+      least(lit(1.0), avgLen / 8.0) * 0.2
+  }
+
+  /** Oracle mirror of [[qualityScoreCol]] (shared by q21/q82). */
+  private val duckScore =
+    s"""least(1.0::DOUBLE, len($duckToks) / 200.0) * 0.5
+                       + (${duckHits(wordsEn)}::DOUBLE / len($duckToks)) * 0.3
+                       + least(1.0::DOUBLE, (n_chars::DOUBLE / len($duckToks)) / 8.0) * 0.2"""
+
   /** Corpus stats per language: doc/token/vocab counts over one explode. */
   val q18TextStats: Q = Q(
     "q18_text_stats",
@@ -154,28 +175,19 @@ object TextQueries {
     "q21_quality_score",
     (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      val toks = Text.tokens(col("text"))
-      val nTok = size(toks).cast("double")
-      val stopRatio = Text.wordSetHits(toks, wordsEn).cast("double") / nTok
-      val avgLen = col("n_chars").cast("double") / nTok
       // raw double: the op tree is identical on both engines, so the
       // value is bit-identical; a round() here could flip on ties
-      val score =
-        least(lit(1.0), nTok / 200.0) * 0.5 +
-          stopRatio * 0.3 +
-          least(lit(1.0), avgLen / 8.0) * 0.2
+      val score = qualityScoreCol
       docs.select(
           col("doc_id"),
-          size(toks).cast("long").as("n_tokens"),
+          size(Text.tokens(col("text"))).cast("long").as("n_tokens"),
           score.as("score"),
           floor(score * 10).cast("long").as("bucket"))
         .orderBy("doc_id")
     },
     Some(s"""SELECT doc_id, n_tokens, score, floor(score * 10)::BIGINT AS bucket
              FROM (SELECT doc_id, len($duckToks)::BIGINT AS n_tokens,
-                     least(1.0::DOUBLE, len($duckToks) / 200.0) * 0.5
-                       + (${duckHits(wordsEn)}::DOUBLE / len($duckToks)) * 0.3
-                       + least(1.0::DOUBLE, (n_chars::DOUBLE / len($duckToks)) / 8.0) * 0.2
+                     $duckScore
                        AS score
                    FROM documents)
              ORDER BY doc_id"""))
@@ -820,9 +832,68 @@ object TextQueries {
                 AND split = 'test') AS n_test
             FROM staged GROUP BY lang ORDER BY lang"""))
 
+  /** Token budget per source for q82 — sized so the sf0.01 fixture keeps
+    * a strict, non-empty subset of every source (each source holds ~25
+    * docs x ~100-200 tokens).
+    */
+  private val TokenBudget = 2000L
+
+  /** Quality-ordered selection under a token budget — the data-selection
+    * step between scoring (q21) and mixing (q68): within each source,
+    * take documents best-score-first until the source's token budget is
+    * exhausted (first-fit on the ordered prefix; a doc that would cross
+    * the budget line ends the prefix). Emits the per-source selection
+    * ledger: docs kept, tokens kept, and the score of the worst admitted
+    * document (the effective quality cutoff that budget buys).
+    *
+    * ## 100 TB notes
+    * One shuffle on source, then a single window pass computes the
+    * running token total — same shape as q62's packing cumsum; the
+    * aggregate rides the same partitioning. Skewed sources bound the
+    * window partition; a source too hot for one partition gets q73's
+    * salt on the SCORING pass and a two-level cumsum (per-salt, then
+    * offset by per-salt totals) — plan shape unchanged. Ties cannot
+    * reorder the prefix: the window orders by (score DESC, doc_id ASC)
+    * and the score is the bit-identical raw double both engines compute.
+    */
+  val q82TokenBudget: Q = Q(
+    "q82_token_budget",
+    (s, dir) => {
+      val scored = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(Text.tokens(col("text"))).cast("long").as("n_tokens"),
+          qualityScoreCol.as("score"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      scored
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .filter(col("cum_tokens") <= TokenBudget)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs_kept"),
+          sum(col("n_tokens")).as("n_tokens_kept"),
+          min(col("score")).as("cutoff_score"))
+        .orderBy("source")
+    },
+    Some(s"""WITH sc AS (SELECT doc_id, source,
+                           len($duckToks)::BIGINT AS n_tokens,
+                           $duckScore AS score
+                         FROM documents),
+             c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source
+                     ORDER BY score DESC, doc_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS cum_tokens
+                   FROM sc)
+             SELECT source, count(*) AS n_docs_kept,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens_kept,
+               min(score) AS cutoff_score
+             FROM c WHERE cum_tokens <= $TokenBudget
+             GROUP BY source ORDER BY source"""))
+
   val all: Seq[Q] =
     Seq(q18TextStats, q19TermFreq, q20LangId, q21QualityScore, q22RegexTokens,
       q39WinnowFp, q42EditDistance, q45TfidfTopk, q48SplitAssign,
       q51StratifiedSample, q54Sketches, q62PackSequences, q67Repetition,
-      q68MixtureRebalance, q70SplitLeakage, q72CorpusFunnel)
+      q68MixtureRebalance, q70SplitLeakage, q72CorpusFunnel,
+      q82TokenBudget)
 }

@@ -337,4 +337,101 @@ class NewOpsSpec extends SparkSpec {
       row shouldBe ((2L, 0L, 0L)) // both counted; both below the floor
     }
   }
+
+  private def writeDocsSrc(dir: String,
+      docs: Seq[(Long, String, String)]): Unit =
+    docs.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars",
+        org.apache.spark.sql.functions.length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+  test("q79 semantic dedup: intra-cluster near-dups drop, cross-cluster don't") {
+    withTempDir { dir =>
+      // label-0 centroid [1,0,0]; label-1 centroid [0,.5,.5].
+      // v0,v1 assign to cluster 0 and are identical (cos 1 >= .35) ->
+      // v1 drops; v2,v3 assign to cluster 1 with cos 0 -> both kept.
+      Seq((0L, Seq(1.0f, 0.0f, 0.0f), 0),
+          (1L, Seq(1.0f, 0.0f, 0.0f), 0),
+          (2L, Seq(0.0f, 1.0f, 0.0f), 1),
+          (3L, Seq(0.0f, 0.0f, 1.0f), 1))
+        .toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val out = SimilarityQueries.q79SemanticDedup.fn(spark, dir)
+        .select("cluster", "n_vecs", "n_dropped", "n_kept")
+        .as[(Int, Long, Long, Long)].collect().toList
+      out shouldBe List((0, 2L, 1L, 1L), (1, 2L, 0L, 2L))
+    }
+  }
+
+  test("q80 cohort retention: offsets bounded by cohort size; cohorts partition users") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = EventQueries.q80CohortRetention.fn(spark, dir)
+      .select("cohort_day", "day_offset", "n_users")
+      .as[(String, Int, Long)].collect().toList
+    rows should not be empty
+    val size0 = rows.filter(_._2 == 0).map(r => r._1 -> r._3).toMap
+    rows.foreach { case (cohort, off, n) =>
+      withClue(s"$cohort@$off: ") {
+        off should be >= 0
+        n should be <= size0(cohort) // active subset of the cohort
+      }
+    }
+    val nUsers = graft.engine.Tables.load(spark, dir, "events")
+      .select("user_id").distinct().count()
+    size0.values.sum shouldBe nUsers // every user is in exactly one cohort
+  }
+
+  test("q81 source overlap: shared-trigram pairs only, hand-counted jaccard") {
+    withTempDir { dir =>
+      // A and B share exactly the trigram "b c d"; C shares nothing
+      writeDocsSrc(dir, Seq(
+        (1L, "a b c d", "A"),
+        (2L, "b c d e", "B"),
+        (3L, "x y z w", "C")))
+      val out = DedupQueries.q81SourceOverlap.fn(spark, dir)
+        .select("src_a", "src_b", "n_a", "n_b", "n_shared", "jaccard")
+        .as[(String, String, Long, Long, Long, Double)].collect().toList
+      out shouldBe List(("A", "B", 2L, 2L, 1L, 1.0 / 3.0))
+    }
+  }
+
+  test("q82 token budget: keeps the best-scored prefix that fits") {
+    withTempDir { dir =>
+      // five 500-token docs in one source, quality strictly increasing
+      // with doc_id (stopword count = doc_id): budget 2000 keeps the top
+      // FOUR scores (ids 5,4,3,2), 2000 tokens exactly
+      val docs = (1 to 5).map { i =>
+        val toks = Seq.fill(i)("the") ++ Seq.fill(500 - i)("w")
+        (i.toLong, toks.mkString(" "), "s")
+      }
+      writeDocsSrc(dir, docs)
+      val (nDocs, nToks, cutoff) = TextQueries.q82TokenBudget.fn(spark, dir)
+        .select("n_docs_kept", "n_tokens_kept", "cutoff_score")
+        .as[(Long, Long, Double)].collect().head
+      nDocs shouldBe 4L
+      nToks shouldBe 2000L
+      // the cutoff is the 4th-highest q21 score — selection and scoring
+      // are the same single-sourced expression
+      val q21Scores = TextQueries.q21QualityScore.fn(spark, dir)
+        .select("score").as[Double].collect().sorted(Ordering[Double].reverse)
+      cutoff shouldBe q21Scores(3)
+    }
+  }
+
+  test("q83 stream-static enrich equals the batch join+agg") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = EventQueries.q83StreamStaticEnrich.fn(spark, dir)
+      .as[(String, String, Long, Double)].collect().toList
+    val ev = graft.engine.Tables.load(spark, dir, "events")
+    val cust = graft.engine.Tables.load(spark, dir, "customer")
+    val batch = ev.join(cust, ev("user_id") === cust("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(30,10)")), 2).cast("double")
+          .as("total_value"))
+      .orderBy("c_mktsegment", "event_type")
+      .as[(String, String, Long, Double)].collect().toList
+    streamed shouldBe batch
+  }
 }
