@@ -878,10 +878,95 @@ object EventQueries {
             FROM events e JOIN customer c ON e.user_id = c.c_custkey
             GROUP BY 1, 2 ORDER BY c_mktsegment, event_type"""))
 
+  /** foreachBatch + latest-wins MERGE — the streaming WRITE surface the
+    * sink-format queries don't cover: each micro-batch upserts into a
+    * keyed parquet state table through [[graft.engine.Sinks.upsertLatestWins]]
+    * (the engine's MERGE stand-in), landing via write-new-then-swap so
+    * the table being read is never the table being overwritten. Driven
+    * over the THREE-batch out-of-order staging ([[eventsOooStreamDir]]),
+    * so merges genuinely cross batch boundaries and late arrivals lose
+    * to the newer version already in state — the final table is each
+    * user's globally-latest event regardless of arrival order, which is
+    * exactly what the oracle asserts.
+    *
+    * Determinism precondition, enforced in code: no two events share
+    * (user_id, ts_us). A cross-batch tie would otherwise be resolved by
+    * ARRIVAL order (updates-beat-base), which the relational oracle
+    * cannot see. foreachBatch is at-least-once, and that is the point:
+    * latest-wins is idempotent, so a replayed batch re-merges to the
+    * same state.
+    *
+    * ## 100 TB notes
+    * This is the streaming-ingest-to-serving-table pattern: merge cost
+    * per batch is one shuffle of batch+state on the key; at scale the
+    * swap becomes a transactional table commit (Delta/Iceberg MERGE)
+    * and state stays partitioned by the key so only touched partitions
+    * rewrite (Sinks' dynamic-overwrite posture). The idempotent merge is
+    * what makes at-least-once delivery exactly-once at the table.
+    */
+  /** Run q84's merge stream; returns the final state table plus how many
+    * micro-batches carried data — the spec pins >= 2 so a staging change
+    * can't quietly collapse the cross-batch merge into one batch.
+    */
+  private[graft] def runQ84(s: SparkSession, dir: String): (DataFrame, Long) = {
+      import org.apache.spark.sql.streaming.Trigger
+      import java.nio.file.{Files, Path}
+      val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val ties = Tables.load(s, dir, "events")
+        .groupBy(col("user_id"), tsUs.as("ts_us"))
+        .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1).count()
+      if (ties > 0) throw new IllegalStateException(
+        "q84 precondition: duplicate (user_id, ts_us) would make the " +
+          "cross-batch merge arrival-order-dependent")
+      val root = Files.createTempDirectory("graft_q84")
+      val stateDir = root.resolve("state")
+      def rm(p: Path): Unit = if (Files.exists(p)) {
+        if (Files.isDirectory(p)) {
+          val l = Files.list(p)
+          try l.forEach(rm(_)) finally l.close()
+        }
+        Files.deleteIfExists(p); ()
+      }
+      val src = s.readStream.schema(batchSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(eventsOooStreamDir(s, dir))
+        .select(col("user_id"), tsUs.as("ts_us"), col("event_type"),
+          col("value"))
+      val query = src.writeStream
+        .option("checkpointLocation", root.resolve("ckpt").toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val base =
+            if (Files.exists(stateDir)) s.read.parquet(stateDir.toString)
+            else batch.limit(0)
+          val merged = graft.engine.Sinks.upsertLatestWins(
+            base, batch, keyCols = Seq("user_id"), versionCol = "ts_us")
+          val tmp = root.resolve("state_tmp")
+          merged.write.mode("overwrite").parquet(tmp.toString)
+          rm(stateDir)
+          Files.move(tmp, stateDir)
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+      val dataBatches =
+        query.recentProgress.toSeq.count(_.numInputRows > 0).toLong
+      // one row per user after the merge, so user_id is a total order
+      (s.read.parquet(stateDir.toString).orderBy("user_id"), dataBatches)
+  }
+
+  val q84ForeachBatchUpsert: Q = Q(
+    "q84_foreachbatch_upsert",
+    (s, dir) => runQ84(s, dir)._1,
+    Some(s"""SELECT user_id, ts_us, event_type, value FROM (
+              SELECT user_id, ${duckUs("ts")} AS ts_us, event_type, value,
+                row_number() OVER (PARTITION BY user_id
+                  ORDER BY ${duckUs("ts")} DESC) AS rn
+              FROM events) WHERE rn = 1 ORDER BY user_id"""))
+
   val all: Seq[Q] =
     Seq(q31HourlyFromJson, q32SlidingWindow, q33Sessionize, q34SessionWindow,
       q35EventFirst, q37AsofJoin, q38RangeJoin, q50AsofForward,
       q64StreamHourly, q66StreamDedup, q73SaltedAgg, q74EventGaps,
       q75StreamSessions, q76StreamLateDrop, q78StreamIntervalJoin,
-      q80CohortRetention, q83StreamStaticEnrich)
+      q80CohortRetention, q83StreamStaticEnrich, q84ForeachBatchUpsert)
 }

@@ -419,6 +419,25 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("q84 foreachBatch upsert: merge crosses batches, equals batch latest-per-user") {
+    val dir = "/root/testdata/sf0.001"
+    val (state, dataBatches) = EventQueries.runQ84(spark, dir)
+    // the out-of-order staging must actually feed MULTIPLE micro-batches
+    // — one batch would never exercise the merge-into-existing-state path
+    dataBatches should be >= 2L
+    val got = state.as[(Long, Long, String, Double)].collect().toList
+    val expected = graft.engine.Tables.load(spark, dir, "events")
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+        col("event_type"), col("value"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+          .orderBy(col("ts_us").desc)))
+      .filter(col("rn") === 1).drop("rn")
+      .orderBy("user_id")
+      .as[(Long, Long, String, Double)].collect().toList
+    got shouldBe expected
+  }
+
   test("q83 stream-static enrich equals the batch join+agg") {
     val dir = "/root/testdata/sf0.001"
     val streamed = EventQueries.q83StreamStaticEnrich.fn(spark, dir)
