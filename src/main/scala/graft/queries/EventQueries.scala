@@ -58,7 +58,7 @@ object EventQueries {
     * `sess(..., is_new, session_seq)`.
     */
   private def duckSessionCtes: String =
-    s"""e AS (SELECT user_id, event_id, value,
+    s"""e AS (SELECT user_id, event_id, event_type, value,
                           ${duckUs("ts")} AS ts_us FROM events),
              flags AS (SELECT *, CASE WHEN prev_us IS NULL
                            OR ts_us - prev_us > $GapUs THEN 1 ELSE 0 END AS is_new
@@ -963,10 +963,135 @@ object EventQueries {
                   ORDER BY ${duckUs("ts")} DESC) AS rn
               FROM events) WHERE rn = 1 ORDER BY user_id"""))
 
+  /** Trailing 3-hour moving average over hourly counts — the RANGE-frame
+    * window the suite lacked (q14's cumsum is a ROWS frame, q32's
+    * sliding window re-buckets rows): the frame is defined by the VALUE
+    * of the ordering column (micros within 2 hours before the current
+    * hour), so hours with no events are genuinely absent from the
+    * average's denominator — which the emitted (sum, hours, avg) triple
+    * makes visible. The average is one double division of two exact
+    * integers, bit-identical across engines.
+    *
+    * ## 100 TB notes
+    * The hourly pre-aggregation collapses the raw stream map-side (one
+    * shuffle on (type, hour)); the range window then runs over
+    * |types| x |hours| rows — trivial at any corpus size. This is the
+    * two-level shape for ALL calendar analytics at scale: aggregate to
+    * the grain first, window over the grain table, never window over
+    * raw events.
+    */
+  val q85MovingAverage: Q = Q(
+    "q85_moving_average",
+    (s, dir) => {
+      val hourly = Tables.load(s, dir, "events")
+        .select(col("event_type"),
+          us(date_trunc("hour", tsStamp)).as("hour_us"))
+        .groupBy(col("event_type"), col("hour_us"))
+        .agg(count(lit(1)).as("n_events"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hour_us"))
+        .rangeBetween(-7200000000L, 0) // 2 h back + the current hour
+      hourly
+        .withColumn("w_events", sum(col("n_events")).over(w))
+        .withColumn("w_hours", count(lit(1)).over(w))
+        .select(col("event_type"), col("hour_us"), col("n_events"),
+          col("w_events"), col("w_hours"),
+          (col("w_events").cast("double") / col("w_hours")).as("w_avg"))
+        .orderBy("event_type", "hour_us")
+    },
+    Some(s"""WITH h AS (SELECT event_type,
+                   ${duckUs("date_trunc('hour', CAST(ts AS TIMESTAMP))")}
+                     AS hour_us,
+                   count(*) AS n_events
+                 FROM events GROUP BY 1, 2)
+            SELECT event_type, hour_us, n_events,
+              CAST(sum(n_events) OVER w AS BIGINT) AS w_events,
+              count(*) OVER w AS w_hours,
+              CAST(sum(n_events) OVER w AS BIGINT)::DOUBLE
+                / (count(*) OVER w) AS w_avg
+            FROM h
+            WINDOW w AS (PARTITION BY event_type ORDER BY hour_us
+              RANGE BETWEEN 7200000000 PRECEDING AND CURRENT ROW)
+            ORDER BY event_type, hour_us"""))
+
+  /** Sessionized conversion funnel — ORDERED sequence detection inside
+    * q33's sessions: a session converts through view -> click ->
+    * purchase only if each stage's event happens strictly AFTER the
+    * previous stage's first occurrence (a purchase before the first
+    * view does not count). Emits the one-row corpus funnel: session
+    * count, stage survivals, end-to-end conversion rate.
+    *
+    * ## 100 TB notes
+    * Session assignment shuffles once on user_id; every stage is then a
+    * conditional-min aggregate plus an equi-join on (user_id,
+    * session_seq) — all riding that same partitioning, no window over
+    * raw history beyond the lag q33 already pays. Stages prune hard
+    * (each join's right side only holds surviving sessions), so later
+    * stages get cheaper, not costlier.
+    */
+  val q86SessionFunnel: Q = Q(
+    "q86_session_funnel",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us").asc, col("event_id").asc)
+      val newSession = when(
+        col("prev_us").isNull || (col("ts_us") - col("prev_us")) > GapUs, 1L)
+        .otherwise(0L)
+      // materialized: the per-event session table feeds all three stage
+      // scans and the session universe
+      val sess = Tables.eager(ev
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          tsUs.as("ts_us"))
+        .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+        .withColumn("is_new", newSession)
+        .withColumn("session_seq",
+          sum(col("is_new")).over(byUser.rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)))
+        .select(col("user_id"), col("session_seq"), col("event_type"),
+          col("ts_us")))
+      val keys = Seq("user_id", "session_seq")
+      val v = sess.filter(col("event_type") === "view")
+        .groupBy(keys.map(col): _*).agg(min(col("ts_us")).as("v_us"))
+      val c = sess.filter(col("event_type") === "click")
+        .join(v, keys).filter(col("ts_us") > col("v_us"))
+        .groupBy(keys.map(col): _*).agg(min(col("ts_us")).as("c_us"))
+      val p = sess.filter(col("event_type") === "purchase")
+        .join(c, keys).filter(col("ts_us") > col("c_us"))
+        .groupBy(keys.map(col): _*).agg(min(col("ts_us")).as("p_us"))
+      sess.select(keys.map(col): _*).distinct()
+        .join(v, keys, "left").join(c, keys, "left").join(p, keys, "left")
+        .agg(count(lit(1)).as("n_sessions"),
+          count(col("v_us")).as("n_view"),
+          count(col("c_us")).as("n_view_click"),
+          count(col("p_us")).as("n_view_click_purchase"),
+          (count(col("p_us")).cast("double") / count(lit(1)))
+            .as("conversion"))
+    },
+    Some(s"""WITH $duckSessionCtes,
+             k AS (SELECT DISTINCT user_id, session_seq FROM sess),
+             v AS (SELECT user_id, session_seq, min(ts_us) AS v_us
+                   FROM sess WHERE event_type = 'view' GROUP BY 1, 2),
+             c AS (SELECT s.user_id, s.session_seq, min(s.ts_us) AS c_us
+                   FROM sess s JOIN v USING (user_id, session_seq)
+                   WHERE s.event_type = 'click' AND s.ts_us > v.v_us
+                   GROUP BY 1, 2),
+             p AS (SELECT s.user_id, s.session_seq, min(s.ts_us) AS p_us
+                   FROM sess s JOIN c USING (user_id, session_seq)
+                   WHERE s.event_type = 'purchase' AND s.ts_us > c.c_us
+                   GROUP BY 1, 2)
+             SELECT count(*) AS n_sessions, count(v_us) AS n_view,
+               count(c_us) AS n_view_click,
+               count(p_us) AS n_view_click_purchase,
+               count(p_us)::DOUBLE / count(*) AS conversion
+             FROM k LEFT JOIN v USING (user_id, session_seq)
+                    LEFT JOIN c USING (user_id, session_seq)
+                    LEFT JOIN p USING (user_id, session_seq)"""))
+
   val all: Seq[Q] =
     Seq(q31HourlyFromJson, q32SlidingWindow, q33Sessionize, q34SessionWindow,
       q35EventFirst, q37AsofJoin, q38RangeJoin, q50AsofForward,
       q64StreamHourly, q66StreamDedup, q73SaltedAgg, q74EventGaps,
       q75StreamSessions, q76StreamLateDrop, q78StreamIntervalJoin,
-      q80CohortRetention, q83StreamStaticEnrich, q84ForeachBatchUpsert)
+      q80CohortRetention, q83StreamStaticEnrich, q84ForeachBatchUpsert,
+      q85MovingAverage, q86SessionFunnel)
 }

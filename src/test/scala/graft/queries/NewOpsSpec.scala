@@ -438,6 +438,63 @@ class NewOpsSpec extends SparkSpec {
     got shouldBe expected
   }
 
+  /** Crafted events fixture: `ts` is written as BIGINT nanoseconds,
+    * exactly what the ns-fixture arrives as under `nanosAsLong`.
+    */
+  private def writeEvents(dir: String,
+      rows: Seq[(Long, Long, Long, String, Double)]): Unit =
+    rows.toDF("event_id", "user_id", "ts", "event_type", "value")
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+  test("q85 moving average: RANGE frame skips absent hours") {
+    withTempDir { dir =>
+      val h = 3600L * 1000000000L // one hour in ns
+      // type "a": hours 0,1,2,3 then a gap to hour 10
+      writeEvents(dir, Seq(
+        (1L, 1L, 0 * h, "a", 1.0),
+        (2L, 1L, 1 * h, "a", 1.0),
+        (3L, 1L, 2 * h, "a", 1.0),
+        (4L, 1L, 3 * h, "a", 1.0),
+        (5L, 1L, 10 * h, "a", 1.0)))
+      val out = EventQueries.q85MovingAverage.fn(spark, dir)
+        .select("hour_us", "w_events", "w_hours", "w_avg")
+        .as[(Long, Long, Long, Double)].collect().toList
+      out shouldBe List(
+        (0L, 1L, 1L, 1.0),
+        (3600000000L, 2L, 2L, 1.0),
+        (7200000000L, 3L, 3L, 1.0),
+        (10800000000L, 3L, 3L, 1.0),        // hours 1-3 in range
+        (36000000000L, 1L, 1L, 1.0))        // hour 10: nothing trails
+    }
+  }
+
+  test("q86 funnel: stages require strict view -> click -> purchase order") {
+    withTempDir { dir =>
+      val m = 60L * 1000000000L // one minute in ns
+      writeEvents(dir, Seq(
+        // u1: full ordered funnel in one session
+        (1L, 1L, 0 * m, "view", 1.0),
+        (2L, 1L, 1 * m, "click", 1.0),
+        (3L, 1L, 2 * m, "purchase", 1.0),
+        // u2: click BEFORE the first view -> view stage only
+        (4L, 2L, 0 * m, "click", 1.0),
+        (5L, 2L, 1 * m, "view", 1.0),
+        (6L, 2L, 2 * m, "purchase", 1.0), // no qualifying click first
+        // u3: view only
+        (7L, 3L, 0 * m, "view", 1.0),
+        // u4: TWO sessions (>30 min apart): view-only, then view+click
+        (8L, 4L, 0 * m, "view", 1.0),
+        (9L, 4L, 120 * m, "view", 1.0),
+        (10L, 4L, 121 * m, "click", 1.0)))
+      val row = EventQueries.q86SessionFunnel.fn(spark, dir)
+        .select("n_sessions", "n_view", "n_view_click",
+          "n_view_click_purchase", "conversion")
+        .as[(Long, Long, Long, Long, Double)].collect().head
+      row shouldBe ((5L, 5L, 2L, 1L, 0.2))
+    }
+  }
+
   test("q83 stream-static enrich equals the batch join+agg") {
     val dir = "/root/testdata/sf0.001"
     val streamed = EventQueries.q83StreamStaticEnrich.fn(spark, dir)
