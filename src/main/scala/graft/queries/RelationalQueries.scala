@@ -562,8 +562,69 @@ object RelationalQueries {
                   FROM orders)
             GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
+  /** Snapshot CDC diff — the change-detection complement to the medallion
+    * snapshot machinery (S3/q05 pick the latest snapshot; q84 merges a
+    * change stream; THIS derives the change set between two table
+    * versions): a full-outer join on the key classifies every row as
+    * inserted / deleted / updated / unchanged, aggregated per nation.
+    * The two versions are derived deterministically from `customer`
+    * (v1 drops keys % 10 = 0; v2 drops keys % 7 = 0 and bumps acctbal
+    * on keys % 3 = 0) so the oracle reconstructs both sides exactly.
+    *
+    * ## 100 TB notes
+    * One co-partitioned shuffle per side on the key — and on a real
+    * lake both snapshot versions are bucketed/partitioned identically
+    * by construction (same writer), so the exchange disappears and the
+    * diff is a zipped per-bucket merge. Payload comparison stays cheap
+    * by hashing wide payloads into one comparison column first; here
+    * the payload is a single double, compared directly. This is the
+    * audit that validates any incremental pipeline: replaying the CDC
+    * stream onto v1 must reproduce v2.
+    */
+  val q87SnapshotDiff: Q = Q(
+    "q87_snapshot_diff",
+    (s, dir) => {
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      val v1 = cust.filter(pmod(col("c_custkey"), lit(10)) =!= 0)
+      val v2 = cust.filter(pmod(col("c_custkey"), lit(7)) =!= 0)
+        .select(col("c_custkey"), col("c_nationkey"),
+          when(pmod(col("c_custkey"), lit(3)) === 0,
+            col("c_acctbal") + 100.0)
+            .otherwise(col("c_acctbal")).as("c_acctbal"))
+      val j = v1.as("a").join(v2.as("b"),
+        col("a.c_custkey") === col("b.c_custkey"), "full_outer")
+      val status = when(col("a.c_custkey").isNull, "inserted")
+        .when(col("b.c_custkey").isNull, "deleted")
+        .when(col("a.c_acctbal") =!= col("b.c_acctbal"), "updated")
+        .otherwise("unchanged")
+      j.select(
+          coalesce(col("a.c_nationkey"), col("b.c_nationkey")).as("nation"),
+          status.as("status"))
+        .groupBy(col("nation"), col("status"))
+        .agg(count(lit(1)).as("n_rows"))
+        .orderBy("nation", "status")
+    },
+    Some("""WITH c AS (SELECT c_custkey, c_nationkey, c_acctbal
+                       FROM customer),
+            v1 AS (SELECT * FROM c WHERE c_custkey % 10 != 0),
+            v2 AS (SELECT c_custkey, c_nationkey,
+                     CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 100.0
+                          ELSE c_acctbal END AS c_acctbal
+                   FROM c WHERE c_custkey % 7 != 0),
+            d AS (SELECT coalesce(a.c_nationkey, b.c_nationkey) AS nation,
+                    CASE WHEN a.c_custkey IS NULL THEN 'inserted'
+                         WHEN b.c_custkey IS NULL THEN 'deleted'
+                         WHEN a.c_acctbal != b.c_acctbal THEN 'updated'
+                         ELSE 'unchanged' END AS status
+                  FROM v1 a FULL OUTER JOIN v2 b
+                    ON a.c_custkey = b.c_custkey)
+            SELECT nation, status, count(*) AS n_rows
+            FROM d GROUP BY nation, status ORDER BY nation, status"""))
+
   val all: Seq[Q] = Seq(q06JoinDims, q07StarRevenue, q08SemiJoin, q09AntiJoin,
     q10AggStats, q11Rollup, q12DistinctExact, q13WindowTopK, q14RunningSum,
     q15Pivot, q16SetOps, q17GlobalTopN, q40QuantilesDisc, q41Moments,
-    q46Cube, q47LeadNtile, q53TopkAgg, q55StringAgg, q56RegexExtract)
+    q46Cube, q47LeadNtile, q53TopkAgg, q55StringAgg, q56RegexExtract,
+    q87SnapshotDiff)
 }

@@ -495,6 +495,23 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("q87 snapshot diff: every CDC status classified from one fixture") {
+    withTempDir { dir =>
+      // key 1: both versions, untouched -> unchanged; key 3: %3=0 ->
+      // updated; key 7: %7=0 leaves v2 -> deleted; key 10: %10=0 never
+      // enters v1 -> inserted
+      Seq((1L, 0, 10.0), (3L, 0, 10.0), (7L, 0, 10.0), (10L, 0, 10.0))
+        .toDF("c_custkey", "c_nationkey", "c_acctbal")
+        .withColumn("c_name", lit("n")).withColumn("c_mktsegment", lit("m"))
+        .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+      val out = RelationalQueries.q87SnapshotDiff.fn(spark, dir)
+        .select("nation", "status", "n_rows")
+        .as[(Int, String, Long)].collect().toList
+      out shouldBe List((0, "deleted", 1L), (0, "inserted", 1L),
+        (0, "unchanged", 1L), (0, "updated", 1L))
+    }
+  }
+
   test("q83 stream-static enrich equals the batch join+agg") {
     val dir = "/root/testdata/sf0.001"
     val streamed = EventQueries.q83StreamStaticEnrich.fn(spark, dir)
