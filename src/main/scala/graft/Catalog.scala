@@ -33,6 +33,7 @@ object Catalog {
     queries.DedupQueries.all ++
     queries.SimilarityQueries.all ++
     queries.TextQueries.all ++
+    queries.CorpusQueries.all ++
     queries.MultimodalQueries.all
 
   lazy val queryMap: Map[String, QueryFn] =

@@ -1,0 +1,194 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Catalog.Q
+import graft.engine.Tables
+import graft.engine.ext.Text
+
+/** Corpus-preparation operators a training-data pipeline needs beyond
+  * filtering and dedup: context-window chunking, subword-merge statistics,
+  * rarity scoring against the corpus unigram model, and collocation
+  * mining. (The reference — a brewery medallion pipeline,
+  * `dags/dag-brewery_pipeline.py` — has no text surface at all; this
+  * module extends SURVEY.md §2's LLM-pipeline families.)
+  *
+  * Scale design notes (100 TB):
+  *  - chunking (q88) is a map-only 1→many explosion: the chunk index set
+  *    is computed per row from `n_chars`, no shuffle before the final
+  *    oracle-mandated sort;
+  *  - pair/unigram statistics (q91–q93) are explode → partial-agg
+  *    group-bys: the exploded token stream never shuffles raw — map-side
+  *    combine reduces it to one row per distinct key per partition;
+  *  - the corpus VOCABULARY grows sublinearly with corpus size (Heaps'
+  *    law), so the vocabulary-sized tables (cf/rarity in q92, unigram
+  *    counts in q93) are broadcast back to the token/bigram stream the
+  *    same way q63 broadcasts its boilerplate set — the token-side
+  *    stream is never shuffled on the token key;
+  *  - all scores are exact-integer arithmetic with a single final double
+  *    op tree (Catalog determinism contract): integer `div` rarity,
+  *    integer lift numerator/denominator, one IEEE division at the end.
+  */
+object CorpusQueries {
+
+  private val DuckToks =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t != '')"
+
+  /** Context-window chunking with overlap: width 120 chars, stride 90
+    * (30-char overlap) — the fixed-window document splitter that feeds
+    * embedding/context-window pipelines. One output row per chunk with
+    * its exact bounds and content digest (md5, comparator contract —
+    * binary/raw text stays out of the output).
+    */
+  val q88ChunkOverlap: Q = Q(
+    "q88_chunk_overlap",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      docs
+        .filter(col("n_chars") >= 1)
+        // chunk index set derived from n_chars alone: ceil-division via
+        // (n-1) div stride, always >= 0 here so engine floor/truncate
+        // integer-division differences cannot bite
+        .select(col("doc_id"), col("text"),
+          explode(expr("sequence(0L, (n_chars - 1) div 90)")).as("ci"))
+        .select(col("doc_id"), col("ci").as("chunk_idx"),
+          (col("ci") * 90 + 1).as("chunk_start"),
+          expr("substring(text, CAST(ci * 90 + 1 AS INT), 120)").as("chunk"))
+        .select(col("doc_id"), col("chunk_idx"), col("chunk_start"),
+          length(col("chunk")).cast("bigint").as("chunk_len"),
+          md5(col("chunk")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+    Some("""WITH d AS (SELECT doc_id, text, n_chars FROM documents
+                       WHERE n_chars >= 1),
+            i AS (SELECT doc_id, text,
+                    unnest(generate_series(0, (n_chars - 1) // 90)) AS ci
+                  FROM d),
+            c AS (SELECT doc_id, ci,
+                    substring(text, CAST(ci * 90 + 1 AS INT), 120) AS chunk
+                  FROM i)
+            SELECT doc_id, ci AS chunk_idx, ci * 90 + 1 AS chunk_start,
+              length(chunk) AS chunk_len, md5(chunk) AS chunk_md5
+            FROM c ORDER BY doc_id, chunk_idx"""))
+
+  /** BPE-style merge statistics: frequency of adjacent character pairs
+    * inside tokens — the candidate table the first byte-pair-encoding
+    * merge step ranks. Top 20 pairs, count-desc with a total tie-break.
+    */
+  val q91BpePairs: Q = Q(
+    "q91_bpe_pairs",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      docs
+        .select(explode(Text.regexTokens(col("text"))).as("tok"))
+        .filter(length(col("tok")) >= 2)
+        .select(col("tok"),
+          explode(sequence(lit(1), length(col("tok")) - 1)).as("i"))
+        .select(expr("substring(tok, i, 2)").as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair").asc)
+        .limit(20)
+    },
+    Some(s"""WITH tok AS (SELECT unnest($DuckToks) AS tok FROM documents),
+             t2 AS (SELECT tok FROM tok WHERE length(tok) >= 2),
+             p AS (SELECT substring(tok, CAST(i AS INT), 2) AS pair
+                   FROM (SELECT tok,
+                           unnest(generate_series(1, length(tok) - 1)) AS i
+                         FROM t2))
+             SELECT pair, count(*) AS cnt FROM p
+             GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 20"""))
+
+  /** Rarity scoring against the corpus unigram model: each token's
+    * rarity is `n_total div cf(tok)` (EXACT integer division — the
+    * order-independent stand-in for -log p that keeps the per-doc sum
+    * bit-stable under any partitioning); a doc's score is one final
+    * double division of that sum by its token count. High score = rare
+    * vocabulary — the cheap "surprisal" signal quality filters threshold.
+    */
+  val q92UnigramRarity: Q = Q(
+    "q92_unigram_rarity",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val toks = docs.select(col("doc_id"),
+        explode(Text.regexTokens(col("text"))).as("tok"))
+      val cf = toks.groupBy("tok").agg(count(lit(1)).as("cf"))
+      val tot = toks.agg(count(lit(1)).as("n_total")) // 1 row
+      // vocabulary ~ Heaps' law: sublinear in corpus size, broadcast-safe
+      // at 100 TB the same way q63's boilerplate set is
+      val rar = cf.crossJoin(broadcast(tot))
+        .select(col("tok"), expr("n_total div cf").as("rar"))
+      toks.join(broadcast(rar), "tok")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum("rar").as("rarity_sum"))
+        .select(col("doc_id"), col("n_tokens"), col("rarity_sum"),
+          (col("rarity_sum").cast("double") / col("n_tokens")).as("rarity"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH toks AS (SELECT doc_id, unnest($DuckToks) AS tok
+                           FROM documents),
+             cf AS (SELECT tok, count(*) AS cf FROM toks GROUP BY tok),
+             tot AS (SELECT count(*) AS n_total FROM toks),
+             rar AS (SELECT tok, n_total // cf AS rar
+                     FROM cf CROSS JOIN tot)
+             SELECT doc_id, count(*) AS n_tokens,
+               CAST(sum(rar) AS BIGINT) AS rarity_sum,
+               CAST(sum(rar) AS DOUBLE) / count(*) AS rarity
+             FROM toks JOIN rar USING (tok)
+             GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** Collocation mining: pointwise lift of adjacent word pairs,
+    * `lift = n_bigrams * c(x,y) / (c(x) * c(y))` — > 1 means the pair
+    * co-occurs more than independence predicts (the PMI argument without
+    * the engine-dependent log). Numerator and denominator are EXACT
+    * bigint products; the division is the single double op. The support
+    * floor is corpus-relative (`c_xy * 5000 >= n_bigrams`) so the query
+    * means the same thing at any scale.
+    */
+  val q93BigramLift: Q = Q(
+    "q93_bigram_lift",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val arr = docs.select(Text.regexTokens(col("text")).as("t"))
+      val big = arr
+        .filter(size(col("t")) >= 2)
+        .select(col("t"),
+          explode(sequence(lit(1), size(col("t")) - 1)).as("i"))
+        .select(expr("element_at(t, i)").as("x"),
+          expr("element_at(t, i + 1)").as("y"))
+      val cxy = big.groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
+      val uni = arr.select(explode(col("t")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+      val nb = big.agg(count(lit(1)).as("n_big")) // 1 row
+      cxy
+        .join(broadcast(uni.select(col("tok").as("x"), col("c").as("c_x"))),
+          "x")
+        .join(broadcast(uni.select(col("tok").as("y"), col("c").as("c_y"))),
+          "y")
+        .crossJoin(broadcast(nb))
+        .filter(col("c_xy") * 5000 >= col("n_big"))
+        .select(col("x"), col("y"), col("c_xy"), col("c_x"), col("c_y"),
+          ((col("n_big") * col("c_xy")).cast("double") /
+            (col("c_x") * col("c_y")).cast("double")).as("lift"))
+        .orderBy(col("lift").desc, col("x").asc, col("y").asc)
+        .limit(20)
+    },
+    Some(s"""WITH d AS (SELECT $DuckToks AS t FROM documents),
+             big AS (SELECT t[i] AS x, t[i + 1] AS y
+                     FROM (SELECT t,
+                             unnest(generate_series(1, len(t) - 1)) AS i
+                           FROM d WHERE len(t) >= 2)),
+             cxy AS (SELECT x, y, count(*) AS c_xy FROM big GROUP BY x, y),
+             uni AS (SELECT unnest(t) AS tok FROM d),
+             cu AS (SELECT tok, count(*) AS c FROM uni GROUP BY tok),
+             nb AS (SELECT count(*) AS n_big FROM big)
+             SELECT x, y, c_xy, cx.c AS c_x, cy.c AS c_y,
+               CAST(n_big * c_xy AS DOUBLE) /
+                 CAST(cx.c * cy.c AS DOUBLE) AS lift
+             FROM cxy JOIN cu cx ON x = cx.tok
+             JOIN cu cy ON y = cy.tok CROSS JOIN nb
+             WHERE c_xy * 5000 >= n_big
+             ORDER BY lift DESC, x ASC, y ASC LIMIT 20"""))
+
+  val all: Seq[Q] = Seq(q88ChunkOverlap, q91BpePairs, q92UnigramRarity,
+    q93BigramLift)
+}

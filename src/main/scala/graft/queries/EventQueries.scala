@@ -1087,11 +1087,55 @@ object EventQueries {
                     LEFT JOIN c USING (user_id, session_seq)
                     LEFT JOIN p USING (user_id, session_seq)"""))
 
+  /** Gap-filled hourly series: a generated hour spine (min..max event
+    * hour) crossed with the event-type domain, left-joined to the
+    * observed hourly counts so absent hours emit EXPLICIT zeros — the
+    * date-spine densification every downstream time-series consumer
+    * (q85's RANGE frame, anomaly baselines) wants as input.
+    *
+    * Shape at scale: the spine is derived from a 1-row bounds aggregate
+    * (`sequence` + explode — never a driver-side loop) and the type
+    * domain is a fixed small set, so the cross join is spine-rows ×
+    * |types|; the only fact-sized work is the observed-counts group-by.
+    */
+  val q90GapFill: Q = Q(
+    "q90_gap_fill",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(expr("(ts div 1000) div 3600000000").as("h"),
+          col("event_type"))
+      val counts = ev.groupBy(col("h"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+      val bounds = ev.agg(min("h").as("lo"), max("h").as("hi")) // 1 row
+      val spine = bounds
+        .select(explode(sequence(col("lo"), col("hi"), lit(1L))).as("h"))
+      val types = ev.select(col("event_type")).distinct() // fixed domain
+      spine.crossJoin(broadcast(types))
+        .join(counts, Seq("h", "event_type"), "left")
+        .select((col("h") * 3600000000L).as("hour_us"), col("event_type"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"))
+        .orderBy("hour_us", "event_type")
+    },
+    Some("""WITH ev AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000
+                          AS h, event_type
+                        FROM events),
+            c AS (SELECT h, event_type, count(*) AS n_events
+                  FROM ev GROUP BY h, event_type),
+            b AS (SELECT min(h) AS lo, max(h) AS hi FROM ev),
+            spine AS (SELECT unnest(generate_series(lo, hi)) AS h FROM b),
+            t AS (SELECT DISTINCT event_type FROM ev)
+            SELECT spine.h * 3600000000 AS hour_us,
+              t.event_type AS event_type,
+              coalesce(c.n_events, 0) AS n_events
+            FROM spine CROSS JOIN t
+            LEFT JOIN c ON spine.h = c.h AND t.event_type = c.event_type
+            ORDER BY hour_us, event_type"""))
+
   val all: Seq[Q] =
     Seq(q31HourlyFromJson, q32SlidingWindow, q33Sessionize, q34SessionWindow,
       q35EventFirst, q37AsofJoin, q38RangeJoin, q50AsofForward,
       q64StreamHourly, q66StreamDedup, q73SaltedAgg, q74EventGaps,
       q75StreamSessions, q76StreamLateDrop, q78StreamIntervalJoin,
       q80CohortRetention, q83StreamStaticEnrich, q84ForeachBatchUpsert,
-      q85MovingAverage, q86SessionFunnel)
+      q85MovingAverage, q86SessionFunnel, q90GapFill)
 }

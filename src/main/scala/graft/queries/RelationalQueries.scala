@@ -622,9 +622,78 @@ object RelationalQueries {
             SELECT nation, status, count(*) AS n_rows
             FROM d GROUP BY nation, status ORDER BY nation, status"""))
 
+  /** One PageRank iteration over the trade graph (customer-nation →
+    * supplier-nation, edge weight = lineitem count), from a uniform
+    * start vector, damping 0.85 — the link-analysis complement to the
+    * connected-components queries (q43/q69).
+    *
+    * Determinism at scale: each edge's contribution `w/out_w` is
+    * computed as the EXACT fixed-point integer `(w * 10^15) div out_w`
+    * (both positive, so engine floor/truncate differences cannot bite;
+    * each term <= 10^15, so the 25-term per-node sum is far from Long
+    * range). The sum is order-independent bigint arithmetic; the final
+    * rank is one fixed double op tree `0.006 + 0.034 * (q / 1e15)`
+    * (= 0.15/N + 0.85 * r0 * sum, N = 25, r0 = 1/25), bit-identical
+    * across engines. At 100 TB the edge aggregation is the q07 star
+    * join's shuffle; the per-node contribution join shuffles the
+    * 625-row edge table, not the facts.
+    */
+  val q89PagerankStep: Q = Q(
+    "q89_pagerank_step",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val orders = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val supp = Tables.load(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val nation = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+      val edges = li
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("c_nationkey").as("u"), col("s_nationkey").as("v"))
+        .agg(count(lit(1)).as("w"))
+      val outW = edges.groupBy("u").agg(sum("w").as("out_w"))
+      val contrib = edges.join(outW, "u")
+        .select(col("v"),
+          expr("(CAST(w AS DECIMAL(38,0)) * 1000000000000000) " +
+            "div CAST(out_w AS DECIMAL(38,0))").as("q"))
+        .groupBy("v").agg(sum("q").as("in_q"))
+      nation
+        .join(contrib, col("n_nationkey") === col("v"), "left")
+        .select(col("n_nationkey"), col("n_name"),
+          coalesce(col("in_q"), lit(0L)).as("in_q"))
+        .withColumn("pr",
+          lit(0.006) + lit(0.034) * (col("in_q").cast("double") / lit(1.0e15)))
+        .orderBy("n_nationkey")
+    },
+    Some("""WITH e AS (SELECT c_nationkey AS u, s_nationkey AS v,
+                         count(*) AS w
+                       FROM lineitem
+                       JOIN orders ON l_orderkey = o_orderkey
+                       JOIN customer ON o_custkey = c_custkey
+                       JOIN supplier ON l_suppkey = s_suppkey
+                       GROUP BY 1, 2),
+            o AS (SELECT u, CAST(sum(w) AS BIGINT) AS out_w
+                  FROM e GROUP BY u),
+            c AS (SELECT v, CAST(sum(CAST(
+                      (CAST(w AS HUGEINT) * 1000000000000000)
+                        // CAST(out_w AS HUGEINT) AS BIGINT)) AS BIGINT)
+                    AS in_q
+                  FROM e JOIN o USING (u) GROUP BY v)
+            SELECT n_nationkey, n_name, coalesce(in_q, 0) AS in_q,
+              0.006 + 0.034 * (CAST(coalesce(in_q, 0) AS DOUBLE) / 1e15)
+                AS pr
+            FROM nation LEFT JOIN c ON n_nationkey = v
+            ORDER BY n_nationkey"""))
+
   val all: Seq[Q] = Seq(q06JoinDims, q07StarRevenue, q08SemiJoin, q09AntiJoin,
     q10AggStats, q11Rollup, q12DistinctExact, q13WindowTopK, q14RunningSum,
     q15Pivot, q16SetOps, q17GlobalTopN, q40QuantilesDisc, q41Moments,
     q46Cube, q47LeadNtile, q53TopkAgg, q55StringAgg, q56RegexExtract,
-    q87SnapshotDiff)
+    q87SnapshotDiff, q89PagerankStep)
 }

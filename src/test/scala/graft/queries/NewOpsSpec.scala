@@ -512,6 +512,98 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("q88 chunking: 200 chars -> 3 chunks at stride 90, width 120") {
+    withTempDir { dir =>
+      val text = ("abcdefghij" * 20).take(200)
+      writeDocs(dir, Seq(1L -> text))
+      val out = CorpusQueries.q88ChunkOverlap.fn(spark, dir)
+        .select("chunk_idx", "chunk_start", "chunk_len", "chunk_md5")
+        .as[(Long, Long, Long, String)].collect().toList
+      out.map(t => (t._1, t._2, t._3)) shouldBe List(
+        (0L, 1L, 120L), (1L, 91L, 110L), (2L, 181L, 20L))
+      val md5s = Seq(text.substring(0, 120), text.substring(90, 200),
+        text.substring(180, 200)).map { c =>
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(c.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      }
+      out.map(_._4) shouldBe md5s
+    }
+  }
+
+  test("q89 pagerank step: exact fixed-point contributions on a 2-node graph") {
+    withTempDir { dir =>
+      Seq((0, "A"), (1, "B")).toDF("n_nationkey", "n_name")
+        .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+      Seq((1L, 0), (2L, 1)).toDF("c_custkey", "c_nationkey")
+        .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+      Seq((1L, 0), (2L, 1)).toDF("s_suppkey", "s_nationkey")
+        .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+      Seq((10L, 1L), (20L, 2L)).toDF("o_orderkey", "o_custkey")
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      // u0: ->v0 w=3, ->v1 w=1 (out 4); u1: ->v1 w=2 (out 2)
+      Seq((10L, 1L), (10L, 1L), (10L, 1L), (10L, 2L), (20L, 2L), (20L, 2L))
+        .toDF("l_orderkey", "l_suppkey")
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      val out = RelationalQueries.q89PagerankStep.fn(spark, dir)
+        .select("n_nationkey", "in_q", "pr")
+        .as[(Int, Long, Double)].collect().toList
+      out.map(t => (t._1, t._2)) shouldBe List(
+        (0, 750000000000000L), (1, 1250000000000000L))
+      out(0)._3 shouldBe (0.006 + 0.034 * 0.75) +- 1e-15
+      out(1)._3 shouldBe (0.006 + 0.034 * 1.25) +- 1e-15
+    }
+  }
+
+  test("q90 gap fill: absent hours emit explicit zeros per type") {
+    withTempDir { dir =>
+      val h = 3600L * 1000000000L // one hour in ns
+      writeEvents(dir, Seq(
+        (1L, 1L, 0 * h, "a", 1.0),
+        (2L, 1L, 0 * h + 5L, "a", 1.0),
+        (3L, 1L, 2 * h, "a", 1.0),
+        (4L, 1L, 1 * h, "b", 1.0)))
+      val out = EventQueries.q90GapFill.fn(spark, dir)
+        .as[(Long, String, Long)].collect().toList
+      val hu = 3600000000L
+      out shouldBe List(
+        (0 * hu, "a", 2L), (0 * hu, "b", 0L),
+        (1 * hu, "a", 0L), (1 * hu, "b", 1L),
+        (2 * hu, "a", 1L), (2 * hu, "b", 0L))
+    }
+  }
+
+  test("q91 bpe pairs: within-token adjacent character pairs") {
+    withTempDir { dir =>
+      writeDocs(dir, Seq(1L -> "abc ab"))
+      val out = CorpusQueries.q91BpePairs.fn(spark, dir)
+        .as[(String, Long)].collect().toList
+      out shouldBe List(("ab", 2L), ("bc", 1L))
+    }
+  }
+
+  test("q92 unigram rarity: integer-division surprisal per doc") {
+    withTempDir { dir =>
+      // cf: a=2, b=4; N=6; rar(a)=3, rar(b)=1
+      writeDocs(dir, Seq(1L -> "a a b", 2L -> "b b b"))
+      val out = CorpusQueries.q92UnigramRarity.fn(spark, dir)
+        .as[(Long, Long, Long, Double)].collect().toList
+      out shouldBe List(
+        (1L, 3L, 7L, 7.0 / 3), (2L, 3L, 3L, 1.0))
+    }
+  }
+
+  test("q93 bigram lift: exact integer numerator/denominator") {
+    withTempDir { dir =>
+      // bigrams: xy, yx, xy, yx -> c_xy=2 each; uni x=3, y=2; nb=4
+      writeDocs(dir, Seq(1L -> "x y x y x"))
+      val out = CorpusQueries.q93BigramLift.fn(spark, dir)
+        .select("x", "y", "c_xy", "lift")
+        .as[(String, String, Long, Double)].collect().toList
+      out shouldBe List(
+        ("x", "y", 2L, 4.0 * 2 / (3 * 2)), ("y", "x", 2L, 4.0 * 2 / (2 * 3)))
+    }
+  }
+
   test("q83 stream-static enrich equals the batch join+agg") {
     val dir = "/root/testdata/sf0.001"
     val streamed = EventQueries.q83StreamStaticEnrich.fn(spark, dir)
