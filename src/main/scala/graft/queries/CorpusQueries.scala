@@ -189,6 +189,118 @@ object CorpusQueries {
              WHERE c_xy * 5000 >= n_big
              ORDER BY lift DESC, x ASC, y ASC LIMIT 20"""))
 
+  /** Content-defined chunking (CDC): a chunk boundary falls AFTER any
+    * token whose portable 32-bit hash is ≡ 0 (mod 16) — so an insertion
+    * early in a document shifts only the chunk it lands in, not every
+    * later boundary (the property fixed-stride q88 lacks, and the reason
+    * dedup systems chunk this way). Expected chunk length is the modulus
+    * (16 tokens).
+    *
+    * Shape at scale: posexplode is partition-local; the only exchange is
+    * the per-doc window cumsum that numbers chunks (shuffle on doc_id,
+    * state = one running count), then a partial-agg group-by on
+    * (doc_id, chunk_id) riding the same partitioning.
+    */
+  val q94CdcChunks: Q = Q(
+    "q94_cdc_chunks",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.load(s, dir, "documents")
+      val tk = docs.select(col("doc_id"),
+        posexplode(Text.tokens(col("text"))).as(Seq("pos", "tok")))
+      val flagged = tk.select(col("doc_id"), col("pos"),
+        when(pmod(Text.hash32(col("tok")), lit(16)) === 0, 1)
+          .otherwise(0).as("b"))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      flagged
+        .select(col("doc_id"), col("pos"),
+          coalesce(sum(col("b")).over(w), lit(0L)).as("chunk_id"))
+        .groupBy("doc_id", "chunk_id")
+        .agg(min("pos").as("start_pos"), count(lit(1)).as("n_tokens"))
+        .orderBy("doc_id", "chunk_id")
+    },
+    Some("""WITH tk AS (SELECT doc_id, u.pos AS pos, u.tok AS tok
+                        FROM (SELECT doc_id,
+                                unnest(list_transform(range(0, len(toks)),
+                                  i -> struct_pack(pos := i,
+                                                   tok := toks[i + 1]))) AS u
+                              FROM (SELECT doc_id,
+                                      string_split(text, ' ') AS toks
+                                    FROM documents))),
+            fl AS (SELECT doc_id, pos,
+                     CASE WHEN ('0x' || substring(md5(tok), 1, 8))::BIGINT
+                            % 16 = 0 THEN 1 ELSE 0 END AS b
+                   FROM tk),
+            ch AS (SELECT doc_id, pos,
+                     CAST(coalesce(sum(b) OVER (PARTITION BY doc_id
+                       ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS BIGINT) AS chunk_id
+                   FROM fl)
+            SELECT doc_id, chunk_id, min(pos) AS start_pos,
+              count(*) AS n_tokens
+            FROM ch GROUP BY doc_id, chunk_id
+            ORDER BY doc_id, chunk_id"""))
+
+  /** Per-source quantile normalization of the shared quality score
+    * (TextQueries.qualityScoreCol — the exact column q21/q82 emit):
+    * `percent_rank` inside each source maps raw scores onto [0,1], the
+    * rank-based calibration that makes cross-source thresholds
+    * comparable when sources have different score distributions. The
+    * rank order is (score, doc_id) — total, so the rational
+    * `(rank-1)/(n-1)` is engine-independent.
+    */
+  val q96QuantileNorm: Q = Q(
+    "q96_quantile_norm",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.load(s, dir, "documents")
+      docs
+        .select(col("doc_id"), col("source"),
+          TextQueries.qualityScoreCol.as("score"))
+        .withColumn("pct", percent_rank().over(
+          Window.partitionBy("source").orderBy("score", "doc_id")))
+        .orderBy("source", "doc_id")
+    },
+    Some(s"""SELECT doc_id, source, score,
+               percent_rank() OVER (PARTITION BY source
+                 ORDER BY score, doc_id) AS pct
+             FROM (SELECT doc_id, source,
+                     ${TextQueries.duckScore} AS score
+                   FROM documents)
+             ORDER BY source, doc_id"""))
+
+  /** Temperature-scaled mixture allocation: sampling weights ∝ sqrt of
+    * each source's doc count (alpha = 0.5 — the standard flattening that
+    * up-samples small sources), then a 10k-doc budget split
+    * proportionally. INTEGER arithmetic throughout: `floor(sqrt(n))` is
+    * exact for n < 2^52 because IEEE sqrt is correctly rounded, and the
+    * allocation is one integer multiply-divide — no double sum anywhere,
+    * so the result is bit-stable at any scale and partitioning.
+    */
+  val q97MixtureWeights: Q = Q(
+    "q97_mixture_weights",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val perSrc = docs.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("w",
+          floor(sqrt(col("n_docs").cast("double"))).cast("bigint"))
+      val tot = perSrc.agg(sum("w").as("w_total")) // 1 row
+      perSrc.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("w"),
+          expr("(10000 * w) div w_total").as("alloc"))
+        .orderBy("source")
+    },
+    Some("""WITH s AS (SELECT source, count(*) AS n_docs,
+                         CAST(floor(sqrt(CAST(count(*) AS DOUBLE)))
+                           AS BIGINT) AS w
+                       FROM documents GROUP BY source),
+            t AS (SELECT CAST(sum(w) AS BIGINT) AS w_total FROM s)
+            SELECT source, n_docs, w,
+              CAST((10000 * w) // w_total AS BIGINT) AS alloc
+            FROM s CROSS JOIN t ORDER BY source"""))
+
   val all: Seq[Q] = Seq(q88ChunkOverlap, q91BpePairs, q92UnigramRarity,
-    q93BigramLift)
+    q93BigramLift, q94CdcChunks, q96QuantileNorm, q97MixtureWeights)
 }

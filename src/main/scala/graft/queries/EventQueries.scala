@@ -1131,11 +1131,62 @@ object EventQueries {
             LEFT JOIN c ON spine.h = c.h AND t.event_type = c.event_type
             ORDER BY hour_us, event_type"""))
 
+  /** Hourly anomaly detection: per event type, z-score every observed
+    * hour's count against that type's own mean/std (population moments
+    * over observed hours), report the 10 most anomalous hours. The
+    * moments come from EXACT integer sums (n, Σn, Σn²) with one fixed
+    * double op tree (E[x²] − E[x]², then one sqrt — IEEE sqrt is
+    * correctly rounded, so bit-identical across engines); z is one
+    * subtraction and one division on top. At scale this is the q31
+    * aggregation plus a broadcast of the |types|-row moment table.
+    */
+  val q95HourlyAnomaly: Q = Q(
+    "q95_hourly_anomaly",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(expr("(ts div 1000) div 3600000000").as("h"),
+          col("event_type"))
+      val hourly = ev.groupBy("h", "event_type")
+        .agg(count(lit(1)).as("n"))
+      val stats = hourly.groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), sum("n").as("sn"),
+          sum(col("n") * col("n")).as("snn"))
+        .select(col("event_type"),
+          (col("sn").cast("double") / col("cnt")).as("mean"),
+          sqrt((col("snn").cast("double") / col("cnt")) -
+            (col("sn").cast("double") / col("cnt")) *
+              (col("sn").cast("double") / col("cnt"))).as("std"))
+      hourly.join(broadcast(stats), "event_type")
+        .select(col("event_type"), (col("h") * 3600000000L).as("hour_us"),
+          col("n").as("n_events"),
+          ((col("n").cast("double") - col("mean")) / col("std")).as("z"))
+        .orderBy(abs(col("z")).desc, col("event_type"), col("hour_us"))
+        .limit(10)
+    },
+    Some("""WITH ev AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000
+                          AS h, event_type
+                        FROM events),
+            hourly AS (SELECT h, event_type, count(*) AS n
+                       FROM ev GROUP BY h, event_type),
+            st AS (SELECT event_type,
+                     CAST(CAST(sum(n) AS BIGINT) AS DOUBLE) / count(*)
+                       AS mean,
+                     sqrt(CAST(CAST(sum(n * n) AS BIGINT) AS DOUBLE)
+                         / count(*)
+                       - (CAST(CAST(sum(n) AS BIGINT) AS DOUBLE) / count(*))
+                         * (CAST(CAST(sum(n) AS BIGINT) AS DOUBLE)
+                            / count(*))) AS std
+                   FROM hourly GROUP BY event_type)
+            SELECT event_type, h * 3600000000 AS hour_us, n AS n_events,
+              (CAST(n AS DOUBLE) - mean) / std AS z
+            FROM hourly JOIN st USING (event_type)
+            ORDER BY abs(z) DESC, event_type, hour_us LIMIT 10"""))
+
   val all: Seq[Q] =
     Seq(q31HourlyFromJson, q32SlidingWindow, q33Sessionize, q34SessionWindow,
       q35EventFirst, q37AsofJoin, q38RangeJoin, q50AsofForward,
       q64StreamHourly, q66StreamDedup, q73SaltedAgg, q74EventGaps,
       q75StreamSessions, q76StreamLateDrop, q78StreamIntervalJoin,
       q80CohortRetention, q83StreamStaticEnrich, q84ForeachBatchUpsert,
-      q85MovingAverage, q86SessionFunnel, q90GapFill)
+      q85MovingAverage, q86SessionFunnel, q90GapFill, q95HourlyAnomaly)
 }

@@ -65,8 +65,8 @@ object TextQueries {
       least(lit(1.0), avgLen / 8.0) * 0.2
   }
 
-  /** Oracle mirror of [[qualityScoreCol]] (shared by q21/q82). */
-  private val duckScore =
+  /** Oracle mirror of [[qualityScoreCol]] (shared by q21/q82/q96). */
+  private[queries] val duckScore =
     s"""least(1.0::DOUBLE, len($duckToks) / 200.0) * 0.5
                        + (${duckHits(wordsEn)}::DOUBLE / len($duckToks)) * 0.3
                        + least(1.0::DOUBLE, (n_chars::DOUBLE / len($duckToks)) / 8.0) * 0.2"""

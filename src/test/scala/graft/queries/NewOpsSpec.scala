@@ -604,6 +604,74 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("q94 cdc chunking: boundary token starts a new chunk; chunks partition positions") {
+    withTempDir { dir =>
+      // find a token whose portable hash32 is 0 mod 16 (a boundary) and
+      // one that is not, using the same expression the query uses
+      val cands = (0 until 200).map(i => s"t$i")
+      val hashed = cands.toDF("tok")
+        .select(col("tok"), pmod(graft.engine.ext.Text.hash32(col("tok")),
+          lit(16)).as("m"))
+        .as[(String, Long)].collect().toMap
+      val bTok = cands.find(hashed(_) == 0L).get // boundary
+      val pTok = cands.find(hashed(_) != 0L).get // plain
+      writeDocs(dir, Seq(1L -> s"$pTok $pTok $bTok $pTok $pTok"))
+      val out = CorpusQueries.q94CdcChunks.fn(spark, dir)
+        .select("chunk_id", "start_pos", "n_tokens")
+        .as[(Long, Int, Long)].collect().toList
+      // boundary falls AFTER pos 2 -> chunks [0..2] and [3..4]
+      out shouldBe List((0L, 0, 3L), (1L, 3, 2L))
+    }
+  }
+
+  test("q95 hourly anomaly: a spiked hour tops the z ranking with the hand z") {
+    withTempDir { dir =>
+      val h = 3600L * 1000000000L
+      writeEvents(dir, Seq(
+        (1L, 1L, 0 * h, "a", 1.0), (2L, 1L, 1 * h, "a", 1.0),
+        (3L, 1L, 2 * h, "a", 1.0)) ++
+        (0 until 100).map(i => (10L + i, 1L, 3 * h + i, "a", 1.0)))
+      val out = EventQueries.q95HourlyAnomaly.fn(spark, dir)
+        .select("hour_us", "n_events", "z")
+        .as[(Long, Long, Double)].collect().toList
+      val mean = 103.0 / 4
+      val std = math.sqrt(10003.0 / 4 - mean * mean)
+      out.head._1 shouldBe 3 * 3600000000L
+      out.head._2 shouldBe 100L
+      out.head._3 shouldBe (100.0 - mean) / std +- 1e-12
+    }
+  }
+
+  test("q96 quantile norm: percent_rank is (rank-1)/(n-1) in score order per source") {
+    withTempDir { dir =>
+      writeDocsSrc(dir, Seq(
+        (1L, "a", "s1"), (2L, "a b c d", "s1"),
+        (3L, "a b c d e f g h i j k l", "s1")))
+      val out = CorpusQueries.q96QuantileNorm.fn(spark, dir)
+        .select("doc_id", "score", "pct")
+        .as[(Long, Double, Double)].collect().toList
+      // expected pct from the query's own scores: rank in (score, doc_id)
+      // order, normalized by n-1
+      val ranked = out.sortBy(t => (t._2, t._1)).zipWithIndex
+      ranked.foreach { case ((_, _, pct), i) =>
+        pct shouldBe i.toDouble / (out.size - 1)
+      }
+      out.map(_._3).toSet shouldBe Set(0.0, 0.5, 1.0)
+    }
+  }
+
+  test("q97 mixture weights: sqrt flattening and exact integer allocation") {
+    withTempDir { dir =>
+      // n=4 -> w=2; n=9 -> w=3; W=5; alloc 4000 / 6000
+      val docs = (1 to 4).map(i => (i.toLong, s"d $i", "s1")) ++
+        (5 to 13).map(i => (i.toLong, s"d $i", "s2"))
+      writeDocsSrc(dir, docs)
+      val out = CorpusQueries.q97MixtureWeights.fn(spark, dir)
+        .as[(String, Long, Long, Long)].collect().toList
+      out shouldBe List(("s1", 4L, 2L, 4000L), ("s2", 9L, 3L, 6000L))
+    }
+  }
+
   test("q83 stream-static enrich equals the batch join+agg") {
     val dir = "/root/testdata/sf0.001"
     val streamed = EventQueries.q83StreamStaticEnrich.fn(spark, dir)
