@@ -34,6 +34,7 @@ object Catalog {
     queries.SimilarityQueries.all ++
     queries.TextQueries.all ++
     queries.CorpusQueries.all ++
+    queries.GovernanceQueries.all ++
     queries.MultimodalQueries.all
 
   lazy val queryMap: Map[String, QueryFn] =

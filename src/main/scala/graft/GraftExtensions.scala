@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ArrayModeCount, CosineSimilarity, JaccardSimilarity}
+import graft.functions.{ArrayModeCount, CosineSimilarity, JaccardSimilarity, NfcNormalize}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions in the session FunctionRegistry, so SQL users get
@@ -37,6 +37,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 1, "array_mode_count takes exactly 1 argument")
         ArrayModeCount(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "nfc_normalize takes exactly 1 argument")
+        NfcNormalize(children.head)
       }))
   }
 }

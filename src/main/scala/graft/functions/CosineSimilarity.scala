@@ -107,4 +107,7 @@ object GraftFunctions {
 
   def arrayModeCount(a: Column): Column =
     ColumnBridge.column(ArrayModeCount(ColumnBridge.expression(a)))
+
+  def nfcNormalize(a: Column): Column =
+    ColumnBridge.column(NfcNormalize(ColumnBridge.expression(a)))
 }

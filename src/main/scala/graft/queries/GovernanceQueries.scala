@@ -1,0 +1,306 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Catalog.Q
+import graft.engine.Tables
+import graft.functions.GraftFunctions.nfcNormalize
+
+/** Data-governance / lifecycle operators: PII detection-and-redaction
+  * accounting, SCD Type-2 history construction from snapshots, Unicode
+  * canonicalization, and interval coverage (merge-overlaps). (The
+  * reference — a brewery medallion pipeline, `dags/dag-brewery_pipeline
+  * .py` — has no governance surface; this module extends SURVEY.md §2's
+  * LLM-pipeline families with the compliance/versioning operators a
+  * production corpus pipeline runs before anything else touches the
+  * data.)
+  *
+  * Scale design notes (100 TB):
+  *  - PII redaction (q98) is a pure per-row projection — three regex
+  *    passes fused in one codegen'd stage, no exchange before the final
+  *    per-source rollup (map-side combined);
+  *  - SCD2 (q99) shuffles once on the entity key and resolves the whole
+  *    history with two window passes over that one partitioning — the
+  *    standard change-capture shape; at 100 TB the snapshot union is
+  *    partition-pruned to the snapshots being folded in;
+  *  - NFC normalization (q100) is a map-only pass with an
+  *    `isNormalized` fast path, so the (dominant) already-canonical rows
+  *    never allocate;
+  *  - interval merge (q101) is the gaps-and-islands pattern: one shuffle
+  *    on user_id, two windows and the rollup all reuse that partitioning
+  *    (exactly like q74's inter-arrival analysis).
+  *
+  * Determinism: counts are `count(...)`; summed bigints are CAST to
+  * BIGINT on the DuckDB side (HUGEINT widening); no double arithmetic
+  * beyond values copied verbatim from the source table.
+  */
+object GovernanceQueries {
+
+  // PII patterns, pinned to a dialect subset valid in BOTH java.util.regex
+  // (Spark) and RE2 (DuckDB): character classes, bounded repetition and \b
+  // only — no backreferences, no lookaround (RE2 has neither).
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val Ipv4Re  = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** PII detection + redaction accounting per source. The synthetic
+    * corpus is PII-free, so the query plants deterministic PII first
+    * (email for doc_id % 3 = 0, an IPv4 for % 5 = 0, a phone for % 7 = 0
+    * — both engines construct the identical string), then runs the real
+    * operator: match-count per category, sequential redaction
+    * (email → ip → phone, order pinned because a category's replacement
+    * must not create or destroy later categories' matches), and
+    * per-source totals of documents touched and characters removed.
+    */
+  val q98PiiRedact: Q = Q(
+    "q98_pii_redact",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val planted = concat(
+        substring(col("text"), 1, 40),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit(" u"), col("doc_id").cast("string"), lit("@ex.com")))
+          .otherwise(""),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(lit(" 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+            lit(".7"))).otherwise(""),
+        when(pmod(col("doc_id"), lit(7)) === 0, lit(" 555-123-4567"))
+          .otherwise(""))
+      val redacted = regexp_replace(
+        regexp_replace(
+          regexp_replace(planted, EmailRe, "<EMAIL>"),
+          Ipv4Re, "<IP>"),
+        PhoneRe, "<PHONE>")
+      docs
+        .select(col("source"),
+          regexp_count(planted, lit(EmailRe)).as("n_email"),
+          regexp_count(planted, lit(Ipv4Re)).as("n_ip"),
+          regexp_count(planted, lit(PhoneRe)).as("n_phone"),
+          (length(planted) - length(redacted)).cast("long").as("removed"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          count(when(col("n_email") + col("n_ip") + col("n_phone") > 0, 1))
+            .as("docs_with_pii"),
+          sum(col("n_email")).cast("long").as("emails"),
+          sum(col("n_ip")).cast("long").as("ips"),
+          sum(col("n_phone")).cast("long").as("phones"),
+          sum(col("removed")).as("chars_removed"))
+        .orderBy("source")
+    },
+    Some(s"""WITH p AS (
+              SELECT source,
+                substring(text, 1, 40)
+                || CASE WHEN doc_id % 3 = 0
+                        THEN ' u' || doc_id::VARCHAR || '@ex.com' ELSE '' END
+                || CASE WHEN doc_id % 5 = 0
+                        THEN ' 10.0.' || (doc_id % 256)::VARCHAR || '.7'
+                        ELSE '' END
+                || CASE WHEN doc_id % 7 = 0
+                        THEN ' 555-123-4567' ELSE '' END AS t
+              FROM documents),
+            m AS (
+              SELECT source,
+                len(regexp_extract_all(t, '$EmailRe')) AS n_email,
+                len(regexp_extract_all(t, '$Ipv4Re')) AS n_ip,
+                len(regexp_extract_all(t, '$PhoneRe')) AS n_phone,
+                length(t) - length(
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(t, '$EmailRe', '<EMAIL>', 'g'),
+                      '$Ipv4Re', '<IP>', 'g'),
+                    '$PhoneRe', '<PHONE>', 'g')) AS removed
+              FROM p)
+            SELECT source, count(*) AS n_docs,
+              count(CASE WHEN n_email + n_ip + n_phone > 0 THEN 1 END)
+                AS docs_with_pii,
+              CAST(sum(n_email) AS BIGINT) AS emails,
+              CAST(sum(n_ip) AS BIGINT) AS ips,
+              CAST(sum(n_phone) AS BIGINT) AS phones,
+              CAST(sum(removed) AS BIGINT) AS chars_removed
+            FROM m GROUP BY source ORDER BY source"""))
+
+  /** SCD Type-2 history from versioned snapshots: three deterministic
+    * snapshot views of `customer` (q87's CDC fixture family — presence
+    * filters + balance mutations per version) are stacked, and the
+    * operator folds them into validity intervals per entity: a new
+    * interval opens when the key (re)appears after a gap or its tracked
+    * attribute changed; contiguous identical versions collapse.
+    * This is the MERGE-free way to build a dimension history at scale —
+    * one shuffle on the entity key, windows and the rollup all reusing
+    * that partitioning.
+    */
+  val q99Scd2Snapshots: Q = Q(
+    "q99_scd2_snapshots",
+    (s, dir) => {
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"))
+      def snap(ver: Int, keep: Column, bal: Column) =
+        cust.filter(keep).select(lit(ver).as("ver"), col("c_custkey"), bal.as("bal"))
+      val snaps =
+        snap(1, pmod(col("c_custkey"), lit(10)) =!= 0, col("c_acctbal"))
+          .unionByName(snap(2, pmod(col("c_custkey"), lit(7)) =!= 0,
+            when(pmod(col("c_custkey"), lit(3)) === 0, col("c_acctbal") + 100.0)
+              .otherwise(col("c_acctbal"))))
+          .unionByName(snap(3, pmod(col("c_custkey"), lit(8)) =!= 0,
+            when(pmod(col("c_custkey"), lit(4)) === 0, col("c_acctbal") + 250.0)
+              .otherwise(col("c_acctbal"))))
+      val w = Window.partitionBy("c_custkey").orderBy("ver")
+      val opens = snaps.withColumn("new_interval",
+        when(lag(col("ver"), 1).over(w).isNull
+          .or(lag(col("ver"), 1).over(w) =!= col("ver") - 1)
+          .or(lag(col("bal"), 1).over(w) =!= col("bal")), 1).otherwise(0))
+      val intervals = opens.withColumn("interval_id",
+        sum(col("new_interval")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      intervals
+        .groupBy("c_custkey", "interval_id")
+        .agg(min(col("ver")).cast("long").as("valid_from"),
+          max(col("ver")).cast("long").as("valid_to"),
+          min(col("bal")).as("bal"))
+        .select(col("c_custkey"), col("valid_from"), col("valid_to"),
+          col("bal"), (col("valid_to") === 3).as("is_current"))
+        .orderBy("c_custkey", "valid_from")
+    },
+    Some("""WITH c AS (SELECT c_custkey, c_acctbal FROM customer),
+            snaps AS (
+              SELECT 1 AS ver, c_custkey, c_acctbal AS bal
+              FROM c WHERE c_custkey % 10 != 0
+              UNION ALL
+              SELECT 2, c_custkey,
+                CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 100.0
+                     ELSE c_acctbal END
+              FROM c WHERE c_custkey % 7 != 0
+              UNION ALL
+              SELECT 3, c_custkey,
+                CASE WHEN c_custkey % 4 = 0 THEN c_acctbal + 250.0
+                     ELSE c_acctbal END
+              FROM c WHERE c_custkey % 8 != 0),
+            o AS (SELECT *,
+                CASE WHEN lag(ver) OVER w IS NULL
+                       OR lag(ver) OVER w != ver - 1
+                       OR lag(bal) OVER w != bal THEN 1 ELSE 0 END
+                  AS new_interval
+              FROM snaps
+              WINDOW w AS (PARTITION BY c_custkey ORDER BY ver)),
+            i AS (SELECT *,
+                sum(new_interval) OVER (PARTITION BY c_custkey ORDER BY ver
+                  ROWS UNBOUNDED PRECEDING) AS interval_id
+              FROM o)
+            SELECT c_custkey,
+              CAST(min(ver) AS BIGINT) AS valid_from,
+              CAST(max(ver) AS BIGINT) AS valid_to,
+              min(bal) AS bal,
+              max(ver) = 3 AS is_current
+            FROM i GROUP BY c_custkey, interval_id
+            ORDER BY c_custkey, valid_from"""))
+
+  /** Unicode NFC canonicalization via the codegen'd [[graft.functions
+    * .NfcNormalize]] expression, hash-verified against DuckDB's
+    * `nfc_normalize` (utf8proc) — two independent implementations of the
+    * Unicode canonical-composition algorithm agreeing byte-for-byte.
+    * The ASCII corpus is NFC-trivially, so the query plants decomposed
+    * sequences (e+U+0301, A+U+030A) alongside a precomposed é: the
+    * normalized output must compose the former and pass the latter
+    * through, shrinking the codepoint count by exactly the number of
+    * combining marks composed.
+    */
+  val q100NfcNormalize: Q = Q(
+    "q100_nfc_normalize",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      // decomposed e+COMBINING ACUTE (U+0301) and A+COMBINING RING
+      // (U+030A), then a precomposed \u00e9 (must pass through
+      // unchanged) -- explicit escapes so source encoding can never
+      // silently precompose the fixture
+      val planted = concat(substring(col("text"), 1, 32),
+        lit(" e\u0301-A\u030a-\u00e9"))
+      val norm = nfcNormalize(planted)
+      docs
+        .filter(pmod(col("doc_id"), lit(4)) === 0)
+        .select(col("doc_id"),
+          length(planted).cast("long").as("pre_codepoints"),
+          length(norm).cast("long").as("post_codepoints"),
+          (length(planted) =!= length(norm)).as("composed"),
+          md5(norm).as("norm_md5"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH p AS (
+              SELECT doc_id,
+                substring(text, 1, 32) || ' e' || chr(769) || '-A'
+                  || chr(778) || '-' || chr(233) AS t
+              FROM documents WHERE doc_id % 4 = 0),
+            n AS (SELECT doc_id, t, nfc_normalize(t) AS nt FROM p)
+            SELECT doc_id,
+              CAST(length(t) AS BIGINT) AS pre_codepoints,
+              CAST(length(nt) AS BIGINT) AS post_codepoints,
+              length(t) != length(nt) AS composed,
+              md5(nt) AS norm_md5
+            FROM n ORDER BY doc_id"""))
+
+  /** Interval merge / coverage (gaps-and-islands): each event opens a
+    * 5-minute activity interval; overlapping intervals per user merge,
+    * and the operator reports per-user merged-interval count and total
+    * covered time. All arithmetic in exact epoch microseconds. The
+    * running `max(end)` over preceding rows handles the containment case
+    * (a long interval swallowing later short ones) that naive
+    * `lag(end)` comparison gets wrong.
+    */
+  val q101IntervalMerge: Q = Q(
+    "q101_interval_merge",
+    (s, dir) => {
+      val SpanUs = 300000000L // 5 min
+      // events.ts is BIGINT nanoseconds under nanosAsLong (see
+      // EventQueries' header note); floor-divide to epoch-µs
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000").as("s"))
+        .withColumn("e", col("s") + SpanUs)
+      val w = Window.partitionBy("user_id").orderBy("s", "event_id")
+      val flagged = ev
+        .withColumn("prev_max_e",
+          max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("new_island",
+          when(col("prev_max_e").isNull.or(col("s") > col("prev_max_e")), 1)
+            .otherwise(0))
+        .withColumn("island_id", sum(col("new_island")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      flagged
+        .groupBy("user_id", "island_id")
+        .agg(min(col("s")).as("i_start"), max(col("e")).as("i_end"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(col("i_end") - col("i_start")).cast("long").as("covered_us"))
+        .orderBy("user_id")
+    },
+    Some("""WITH ev AS (
+              SELECT user_id, event_id,
+                epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+                epoch_us(CAST(ts AS TIMESTAMP)) + 300000000 AS e
+              FROM events),
+            f AS (SELECT user_id, event_id, s, e,
+                max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS prev_max_e
+              FROM ev),
+            g AS (SELECT *,
+                CASE WHEN prev_max_e IS NULL OR s > prev_max_e
+                     THEN 1 ELSE 0 END AS new_island
+              FROM f),
+            h AS (SELECT *,
+                sum(new_island) OVER (PARTITION BY user_id
+                  ORDER BY s, event_id ROWS UNBOUNDED PRECEDING)
+                  AS island_id
+              FROM g),
+            i AS (SELECT user_id, island_id,
+                min(s) AS i_start, max(e) AS i_end
+              FROM h GROUP BY user_id, island_id)
+            SELECT user_id, count(*) AS n_intervals,
+              CAST(sum(i_end - i_start) AS BIGINT) AS covered_us
+            FROM i GROUP BY user_id ORDER BY user_id"""))
+
+  val all: Seq[Q] =
+    Seq(q98PiiRedact, q99Scd2Snapshots, q100NfcNormalize, q101IntervalMerge)
+}
