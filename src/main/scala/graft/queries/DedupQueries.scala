@@ -750,7 +750,79 @@ object DedupQueries {
                      JOIN vocab b ON ov.src_b = b.source
              ORDER BY src_a, src_b"""))
 
+  /** Shingle width for the prefix-filter join: WIDER than the K=3 the
+    * LSH/blocking queries share, deliberately. Prefix filtering draws its
+    * selectivity from the df ordering — the prefix keeps each doc's
+    * RAREST shingles — so it needs a shingle space distinctive enough
+    * that rarity exists. On this corpus K=3 trigrams over a ~40-word
+    * vocabulary are all common (median df in the hundreds at sf0.1: the
+    * candidate join degenerated toward all-pairs, measured ~200 s), while
+    * K=5 shingles are nearly unique (median df 1, max 4) and the join is
+    * instant. Same law at 100 TB: pick the shingle unit so its frequency
+    * distribution has a long rare tail, because the filter's correctness
+    * theorem is order-agnostic but its COST is entirely df-driven.
+    */
+  private val PrefixK = 5
+
+  /** EXACT set-similarity join via prefix filtering (the AllPairs/PPJoin
+    * candidate scheme): order every doc's shingles by ascending global
+    * document frequency (ties by shingle), keep only the first
+    * `|s| - ceil(t*|s|) + 1` as the doc's PREFIX, and generate candidates
+    * from prefix-shingle equality alone. The classic prefix-filter
+    * theorem guarantees losslessness: any pair with Jaccard >= t must
+    * share a prefix element under a common global order — unlike q25's
+    * df-capped blocking (a recall heuristic), this candidate set provably
+    * contains every qualifying pair, which is why the ORACLE here is the
+    * naive all-pairs join: equality proves zero misses.
+    *
+    * 100 TB shape: the df attach is a plain equi-join (AQE broadcasts
+    * the df table at test scale; at corpus scale the 5-shingle df table
+    * outgrows broadcast and it stays a shuffle join — still never
+    * all-pairs); the candidate self-join keys on prefix shingles, the
+    * rarest of each doc by construction, so bucket fan-out is bounded by
+    * the df distribution's rare tail. Verification touches candidate
+    * pairs only.
+    */
+  val q102PrefixJoin: Q = Q(
+    "q102_prefix_join",
+    (s, dir) => {
+      val base = eager(Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          array_distinct(
+            Text.shingles(Text.tokens(col("text")), PrefixK)).as("sh")))
+      val ex = base.select(col("doc_id"), size(col("sh")).as("sz"),
+        explode(col("sh")).as("g"))
+      val dfreq = ex.groupBy("g").agg(count(lit(1)).as("df"))
+      val ranked = ex.join(dfreq, "g")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("df"), col("g"))))
+      // prefix size |s| - ceil(0.6|s|) + 1, exact integer ceil.
+      // eager: the self-join below consumes `prefix` twice — without
+      // materialization each branch recomputes the df join + window
+      // (see Tables.eager).
+      val prefix = eager(ranked
+        .filter(col("rk") <= col("sz") - expr("(sz * 6 + 9) div 10") + 1)
+        .select(col("doc_id"), col("g")))
+      val cand = prefix.as("x")
+        .join(prefix.as("y"),
+          col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        .distinct()
+      verifyPairs(cand, base, threshold = 0.6)
+    },
+    Some(s"""WITH shs AS (
+               SELECT doc_id,
+                 list_distinct(list_transform(
+                   range(1, greatest(len(toks) - ${PrefixK - 1}, 1) + 1),
+                   i -> array_to_string(toks[i:i+${PrefixK - 1}], ' '))) AS sh
+               FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                     FROM documents)),
+             cand AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+                      FROM shs a JOIN shs b ON a.doc_id < b.doc_id)
+             ${duckVerify("0.6")}"""))
+
   val all: Seq[Q] = Seq(q23DedupExact, q24MinhashLsh, q25JaccardBlocked,
     q26Simhash, q43DedupComponents, q59DedupMaterialize, q60IncrementalDedup,
-    q61Decontaminate, q63Boilerplate, q69ComponentsStar, q81SourceOverlap)
+    q61Decontaminate, q63Boilerplate, q69ComponentsStar, q81SourceOverlap,
+    q102PrefixJoin)
 }

@@ -1182,11 +1182,51 @@ object EventQueries {
             FROM hourly JOIN st USING (event_type)
             ORDER BY abs(z) DESC, event_type, hour_us LIMIT 10"""))
 
+  /** Time-decayed engagement: recency-weighted per-user activity, the
+    * feature-engineering staple behind "recent behavior matters more"
+    * signals. Weight halves per day of age relative to the corpus
+    * horizon (the max event time), and — per the Catalog determinism
+    * contract — the whole computation is EXACT integer arithmetic:
+    * value -> floor(cents), weight 2^-age applied as a 10-bit
+    * fixed-point shift (`cents * 1024 div 2^age`), summed as bigints.
+    * No double ever enters an aggregate. The horizon is a 1-row global
+    * aggregate broadcast to the scan (q74's spine pattern); one shuffle
+    * on user_id.
+    */
+  val q103DecayedEngagement: Q = Q(
+    "q103_decayed_engagement",
+    (s, dir) => {
+      val events = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("value"), tsUs.as("us"))
+      val horizon = events.agg(max(col("us")).as("h"))
+      events.crossJoin(broadcast(horizon))
+        .withColumn("age_d", expr("(h - us) div 86400000000"))
+        .withColumn("cents", floor(col("value") * 100))
+        .withColumn("contrib",
+          expr("(cents * 1024) div CAST(pow(2, age_d) AS BIGINT)"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("contrib")).as("decayed_milli"))
+        .orderBy("user_id")
+    },
+    Some(s"""WITH ev AS (SELECT user_id, value, ${duckUs("ts")} AS us
+                         FROM events),
+            h AS (SELECT max(us) AS h FROM ev),
+            c AS (SELECT user_id,
+                    (h.h - us) // 86400000000 AS age_d,
+                    CAST(floor(value * 100) AS BIGINT) AS cents
+                  FROM ev, h)
+            SELECT user_id, count(*) AS n_events,
+              CAST(sum((cents * 1024) // CAST(power(2, age_d) AS BIGINT))
+                AS BIGINT) AS decayed_milli
+            FROM c GROUP BY user_id ORDER BY user_id"""))
+
   val all: Seq[Q] =
     Seq(q31HourlyFromJson, q32SlidingWindow, q33Sessionize, q34SessionWindow,
       q35EventFirst, q37AsofJoin, q38RangeJoin, q50AsofForward,
       q64StreamHourly, q66StreamDedup, q73SaltedAgg, q74EventGaps,
       q75StreamSessions, q76StreamLateDrop, q78StreamIntervalJoin,
       q80CohortRetention, q83StreamStaticEnrich, q84ForeachBatchUpsert,
-      q85MovingAverage, q86SessionFunnel, q90GapFill, q95HourlyAnomaly)
+      q85MovingAverage, q86SessionFunnel, q90GapFill, q95HourlyAnomaly,
+      q103DecayedEngagement)
 }

@@ -687,4 +687,54 @@ class NewOpsSpec extends SparkSpec {
       .as[(String, String, Long, Double)].collect().toList
     streamed shouldBe batch
   }
+
+  test("q102 prefix join equals in-test brute force, incl threshold boundary") {
+    withTempDir { dir =>
+      // 5-gram shingle sets; J computed on distinct shingles.
+      // docs 1,2 identical -> J=1. doc 3 shares a prefix of doc 1 such
+      // that J sits near the 0.6 boundary; doc 4 disjoint.
+      val docs = Seq(
+        1L -> "a b c d e f g h",
+        2L -> "a b c d e f g h",
+        3L -> "a b c d e f g x",
+        4L -> "p q r s t u v w")
+      writeDocs(dir, docs)
+      def shingles(t: String): Set[String] = {
+        val ts = t.split(" ")
+        if (ts.length <= 5) Set(ts.mkString(" "))
+        else ts.sliding(5).map(_.mkString(" ")).toSet
+      }
+      val brute = for {
+        (i, ti) <- docs; (j, tj) <- docs if i < j
+        si = shingles(ti); sj = shingles(tj)
+        inter = (si & sj).size
+        union = (si | sj).size
+        if inter.toDouble / union >= 0.6
+      } yield (i, j)
+      val out = DedupQueries.q102PrefixJoin.fn(spark, dir)
+        .select("d1", "d2").as[(Long, Long)].collect().toList
+      out.toSet shouldBe brute.toSet
+      // sanity on the fixture itself: the identical pair is present and
+      // the disjoint doc pairs with nothing
+      assert(out.contains((1L, 2L)))
+      assert(!out.exists { case (a, b) => a == 4L || b == 4L })
+    }
+  }
+
+  test("q103 decayed engagement: exact fixed-point halving per day of age") {
+    withTempDir { dir =>
+      val day = 86400L * 1000000000L // ns
+      writeEvents(dir, Seq(
+        (1L, 1L, 2 * day, "a", 1.0),  // horizon event: age 0
+        (2L, 1L, 1 * day, "a", 1.0),  // age exactly 1 day
+        (3L, 1L, 0 * day, "a", 1.0),  // age 2 days
+        (4L, 2L, 2 * day - 1000, "a", 2.5))) // age 0 (sub-day remainder)
+      val out = EventQueries.q103DecayedEngagement.fn(spark, dir)
+        .select("user_id", "n_events", "decayed_milli")
+        .as[(Long, Long, Long)].collect().toList
+      // cents=100 -> 102400 at age 0, 51200 at 1d, 25600 at 2d
+      // user 2: cents=250 -> 256000 at age 0
+      out shouldBe List((1L, 3L, 179200L), (2L, 1L, 256000L))
+    }
+  }
 }
