@@ -1221,6 +1221,53 @@ object EventQueries {
                 AS BIGINT) AS decayed_milli
             FROM c GROUP BY user_id ORDER BY user_id"""))
 
+  /** Join-key skew profiler — the diagnostic that SIZES a skew
+    * mitigation before it runs (q73's salt factor, AQE's skew-join
+    * thresholds). Per event_type: distinct-key and row counts, the
+    * heaviest key's share in exact ppm (integer cross-multiplication,
+    * no doubles), and how many keys exceed 8x the mean frequency
+    * (`cnt * n_keys > 8 * total`, the integer form of cnt > 8*mean).
+    * Two chained aggregations over one shuffle each; the per-key table
+    * is the same shape the salted-agg query consumes.
+    */
+  val q105SkewProfile: Q = Q(
+    "q105_skew_profile",
+    (s, dir) => {
+      val w = Window.partitionBy("event_type")
+      Tables.load(s, dir, "events")
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("nk", count(lit(1)).over(w))
+        .withColumn("tot", sum(col("cnt")).over(w))
+        .groupBy(col("event_type"))
+        .agg(
+          max(col("nk")).as("n_keys"),
+          max(col("tot")).cast("long").as("n_rows"),
+          max(col("cnt")).as("max_cnt"),
+          count(when(col("cnt") * col("nk") > col("tot") * 8, 1))
+            .as("hot_keys"))
+        .select(col("event_type"), col("n_keys"), col("n_rows"),
+          col("max_cnt"),
+          expr("max_cnt * 1000000 div n_rows").as("top1_ppm"),
+          col("hot_keys"))
+        .orderBy("event_type")
+    },
+    Some("""WITH pk AS (
+              SELECT event_type, user_id, count(*) AS cnt
+              FROM events GROUP BY 1, 2),
+            x AS (SELECT *,
+                count(*) OVER (PARTITION BY event_type) AS nk,
+                sum(cnt) OVER (PARTITION BY event_type) AS tot
+              FROM pk)
+            SELECT event_type,
+              CAST(max(nk) AS BIGINT) AS n_keys,
+              CAST(max(tot) AS BIGINT) AS n_rows,
+              CAST(max(cnt) AS BIGINT) AS max_cnt,
+              CAST(max(cnt) AS BIGINT) * 1000000
+                // CAST(max(tot) AS BIGINT) AS top1_ppm,
+              count(CASE WHEN cnt * nk > tot * 8 THEN 1 END) AS hot_keys
+            FROM x GROUP BY event_type ORDER BY event_type"""))
+
   val all: Seq[Q] =
     Seq(q31HourlyFromJson, q32SlidingWindow, q33Sessionize, q34SessionWindow,
       q35EventFirst, q37AsofJoin, q38RangeJoin, q50AsofForward,
@@ -1228,5 +1275,5 @@ object EventQueries {
       q75StreamSessions, q76StreamLateDrop, q78StreamIntervalJoin,
       q80CohortRetention, q83StreamStaticEnrich, q84ForeachBatchUpsert,
       q85MovingAverage, q86SessionFunnel, q90GapFill, q95HourlyAnomaly,
-      q103DecayedEngagement)
+      q103DecayedEngagement, q105SkewProfile)
 }

@@ -301,6 +301,51 @@ object GovernanceQueries {
               CAST(sum(i_end - i_start) AS BIGINT) AS covered_us
             FROM i GROUP BY user_id ORDER BY user_id"""))
 
+  /** k-anonymity audit with one generalization step: equivalence classes
+    * over the quasi-identifier pair (nation, market segment) are checked
+    * against k=20; a failing class falls back to the coarser
+    * segment-only class (one step up the generalization hierarchy) and
+    * is released at that level if the coarser class clears k, else
+    * suppressed. This is the release decision a privacy-preserving
+    * publication pipeline makes per class — and it is one shuffle on the
+    * fine key plus a segment-level window over the same rows (the
+    * coarser total is a window sum over the fine classes, not a second
+    * scan).
+    */
+  val q104KAnonymity: Q = Q(
+    "q104_k_anonymity",
+    (s, dir) => {
+      val k = 20L
+      val classes = Tables.load(s, dir, "customer")
+        .groupBy(col("c_nationkey").as("nation"),
+          col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("class_size"))
+      val withCoarse = classes.withColumn("segment_size",
+        sum(col("class_size")).over(
+          Window.partitionBy(col("segment"))))
+      withCoarse
+        .select(col("nation"), col("segment"), col("class_size"),
+          col("segment_size"),
+          when(col("class_size") >= k, "released")
+            .when(col("segment_size") >= k, "generalized")
+            .otherwise("suppressed").as("release"))
+        .orderBy("nation", "segment")
+    },
+    Some("""WITH cls AS (
+              SELECT c_nationkey AS nation, c_mktsegment AS segment,
+                count(*) AS class_size
+              FROM customer GROUP BY 1, 2),
+            g AS (SELECT *,
+                CAST(sum(class_size) OVER (PARTITION BY segment) AS BIGINT)
+                  AS segment_size
+              FROM cls)
+            SELECT nation, segment, class_size, segment_size,
+              CASE WHEN class_size >= 20 THEN 'released'
+                   WHEN segment_size >= 20 THEN 'generalized'
+                   ELSE 'suppressed' END AS release
+            FROM g ORDER BY nation, segment"""))
+
   val all: Seq[Q] =
-    Seq(q98PiiRedact, q99Scd2Snapshots, q100NfcNormalize, q101IntervalMerge)
+    Seq(q98PiiRedact, q99Scd2Snapshots, q100NfcNormalize, q101IntervalMerge,
+      q104KAnonymity)
 }
