@@ -1268,6 +1268,103 @@ object EventQueries {
               count(CASE WHEN cnt * nk > tot * 8 THEN 1 END) AS hot_keys
             FROM x GROUP BY event_type ORDER BY event_type"""))
 
+  /** Stream-stream LEFT OUTER interval join — the null-completion half
+    * of the q78 join surface, and the subtlest append-mode semantics in
+    * the engine: matched pairs emit from the data batch (single-file
+    * staging, watermark 0, nothing evicted early — q78's precondition),
+    * while a left event that never matched emits `(left, NULL)` only at
+    * STATE EVICTION, i.e. in the final AvailableNow batch once the
+    * advanced watermark proves no future right row can complete it:
+    * `l_us + window < watermark_ms * 1000` with
+    * `watermark_ms = floor(max_us/1000) - delay_ms` (Spark tracks
+    * watermarks in ms; strict less-than). Unmatched rows INSIDE the
+    * final horizon stay in state unemitted — the oracle mirrors the
+    * cutoff exactly, making the eviction rule itself hash-checked.
+    *
+    * ## 100 TB notes
+    * Same bounded state as the inner form (watermark + window per side);
+    * the outer semantics add no state — only the emission of evicted
+    * never-matched rows. Result completeness is traded against state
+    * retention via the watermark delay, which is THE knob at scale.
+    */
+  val q107StreamOuterJoin: Q = Q(
+    "q107_stream_outer_join",
+    (s, dir) => {
+      val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val stagingDir = eventsStreamDir(dir)
+      requireSingleDataFile(stagingDir)
+      def side(): DataFrame = s.readStream.schema(batchSchema)
+        .parquet(stagingDir)
+        .select(col("user_id"), tsUs.as("ts_us"), col("event_type"))
+      val joined = graft.streaming.EventStreams.intervalJoin(
+        side(), side(), "user_id", windowUs = 600L * 1000000,
+        watermark = "10 minutes", joinType = "leftOuter")
+      runToMemorySink(s, joined, "q107_stream_outer_mem")
+        .orderBy(col("user_id"), col("l_ts_us"), col("l_type"),
+          col("r_ts_us").asc_nulls_last, col("r_type").asc_nulls_last)
+    },
+    Some(s"""WITH ev AS (SELECT user_id, ${duckUs("ts")} AS us, event_type
+                         FROM events),
+            m AS (SELECT a.user_id, a.us AS l_ts_us, a.event_type AS l_type,
+                    b.us AS r_ts_us, b.event_type AS r_type
+                  FROM ev a JOIN ev b ON a.user_id = b.user_id
+                    AND b.us > a.us AND b.us - a.us <= 600000000),
+            wm AS (SELECT max(us) // 1000 - 600000 AS ms FROM ev),
+            um AS (SELECT a.user_id, a.us, a.event_type
+                   FROM ev a, wm
+                   WHERE NOT EXISTS (
+                       SELECT 1 FROM ev b
+                       WHERE b.user_id = a.user_id AND b.us > a.us
+                         AND b.us - a.us <= 600000000)
+                     AND a.us + 600000000 < wm.ms * 1000)
+            SELECT * FROM (
+              SELECT * FROM m
+              UNION ALL
+              SELECT user_id, us, event_type, NULL, NULL FROM um)
+            ORDER BY user_id, l_ts_us, l_type,
+              r_ts_us NULLS LAST, r_type NULLS LAST"""))
+
+  /** Multi-granularity rollup REUSE: the daily table is aggregated from
+    * the HOURLY table, not from raw events — the rollup-chain contract
+    * every metrics warehouse runs (hour → day → month), where each grain
+    * re-aggregates the previous one at 1/24th the rows. Counts add;
+    * decimal sums add exactly (order-independent, so re-aggregating
+    * partials is lossless — the reason the chain is valid at all);
+    * min/max compose. The oracle aggregates the SAME two-step chain.
+    * Per grain: one shuffle over a table that is already an aggregate.
+    */
+  val q106RollupReuse: Q = Q(
+    "q106_rollup_reuse",
+    (s, dir) => {
+      val hourly = Tables.load(s, dir, "events")
+        .select(expr("(ts div 1000) div 3600000000").as("hour_id"),
+          col("event_type"), col("value"))
+        .groupBy(col("hour_id"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(30,10)")).as("val_dec"),
+          max(col("value")).as("max_v"))
+      hourly
+        .groupBy(expr("hour_id div 24").as("day_id"), col("event_type"))
+        .agg(sum(col("n_events")).cast("long").as("n_events"),
+          count(lit(1)).as("n_hours"),
+          round(sum(col("val_dec")), 2).cast("double").as("total_value"),
+          max(col("max_v")).as("max_v"))
+        .orderBy("day_id", "event_type")
+    },
+    Some("""WITH hourly AS (
+              SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000)
+                  AS hour_id,
+                event_type, count(*) AS n_events,
+                sum(CAST(value AS DECIMAL(30,10))) AS val_dec,
+                max(value) AS max_v
+              FROM events GROUP BY 1, 2)
+            SELECT hour_id // 24 AS day_id, event_type,
+              CAST(sum(n_events) AS BIGINT) AS n_events,
+              count(*) AS n_hours,
+              CAST(round(sum(val_dec), 2) AS DOUBLE) AS total_value,
+              max(max_v) AS max_v
+            FROM hourly GROUP BY 1, 2 ORDER BY day_id, event_type"""))
+
   val all: Seq[Q] =
     Seq(q31HourlyFromJson, q32SlidingWindow, q33Sessionize, q34SessionWindow,
       q35EventFirst, q37AsofJoin, q38RangeJoin, q50AsofForward,
@@ -1275,5 +1372,6 @@ object EventQueries {
       q75StreamSessions, q76StreamLateDrop, q78StreamIntervalJoin,
       q80CohortRetention, q83StreamStaticEnrich, q84ForeachBatchUpsert,
       q85MovingAverage, q86SessionFunnel, q90GapFill, q95HourlyAnomaly,
-      q103DecayedEngagement, q105SkewProfile)
+      q103DecayedEngagement, q105SkewProfile, q106RollupReuse,
+      q107StreamOuterJoin)
 }

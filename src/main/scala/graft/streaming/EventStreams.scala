@@ -74,10 +74,20 @@ object EventStreams {
     * the only shape under which Spark allows an append-mode
     * stream-stream inner join to be run at all.
     */
+  /** As [[intervalJoin]], with the join type exposed. `"leftOuter"` adds
+    * the null-completion semantics: a left event that never found a
+    * right match is EMITTED WITH NULLS — but only once the watermark
+    * passes `l_ts + window`, i.e. once no future right row can complete
+    * it; Spark emits these at state eviction, which for a bounded
+    * AvailableNow drain happens in the final watermark-advancing batch.
+    * Left rows inside the final watermark horizon stay in state forever
+    * and are NOT emitted — the q107 oracle mirrors exactly that cutoff.
+    */
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
                    windowUs: Long, watermark: String = "1 hour",
                    tsCol: String = "ts_us",
-                   typeCol: String = "event_type"): DataFrame = {
+                   typeCol: String = "event_type",
+                   joinType: String = "inner"): DataFrame = {
     val l = left
       .withColumn("l_tss", timestamp_micros(col(tsCol)))
       .withWatermark("l_tss", watermark)
@@ -93,7 +103,8 @@ object EventStreams {
     l.join(r,
       col(key) === col("r_key")
         && col("r_tss") > col("l_tss")
-        && col("r_tss") <= col("l_tss") + expr(s"INTERVAL $windowUs MICROSECOND"))
+        && col("r_tss") <= col("l_tss") + expr(s"INTERVAL $windowUs MICROSECOND"),
+      joinType)
       .select(col(key), col("l_ts_us"), col("l_type"),
         col("r_ts_us"), col("r_type"))
   }
