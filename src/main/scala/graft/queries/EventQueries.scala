@@ -1365,6 +1365,102 @@ object EventQueries {
               max(max_v) AS max_v
             FROM hourly GROUP BY 1, 2 ORDER BY day_id, event_type"""))
 
+  /** Grouped OLS trend via exact sufficient statistics: per event_type,
+    * the least-squares slope and intercept of value over time from the
+    * five sufficient sums (n, Σx, Σy, Σxy, Σx²) — the one-reduce shape
+    * that computes a regression over any group size with a single
+    * shuffle and no iteration. x is the hour index since 2024-01-01 and
+    * y the floor-centi value — small exact integers, so every sum is an
+    * order-independent BIGINT reduce and the emitted sufficient
+    * statistics are themselves hash-checked; the ONLY double is the
+    * final slope division (identical IEEE op tree on both engines, per
+    * the Catalog contract).
+    */
+  val q108TrendOls: Q = Q(
+    "q108_trend_ols",
+    (s, dir) => {
+      // x = hour index since 2024-01-01 (<= 3 digits on the fixture
+      // month), y = centi-value — both small exact BIGINTs, so every
+      // sufficient sum AND the two slope cross-terms stay in exact
+      // 64-bit range through ~sf1 (documented bound; beyond that the
+      // sums widen to decimal). Only the final divisions are doubles.
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_type"),
+          expr("(ts div 1000000000 - 1704067200) div 3600").as("x"),
+          floor(col("value") * 100).as("y"))
+      ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("event_type"), col("n").as("n_events"),
+          col("sx"), col("sy"), col("sxy"), col("sxx"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+            .as("slope_centi_per_hour"))
+        .orderBy("event_type")
+    },
+    Some("""WITH ev AS (
+              SELECT event_type,
+                (epoch_us(CAST(ts AS TIMESTAMP)) // 1000000
+                  - 1704067200) // 3600 AS x,
+                CAST(floor(value * 100) AS BIGINT) AS y
+              FROM events),
+            a AS (SELECT event_type, count(*) AS n,
+                CAST(sum(x) AS BIGINT) AS sx,
+                CAST(sum(y) AS BIGINT) AS sy,
+                CAST(sum(x * y) AS BIGINT) AS sxy,
+                CAST(sum(x * x) AS BIGINT) AS sxx
+              FROM ev GROUP BY 1)
+            SELECT event_type, n AS n_events, sx, sy, sxy, sxx,
+              CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE)
+                AS slope_centi_per_hour
+            FROM a ORDER BY event_type"""))
+
+  /** Compaction (OPTIMIZE) planner — the file-layout maintenance pass a
+    * lakehouse runs to fight small files: per partition, files in name
+    * order are greedily packed into bins of a target size by
+    * exclusive-prefix-sum division, and the plan reports each output
+    * bin's file count and byte total. Everything is a window cumsum and
+    * integer division — one shuffle on the partition key; the plan table
+    * is what the rewrite job would execute. (File inventory is simulated
+    * from events: one "file" per (event_type, user_id) with its row
+    * count ×100 as bytes — the planner's arithmetic is the operator
+    * under test, not the listing.)
+    */
+  val q109CompactionPlan: Q = Q(
+    "q109_compaction_plan",
+    (s, dir) => {
+      val target = 4000L
+      val files = Tables.load(s, dir, "events")
+        .groupBy(col("event_type"), col("user_id"))
+        .agg((count(lit(1)) * 100).as("bytes"))
+      val w = Window.partitionBy("event_type").orderBy("user_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      files
+        .withColumn("prior", coalesce(sum(col("bytes")).over(w), lit(0L)))
+        .withColumn("bin", expr(s"prior div $target"))
+        .groupBy(col("event_type"), col("bin"))
+        .agg(count(lit(1)).as("n_files"),
+          sum(col("bytes")).cast("long").as("bin_bytes"))
+        .orderBy("event_type", "bin")
+    },
+    Some("""WITH files AS (
+              SELECT event_type, user_id, count(*) * 100 AS bytes
+              FROM events GROUP BY 1, 2),
+            c AS (SELECT event_type, user_id, bytes,
+                coalesce(sum(bytes) OVER (PARTITION BY event_type
+                  ORDER BY user_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS prior
+              FROM files)
+            SELECT event_type, CAST(prior // 4000 AS BIGINT) AS bin,
+              count(*) AS n_files,
+              CAST(sum(bytes) AS BIGINT) AS bin_bytes
+            FROM c GROUP BY 1, 2 ORDER BY event_type, bin"""))
+
   val all: Seq[Q] =
     Seq(q31HourlyFromJson, q32SlidingWindow, q33Sessionize, q34SessionWindow,
       q35EventFirst, q37AsofJoin, q38RangeJoin, q50AsofForward,
@@ -1373,5 +1469,5 @@ object EventQueries {
       q80CohortRetention, q83StreamStaticEnrich, q84ForeachBatchUpsert,
       q85MovingAverage, q86SessionFunnel, q90GapFill, q95HourlyAnomaly,
       q103DecayedEngagement, q105SkewProfile, q106RollupReuse,
-      q107StreamOuterJoin)
+      q107StreamOuterJoin, q108TrendOls, q109CompactionPlan)
 }
