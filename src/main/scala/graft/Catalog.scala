@@ -35,6 +35,7 @@ object Catalog {
     queries.TextQueries.all ++
     queries.CorpusQueries.all ++
     queries.GovernanceQueries.all ++
+    queries.GraphQueries.all ++
     queries.MultimodalQueries.all
 
   lazy val queryMap: Map[String, QueryFn] =

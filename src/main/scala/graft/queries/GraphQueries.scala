@@ -1,0 +1,212 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Catalog.Q
+import graft.engine.Tables
+
+/** Graph analytics over an explicit co-occurrence graph (SURVEY.md §2
+  * scale extensions — complements connected components q43/q69 and the
+  * PageRank step q89 with the remaining classic large-graph kernels:
+  * triangle counting and breadth-first search).
+  *
+  * The graph: users are vertices; an undirected edge joins two users who
+  * were active in the same (event_type, hour) bucket. Buckets larger
+  * than [[MaxBucket]] users are DROPPED before pair generation — the
+  * same df-bound that caps q25's blocked Jaccard: a viral hour would
+  * otherwise emit O(n^2) pairs for one key (the edge list stays linear
+  * in the bounded-bucket count, and the bound doubles as the skew cap
+  * for the self-join's hottest key).
+  *
+  * ## 100 TB notes
+  *  - Edge generation is a bucket-keyed self-join AFTER the size filter:
+  *    candidates meet only inside a (event_type, hour) cell, never
+  *    across, and the window count that sizes cells rides the same
+  *    exchange the join needs.
+  *  - Triangle counting (q110) uses the degree-orientation trick: each
+  *    edge points low-degree -> high-degree (ties by id), so every
+  *    vertex's out-degree is O(sqrt(m)) and the wedge self-join is the
+  *    classic O(m^1.5) bound instead of exploding on hubs — the exact
+  *    reason a star vertex with 10^6 neighbors contributes zero wedges
+  *    rather than 10^12. The closing-edge probe is a plain equi-join on
+  *    the canonical (min,max) pair.
+  *  - BFS (q111) is a driver loop of per-round equi-joins (frontier x
+  *    adjacency), one shuffle per round, frontier localCheckpoint'ed so
+  *    lineage stays flat (same posture as q43's label propagation). The
+  *    visited set is the only growing state and it is bounded by |V|.
+  */
+object GraphQueries {
+
+  /** Buckets with more distinct users than this emit no pairs. */
+  private val MaxBucket = 8
+
+  /** BFS round bound — must match the oracle CTE's `h < MaxHops`. */
+  private val MaxHops = 20
+
+  /** Undirected edge list (u < v), deduplicated. */
+  private[queries] def cooccurrenceEdges(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    // ts is an epoch-ns BIGINT (see EventQueries.tsUs); the hour index
+    // is exact integer division, identical on both engines (all ts > 0)
+    val buckets = ev
+      .select(col("event_type"),
+        expr("(ts div 1000) div 3600000000").as("h"), col("user_id"))
+      .distinct()
+    val w = Window.partitionBy(col("event_type"), col("h"))
+    val small = buckets
+      .withColumn("nu", count(lit(1)).over(w))
+      .filter(col("nu").between(2, MaxBucket))
+      .select(col("event_type"), col("h"), col("user_id"))
+    val a = small.select(col("event_type"), col("h"), col("user_id").as("u"))
+    val b = small.select(col("event_type"), col("h"), col("user_id").as("v"))
+    a.join(b, Seq("event_type", "h"))
+      .filter(col("u") < col("v"))
+      .select(col("u"), col("v"))
+      .distinct()
+  }
+
+  /** Shared oracle CTE prefix: the same edge list in DuckDB SQL. */
+  private val duckEdges =
+    s"""b AS (SELECT DISTINCT event_type,
+                epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h, user_id
+              FROM events),
+        sz AS (SELECT *, count(*) OVER (PARTITION BY event_type, h) AS nu
+               FROM b),
+        sm AS (SELECT event_type, h, user_id FROM sz
+               WHERE nu BETWEEN 2 AND $MaxBucket),
+        e AS (SELECT DISTINCT a.user_id AS u, c.user_id AS v
+              FROM sm a JOIN sm c
+                ON a.event_type = c.event_type AND a.h = c.h
+              WHERE a.user_id < c.user_id)"""
+
+  /** Degree-ordered triangle count + global clustering coefficient.
+    *
+    * Exact integer graph statistics in one row: vertex/edge counts, max
+    * degree, wedge count (sum d*(d-1)/2, exact bigint — d*(d-1) is
+    * always even so `div 2` is lossless), triangle count via the
+    * oriented wedge join, and the global clustering coefficient
+    * 3*tri/wedges as ONE double op tree (mul then div — bit-identical
+    * across engines per the Catalog determinism contract).
+    */
+  val q110Triangles: Q = Q(
+    "q110_triangles",
+    (s, dir) => {
+      val e = Tables.eager(cooccurrenceEdges(s, dir))
+      val deg = e.select(col("u").as("node"))
+        .unionAll(e.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("d"))
+      val da = deg.select(col("node").as("u"), col("d").as("du"))
+      val db = deg.select(col("node").as("v"), col("d").as("dv"))
+      // orient low-degree -> high-degree, ties by vertex id: a total
+      // order, so each triangle has exactly one wedge s->t1, t1->t2
+      val lowFirst = col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v"))
+      val oe = Tables.eager(e.join(da, "u").join(db, "v")
+        .select(when(lowFirst, col("u")).otherwise(col("v")).as("s"),
+          when(lowFirst, col("v")).otherwise(col("u")).as("t")))
+      val e1 = oe.select(col("s").as("a"), col("t").as("b"))
+      val e2 = oe.select(col("s").as("b2"), col("t").as("c"))
+      val closing = e.select(col("u").as("x"), col("v").as("y"))
+      val tri = e1.join(e2, col("b") === col("b2"))
+        .join(closing,
+          least(col("a"), col("c")) === col("x") &&
+            greatest(col("a"), col("c")) === col("y"))
+        .agg(count(lit(1)).as("n_tri"))
+      val degStats = deg.agg(
+        count(lit(1)).as("n_nodes"),
+        max(col("d")).as("max_deg"),
+        sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+      val edgeCount = e.agg(count(lit(1)).as("n_edges"))
+      degStats.crossJoin(broadcast(edgeCount)).crossJoin(broadcast(tri))
+        .select(col("n_nodes"), col("n_edges"), col("max_deg"),
+          col("n_wedges"), col("n_tri"),
+          (lit(3.0) * col("n_tri").cast("double") /
+            col("n_wedges").cast("double")).as("clustering"))
+    },
+    Some(s"""WITH $duckEdges,
+            deg AS (SELECT node, count(*) AS d
+                    FROM (SELECT u AS node FROM e
+                          UNION ALL SELECT v AS node FROM e)
+                    GROUP BY node),
+            oe AS (SELECT CASE WHEN (da.d < db.d)
+                                 OR (da.d = db.d AND e.u < e.v)
+                               THEN e.u ELSE e.v END AS s,
+                          CASE WHEN (da.d < db.d)
+                                 OR (da.d = db.d AND e.u < e.v)
+                               THEN e.v ELSE e.u END AS t
+                   FROM e JOIN deg da ON da.node = e.u
+                          JOIN deg db ON db.node = e.v),
+            tri AS (SELECT count(*) AS n_tri
+                    FROM oe e1 JOIN oe e2 ON e1.t = e2.s
+                    JOIN e ON e.u = least(e1.s, e2.t)
+                          AND e.v = greatest(e1.s, e2.t)),
+            ds AS (SELECT count(*) AS n_nodes, max(d) AS max_deg,
+                     CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+                   FROM deg),
+            ec AS (SELECT count(*) AS n_edges FROM e)
+            SELECT n_nodes, n_edges, max_deg, n_wedges, n_tri,
+              3.0 * CAST(n_tri AS DOUBLE) / CAST(n_wedges AS DOUBLE)
+                AS clustering
+            FROM ds, ec, tri"""))
+
+  /** BFS hop-distance distribution from the minimum-id vertex.
+    *
+    * Driver loop over per-round equi-joins: frontier x adjacency ->
+    * candidates, anti-join against visited -> novel, stop when the
+    * frontier drains. Throws past [[MaxHops]] rounds so the engine can
+    * never silently diverge from the oracle CTE's `h < MaxHops` bound.
+    * Unreachable vertices are absent on both sides by construction.
+    */
+  val q111BfsHops: Q = Q(
+    "q111_bfs_hops",
+    (s, dir) => {
+      val e = Tables.eager(cooccurrenceEdges(s, dir))
+      val adj = e.select(col("u"), col("v"))
+        .unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      // every edge has u < v, so the minimum vertex id is min(u)
+      // loop state is localCheckpoint'ed (not persisted): each round's
+      // relation is cut from its lineage, so round N is one flat join
+      // instead of an N-deep recomputable plan (same posture as q43's
+      // label propagation in engine/ext/Graph.scala)
+      var dist = e.agg(min(col("u")).as("node"))
+        .withColumn("hops", lit(0L)).localCheckpoint(true)
+      var frontier = dist
+      var round = 0
+      var done = false
+      while (!done) {
+        round += 1
+        // both sides descend from the same edge relation — qualify via
+        // aliases so the self-join columns cannot be ambiguous
+        val cand = frontier.as("f")
+          .join(adj.as("a"), col("f.node") === col("a.u"))
+          .select(col("a.v").as("node")).distinct()
+        val novel = cand.join(dist, Seq("node"), "left_anti")
+          .withColumn("hops", lit(round.toLong)).localCheckpoint(true)
+        if (novel.isEmpty) done = true
+        else {
+          require(round < MaxHops,
+            s"BFS exceeded $MaxHops hops; oracle bound would diverge")
+          dist = dist.unionByName(novel).localCheckpoint(true)
+          frontier = novel
+        }
+      }
+      dist.groupBy(col("hops"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("hops"))
+    },
+    Some(s"""WITH RECURSIVE $duckEdges,
+            de AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+            walk AS (
+              SELECT (SELECT min(u) FROM e) AS node, 0 AS h
+              UNION
+              SELECT de.v AS node, walk.h + 1 AS h
+              FROM walk JOIN de ON de.u = walk.node
+              WHERE walk.h < $MaxHops),
+            dist AS (SELECT node, min(h) AS hops FROM walk GROUP BY node)
+            SELECT CAST(hops AS BIGINT) AS hops, count(*) AS n_users
+            FROM dist GROUP BY 1 ORDER BY 1"""))
+
+  val all: Seq[Q] = Seq(q110Triangles, q111BfsHops)
+}

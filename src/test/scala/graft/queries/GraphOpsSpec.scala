@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Semantics of the graph kernels (q110 triangles, q111 BFS) on a
+  * hand-crafted events fixture small enough to reason about by hand:
+  *
+  *   hour 0, type "x": users 1,2,3   -> clique edges 1-2, 1-3, 2-3
+  *   hour 1, type "x": users 3,4     -> edge 3-4
+  *   hour 2, type "x": users 10..19  -> 10 users > MaxBucket(8): NO edges
+  *
+  * Graph: degrees d(1)=2 d(2)=2 d(3)=3 d(4)=1; wedges = 1+1+3+0 = 5;
+  * triangles = 1 ({1,2,3}); clustering = 3*1/5 = 0.6.
+  * BFS from min vertex 1: hop 0 = {1}, hop 1 = {2,3}, hop 2 = {4}.
+  */
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val HourNs = 3600L * 1000000000L
+
+  private def writeEvents(dir: String,
+      rows: Seq[(Long, Long, Long)]): Unit = // (hour, user_id, event_id)
+    rows.map { case (h, u, id) => (id, h * HourNs, u, "x", 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+  private def fixture(dir: String): Unit = {
+    val big = (10L to 19L).zipWithIndex.map { case (u, i) =>
+      (2L, u, 100L + i)
+    }
+    writeEvents(dir,
+      Seq((0L, 1L, 1L), (0L, 2L, 2L), (0L, 3L, 3L),
+        (1L, 3L, 4L), (1L, 4L, 5L)) ++ big)
+  }
+
+  test("co-occurrence edges: clique within bucket, oversized bucket dropped") {
+    withTempDir { dir =>
+      fixture(dir)
+      val e = GraphQueries.cooccurrenceEdges(spark, dir)
+        .as[(Long, Long)].collect().toSet
+      e shouldBe Set((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+    }
+  }
+
+  test("q110: exact counts, degree stats, and clustering coefficient") {
+    withTempDir { dir =>
+      fixture(dir)
+      val row = GraphQueries.q110Triangles.fn(spark, dir)
+        .select("n_nodes", "n_edges", "max_deg", "n_wedges", "n_tri",
+          "clustering")
+        .as[(Long, Long, Long, Long, Long, Double)].collect().toList
+      row shouldBe List((4L, 4L, 3L, 5L, 1L, 0.6))
+    }
+  }
+
+  test("q111: hop distribution from the minimum vertex") {
+    withTempDir { dir =>
+      fixture(dir)
+      val rows = GraphQueries.q111BfsHops.fn(spark, dir)
+        .as[(Long, Long)].collect().toList
+      rows shouldBe List((0L, 1L), (1L, 2L), (2L, 1L))
+    }
+  }
+
+  test("q111: disconnected component is absent from the BFS output") {
+    withTempDir { dir =>
+      // component {1,2} (min vertex 1) and unreachable component {5,6}
+      writeEvents(dir,
+        Seq((0L, 1L, 1L), (0L, 2L, 2L), (1L, 5L, 3L), (1L, 6L, 4L)))
+      val rows = GraphQueries.q111BfsHops.fn(spark, dir)
+        .as[(Long, Long)].collect().toList
+      rows shouldBe List((0L, 1L), (1L, 1L))
+    }
+  }
+
+  test("duplicate events collapse: edge weight never exceeds one pair") {
+    withTempDir { dir =>
+      // user 1 appears 3x in the same bucket — still one edge 1-2
+      writeEvents(dir,
+        Seq((0L, 1L, 1L), (0L, 1L, 2L), (0L, 1L, 3L), (0L, 2L, 4L)))
+      val e = GraphQueries.cooccurrenceEdges(spark, dir)
+        .as[(Long, Long)].collect().toList
+      e shouldBe List((1L, 2L))
+    }
+  }
+}
