@@ -13,7 +13,7 @@ import graft.engine.Tables
   * triangle counting and breadth-first search).
   *
   * The graph: users are vertices; an undirected edge joins two users who
-  * were active in the same (event_type, hour) bucket. Buckets larger
+  * were active in the same (event_type, 10-minute cell) bucket. Buckets larger
   * than [[MaxBucket]] users are DROPPED before pair generation — the
   * same df-bound that caps q25's blocked Jaccard: a viral hour would
   * otherwise emit O(n^2) pairs for one key (the edge list stays linear
@@ -22,7 +22,7 @@ import graft.engine.Tables
   *
   * ## 100 TB notes
   *  - Edge generation is a bucket-keyed self-join AFTER the size filter:
-  *    candidates meet only inside a (event_type, hour) cell, never
+  *    candidates meet only inside a (event_type, cell) key, never
   *    across, and the window count that sizes cells rides the same
   *    exchange the join needs.
   *  - Triangle counting (q110) uses the degree-orientation trick: each
@@ -48,11 +48,11 @@ object GraphQueries {
   /** Undirected edge list (u < v), deduplicated. */
   private[queries] def cooccurrenceEdges(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(s, dir, "events")
-    // ts is an epoch-ns BIGINT (see EventQueries.tsUs); the hour index
+    // ts is an epoch-ns BIGINT (see EventQueries.tsUs); the 10-minute cell index
     // is exact integer division, identical on both engines (all ts > 0)
     val buckets = ev
       .select(col("event_type"),
-        expr("(ts div 1000) div 3600000000").as("h"), col("user_id"))
+        expr("(ts div 1000) div 600000000").as("h"), col("user_id"))
       .distinct()
     val w = Window.partitionBy(col("event_type"), col("h"))
     val small = buckets
@@ -70,7 +70,7 @@ object GraphQueries {
   /** Shared oracle CTE prefix: the same edge list in DuckDB SQL. */
   private val duckEdges =
     s"""b AS (SELECT DISTINCT event_type,
-                epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h, user_id
+                epoch_us(CAST(ts AS TIMESTAMP)) // 600000000 AS h, user_id
               FROM events),
         sz AS (SELECT *, count(*) OVER (PARTITION BY event_type, h) AS nu
                FROM b),

@@ -691,9 +691,175 @@ object RelationalQueries {
             FROM nation LEFT JOIN c ON n_nationkey = v
             ORDER BY n_nationkey"""))
 
+  /** Broadcast interval-dimension join: classify orders into price
+    * tiers defined as [lo, hi) intervals — including an OVERLAPPING
+    * "vip" tier, which is exactly why this is a join and not a CASE
+    * bin: a row can land in several tiers, so no single-valued bucket
+    * expression can express it.
+    *
+    * 100 TB: the tier table is a fixed-size dim -> `broadcast()`; the
+    * plan is a BroadcastNestedLoopJoin whose inner side is 4 rows, so
+    * the cost is 4 comparisons per fact row, map-side, no shuffle of
+    * the fact table (the only exchange is the final tier aggregation).
+    * Disjoint tiers would instead compile to the q113-style bin
+    * expression; the operator exists for the general interval-dim case.
+    */
+  val q112TierJoin: Q = Q(
+    "q112_tier_join",
+    (s, dir) => {
+      import s.implicits._
+      val orders = Tables.load(s, dir, "orders")
+      val tiers = Seq(
+        ("budget", 0.0, 100000.0),
+        ("mid", 100000.0, 250000.0),
+        ("premium", 250000.0, 600000.0),
+        ("vip", 400000.0, 600000.0)).toDF("tier", "lo", "hi")
+      orders
+        .join(broadcast(tiers),
+          col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+        .groupBy(col("tier"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice").cast("decimal(30,10)")), 2)
+            .cast("double").as("total_price"))
+        .orderBy("tier")
+    },
+    Some("""SELECT tier, count(*) AS n_orders,
+            CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,10))), 2)
+              AS DOUBLE) AS total_price
+            FROM orders
+            JOIN (VALUES ('budget', 0.0, 100000.0),
+                         ('mid', 100000.0, 250000.0),
+                         ('premium', 250000.0, 600000.0),
+                         ('vip', 400000.0, 600000.0)) t(tier, lo, hi)
+              ON o_totalprice >= lo AND o_totalprice < hi
+            GROUP BY tier ORDER BY tier"""))
+
+  /** Equi-width histogram (10 buckets) over l_extendedprice — the
+    * profiling complement to q40's equi-depth quantiles.
+    *
+    * Two passes: (1) global min/max (one partial-agg reduce), broadcast
+    * as a 1-row relation; (2) a map-only bin expression + the bucket
+    * aggregation. The bin index is ONE double op tree —
+    * floor((v - lo) / ((hi - lo) / 10)) clamped to 9 so v = max lands
+    * in the last bucket — identical IEEE ops on both engines, so even a
+    * value exactly on a bucket edge bins identically. At 100 TB both
+    * passes are full scans but shuffle only the 10-row result;
+    * at cluster scale pass (1) would come free from parquet
+    * column statistics.
+    */
+  val q113Histogram: Q = Q(
+    "q113_histogram",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val stats = li.agg(min(col("l_extendedprice")).as("lo"),
+        max(col("l_extendedprice")).as("hi"))
+      li.select(col("l_extendedprice").as("v"))
+        .crossJoin(broadcast(stats))
+        .select(col("v"),
+          least(floor((col("v") - col("lo")) /
+            ((col("hi") - col("lo")) / lit(10.0))), lit(9L)).as("bucket"),
+          col("lo"), col("hi"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("v").cast("decimal(30,10)")), 2).cast("double")
+            .as("sum_v"),
+          (first(col("lo")) + col("bucket").cast("double") *
+            ((first(col("hi")) - first(col("lo"))) / lit(10.0)))
+            .as("bucket_lo"))
+        .select(col("bucket"), col("bucket_lo"), col("n_rows"), col("sum_v"))
+        .orderBy("bucket")
+    },
+    Some("""WITH s AS (SELECT min(l_extendedprice) AS lo,
+                              max(l_extendedprice) AS hi FROM lineitem),
+            b AS (SELECT least(CAST(floor((l_extendedprice - lo) /
+                      ((hi - lo) / 10.0)) AS BIGINT), 9) AS bucket,
+                    l_extendedprice AS v, lo, hi
+                  FROM lineitem CROSS JOIN s)
+            SELECT bucket,
+              any_value(lo) + CAST(bucket AS DOUBLE) *
+                ((any_value(hi) - any_value(lo)) / 10.0) AS bucket_lo,
+              count(*) AS n_rows,
+              CAST(round(sum(CAST(v AS DECIMAL(30,10))), 2) AS DOUBLE)
+                AS sum_v
+            FROM b GROUP BY bucket ORDER BY bucket"""))
+
+  /** Pairwise Pearson correlation matrix over the four lineitem value
+    * columns, from ONE pass of moment sums (the q41 posture extended to
+    * cross-moments).
+    *
+    * Determinism: every sum (x, x^2, x*y) is accumulated EXACTLY in
+    * decimal(30,10) over bit-identical per-row double products, rounded
+    * to 2 in decimal, and only then cast to double — both engines then
+    * evaluate the identical correlation op tree (IEEE mul/sub/div and
+    * correctly-rounded sqrt), so the result is bit-identical without
+    * any tolerance. The 15 aggregates ride one partial-agg reduce to a
+    * single row; the 6 output rows are projections of that row — at
+    * 100 TB this is one scan, no shuffle beyond the reduce, vs six
+    * separate corr() passes.
+    *
+    * l_extendedprice is pre-scaled by 0.001 on BOTH engines: Pearson
+    * correlation is exactly scale-invariant, and the scaling keeps every
+    * rounded moment sum's cent-unscaled integer below 2^53 — beyond
+    * that, Spark's single-rounding BigDecimal->double cast and DuckDB's
+    * two-rounding int128->double-then-divide cast can disagree by 1 ulp
+    * (the q06 low-scale-only cast-parity rule, hit here because sums of
+    * SQUARES reach 2.2e15 at sf0.1 already).
+    */
+  val q114CorrMatrix: Q = Q(
+    "q114_corr_matrix",
+    (s, dir) => {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_quantity"),
+          (col("l_extendedprice") * lit(0.001)).as("l_extendedprice"),
+          col("l_discount"), col("l_tax"))
+      def dsum(e: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        round(sum(e.cast("decimal(30,10)")), 2).cast("double")
+      val sums = li.agg(
+        count(lit(1)).cast("double").as("n"),
+        cols.map(c => dsum(col(c)).as(s"s_$c")) ++
+          cols.map(c => dsum(col(c) * col(c)).as(s"ss_$c")) ++
+          cols.combinations(2).map { case Seq(x, y) =>
+            dsum(col(x) * col(y)).as(s"sp_${x}_$y")
+          }.toSeq: _*)
+      val pairs = cols.combinations(2).map { case Seq(x, y) =>
+        sums.select(
+          lit(x).as("xcol"), lit(y).as("ycol"),
+          ((col("n") * col(s"sp_${x}_$y") - col(s"s_$x") * col(s"s_$y")) /
+            (sqrt(col("n") * col(s"ss_$x") - col(s"s_$x") * col(s"s_$x")) *
+              sqrt(col("n") * col(s"ss_$y") - col(s"s_$y") * col(s"s_$y"))))
+            .as("corr"))
+      }.toSeq
+      pairs.reduce(_.unionByName(_)).orderBy("xcol", "ycol")
+    },
+    Some {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      def dsum(e: String) =
+        s"CAST(round(sum(CAST($e AS DECIMAL(30,10))), 2) AS DOUBLE)"
+      val aggs = (Seq("CAST(count(*) AS DOUBLE) AS n") ++
+        cols.map(c => s"${dsum(c)} AS s_$c") ++
+        cols.map(c => s"${dsum(s"$c * $c")} AS ss_$c") ++
+        cols.combinations(2).map { case Seq(x, y) =>
+          s"${dsum(s"$x * $y")} AS sp_${x}_$y"
+        }).mkString(", ")
+      val rows = cols.combinations(2).map { case Seq(x, y) =>
+        s"""SELECT '$x' AS xcol, '$y' AS ycol,
+              (n * sp_${x}_$y - s_$x * s_$y) /
+                (sqrt(n * ss_$x - s_$x * s_$x) *
+                 sqrt(n * ss_$y - s_$y * s_$y)) AS corr
+            FROM m"""
+      }.mkString(" UNION ALL ")
+      s"""WITH li AS (SELECT l_quantity,
+                        l_extendedprice * CAST(0.001 AS DOUBLE)
+                          AS l_extendedprice,
+                        l_discount, l_tax FROM lineitem),
+          m AS (SELECT $aggs FROM li) $rows ORDER BY xcol, ycol"""
+    })
+
   val all: Seq[Q] = Seq(q06JoinDims, q07StarRevenue, q08SemiJoin, q09AntiJoin,
     q10AggStats, q11Rollup, q12DistinctExact, q13WindowTopK, q14RunningSum,
     q15Pivot, q16SetOps, q17GlobalTopN, q40QuantilesDisc, q41Moments,
     q46Cube, q47LeadNtile, q53TopkAgg, q55StringAgg, q56RegexExtract,
-    q87SnapshotDiff, q89PagerankStep)
+    q87SnapshotDiff, q89PagerankStep, q112TierJoin, q113Histogram,
+    q114CorrMatrix)
 }
