@@ -815,13 +815,16 @@ object RelationalQueries {
           col("l_discount"), col("l_tax"))
       def dsum(e: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
         round(sum(e.cast("decimal(30,10)")), 2).cast("double")
-      val sums = li.agg(
+      // materialize the 1-row moment table: the six union branches below
+      // would otherwise EACH recompute the full scan+aggregate (measured
+      // in PLANS.md as 6 shuffles / 6 scans before this eager)
+      val sums = Tables.eager(li.agg(
         count(lit(1)).cast("double").as("n"),
         cols.map(c => dsum(col(c)).as(s"s_$c")) ++
           cols.map(c => dsum(col(c) * col(c)).as(s"ss_$c")) ++
           cols.combinations(2).map { case Seq(x, y) =>
             dsum(col(x) * col(y)).as(s"sp_${x}_$y")
-          }.toSeq: _*)
+          }.toSeq: _*))
       val pairs = cols.combinations(2).map { case Seq(x, y) =>
         sums.select(
           lit(x).as("xcol"), lit(y).as("ycol"),
