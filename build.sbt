@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: at 32 local threads over sf0.1, an 8g heap produced
+  // multi-second GC stalls that polluted bench timings (q94 36.7 s cold
+  // vs 1.5 s warm) — the box has 128 GiB, so buy GC headroom
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -24,7 +24,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Catalog {
   type QueryFn = (SparkSession, String) => DataFrame
 
-  final case class Q(name: String, fn: QueryFn, oracle: Option[String])
+  /** `streaming = true` marks a query whose execution is a real
+    * Structured Streaming run (state-store provisioning dominates its
+    * wall time); [[Bench]] times these cold-only — a warm pass re-pays
+    * the same per-run provisioning cost, so it measures nothing the
+    * cold pass didn't.
+    */
+  final case class Q(name: String, fn: QueryFn, oracle: Option[String],
+      streaming: Boolean = false)
 
   def all: Seq[Q] =
     queries.ReferenceQueries.all ++

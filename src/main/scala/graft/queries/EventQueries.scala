@@ -427,6 +427,17 @@ object EventQueries {
     staging.toString
   }
 
+  /** Build (or validate) both streaming staging dirs ahead of time, so a
+    * timed bench pass measures the streaming data path, not one-time
+    * symlink/file staging. Both stagings are content-stamped and reused
+    * across runs, so this is idempotent and cheap when already built.
+    */
+  def prestage(s: SparkSession, dir: String): Unit = {
+    eventsStreamDir(dir)
+    eventsOooStreamDir(s, dir)
+    ()
+  }
+
   /** The q66 and q78 oracles are valid only while the bounded stream
     * drains in ONE micro-batch: across batches,
     * `dropDuplicatesWithinWatermark` may legitimately re-emit a key that
@@ -1202,8 +1213,14 @@ object EventQueries {
       events.crossJoin(broadcast(horizon))
         .withColumn("age_d", expr("(h - us) div 86400000000"))
         .withColumn("cents", floor(col("value") * 100))
+        // the exponent is clamped at 40: a contribution is already 0
+        // once 2^age_d exceeds cents*1024 (cents < 2^30 on any sane
+        // value column), and an UNclamped 2^63+ would saturate to
+        // Long.MaxValue in Spark's non-ANSI cast while DuckDB raises a
+        // conversion error — the clamp keeps both engines in-range and
+        // identical for arbitrarily old events
         .withColumn("contrib",
-          expr("(cents * 1024) div CAST(pow(2, age_d) AS BIGINT)"))
+          expr("(cents * 1024) div CAST(pow(2, least(age_d, 40)) AS BIGINT)"))
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_events"),
           sum(col("contrib")).as("decayed_milli"))
@@ -1217,7 +1234,8 @@ object EventQueries {
                     CAST(floor(value * 100) AS BIGINT) AS cents
                   FROM ev, h)
             SELECT user_id, count(*) AS n_events,
-              CAST(sum((cents * 1024) // CAST(power(2, age_d) AS BIGINT))
+              CAST(sum((cents * 1024)
+                  // CAST(power(2, least(age_d, 40)) AS BIGINT))
                 AS BIGINT) AS decayed_milli
             FROM c GROUP BY user_id ORDER BY user_id"""))
 
@@ -1461,6 +1479,56 @@ object EventQueries {
               CAST(sum(bytes) AS BIGINT) AS bin_bytes
             FROM c GROUP BY 1, 2 ORDER BY event_type, bin"""))
 
+  /** [[graft.engine.Skew.saltedJoin]] under oracle check — the salted
+    * AGGREGATION is proven equal to the plain groupBy by q73; this is
+    * the same proof for the salted JOIN helper: events (the skewed fact
+    * — q105 profiles user_id's hot keys) joined to the customer
+    * dimension through the salt-and-replicate path, aggregated per user,
+    * hash-compared against the plain-SQL inner join. The salt spreads
+    * rows of ONE key across 16 shuffle tasks and the dimension is
+    * replicated 16x, so equality with the unsalted join is exactly the
+    * helper's correctness claim (no pair lost, no pair duplicated).
+    *
+    * ## 100 TB notes
+    * The salted path exists for the key so hot that even AQE's skew
+    * split leaves a straggler: replication cost is |dim| x saltBuckets
+    * rows shuffled, bounded and chosen; the hot key's probe cost drops
+    * by 1/16. Per-user grouping after the join keeps the oracle row
+    * count |matched users|, not |events|.
+    */
+  val q115SaltedJoin: Q = Q(
+    "q115_salted_join",
+    (s, dir) => {
+      val events = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("value"))
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      graft.engine.Skew.saltedJoin(events, cust, Seq("user_id"), 16)
+        .groupBy(col("user_id"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value").cast("decimal(30,10)")), 2).cast("double")
+            .as("total_value"))
+        .orderBy("user_id")
+    },
+    Some("""SELECT user_id, c_mktsegment, count(*) AS n_events,
+              CAST(round(sum(CAST(value AS DECIMAL(30,10))), 2) AS DOUBLE)
+                AS total_value
+            FROM events e JOIN customer c ON e.user_id = c.c_custkey
+            GROUP BY 1, 2 ORDER BY user_id"""))
+
+  /** The queries whose execution is a real Structured Streaming run —
+    * each pays per-run state-store provisioning (the r06 driver tail
+    * showed a 3.45 s state-store load for ONE of them), which is why
+    * [[graft.Bench]] times them cold-only. Any new `readStream` query
+    * must be added here; `BenchPolicySpec` cross-checks this set against
+    * the `all` registry.
+    */
+  private val streamingNames: Set[String] = Set(
+    "q64_stream_hourly", "q66_stream_dedup", "q75_stream_sessions",
+    "q76_stream_late_drop", "q78_stream_interval_join",
+    "q83_stream_static_enrich", "q84_foreachbatch_upsert",
+    "q107_stream_outer_join")
+
   val all: Seq[Q] =
     Seq(q31HourlyFromJson, q32SlidingWindow, q33Sessionize, q34SessionWindow,
       q35EventFirst, q37AsofJoin, q38RangeJoin, q50AsofForward,
@@ -1469,5 +1537,7 @@ object EventQueries {
       q80CohortRetention, q83StreamStaticEnrich, q84ForeachBatchUpsert,
       q85MovingAverage, q86SessionFunnel, q90GapFill, q95HourlyAnomaly,
       q103DecayedEngagement, q105SkewProfile, q106RollupReuse,
-      q107StreamOuterJoin, q108TrendOls, q109CompactionPlan)
+      q107StreamOuterJoin, q108TrendOls, q109CompactionPlan,
+      q115SaltedJoin)
+      .map(q => q.copy(streaming = streamingNames(q.name)))
 }

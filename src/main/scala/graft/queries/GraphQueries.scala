@@ -186,7 +186,11 @@ object GraphQueries {
           .withColumn("hops", lit(round.toLong)).localCheckpoint(true)
         if (novel.isEmpty) done = true
         else {
-          require(round < MaxHops,
+          // the oracle's recursive join (`walk.h < MaxHops`) still emits
+          // hop-MaxHops nodes (joined FROM h = MaxHops-1 rows), so hop
+          // MaxHops is legitimate on both sides; only at MaxHops+1 would
+          // the oracle first silently truncate — throw exactly there
+          require(round <= MaxHops,
             s"BFS exceeded $MaxHops hops; oracle bound would diverge")
           dist = dist.unionByName(novel).localCheckpoint(true)
           frontier = novel

@@ -742,7 +742,9 @@ object RelationalQueries {
     * aggregation. The bin index is ONE double op tree —
     * floor((v - lo) / ((hi - lo) / 10)) clamped to 9 so v = max lands
     * in the last bucket — identical IEEE ops on both engines, so even a
-    * value exactly on a bucket edge bins identically. At 100 TB both
+    * value exactly on a bucket edge bins identically. A single-valued
+    * column (hi = lo) is pinned to bucket 0 by an explicit CASE on both
+    * engines, never left to NaN binning. At 100 TB both
     * passes are full scans but shuffle only the 10-row result;
     * at cluster scale pass (1) would come free from parquet
     * column statistics.
@@ -755,9 +757,14 @@ object RelationalQueries {
         max(col("l_extendedprice")).as("hi"))
       li.select(col("l_extendedprice").as("v"))
         .crossJoin(broadcast(stats))
+        // hi = lo (single-valued column) would make the width 0/0 = NaN,
+        // where Spark's non-ANSI floor->cast yields bucket 0 but DuckDB's
+        // CAST(floor(NaN) AS BIGINT) errors — pin the degenerate case to
+        // bucket 0 explicitly, with the identical CASE on the oracle side
         .select(col("v"),
-          least(floor((col("v") - col("lo")) /
-            ((col("hi") - col("lo")) / lit(10.0))), lit(9L)).as("bucket"),
+          when(col("hi") === col("lo"), lit(0L)).otherwise(
+            least(floor((col("v") - col("lo")) /
+              ((col("hi") - col("lo")) / lit(10.0))), lit(9L))).as("bucket"),
           col("lo"), col("hi"))
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n_rows"),
@@ -771,8 +778,9 @@ object RelationalQueries {
     },
     Some("""WITH s AS (SELECT min(l_extendedprice) AS lo,
                               max(l_extendedprice) AS hi FROM lineitem),
-            b AS (SELECT least(CAST(floor((l_extendedprice - lo) /
-                      ((hi - lo) / 10.0)) AS BIGINT), 9) AS bucket,
+            b AS (SELECT CASE WHEN hi = lo THEN 0
+                      ELSE least(CAST(floor((l_extendedprice - lo) /
+                        ((hi - lo) / 10.0)) AS BIGINT), 9) END AS bucket,
                     l_extendedprice AS v, lo, hi
                   FROM lineitem CROSS JOIN s)
             SELECT bucket,
