@@ -867,10 +867,95 @@ object RelationalQueries {
           m AS (SELECT $aggs FROM li) $rows ORDER BY xcol, ycol"""
     })
 
+  /** FULL OUTER join — the one join type the suite lacked (inner q06,
+    * left q90's gap-fill frame, semi q08, anti q09, cross q103's 1-row
+    * broadcast, as-of/range/interval in EventQueries): per-day order
+    * counts reconciled against per-day shipment counts. Ship dates run
+    * past the last order date and order days can ship nothing, so BOTH
+    * unmatched regions are genuinely exercised — the null pattern in the
+    * output is the proof of outerness, deliberately not coalesced away.
+    *
+    * ## 100 TB notes
+    * Both sides pre-aggregate to |days| rows BEFORE the join (partial
+    * aggs ride the scans; the join input is already tiny), so the full
+    * outer join — which cannot broadcast (both sides must keep unmatched
+    * rows) — shuffles only day-grain tables. The reconciliation-report
+    * shape: aggregate first, outer-join the summaries, never
+    * full-outer-join raw facts.
+    */
+  val q116FullOuter: Q = Q(
+    "q116_full_outer",
+    (s, dir) => {
+      val dayUs = (c: org.apache.spark.sql.Column) =>
+        unix_micros(date_trunc("day", c).cast("timestamp_ltz"))
+      val o = Tables.load(s, dir, "orders")
+        .groupBy(dayUs(col("o_orderdate")).as("day_us"))
+        .agg(count(lit(1)).as("n_orders"))
+      val l = Tables.load(s, dir, "lineitem")
+        .groupBy(dayUs(col("l_shipdate")).as("day_us"))
+        .agg(count(lit(1)).as("n_ships"))
+      o.join(l, Seq("day_us"), "full_outer")
+        .orderBy("day_us")
+    },
+    Some("""WITH o AS (SELECT epoch_us(date_trunc('day', o_orderdate))
+                         AS day_us, count(*) AS n_orders
+                       FROM orders GROUP BY 1),
+            l AS (SELECT epoch_us(date_trunc('day', l_shipdate))
+                    AS day_us, count(*) AS n_ships
+                  FROM lineitem GROUP BY 1)
+            SELECT day_us, n_orders, n_ships
+            FROM o FULL JOIN l USING (day_us)
+            ORDER BY day_us"""))
+
+  /** UNPIVOT (melt) — the inverse of q15's pivot, and the missing
+    * wide-to-long reshape: per-returnflag measure columns melted into
+    * (flag, measure, value) rows via the native `unpivot` operator (no
+    * union-of-projections re-scan on the Spark side; Catalyst expands it
+    * to one Expand node over the aggregated input). The oracle is the
+    * portable UNION ALL form over the same aggregate.
+    *
+    * ## 100 TB notes
+    * Unpivot AFTER aggregation: the Expand multiplies rows by the
+    * measure count, so melting the |flags|-row summary emits 3x|flags|
+    * rows, while melting raw lineitem first would 3x the corpus before
+    * the shuffle. Same aggregate-first rule as q116.
+    */
+  val q117Unpivot: Q = Q(
+    "q117_unpivot",
+    (s, dir) => {
+      val sumD = (c: String) =>
+        round(sum(col(c).cast("decimal(30,10)")), 2).cast("double")
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(sumD("l_quantity").as("sum_qty"),
+          sumD("l_extendedprice").as("sum_price"),
+          sumD("l_discount").as("sum_disc"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+          "measure", "value")
+        .orderBy("l_returnflag", "measure")
+    },
+    Some("""WITH a AS (SELECT l_returnflag,
+              CAST(round(sum(CAST(l_quantity AS DECIMAL(30,10))), 2)
+                AS DOUBLE) AS sum_qty,
+              CAST(round(sum(CAST(l_extendedprice AS DECIMAL(30,10))), 2)
+                AS DOUBLE) AS sum_price,
+              CAST(round(sum(CAST(l_discount AS DECIMAL(30,10))), 2)
+                AS DOUBLE) AS sum_disc
+            FROM lineitem GROUP BY l_returnflag)
+            SELECT l_returnflag, measure, value FROM (
+              SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value
+                FROM a
+              UNION ALL
+              SELECT l_returnflag, 'sum_price', sum_price FROM a
+              UNION ALL
+              SELECT l_returnflag, 'sum_disc', sum_disc FROM a)
+            ORDER BY l_returnflag, measure"""))
+
   val all: Seq[Q] = Seq(q06JoinDims, q07StarRevenue, q08SemiJoin, q09AntiJoin,
     q10AggStats, q11Rollup, q12DistinctExact, q13WindowTopK, q14RunningSum,
     q15Pivot, q16SetOps, q17GlobalTopN, q40QuantilesDisc, q41Moments,
     q46Cube, q47LeadNtile, q53TopkAgg, q55StringAgg, q56RegexExtract,
     q87SnapshotDiff, q89PagerankStep, q112TierJoin, q113Histogram,
-    q114CorrMatrix)
+    q114CorrMatrix, q116FullOuter, q117Unpivot)
 }
