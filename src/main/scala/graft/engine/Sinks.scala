@@ -87,6 +87,27 @@ object Sinks {
                    mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).parquet(path)
 
+  /** CSV sink — the interchange format for hand-off OUT of the lake
+    * (serving exports, spreadsheet consumers). Header on so the file is
+    * self-describing; type fidelity is the reader's problem (see
+    * [[Sources.readCsv]] — always re-read with an explicit schema).
+    * Not a lake format: no column pruning, no predicate pushdown, no
+    * splittable compression by default — gold-sized tables only.
+    */
+  def writeCsv(df: DataFrame, path: String,
+               mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.option("header", "true").mode(mode).csv(path)
+
+  /** ORC sink — the second columnar lake format Spark ships natively.
+    * Same pushdown/pruning story as parquet (min/max stripe stats,
+    * column projection), so a lake standardized on ORC gets the same
+    * engine; everything else in this codebase stays parquet, this is the
+    * interop path.
+    */
+  def writeOrc(df: DataFrame, path: String,
+               mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).orc(path)
+
   /** JDBC sink (S8): drop+recreate like the reference's overwrite. */
   def writeJdbc(df: DataFrame, url: String, table: String,
                 props: Properties = new Properties()): Unit =

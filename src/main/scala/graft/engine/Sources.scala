@@ -31,6 +31,20 @@ object Sources {
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** CSV scan — interchange ingest. The schema is REQUIRED, not
+    * optional like [[readJson]]'s: header-only CSV types everything
+    * string, and `inferSchema` buys types with a full extra pass plus
+    * row-order-dependent guesses — neither is acceptable on a lake
+    * ingest path, so this API forces the caller to state the contract.
+    */
+  def readCsv(spark: SparkSession, path: String,
+              schema: StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+
+  /** ORC scan — same native pushdown/pruning posture as parquet. */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Latest-snapshot selection (S3): newest child of `root` by
     * modification time; None if the directory is empty/absent.
     */

@@ -952,10 +952,44 @@ object RelationalQueries {
               SELECT l_returnflag, 'sum_disc', sum_disc FROM a)
             ORDER BY l_returnflag, measure"""))
 
+  /** GROUPING SETS with NON-hierarchical sets — the grouping-set form
+    * rollup (q11) and cube (q46) cannot express: exactly the two
+    * single-dimension marginals, no (a,b) cell and no grand total. The
+    * native `groupingSets` API compiles to the same single-pass Expand
+    * as rollup/cube (each input row fans out once per set), so two
+    * independent GROUP BYs cost one scan and one shuffle.
+    */
+  val q118GroupingSets: Q = Q(
+    "q118_grouping_sets",
+    (s, dir) => {
+      Tables.load(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("o_totalprice").cast("decimal(30,10)")), 2)
+            .cast("double").as("sum_price"),
+          grouping_id().as("gid"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+          coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+          col("cnt"), col("sum_price"), col("gid"))
+        .orderBy("gid", "status", "priority")
+    },
+    Some("""SELECT coalesce(o_orderstatus, '(all)') AS status,
+            coalesce(o_orderpriority, '(all)') AS priority,
+            count(*) AS cnt,
+            CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,10))), 2) AS DOUBLE)
+              AS sum_price,
+            GROUPING(o_orderstatus, o_orderpriority) AS gid
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+            ORDER BY gid, status, priority"""))
+
   val all: Seq[Q] = Seq(q06JoinDims, q07StarRevenue, q08SemiJoin, q09AntiJoin,
     q10AggStats, q11Rollup, q12DistinctExact, q13WindowTopK, q14RunningSum,
     q15Pivot, q16SetOps, q17GlobalTopN, q40QuantilesDisc, q41Moments,
     q46Cube, q47LeadNtile, q53TopkAgg, q55StringAgg, q56RegexExtract,
     q87SnapshotDiff, q89PagerankStep, q112TierJoin, q113Histogram,
-    q114CorrMatrix, q116FullOuter, q117Unpivot)
+    q114CorrMatrix, q116FullOuter, q117Unpivot, q118GroupingSets)
 }

@@ -100,6 +100,32 @@ class SinksSourcesSpec extends SparkSpec {
     }
   }
 
+  test("CSV sink -> schema'd read-back preserves rows and types") {
+    withTempDir { root =>
+      Sinks.writeCsv(sampleDf, s"$root/export")
+      val back = Sources.readCsv(spark, s"$root/export", sampleDf.schema)
+      // names+types survive; nullability legitimately widens (a CSV cell
+      // can always be empty), so compare the (name, type) contract
+      back.schema.map(f => (f.name, f.dataType)) shouldBe
+        sampleDf.schema.map(f => (f.name, f.dataType))
+      back.as[(String, String, Double)].collect().toSet shouldBe
+        Set(("a", "CA", 1.5), ("b", "CA", 2.5), ("c", "NY", 3.5))
+    }
+  }
+
+  test("ORC sink round trip + predicate pushdown reaches the scan") {
+    withTempDir { root =>
+      Sinks.writeOrc(sampleDf, s"$root/orc")
+      val back = Sources.readOrc(spark, s"$root/orc")
+      back.as[(String, String, Double)].collect().toSet shouldBe
+        Set(("a", "CA", 1.5), ("b", "CA", 2.5), ("c", "NY", 3.5))
+      // same lake posture as parquet: the filter must reach the ORC scan
+      val plan = back.filter($"state" === "CA")
+        .queryExecution.executedPlan.toString
+      plan should include("PushedFilters: [IsNotNull(state), EqualTo(state,CA)]")
+    }
+  }
+
   test("JDBC sink: schema DDL + overwrite semantics on embedded Derby (S8/S9)") {
     val url = "jdbc:derby:memory:graftdb;create=true"
     Sinks.createSchema(url, "gold_layer")
