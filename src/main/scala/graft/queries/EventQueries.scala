@@ -76,11 +76,14 @@ object EventQueries {
     * from a prior run in the same session first.
     */
   private def runToMemorySink(s: SparkSession, df: DataFrame,
-      name: String): DataFrame = {
+      name: String, outputMode: String = "append"): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     s.catalog.dropTempView(name)
+    // the memory sink APPENDS each batch's rows in update mode too, so
+    // an update-mode run materializes the full per-batch emission log —
+    // exactly what q119's oracle models
     val query = df.writeStream.format("memory").queryName(name)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      .outputMode(outputMode).trigger(Trigger.AvailableNow()).start()
     query.awaitTermination()
     s.table(name)
   }
@@ -1516,6 +1519,64 @@ object EventQueries {
             FROM events e JOIN customer c ON e.user_id = c.c_custkey
             GROUP BY 1, 2 ORDER BY user_id"""))
 
+  /** Update-mode `mapGroupsWithState` under oracle check — the
+    * one-emission-per-touched-key-per-batch stateful API the suite
+    * lacked (q75's flatMapGroupsWithState is the zero-or-many append
+    * form). Per-user running (count, exact-cent total, max event time)
+    * counters fold across the THREE-batch out-of-order staging
+    * ([[eventsOooStreamDir]], `maxFilesPerTrigger=1`), so state
+    * genuinely carries between micro-batches; the update-mode memory
+    * sink appends each batch's emissions, so the materialized table is
+    * the full emission LOG — one row per (user, batch-that-touched-it)
+    * with the cumulative totals as of that batch.
+    *
+    * The oracle reconstructs the same log relationally: the staging's
+    * batch assignment is a deterministic function of (event_id parity,
+    * event time vs the even side's max), so "user's cumulative totals
+    * over batches 1..k, for each batch k that touched the user" is a
+    * self-join aggregate. Cumulative n_events strictly increases per
+    * touched batch, so (user_id, n_events) is a total order.
+    *
+    * Cents are computed IN THE PLAN (`floor(value*100)`, the q103
+    * idiom) and folded as longs in state — no double crosses a batch
+    * boundary, so the cross-batch sum is exact on any arrival order.
+    */
+  val q119StreamRunningTotals: Q = Q(
+    "q119_stream_running_totals",
+    (s, dir) => {
+      import s.implicits._
+      val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val src = s.readStream.schema(batchSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(eventsOooStreamDir(s, dir))
+        .select(col("user_id"),
+          floor(col("value") * 100).cast("long").as("cents"),
+          tsUs.as("us"))
+        .as[graft.streaming.EventStreams.Counted]
+      graft.streaming.EventStreams.runningTotals(src).toDF()
+        .transform(df => runToMemorySink(s, df,
+          "q119_stream_running_totals_mem", outputMode = "update"))
+        .orderBy("user_id", "n_events")
+    },
+    Some(s"""WITH e AS (SELECT user_id, event_id,
+                   CAST(floor(value * 100) AS BIGINT) AS cents,
+                   ${duckUs("ts")} AS us
+                 FROM events),
+            mx AS (SELECT max(us) AS m FROM e WHERE event_id % 2 = 0),
+            b AS (SELECT e.*, CASE WHEN event_id % 2 = 0 THEN 1
+                                   WHEN us > mx.m THEN 2 ELSE 3 END AS batch
+                  FROM e, mx),
+            touched AS (SELECT DISTINCT user_id, batch FROM b),
+            cum AS (SELECT t.user_id,
+                      count(*) AS n_events,
+                      CAST(sum(x.cents) AS BIGINT) AS total_cents,
+                      max(x.us) AS max_us
+                    FROM touched t JOIN b x
+                      ON x.user_id = t.user_id AND x.batch <= t.batch
+                    GROUP BY t.user_id, t.batch)
+            SELECT user_id, n_events, total_cents, max_us
+            FROM cum ORDER BY user_id, n_events"""))
+
   /** The queries whose execution is a real Structured Streaming run —
     * each pays per-run state-store provisioning (the r06 driver tail
     * showed a 3.45 s state-store load for ONE of them), which is why
@@ -1527,7 +1588,7 @@ object EventQueries {
     "q64_stream_hourly", "q66_stream_dedup", "q75_stream_sessions",
     "q76_stream_late_drop", "q78_stream_interval_join",
     "q83_stream_static_enrich", "q84_foreachbatch_upsert",
-    "q107_stream_outer_join")
+    "q107_stream_outer_join", "q119_stream_running_totals")
 
   val all: Seq[Q] =
     Seq(q31HourlyFromJson, q32SlidingWindow, q33Sessionize, q34SessionWindow,
@@ -1538,6 +1599,6 @@ object EventQueries {
       q85MovingAverage, q86SessionFunnel, q90GapFill, q95HourlyAnomaly,
       q103DecayedEngagement, q105SkewProfile, q106RollupReuse,
       q107StreamOuterJoin, q108TrendOls, q109CompactionPlan,
-      q115SaltedJoin)
+      q115SaltedJoin, q119StreamRunningTotals)
       .map(q => q.copy(streaming = streamingNames(q.name)))
 }

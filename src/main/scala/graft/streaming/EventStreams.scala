@@ -116,6 +116,49 @@ object EventStreams {
       .withWatermark("tss", watermark)
       .dropDuplicates("user_id", "event_type", "tss")
 
+  /** input row for [[runningTotals]]: cents pre-computed IN THE PLAN
+    * (Spark's `floor(value*100)`, identical to the oracle's) so the
+    * Scala state fold only adds exact longs — no double ever enters
+    * cross-batch state.
+    */
+  final case class Counted(user_id: Long, cents: Long, us: Long)
+  /** per-user accumulator carried between micro-batches */
+  final case class RunningTotal(n: Long, cents: Long, max_us: Long)
+  final case class TotalsRow(user_id: Long, n_events: Long,
+                             total_cents: Long, max_us: Long)
+
+  /** Update-mode running per-user totals via `mapGroupsWithState` — the
+    * one-emission-per-touched-key-per-batch stateful API
+    * (flatMapGroupsWithState's sessionization in [[sessionize]] is the
+    * zero-or-many form). Each micro-batch folds its rows into the key's
+    * state and emits the key's NEW cumulative row; an untouched key
+    * emits nothing. `NoTimeout`: totals never expire — the operator
+    * models a serving-table counter, and the bounded drain ends the
+    * run; an unbounded deployment would add a TTL timeout to cap state.
+    *
+    * ## 100 TB/day notes
+    * State is one fixed-width row per user ever seen — the smallest
+    * possible stateful footprint (no history, no buffers), and exactly
+    * what update-mode counters cost at scale. Emissions per batch are
+    * bounded by touched keys, not state size.
+    */
+  def runningTotals(events: Dataset[Counted]): Dataset[TotalsRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[RunningTotal, TotalsRow](GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[Counted], state: GroupState[RunningTotal]) =>
+          val s0 = state.getOption.getOrElse(RunningTotal(0L, 0L, Long.MinValue))
+          var n = s0.n; var c = s0.cents; var m = s0.max_us
+          batch.foreach { e =>
+            n += 1; c += e.cents; if (e.us > m) m = e.us
+          }
+          val s1 = RunningTotal(n, c, m)
+          state.update(s1)
+          TotalsRow(uid, s1.n, s1.cents, s1.max_us)
+      }
+  }
+
   /** Stateful sessionization: 30-min-gap sessions per user, emitted when
     * the gap elapses in event time (or the session is superseded within a
     * batch). State = at most one open session per active user.
