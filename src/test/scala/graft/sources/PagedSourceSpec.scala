@@ -85,4 +85,38 @@ class PagedSourceSpec extends SparkSpec {
     silver.filter(col("longitude").isNull).count() shouldBe
       (0 until 30).count(_ % 13 == 0)
   }
+
+  test("microbatch stream: one page per trigger, every row exactly once") {
+    import org.apache.spark.sql.streaming.Trigger
+    spark.catalog.dropTempView("paged_stream_mem")
+    val q = spark.readStream.format("paged-api")
+      .option("pages", 4).option("per_page", 10)
+      .option("max_pages_per_trigger", 1)
+      .load()
+      .writeStream.format("memory").queryName("paged_stream_mem")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // 4 admission-controlled batches of one page each
+    q.recentProgress.count(_.numInputRows > 0) shouldBe 4
+    val got = spark.table("paged_stream_mem")
+    // identical content to the batch scan, each row exactly once
+    val batch = read(4, 10)
+    got.count() shouldBe batch.count()
+    got.select("id").distinct().count() shouldBe batch.count()
+    got.exceptAll(batch).count() shouldBe 0
+    batch.exceptAll(got).count() shouldBe 0
+  }
+
+  test("microbatch stream without admission cap drains in one batch") {
+    import org.apache.spark.sql.streaming.Trigger
+    spark.catalog.dropTempView("paged_stream_all_mem")
+    val q = spark.readStream.format("paged-api")
+      .option("pages", 3).option("per_page", 8)
+      .load()
+      .writeStream.format("memory").queryName("paged_stream_all_mem")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    q.recentProgress.count(_.numInputRows > 0) shouldBe 1
+    spark.table("paged_stream_all_mem").count() shouldBe read(3, 8).count()
+  }
 }
