@@ -18,6 +18,14 @@ object Verify {
     }
     val spark = graft.engine.Sessions.local("graft-verify")
     new java.io.File(outDir).mkdirs()
+    // oracle_sql.json FIRST: it is static (no query execution involved),
+    // and the driver compare needs it for ANY completed query — written
+    // last, a wall-budget kill mid-run would discard every result already
+    // on disk (the bench learned this lesson as rc 124 in round 6)
+    val json = SparkEntry.oracleSql
+      .map { case (k, v) => s"${Jsons.quote(k)}: ${Jsons.quote(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     val selected =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => only(n) }
@@ -38,10 +46,6 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${Jsons.quote(k)}: ${Jsons.quote(v)}" }
-      .mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(
