@@ -301,6 +301,69 @@ object CorpusQueries {
               CAST((10000 * w) // w_total AS BIGINT) AS alloc
             FROM s CROSS JOIN t ORDER BY source"""))
 
+  /** Probability-proportional-to-size systematic sampling over the
+    * corpus: a document whose weight interval `(start, cum]` in the
+    * global cumulative-weight line crosses a multiple of
+    * `stride = total div k` is selected (`n_hits` times if its weight
+    * spans several multiples — the classic PPS weight-capping signal).
+    * Pure integer arithmetic end to end, so both engines pick the
+    * identical sample.
+    *
+    * ## 100 TB notes
+    * The global prefix sum is computed in TWO PHASES — per-bucket
+    * running sums plus a cumulative offset table — because a
+    * single-partition global window is the canonical scale-killer. The
+    * bucket offset table is |buckets|-sized (tiny), cumulated on one
+    * partition deliberately, then broadcast back; the per-bucket window
+    * runs fully parallel. The oracle computes the SAME numbers with one
+    * flat window (two-phase prefix summation is exactly associative
+    * regrouping of integer addition — identical values, proven by the
+    * hash match).
+    */
+  val q125PpsSample: Q = Q(
+    "q125_pps_sample",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val k = 20L
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars").as("w"),
+          expr("doc_id div 100").as("bucket"))
+      // phase 1: running sum WITHIN each bucket (parallel over buckets)
+      val intra = docs.withColumn("cum_in",
+        sum(col("w")).over(Window.partitionBy("bucket").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // phase 2: |buckets|-sized offset table — exclusive cumulative sum
+      // of bucket totals (single-partition window over a TINY frame)
+      val offsets = docs.groupBy("bucket").agg(sum(col("w")).as("bw"))
+        .withColumn("offset",
+          coalesce(sum(col("bw")).over(Window.orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("bucket"), col("offset"))
+      val total = docs.agg(sum(col("w")).as("tw")) // 1 row
+      intra.join(broadcast(offsets), "bucket")
+        .crossJoin(broadcast(total))
+        .select(col("doc_id"), col("w"),
+          (col("offset") + col("cum_in")).as("cum"),
+          expr(s"tw div $k").as("stride"))
+        // multiples of stride inside (cum - w, cum] — integer div only
+        .select(col("doc_id"), col("w"),
+          (expr("cum div stride") - expr("(cum - w) div stride"))
+            .as("n_hits"))
+        .filter(col("n_hits") > 0)
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id, n_chars AS w FROM documents),
+            c AS (SELECT doc_id, w,
+                    sum(w) OVER (ORDER BY doc_id
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+                    (SELECT sum(w) FROM d) // 20 AS stride
+                  FROM d)
+            SELECT doc_id, w,
+              CAST(cum // stride - (cum - w) // stride AS BIGINT) AS n_hits
+            FROM c WHERE cum // stride - (cum - w) // stride > 0
+            ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q88ChunkOverlap, q91BpePairs, q92UnigramRarity,
-    q93BigramLift, q94CdcChunks, q96QuantileNorm, q97MixtureWeights)
+    q93BigramLift, q94CdcChunks, q96QuantileNorm, q97MixtureWeights,
+    q125PpsSample)
 }

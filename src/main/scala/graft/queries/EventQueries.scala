@@ -1577,6 +1577,173 @@ object EventQueries {
             SELECT user_id, n_events, total_cents, max_us
             FROM cum ORDER BY user_id, n_events"""))
 
+  /** Count–min sketch heavy hitters, expressed as dataflow: the sketch
+    * is a (depth x width) counter table built by one explode + group-by
+    * (map-side partial agg collapses the exploded stream to at most
+    * depth x width rows per partition), estimates are `min` over the
+    * depth rows after a broadcast join of the candidate keys against the
+    * counter table. Carter–Wegman row hashes `((a_i k + b_i) mod p) mod w`
+    * are pure int64 arithmetic, so DuckDB rebuilds the IDENTICAL sketch
+    * and the estimates hash-match exactly — the oracle checks the real
+    * CMS values, not just the error bound (the bound, est <= exact +
+    * 2N/w, is also emitted and must hold by construction).
+    *
+    * ## 100 TB notes
+    * The sketch table is depth x width rows REGARDLESS of input size —
+    * that is the whole point of the sketch: the only full-data pass is
+    * the explode + partial agg, which shuffles at most
+    * depth x width x partitions pre-combined rows. Width is deliberately
+    * small here (64) so collisions actually occur at test SF and the
+    * `overcount` column is exercised above zero.
+    */
+  val q120CmsHeavyHitters: Q = Q(
+    "q120_cms_heavy_hitters",
+    (s, dir) => {
+      val depth = 4L
+      val width = 64L
+      val prime = 2147483647L // 2^31 - 1
+      def bucket(k: Column, i: Column): Column =
+        (k * (i * 1000003L + 1L) + (i * 999983L + 12345L)) % prime % width
+      val ev = Tables.load(s, dir, "events").select(col("user_id"))
+      val sketch = ev
+        .select(col("user_id"),
+          explode(sequence(lit(0L), lit(depth - 1))).as("i"))
+        .groupBy(col("i"), bucket(col("user_id"), col("i")).as("bucket"))
+        .agg(count(lit(1)).as("c"))
+      val total = ev.agg(count(lit(1)).as("n")) // 1 row
+      val top = ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("user_id").asc)
+        .limit(10)
+      val counters = sketch
+        .select(col("i").as("sk_i"), col("bucket"), col("c"))
+      top
+        .select(col("user_id"), col("exact_cnt"),
+          explode(sequence(lit(0L), lit(depth - 1))).as("i"))
+        .join(broadcast(counters),
+          col("i") === col("sk_i") &&
+            bucket(col("user_id"), col("i")) === col("bucket"))
+        .groupBy(col("user_id"), col("exact_cnt"))
+        .agg(min(col("c")).as("cms_est"))
+        .crossJoin(broadcast(total))
+        .select(col("user_id"), col("exact_cnt"), col("cms_est"),
+          (col("cms_est") - col("exact_cnt")).as("overcount"),
+          (col("cms_est") <= col("exact_cnt") + expr("2 * n div 64"))
+            .as("within_bound"))
+        .orderBy(col("exact_cnt").desc, col("user_id").asc)
+    },
+    Some("""WITH ev AS (SELECT user_id FROM events),
+            hh AS (SELECT unnest(generate_series(0, 3)) AS i),
+            sk AS (SELECT i,
+                     (user_id * (i * 1000003 + 1) + (i * 999983 + 12345))
+                       % 2147483647 % 64 AS bucket,
+                     count(*) AS c
+                   FROM ev CROSS JOIN hh GROUP BY 1, 2),
+            tot AS (SELECT count(*) AS n FROM ev),
+            top AS (SELECT user_id, count(*) AS exact_cnt FROM ev
+                    GROUP BY 1 ORDER BY exact_cnt DESC, user_id LIMIT 10),
+            est AS (SELECT t.user_id, t.exact_cnt, min(sk.c) AS cms_est
+                    FROM top t CROSS JOIN hh
+                    JOIN sk ON sk.i = hh.i AND sk.bucket =
+                      (t.user_id * (hh.i * 1000003 + 1)
+                        + (hh.i * 999983 + 12345)) % 2147483647 % 64
+                    GROUP BY 1, 2)
+            SELECT user_id, exact_cnt, cms_est,
+              cms_est - exact_cnt AS overcount,
+              cms_est <= exact_cnt + 2 * tot.n // 64 AS within_bound
+            FROM est CROSS JOIN tot
+            ORDER BY exact_cnt DESC, user_id"""))
+
+  /** First-order Markov transition matrix over per-user event sequences:
+    * `lead()` pairs each event with the user's next event (ties broken
+    * by event_id so the sequence is a total order), transition counts
+    * are a plain group-by, and row-normalized probabilities come from a
+    * window sum over the source state. The per-user ordering shuffles
+    * once on user_id; the (src, dst) aggregate operates on the
+    * |types|^2-sized key space with map-side partial agg, and the
+    * normalizing window runs over that tiny aggregated frame, not the
+    * event stream. `prob` is a single IEEE division of two exact longs
+    * (Catalog determinism contract — no rounding applied).
+    */
+  val q122MarkovTransitions: Q = Q(
+    "q122_markov_transitions",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"), tsUs.as("ts_us"),
+          col("event_id"))
+      val seqW = Window.partitionBy("user_id")
+        .orderBy(col("ts_us"), col("event_id"))
+      val trans = ev
+        .withColumn("dst", lead(col("event_type"), 1).over(seqW))
+        .filter(col("dst").isNotNull)
+        .groupBy(col("event_type").as("src"), col("dst"))
+        .agg(count(lit(1)).as("cnt"))
+      trans
+        .withColumn("src_total",
+          sum(col("cnt")).over(Window.partitionBy("src")))
+        .select(col("src"), col("dst"), col("cnt"),
+          (col("cnt").cast("double") / col("src_total").cast("double"))
+            .as("prob"))
+        .orderBy("src", "dst")
+    },
+    Some(s"""WITH e AS (SELECT user_id, event_type, event_id,
+                          ${duckUs("ts")} AS ts_us FROM events),
+             p AS (SELECT event_type AS src,
+                     lead(event_type) OVER (PARTITION BY user_id
+                       ORDER BY ts_us, event_id) AS dst
+                   FROM e),
+             c AS (SELECT src, dst, count(*) AS cnt FROM p
+                   WHERE dst IS NOT NULL GROUP BY 1, 2)
+             SELECT src, dst, cnt,
+               CAST(cnt AS DOUBLE)
+                 / CAST(sum(cnt) OVER (PARTITION BY src) AS DOUBLE) AS prob
+             FROM c ORDER BY src, dst"""))
+
+  /** Rolling 7-day distinct users per day — the retention/reach metric
+    * that CANNOT be a window function (distinct-count is not
+    * decomposable over sliding frames). The scalable shape: dedup to
+    * (day, user) FIRST (the only event-sized shuffle), then explode each
+    * distinct pair into the <= 7 report days it contributes to and
+    * count-distinct per report day — the explosion multiplies the
+    * already-deduplicated frame, not the raw stream, and the final agg
+    * keys on ~|days| groups. Day index is pure integer division of
+    * epoch-µs (never a date function — fixture ts is ns-BIGINT).
+    */
+  val q123RollingDistinct: Q = Q(
+    "q123_rolling_distinct",
+    (s, dir) => {
+      val du = Tables.load(s, dir, "events")
+        // exact integer day index — `div`, never `/` (double division
+        // rounds before the truncating cast and can bump a boundary)
+        .select(expr("(ts div 1000) div 86400000000").as("day_idx"),
+          col("user_id"))
+        .distinct()
+      val daily = du.groupBy("day_idx")
+        .agg(count(lit(1)).as("users_today"))
+      val rolling = du
+        .select(explode(sequence(col("day_idx"), col("day_idx") + 6))
+          .as("report_day"), col("user_id"))
+        .groupBy("report_day")
+        .agg(count_distinct(col("user_id")).as("users_7d"))
+      daily
+        .join(rolling, daily("day_idx") === rolling("report_day"))
+        .select(col("day_idx"), col("users_today"), col("users_7d"))
+        .orderBy("day_idx")
+    },
+    Some(s"""WITH du AS (SELECT DISTINCT
+                    ${duckUs("ts")} // 86400000000 AS day_idx, user_id
+                  FROM events),
+             d AS (SELECT day_idx, count(*) AS users_today FROM du
+                   GROUP BY 1),
+             w AS (SELECT day_idx + g AS report_day, user_id
+                   FROM du CROSS JOIN
+                     (SELECT unnest(generate_series(0, 6)) AS g)),
+             r AS (SELECT report_day, count(DISTINCT user_id) AS users_7d
+                   FROM w GROUP BY 1)
+             SELECT d.day_idx, d.users_today, r.users_7d
+             FROM d JOIN r ON r.report_day = d.day_idx
+             ORDER BY day_idx"""))
+
   /** The queries whose execution is a real Structured Streaming run —
     * each pays per-run state-store provisioning (the r06 driver tail
     * showed a 3.45 s state-store load for ONE of them), which is why
@@ -1599,6 +1766,7 @@ object EventQueries {
       q85MovingAverage, q86SessionFunnel, q90GapFill, q95HourlyAnomaly,
       q103DecayedEngagement, q105SkewProfile, q106RollupReuse,
       q107StreamOuterJoin, q108TrendOls, q109CompactionPlan,
-      q115SaltedJoin, q119StreamRunningTotals)
+      q115SaltedJoin, q119StreamRunningTotals, q120CmsHeavyHitters,
+      q122MarkovTransitions, q123RollingDistinct)
       .map(q => q.copy(streaming = streamingNames(q.name)))
 }

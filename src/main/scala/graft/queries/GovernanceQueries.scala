@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -132,70 +132,136 @@ object GovernanceQueries {
     * one shuffle on the entity key, windows and the rollup all reusing
     * that partitioning.
     */
+  /** The q99 snapshot stack folded into SCD2 validity intervals
+    * `(c_custkey, valid_from, valid_to, bal)` — shared by q99 (which
+    * emits the history itself) and q121 (which point-in-time-joins facts
+    * against it).
+    */
+  private def scd2Intervals(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_acctbal"))
+    def snap(ver: Int, keep: Column, bal: Column) =
+      cust.filter(keep).select(lit(ver).as("ver"), col("c_custkey"), bal.as("bal"))
+    val snaps =
+      snap(1, pmod(col("c_custkey"), lit(10)) =!= 0, col("c_acctbal"))
+        .unionByName(snap(2, pmod(col("c_custkey"), lit(7)) =!= 0,
+          when(pmod(col("c_custkey"), lit(3)) === 0, col("c_acctbal") + 100.0)
+            .otherwise(col("c_acctbal"))))
+        .unionByName(snap(3, pmod(col("c_custkey"), lit(8)) =!= 0,
+          when(pmod(col("c_custkey"), lit(4)) === 0, col("c_acctbal") + 250.0)
+            .otherwise(col("c_acctbal"))))
+    val w = Window.partitionBy("c_custkey").orderBy("ver")
+    val opens = snaps.withColumn("new_interval",
+      when(lag(col("ver"), 1).over(w).isNull
+        .or(lag(col("ver"), 1).over(w) =!= col("ver") - 1)
+        .or(lag(col("bal"), 1).over(w) =!= col("bal")), 1).otherwise(0))
+    val intervals = opens.withColumn("interval_id",
+      sum(col("new_interval")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    intervals
+      .groupBy("c_custkey", "interval_id")
+      .agg(min(col("ver")).cast("long").as("valid_from"),
+        max(col("ver")).cast("long").as("valid_to"),
+        min(col("bal")).as("bal"))
+      .select(col("c_custkey"), col("valid_from"), col("valid_to"),
+        col("bal"))
+  }
+
+  /** The q99/q121 snapshot-stack + interval-fold as DuckDB CTEs, ending
+    * in `iv(c_custkey, valid_from, valid_to, bal)`. */
+  private val Scd2IntervalCtes: String =
+    """c AS (SELECT c_custkey, c_acctbal FROM customer),
+       snaps AS (
+         SELECT 1 AS ver, c_custkey, c_acctbal AS bal
+         FROM c WHERE c_custkey % 10 != 0
+         UNION ALL
+         SELECT 2, c_custkey,
+           CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 100.0
+                ELSE c_acctbal END
+         FROM c WHERE c_custkey % 7 != 0
+         UNION ALL
+         SELECT 3, c_custkey,
+           CASE WHEN c_custkey % 4 = 0 THEN c_acctbal + 250.0
+                ELSE c_acctbal END
+         FROM c WHERE c_custkey % 8 != 0),
+       o AS (SELECT *,
+           CASE WHEN lag(ver) OVER w IS NULL
+                  OR lag(ver) OVER w != ver - 1
+                  OR lag(bal) OVER w != bal THEN 1 ELSE 0 END
+             AS new_interval
+         FROM snaps
+         WINDOW w AS (PARTITION BY c_custkey ORDER BY ver)),
+       i AS (SELECT *,
+           sum(new_interval) OVER (PARTITION BY c_custkey ORDER BY ver
+             ROWS UNBOUNDED PRECEDING) AS interval_id
+         FROM o),
+       iv AS (SELECT c_custkey,
+           CAST(min(ver) AS BIGINT) AS valid_from,
+           CAST(max(ver) AS BIGINT) AS valid_to,
+           min(bal) AS bal
+         FROM i GROUP BY c_custkey, interval_id)"""
+
   val q99Scd2Snapshots: Q = Q(
     "q99_scd2_snapshots",
-    (s, dir) => {
-      val cust = Tables.load(s, dir, "customer")
-        .select(col("c_custkey"), col("c_acctbal"))
-      def snap(ver: Int, keep: Column, bal: Column) =
-        cust.filter(keep).select(lit(ver).as("ver"), col("c_custkey"), bal.as("bal"))
-      val snaps =
-        snap(1, pmod(col("c_custkey"), lit(10)) =!= 0, col("c_acctbal"))
-          .unionByName(snap(2, pmod(col("c_custkey"), lit(7)) =!= 0,
-            when(pmod(col("c_custkey"), lit(3)) === 0, col("c_acctbal") + 100.0)
-              .otherwise(col("c_acctbal"))))
-          .unionByName(snap(3, pmod(col("c_custkey"), lit(8)) =!= 0,
-            when(pmod(col("c_custkey"), lit(4)) === 0, col("c_acctbal") + 250.0)
-              .otherwise(col("c_acctbal"))))
-      val w = Window.partitionBy("c_custkey").orderBy("ver")
-      val opens = snaps.withColumn("new_interval",
-        when(lag(col("ver"), 1).over(w).isNull
-          .or(lag(col("ver"), 1).over(w) =!= col("ver") - 1)
-          .or(lag(col("bal"), 1).over(w) =!= col("bal")), 1).otherwise(0))
-      val intervals = opens.withColumn("interval_id",
-        sum(col("new_interval")).over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      intervals
-        .groupBy("c_custkey", "interval_id")
-        .agg(min(col("ver")).cast("long").as("valid_from"),
-          max(col("ver")).cast("long").as("valid_to"),
-          min(col("bal")).as("bal"))
+    (s, dir) =>
+      scd2Intervals(s, dir)
         .select(col("c_custkey"), col("valid_from"), col("valid_to"),
           col("bal"), (col("valid_to") === 3).as("is_current"))
-        .orderBy("c_custkey", "valid_from")
+        .orderBy("c_custkey", "valid_from"),
+    Some(s"""WITH $Scd2IntervalCtes
+             SELECT c_custkey, valid_from, valid_to, bal,
+               valid_to = 3 AS is_current
+             FROM iv ORDER BY c_custkey, valid_from"""))
+
+  /** Point-in-time (PIT) enrichment against the SCD2 dimension: each
+    * order is stamped with a deterministic as-of version and picks up
+    * the balance VALID AT THAT VERSION — the temporal-correctness join
+    * that prevents feature leakage in training pipelines (joining
+    * today's dimension onto yesterday's facts). LEFT join keeps orders
+    * whose key has no covering interval (customer absent from that
+    * snapshot); the rollup audits coverage per version plus the
+    * decimal-exact sum of matched balances.
+    *
+    * ## 100 TB notes
+    * The interval table is dimension-sized (at most one row per entity
+    * per change), so the PIT join is a BROADCAST hash join with a
+    * residual range predicate — the order fact stream never shuffles.
+    * The fallback when the dimension outgrows broadcast is a shuffle
+    * hash join on the entity key with the range residual — never a
+    * cross/BNLJ, because the equi-key carries the join.
+    */
+  val q121PitEnrich: Q = Q(
+    "q121_pit_enrich",
+    (s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          (pmod(col("o_orderkey"), lit(3)) + 1).as("as_of_ver"))
+      val iv = scd2Intervals(s, dir)
+      orders
+        .join(broadcast(iv),
+          col("o_custkey") === col("c_custkey") &&
+            col("as_of_ver") >= col("valid_from") &&
+            col("as_of_ver") <= col("valid_to"),
+          "left")
+        .groupBy(col("as_of_ver"))
+        .agg(count(lit(1)).as("n_orders"),
+          count(col("bal")).as("n_covered"),
+          round(sum(col("bal").cast("decimal(30,10)")), 2).cast("double")
+            .as("sum_bal"))
+        .orderBy("as_of_ver")
     },
-    Some("""WITH c AS (SELECT c_custkey, c_acctbal FROM customer),
-            snaps AS (
-              SELECT 1 AS ver, c_custkey, c_acctbal AS bal
-              FROM c WHERE c_custkey % 10 != 0
-              UNION ALL
-              SELECT 2, c_custkey,
-                CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 100.0
-                     ELSE c_acctbal END
-              FROM c WHERE c_custkey % 7 != 0
-              UNION ALL
-              SELECT 3, c_custkey,
-                CASE WHEN c_custkey % 4 = 0 THEN c_acctbal + 250.0
-                     ELSE c_acctbal END
-              FROM c WHERE c_custkey % 8 != 0),
-            o AS (SELECT *,
-                CASE WHEN lag(ver) OVER w IS NULL
-                       OR lag(ver) OVER w != ver - 1
-                       OR lag(bal) OVER w != bal THEN 1 ELSE 0 END
-                  AS new_interval
-              FROM snaps
-              WINDOW w AS (PARTITION BY c_custkey ORDER BY ver)),
-            i AS (SELECT *,
-                sum(new_interval) OVER (PARTITION BY c_custkey ORDER BY ver
-                  ROWS UNBOUNDED PRECEDING) AS interval_id
-              FROM o)
-            SELECT c_custkey,
-              CAST(min(ver) AS BIGINT) AS valid_from,
-              CAST(max(ver) AS BIGINT) AS valid_to,
-              min(bal) AS bal,
-              max(ver) = 3 AS is_current
-            FROM i GROUP BY c_custkey, interval_id
-            ORDER BY c_custkey, valid_from"""))
+    Some(s"""WITH $Scd2IntervalCtes,
+             ord AS (SELECT o_orderkey, o_custkey,
+                       o_orderkey % 3 + 1 AS as_of_ver
+                     FROM orders)
+             SELECT as_of_ver, count(*) AS n_orders,
+               count(bal) AS n_covered,
+               CAST(round(sum(CAST(bal AS DECIMAL(30,10))), 2) AS DOUBLE)
+                 AS sum_bal
+             FROM ord LEFT JOIN iv
+               ON o_custkey = c_custkey
+               AND as_of_ver BETWEEN valid_from AND valid_to
+             GROUP BY as_of_ver ORDER BY as_of_ver"""))
 
   /** Unicode NFC canonicalization via the codegen'd [[graft.functions
     * .NfcNormalize]] expression, hash-verified against DuckDB's
@@ -347,5 +413,5 @@ object GovernanceQueries {
 
   val all: Seq[Q] =
     Seq(q98PiiRedact, q99Scd2Snapshots, q100NfcNormalize, q101IntervalMerge,
-      q104KAnonymity)
+      q104KAnonymity, q121PitEnrich)
 }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -986,10 +987,90 @@ object RelationalQueries {
             GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
             ORDER BY gid, status, priority"""))
 
+  /** Robust outlier detection via MAD (median absolute deviation): per
+    * group, the discrete median of the metric, then the discrete median
+    * of absolute deviations from it, then a count of rows beyond
+    * 3 x MAD. Two rank-pick passes (the q40 histogram/cum-rank idiom —
+    * no interpolating percentile, whose midpoint arithmetic differs
+    * between engines) and one counting pass; the 5-row median table is
+    * broadcast back to the fact both times, so the only fact-sized
+    * shuffles are the two per-(group, value) histograms. Every compared
+    * value is an ACTUAL element of the data (exact cents-valued
+    * doubles), so engine parity is structural, not numeric luck.
+    */
+  val q124MadOutliers: Q = Q(
+    "q124_mad_outliers",
+    (s, dir) => {
+      // the fixture's metrics are uniform, where the maximum deviation
+      // is only ~2 x MAD and a 3 x MAD detector is dead code — so plant
+      // sparse anomalies (~0.1% of rows, x100 spikes; the q61
+      // planted-fixture idiom) that the detector must flag
+      val li = Tables.load(s, dir, "orders")
+        .select(col("o_orderstatus").as("flag"),
+          when(pmod(col("o_orderkey"), lit(997)) === 0,
+            col("o_totalprice") * 100).otherwise(col("o_totalprice"))
+            .as("x"))
+      // discrete median of `c` per flag: histogram -> cumulative rank ->
+      // first value whose cum rank reaches ceil(n/2)
+      def discMedian(df: DataFrame, c: String, out: String): DataFrame = {
+        val byFlag = Window.partitionBy(col("flag"))
+        df.groupBy(col("flag"), col(c)).agg(count(lit(1)).as("cnt"))
+          .withColumn("cum", sum(col("cnt")).over(
+            byFlag.orderBy(col(c))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("n", sum(col("cnt")).over(byFlag))
+          .groupBy(col("flag"))
+          .agg(min(when(col("cum") >= ceil(col("n") * 0.5), col(c)))
+            .as(out))
+      }
+      val med = discMedian(li, "x", "med")
+      val dev = li.join(broadcast(med), "flag")
+        .select(col("flag"), abs(col("x") - col("med")).as("d"))
+      val mad = discMedian(dev, "d", "mad")
+      li.join(broadcast(med), "flag").join(broadcast(mad), "flag")
+        .groupBy(col("flag"))
+        .agg(count(lit(1)).as("n"),
+          max(col("med")).as("med"), max(col("mad")).as("mad"),
+          count(when(abs(col("x") - col("med")) > col("mad") * 3, 1))
+            .as("n_outliers"))
+        .orderBy("flag")
+    },
+    Some("""WITH li AS (SELECT o_orderstatus AS flag,
+                          CASE WHEN o_orderkey % 997 = 0
+                               THEN o_totalprice * 100
+                               ELSE o_totalprice END AS x
+                        FROM orders),
+            m AS (SELECT flag,
+                    min(CASE WHEN cum >= ceil(n * 0.5) THEN x END) AS med
+                  FROM (SELECT flag, x,
+                          sum(cnt) OVER (PARTITION BY flag ORDER BY x
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+                          sum(cnt) OVER (PARTITION BY flag) AS n
+                        FROM (SELECT flag, x, count(*) AS cnt FROM li
+                              GROUP BY 1, 2))
+                  GROUP BY flag),
+            d AS (SELECT li.flag, abs(x - med) AS d
+                  FROM li JOIN m USING (flag)),
+            md AS (SELECT flag,
+                     min(CASE WHEN cum >= ceil(n * 0.5) THEN d END) AS mad
+                   FROM (SELECT flag, d,
+                           sum(cnt) OVER (PARTITION BY flag ORDER BY d
+                             ROWS UNBOUNDED PRECEDING) AS cum,
+                           sum(cnt) OVER (PARTITION BY flag) AS n
+                         FROM (SELECT flag, d, count(*) AS cnt FROM d
+                               GROUP BY 1, 2))
+                   GROUP BY flag)
+            SELECT flag, count(*) AS n, max(med) AS med, max(mad) AS mad,
+              count(CASE WHEN abs(x - med) > mad * 3 THEN 1 END)
+                AS n_outliers
+            FROM li JOIN m USING (flag) JOIN md USING (flag)
+            GROUP BY flag ORDER BY flag"""))
+
   val all: Seq[Q] = Seq(q06JoinDims, q07StarRevenue, q08SemiJoin, q09AntiJoin,
     q10AggStats, q11Rollup, q12DistinctExact, q13WindowTopK, q14RunningSum,
     q15Pivot, q16SetOps, q17GlobalTopN, q40QuantilesDisc, q41Moments,
     q46Cube, q47LeadNtile, q53TopkAgg, q55StringAgg, q56RegexExtract,
     q87SnapshotDiff, q89PagerankStep, q112TierJoin, q113Histogram,
-    q114CorrMatrix, q116FullOuter, q117Unpivot, q118GroupingSets)
+    q114CorrMatrix, q116FullOuter, q117Unpivot, q118GroupingSets,
+    q124MadOutliers)
 }

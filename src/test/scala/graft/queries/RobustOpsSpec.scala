@@ -1,0 +1,156 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Semantics of the round-7 additions (q120 CMS heavy hitters, q121 PIT
+  * enrichment, q122 Markov transitions, q123 rolling distinct, q124 MAD
+  * outliers, q125 PPS sampling) on crafted fixtures — the oracle harness
+  * checks engine parity; these pin the intended MEANING.
+  */
+class RobustOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val HourNs = 3600L * 1000000000L
+  private val DayNs = 24L * HourNs
+
+  private def writeEvents(dir: String,
+      rows: Seq[(Long, Long, Long, String)]): Unit = // (ns, user, id, type)
+    rows.map { case (ns, u, id, t) => (id, ns, u, t, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+  test("q120: CMS estimate never undercounts, and the heavy key leads") {
+    withTempDir { dir =>
+      // one heavy user (60 events) + 30 distinct light users: with only
+      // 64 buckets some light users MUST collide somewhere, but min over
+      // 4 independent rows keeps every estimate >= exact
+      val heavy = (1L to 60L).map(i => (i * HourNs, 7L, i, "x"))
+      val light = (1L to 30L).map(i => (i * HourNs, 100L + i, 1000L + i, "x"))
+      writeEvents(dir, heavy ++ light)
+      val rows = EventQueries.q120CmsHeavyHitters.fn(spark, dir)
+        .select("user_id", "exact_cnt", "cms_est", "within_bound")
+        .as[(Long, Long, Long, Boolean)].collect().toSeq
+      rows.head._1 shouldBe 7L // heavy hitter ranks first
+      rows.head._2 shouldBe 60L
+      all(rows.map(r => r._3 >= r._2)) shouldBe true // CMS one-sided error
+      all(rows.map(_._4)) shouldBe true
+    }
+  }
+
+  test("q121: an order as-of a version its customer is absent from is " +
+    "uncovered") {
+    withTempDir { dir =>
+      // custkey 10 is dropped from snapshot 1 (10 % 10 == 0) but present
+      // in 2 and 3; custkey 11 is in all three
+      Seq((10L, "a", 1, 500.0, "s"), (11L, "b", 1, 700.0, "s"))
+        .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+          "c_mktsegment")
+        .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+      // orderkey % 3 + 1 = as-of version: 3 -> v1, 1 -> v2, 2 -> v3
+      Seq((3L, 10L), (1L, 10L), (3L, 11L))
+        .map { case (ok, ck) => (ok, ck, "O", 1.0,
+          java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "p") }
+        .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority")
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      val rows = GovernanceQueries.q121PitEnrich.fn(spark, dir)
+        .select("as_of_ver", "n_orders", "n_covered")
+        .as[(Long, Long, Long)].collect().toSeq
+      // v1: cust 10 absent (uncovered), cust 11 covered; v2: cust 10 covered
+      rows shouldBe Seq((1L, 2L, 1L), (2L, 1L, 1L))
+    }
+  }
+
+  test("q122: transition counts and row-normalized probabilities") {
+    withTempDir { dir =>
+      // user 1: A,B,A,C  ->  A->B, B->A, A->C; user 2: A,B -> A->B
+      writeEvents(dir, Seq(
+        (1L * HourNs, 1L, 1L, "A"), (2L * HourNs, 1L, 2L, "B"),
+        (3L * HourNs, 1L, 3L, "A"), (4L * HourNs, 1L, 4L, "C"),
+        (1L * HourNs, 2L, 5L, "A"), (2L * HourNs, 2L, 6L, "B")))
+      val rows = EventQueries.q122MarkovTransitions.fn(spark, dir)
+        .as[(String, String, Long, Double)].collect().toSeq
+      rows shouldBe Seq(("A", "B", 2L, 2.0 / 3), ("A", "C", 1L, 1.0 / 3),
+        ("B", "A", 1L, 1.0))
+    }
+  }
+
+  test("q122: simultaneous timestamps order by event_id") {
+    withTempDir { dir =>
+      // same ts for both events of user 1 -> event_id decides A before B
+      writeEvents(dir, Seq(
+        (HourNs, 1L, 1L, "A"), (HourNs, 1L, 2L, "B")))
+      val rows = EventQueries.q122MarkovTransitions.fn(spark, dir)
+        .as[(String, String, Long, Double)].collect().toSeq
+      rows shouldBe Seq(("A", "B", 1L, 1.0))
+    }
+  }
+
+  test("q123: a user active on two days counts once per 7-day window") {
+    withTempDir { dir =>
+      // users 1,2 on day 0; user 1 again on day 3
+      writeEvents(dir, Seq(
+        (1L, 1L, 1L, "x"), (2L, 2L, 2L, "x"),
+        (3 * DayNs + 1L, 1L, 3L, "x")))
+      val rows = EventQueries.q123RollingDistinct.fn(spark, dir)
+        .as[(Long, Long, Long)].collect().toSeq
+      // day 0: 2 today / 2 in window; day 3: 1 today, window {day0,day3}
+      // still has exactly users {1,2}
+      rows shouldBe Seq((0L, 2L, 2L), (3L, 1L, 2L))
+    }
+  }
+
+  test("q124: a planted spike is the only row beyond 3 x MAD") {
+    withTempDir { dir =>
+      // orderkey 997 trips the plant (997 % 997 == 0) -> x = 100 * 50
+      val rows = (1L to 20L).map(k => (k, "F", 40.0 + k)) :+ (997L, "F", 50.0)
+      rows.toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+        .withColumn("o_custkey", org.apache.spark.sql.functions.lit(1L))
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      val out = RelationalQueries.q124MadOutliers.fn(spark, dir)
+        .select("flag", "n", "n_outliers").as[(String, Long, Long)]
+        .collect().toSeq
+      out shouldBe Seq(("F", 21L, 1L))
+    }
+  }
+
+  test("q125: a document heavier than the stride is sampled once per " +
+    "crossed multiple") {
+    withTempDir { dir =>
+      // weights 4x100 + 2000 = 2400 total, k=20 -> stride 120;
+      // doc 5 spans (400, 2400]: multiples 480..2400 -> 16 hits... exact:
+      // 2400/120 - 400/120 = 20 - 3 = 17
+      Seq((1L, 100L), (2L, 100L), (3L, 100L), (4L, 100L), (5L, 2000L))
+        .map { case (id, n) => (id, "t", "en", "s", n) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val rows = CorpusQueries.q125PpsSample.fn(spark, dir)
+        .select("doc_id", "n_hits").as[(Long, Long)].collect().toMap
+      rows(5L) shouldBe 17L
+      rows.values.sum shouldBe 20L // exactly k draws in total
+    }
+  }
+
+  test("q125: two-phase prefix sum equals the flat cumulative sum") {
+    withTempDir { dir =>
+      // doc_ids crossing bucket boundaries (div 100): 99|100, 199|200
+      val docs = Seq(99L, 100L, 101L, 199L, 200L, 300L)
+      docs.zipWithIndex
+        .map { case (id, i) => (id, "t", "en", "s", 50L + 13L * i) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      // with k=20 and total 405, stride = 20: every doc crosses >= 1
+      // multiple; n_hits must equal w div 20 +- 1 boundary effects —
+      // assert against an independently computed flat prefix sum
+      val ws = docs.zipWithIndex.map { case (_, i) => 50L + 13L * i }
+      val cum = ws.scanLeft(0L)(_ + _)
+      val stride = ws.sum / 20L
+      val expected = docs.zip(cum.zip(cum.tail)).map {
+        case (id, (lo, hi)) => id -> (hi / stride - lo / stride)
+      }.filter(_._2 > 0).toMap
+      val rows = CorpusQueries.q125PpsSample.fn(spark, dir)
+        .select("doc_id", "n_hits").as[(Long, Long)].collect().toMap
+      rows shouldBe expected
+    }
+  }
+}
