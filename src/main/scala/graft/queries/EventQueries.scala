@@ -1744,6 +1744,99 @@ object EventQueries {
              FROM d JOIN r ON r.report_day = d.day_idx
              ORDER BY day_idx"""))
 
+  /** Per-user behavioral diversity as GINI IMPURITY
+    * `1 - Σ (c_i/n)² = (n² - Σ c_i²) / n²` — the diversity score that,
+    * unlike Shannon entropy, needs no transcendental function: the
+    * numerator and denominator are exact int64 arithmetic on both
+    * engines and only the final division is floating point (`ln` differs
+    * across libm implementations at the ulp level; Gini is the
+    * determinism-contract-safe diversity measure). Two hash aggregates —
+    * (user, type) then user — both map-side combined; no window, no
+    * explode.
+    */
+  val q127GiniDiversity: Q = Q(
+    "q127_gini_diversity",
+    (s, dir) => {
+      Tables.load(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_types"),
+          sum(col("c")).as("n_events"),
+          sum(col("c") * col("c")).as("ss"))
+        .select(col("user_id"), col("n_events"), col("n_types"),
+          ((col("n_events") * col("n_events") - col("ss")).cast("double")
+            / (col("n_events") * col("n_events")).cast("double"))
+            .as("gini"))
+        .orderBy("user_id")
+    },
+    Some("""WITH pc AS (SELECT user_id, event_type, count(*) AS c
+                        FROM events GROUP BY 1, 2),
+            u AS (SELECT user_id, count(*) AS n_types,
+                    CAST(sum(c) AS BIGINT) AS n_events,
+                    CAST(sum(c * c) AS BIGINT) AS ss
+                  FROM pc GROUP BY 1)
+            SELECT user_id, n_events, n_types,
+              CAST(n_events * n_events - ss AS DOUBLE)
+                / CAST(n_events * n_events AS DOUBLE) AS gini
+            FROM u ORDER BY user_id"""))
+
+  /** Chi-square contingency cells: event_type x user-cohort observed
+    * counts with expected counts and per-cell χ² contributions — the
+    * independence diagnostic behind drift detection and stratification
+    * checks. The contingency table is |types| x |cohorts| rows, so the
+    * marginal windows run over the AGGREGATED frame; the only
+    * event-sized work is the first hash aggregate. The global χ² is
+    * deliberately NOT emitted: it is a sum of doubles whose accumulation
+    * order Spark does not fix — per-cell contributions (an identical
+    * 4-op IEEE chain on exact-int inputs on both engines) are the
+    * deterministic surface, and any consumer can fold them.
+    */
+  val q128Chi2Cells: Q = Q(
+    "q128_chi2_cells",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_type"), pmod(col("user_id"), lit(4)).as("cohort"))
+      val cells = ev.groupBy(col("event_type"), col("cohort"))
+        .agg(count(lit(1)).as("obs"))
+      val total = ev.agg(count(lit(1)).as("n")) // 1 row
+      cells
+        .withColumn("row_tot",
+          sum(col("obs")).over(Window.partitionBy("event_type")))
+        .withColumn("col_tot",
+          sum(col("obs")).over(Window.partitionBy("cohort")))
+        .crossJoin(broadcast(total))
+        // exp/contrib: exact int64 inputs, fixed IEEE op chain
+        .withColumn("expected",
+          (col("row_tot") * col("col_tot")).cast("double")
+            / col("n").cast("double"))
+        .select(col("event_type"), col("cohort"), col("obs"),
+          col("expected"),
+          ((col("obs").cast("double") - col("expected"))
+            * (col("obs").cast("double") - col("expected"))
+            / col("expected")).as("contrib"))
+        .orderBy("event_type", "cohort")
+    },
+    Some("""WITH ev AS (SELECT event_type, user_id % 4 AS cohort
+                        FROM events),
+            cells AS (SELECT event_type, cohort, count(*) AS obs
+                      FROM ev GROUP BY 1, 2),
+            tot AS (SELECT count(*) AS n FROM ev),
+            m AS (SELECT event_type, cohort, obs,
+                    CAST(sum(obs) OVER (PARTITION BY event_type) AS BIGINT)
+                      AS row_tot,
+                    CAST(sum(obs) OVER (PARTITION BY cohort) AS BIGINT)
+                      AS col_tot
+                  FROM cells),
+            e AS (SELECT event_type, cohort, obs,
+                    CAST(row_tot * col_tot AS DOUBLE) / CAST(n AS DOUBLE)
+                      AS expected
+                  FROM m CROSS JOIN tot)
+            SELECT event_type, cohort, obs, expected,
+              (CAST(obs AS DOUBLE) - expected)
+                * (CAST(obs AS DOUBLE) - expected) / expected AS contrib
+            FROM e ORDER BY event_type, cohort"""))
+
   /** The queries whose execution is a real Structured Streaming run —
     * each pays per-run state-store provisioning (the r06 driver tail
     * showed a 3.45 s state-store load for ONE of them), which is why
@@ -1767,6 +1860,7 @@ object EventQueries {
       q103DecayedEngagement, q105SkewProfile, q106RollupReuse,
       q107StreamOuterJoin, q108TrendOls, q109CompactionPlan,
       q115SaltedJoin, q119StreamRunningTotals, q120CmsHeavyHitters,
-      q122MarkovTransitions, q123RollingDistinct)
+      q122MarkovTransitions, q123RollingDistinct, q127GiniDiversity,
+      q128Chi2Cells)
       .map(q => q.copy(streaming = streamingNames(q.name)))
 }

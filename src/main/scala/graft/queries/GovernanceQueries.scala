@@ -411,7 +411,64 @@ object GovernanceQueries {
                    ELSE 'suppressed' END AS release
             FROM g ORDER BY nation, segment"""))
 
+  /** CDC ops-log APPLY — the inverse of q87's snapshot diff and the
+    * other half of the change-data-capture surface: given an
+    * insert/update/delete operation log with a total sequence order,
+    * materialize the final table state (latest op per key wins, a
+    * winning delete removes the key, a later re-insert resurrects it).
+    * One shuffle on the entity key; the whole fold is a single
+    * `row_number` window over that partitioning — the MERGE-free way to
+    * apply a Delta-style change feed at scale (same posture note as
+    * README's upsert mapping).
+    */
+  val q126CdcApply: Q = Q(
+    "q126_cdc_apply",
+    (s, dir) => {
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"))
+      // deterministic ops log: seq 1 inserts every key, seq 2 updates
+      // keys %3 (+100), seq 3 deletes keys %5, seq 4 re-inserts keys %15
+      // at bal 0 — so delete-wins, update-wins and resurrection paths
+      // all occur
+      val ops =
+        cust.select(lit(1L).as("seq"), lit("I").as("op"),
+            col("c_custkey"), col("c_acctbal").as("bal"))
+          .unionByName(cust.filter(pmod(col("c_custkey"), lit(3)) === 0)
+            .select(lit(2L).as("seq"), lit("U").as("op"),
+              col("c_custkey"), (col("c_acctbal") + 100.0).as("bal")))
+          .unionByName(cust.filter(pmod(col("c_custkey"), lit(5)) === 0)
+            .select(lit(3L).as("seq"), lit("D").as("op"),
+              col("c_custkey"), lit(null).cast("double").as("bal")))
+          .unionByName(cust.filter(pmod(col("c_custkey"), lit(15)) === 0)
+            .select(lit(4L).as("seq"), lit("I").as("op"),
+              col("c_custkey"), lit(0.0).as("bal")))
+      val latest = Window.partitionBy("c_custkey").orderBy(col("seq").desc)
+      ops
+        .withColumn("rn", row_number().over(latest))
+        .filter(col("rn") === 1 && col("op") =!= "D")
+        .select(col("c_custkey"), col("bal"), col("seq").as("applied_seq"))
+        .orderBy("c_custkey")
+    },
+    Some("""WITH c AS (SELECT c_custkey, c_acctbal FROM customer),
+            ops AS (
+              SELECT 1 AS seq, 'I' AS op, c_custkey, c_acctbal AS bal FROM c
+              UNION ALL
+              SELECT 2, 'U', c_custkey, c_acctbal + 100.0
+              FROM c WHERE c_custkey % 3 = 0
+              UNION ALL
+              SELECT 3, 'D', c_custkey, CAST(NULL AS DOUBLE)
+              FROM c WHERE c_custkey % 5 = 0
+              UNION ALL
+              SELECT 4, 'I', c_custkey, 0.0
+              FROM c WHERE c_custkey % 15 = 0),
+            r AS (SELECT *, row_number() OVER (PARTITION BY c_custkey
+                    ORDER BY seq DESC) AS rn
+                  FROM ops)
+            SELECT c_custkey, bal, CAST(seq AS BIGINT) AS applied_seq
+            FROM r WHERE rn = 1 AND op != 'D'
+            ORDER BY c_custkey"""))
+
   val all: Seq[Q] =
     Seq(q98PiiRedact, q99Scd2Snapshots, q100NfcNormalize, q101IntervalMerge,
-      q104KAnonymity, q121PitEnrich)
+      q104KAnonymity, q121PitEnrich, q126CdcApply)
 }

@@ -1066,11 +1066,50 @@ object RelationalQueries {
             FROM li JOIN m USING (flag) JOIN md USING (flag)
             GROUP BY flag ORDER BY flag"""))
 
+  /** Period-over-period reporting: weekly revenue with week-over-week
+    * delta and growth ratio. The lag window runs over the AGGREGATED
+    * ~|weeks|-row series (wrapped in a single-partition window by
+    * necessity — the frame is dim-sized, which is exactly when that is
+    * acceptable); the only fact-sized work is the grouped decimal sum.
+    * Week index is integer division of epoch-µs (the q116 NTZ→LTZ cast
+    * idiom; session TZ is UTC so the cast is lossless); `wow_diff` /
+    * `wow_ratio` are raw IEEE ops on the already-rounded doubles
+    * (determinism contract: no round() on doubles).
+    */
+  val q129WowGrowth: Q = Q(
+    "q129_wow_growth",
+    (s, dir) => {
+      val weekly = Tables.load(s, dir, "orders")
+        .select(unix_micros(col("o_orderdate").cast("timestamp_ltz"))
+          .as("us"), col("o_totalprice"))
+        .groupBy(expr("us div 604800000000").as("week_idx"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice").cast("decimal(30,10)")), 2)
+            .cast("double").as("revenue"))
+      val series = Window.orderBy("week_idx")
+      weekly
+        .withColumn("prev", lag(col("revenue"), 1).over(series))
+        .select(col("week_idx"), col("n_orders"), col("revenue"),
+          (col("revenue") - col("prev")).as("wow_diff"),
+          (col("revenue") / col("prev")).as("wow_ratio"))
+        .orderBy("week_idx")
+    },
+    Some("""WITH w AS (SELECT epoch_us(o_orderdate) // 604800000000
+                         AS week_idx,
+                       count(*) AS n_orders,
+                       CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,10))),
+                         2) AS DOUBLE) AS revenue
+                       FROM orders GROUP BY 1)
+            SELECT week_idx, n_orders, revenue,
+              revenue - lag(revenue) OVER (ORDER BY week_idx) AS wow_diff,
+              revenue / lag(revenue) OVER (ORDER BY week_idx) AS wow_ratio
+            FROM w ORDER BY week_idx"""))
+
   val all: Seq[Q] = Seq(q06JoinDims, q07StarRevenue, q08SemiJoin, q09AntiJoin,
     q10AggStats, q11Rollup, q12DistinctExact, q13WindowTopK, q14RunningSum,
     q15Pivot, q16SetOps, q17GlobalTopN, q40QuantilesDisc, q41Moments,
     q46Cube, q47LeadNtile, q53TopkAgg, q55StringAgg, q56RegexExtract,
     q87SnapshotDiff, q89PagerankStep, q112TierJoin, q113Histogram,
     q114CorrMatrix, q116FullOuter, q117Unpivot, q118GroupingSets,
-    q124MadOutliers)
+    q124MadOutliers, q129WowGrowth)
 }

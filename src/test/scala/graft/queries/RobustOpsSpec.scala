@@ -131,6 +131,68 @@ class RobustOpsSpec extends SparkSpec {
     }
   }
 
+  test("q126: delete wins, update wins, and a later insert resurrects") {
+    withTempDir { dir =>
+      // key 3 -> updated (+100) at seq 2; key 5 -> deleted at seq 3;
+      // key 15 -> deleted at 3 then re-inserted at 4 (bal 0); key 1 ->
+      // untouched original insert
+      Seq((1L, 10.0), (3L, 30.0), (5L, 50.0), (15L, 150.0))
+        .map { case (k, b) => (k, "n", 1, b, "s") }
+        .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+          "c_mktsegment")
+        .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+      val rows = GovernanceQueries.q126CdcApply.fn(spark, dir)
+        .as[(Long, Double, Long)].collect().toSeq
+      rows shouldBe Seq((1L, 10.0, 1L), (3L, 130.0, 2L), (15L, 0.0, 4L))
+    }
+  }
+
+  test("q127: gini impurity is exact-integer (n² - Σc²)/n²") {
+    withTempDir { dir =>
+      // user 1: A,A,B -> (9 - (4+1))/9 = 4/9; user 2: A -> 0
+      writeEvents(dir, Seq(
+        (1L * HourNs, 1L, 1L, "A"), (2L * HourNs, 1L, 2L, "A"),
+        (3L * HourNs, 1L, 3L, "B"), (1L * HourNs, 2L, 4L, "A")))
+      val rows = EventQueries.q127GiniDiversity.fn(spark, dir)
+        .as[(Long, Long, Long, Double)].collect().toSeq
+      rows shouldBe Seq((1L, 3L, 2L, 4.0 / 9), (2L, 1L, 1L, 0.0))
+    }
+  }
+
+  test("q128: a perfectly independent table has zero contributions") {
+    withTempDir { dir =>
+      // 2 types x 2 cohorts (user_id % 4 = 1 or 2), all cells = 1 ->
+      // expected = obs everywhere -> every contrib exactly 0.0
+      writeEvents(dir, Seq(
+        (1L * HourNs, 1L, 1L, "A"), (2L * HourNs, 2L, 2L, "A"),
+        (3L * HourNs, 1L, 3L, "B"), (4L * HourNs, 2L, 4L, "B")))
+      val rows = EventQueries.q128Chi2Cells.fn(spark, dir)
+        .select("obs", "expected", "contrib")
+        .as[(Long, Double, Double)].collect().toSeq
+      rows should have size 4
+      all(rows.map(_._1)) shouldBe 1L
+      all(rows.map(_._2)) shouldBe 1.0
+      all(rows.map(_._3)) shouldBe 0.0
+    }
+  }
+
+  test("q129: week-over-week delta and ratio against the prior week") {
+    withTempDir { dir =>
+      def ts(day: Int) = java.sql.Timestamp.valueOf(f"1970-01-$day%02d 00:00:00")
+      // week 0 (days 1-7): 10.0; week 1 (days 8-14): 25.0
+      Seq((1L, ts(2), 10.0), (2L, ts(9), 20.0), (3L, ts(10), 5.0))
+        .map { case (k, d, p) => (k, 1L, "O", p, d, "pr") }
+        .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority")
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      val out = RelationalQueries.q129WowGrowth.fn(spark, dir)
+        .as[(Long, Long, Double, Option[Double], Option[Double])]
+        .collect().toSeq
+      out shouldBe Seq((0L, 1L, 10.0, None, None),
+        (1L, 2L, 25.0, Some(15.0), Some(2.5)))
+    }
+  }
+
   test("q125: two-phase prefix sum equals the flat cumulative sum") {
     withTempDir { dir =>
       // doc_ids crossing bucket boundaries (div 100): 99|100, 199|200
