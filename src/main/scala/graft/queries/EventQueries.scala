@@ -1837,6 +1837,109 @@ object EventQueries {
                 * (CAST(obs AS DOUBLE) - expected) / expected AS contrib
             FROM e ORDER BY event_type, cohort"""))
 
+  /** First-touch attribution: each purchase is credited to the user's
+    * EARLIEST click inside the preceding 24-hour lookback — the third
+    * point of the as-of family (q37 takes the latest-before, q50 the
+    * next-after; attribution wants the first-in-window, which a plain
+    * as-of cannot express). One equi-join on user_id with the time-range
+    * residual, then `row_number` per purchase ordered (click_ts,
+    * click_id) so ties are total-ordered. Unattributed purchases are
+    * kept with nulls (LEFT join semantics via the rn=1-or-no-match
+    * filter).
+    *
+    * ## 100 TB notes
+    * The join shuffles both sides once on user_id; the 24 h bound caps
+    * the per-purchase candidate set, and the window reuses the join's
+    * partitioning (user_id is a prefix of the purchase key). Same
+    * single-exchange shape as q37's union-trick as-of.
+    */
+  val q131FirstTouch: Q = Q(
+    "q131_first_touch",
+    (s, dir) => {
+      val lookbackUs = 24L * 3600 * 1000000
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          tsUs.as("ts_us"))
+      val pur = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pur_id"), col("user_id"),
+          col("ts_us").as("pur_ts_us"))
+      val clk = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("clk_id"),
+          col("user_id").as("clk_user"), col("ts_us").as("clk_ts_us"))
+      val joined = pur.join(clk,
+        col("user_id") === col("clk_user") &&
+          col("clk_ts_us") >= col("pur_ts_us") - lookbackUs &&
+          col("clk_ts_us") <= col("pur_ts_us"),
+        "left")
+      val firstW = Window.partitionBy("pur_id")
+        .orderBy(col("clk_ts_us").asc_nulls_last, col("clk_id").asc_nulls_last)
+      joined
+        .withColumn("rn", row_number().over(firstW))
+        .filter(col("rn") === 1)
+        .select(col("pur_id"), col("user_id"), col("pur_ts_us"),
+          col("clk_id"), col("clk_ts_us"),
+          (col("pur_ts_us") - col("clk_ts_us")).as("latency_us"))
+        .orderBy("pur_id")
+    },
+    Some(s"""WITH ev AS (SELECT event_id, user_id, event_type,
+                           ${duckUs("ts")} AS ts_us FROM events),
+             p AS (SELECT event_id AS pur_id, user_id, ts_us AS pur_ts_us
+                   FROM ev WHERE event_type = 'purchase'),
+             c AS (SELECT event_id AS clk_id, user_id AS clk_user,
+                     ts_us AS clk_ts_us
+                   FROM ev WHERE event_type = 'click'),
+             j AS (SELECT p.*, c.clk_id, c.clk_ts_us,
+                     row_number() OVER (PARTITION BY pur_id
+                       ORDER BY clk_ts_us ASC NULLS LAST,
+                                clk_id ASC NULLS LAST) AS rn
+                   FROM p LEFT JOIN c
+                     ON p.user_id = c.clk_user
+                     AND c.clk_ts_us >= p.pur_ts_us - 86400000000
+                     AND c.clk_ts_us <= p.pur_ts_us)
+             SELECT pur_id, user_id, pur_ts_us, clk_id, clk_ts_us,
+               pur_ts_us - clk_ts_us AS latency_us
+             FROM j WHERE rn = 1 ORDER BY pur_id"""))
+
+  /** Dwell time by state: how long users sit in each event type before
+    * their next event — `lead` inter-arrival deltas grouped by the state
+    * being LEFT. Mean dwell is one IEEE division of the exact-µs bigint
+    * sum by the transition count (never an avg() of doubles, whose
+    * accumulation order floats). Same single-shuffle window shape as
+    * q122's transitions; the final aggregate keys on |types| groups.
+    */
+  val q132DwellTime: Q = Q(
+    "q132_dwell_time",
+    (s, dir) => {
+      val seqW = Window.partitionBy("user_id")
+        .orderBy(col("ts_us"), col("event_id"))
+      Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"), tsUs.as("ts_us"),
+          col("event_id"))
+        .withColumn("next_ts_us", lead(col("ts_us"), 1).over(seqW))
+        .filter(col("next_ts_us").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_transitions"),
+          sum(col("next_ts_us") - col("ts_us")).as("total_dwell_us"),
+          max(col("next_ts_us") - col("ts_us")).as("max_dwell_us"))
+        .select(col("event_type"), col("n_transitions"),
+          col("total_dwell_us"), col("max_dwell_us"),
+          (col("total_dwell_us").cast("double")
+            / col("n_transitions").cast("double")).as("mean_dwell_us"))
+        .orderBy("event_type")
+    },
+    Some(s"""WITH e AS (SELECT user_id, event_type, event_id,
+                          ${duckUs("ts")} AS ts_us FROM events),
+             d AS (SELECT event_type,
+                     lead(ts_us) OVER (PARTITION BY user_id
+                       ORDER BY ts_us, event_id) - ts_us AS dwell_us
+                   FROM e)
+             SELECT event_type, count(*) AS n_transitions,
+               CAST(sum(dwell_us) AS BIGINT) AS total_dwell_us,
+               max(dwell_us) AS max_dwell_us,
+               CAST(sum(dwell_us) AS DOUBLE) / count(*) AS mean_dwell_us
+             FROM d WHERE dwell_us IS NOT NULL
+             GROUP BY event_type ORDER BY event_type"""))
+
   /** The queries whose execution is a real Structured Streaming run —
     * each pays per-run state-store provisioning (the r06 driver tail
     * showed a 3.45 s state-store load for ONE of them), which is why
@@ -1861,6 +1964,6 @@ object EventQueries {
       q107StreamOuterJoin, q108TrendOls, q109CompactionPlan,
       q115SaltedJoin, q119StreamRunningTotals, q120CmsHeavyHitters,
       q122MarkovTransitions, q123RollingDistinct, q127GiniDiversity,
-      q128Chi2Cells)
+      q128Chi2Cells, q131FirstTouch, q132DwellTime)
       .map(q => q.copy(streaming = streamingNames(q.name)))
 }

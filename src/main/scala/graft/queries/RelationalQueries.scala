@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -1105,11 +1105,97 @@ object RelationalQueries {
               revenue / lag(revenue) OVER (ORDER BY week_idx) AS wow_ratio
             FROM w ORDER BY week_idx"""))
 
+  /** Bloom-filter membership as dataflow — the set-membership sketch
+    * beside q120's frequency sketch: the filter is the DISTINCT set of
+    * bit positions lit by k Carter–Wegman hashes over the key set (a
+    * |bits|-bounded table regardless of input size), and a probe is a
+    * member iff all k of its positions are lit — a broadcast join plus a
+    * count-match. Probes are the customer keys shifted into a
+    * half-overlapping range, so present keys, absent keys, and (2^17 bits
+    * at ~10 bits/key) a realistic ~1-5% false-positive rate occurs at the
+    * larger SFs. The
+    * aggregate proves the contract both engines recompute identically:
+    * zero false NEGATIVES ever, false positives counted exactly.
+    *
+    * ## 100 TB notes
+    * The build side is a distinct over k x |keys| exploded rows that
+    * map-side-collapses to <= |bits| rows — broadcast however big the key
+    * set was; the probe side never shuffles (broadcast join + local
+    * agg). This is the relational skeleton of Spark's own
+    * `bloom_filter_agg`/`might_contain` runtime pruning
+    * (`RuntimePruningSpec` exercises the native pair).
+    */
+  val q130BloomMembership: Q = Q(
+    "q130_bloom_membership",
+    (s, dir) => {
+      val hashes = 5L
+      val bits = 131072L
+      val prime = 2147483647L
+      def pos(k: Column, i: Column): Column =
+        (k * (i * 1048573L + 7L) + (i * 2097143L + 31L)) % prime % bits
+      val keys = Tables.load(s, dir, "customer").select(col("c_custkey"))
+      val lit5 = sequence(lit(0L), lit(hashes - 1))
+      val bitset = keys
+        .select(explode(lit5).as("i"), col("c_custkey"))
+        .select(pos(col("c_custkey"), col("i")).as("b"))
+        .distinct()
+      val mx = keys.agg(max(col("c_custkey")).as("mx")) // 1 row
+      val probes = keys.crossJoin(broadcast(mx))
+        .select((col("c_custkey") + expr("mx div 2")).as("probe"))
+      val truth = probes
+        .join(keys.select(col("c_custkey").as("probe")), Seq("probe"),
+          "left_semi").select(col("probe"), lit(true).as("present"))
+      val hit = probes
+        .select(col("probe"), explode(lit5).as("i"))
+        .join(broadcast(bitset), pos(col("probe"), col("i")) === col("b"),
+          "left")
+        .groupBy(col("probe"))
+        .agg((count(col("b")) === hashes).as("bloom_hit"))
+      hit.join(truth, Seq("probe"), "left")
+        .select(col("probe"), coalesce(col("present"), lit(false))
+          .as("present"), col("bloom_hit"))
+        .groupBy(col("present"))
+        .agg(count(lit(1)).as("n_probes"),
+          count(when(col("bloom_hit"), 1)).as("n_hits"),
+          count(when(col("present") && !col("bloom_hit"), 1))
+            .as("n_false_negatives"),
+          count(when(!col("present") && col("bloom_hit"), 1))
+            .as("n_false_positives"))
+        .orderBy("present")
+    },
+    Some("""WITH keys AS (SELECT c_custkey FROM customer),
+            hh AS (SELECT unnest(generate_series(0, 4)) AS i),
+            bitset AS (SELECT DISTINCT
+                (c_custkey * (i * 1048573 + 7) + (i * 2097143 + 31))
+                  % 2147483647 % 131072 AS b
+              FROM keys CROSS JOIN hh),
+            probes AS (SELECT c_custkey +
+                (SELECT max(c_custkey) FROM keys) // 2 AS probe
+              FROM keys),
+            truth AS (SELECT probe,
+                probe IN (SELECT c_custkey FROM keys) AS present
+              FROM probes),
+            hit AS (SELECT probe, count(b) = 5 AS bloom_hit
+              FROM (SELECT p.probe, p.i, bs.b
+                    FROM (SELECT probe, i FROM probes CROSS JOIN hh) p
+                    LEFT JOIN bitset bs
+                      ON (p.probe * (p.i * 1048573 + 7)
+                          + (p.i * 2097143 + 31)) % 2147483647 % 131072 = bs.b)
+              GROUP BY probe)
+            SELECT present, count(*) AS n_probes,
+              count(CASE WHEN bloom_hit THEN 1 END) AS n_hits,
+              count(CASE WHEN present AND NOT bloom_hit THEN 1 END)
+                AS n_false_negatives,
+              count(CASE WHEN NOT present AND bloom_hit THEN 1 END)
+                AS n_false_positives
+            FROM hit JOIN truth USING (probe)
+            GROUP BY present ORDER BY present"""))
+
   val all: Seq[Q] = Seq(q06JoinDims, q07StarRevenue, q08SemiJoin, q09AntiJoin,
     q10AggStats, q11Rollup, q12DistinctExact, q13WindowTopK, q14RunningSum,
     q15Pivot, q16SetOps, q17GlobalTopN, q40QuantilesDisc, q41Moments,
     q46Cube, q47LeadNtile, q53TopkAgg, q55StringAgg, q56RegexExtract,
     q87SnapshotDiff, q89PagerankStep, q112TierJoin, q113Histogram,
     q114CorrMatrix, q116FullOuter, q117Unpivot, q118GroupingSets,
-    q124MadOutliers, q129WowGrowth)
+    q124MadOutliers, q129WowGrowth, q130BloomMembership)
 }

@@ -193,6 +193,60 @@ class RobustOpsSpec extends SparkSpec {
     }
   }
 
+  test("q130: no false negatives, and present keys always hit") {
+    withTempDir { dir =>
+      (1L to 200L).map(k => (k, "n", 1, 0.0, "s"))
+        .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+          "c_mktsegment")
+        .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+      // probes = keys + 100: 101..200 present, 201..300 absent
+      val rows = RelationalQueries.q130BloomMembership.fn(spark, dir)
+        .as[(Boolean, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> r).toMap
+      val (_, nPresent, hitsPresent, fnPresent, fpPresent) = rows(true)
+      nPresent shouldBe 100L
+      hitsPresent shouldBe 100L // every member hits — bloom contract
+      fnPresent shouldBe 0L
+      fpPresent shouldBe 0L
+      val (_, nAbsent, _, fnAbsent, fpAbsent) = rows(false)
+      nAbsent shouldBe 100L
+      fnAbsent shouldBe 0L
+      fpAbsent should be <= 5L // 1000 lit bits of 2^17 -> FP ~ 1e-10
+    }
+  }
+
+  test("q131: the EARLIEST click in the lookback wins, not the latest") {
+    withTempDir { dir =>
+      // clicks at t=1h and t=2h, purchase at t=3h: first-touch credits
+      // the 1h click (as-of q37 would credit the 2h one); a purchase
+      // 25h after the only click goes unattributed
+      writeEvents(dir, Seq(
+        (1L * HourNs, 1L, 10L, "click"), (2L * HourNs, 1L, 11L, "click"),
+        (3L * HourNs, 1L, 12L, "purchase"),
+        (1L * HourNs, 2L, 20L, "click"),
+        (26L * HourNs, 2L, 21L, "purchase")))
+      val rows = EventQueries.q131FirstTouch.fn(spark, dir)
+        .select("pur_id", "clk_id")
+        .as[(Long, Option[Long])].collect().toMap
+      rows shouldBe Map(12L -> Some(10L), 21L -> None)
+    }
+  }
+
+  test("q132: dwell is credited to the state being left") {
+    withTempDir { dir =>
+      // user 1: A(1h) -> B(2h) -> A(4h): A dwells 1h, B dwells 2h,
+      // final A is open-ended and excluded
+      writeEvents(dir, Seq(
+        (1L * HourNs, 1L, 1L, "A"), (2L * HourNs, 1L, 2L, "B"),
+        (4L * HourNs, 1L, 3L, "A")))
+      val rows = EventQueries.q132DwellTime.fn(spark, dir)
+        .select("event_type", "n_transitions", "total_dwell_us")
+        .as[(String, Long, Long)].collect().toSeq
+      val hourUs = 3600L * 1000000L
+      rows shouldBe Seq(("A", 1L, hourUs), ("B", 1L, 2 * hourUs))
+    }
+  }
+
   test("q125: two-phase prefix sum equals the flat cumulative sum") {
     withTempDir { dir =>
       // doc_ids crossing bucket boundaries (div 100): 99|100, 199|200
