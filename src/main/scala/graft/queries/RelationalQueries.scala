@@ -1191,11 +1191,143 @@ object RelationalQueries {
             FROM hit JOIN truth USING (probe)
             GROUP BY present ORDER BY present"""))
 
+  /** The remaining ranking-window family in one pass: `rank`,
+    * `dense_rank`, `percent_rank`, `cume_dist` per status over order
+    * value (q13/q47 cover row_number, lag/lead, ntile). All four are
+    * tie-aware and thus deterministic for a given PARTITION CONTENT
+    * regardless of physical row order; the row_number cut for the top-5
+    * emission carries the usual orderkey tie-break. percent_rank and
+    * cume_dist are single divisions of exact small ints — identical
+    * IEEE results on both engines.
+    */
+  val q133RankFamily: Q = Q(
+    "q133_rank_family",
+    (s, dir) => {
+      val byStatus = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice").desc)
+      val cut = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderstatus"), col("o_orderkey"),
+          col("o_totalprice"))
+        .withColumn("rnk", rank().over(byStatus))
+        .withColumn("drnk", dense_rank().over(byStatus))
+        .withColumn("prnk", percent_rank().over(byStatus))
+        .withColumn("cdist", cume_dist().over(byStatus))
+        .withColumn("rn", row_number().over(cut))
+        .filter(col("rn") <= 5)
+        .select(col("o_orderstatus"), col("o_orderkey"),
+          col("o_totalprice"), col("rnk").cast("long").as("rnk"),
+          col("drnk").cast("long").as("drnk"), col("prnk"), col("cdist"))
+        .orderBy("o_orderstatus", "o_orderkey")
+    },
+    Some("""SELECT o_orderstatus, o_orderkey, o_totalprice,
+              CAST(rnk AS BIGINT) AS rnk, CAST(drnk AS BIGINT) AS drnk,
+              prnk, cdist
+            FROM (SELECT o_orderstatus, o_orderkey, o_totalprice,
+                    rank() OVER w AS rnk,
+                    dense_rank() OVER w AS drnk,
+                    percent_rank() OVER w AS prnk,
+                    cume_dist() OVER w AS cdist,
+                    row_number() OVER (PARTITION BY o_orderstatus
+                      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                  FROM orders
+                  WINDOW w AS (PARTITION BY o_orderstatus
+                    ORDER BY o_totalprice DESC))
+            WHERE rn <= 5 ORDER BY o_orderstatus, o_orderkey"""))
+
+  /** Snowflake-chain join: region → nation → customer → orders revenue,
+    * the DEPTH dimension of q07's star (which fans three dims around one
+    * fact). Each dimension hop is a broadcast hash join, so the
+    * orders-sized stream flows through three build-side lookups without
+    * ever shuffling — the canonical normalized-schema rollup plan at
+    * 100 TB (and the case where join REORDERING matters: Catalyst is
+    * free to collapse dim–dim joins first because they are all
+    * broadcast).
+    */
+  val q135SnowflakeChain: Q = Q(
+    "q135_snowflake_chain",
+    (s, dir) => {
+      val region = Tables.load(s, dir, "region")
+        .select(col("r_regionkey"), col("r_name"))
+      val nation = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_regionkey"))
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      Tables.load(s, dir, "orders")
+        .select(col("o_custkey"), col("o_totalprice"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice").cast("decimal(30,10)")), 2)
+            .cast("double").as("revenue"))
+        .orderBy("r_name")
+    },
+    Some("""SELECT r_name, count(*) AS n_orders,
+              CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,10))), 2)
+                AS DOUBLE) AS revenue
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name ORDER BY r_name"""))
+
+  /** Equi-DEPTH histogram (quantile binning) — the partner of q113's
+    * equi-width bins: per returnflag, 8 buckets of (as close as ties
+    * allow) equal row counts, assigned at VALUE granularity from the
+    * q40 histogram/cumulative-rank idiom, so all rows of one value land
+    * in one bucket (tie-coherent, hence engine-deterministic). Emits per
+    * bucket the row count and value bounds. Same scale shape as q40:
+    * per-flag histogram shuffle, windows over the histogram reusing that
+    * partitioning.
+    */
+  val q136EquidepthHistogram: Q = Q(
+    "q136_equidepth_histogram",
+    (s, dir) => {
+      val buckets = 8L
+      val byFlag = Window.partitionBy("l_returnflag")
+      val hist = Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_extendedprice"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(
+          byFlag.orderBy(col("l_extendedprice"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", sum(col("cnt")).over(byFlag))
+      hist
+        // value-level depth bucket from the cum rank of the value's LAST
+        // row: floor((cum-1) * B / n), clamped by construction to B-1
+        .withColumn("bucket",
+          expr(s"(cum - 1) * $buckets div n"))
+        .groupBy(col("l_returnflag"), col("bucket"))
+        .agg(count(lit(1)).as("n_values"),
+          sum(col("cnt")).as("n_rows"),
+          min(col("l_extendedprice")).as("lo"),
+          max(col("l_extendedprice")).as("hi"))
+        .orderBy("l_returnflag", "bucket")
+    },
+    Some("""WITH h AS (SELECT l_returnflag, l_extendedprice,
+                         count(*) AS cnt
+                       FROM lineitem GROUP BY 1, 2),
+            c AS (SELECT *,
+                    sum(cnt) OVER (PARTITION BY l_returnflag
+                      ORDER BY l_extendedprice
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+                    sum(cnt) OVER (PARTITION BY l_returnflag) AS n
+                  FROM h)
+            SELECT l_returnflag, CAST((cum - 1) * 8 // n AS BIGINT)
+                AS bucket,
+              count(*) AS n_values, CAST(sum(cnt) AS BIGINT) AS n_rows,
+              min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+            FROM c GROUP BY 1, 2 ORDER BY l_returnflag, bucket"""))
+
   val all: Seq[Q] = Seq(q06JoinDims, q07StarRevenue, q08SemiJoin, q09AntiJoin,
     q10AggStats, q11Rollup, q12DistinctExact, q13WindowTopK, q14RunningSum,
     q15Pivot, q16SetOps, q17GlobalTopN, q40QuantilesDisc, q41Moments,
     q46Cube, q47LeadNtile, q53TopkAgg, q55StringAgg, q56RegexExtract,
     q87SnapshotDiff, q89PagerankStep, q112TierJoin, q113Histogram,
     q114CorrMatrix, q116FullOuter, q117Unpivot, q118GroupingSets,
-    q124MadOutliers, q129WowGrowth, q130BloomMembership)
+    q124MadOutliers, q129WowGrowth, q130BloomMembership, q133RankFamily,
+    q135SnowflakeChain, q136EquidepthHistogram)
 }

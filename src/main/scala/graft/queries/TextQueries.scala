@@ -890,10 +890,49 @@ object TextQueries {
              FROM c WHERE cum_tokens <= $TokenBudget
              GROUP BY source ORDER BY source"""))
 
+  /** Sentence segmentation statistics: split on terminal-punctuation
+    * runs (`[.!?]+`), drop whitespace-only fragments, and report per-doc
+    * sentence counts and exact-integer length sums with one closing IEEE
+    * division for the mean. Map-only until the final oracle sort —
+    * the explode multiplies rows before a map-side-combined per-doc
+    * re-aggregate, never shuffling raw text. The regex subset
+    * (character class + `+`) is valid and identical in java.util.regex
+    * and RE2 (the q98 dialect rule).
+    */
+  val q134SentenceStats: Q = Q(
+    "q134_sentence_stats",
+    (s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(split(col("text"), "[.!?]+")).as("frag"))
+        .select(col("doc_id"), trim(col("frag")).as("sent"))
+        .filter(length(col("sent")) > 0)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_sentences"),
+          sum(length(col("sent")).cast("bigint")).as("total_sent_chars"),
+          max(length(col("sent")).cast("bigint")).as("max_sent_chars"))
+        .select(col("doc_id"), col("n_sentences"), col("total_sent_chars"),
+          col("max_sent_chars"),
+          (col("total_sent_chars").cast("double")
+            / col("n_sentences").cast("double")).as("mean_sent_chars"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH f AS (SELECT doc_id,
+                         trim(unnest(string_split_regex(text, '[.!?]+')))
+                           AS sent
+                       FROM documents),
+            k AS (SELECT doc_id, sent FROM f WHERE length(sent) > 0)
+            SELECT doc_id, count(*) AS n_sentences,
+              CAST(sum(length(sent)) AS BIGINT) AS total_sent_chars,
+              max(length(sent)) AS max_sent_chars,
+              CAST(sum(length(sent)) AS DOUBLE) / count(*)
+                AS mean_sent_chars
+            FROM k GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[Q] =
     Seq(q18TextStats, q19TermFreq, q20LangId, q21QualityScore, q22RegexTokens,
       q39WinnowFp, q42EditDistance, q45TfidfTopk, q48SplitAssign,
       q51StratifiedSample, q54Sketches, q62PackSequences, q67Repetition,
       q68MixtureRebalance, q70SplitLeakage, q72CorpusFunnel,
-      q82TokenBudget)
+      q82TokenBudget, q134SentenceStats)
 }

@@ -247,6 +247,62 @@ class RobustOpsSpec extends SparkSpec {
     }
   }
 
+  test("q133: ties share rank, dense_rank stays gapless") {
+    withTempDir { dir =>
+      def ord(k: Long, p: Double) = (k, 1L, "F", p,
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "pr")
+      // prices 30,30,20: rank 1,1,3 / dense 1,1,2 / percent 0,0,1
+      Seq(ord(1, 30.0), ord(2, 30.0), ord(3, 20.0))
+        .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority")
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      val rows = RelationalQueries.q133RankFamily.fn(spark, dir)
+        .select("o_orderkey", "rnk", "drnk", "prnk", "cdist")
+        .as[(Long, Long, Long, Double, Double)].collect().toSeq
+      rows shouldBe Seq((1L, 1L, 1L, 0.0, 2.0 / 3),
+        (2L, 1L, 1L, 0.0, 2.0 / 3), (3L, 3L, 2L, 1.0, 1.0))
+    }
+  }
+
+  test("q134: punctuation runs segment; terminal-free text is one sentence") {
+    withTempDir { dir =>
+      Seq((1L, "Hi! How are you?? Done."), (2L, "no terminals here"))
+        .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val rows = TextQueries.q134SentenceStats.fn(spark, dir)
+        .select("doc_id", "n_sentences").as[(Long, Long)].collect().toMap
+      rows shouldBe Map(1L -> 3L, 2L -> 1L)
+    }
+  }
+
+  test("q135: the snowflake chain is all broadcast joins, no SMJ") {
+    val plan = RelationalQueries.q135SnowflakeChain
+      .fn(spark, "/root/testdata/sf0.001").queryExecution.executedPlan
+      .toString
+    plan should include("BroadcastHashJoin")
+    (plan should not).include("SortMergeJoin")
+  }
+
+  test("q136: per-flag bucket rows sum to the partition size, bounds nest") {
+    withTempDir { dir =>
+      // 16 distinct values, one row each -> 8 buckets of exactly 2 rows
+      (1 to 16).map(i => ("A", i.toDouble))
+        .toDF("l_returnflag", "l_extendedprice")
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      val rows = RelationalQueries.q136EquidepthHistogram.fn(spark, dir)
+        .select("bucket", "n_rows", "lo", "hi")
+        .as[(Long, Long, Double, Double)].collect().toSeq
+      rows.map(_._1) shouldBe (0L to 7L)
+      all(rows.map(_._2)) shouldBe 2L
+      // bounds tile the domain in order without overlap
+      rows.sliding(2).foreach {
+        case Seq(a, b) => a._4 should be < b._3
+        case _ => ()
+      }
+    }
+  }
+
   test("q125: two-phase prefix sum equals the flat cumulative sum") {
     withTempDir { dir =>
       // doc_ids crossing bucket boundaries (div 100): 99|100, 199|200
