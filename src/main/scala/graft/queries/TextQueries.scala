@@ -929,10 +929,77 @@ object TextQueries {
                 AS mean_sent_chars
             FROM k GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** SymSpell deletion-neighborhood typo join, PROVEN lossless: two
+    * vocabulary tokens are within Levenshtein distance 1 iff their
+    * delete-one-character neighborhoods (plus the token itself)
+    * intersect, so candidates are an equi-join on the exploded variant
+    * key and the `levenshtein <= 1` verify only REMOVES false positives
+    * (e.g. rotations like abc/bca share variant "bc" at distance 2).
+    * The oracle is the BRUTE all-pairs join over the same vocabulary —
+    * the hash match is the losslessness proof, exactly the q102
+    * prefix-filter pattern applied to edit distance (and a second,
+    * provable blocking scheme beside q42's lossy prefix blocks).
+    *
+    * ## 100 TB notes
+    * The vocabulary is Heaps-law sublinear in corpus size and the df/
+    * length gates bound it further; each token emits <= len+1 variants,
+    * so the candidate join is equi-key over a ~|vocab|·len table —
+    * never all-pairs. The brute O(|vocab|²) side exists ONLY as the
+    * DuckDB oracle.
+    */
+  val q137SymspellJoin: Q = Q(
+    "q137_symspell_join",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val base = docs
+        .select(explode(Text.regexTokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 5 && length(col("tok")).between(5, 10))
+        .select("tok")
+      // the synthetic corpus is a CLEAN fixed wordlist (no natural
+      // typos at any SF), so plant one first-char-deletion typo per
+      // gated token (q61/q124 planted-fixture idiom) — every plant is a
+      // true lev-1 pair the blocking must recover
+      val vocab = base
+        .unionByName(base.select(expr("substring(tok, 2)").as("tok")))
+        .distinct()
+      val variants = vocab
+        .select(col("tok"),
+          explode(sequence(lit(0), length(col("tok")))).as("i"))
+        .select(col("tok"),
+          when(col("i") === 0, col("tok"))
+            .otherwise(concat(expr("substring(tok, 1, i - 1)"),
+              expr("substring(tok, i + 1)"))).as("v"))
+        .distinct()
+      variants.as("a")
+        .join(variants.as("b"),
+          col("a.v") === col("b.v") && col("a.tok") < col("b.tok"))
+        .select(col("a.tok").as("tok_a"), col("b.tok").as("tok_b"))
+        .distinct()
+        .filter(levenshtein(col("tok_a"), col("tok_b")) <= 1)
+        .orderBy("tok_a", "tok_b")
+    },
+    Some(s"""WITH toks AS (SELECT unnest(list_filter(
+                 string_split_regex(lower(text), '[^a-z0-9]+'),
+                 t -> t != '')) AS tok FROM documents),
+             base AS (SELECT tok FROM toks
+                      GROUP BY tok
+                      HAVING count(*) >= 5
+                         AND length(tok) BETWEEN 5 AND 10),
+             vocab AS (SELECT DISTINCT tok FROM (
+                 SELECT tok FROM base
+                 UNION ALL SELECT substring(tok, 2) FROM base))
+             SELECT a.tok AS tok_a, b.tok AS tok_b
+             FROM vocab a JOIN vocab b
+               ON a.tok < b.tok
+               AND abs(length(a.tok) - length(b.tok)) <= 1
+               AND levenshtein(a.tok, b.tok) <= 1
+             ORDER BY tok_a, tok_b"""))
+
   val all: Seq[Q] =
     Seq(q18TextStats, q19TermFreq, q20LangId, q21QualityScore, q22RegexTokens,
       q39WinnowFp, q42EditDistance, q45TfidfTopk, q48SplitAssign,
       q51StratifiedSample, q54Sketches, q62PackSequences, q67Repetition,
       q68MixtureRebalance, q70SplitLeakage, q72CorpusFunnel,
-      q82TokenBudget, q134SentenceStats)
+      q82TokenBudget, q134SentenceStats, q137SymspellJoin)
 }

@@ -303,6 +303,24 @@ class RobustOpsSpec extends SparkSpec {
     }
   }
 
+  test("q137: rotations sharing a deletion variant are verified away") {
+    withTempDir { dir =>
+      // abcde and bcdea share deletion variant "bcde" but sit at
+      // Levenshtein distance 2: the equi-join proposes them, the verify
+      // must reject them. The planted first-char deletions (bcde, cdea)
+      // pair with their sources at distance 1 and must survive.
+      val text = Array.fill(5)("abcde bcdea").mkString(" ")
+      Seq((1L, text, "en", "s", text.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val pairs = TextQueries.q137SymspellJoin.fn(spark, dir)
+        .as[(String, String)].collect().toSet
+      pairs should contain("abcde" -> "bcde")   // planted typo recovered
+      pairs should contain("bcde" -> "bcdea")   // trailing-char deletion
+      (pairs should not).contain("abcde" -> "bcdea") // lev-2 rotation
+    }
+  }
+
   test("q125: two-phase prefix sum equals the flat cumulative sum") {
     withTempDir { dir =>
       // doc_ids crossing bucket boundaries (div 100): 99|100, 199|200
