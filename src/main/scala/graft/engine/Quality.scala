@@ -69,6 +69,51 @@ object Quality {
     (df.filter(!bad), df.filter(bad))
   }
 
+  /** In-flight gate metrics via `Dataset.observe` — the ZERO-extra-pass
+    * form of the gate: the returned frame is written (or otherwise
+    * consumed) exactly once, and the row count plus per-column violation
+    * counts are collected as accumulator-style metrics DURING that one
+    * action. At 100 TB this is the difference between "write the silver
+    * table" and "scan the silver table three times first, then write
+    * it" — assertGate's bounded probes cost extra jobs; an observation
+    * costs nothing the action wasn't already paying.
+    *
+    * Usage: `val (tagged, obs) = Quality.observed(df, cols)`; run ONE
+    * action on `tagged`; then `assertObserved(obs, MinCount(n))` — which
+    * throws exactly like [[assertGate]], but after the fact.
+    */
+  def observed(df: DataFrame, criticalColumns: Seq[String])
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    require(criticalColumns.nonEmpty, "observed needs at least one column")
+    val obs = org.apache.spark.sql.Observation()
+    val metrics = count(lit(1)).as("rows") +:
+      criticalColumns.map(c =>
+        coalesce(sum(when(nullOrEmpty(col(c)), 1L).otherwise(0L)), lit(0L))
+          .as(s"bad_$c"))
+    (df.observe(obs, metrics.head, metrics.tail: _*), obs)
+  }
+
+  /** Post-action gate over [[observed]] metrics: same failure contract
+    * as [[assertGate]] (empty / below-min / critical-column violations
+    * throw), evaluated from the already-collected observation — no
+    * further jobs. Blocks until the observed action completes.
+    */
+  def assertObserved(obs: org.apache.spark.sql.Observation,
+      checks: Seq[Check]): Unit = {
+    val m = obs.get
+    val rows = m("rows").asInstanceOf[Long]
+    if (rows == 0) throw new IllegalStateException("dataset is empty")
+    checks.foreach {
+      case MinCount(n) =>
+        if (rows < n)
+          throw new IllegalStateException(s"record count below $n")
+      case NotNullOrEmpty(c) =>
+        if (m(s"bad_$c").asInstanceOf[Long] > 0)
+          throw new IllegalStateException(
+            s"critical column $c has null/empty values")
+    }
+  }
+
   /** All critical-column violation counts in ONE scan (vs the reference's
     * job-per-column), as (column, violations) rows.
     */

@@ -67,6 +67,32 @@ class SilverQualityGoldSpec extends SparkSpec {
       Gen.const(""), Gen.const("  padded  "), Gen.const("MiXeD Case")))
     .sample.getOrElse(Seq.fill(200)("fallback"))
 
+  test("observed gate: metrics collected in the SAME action match report") {
+    val df = Seq(("a", "x"), ("", "y"), (null: String, "z"), ("d", ""))
+      .toDF("name", "city")
+    val (tagged, obs) = Quality.observed(df, Seq("name", "city"))
+    tagged.write.format("noop").mode("overwrite").save() // the ONE action
+    val m = obs.get
+    m("rows") shouldBe 4L
+    m("bad_name") shouldBe 2L // "" and null
+    m("bad_city") shouldBe 1L // ""
+    // and the after-the-fact gate throws exactly like assertGate
+    val e = intercept[IllegalStateException] {
+      Quality.assertObserved(obs, Seq(Quality.NotNullOrEmpty("name")))
+    }
+    e.getMessage should include("name")
+    Quality.assertObserved(obs, Seq(Quality.MinCount(4))) // passes
+  }
+
+  test("observed gate: clean data passes all checks post-action") {
+    val df = Seq(("a", "x"), ("b", "y")).toDF("name", "city")
+    val (tagged, obs) = Quality.observed(df, Seq("name", "city"))
+    tagged.write.format("noop").mode("overwrite").save()
+    Quality.assertObserved(obs,
+      Seq(Quality.MinCount(2), Quality.NotNullOrEmpty("name"),
+        Quality.NotNullOrEmpty("city")))
+  }
+
   test("property: normalization is idempotent (lower.lower = lower, trim.trim = trim)") {
     val df = rawStrings.toDF("s")
     df.filter(lower(lower(col("s"))) =!= lower(col("s"))).count() shouldBe 0
