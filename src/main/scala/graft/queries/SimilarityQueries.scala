@@ -528,7 +528,76 @@ object SimilarityQueries {
              FROM v LEFT JOIN d ON v.cluster = d.cluster
              ORDER BY v.cluster"""))
 
+  /** Product-quantization codebook assignment — the compression
+    * structure production ANN engines layer under IVF (q30): the 64-dim
+    * space splits into 4 subspaces of 16 dims, each with its own small
+    * codebook (the per-label centroid means restricted to that slice —
+    * reusing [[centroids]] so the math cannot diverge from q30/q44), and
+    * every vector stores just 4 code ids. Assignment is argmin
+    * L2²-per-slice (the q57 fold idiom, no sqrt needed for argmin);
+    * the audit rolls up code populations and the decimal-exact
+    * quantization error per (subspace, code) — the distortion signal
+    * that drives codebook retraining.
+    *
+    * ## 100 TB notes
+    * Codebooks are k x dims/m doubles — broadcast forever; assignment
+    * is a map-side argmin over the streamed corpus (cross join with a
+    * 5-row build side x 4 subspaces), and the audit aggregate keys on
+    * |subspaces| x |codes| groups. The PQ code table this emits is 4
+    * bytes/vector — the thing that makes billion-vector indexes fit in
+    * memory.
+    */
+  val q138PqCodebook: Q = Q(
+    "q138_pq_codebook",
+    (s, dir) => {
+      val subDims = 16
+      def l2sq(a: Column, b: Column): Column = aggregate(
+        zip_with(a, b, (x, y) =>
+          (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double"))),
+        lit(0.0), (acc, v) => acc + v)
+      val cents = centroids(emb(s, dir)) // (c_label, cemb), 5 rows
+      val scored = emb(s, dir)
+        .select(col("vec_id"), col("embedding"),
+          explode(sequence(lit(0), lit(3))).as("m"))
+        .crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("m"), col("c_label"),
+          l2sq(slice(col("embedding"), col("m") * subDims + 1, lit(subDims)),
+            slice(col("cemb"), col("m") * subDims + 1, lit(subDims)))
+            .as("err"))
+      val w = Window.partitionBy(col("vec_id"), col("m"))
+        .orderBy(col("err").asc, col("c_label").asc)
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .groupBy(col("m").cast("long").as("subspace"),
+          col("c_label").as("code"))
+        .agg(count(lit(1)).as("n_vecs"),
+          round(sum(col("err").cast("decimal(30,15)")), 9).cast("double")
+            .as("total_err"))
+        .orderBy("subspace", "code")
+    },
+    Some(s"""WITH ${duckAssignCtes("embedding,")},
+             sub AS (SELECT e.vec_id, m.m, cent.c_label,
+                       list_sum(list_transform(list_zip(
+                         CAST(list_slice(e.embedding, m.m * 16 + 1,
+                           m.m * 16 + 16) AS DOUBLE[]),
+                         list_slice(cent.cemb, m.m * 16 + 1,
+                           m.m * 16 + 16)),
+                         x -> (x[1] - x[2]) * (x[1] - x[2]))) AS err
+                     FROM embeddings e,
+                          (SELECT unnest(generate_series(0, 3)) AS m) m,
+                          cent),
+             asg AS (SELECT vec_id, m, c_label, err,
+                       row_number() OVER (PARTITION BY vec_id, m
+                         ORDER BY err ASC, c_label ASC) AS rn
+                     FROM sub)
+             SELECT CAST(m AS BIGINT) AS subspace, c_label AS code,
+               count(*) AS n_vecs,
+               CAST(round(sum(CAST(err AS DECIMAL(30,15))), 9) AS DOUBLE)
+                 AS total_err
+             FROM asg WHERE rn = 1
+             GROUP BY m, c_label ORDER BY subspace, code"""))
+
   val all: Seq[Q] = Seq(q27KnnBrute, q28AnnLsh, q29EmbNearDup, q30IvfCentroid,
     q44KmeansStep, q49AnnRecall, q52SqlSurface, q57L2Knn, q71Int8Quant,
-    q79SemanticDedup)
+    q79SemanticDedup, q138PqCodebook)
 }

@@ -321,6 +321,18 @@ class RobustOpsSpec extends SparkSpec {
     }
   }
 
+  test("q138: every subspace partitions the whole corpus across codes") {
+    val rows = SimilarityQueries.q138PqCodebook
+      .fn(spark, "/root/testdata/sf0.001")
+      .select("subspace", "n_vecs", "total_err")
+      .as[(Long, Long, Double)].collect().toSeq
+    val n = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet").count()
+    rows.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap.values
+      .foreach(_ shouldBe n) // each of the 4 subspaces assigns every vec
+    all(rows.map(_._3)) should be >= 0.0 // distortion is non-negative
+  }
+
   test("q125: two-phase prefix sum equals the flat cumulative sum") {
     withTempDir { dir =>
       // doc_ids crossing bucket boundaries (div 100): 99|100, 199|200
