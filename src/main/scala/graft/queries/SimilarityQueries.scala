@@ -547,57 +547,202 @@ object SimilarityQueries {
     * bytes/vector — the thing that makes billion-vector indexes fit in
     * memory.
     */
+  /** Squared L2 over two (sliced) arrays — the PQ/ADC distance kernel
+    * (q57's metric without the sqrt, which argmin doesn't need). */
+  private def l2sq(a: Column, b: Column): Column = aggregate(
+    zip_with(a, b, (x, y) =>
+      (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double"))),
+    lit(0.0), (acc, v) => acc + v)
+
+  private val PqSubDims = 16
+
+  /** PQ code assignment `(vec_id, m, code, err)`: per vector x subspace,
+    * the argmin-L2² codebook entry (codebooks = [[centroids]] slices) —
+    * shared by q138 (population/distortion audit) and q139 (ADC recall).
+    */
+  private def pqCodes(e: DataFrame): DataFrame = {
+    val cents = centroids(e) // (c_label, cemb), |labels| rows
+    val scored = e
+      .select(col("vec_id"), col("embedding"),
+        explode(sequence(lit(0), lit(3))).as("m"))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("m"), col("c_label"),
+        l2sq(slice(col("embedding"), col("m") * PqSubDims + 1, lit(PqSubDims)),
+          slice(col("cemb"), col("m") * PqSubDims + 1, lit(PqSubDims)))
+          .as("err"))
+    val w = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("err").asc, col("c_label").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("c_label").as("code"), col("err"))
+  }
+
+  /** Oracle mirror of [[pqCodes]] as CTEs sub/codes (expects `cent` from
+    * [[duckAssignCtes]] in scope). */
+  private val DuckPqCodesCtes: String =
+    """sub AS (SELECT e.vec_id, m.m, cent.c_label,
+                 list_sum(list_transform(list_zip(
+                   CAST(list_slice(e.embedding, m.m * 16 + 1,
+                     m.m * 16 + 16) AS DOUBLE[]),
+                   list_slice(cent.cemb, m.m * 16 + 1, m.m * 16 + 16)),
+                   x -> (x[1] - x[2]) * (x[1] - x[2]))) AS err
+               FROM embeddings e,
+                    (SELECT unnest(generate_series(0, 3)) AS m) m,
+                    cent),
+       codes AS (SELECT vec_id, m, c_label AS code, err
+                 FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                         ORDER BY err ASC, c_label ASC) AS rn
+                       FROM sub)
+                 WHERE rn = 1)"""
+
   val q138PqCodebook: Q = Q(
     "q138_pq_codebook",
     (s, dir) => {
-      val subDims = 16
-      def l2sq(a: Column, b: Column): Column = aggregate(
-        zip_with(a, b, (x, y) =>
-          (x.cast("double") - y.cast("double"))
-            * (x.cast("double") - y.cast("double"))),
-        lit(0.0), (acc, v) => acc + v)
-      val cents = centroids(emb(s, dir)) // (c_label, cemb), 5 rows
-      val scored = emb(s, dir)
-        .select(col("vec_id"), col("embedding"),
-          explode(sequence(lit(0), lit(3))).as("m"))
-        .crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("m"), col("c_label"),
-          l2sq(slice(col("embedding"), col("m") * subDims + 1, lit(subDims)),
-            slice(col("cemb"), col("m") * subDims + 1, lit(subDims)))
-            .as("err"))
-      val w = Window.partitionBy(col("vec_id"), col("m"))
-        .orderBy(col("err").asc, col("c_label").asc)
-      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .groupBy(col("m").cast("long").as("subspace"),
-          col("c_label").as("code"))
+      pqCodes(emb(s, dir))
+        .groupBy(col("m").cast("long").as("subspace"), col("code"))
         .agg(count(lit(1)).as("n_vecs"),
           round(sum(col("err").cast("decimal(30,15)")), 9).cast("double")
             .as("total_err"))
         .orderBy("subspace", "code")
     },
     Some(s"""WITH ${duckAssignCtes("embedding,")},
-             sub AS (SELECT e.vec_id, m.m, cent.c_label,
-                       list_sum(list_transform(list_zip(
-                         CAST(list_slice(e.embedding, m.m * 16 + 1,
-                           m.m * 16 + 16) AS DOUBLE[]),
-                         list_slice(cent.cemb, m.m * 16 + 1,
-                           m.m * 16 + 16)),
-                         x -> (x[1] - x[2]) * (x[1] - x[2]))) AS err
-                     FROM embeddings e,
-                          (SELECT unnest(generate_series(0, 3)) AS m) m,
-                          cent),
-             asg AS (SELECT vec_id, m, c_label, err,
-                       row_number() OVER (PARTITION BY vec_id, m
-                         ORDER BY err ASC, c_label ASC) AS rn
-                     FROM sub)
-             SELECT CAST(m AS BIGINT) AS subspace, c_label AS code,
+             $DuckPqCodesCtes
+             SELECT CAST(m AS BIGINT) AS subspace, code,
                count(*) AS n_vecs,
                CAST(round(sum(CAST(err AS DECIMAL(30,15))), 9) AS DOUBLE)
                  AS total_err
-             FROM asg WHERE rn = 1
-             GROUP BY m, c_label ORDER BY subspace, code"""))
+             FROM codes
+             GROUP BY m, code ORDER BY subspace, code"""))
+
+  /** PQ serving path end-to-end — ADC shortlist + exact rerank, with
+    * recall@3 against the exhaustive ground truth: a query precomputes a
+    * (subspace x code) lookup table of slice distances, every database
+    * vector's APPROXIMATE distance is four table lookups summed (the raw
+    * vectors are never touched in the scan), the top-50 shortlist is
+    * reranked with the exact metric, and the final top-3 is audited like
+    * q49 audits sign-LSH. The rerank stage is not optional garnish: with
+    * a coarse codebook whole cells tie at identical ADC distance (a
+    * first cut WITHOUT rerank measured recall 0.0 — the tie-broken
+    * shortlist head was arbitrary ids), which is exactly why production
+    * PQ serving always reranks a shortlist.
+    *
+    * Determinism: the four subspace terms are pivoted into a FIXED-order
+    * `d0+d1+d2+d3` chain — a groupBy sum of doubles would be
+    * accumulation-order-dependent; a 4-term pivot is not.
+    *
+    * ## 100 TB notes
+    * The LUT is |queries| x 4 x |codes| rows — broadcast; the ADC scan
+    * streams the 4-rows-per-vector CODE table (4 bytes/vector at
+    * serving time); only the 50-row shortlist per query ever rereads
+    * real embeddings. The exhaustive side exists as the labeled recall
+    * baseline, exactly like q27 for q28/q49.
+    */
+  val q139PqAdcRecall: Q = Q(
+    "q139_pq_adc_recall",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val queries = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      val cents = centroids(e)
+      val lut = queries
+        .select(col("q_id"), col("qe"),
+          explode(sequence(lit(0), lit(3))).as("m"))
+        .crossJoin(broadcast(cents))
+        .select(col("q_id"), col("m"), col("c_label").as("code"),
+          l2sq(slice(col("qe"), col("m") * PqSubDims + 1, lit(PqSubDims)),
+            slice(col("cemb"), col("m") * PqSubDims + 1, lit(PqSubDims)))
+            .as("d"))
+      val codes = pqCodes(e)
+        .select(col("vec_id").as("cand_id"), col("m"), col("code"))
+      def term(i: Int) = max(when(col("m") === i, col("d"))).as(s"d$i")
+      val adc = codes.join(broadcast(lut), Seq("m", "code"))
+        .filter(col("cand_id") =!= col("q_id"))
+        .groupBy(col("q_id"), col("cand_id"))
+        .agg(term(0), term(1), term(2), term(3))
+        .select(col("q_id"), col("cand_id"),
+          (col("d0") + col("d1") + col("d2") + col("d3")).as("dist"))
+      def topK(df: DataFrame, k: Int) = {
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("dist").asc, col("cand_id").asc)
+        df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+          .select(col("q_id"), col("cand_id"))
+      }
+      // ADC shortlist -> exact rerank (only 50 embeddings reread/query)
+      val reranked = topK(adc, 50)
+        .join(e.select(col("vec_id").as("cand_id"), col("embedding").as("ce")),
+          Seq("cand_id"))
+        .join(broadcast(queries), Seq("q_id"))
+        .select(col("q_id"), col("cand_id"),
+          l2sq(col("qe"), col("ce")).as("dist"))
+      val exact = e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
+        .crossJoin(broadcast(queries))
+        .filter(col("cand_id") =!= col("q_id"))
+        .select(col("q_id"), col("cand_id"), l2sq(col("qe"), col("ce")).as("dist"))
+      topK(exact, 3).join(topK(reranked, 3), Seq("q_id", "cand_id"), "left_semi")
+        .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
+        .join(queries.select(col("q_id")), Seq("q_id"), "right")
+        .select(col("q_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)).cast("double") / 3)
+            .as("recall_at_3"))
+        .orderBy("q_id")
+    },
+    Some(s"""WITH ${duckAssignCtes("embedding,")},
+             $DuckPqCodesCtes,
+             q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+                   FROM embeddings WHERE vec_id < 3),
+             lut AS (SELECT q_id, m.m, cent.c_label AS code,
+                       list_sum(list_transform(list_zip(
+                         list_slice(qe, m.m * 16 + 1, m.m * 16 + 16),
+                         list_slice(cent.cemb, m.m * 16 + 1, m.m * 16 + 16)),
+                         x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d
+                     FROM q, (SELECT unnest(generate_series(0, 3)) AS m) m,
+                          cent),
+             adc AS (SELECT q_id, c.vec_id AS cand_id,
+                       max(CASE WHEN l.m = 0 THEN d END)
+                       + max(CASE WHEN l.m = 1 THEN d END)
+                       + max(CASE WHEN l.m = 2 THEN d END)
+                       + max(CASE WHEN l.m = 3 THEN d END) AS dist
+                     FROM codes c JOIN lut l
+                       ON l.m = c.m AND l.code = c.code
+                     WHERE c.vec_id != l.q_id
+                     GROUP BY q_id, c.vec_id),
+             short AS (SELECT q_id, cand_id FROM (
+                         SELECT q_id, cand_id, row_number() OVER (
+                           PARTITION BY q_id
+                           ORDER BY dist ASC, cand_id ASC) AS rn
+                         FROM adc) WHERE rn <= 50),
+             rr AS (SELECT s.q_id, s.cand_id,
+                      list_sum(list_transform(list_zip(q.qe,
+                        CAST(e.embedding AS DOUBLE[])),
+                        x -> (x[1] - x[2]) * (x[1] - x[2]))) AS dist
+                    FROM short s
+                    JOIN embeddings e ON e.vec_id = s.cand_id
+                    JOIN q ON q.q_id = s.q_id),
+             rrt AS (SELECT q_id, cand_id FROM (
+                       SELECT q_id, cand_id, row_number() OVER (
+                         PARTITION BY q_id
+                         ORDER BY dist ASC, cand_id ASC) AS rn
+                       FROM rr) WHERE rn <= 3),
+             ex AS (SELECT q_id, e.vec_id AS cand_id,
+                      list_sum(list_transform(list_zip(qe,
+                        CAST(e.embedding AS DOUBLE[])),
+                        x -> (x[1] - x[2]) * (x[1] - x[2]))) AS dist
+                    FROM embeddings e, q WHERE e.vec_id != q_id),
+             ext AS (SELECT q_id, cand_id FROM (
+                       SELECT q_id, cand_id, row_number() OVER (
+                         PARTITION BY q_id
+                         ORDER BY dist ASC, cand_id ASC) AS rn
+                       FROM ex) WHERE rn <= 3),
+             hits AS (SELECT e.q_id, count(*) AS n_hits
+                      FROM ext e JOIN rrt a
+                        ON a.q_id = e.q_id AND a.cand_id = e.cand_id
+                      GROUP BY e.q_id)
+             SELECT q.q_id, coalesce(n_hits, 0) AS n_hits,
+               CAST(coalesce(n_hits, 0) AS DOUBLE) / 3 AS recall_at_3
+             FROM q LEFT JOIN hits ON hits.q_id = q.q_id
+             ORDER BY q.q_id"""))
 
   val all: Seq[Q] = Seq(q27KnnBrute, q28AnnLsh, q29EmbNearDup, q30IvfCentroid,
     q44KmeansStep, q49AnnRecall, q52SqlSurface, q57L2Knn, q71Int8Quant,
-    q79SemanticDedup, q138PqCodebook)
+    q79SemanticDedup, q138PqCodebook, q139PqAdcRecall)
 }
