@@ -667,10 +667,12 @@ object SimilarityQueries {
         df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
           .select(col("q_id"), col("cand_id"))
       }
-      // ADC shortlist -> exact rerank (only 50 embeddings reread/query)
-      val reranked = topK(adc, 50)
-        .join(e.select(col("vec_id").as("cand_id"), col("embedding").as("ce")),
-          Seq("cand_id"))
+      // ADC shortlist -> exact rerank (only 50 embeddings reread/query);
+      // the |queries| x 50 shortlist is the BROADCAST side — the
+      // embedding table is the 100 TB side and must only be probed
+      val reranked = e
+        .select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
+        .join(broadcast(topK(adc, 50)), Seq("cand_id"))
         .join(broadcast(queries), Seq("q_id"))
         .select(col("q_id"), col("cand_id"),
           l2sq(col("qe"), col("ce")).as("dist"))
@@ -678,8 +680,9 @@ object SimilarityQueries {
         .crossJoin(broadcast(queries))
         .filter(col("cand_id") =!= col("q_id"))
         .select(col("q_id"), col("cand_id"), l2sq(col("qe"), col("ce")).as("dist"))
-      topK(exact, 3).join(topK(reranked, 3), Seq("q_id", "cand_id"), "left_semi")
-        .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
+      broadcast(topK(exact, 3)
+        .join(broadcast(topK(reranked, 3)), Seq("q_id", "cand_id"), "left_semi")
+        .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits")))
         .join(queries.select(col("q_id")), Seq("q_id"), "right")
         .select(col("q_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
           (coalesce(col("n_hits"), lit(0L)).cast("double") / 3)
