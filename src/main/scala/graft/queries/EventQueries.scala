@@ -1940,6 +1940,108 @@ object EventQueries {
              FROM d WHERE dwell_us IS NOT NULL
              GROUP BY event_type ORDER BY event_type"""))
 
+  /** Distribution drift between the month's two halves as TOTAL
+    * VARIATION distance — the drift metric that needs no logarithm
+    * (PSI/KL/JS all do, and libm ln() is not pinned across engines):
+    * TV = ½ Σ_i |p_i − q_i|, computed per event type by exact integer
+    * cross-multiplication `|c1·n2 − c2·n1|` and ONE closing division by
+    * `2·n1·n2`. Emits the per-type absolute-difference terms plus the
+    * one-row drift summary a monitoring pipeline thresholds on. Two hash
+    * aggregates over |types| x 2 cells; the halves split on the exact
+    * µs midpoint of the observed range (broadcast 1-row bounds).
+    */
+  val q140TvDrift: Q = Q(
+    "q140_tv_drift",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_type"), tsUs.as("ts_us"))
+      val bounds = ev.agg(min(col("ts_us")).as("lo"), max(col("ts_us")).as("hi"))
+      val cells = ev.crossJoin(broadcast(bounds))
+        .select(col("event_type"),
+          (col("ts_us") <= expr("lo + (hi - lo) div 2")).as("first_half"))
+        .groupBy(col("event_type"))
+        .agg(count(when(col("first_half"), 1)).as("c1"),
+          count(when(!col("first_half"), 1)).as("c2"))
+      val totals = cells.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+      cells.crossJoin(broadcast(totals))
+        .select(col("event_type"), col("c1"), col("c2"),
+          abs(col("c1") * col("n2") - col("c2") * col("n1")).as("cross_abs"),
+          (abs(col("c1") * col("n2") - col("c2") * col("n1")).cast("double")
+            / (lit(2.0) * col("n1").cast("double") * col("n2").cast("double")))
+            .as("tv_term"))
+        .orderBy("event_type")
+    },
+    Some(s"""WITH ev AS (SELECT event_type, ${duckUs("ts")} AS ts_us
+                         FROM events),
+             b AS (SELECT min(ts_us) AS lo, max(ts_us) AS hi FROM ev),
+             cells AS (SELECT event_type,
+                         count(CASE WHEN ts_us <= lo + (hi - lo) // 2
+                                    THEN 1 END) AS c1,
+                         count(CASE WHEN ts_us > lo + (hi - lo) // 2
+                                    THEN 1 END) AS c2
+                       FROM ev CROSS JOIN b GROUP BY event_type),
+             t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+                          CAST(sum(c2) AS BIGINT) AS n2 FROM cells)
+             SELECT event_type, c1, c2,
+               abs(c1 * n2 - c2 * n1) AS cross_abs,
+               CAST(abs(c1 * n2 - c2 * n1) AS DOUBLE)
+                 / (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS tv_term
+             FROM cells CROSS JOIN t ORDER BY event_type"""))
+
+  /** Mergeable HLL sketches across rolling windows — WHY sketches earn
+    * their keep at 100 TB: per-day HLL sketches of the user set are
+    * built once (`hll_sketch_agg`) and the 7-day rolling distinct is a
+    * UNION OF SKETCHES (`hll_union_agg`), never a re-scan of the raw
+    * events — q123 computes the same rolling metric exactly by
+    * re-aggregating every window. DuckDB cannot rebuild Apache
+    * DataSketches, so the oracle is the q54 pattern: the exact rolling
+    * count (q123's dedup-then-explode shape) plus a hash-stable
+    * `within_bounds` check of the estimate against the sketch's
+    * documented error at lgK=12 (3 x 1.04/√2^12 ≈ 4.9 %).
+    */
+  val q141HllUnion: Q = Q(
+    "q141_hll_union",
+    (s, dir) => {
+      val du = Tables.load(s, dir, "events")
+        .select(expr("(ts div 1000) div 86400000000").as("day_idx"),
+          col("user_id"))
+      // one sketch per day (the reusable partial state)
+      val daily = du.groupBy("day_idx")
+        .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+      // roll each day's sketch into the <= 7 windows it serves, then
+      // merge per window — sketch union, not data re-aggregation
+      val rolled = daily
+        .select(explode(sequence(col("day_idx"), col("day_idx") + 6))
+          .as("report_day"), col("sk"))
+        .groupBy("report_day")
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))")
+          .as("approx_7d"))
+      val exact = du
+        .select(explode(sequence(col("day_idx"), col("day_idx") + 6))
+          .as("report_day"), col("user_id"))
+        .groupBy("report_day")
+        .agg(count_distinct(col("user_id")).as("exact_7d"))
+      exact.join(rolled, Seq("report_day"))
+        .join(daily.select(col("day_idx").as("report_day")), Seq("report_day"),
+          "left_semi") // only days that exist in the data
+        .select(col("report_day"), col("exact_7d"),
+          (abs(col("approx_7d") - col("exact_7d").cast("double"))
+            <= col("exact_7d").cast("double") * 0.049 + 1.0)
+            .as("within_bounds"))
+        .orderBy("report_day")
+    },
+    Some(s"""WITH du AS (SELECT DISTINCT
+                    ${duckUs("ts")} // 86400000000 AS day_idx, user_id
+                  FROM events),
+             w AS (SELECT day_idx + g AS report_day, user_id
+                   FROM du CROSS JOIN
+                     (SELECT unnest(generate_series(0, 6)) AS g)),
+             r AS (SELECT report_day, count(DISTINCT user_id) AS exact_7d
+                   FROM w GROUP BY 1)
+             SELECT report_day, exact_7d, true AS within_bounds
+             FROM r WHERE report_day IN (SELECT day_idx FROM du)
+             ORDER BY report_day"""))
+
   /** The queries whose execution is a real Structured Streaming run —
     * each pays per-run state-store provisioning (the r06 driver tail
     * showed a 3.45 s state-store load for ONE of them), which is why
@@ -1964,6 +2066,7 @@ object EventQueries {
       q107StreamOuterJoin, q108TrendOls, q109CompactionPlan,
       q115SaltedJoin, q119StreamRunningTotals, q120CmsHeavyHitters,
       q122MarkovTransitions, q123RollingDistinct, q127GiniDiversity,
-      q128Chi2Cells, q131FirstTouch, q132DwellTime)
+      q128Chi2Cells, q131FirstTouch, q132DwellTime, q140TvDrift,
+      q141HllUnion)
       .map(q => q.copy(streaming = streamingNames(q.name)))
 }

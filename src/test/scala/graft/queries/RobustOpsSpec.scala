@@ -333,6 +333,35 @@ class RobustOpsSpec extends SparkSpec {
     all(rows.map(_._3)) should be >= 0.0 // distortion is non-negative
   }
 
+  test("q140: identical halves give zero drift; a vanished type gives " +
+    "its full mass") {
+    withTempDir { dir =>
+      // A occurs in both halves equally; B only in the first half
+      writeEvents(dir, Seq(
+        (1L * HourNs, 1L, 1L, "A"), (10L * HourNs, 1L, 2L, "A"),
+        (2L * HourNs, 1L, 3L, "B")))
+      // range [1h,10h], midpoint 5.5h: first half = {A@1h, B@2h}
+      val rows = EventQueries.q140TvDrift.fn(spark, dir)
+        .select("event_type", "tv_term").as[(String, Double)]
+        .collect().toMap
+      // p(A)=1/2 vs q(A)=1 -> |1/2-1|/2 = 1/4; B: |1/2-0|/2 = 1/4
+      rows shouldBe Map("A" -> 0.25, "B" -> 0.25)
+    }
+  }
+
+  test("q141: sketch union never misses small exact counts") {
+    withTempDir { dir =>
+      // 3 users on day 0, 2 of them again plus 1 new on day 2
+      writeEvents(dir, Seq(
+        (1L, 1L, 1L, "x"), (2L, 2L, 2L, "x"), (3L, 3L, 3L, "x"),
+        (2 * DayNs + 1L, 1L, 4L, "x"), (2 * DayNs + 2L, 4L, 5L, "x")))
+      val rows = EventQueries.q141HllUnion.fn(spark, dir)
+        .as[(Long, Long, Boolean)].collect().toSeq
+      rows.map(r => (r._1, r._2)) shouldBe Seq((0L, 3L), (2L, 4L))
+      all(rows.map(_._3)) shouldBe true // HLL exact at tiny cardinality
+    }
+  }
+
   test("q125: two-phase prefix sum equals the flat cumulative sum") {
     withTempDir { dir =>
       // doc_ids crossing bucket boundaries (div 100): 99|100, 199|200
