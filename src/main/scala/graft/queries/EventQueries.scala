@@ -2042,6 +2042,135 @@ object EventQueries {
              FROM r WHERE report_day IN (SELECT day_idx FROM du)
              ORDER BY report_day"""))
 
+  /** Market-basket association rules over (user, day) baskets:
+    * support, confidence and lift for ordered event-type pairs that
+    * co-occur in a basket — q93's bigram lift is SEQUENTIAL (adjacent
+    * tokens); this is the set-co-occurrence form recommendation and
+    * affinity pipelines use. Baskets dedup first (the only event-sized
+    * shuffle); the pair join runs inside each basket key over <= |types|
+    * rows; confidence is one exact-int division, lift one fixed IEEE
+    * chain of exact ints (n·c_ab / (c_a·c_b) — cross-multiplied before
+    * any division so both engines divide identical integers).
+    */
+  val q142AssocRules: Q = Q(
+    "q142_assoc_rules",
+    (s, dir) => {
+      val basket = Tables.load(s, dir, "events")
+        .select(col("user_id"), expr("(ts div 1000) div 86400000000")
+          .as("day_idx"), col("event_type"))
+        .distinct()
+      val items = basket.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("c_item"))
+      val pairs = basket.as("a")
+        .join(basket.as("b"), Seq("user_id", "day_idx"))
+        .filter(col("a.event_type") =!= col("b.event_type"))
+        .groupBy(col("a.event_type").as("lhs"),
+          col("b.event_type").as("rhs"))
+        .agg(count(lit(1)).as("c_pair"))
+      val n = basket.select(col("user_id"), col("day_idx")).distinct()
+        .agg(count(lit(1)).as("n_baskets")) // 1 row
+      pairs
+        .join(broadcast(items.select(col("event_type").as("lhs"),
+          col("c_item").as("c_lhs"))), Seq("lhs"))
+        .join(broadcast(items.select(col("event_type").as("rhs"),
+          col("c_item").as("c_rhs"))), Seq("rhs"))
+        .crossJoin(broadcast(n))
+        .filter(col("c_pair") >= 20)
+        .select(col("lhs"), col("rhs"), col("c_pair"),
+          (col("c_pair").cast("double") / col("c_lhs").cast("double"))
+            .as("confidence"),
+          ((col("n_baskets") * col("c_pair")).cast("double")
+            / (col("c_lhs") * col("c_rhs")).cast("double")).as("lift"))
+        .orderBy("lhs", "rhs")
+    },
+    Some(s"""WITH b AS (SELECT DISTINCT user_id,
+                    ${duckUs("ts")} // 86400000000 AS day_idx, event_type
+                  FROM events),
+             it AS (SELECT event_type, count(*) AS c_item FROM b
+                    GROUP BY 1),
+             p AS (SELECT a.event_type AS lhs, x.event_type AS rhs,
+                     count(*) AS c_pair
+                   FROM b a JOIN b x
+                     ON a.user_id = x.user_id AND a.day_idx = x.day_idx
+                     AND a.event_type != x.event_type
+                   GROUP BY 1, 2),
+             n AS (SELECT count(*) AS n_baskets
+                   FROM (SELECT DISTINCT user_id, day_idx FROM b))
+             SELECT lhs, rhs, c_pair,
+               CAST(c_pair AS DOUBLE) / CAST(l.c_item AS DOUBLE)
+                 AS confidence,
+               CAST(n_baskets * c_pair AS DOUBLE)
+                 / CAST(l.c_item * r.c_item AS DOUBLE) AS lift
+             FROM p
+             JOIN it l ON l.event_type = lhs
+             JOIN it r ON r.event_type = rhs
+             CROSS JOIN n
+             WHERE c_pair >= 20
+             ORDER BY lhs, rhs"""))
+
+  /** CUSUM change-point detection over the daily revenue-cents series,
+    * per event type: the candidate change point maximizes
+    * `|n·S_k − k·S_n|` (the cross-multiplied form of |cusum deviation|,
+    * EXACT int64 — no mean, no division until the final reported
+    * statistic). The series is the |days|-row aggregate, so the running
+    * sums and the argmax rank are windows over a dim-sized frame; the
+    * only event-sized work is the daily cents aggregate.
+    */
+  val q143CusumChangepoint: Q = Q(
+    "q143_cusum_changepoint",
+    (s, dir) => {
+      val daily = Tables.load(s, dir, "events")
+        .select(col("event_type"), expr("(ts div 1000) div 86400000000")
+          .as("day_idx"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .groupBy(col("event_type"), col("day_idx"))
+        .agg(sum(col("cents")).as("day_cents"))
+      val byType = Window.partitionBy("event_type")
+      val series = daily
+        .withColumn("k", row_number().over(byType.orderBy("day_idx")))
+        .withColumn("s_k", sum(col("day_cents")).over(
+          byType.orderBy("day_idx")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", count(lit(1)).over(byType))
+        .withColumn("s_n", sum(col("day_cents")).over(byType))
+        .withColumn("stat",
+          abs(col("n") * col("s_k") - col("k") * col("s_n")))
+      series
+        .withColumn("rk", row_number().over(
+          byType.orderBy(col("stat").desc, col("day_idx").asc)))
+        .filter(col("rk") === 1)
+        .select(col("event_type"), col("day_idx").as("change_day"),
+          col("stat").as("cusum_stat"),
+          (col("stat").cast("double")
+            / (col("n") * col("n")).cast("double")).as("mean_shift_cents"))
+        .orderBy("event_type")
+    },
+    Some(s"""WITH d AS (SELECT event_type,
+                    ${duckUs("ts")} // 86400000000 AS day_idx,
+                    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                      AS day_cents
+                  FROM events GROUP BY 1, 2),
+             ser AS (SELECT event_type, day_idx,
+                       row_number() OVER w AS k,
+                       CAST(sum(day_cents) OVER (PARTITION BY event_type
+                         ORDER BY day_idx ROWS UNBOUNDED PRECEDING)
+                         AS BIGINT) AS s_k,
+                       CAST(count(*) OVER (PARTITION BY event_type)
+                         AS BIGINT) AS n,
+                       CAST(sum(day_cents) OVER (PARTITION BY event_type)
+                         AS BIGINT) AS s_n
+                     FROM d
+                     WINDOW w AS (PARTITION BY event_type ORDER BY day_idx)),
+             st AS (SELECT *, abs(n * s_k - k * s_n) AS stat,
+                      row_number() OVER (PARTITION BY event_type
+                        ORDER BY abs(n * s_k - k * s_n) DESC, day_idx ASC)
+                        AS rk
+                    FROM ser)
+             SELECT event_type, day_idx AS change_day, stat AS cusum_stat,
+               CAST(stat AS DOUBLE) / CAST(n * n AS DOUBLE)
+                 AS mean_shift_cents
+             FROM st WHERE rk = 1 ORDER BY event_type"""))
+
   /** The queries whose execution is a real Structured Streaming run —
     * each pays per-run state-store provisioning (the r06 driver tail
     * showed a 3.45 s state-store load for ONE of them), which is why
@@ -2067,6 +2196,6 @@ object EventQueries {
       q115SaltedJoin, q119StreamRunningTotals, q120CmsHeavyHitters,
       q122MarkovTransitions, q123RollingDistinct, q127GiniDiversity,
       q128Chi2Cells, q131FirstTouch, q132DwellTime, q140TvDrift,
-      q141HllUnion)
+      q141HllUnion, q142AssocRules, q143CusumChangepoint)
       .map(q => q.copy(streaming = streamingNames(q.name)))
 }

@@ -362,6 +362,44 @@ class RobustOpsSpec extends SparkSpec {
     }
   }
 
+  test("q143: a planted level shift puts the change point at the shift") {
+    withTempDir { dir =>
+      // days 0-9 at 1.00/day, days 10-19 at 5.00/day: CUSUM deviation
+      // peaks exactly at the last low day (k=10, day 9)
+      val rows = (0 until 20).map { d =>
+        val v = if (d < 10) 1.0 else 5.0
+        (d * DayNs + 1L, 1L, d.toLong, "A", v)
+      }
+      rows.map { case (ns, u, id, t, v) => (id, ns, u, t, v, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val out = EventQueries.q143CusumChangepoint.fn(spark, dir)
+        .select("event_type", "change_day").as[(String, Long)]
+        .collect().toSeq
+      out shouldBe Seq(("A", 9L))
+    }
+  }
+
+  test("q142: confidence is directional, lift is symmetric") {
+    withTempDir { dir =>
+      // 30 baskets with A; 20 of them also B -> conf(A->B)=2/3,
+      // conf(B->A)=1.0, lift identical both directions
+      val evs = (0 until 30).flatMap { d =>
+        val base = Seq((d * DayNs + 1L, 1L, d * 10L, "A"))
+        if (d < 20) base :+ ((d * DayNs + 2L, 1L, d * 10L + 1L, "B"))
+        else base
+      }
+      writeEvents(dir, evs)
+      val rows = EventQueries.q142AssocRules.fn(spark, dir)
+        .select("lhs", "rhs", "confidence", "lift")
+        .as[(String, String, Double, Double)].collect()
+        .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+      rows(("A", "B"))._1 shouldBe 2.0 / 3
+      rows(("B", "A"))._1 shouldBe 1.0
+      rows(("A", "B"))._2 shouldBe rows(("B", "A"))._2
+    }
+  }
+
   test("q125: two-phase prefix sum equals the flat cumulative sum") {
     withTempDir { dir =>
       // doc_ids crossing bucket boundaries (div 100): 99|100, 199|200
