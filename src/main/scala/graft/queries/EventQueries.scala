@@ -2171,6 +2171,91 @@ object EventQueries {
                  AS mean_shift_cents
              FROM st WHERE rk = 1 ORDER BY event_type"""))
 
+  /** Kaplan–Meier survival over signup→purchase conversion latency,
+    * with right-censoring at the user's last observed event — the
+    * time-to-event analysis behind activation funnels. The survival
+    * curve is a CUMULATIVE PRODUCT, which neither engine offers as a
+    * deterministic window: both sides fold the per-death-time factors
+    * `(n_i − d_i)/n_i` over an explicitly ORDERED list (Spark
+    * `aggregate(slice(sorted, 1, k), 1.0, *)`, DuckDB
+    * `list_reduce(fl[1:k], *)`) — the leading 1.0·f₁ is exact in IEEE,
+    * so the two fold chains are identical multiply-for-multiply.
+    *
+    * ## 100 TB notes
+    * All per-user reductions shuffle once on user_id; the death-time
+    * table is at most |users| rows, so the at-risk reverse-cumulative
+    * window and the fold list are dim-sized (the q129 single-partition
+    * exemption). Nothing event-sized survives past the first aggregate.
+    */
+  val q144SurvivalKm: Q = Q(
+    "q144_survival_km",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"), tsUs.as("ts_us"))
+      val signup = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("ts_us")).as("t0"))
+      val purchase = ev.filter(col("event_type") === "purchase")
+        .join(signup, "user_id").filter(col("ts_us") >= col("t0"))
+        .groupBy("user_id").agg(min(col("ts_us")).as("tp"))
+      val last = ev.groupBy("user_id").agg(max(col("ts_us")).as("t_last"))
+      val dur = signup.join(last, "user_id")
+        .join(purchase, Seq("user_id"), "left")
+        .select(
+          (coalesce(col("tp"), col("t_last")) - col("t0")).as("dur_us"),
+          col("tp").isNotNull.as("event"))
+      val hist = dur.groupBy(col("dur_us"))
+        .agg(count(when(col("event"), 1)).as("d"), count(lit(1)).as("m"))
+      val byT = Window.orderBy("dur_us") // dim-sized series
+      val deaths = hist
+        .withColumn("n_i", sum(col("m")).over(
+          byT.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+        .filter(col("d") > 0)
+        .withColumn("factor",
+          (col("n_i") - col("d")).cast("double") / col("n_i").cast("double"))
+      val factors = deaths.agg(
+        array_sort(collect_list(struct(col("dur_us"), col("factor"))))
+          .as("fs")) // 1 row, ordered by dur_us
+      deaths.crossJoin(broadcast(factors))
+        .withColumn("k", row_number().over(byT))
+        .select(col("dur_us").as("t_us"), col("d").as("d_i"), col("n_i"),
+          aggregate(
+            slice(transform(col("fs"), x => x.getField("factor")),
+              lit(1), col("k")),
+            lit(1.0), (acc, f) => acc * f).as("survival"))
+        .orderBy("t_us")
+    },
+    Some(s"""WITH e AS (SELECT user_id, event_type,
+                          ${duckUs("ts")} AS ts_us FROM events),
+             su AS (SELECT user_id, min(ts_us) AS t0 FROM e
+                    WHERE event_type = 'signup' GROUP BY 1),
+             pu AS (SELECT e.user_id, min(ts_us) AS tp
+                    FROM e JOIN su USING (user_id)
+                    WHERE event_type = 'purchase' AND ts_us >= t0
+                    GROUP BY e.user_id),
+             la AS (SELECT user_id, max(ts_us) AS t_last FROM e
+                    GROUP BY 1),
+             dur AS (SELECT coalesce(tp, t_last) - t0 AS dur_us,
+                       tp IS NOT NULL AS event
+                     FROM su JOIN la USING (user_id)
+                     LEFT JOIN pu USING (user_id)),
+             h AS (SELECT dur_us, count(CASE WHEN event THEN 1 END) AS d,
+                     count(*) AS m
+                   FROM dur GROUP BY 1),
+             ar AS (SELECT *, CAST(sum(m) OVER (ORDER BY dur_us
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                      AS BIGINT) AS n_i
+                    FROM h),
+             de AS (SELECT dur_us, d, n_i,
+                      CAST(n_i - d AS DOUBLE) / CAST(n_i AS DOUBLE)
+                        AS factor
+                    FROM ar WHERE d > 0),
+             wk AS (SELECT *, row_number() OVER (ORDER BY dur_us) AS k
+                    FROM de),
+             fs AS (SELECT list(factor ORDER BY dur_us) AS fl FROM de)
+             SELECT dur_us AS t_us, d AS d_i, n_i,
+               list_reduce(fl[1:k], (a, b) -> a * b) AS survival
+             FROM wk CROSS JOIN fs ORDER BY t_us"""))
+
   /** The queries whose execution is a real Structured Streaming run —
     * each pays per-run state-store provisioning (the r06 driver tail
     * showed a 3.45 s state-store load for ONE of them), which is why
@@ -2196,6 +2281,6 @@ object EventQueries {
       q115SaltedJoin, q119StreamRunningTotals, q120CmsHeavyHitters,
       q122MarkovTransitions, q123RollingDistinct, q127GiniDiversity,
       q128Chi2Cells, q131FirstTouch, q132DwellTime, q140TvDrift,
-      q141HllUnion, q142AssocRules, q143CusumChangepoint)
+      q141HllUnion, q142AssocRules, q143CusumChangepoint, q144SurvivalKm)
       .map(q => q.copy(streaming = streamingNames(q.name)))
 }

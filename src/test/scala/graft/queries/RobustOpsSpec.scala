@@ -400,6 +400,23 @@ class RobustOpsSpec extends SparkSpec {
     }
   }
 
+  test("q144: censoring shrinks the risk set without a death step") {
+    withTempDir { dir =>
+      // all sign up at t=0; u1 converts at 1h (n=3 -> S=2/3), u2 is
+      // censored at 2h (no step), u3 converts at 3h with n=1 -> S=0
+      writeEvents(dir, Seq(
+        (1L, 1L, 1L, "signup"), (1L, 2L, 2L, "signup"),
+        (1L, 3L, 3L, "signup"),
+        (1L * HourNs, 1L, 4L, "purchase"),
+        (2L * HourNs, 2L, 5L, "view"),
+        (3L * HourNs, 3L, 6L, "purchase")))
+      val rows = EventQueries.q144SurvivalKm.fn(spark, dir)
+        .as[(Long, Long, Long, Double)].collect().toSeq
+      val h = 3600L * 1000000L // signups at 1 ns floor to t0 = 0 µs
+      rows shouldBe Seq((1L * h, 1L, 3L, 2.0 / 3), (3L * h, 1L, 1L, 0.0))
+    }
+  }
+
   test("q125: two-phase prefix sum equals the flat cumulative sum") {
     withTempDir { dir =>
       // doc_ids crossing bucket boundaries (div 100): 99|100, 199|200
