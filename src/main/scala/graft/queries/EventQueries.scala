@@ -2256,6 +2256,125 @@ object EventQueries {
                list_reduce(fl[1:k], (a, b) -> a * b) AS survival
              FROM wk CROSS JOIN fs ORDER BY t_us"""))
 
+  /** JSON scalar-function surface (§2.6 breadth): parse the REAL
+    * `props` payload, plant a missing-key minority (event_id % 7 — the
+    * planted-fixture idiom), rebuild a NESTED document in the plan, and
+    * round-trip it through path extraction (`get_json_object`),
+    * array-length inspection and 0-based array indexing — mirrored in
+    * DuckDB's JSONPath functions. All extracted numbers flow into exact
+    * integer aggregates; the nested build is `concat`, so the document
+    * bytes are identical on both engines. Map-only until the 5-row
+    * rollup.
+    */
+  val q145JsonSurface: Q = Q(
+    "q145_json_surface",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          when(pmod(col("event_id"), lit(7)) === 0, lit("{}"))
+            .otherwise(col("props")).as("pj"))
+        .withColumn("k_str", get_json_object(col("pj"), "$.k"))
+        .withColumn("doc", concat(
+          lit("{\"meta\":{\"t\":\""), col("event_type"), lit("\",\"k\":"),
+          coalesce(col("k_str"), lit("null")), lit("},\"vals\":[1,"),
+          coalesce(col("k_str"), lit("0")), lit(",3]}")))
+      ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("k_str").isNull, 1)).as("n_missing_k"),
+          sum(expr("try_cast(k_str AS BIGINT)")).as("sum_k"),
+          count(when(
+            expr("json_array_length(get_json_object(doc, '$.vals'))") === 3,
+            1)).as("n_vals3"),
+          sum(expr(
+            "try_cast(get_json_object(doc, '$.vals[1]') AS BIGINT)"))
+            .as("sum_second_val"))
+        .orderBy("event_type")
+    },
+    Some("""WITH ev AS (SELECT event_type,
+                 CASE WHEN event_id % 7 = 0 THEN '{}' ELSE props END AS pj
+               FROM events),
+            x AS (SELECT event_type,
+                    json_extract_string(pj, '$.k') AS k_str,
+                    '{"meta":{"t":"' || event_type || '","k":'
+                      || coalesce(json_extract_string(pj, '$.k'), 'null')
+                      || '},"vals":[1,'
+                      || coalesce(json_extract_string(pj, '$.k'), '0')
+                      || ',3]}' AS doc
+                  FROM ev)
+            SELECT event_type, count(*) AS n,
+              count(CASE WHEN k_str IS NULL THEN 1 END) AS n_missing_k,
+              CAST(sum(TRY_CAST(k_str AS BIGINT)) AS BIGINT) AS sum_k,
+              count(CASE WHEN json_array_length(doc, '$.vals') = 3
+                         THEN 1 END) AS n_vals3,
+              CAST(sum(TRY_CAST(json_extract_string(doc, '$.vals[1]')
+                AS BIGINT)) AS BIGINT) AS sum_second_val
+            FROM x GROUP BY event_type ORDER BY event_type"""))
+
+  /** Multi-touch LINEAR attribution — each purchase's value is split
+    * equally across ALL clicks in its 24 h lookback (q131 is the
+    * first-touch point; linear is the fractional-credit form). The
+    * fractional credits are `cents · 10⁶ div n_touches` — INTEGER
+    * micro-cent division, identically truncated on both engines — so
+    * per-channel credit sums stay exact int64 however they are
+    * partitioned (a double `cents/n` sum would be accumulation-order-
+    * dependent). Channels are the click's hour-of-day. Same
+    * single-shuffle user-key join shape as q131; the credit rollup keys
+    * on 24 channels.
+    */
+  val q146LinearAttribution: Q = Q(
+    "q146_linear_attribution",
+    (s, dir) => {
+      val lookbackUs = 24L * 3600 * 1000000
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          tsUs.as("ts_us"), col("value"))
+      val pur = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pur_id"), col("user_id"),
+          col("ts_us").as("pur_ts_us"),
+          floor(col("value") * 100).cast("long").as("cents"))
+      val clk = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("clk_user"),
+          col("ts_us").as("clk_ts_us"))
+      val touched = pur.join(clk,
+        col("user_id") === col("clk_user") &&
+          col("clk_ts_us") >= col("pur_ts_us") - lookbackUs &&
+          col("clk_ts_us") <= col("pur_ts_us"))
+      val withN = touched
+        .withColumn("n_touches",
+          count(lit(1)).over(Window.partitionBy("pur_id")))
+      withN
+        .select(expr("(clk_ts_us div 3600000000) % 24").as("hour_of_day"),
+          expr("cents * 1000000 div n_touches").as("credit_micro"))
+        .groupBy(col("hour_of_day"))
+        .agg(count(lit(1)).as("n_touches"),
+          sum(col("credit_micro")).as("credited_micro"),
+          (sum(col("credit_micro")).cast("double") / 1e8)
+            .as("credited_dollars"))
+        .orderBy("hour_of_day")
+    },
+    Some(s"""WITH ev AS (SELECT event_id, user_id, event_type,
+                    ${duckUs("ts")} AS ts_us,
+                    CAST(floor(value * 100) AS BIGINT) AS cents
+                  FROM events),
+             p AS (SELECT event_id AS pur_id, user_id,
+                     ts_us AS pur_ts_us, cents
+                   FROM ev WHERE event_type = 'purchase'),
+             c AS (SELECT user_id AS clk_user, ts_us AS clk_ts_us
+                   FROM ev WHERE event_type = 'click'),
+             t AS (SELECT p.*, clk_ts_us,
+                     count(*) OVER (PARTITION BY pur_id) AS n_touches
+                   FROM p JOIN c
+                     ON p.user_id = c.clk_user
+                     AND c.clk_ts_us >= p.pur_ts_us - 86400000000
+                     AND c.clk_ts_us <= p.pur_ts_us)
+             SELECT (clk_ts_us // 3600000000) % 24 AS hour_of_day,
+               count(*) AS n_touches,
+               CAST(sum(cents * 1000000 // n_touches) AS BIGINT)
+                 AS credited_micro,
+               CAST(sum(cents * 1000000 // n_touches) AS DOUBLE) / 1e8
+                 AS credited_dollars
+             FROM t GROUP BY 1 ORDER BY hour_of_day"""))
+
   /** The queries whose execution is a real Structured Streaming run —
     * each pays per-run state-store provisioning (the r06 driver tail
     * showed a 3.45 s state-store load for ONE of them), which is why
@@ -2281,6 +2400,7 @@ object EventQueries {
       q115SaltedJoin, q119StreamRunningTotals, q120CmsHeavyHitters,
       q122MarkovTransitions, q123RollingDistinct, q127GiniDiversity,
       q128Chi2Cells, q131FirstTouch, q132DwellTime, q140TvDrift,
-      q141HllUnion, q142AssocRules, q143CusumChangepoint, q144SurvivalKm)
+      q141HllUnion, q142AssocRules, q143CusumChangepoint, q144SurvivalKm,
+      q145JsonSurface, q146LinearAttribution)
       .map(q => q.copy(streaming = streamingNames(q.name)))
 }

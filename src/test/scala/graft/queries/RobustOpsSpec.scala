@@ -417,6 +417,39 @@ class RobustOpsSpec extends SparkSpec {
     }
   }
 
+  test("q145: missing keys null out, nested round-trip recovers k") {
+    withTempDir { dir =>
+      // ids 1..7, k=5 via props; id 7 trips the planted '{}' (7 % 7)
+      (1L to 7L).map(id => (id, 3600L * 1000000000L, 1L, "A", 1.0,
+        """{"k": 5}"""))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val rows = EventQueries.q145JsonSurface.fn(spark, dir)
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+      // n=7, one missing k, sum_k=30, all docs have 3 vals, the 0-based
+      // [1] element recovers k (0 for the planted missing row)
+      rows shouldBe Seq(("A", 7L, 1L, 30L, 7L, 30L))
+    }
+  }
+
+  test("q146: two touches split the purchase credit exactly in half") {
+    withTempDir { dir =>
+      val evs = Seq(
+        (1L * HourNs + 1L, 1L, 1L, "click"),
+        (2L * HourNs + 1L, 1L, 2L, "click"),
+        (3L * HourNs, 1L, 3L, "purchase"))
+      evs.map { case (ns, u, id, t) =>
+        (id, ns, u, t, if (t == "purchase") 10.0 else 1.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val rows = EventQueries.q146LinearAttribution.fn(spark, dir)
+        .select("hour_of_day", "credited_micro").as[(Long, Long)]
+        .collect().toMap
+      // 1000 cents x 1e6 / 2 touches = 5e8 micro-cents per hour bucket
+      rows shouldBe Map(1L -> 500000000L, 2L -> 500000000L)
+    }
+  }
+
   test("q125: two-phase prefix sum equals the flat cumulative sum") {
     withTempDir { dir =>
       // doc_ids crossing bucket boundaries (div 100): 99|100, 199|200
