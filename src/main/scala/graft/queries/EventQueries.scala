@@ -2375,6 +2375,181 @@ object EventQueries {
                  AS credited_dollars
              FROM t GROUP BY 1 ORDER BY hour_of_day"""))
 
+  /** Two-feature grouped OLS via exact normal equations — the
+    * multivariate extension of q108's single-feature trend: per event
+    * type, fit `cents ≈ b0 + b1·day + b2·hour_of_day` by Cramer's rule
+    * over the 3x3 normal matrix, every entry of which is an EXACT int64
+    * moment sum (counts, Σday, Σhour, Σday², Σday·hour, Σhour²,
+    * Σcents·…). The determinant expansion stays in int128-free range by
+    * construction (days < 31, hours < 24, cents < 10⁷ at sf0.1 — the
+    * deepest product is n·Σd²·Σh² ≈ 10⁵·10⁴·10⁴·… bounded via the
+    * decimal(38,0) accumulators used for the 3-term products), and only
+    * the final three divisions are floating point — one fixed IEEE op
+    * each, so the coefficients hash-match.
+    */
+  val q147Ols2: Q = Q(
+    "q147_ols2",
+    (s, dir) => {
+      val base = Tables.load(s, dir, "events")
+        .select(col("event_type"),
+          expr("(ts div 1000) div 86400000000").as("d"),
+          expr("((ts div 1000) div 3600000000) % 24").as("h"),
+          floor(col("value") * 100).cast("long").as("y"))
+      val m = base.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        sum(col("d")).as("sd"), sum(col("h")).as("sh"),
+        sum(col("d") * col("d")).as("sdd"),
+        sum(col("d") * col("h")).as("sdh"),
+        sum(col("h") * col("h")).as("shh"),
+        sum(col("y")).as("sy"),
+        sum(col("d") * col("y")).as("sdy"),
+        sum(col("h") * col("y")).as("shy"))
+      // 3x3 determinants in decimal(38,0): the triple products of int64
+      // moment sums overflow long (n·Σd²·Σh² ~ 1e5·1e8·1e8), decimal
+      // keeps them exact; DuckDB mirrors in HUGEINT
+      def D(c: Column) = c.cast("decimal(38,0)")
+      def det3(a1: Column, a2: Column, a3: Column,
+               b1: Column, b2: Column, b3: Column,
+               c1: Column, c2: Column, c3: Column): Column =
+        D(a1) * (D(b2) * D(c3) - D(b3) * D(c2)) -
+        D(a2) * (D(b1) * D(c3) - D(b3) * D(c1)) +
+        D(a3) * (D(b1) * D(c2) - D(b2) * D(c1))
+      val (n, sd, sh) = (col("n"), col("sd"), col("sh"))
+      val (sdd, sdh, shh) = (col("sdd"), col("sdh"), col("shh"))
+      val (sy, sdy, shy) = (col("sy"), col("sdy"), col("shy"))
+      val det  = det3(n,  sd,  sh,  sd, sdd, sdh, sh, sdh, shh)
+      val det0 = det3(sy, sd,  sh, sdy, sdd, sdh, shy, sdh, shh)
+      val det1 = det3(n,  sy,  sh,  sd, sdy, sdh, sh, shy, shh)
+      val det2 = det3(n,  sd,  sy,  sd, sdd, sdy, sh, sdh, shy)
+      m.select(col("event_type"), col("n"),
+          (det0.cast("double") / det.cast("double")).as("b0_cents"),
+          (det1.cast("double") / det.cast("double")).as("b1_per_day"),
+          (det2.cast("double") / det.cast("double")).as("b2_per_hour"))
+        .orderBy("event_type")
+    },
+    Some(s"""WITH b AS (SELECT event_type,
+                    ${duckUs("ts")} // 86400000000 AS d,
+                    (${duckUs("ts")} // 3600000000) % 24 AS h,
+                    CAST(floor(value * 100) AS BIGINT) AS y
+                  FROM events),
+             m AS (SELECT event_type,
+                     CAST(count(*) AS HUGEINT) AS n,
+                     CAST(sum(d) AS HUGEINT) AS sd,
+                     CAST(sum(h) AS HUGEINT) AS sh,
+                     CAST(sum(d * d) AS HUGEINT) AS sdd,
+                     CAST(sum(d * h) AS HUGEINT) AS sdh,
+                     CAST(sum(h * h) AS HUGEINT) AS shh,
+                     CAST(sum(y) AS HUGEINT) AS sy,
+                     CAST(sum(d * y) AS HUGEINT) AS sdy,
+                     CAST(sum(h * y) AS HUGEINT) AS shy
+                   FROM b GROUP BY 1)
+             SELECT event_type, CAST(n AS BIGINT) AS n,
+               CAST(sy * (sdd * shh - sdh * sdh)
+                    - sd * (sdy * shh - sdh * shy)
+                    + sh * (sdy * sdh - sdd * shy) AS DOUBLE)
+                 / CAST(n * (sdd * shh - sdh * sdh)
+                    - sd * (sd * shh - sdh * sh)
+                    + sh * (sd * sdh - sdd * sh) AS DOUBLE) AS b0_cents,
+               CAST(n * (sdy * shh - sdh * shy)
+                    - sy * (sd * shh - sdh * sh)
+                    + sh * (sd * shy - sdy * sh) AS DOUBLE)
+                 / CAST(n * (sdd * shh - sdh * sdh)
+                    - sd * (sd * shh - sdh * sh)
+                    + sh * (sd * sdh - sdd * sh) AS DOUBLE) AS b1_per_day,
+               CAST(n * (sdd * shy - sdy * sdh)
+                    - sd * (sd * shy - sdy * sh)
+                    + sy * (sd * sdh - sdd * sh) AS DOUBLE)
+                 / CAST(n * (sdd * shh - sdh * sdh)
+                    - sd * (sd * shh - sdh * sh)
+                    + sh * (sd * sdh - sdd * sh) AS DOUBLE) AS b2_per_hour
+             FROM m ORDER BY event_type"""))
+
+  /** Two-sample proportion z-test between user cohorts (A/B readout):
+    * conversion = "user has a purchase", cohort = user_id parity. The
+    * z statistic's op tree — two rate divisions, pooled rate, the
+    * standard-error sqrt, one closing division — is FIXED and built
+    * from exact int64 counts, and IEEE-754 requires sqrt to be
+    * correctly rounded, so the statistic is bit-identical across
+    * engines (the rare transcendental-adjacent op that IS safe; ln/exp
+    * are not). Emits the decision at |z| > 1.96 as a boolean.
+    */
+  val q148AbZtest: Q = Q(
+    "q148_ab_ztest",
+    (s, dir) => {
+      // conversion = first purchase within 24 h of first signup ("did
+      // the user activate fast") — "ever purchased" saturates at 100 %
+      // on this fixture, making pp = 1, se = 0 and z undefined
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"), tsUs.as("ts_us"))
+      val users = ev.groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "signup", col("ts_us")))
+            .as("t_signup"),
+          min(when(col("event_type") === "purchase", col("ts_us")))
+            .as("t_purchase"))
+        .filter(col("t_signup").isNotNull)
+        .select(pmod(col("user_id"), lit(2)).as("cohort"),
+          when(col("t_purchase").isNotNull &&
+            col("t_purchase") >= col("t_signup") &&
+            col("t_purchase") - col("t_signup") <= 24L * 3600 * 1000000, 1L)
+            .otherwise(0L).as("converted"))
+      val cells = users.groupBy(col("cohort"))
+        .agg(count(lit(1)).as("n"), sum(col("converted")).as("c"))
+      val a = cells.filter(col("cohort") === 0)
+        .select(col("n").as("n1"), col("c").as("c1"))
+      val b = cells.filter(col("cohort") === 1)
+        .select(col("n").as("n2"), col("c").as("c2"))
+      a.crossJoin(broadcast(b))
+        .select(col("n1"), col("c1"), col("n2"), col("c2"),
+          (col("c1").cast("double") / col("n1").cast("double")).as("p1"),
+          (col("c2").cast("double") / col("n2").cast("double")).as("p2"),
+          ((col("c1") + col("c2")).cast("double")
+            / (col("n1") + col("n2")).cast("double")).as("pp"))
+        .select(col("n1"), col("c1"), col("n2"), col("c2"), col("p1"),
+          col("p2"),
+          ((col("p1") - col("p2")) /
+            nullif(sqrt(col("pp") * (lit(1.0) - col("pp"))
+              * (lit(1.0) / col("n1").cast("double")
+                + lit(1.0) / col("n2").cast("double"))), lit(0.0)))
+            .as("z"))
+        .select(col("n1"), col("c1"), col("n2"), col("c2"), col("p1"),
+          col("p2"), col("z"), (abs(col("z")) > 1.96).as("significant"))
+    },
+    Some(s"""WITH e AS (SELECT user_id, event_type,
+                 ${duckUs("ts")} AS ts_us FROM events),
+            u0 AS (SELECT user_id,
+                 min(CASE WHEN event_type = 'signup' THEN ts_us END)
+                   AS t_signup,
+                 min(CASE WHEN event_type = 'purchase' THEN ts_us END)
+                   AS t_purchase
+               FROM e GROUP BY 1),
+            u AS (SELECT user_id,
+                 CASE WHEN t_purchase IS NOT NULL
+                       AND t_purchase >= t_signup
+                       AND t_purchase - t_signup <= 86400000000
+                      THEN 1 ELSE 0 END AS converted
+               FROM u0 WHERE t_signup IS NOT NULL),
+            cells AS (SELECT user_id % 2 AS cohort, count(*) AS n,
+                        CAST(sum(converted) AS BIGINT) AS c
+                      FROM u GROUP BY 1),
+            ab AS (SELECT
+                     (SELECT n FROM cells WHERE cohort = 0) AS n1,
+                     (SELECT c FROM cells WHERE cohort = 0) AS c1,
+                     (SELECT n FROM cells WHERE cohort = 1) AS n2,
+                     (SELECT c FROM cells WHERE cohort = 1) AS c2),
+            r AS (SELECT *,
+                    CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+                    CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS p2,
+                    CAST(c1 + c2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)
+                      AS pp
+                  FROM ab),
+            z AS (SELECT n1, c1, n2, c2, p1, p2,
+                    (p1 - p2) / nullif(sqrt(pp * (1.0 - pp)
+                      * (1.0 / CAST(n1 AS DOUBLE)
+                        + 1.0 / CAST(n2 AS DOUBLE))), 0.0) AS z
+                  FROM r)
+            SELECT n1, c1, n2, c2, p1, p2, z, abs(z) > 1.96 AS significant
+            FROM z"""))
+
   /** The queries whose execution is a real Structured Streaming run —
     * each pays per-run state-store provisioning (the r06 driver tail
     * showed a 3.45 s state-store load for ONE of them), which is why
@@ -2401,6 +2576,6 @@ object EventQueries {
       q122MarkovTransitions, q123RollingDistinct, q127GiniDiversity,
       q128Chi2Cells, q131FirstTouch, q132DwellTime, q140TvDrift,
       q141HllUnion, q142AssocRules, q143CusumChangepoint, q144SurvivalKm,
-      q145JsonSurface, q146LinearAttribution)
+      q145JsonSurface, q146LinearAttribution, q147Ols2, q148AbZtest)
       .map(q => q.copy(streaming = streamingNames(q.name)))
 }

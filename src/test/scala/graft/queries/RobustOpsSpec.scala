@@ -450,6 +450,45 @@ class RobustOpsSpec extends SparkSpec {
     }
   }
 
+  test("q147: a planted exact plane is recovered coefficient-for-" +
+    "coefficient") {
+    withTempDir { dir =>
+      // cents = 10 + 2·day + 3·hour exactly (the +0.5 makes the
+      // floor(value*100) round-trip robust to the /100 representation)
+      val evs = for (d <- 0 until 5; h <- 0 until 6) yield {
+        val cents = 10 + 2 * d + 3 * h
+        val ns = d.toLong * DayNs + h.toLong * HourNs + 1L
+        (ns / 1000 * 1000 + 1000L, (cents + 0.5) / 100.0, d * 100L + h)
+      }
+      evs.zipWithIndex.map { case ((ns, v, _), i) =>
+        (i.toLong, ns, 1L, "A", v, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val rows = EventQueries.q147Ols2.fn(spark, dir)
+        .select("b0_cents", "b1_per_day", "b2_per_hour")
+        .as[(Double, Double, Double)].collect().head
+      rows shouldBe ((10.0, 2.0, 3.0))
+    }
+  }
+
+  test("q148: a total cohort split is flagged significant") {
+    withTempDir { dir =>
+      // even users sign up and purchase an hour later; odd users sign
+      // up and never purchase -> p1=1, p2=0, |z| >> 1.96
+      val evs = (1L to 40L).flatMap { u =>
+        val base = Seq((u * HourNs, u, u * 100L, "signup"))
+        if (u % 2 == 0) base :+ ((u * HourNs + HourNs, u, u * 100L + 1L,
+          "purchase"))
+        else base
+      }
+      writeEvents(dir, evs)
+      val row = EventQueries.q148AbZtest.fn(spark, dir)
+        .select("p1", "p2", "significant").as[(Double, Double, Boolean)]
+        .collect().head
+      row shouldBe ((1.0, 0.0, true))
+    }
+  }
+
   test("q125: two-phase prefix sum equals the flat cumulative sum") {
     withTempDir { dir =>
       // doc_ids crossing bucket boundaries (div 100): 99|100, 199|200
