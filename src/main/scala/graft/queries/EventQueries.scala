@@ -2550,6 +2550,170 @@ object EventQueries {
             SELECT n1, c1, n2, c2, p1, p2, z, abs(z) > 1.96 AS significant
             FROM z"""))
 
+  /** Bitmap-index set intersection — the roaring-bitmap idea as
+    * relational dataflow: each event type's user set is packed into
+    * 64-bit WORDS (`bit_or` of `1 << (user_id % 64)` grouped by
+    * `user_id div 64`), and |A ∩ B| is `bit_count(wordA & wordB)`
+    * summed over the word index — a |users|/64-row equi-join instead of
+    * a row-level distinct-join. The query emits both the bitmap count
+    * and the direct distinct-join count with an equality flag, so the
+    * compressed representation is PROVEN against the row-level answer
+    * inside the hash-checked result.
+    */
+  val q149BitmapIntersect: Q = Q(
+    "q149_bitmap_intersect",
+    (s, dir) => {
+      val du = Tables.load(s, dir, "events")
+        .select(col("event_type"), col("user_id")).distinct()
+      // 32-bit payload in a 64-bit word: bit 63 would overflow DuckDB's
+      // checked left shift, and 32 keeps both engines comfortably signed
+      val words = du
+        .groupBy(col("event_type"),
+          expr("user_id div 32").as("word_idx"))
+        .agg(expr("bit_or(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INT))")
+          .as("word"))
+      val pairs = Seq(("view", "purchase"), ("click", "error"),
+        ("signup", "purchase"))
+      val pairDf = { import s.implicits._; pairs.toDF("ta", "tb") }
+      val bm = broadcast(pairDf)
+        .join(words.as("a"), col("a.event_type") === col("ta"))
+        .join(words.as("b"),
+          col("b.event_type") === col("tb") &&
+            col("a.word_idx") === col("b.word_idx"))
+        .groupBy(col("ta"), col("tb"))
+        .agg(sum(bit_count(col("a.word").bitwiseAND(col("b.word"))))
+          .as("bitmap_n"))
+      val direct = du.as("x")
+        .join(du.as("y"), col("x.user_id") === col("y.user_id"))
+        .join(broadcast(pairDf),
+          col("x.event_type") === col("ta") &&
+            col("y.event_type") === col("tb"))
+        .groupBy(col("ta"), col("tb"))
+        .agg(count(lit(1)).as("direct_n"))
+      // the pair table is the spine: an EMPTY intersection must report
+      // 0/0/true, not vanish from the inner joins
+      pairDf.join(bm, Seq("ta", "tb"), "left")
+        .join(direct, Seq("ta", "tb"), "left")
+        .select(col("ta"), col("tb"),
+          coalesce(col("bitmap_n"), lit(0L)).as("bitmap_n"),
+          coalesce(col("direct_n"), lit(0L)).as("direct_n"),
+          (coalesce(col("bitmap_n"), lit(0L))
+            === coalesce(col("direct_n"), lit(0L))).as("agree"))
+        .orderBy("ta", "tb")
+    },
+    Some("""WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+            w AS (SELECT event_type, user_id // 32 AS word_idx,
+                    bit_or(CAST(1 AS BIGINT)
+                      << CAST(user_id % 32 AS INT)) AS word
+                  FROM du GROUP BY 1, 2),
+            pr AS (SELECT * FROM (VALUES ('view', 'purchase'),
+                     ('click', 'error'), ('signup', 'purchase'))
+                   t(ta, tb)),
+            bm AS (SELECT ta, tb,
+                     CAST(sum(bit_count(a.word & b.word)) AS BIGINT)
+                       AS bitmap_n
+                   FROM pr
+                   JOIN w a ON a.event_type = ta
+                   JOIN w b ON b.event_type = tb
+                     AND a.word_idx = b.word_idx
+                   GROUP BY 1, 2),
+            dr AS (SELECT ta, tb, count(*) AS direct_n
+                   FROM du x JOIN du y ON x.user_id = y.user_id
+                   JOIN pr ON x.event_type = ta AND y.event_type = tb
+                   GROUP BY 1, 2)
+            SELECT ta, tb,
+              coalesce(bitmap_n, 0) AS bitmap_n,
+              coalesce(direct_n, 0) AS direct_n,
+              coalesce(bitmap_n, 0) = coalesce(direct_n, 0) AS agree
+            FROM pr LEFT JOIN bm USING (ta, tb)
+            LEFT JOIN dr USING (ta, tb)
+            ORDER BY ta, tb"""))
+
+  /** Ratio-to-parent reporting: each event type's share of its HOUR's
+    * total and each hour's share of the GRAND total, from one
+    * aggregated frame — the percent-of-total window family (share =
+    * exact-int division; the window marginals run over the |hours| x
+    * |types|-sized aggregate, never the event stream). The grand total
+    * rides along via a broadcast 1-row frame, so no global window
+    * touches event-sized data.
+    */
+  val q150RatioToParent: Q = Q(
+    "q150_ratio_to_parent",
+    (s, dir) => {
+      val cells = Tables.load(s, dir, "events")
+        .select(expr("((ts div 1000) div 3600000000) % 24").as("hour"),
+          col("event_type"))
+        .groupBy(col("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val total = cells.agg(sum(col("n")).as("grand")) // 1 row
+      cells
+        .withColumn("hour_total",
+          sum(col("n")).over(Window.partitionBy("hour")))
+        .crossJoin(broadcast(total))
+        .select(col("hour"), col("event_type"), col("n"),
+          (col("n").cast("double") / col("hour_total").cast("double"))
+            .as("share_of_hour"),
+          (col("hour_total").cast("double") / col("grand").cast("double"))
+            .as("hour_share_of_total"))
+        .orderBy("hour", "event_type")
+    },
+    Some(s"""WITH c AS (SELECT (${duckUs("ts")} // 3600000000) % 24
+                          AS hour, event_type, count(*) AS n
+                        FROM events GROUP BY 1, 2),
+             t AS (SELECT CAST(sum(n) AS BIGINT) AS grand FROM c)
+             SELECT hour, event_type, n,
+               CAST(n AS DOUBLE)
+                 / CAST(sum(n) OVER (PARTITION BY hour) AS DOUBLE)
+                 AS share_of_hour,
+               CAST(sum(n) OVER (PARTITION BY hour) AS DOUBLE)
+                 / CAST(grand AS DOUBLE) AS hour_share_of_total
+             FROM c CROSS JOIN t ORDER BY hour, event_type"""))
+
+  /** Time-weighted average value (TWAP) per user: each observation is
+    * weighted by how long it was the user's CURRENT value (the `lead`
+    * inter-arrival span — q132's dwell applied as a weight). The
+    * weighted sum Σ cents·Δt_µs is accumulated in decimal(38,0)
+    * (cents·span products reach ~10⁷·10¹¹ and their SUM would overflow
+    * int64), the denominator Σ Δt stays int64, and the TWAP is one
+    * closing division — so the result is exact-arithmetic-then-divide
+    * like every mean in this suite.
+    */
+  val q151Twap: Q = Q(
+    "q151_twap",
+    (s, dir) => {
+      val seqW = Window.partitionBy("user_id")
+        .orderBy(col("ts_us"), col("event_id"))
+      val spans = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), tsUs.as("ts_us"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .withColumn("span_us",
+          lead(col("ts_us"), 1).over(seqW) - col("ts_us"))
+        .filter(col("span_us").isNotNull)
+      spans.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("span_us")).as("total_span_us"),
+          sum((col("cents") * col("span_us")).cast("decimal(38,0)"))
+            .as("wsum"))
+        .select(col("user_id"), col("n_spans"), col("total_span_us"),
+          (col("wsum").cast("double") / col("total_span_us").cast("double"))
+            .as("twap_cents"))
+        .orderBy("user_id")
+    },
+    Some(s"""WITH e AS (SELECT user_id, event_id,
+                          ${duckUs("ts")} AS ts_us,
+                          CAST(floor(value * 100) AS BIGINT) AS cents
+                        FROM events),
+             sp AS (SELECT user_id, cents,
+                      lead(ts_us) OVER (PARTITION BY user_id
+                        ORDER BY ts_us, event_id) - ts_us AS span_us
+                    FROM e)
+             SELECT user_id, count(*) AS n_spans,
+               CAST(sum(span_us) AS BIGINT) AS total_span_us,
+               CAST(sum(CAST(cents * span_us AS HUGEINT)) AS DOUBLE)
+                 / CAST(sum(span_us) AS DOUBLE) AS twap_cents
+             FROM sp WHERE span_us IS NOT NULL
+             GROUP BY user_id ORDER BY user_id"""))
+
   /** The queries whose execution is a real Structured Streaming run —
     * each pays per-run state-store provisioning (the r06 driver tail
     * showed a 3.45 s state-store load for ONE of them), which is why
@@ -2576,6 +2740,7 @@ object EventQueries {
       q122MarkovTransitions, q123RollingDistinct, q127GiniDiversity,
       q128Chi2Cells, q131FirstTouch, q132DwellTime, q140TvDrift,
       q141HllUnion, q142AssocRules, q143CusumChangepoint, q144SurvivalKm,
-      q145JsonSurface, q146LinearAttribution, q147Ols2, q148AbZtest)
+      q145JsonSurface, q146LinearAttribution, q147Ols2, q148AbZtest,
+      q149BitmapIntersect, q150RatioToParent, q151Twap)
       .map(q => q.copy(streaming = streamingNames(q.name)))
 }

@@ -489,6 +489,38 @@ class RobustOpsSpec extends SparkSpec {
     }
   }
 
+  test("q149: bitmap intersections equal the row-level distinct join") {
+    withTempDir { dir =>
+      // view={1,2,3,40}, purchase={2,3}, click={1}, error={3}, signup={2}
+      // users 3 and 40 land in different 32-bit words
+      val evs = Seq((1L, "view"), (2L, "view"), (3L, "view"), (40L, "view"),
+        (2L, "purchase"), (3L, "purchase"), (1L, "click"), (3L, "error"),
+        (2L, "signup"))
+      writeEvents(dir, evs.zipWithIndex.map { case ((u, t), i) =>
+        ((i + 1L) * HourNs, u, i + 1L, t) })
+      val rows = EventQueries.q149BitmapIntersect.fn(spark, dir)
+        .select("ta", "tb", "bitmap_n", "agree")
+        .as[(String, String, Long, Boolean)].collect().toSeq
+      rows shouldBe Seq(("click", "error", 0L, true),
+        ("signup", "purchase", 1L, true), ("view", "purchase", 2L, true))
+    }
+  }
+
+  test("q151: TWAP weights each value by its holding span") {
+    withTempDir { dir =>
+      // 1.00 held 1h, then 3.00 held 3h -> (100·1 + 300·3)/4 = 250
+      val evs = Seq((0L * HourNs + 1000L, 1L, 1L, "x", 1.0),
+        (1L * HourNs + 1000L, 1L, 2L, "x", 3.0),
+        (4L * HourNs + 1000L, 1L, 3L, "x", 9.9))
+      evs.map { case (ns, u, id, t, v) => (id, ns, u, t, v, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val rows = EventQueries.q151Twap.fn(spark, dir)
+        .select("user_id", "twap_cents").as[(Long, Double)].collect().toSeq
+      rows shouldBe Seq((1L, 250.0))
+    }
+  }
+
   test("q125: two-phase prefix sum equals the flat cumulative sum") {
     withTempDir { dir =>
       // doc_ids crossing bucket boundaries (div 100): 99|100, 199|200
