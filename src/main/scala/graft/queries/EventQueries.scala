@@ -2575,9 +2575,13 @@ object EventQueries {
       val pairs = Seq(("view", "purchase"), ("click", "error"),
         ("signup", "purchase"))
       val pairDf = { import s.implicits._; pairs.toDF("ta", "tb") }
+      // the word table is |users|/32 x |types| rows — broadcast; the
+      // row-level `direct` join below keeps its user-key shuffle
+      // deliberately: it is the baseline the bitmap path is PROVEN
+      // against, and its cost is the point of comparison
       val bm = broadcast(pairDf)
         .join(words.as("a"), col("a.event_type") === col("ta"))
-        .join(words.as("b"),
+        .join(broadcast(words.as("b")),
           col("b.event_type") === col("tb") &&
             col("a.word_idx") === col("b.word_idx"))
         .groupBy(col("ta"), col("tb"))
@@ -2592,8 +2596,8 @@ object EventQueries {
         .agg(count(lit(1)).as("direct_n"))
       // the pair table is the spine: an EMPTY intersection must report
       // 0/0/true, not vanish from the inner joins
-      pairDf.join(bm, Seq("ta", "tb"), "left")
-        .join(direct, Seq("ta", "tb"), "left")
+      pairDf.join(broadcast(bm), Seq("ta", "tb"), "left")
+        .join(broadcast(direct), Seq("ta", "tb"), "left")
         .select(col("ta"), col("tb"),
           coalesce(col("bitmap_n"), lit(0L)).as("bitmap_n"),
           coalesce(col("direct_n"), lit(0L)).as("direct_n"),
