@@ -2718,6 +2718,72 @@ object EventQueries {
              FROM sp WHERE span_us IS NOT NULL
              GROUP BY user_id ORDER BY user_id"""))
 
+  /** Sweep-line interval concurrency: how many users are simultaneously
+    * active per day, from (user, day) activity intervals [first event,
+    * last event]. Each interval emits +1/−1 boundary deltas, deltas are
+    * NETTED PER TIMESTAMP before the running sum (a cumulative window
+    * over duplicate sort keys has ambiguous per-row values — netting
+    * makes the sort key unique, hence deterministic), and the per-day
+    * maximum and its earliest peak time fall out of one ordered window
+    * per day. The q101 interval-merge partner: merge asks "how much is
+    * covered", this asks "how deeply".
+    *
+    * ## 100 TB notes
+    * Interval extraction is one user-day aggregate; everything after
+    * operates on <= 2 boundary rows per interval, partitioned by day —
+    * the sweep never sees raw events, and each day's sweep is an
+    * independent partition.
+    */
+  val q152MaxConcurrency: Q = Q(
+    "q152_max_concurrency",
+    (s, dir) => {
+      val iv = Tables.load(s, dir, "events")
+        .select(col("user_id"),
+          expr("(ts div 1000) div 86400000000").as("day_idx"),
+          tsUs.as("ts_us"))
+        .groupBy(col("user_id"), col("day_idx"))
+        .agg(min(col("ts_us")).as("t0"), max(col("ts_us")).as("t1"))
+      val deltas = iv
+        .select(col("day_idx"), col("t0").as("t"), lit(1L).as("d"))
+        .unionByName(iv.select(col("day_idx"),
+          (col("t1") + 1).as("t"), lit(-1L).as("d")))
+        .groupBy(col("day_idx"), col("t"))
+        .agg(sum(col("d")).as("net")) // unique (day, t) sort keys
+      val byDay = Window.partitionBy("day_idx").orderBy("t")
+      val run = deltas.withColumn("running",
+        sum(col("net")).over(
+          byDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      run
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("day_idx")
+            .orderBy(col("running").desc, col("t").asc)))
+        .filter(col("rk") === 1)
+        .select(col("day_idx"), col("running").as("max_concurrent"),
+          col("t").as("peak_t_us"))
+        .orderBy("day_idx")
+    },
+    Some(s"""WITH e AS (SELECT user_id,
+                    ${duckUs("ts")} // 86400000000 AS day_idx,
+                    ${duckUs("ts")} AS ts_us
+                  FROM events),
+             iv AS (SELECT user_id, day_idx, min(ts_us) AS t0,
+                      max(ts_us) AS t1
+                    FROM e GROUP BY 1, 2),
+             d AS (SELECT day_idx, t, CAST(sum(dd) AS BIGINT) AS net
+                   FROM (SELECT day_idx, t0 AS t, 1 AS dd FROM iv
+                         UNION ALL
+                         SELECT day_idx, t1 + 1, -1 FROM iv)
+                   GROUP BY 1, 2),
+             r AS (SELECT day_idx, t,
+                     CAST(sum(net) OVER (PARTITION BY day_idx ORDER BY t
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running
+                   FROM d),
+             k AS (SELECT *, row_number() OVER (PARTITION BY day_idx
+                     ORDER BY running DESC, t ASC) AS rk
+                   FROM r)
+             SELECT day_idx, running AS max_concurrent, t AS peak_t_us
+             FROM k WHERE rk = 1 ORDER BY day_idx"""))
+
   /** The queries whose execution is a real Structured Streaming run —
     * each pays per-run state-store provisioning (the r06 driver tail
     * showed a 3.45 s state-store load for ONE of them), which is why
@@ -2745,6 +2811,7 @@ object EventQueries {
       q128Chi2Cells, q131FirstTouch, q132DwellTime, q140TvDrift,
       q141HllUnion, q142AssocRules, q143CusumChangepoint, q144SurvivalKm,
       q145JsonSurface, q146LinearAttribution, q147Ols2, q148AbZtest,
-      q149BitmapIntersect, q150RatioToParent, q151Twap)
+      q149BitmapIntersect, q150RatioToParent, q151Twap,
+      q152MaxConcurrency)
       .map(q => q.copy(streaming = streamingNames(q.name)))
 }

@@ -521,6 +521,20 @@ class RobustOpsSpec extends SparkSpec {
     }
   }
 
+  test("q152: overlapping intervals stack, closed ends stay inclusive") {
+    withTempDir { dir =>
+      // u1 active [1h,3h], u2 [2h,4h], u3 [5h,6h] on one day:
+      // peak is 2 at t=2h (u1+u2); u3 never overlaps
+      writeEvents(dir, Seq(
+        (1L * HourNs, 1L, 1L, "x"), (3L * HourNs, 1L, 2L, "x"),
+        (2L * HourNs, 2L, 3L, "x"), (4L * HourNs, 2L, 4L, "x"),
+        (5L * HourNs, 3L, 5L, "x"), (6L * HourNs, 3L, 6L, "x")))
+      val rows = EventQueries.q152MaxConcurrency.fn(spark, dir)
+        .as[(Long, Long, Long)].collect().toSeq
+      rows shouldBe Seq((0L, 2L, 2L * 3600L * 1000000L))
+    }
+  }
+
   test("q125: two-phase prefix sum equals the flat cumulative sum") {
     withTempDir { dir =>
       // doc_ids crossing bucket boundaries (div 100): 99|100, 199|200
