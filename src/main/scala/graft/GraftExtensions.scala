@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ArrayModeCount, CosineSimilarity, JaccardSimilarity, NfcNormalize}
+import graft.functions.{ArrayModeCount, CosineSimilarity, JaccardSimilarity, MinHashAgg, NfcNormalize}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions in the session FunctionRegistry, so SQL users get
@@ -44,6 +44,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 1, "nfc_normalize takes exactly 1 argument")
         NfcNormalize(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_agg"),
+      new ExpressionInfo(classOf[MinHashAgg].getName, "minhash_agg"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "minhash_agg takes (shingle, numHashes) arguments")
+        val k = children(1) match {
+          case e if e.foldable && e.dataType ==
+            org.apache.spark.sql.types.IntegerType =>
+            e.eval().asInstanceOf[Int]
+          case other => throw new IllegalArgumentException(
+            s"numHashes must be an integer literal, got $other")
+        }
+        MinHashAgg(children.head, k)
       }))
   }
 }

@@ -110,4 +110,9 @@ object GraftFunctions {
 
   def nfcNormalize(a: Column): Column =
     ColumnBridge.column(NfcNormalize(ColumnBridge.expression(a)))
+
+  def minhashAgg(a: Column, numHashes: Int): Column =
+    ColumnBridge.column(
+      MinHashAgg(ColumnBridge.expression(a), numHashes)
+        .toAggregateExpression())
 }

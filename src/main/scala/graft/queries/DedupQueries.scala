@@ -821,8 +821,46 @@ object DedupQueries {
                       FROM shs a JOIN shs b ON a.doc_id < b.doc_id)
              ${duckVerify("0.6")}"""))
 
+  /** q24's minhash signature through the NATIVE Catalyst aggregate
+    * ([[graft.functions.MinHashAgg]], a TypedImperativeAggregate): each
+    * shingle folds into the k-slot buffer as it is scanned, so the
+    * shuffle carries k longs per document per partition instead of the
+    * exploded shingle stream — the at-scale form of the signature
+    * stage. The oracle recomputes the identical Carter–Wegman/md5
+    * arithmetic in DuckDB, so the hash match proves the native buffer
+    * path equals the relational min-over-explode (q24's plan keeps the
+    * relational form; `MinHashAggSpec` additionally pins the equality
+    * in-process under multi-partition merges).
+    */
+  val q153MinhashNative: Q = Q(
+    "q153_minhash_native",
+    (s, dir) => {
+      shingled(s, dir)
+        .select(col("doc_id"), explode(col("sh")).as("sch"))
+        .groupBy(col("doc_id"))
+        .agg(graft.functions.GraftFunctions
+          .minhashAgg(col("sch"), NumHashes).as("sig"))
+        .select(col("doc_id"),
+          posexplode(col("sig")).as(Seq("i", "sig_value")))
+        .select(col("doc_id"), col("i").cast("long").as("i"),
+          col("sig_value"))
+        .orderBy("doc_id", "i")
+    },
+    Some(s"""WITH shs AS ($duckShingled),
+             sig AS (SELECT doc_id,
+                       list_transform(range(0, $NumHashes), i -> list_min(
+                         list_transform(
+                           list_transform(sh, s -> md5(s)),
+                           m -> (('0x' || substring(m, 1, 8))::BIGINT
+                             + i * ('0x' || substring(m, 9, 8))::BIGINT)
+                             % $P))) AS sig
+                     FROM shs)
+             SELECT doc_id, i, sig[CAST(i AS INT) + 1] AS sig_value
+             FROM sig, range(0, $NumHashes) t(i)
+             ORDER BY doc_id, i"""))
+
   val all: Seq[Q] = Seq(q23DedupExact, q24MinhashLsh, q25JaccardBlocked,
     q26Simhash, q43DedupComponents, q59DedupMaterialize, q60IncrementalDedup,
     q61Decontaminate, q63Boilerplate, q69ComponentsStar, q81SourceOverlap,
-    q102PrefixJoin)
+    q102PrefixJoin, q153MinhashNative)
 }
