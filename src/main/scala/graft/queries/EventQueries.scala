@@ -2784,6 +2784,132 @@ object EventQueries {
              SELECT day_idx, running AS max_concurrent, t AS peak_t_us
              FROM k WHERE rk = 1 ORDER BY day_idx"""))
 
+  /** Growth accounting: per week, every active user is exactly one of
+    * NEW (first week ever), RETAINED (also active the week before) or
+    * RESURRECTED (inactive last week, active some earlier week), and
+    * churn is last week's actives missing this week — the
+    * new/retained/resurrected/churned ledger every growth team reports.
+    * One (week, user) dedup (the only event-sized shuffle), a broadcast
+    * first-week table, and one self-join offset by a week; identities
+    * `new + retained + resurrected = active` hold row-for-row because
+    * the three cases partition by construction.
+    */
+  val q154GrowthAccounting: Q = Q(
+    "q154_growth_accounting",
+    (s, dir) => {
+      val wu = Tables.load(s, dir, "events")
+        .select(expr("(ts div 1000) div 604800000000").as("week"),
+          col("user_id"))
+        .distinct()
+      val firstWeek = wu.groupBy("user_id")
+        .agg(min(col("week")).as("first_week"))
+      // self-joins of the derived wu frame need explicit aliases
+      // (AMBIGUOUS_SELF_JOIN otherwise)
+      val perWeek = wu.as("c")
+        .join(broadcast(firstWeek).as("f"),
+          col("c.user_id") === col("f.user_id"))
+        .join(wu.as("p"),
+          col("p.user_id") === col("c.user_id") &&
+            col("p.week") === col("c.week") - 1, "left")
+        .groupBy(col("c.week").as("week"))
+        .agg(count(lit(1)).as("n_active"),
+          count(when(col("c.week") === col("f.first_week"), 1)).as("n_new"),
+          count(col("p.user_id")).as("n_retained"),
+          count(when(col("p.user_id").isNull &&
+            col("c.week") > col("f.first_week"), 1)).as("n_resurrected"))
+      // churned(w) = active in w-1, absent in w
+      val churned = wu
+        .select((col("week") + 1).as("week"), col("user_id").as("u"))
+        .join(wu.select(col("week"), col("user_id").as("u")),
+          Seq("week", "u"), "left_anti")
+        .groupBy("week").agg(count(lit(1)).as("n_churned"))
+      perWeek.join(churned, Seq("week"), "left")
+        .select(col("week"), col("n_active"), col("n_new"),
+          col("n_retained"), col("n_resurrected"),
+          coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+        .orderBy("week")
+    },
+    Some(s"""WITH wu AS (SELECT DISTINCT
+                    ${duckUs("ts")} // 604800000000 AS week, user_id
+                  FROM events),
+             fw AS (SELECT user_id, min(week) AS first_week FROM wu
+                    GROUP BY 1),
+             cur AS (SELECT w.week,
+                       count(*) AS n_active,
+                       count(CASE WHEN w.week = f.first_week THEN 1 END)
+                         AS n_new,
+                       count(p.user_id) AS n_retained,
+                       count(CASE WHEN p.user_id IS NULL
+                                   AND w.week > f.first_week THEN 1 END)
+                         AS n_resurrected
+                     FROM wu w
+                     JOIN fw f ON f.user_id = w.user_id
+                     LEFT JOIN wu p ON p.user_id = w.user_id
+                       AND p.week = w.week - 1
+                     GROUP BY w.week),
+             ch AS (SELECT p.week + 1 AS week, count(*) AS n_churned
+                    FROM wu p LEFT JOIN wu c
+                      ON c.user_id = p.user_id AND c.week = p.week + 1
+                    WHERE c.user_id IS NULL
+                    GROUP BY p.week + 1)
+             SELECT week, n_active, n_new, n_retained, n_resurrected,
+               coalesce(n_churned, 0) AS n_churned
+             FROM cur LEFT JOIN ch USING (week)
+             ORDER BY week"""))
+
+  /** Pareto coverage of revenue: the smallest top-K user set whose
+    * purchases cover >= 80 % of total revenue, decided by EXACT integer
+    * cross-multiplication (`cum_cents · 100 >= 80 · total_cents` — no
+    * percentage double ever compared). The per-user rollup is the only
+    * event-sized work; the ranked cumulative walk is a window over the
+    * |users|-sized aggregate. Ties in revenue rank break by user_id, so
+    * K is well-defined on both engines.
+    */
+  val q155ParetoCoverage: Q = Q(
+    "q155_pareto_coverage",
+    (s, dir) => {
+      val perUser = Tables.load(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(sum(floor(col("value") * 100).cast("long")).as("cents"))
+      val ranked = perUser
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("cents").desc, col("user_id").asc)))
+        .withColumn("cum", sum(col("cents")).over(
+          Window.orderBy(col("cents").desc, col("user_id").asc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val total = perUser.agg(sum(col("cents")).as("tot"),
+        count(lit(1)).as("n_users")) // 1 row
+      ranked.crossJoin(broadcast(total))
+        .filter(col("cum") * 100 >= col("tot") * 80)
+        .orderBy("rk")
+        .limit(1)
+        .select(col("rk").cast("long").as("k_users"), col("n_users"),
+          col("cum").as("covered_cents"), col("tot").as("total_cents"),
+          (col("rk").cast("double") / col("n_users").cast("double"))
+            .as("user_fraction"))
+    },
+    Some(s"""WITH pu AS (SELECT user_id,
+                    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                      AS cents
+                  FROM events WHERE event_type = 'purchase'
+                  GROUP BY 1),
+             t AS (SELECT CAST(sum(cents) AS BIGINT) AS tot,
+                     count(*) AS n_users FROM pu),
+             r AS (SELECT cents,
+                     row_number() OVER w AS rk,
+                     CAST(sum(cents) OVER (ORDER BY cents DESC, user_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+                   FROM pu
+                   WINDOW w AS (ORDER BY cents DESC, user_id))
+             SELECT CAST(rk AS BIGINT) AS k_users, n_users,
+               cum AS covered_cents, tot AS total_cents,
+               CAST(rk AS DOUBLE) / CAST(n_users AS DOUBLE)
+                 AS user_fraction
+             FROM r CROSS JOIN t
+             WHERE cum * 100 >= tot * 80
+             ORDER BY rk LIMIT 1"""))
+
   /** The queries whose execution is a real Structured Streaming run —
     * each pays per-run state-store provisioning (the r06 driver tail
     * showed a 3.45 s state-store load for ONE of them), which is why
@@ -2812,6 +2938,6 @@ object EventQueries {
       q141HllUnion, q142AssocRules, q143CusumChangepoint, q144SurvivalKm,
       q145JsonSurface, q146LinearAttribution, q147Ols2, q148AbZtest,
       q149BitmapIntersect, q150RatioToParent, q151Twap,
-      q152MaxConcurrency)
+      q152MaxConcurrency, q154GrowthAccounting, q155ParetoCoverage)
       .map(q => q.copy(streaming = streamingNames(q.name)))
 }

@@ -535,6 +535,38 @@ class RobustOpsSpec extends SparkSpec {
     }
   }
 
+  test("q154: new, retained, resurrected and churned partition the " +
+    "actives") {
+    withTempDir { dir =>
+      val week = 7L * DayNs
+      // u1 weeks {0,1,2}; u2 {0,2} (churns, then resurrects); u3 {1}
+      val evs = Seq((0L, 1L), (1L, 1L), (2L, 1L), (0L, 2L), (2L, 2L),
+        (1L, 3L))
+      writeEvents(dir, evs.zipWithIndex.map { case ((w, u), i) =>
+        (w * week + 1000L, u, i + 1L, "x") })
+      val rows = EventQueries.q154GrowthAccounting.fn(spark, dir)
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+      rows shouldBe Seq(
+        (0L, 2L, 2L, 0L, 0L, 0L), // u1,u2 both new
+        (1L, 2L, 1L, 1L, 0L, 1L), // u3 new, u1 retained, u2 churned
+        (2L, 2L, 0L, 1L, 1L, 1L)) // u1 retained, u2 resurrected, u3 churned
+    }
+  }
+
+  test("q155: a dominant user covers 80% alone") {
+    withTempDir { dir =>
+      // revenues 80.00 / 10.00 / 10.00: top-1 covers exactly 80%
+      val evs = Seq((1L, 80.0), (2L, 10.0), (3L, 10.0))
+      evs.zipWithIndex.map { case ((u, v), i) =>
+        (i + 1L, (i + 1L) * HourNs, u, "purchase", v, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val row = EventQueries.q155ParetoCoverage.fn(spark, dir)
+        .as[(Long, Long, Long, Long, Double)].collect().head
+      row shouldBe ((1L, 3L, 8000L, 10000L, 1.0 / 3))
+    }
+  }
+
   test("q125: two-phase prefix sum equals the flat cumulative sum") {
     withTempDir { dir =>
       // doc_ids crossing bucket boundaries (div 100): 99|100, 199|200
