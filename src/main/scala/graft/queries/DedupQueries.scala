@@ -859,8 +859,44 @@ object DedupQueries {
              FROM sig, range(0, $NumHashes) t(i)
              ORDER BY doc_id, i"""))
 
+  /** Corpus novelty curve: for each document in corpus order, the
+    * fraction of its distinct K-shingles NEVER seen in any earlier
+    * document — the cross-document repetition signal that complements
+    * q67's intra-document rules and q63's boilerplate set (a corpus
+    * whose novelty rate collapses is recycling content). The
+    * first-seen table keys each shingle to `min(doc_id)` — one
+    * vocabulary-sized aggregate, joined back to the exploded stream the
+    * q63 way; the novelty rate is one exact-int division.
+    */
+  val q156NoveltyRate: Q = Q(
+    "q156_novelty_rate",
+    (s, dir) => {
+      val ex = eager(shingled(s, dir)
+        .select(col("doc_id"), explode(col("sh")).as("sch")))
+      val firstSeen = ex.groupBy(col("sch"))
+        .agg(min(col("doc_id")).as("first_doc"))
+      ex.join(firstSeen, "sch")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          count(when(col("first_doc") === col("doc_id"), 1)).as("n_novel"))
+        .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+          (col("n_novel").cast("double") / col("n_shingles").cast("double"))
+            .as("novelty_rate"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH shs AS ($duckShingled),
+             ex AS (SELECT doc_id, unnest(sh) AS sch FROM shs),
+             fs AS (SELECT sch, min(doc_id) AS first_doc FROM ex
+                    GROUP BY 1)
+             SELECT doc_id, count(*) AS n_shingles,
+               count(CASE WHEN first_doc = doc_id THEN 1 END) AS n_novel,
+               CAST(count(CASE WHEN first_doc = doc_id THEN 1 END)
+                 AS DOUBLE) / count(*) AS novelty_rate
+             FROM ex JOIN fs USING (sch)
+             GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q23DedupExact, q24MinhashLsh, q25JaccardBlocked,
     q26Simhash, q43DedupComponents, q59DedupMaterialize, q60IncrementalDedup,
     q61Decontaminate, q63Boilerplate, q69ComponentsStar, q81SourceOverlap,
-    q102PrefixJoin, q153MinhashNative)
+    q102PrefixJoin, q153MinhashNative, q156NoveltyRate)
 }

@@ -567,6 +567,21 @@ class RobustOpsSpec extends SparkSpec {
     }
   }
 
+  test("q156: an exact duplicate document has zero novelty") {
+    withTempDir { dir =>
+      val t1 = "alpha beta gamma delta epsilon"
+      val t3 = "zeta eta theta iota kappa"
+      Seq((1L, t1), (2L, t1), (3L, t3)) // doc 2 duplicates doc 1
+        .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val rows = DedupQueries.q156NoveltyRate.fn(spark, dir)
+        .select("doc_id", "novelty_rate").as[(Long, Double)]
+        .collect().toMap
+      rows shouldBe Map(1L -> 1.0, 2L -> 0.0, 3L -> 1.0)
+    }
+  }
+
   test("q125: two-phase prefix sum equals the flat cumulative sum") {
     withTempDir { dir =>
       // doc_ids crossing bucket boundaries (div 100): 99|100, 199|200
