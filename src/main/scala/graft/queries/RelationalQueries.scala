@@ -1322,6 +1322,76 @@ object RelationalQueries {
               min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
             FROM c GROUP BY 1, 2 ORDER BY l_returnflag, bucket"""))
 
+  /** Percentile winsorization — the robust-preprocessing partner of
+    * q124's MAD detector: per status, order values are CLAMPED into
+    * [p05, p95] (discrete rank-picked percentiles, actual elements —
+    * the q40 idiom, no interpolation) over the q124 planted-spike
+    * fixture, so the clamp genuinely fires. Emits per group the clamp
+    * counts and the decimal-exact sums before/after — the exact "how
+    * much did winsorization move the total" audit a feature pipeline
+    * records. Two passes over the (group, value) histogram plus one
+    * broadcast join back; all comparisons against actual data elements.
+    */
+  val q157Winsorize: Q = Q(
+    "q157_winsorize",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "orders")
+        .select(col("o_orderstatus").as("flag"),
+          when(pmod(col("o_orderkey"), lit(997)) === 0,
+            col("o_totalprice") * 100).otherwise(col("o_totalprice"))
+            .as("x"))
+      val byFlag = Window.partitionBy(col("flag"))
+      val cum = li.groupBy(col("flag"), col("x"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(
+          byFlag.orderBy(col("x"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", sum(col("cnt")).over(byFlag))
+      def pick(p: Double) =
+        min(when(col("cum") >= ceil(col("n") * p), col("x")))
+      val bounds = cum.groupBy(col("flag"))
+        .agg(pick(0.05).as("p05"), pick(0.95).as("p95"))
+      li.join(broadcast(bounds), "flag")
+        .select(col("flag"), col("x"),
+          least(greatest(col("x"), col("p05")), col("p95")).as("w"),
+          col("p05"), col("p95"))
+        .groupBy(col("flag"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("x") < col("p05"), 1)).as("n_clamped_low"),
+          count(when(col("x") > col("p95"), 1)).as("n_clamped_high"),
+          max(col("p05")).as("p05"), max(col("p95")).as("p95"),
+          round(sum(col("x").cast("decimal(30,10)")), 2).cast("double")
+            .as("raw_sum"),
+          round(sum(col("w").cast("decimal(30,10)")), 2).cast("double")
+            .as("winsorized_sum"))
+        .orderBy("flag")
+    },
+    Some("""WITH li AS (SELECT o_orderstatus AS flag,
+                          CASE WHEN o_orderkey % 997 = 0
+                               THEN o_totalprice * 100
+                               ELSE o_totalprice END AS x
+                        FROM orders),
+            c AS (SELECT flag, x,
+                    sum(cnt) OVER (PARTITION BY flag ORDER BY x
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+                    sum(cnt) OVER (PARTITION BY flag) AS n
+                  FROM (SELECT flag, x, count(*) AS cnt FROM li
+                        GROUP BY 1, 2)),
+            b AS (SELECT flag,
+                    min(CASE WHEN cum >= ceil(n * 0.05) THEN x END) AS p05,
+                    min(CASE WHEN cum >= ceil(n * 0.95) THEN x END) AS p95
+                  FROM c GROUP BY flag)
+            SELECT flag, count(*) AS n,
+              count(CASE WHEN x < p05 THEN 1 END) AS n_clamped_low,
+              count(CASE WHEN x > p95 THEN 1 END) AS n_clamped_high,
+              max(p05) AS p05, max(p95) AS p95,
+              CAST(round(sum(CAST(x AS DECIMAL(30,10))), 2) AS DOUBLE)
+                AS raw_sum,
+              CAST(round(sum(CAST(least(greatest(x, p05), p95)
+                AS DECIMAL(30,10))), 2) AS DOUBLE) AS winsorized_sum
+            FROM li JOIN b USING (flag)
+            GROUP BY flag ORDER BY flag"""))
+
   val all: Seq[Q] = Seq(q06JoinDims, q07StarRevenue, q08SemiJoin, q09AntiJoin,
     q10AggStats, q11Rollup, q12DistinctExact, q13WindowTopK, q14RunningSum,
     q15Pivot, q16SetOps, q17GlobalTopN, q40QuantilesDisc, q41Moments,
@@ -1329,5 +1399,5 @@ object RelationalQueries {
     q87SnapshotDiff, q89PagerankStep, q112TierJoin, q113Histogram,
     q114CorrMatrix, q116FullOuter, q117Unpivot, q118GroupingSets,
     q124MadOutliers, q129WowGrowth, q130BloomMembership, q133RankFamily,
-    q135SnowflakeChain, q136EquidepthHistogram)
+    q135SnowflakeChain, q136EquidepthHistogram, q157Winsorize)
 }

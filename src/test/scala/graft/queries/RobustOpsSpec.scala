@@ -582,6 +582,24 @@ class RobustOpsSpec extends SparkSpec {
     }
   }
 
+  test("q157: the spike clamps to the rank-picked p95 element") {
+    withTempDir { dir =>
+      // values 1..19 plus a 1000 spike: p05 = 1, p95 = 19 (actual
+      // elements), only the spike clamps, sum drops 1000 -> 19
+      val rows = (1L to 19L).map(k => (k, k.toDouble)) :+ (20L, 1000.0)
+      rows.map { case (k, v) => (k, 1L, "F", v,
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "pr") }
+        .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority")
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      val out = RelationalQueries.q157Winsorize.fn(spark, dir)
+        .select("n_clamped_low", "n_clamped_high", "p05", "p95",
+          "raw_sum", "winsorized_sum")
+        .as[(Long, Long, Double, Double, Double, Double)].collect().head
+      out shouldBe ((0L, 1L, 1.0, 19.0, 1190.0, 209.0))
+    }
+  }
+
   test("q125: two-phase prefix sum equals the flat cumulative sum") {
     withTempDir { dir =>
       // doc_ids crossing bucket boundaries (div 100): 99|100, 199|200
