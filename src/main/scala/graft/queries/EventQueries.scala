@@ -2910,6 +2910,64 @@ object EventQueries {
              WHERE cum * 100 >= tot * 80
              ORDER BY rk LIMIT 1"""))
 
+  /** Per-user modal event type with a DETERMINISTIC tie-break — the
+    * mode aggregate done safely: Spark's `mode()` and DuckDB's `mode()`
+    * both leave ties implementation-defined, so neither appears here;
+    * the mode is the count-desc/type-asc rank-1 row of the (user, type)
+    * aggregate, a total order both engines share. Two map-side-combined
+    * hash aggregates plus a window over the |users| x |types| frame.
+    */
+  val q158ModalType: Q = Q(
+    "q158_modal_type",
+    (s, dir) => {
+      val counts = Tables.load(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      counts
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("user_id")
+            .orderBy(col("cnt").desc, col("event_type").asc)))
+        .filter(col("rk") === 1)
+        .select(col("user_id"), col("event_type").as("modal_type"),
+          col("cnt").as("modal_cnt"))
+        .orderBy("user_id")
+    },
+    Some("""SELECT user_id, event_type AS modal_type, cnt AS modal_cnt
+            FROM (SELECT user_id, event_type, count(*) AS cnt,
+                    row_number() OVER (PARTITION BY user_id
+                      ORDER BY count(*) DESC, event_type ASC) AS rk
+                  FROM events GROUP BY user_id, event_type)
+            WHERE rk = 1 ORDER BY user_id"""))
+
+  /** Deterministic ARGMAX: each user's single largest purchase and the
+    * event that produced it, via `max(struct(cents, event_id))` — the
+    * lexicographic struct max IS the tie-break (`max_by` leaves ties
+    * implementation-defined on both engines and never appears in this
+    * suite). One map-side-combined aggregate; no window, no join.
+    */
+  val q159ArgmaxPurchase: Q = Q(
+    "q159_argmax_purchase",
+    (s, dir) => {
+      Tables.load(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("cents"), col("event_id"))).as("m"),
+          count(lit(1)).as("n_purchases"))
+        .select(col("user_id"), col("n_purchases"),
+          col("m.cents").as("max_cents"),
+          col("m.event_id").as("max_event_id"))
+        .orderBy("user_id")
+    },
+    Some("""SELECT user_id, count(*) AS n_purchases,
+              max(CAST(floor(value * 100) AS BIGINT)) AS max_cents,
+              CAST(max(
+                CAST(floor(value * 100) AS BIGINT) * 10000000000
+                  + event_id) % 10000000000 AS BIGINT) AS max_event_id
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id ORDER BY user_id"""))
+
   /** The queries whose execution is a real Structured Streaming run —
     * each pays per-run state-store provisioning (the r06 driver tail
     * showed a 3.45 s state-store load for ONE of them), which is why
@@ -2938,6 +2996,7 @@ object EventQueries {
       q141HllUnion, q142AssocRules, q143CusumChangepoint, q144SurvivalKm,
       q145JsonSurface, q146LinearAttribution, q147Ols2, q148AbZtest,
       q149BitmapIntersect, q150RatioToParent, q151Twap,
-      q152MaxConcurrency, q154GrowthAccounting, q155ParetoCoverage)
+      q152MaxConcurrency, q154GrowthAccounting, q155ParetoCoverage,
+      q158ModalType, q159ArgmaxPurchase)
       .map(q => q.copy(streaming = streamingNames(q.name)))
 }

@@ -600,6 +600,26 @@ class RobustOpsSpec extends SparkSpec {
     }
   }
 
+  test("q158/q159: ties break deterministically, not impl-defined") {
+    withTempDir { dir =>
+      // user 1: A x2, B x2 -> modal type is 'A' (alphabetical tie-break);
+      // two equal top purchases -> argmax takes the higher event_id
+      val evs = Seq(
+        (1L * HourNs, 1L, 1L, "A", 1.0), (2L * HourNs, 1L, 2L, "A", 1.0),
+        (3L * HourNs, 1L, 3L, "B", 1.0), (4L * HourNs, 1L, 4L, "B", 1.0),
+        (5L * HourNs, 1L, 5L, "purchase", 7.0),
+        (6L * HourNs, 1L, 6L, "purchase", 7.0))
+      evs.map { case (ns, u, id, t, v) => (id, ns, u, t, v, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      EventQueries.q158ModalType.fn(spark, dir)
+        .select("modal_type").as[String].collect().head shouldBe "A"
+      EventQueries.q159ArgmaxPurchase.fn(spark, dir)
+        .select("max_cents", "max_event_id").as[(Long, Long)]
+        .collect().head shouldBe ((700L, 6L))
+    }
+  }
+
   test("q125: two-phase prefix sum equals the flat cumulative sum") {
     withTempDir { dir =>
       // doc_ids crossing bucket boundaries (div 100): 99|100, 199|200
