@@ -2968,6 +2968,67 @@ object EventQueries {
             FROM events WHERE event_type = 'purchase'
             GROUP BY user_id ORDER BY user_id"""))
 
+  /** Lag-1 autocorrelation of the per-type daily revenue series — the
+    * time-series diagnostic behind seasonality and anomaly tuning. The
+    * (x_t, x_{t+1}) pairs come from one `lead` over the dim-sized daily
+    * aggregate; all five moment sums are exact int64; the Pearson
+    * numerator/denominator cross-products are assembled in
+    * decimal(38,0) (they reach ~10³⁴ — far past int64) and only the
+    * closing sqrt-and-divide chain is floating point, fixed-order on
+    * both engines (q114's moment discipline applied to a lagged
+    * series).
+    */
+  val q161Autocorr: Q = Q(
+    "q161_autocorr",
+    (s, dir) => {
+      val daily = Tables.load(s, dir, "events")
+        .select(col("event_type"), expr("(ts div 1000) div 86400000000")
+          .as("day_idx"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .groupBy(col("event_type"), col("day_idx"))
+        .agg(sum(col("cents")).as("x"))
+      val pairs = daily
+        .withColumn("y", lead(col("x"), 1).over(
+          Window.partitionBy("event_type").orderBy("day_idx")))
+        .filter(col("y").isNotNull)
+      val m = pairs.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+      def D(c: Column) = c.cast("decimal(38,0)")
+      val num = D(col("n")) * D(col("sxy")) - D(col("sx")) * D(col("sy"))
+      val vx = D(col("n")) * D(col("sxx")) - D(col("sx")) * D(col("sx"))
+      val vy = D(col("n")) * D(col("syy")) - D(col("sy")) * D(col("sy"))
+      m.select(col("event_type"), col("n").as("n_pairs"),
+          (num.cast("double")
+            / sqrt(vx.cast("double") * vy.cast("double"))).as("r_lag1"))
+        .orderBy("event_type")
+    },
+    Some(s"""WITH d AS (SELECT event_type,
+                    ${duckUs("ts")} // 86400000000 AS day_idx,
+                    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                      AS x
+                  FROM events GROUP BY 1, 2),
+             p AS (SELECT event_type, x,
+                     lead(x) OVER (PARTITION BY event_type
+                       ORDER BY day_idx) AS y
+                   FROM d),
+             m AS (SELECT event_type,
+                     CAST(count(*) AS HUGEINT) AS n,
+                     CAST(sum(x) AS HUGEINT) AS sx,
+                     CAST(sum(y) AS HUGEINT) AS sy,
+                     CAST(sum(x * x) AS HUGEINT) AS sxx,
+                     CAST(sum(y * y) AS HUGEINT) AS syy,
+                     CAST(sum(x * y) AS HUGEINT) AS sxy
+                   FROM p WHERE y IS NOT NULL GROUP BY 1)
+             SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                   * CAST(n * syy - sy * sy AS DOUBLE)) AS r_lag1
+             FROM m ORDER BY event_type"""))
+
   /** The queries whose execution is a real Structured Streaming run —
     * each pays per-run state-store provisioning (the r06 driver tail
     * showed a 3.45 s state-store load for ONE of them), which is why
@@ -2997,6 +3058,6 @@ object EventQueries {
       q145JsonSurface, q146LinearAttribution, q147Ols2, q148AbZtest,
       q149BitmapIntersect, q150RatioToParent, q151Twap,
       q152MaxConcurrency, q154GrowthAccounting, q155ParetoCoverage,
-      q158ModalType, q159ArgmaxPurchase)
+      q158ModalType, q159ArgmaxPurchase, q161Autocorr)
       .map(q => q.copy(streaming = streamingNames(q.name)))
 }

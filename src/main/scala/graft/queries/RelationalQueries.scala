@@ -1392,6 +1392,57 @@ object RelationalQueries {
             FROM li JOIN b USING (flag)
             GROUP BY flag ORDER BY flag"""))
 
+  /** Wilson score intervals for per-group proportions — the
+    * small-sample-safe confidence interval every rate dashboard should
+    * use instead of the normal approximation (which goes negative near
+    * 0): fulfillment rate per order priority with 95 % bounds. The op
+    * tree is counts → one rate division → the Wilson closed form, whose
+    * only non-arithmetic op is the correctly-rounded IEEE sqrt (the
+    * q148 rule) — a FIXED chain both engines execute identically. One
+    * map-side-combined aggregate; five rows.
+    */
+  val q160WilsonInterval: Q = Q(
+    "q160_wilson_interval",
+    (s, dir) => {
+      val z = 1.959963984540054 // Phi^-1(0.975)
+      val cells = Tables.load(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("o_orderstatus") === "F", 1)).as("k"))
+      val nD = col("n").cast("double")
+      val p = col("k").cast("double") / nD
+      // z² as an ENGINE-side product of the shared literal — a
+      // pre-multiplied decimal literal might not round-trip to the
+      // identical double on both engines
+      val z2 = lit(z) * lit(z)
+      val denom = lit(1.0) + z2 / nD
+      val center = (p + z2 / (lit(2.0) * nD)) / denom
+      val half = (lit(z) * sqrt(p * (lit(1.0) - p) / nD
+        + z2 / (lit(4.0) * nD * nD))) / denom
+      cells.select(col("priority"), col("n"), col("k"),
+          p.as("rate"), (center - half).as("wilson_lo"),
+          (center + half).as("wilson_hi"))
+        .orderBy("priority")
+    },
+    Some(s"""WITH c AS (SELECT o_orderpriority AS priority,
+                          count(*) AS n,
+                          count(CASE WHEN o_orderstatus = 'F' THEN 1 END)
+                            AS k
+                        FROM orders GROUP BY 1),
+             w AS (SELECT priority, n, k,
+                     CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+                     CAST(n AS DOUBLE) AS nd,
+                     1.959963984540054 * 1.959963984540054 AS z2
+                   FROM c)
+             SELECT priority, n, k, p AS rate,
+               (p + z2 / (2.0 * nd)) / (1.0 + z2 / nd)
+               - (1.959963984540054 * sqrt(p * (1.0 - p) / nd
+                   + z2 / (4.0 * nd * nd))) / (1.0 + z2 / nd) AS wilson_lo,
+               (p + z2 / (2.0 * nd)) / (1.0 + z2 / nd)
+               + (1.959963984540054 * sqrt(p * (1.0 - p) / nd
+                   + z2 / (4.0 * nd * nd))) / (1.0 + z2 / nd) AS wilson_hi
+             FROM w ORDER BY priority"""))
+
   val all: Seq[Q] = Seq(q06JoinDims, q07StarRevenue, q08SemiJoin, q09AntiJoin,
     q10AggStats, q11Rollup, q12DistinctExact, q13WindowTopK, q14RunningSum,
     q15Pivot, q16SetOps, q17GlobalTopN, q40QuantilesDisc, q41Moments,
@@ -1399,5 +1450,6 @@ object RelationalQueries {
     q87SnapshotDiff, q89PagerankStep, q112TierJoin, q113Histogram,
     q114CorrMatrix, q116FullOuter, q117Unpivot, q118GroupingSets,
     q124MadOutliers, q129WowGrowth, q130BloomMembership, q133RankFamily,
-    q135SnowflakeChain, q136EquidepthHistogram, q157Winsorize)
+    q135SnowflakeChain, q136EquidepthHistogram, q157Winsorize,
+    q160WilsonInterval)
 }

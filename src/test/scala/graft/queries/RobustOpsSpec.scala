@@ -620,6 +620,45 @@ class RobustOpsSpec extends SparkSpec {
     }
   }
 
+  test("q160: a zero-success group's Wilson bound stays non-negative") {
+    withTempDir { dir =>
+      // priority A: 0/5 fulfilled (normal approx would give lo < 0);
+      // priority B: 5/5
+      val rows = (1L to 5L).map(k => (k, "O", "A")) ++
+        (6L to 10L).map(k => (k, "F", "B"))
+      rows.map { case (k, st, pr) => (k, 1L, st, 1.0,
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), pr) }
+        .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority")
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      val out = RelationalQueries.q160WilsonInterval.fn(spark, dir)
+        .select("priority", "rate", "wilson_lo", "wilson_hi")
+        .as[(String, Double, Double, Double)].collect()
+        .map(r => r._1 -> r).toMap
+      out("A")._2 shouldBe 0.0
+      out("A")._3 should be >= 0.0 // Wilson never goes negative
+      out("A")._4 should be > 0.0  // but admits upside uncertainty
+      out("B")._2 shouldBe 1.0
+      out("B")._4 should be <= 1.0
+    }
+  }
+
+  test("q161: an alternating series has strongly negative lag-1 r") {
+    withTempDir { dir =>
+      // daily cents alternate 1.00 / 2.00 for 10 days
+      val evs = (0 until 10).map { d =>
+        (d.toLong * DayNs + 1000L, 1L, d.toLong + 1,
+          if (d % 2 == 0) 1.0 else 2.0)
+      }
+      evs.map { case (ns, u, id, v) => (id, ns, u, "A", v, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val r = EventQueries.q161Autocorr.fn(spark, dir)
+        .select("r_lag1").as[Double].collect().head
+      r should be < -0.9
+    }
+  }
+
   test("q125: two-phase prefix sum equals the flat cumulative sum") {
     withTempDir { dir =>
       // doc_ids crossing bucket boundaries (div 100): 99|100, 199|200
