@@ -11,8 +11,20 @@ package graft
   *    timeout still yields per-query data (the key is `progress`, not
   *    `metric`, so summary-line consumers cannot mis-parse a partial
   *    line as the total);
-  *  - the single `{"metric":"total",...}` summary line is printed last,
-  *    unchanged in shape from previous rounds.
+  *  - the single `{"metric":"total",...}` summary line is printed last
+  *    and is COMPACT: totals + counts only, never per-query maps. The
+  *    driver retains only a ~2,000-character tail of stdout; rounds 1-7
+  *    embedded the full per-query maps (~8 KB at 161 queries) in the
+  *    summary line, so its head — `{"metric":"total",...` — was always
+  *    truncated away and the driver's parse came back null every round.
+  *    Per-query numbers are not lost: they already stream as the flushed
+  *    progress lines above.
+  *
+  * Write-path policy: the sink surface (S5 partitioned silver write, S7
+  * gold write, S5b dynamic-partition overwrite) is timed too — each as a
+  * flushed `{"progress":"write",...}` line — so a sink regression is
+  * visible round-over-round, not just query regressions. Writes land in a
+  * fresh temp dir that is deleted afterwards.
   *
   * Measurement policy:
   *  - each query is executed via a `noop`-format write, so the measured
@@ -90,17 +102,57 @@ object Bench {
       System.out.flush()
       r
     }
-    val queries =
-      results.map(r => Jsons.quote(r.name) + ":" + r.cold).mkString("{", ",", "}")
+    // Write-path bench (S5 partitioned silver / S7 gold / S5b dynamic
+    // overwrite): timed into flushed progress lines so sink regressions
+    // are visible; a throw is reported, never silently fast. Skipped when
+    // iterating on a query filter.
+    if (only.isEmpty) {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-writebench")
+      def timedWrite(name: String)(body: => Unit): Unit = {
+        val t0 = System.nanoTime()
+        val err = try { body; None } catch { case e: Throwable =>
+          Some(e.getClass.getSimpleName + ": " +
+            Option(e.getMessage).getOrElse("").take(200))
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(s"""{"progress":"write","name":${Jsons.quote(name)},"sec":$sec${
+          err.fold("")(e => s""","err":${Jsons.quote(e)}""")}}""")
+        System.out.flush()
+      }
+      val gold = SparkEntry.queries("q01_gold_count")(spark, sfDir)
+      val lineitem = graft.engine.Tables.load(spark, sfDir, "lineitem")
+      timedWrite("write_s5_silver_partitioned") {
+        // hive-partitioned silver layout on a low-cardinality key;
+        // repartition first so it's one file per partition value, not
+        // one per (task, value) — the small-files hygiene the Sinks
+        // header documents
+        graft.engine.Sinks.writePartitionedParquet(
+          lineitem.repartition(org.apache.spark.sql.functions.col("l_returnflag")),
+          s"$tmp/silver_li", Seq("l_returnflag"))
+      }
+      timedWrite("write_s5b_dynamic_overwrite") {
+        // rewrite ONE partition slice in place; siblings must survive
+        graft.engine.Sinks.overwritePartitionsDynamic(
+          lineitem.filter(org.apache.spark.sql.functions.col("l_returnflag") === "R")
+            .repartition(org.apache.spark.sql.functions.col("l_returnflag")),
+          s"$tmp/silver_li", Seq("l_returnflag"))
+      }
+      timedWrite("write_s7_gold")(
+        graft.engine.Sinks.writeParquet(gold, s"$tmp/gold"))
+      // best-effort cleanup of the temp write area
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(tmp.toFile)
+    }
     val warmRs = results.collect { case R(n, _, Some(w), _) => (n, w) }
-    val queriesWarm =
-      warmRs.map { case (n, w) => Jsons.quote(n) + ":" + w }.mkString("{", ",", "}")
-    val errors = results
-      .collect { case R(n, _, _, Some(e)) => Jsons.quote(n) + ":" + Jsons.quote(e) }
-      .mkString("{", ",", "}")
+    val errs = results.count(_.err.isDefined)
     val total = results.map(_.cold).sum
     val totalWarm = warmRs.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$queries,"total_warm":$totalWarm,"queries_warm":$queriesWarm,"errors":$errors,"sf":"$sfDir"}""")
+    // COMPACT summary (see header): totals + counts only — per-query data
+    // already streamed above; an ~8 KB map here is what kept the driver's
+    // tail-window parse null for seven rounds.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_warm":$totalWarm,"n_queries":${results.size},"n_errors":$errs,"sf":${Jsons.quote(sfDir)}}""")
     System.out.flush()
     spark.stop()
   }

@@ -51,10 +51,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2,
           "minhash_agg takes (shingle, numHashes) arguments")
+        // accept any foldable integral literal (INT/BIGINT/SMALLINT/
+        // TINYINT all parse from bare SQL literals depending on value),
+        // and surface NULL as a type error up front — an unboxed null
+        // would otherwise read as numHashes=0 and fail with a confusing
+        // range message
+        import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
         val k = children(1) match {
-          case e if e.foldable && e.dataType ==
-            org.apache.spark.sql.types.IntegerType =>
-            e.eval().asInstanceOf[Int]
+          case e if e.foldable && (e.dataType match {
+            case ByteType | ShortType | IntegerType | LongType => true
+            case _ => false
+          }) =>
+            e.eval() match {
+              case null => throw new IllegalArgumentException(
+                "numHashes must be a non-NULL integer literal")
+              case b: java.lang.Byte => b.toInt
+              case s: java.lang.Short => s.toInt
+              case i: java.lang.Integer => i.toInt
+              case l: java.lang.Long =>
+                require(l >= 1 && l <= 512,
+                  s"numHashes must be in [1, 512], got $l")
+                l.toInt
+            }
           case other => throw new IllegalArgumentException(
             s"numHashes must be an integer literal, got $other")
         }

@@ -108,7 +108,12 @@ object Quality {
         if (rows < n)
           throw new IllegalStateException(s"record count below $n")
       case NotNullOrEmpty(c) =>
-        if (m(s"bad_$c").asInstanceOf[Long] > 0)
+        // contract-level error, not a bare key-not-found: the check only
+        // makes sense for columns that were passed to observed()
+        val bad = m.getOrElse(s"bad_$c", throw new IllegalArgumentException(
+          s"column $c was not observed — pass it to observed() before " +
+            "gating on it")).asInstanceOf[Long]
+        if (bad > 0)
           throw new IllegalStateException(
             s"critical column $c has null/empty values")
     }

@@ -2494,11 +2494,19 @@ object EventQueries {
             .otherwise(0L).as("converted"))
       val cells = users.groupBy(col("cohort"))
         .agg(count(lit(1)).as("n"), sum(col("converted")).as("c"))
-      val a = cells.filter(col("cohort") === 0)
-        .select(col("n").as("n1"), col("c").as("c1"))
-      val b = cells.filter(col("cohort") === 1)
-        .select(col("n").as("n2"), col("c").as("c2"))
-      a.crossJoin(broadcast(b))
+      // one-row conditional fold, NOT filter+crossJoin: with a cohort
+      // absent from the data, an empty side would make the cross join
+      // emit 0 rows while the oracle's scalar subqueries emit 1 row of
+      // NULLs — a structural divergence on degenerate data. A global
+      // aggregate yields exactly one row in both engines (all-NULL when
+      // the input is empty), and NULL then propagates identically down
+      // the z-statistic arithmetic.
+      val ab = cells.agg(
+        max(when(col("cohort") === 0, col("n"))).as("n1"),
+        max(when(col("cohort") === 0, col("c"))).as("c1"),
+        max(when(col("cohort") === 1, col("n"))).as("n2"),
+        max(when(col("cohort") === 1, col("c"))).as("c2"))
+      ab
         .select(col("n1"), col("c1"), col("n2"), col("c2"),
           (col("c1").cast("double") / col("n1").cast("double")).as("p1"),
           (col("c2").cast("double") / col("n2").cast("double")).as("p2"),
@@ -2943,7 +2951,11 @@ object EventQueries {
     * event that produced it, via `max(struct(cents, event_id))` — the
     * lexicographic struct max IS the tie-break (`max_by` leaves ties
     * implementation-defined on both engines and never appears in this
-    * suite). One map-side-combined aggregate; no window, no join.
+    * suite). One map-side-combined aggregate; no window, no join. The
+    * oracle mirrors the lexicographic max STRUCTURALLY (rank-1 row by
+    * cents DESC, event_id DESC) — an earlier arithmetic-packed form
+    * (cents*1e10+event_id) would mis-order once event_id >= 1e10 and
+    * wrap int64 once cents >= ~9.2e8, so it was replaced.
     */
   val q159ArgmaxPurchase: Q = Q(
     "q159_argmax_purchase",
@@ -2960,23 +2972,28 @@ object EventQueries {
           col("m.event_id").as("max_event_id"))
         .orderBy("user_id")
     },
-    Some("""SELECT user_id, count(*) AS n_purchases,
-              max(CAST(floor(value * 100) AS BIGINT)) AS max_cents,
-              CAST(max(
-                CAST(floor(value * 100) AS BIGINT) * 10000000000
-                  + event_id) % 10000000000 AS BIGINT) AS max_event_id
-            FROM events WHERE event_type = 'purchase'
-            GROUP BY user_id ORDER BY user_id"""))
+    Some("""SELECT user_id, n_purchases, cents AS max_cents,
+              event_id AS max_event_id
+            FROM (SELECT user_id, event_id,
+                    CAST(floor(value * 100) AS BIGINT) AS cents,
+                    count(*) OVER (PARTITION BY user_id) AS n_purchases,
+                    row_number() OVER (PARTITION BY user_id
+                      ORDER BY CAST(floor(value * 100) AS BIGINT) DESC,
+                               event_id DESC) AS rk
+                  FROM events WHERE event_type = 'purchase')
+            WHERE rk = 1 ORDER BY user_id"""))
 
   /** Lag-1 autocorrelation of the per-type daily revenue series — the
     * time-series diagnostic behind seasonality and anomaly tuning. The
     * (x_t, x_{t+1}) pairs come from one `lead` over the dim-sized daily
-    * aggregate; all five moment sums are exact int64; the Pearson
-    * numerator/denominator cross-products are assembled in
-    * decimal(38,0) (they reach ~10³⁴ — far past int64) and only the
-    * closing sqrt-and-divide chain is floating point, fixed-order on
-    * both engines (q114's moment discipline applied to a lagged
-    * series).
+    * aggregate; the linear sums are exact int64 and the square/cross
+    * sums are exact decimal(38,0) FROM THE MULTIPLY UP (a 100x revenue
+    * series puts x*x at 10¹⁶-10¹⁸ — a season of days would wrap an
+    * int64 sum silently; DuckDB mirrors with HUGEINT squares); the
+    * Pearson numerator/denominator cross-products stay decimal(38,0)
+    * (they reach ~10³⁴) and only the closing sqrt-and-divide chain is
+    * floating point, fixed-order on both engines (q114's moment
+    * discipline applied to a lagged series).
     */
   val q161Autocorr: Q = Q(
     "q161_autocorr",
@@ -2991,12 +3008,19 @@ object EventQueries {
         .withColumn("y", lead(col("x"), 1).over(
           Window.partitionBy("event_type").orderBy("day_idx")))
         .filter(col("y").isNotNull)
+      // the squares are lifted to decimal(38,0) BEFORE multiplying: daily
+      // cents at a 100x revenue scale sit near 1e8-1e9, so x*x reaches
+      // 1e16-1e18 and a season of days would wrap int64 silently under
+      // non-ANSI sum; the aggregate runs over the dim-sized daily frame,
+      // so the decimal cost is nil (oracle mirrors via HUGEINT squares)
+      val xd = col("x").cast("decimal(38,0)")
+      val yd = col("y").cast("decimal(38,0)")
       val m = pairs.groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-          sum(col("x") * col("x")).as("sxx"),
-          sum(col("y") * col("y")).as("syy"),
-          sum(col("x") * col("y")).as("sxy"))
+          sum(xd * xd).as("sxx"),
+          sum(yd * yd).as("syy"),
+          sum(xd * yd).as("sxy"))
       def D(c: Column) = c.cast("decimal(38,0)")
       val num = D(col("n")) * D(col("sxy")) - D(col("sx")) * D(col("sy"))
       val vx = D(col("n")) * D(col("sxx")) - D(col("sx")) * D(col("sx"))
@@ -3019,9 +3043,9 @@ object EventQueries {
                      CAST(count(*) AS HUGEINT) AS n,
                      CAST(sum(x) AS HUGEINT) AS sx,
                      CAST(sum(y) AS HUGEINT) AS sy,
-                     CAST(sum(x * x) AS HUGEINT) AS sxx,
-                     CAST(sum(y * y) AS HUGEINT) AS syy,
-                     CAST(sum(x * y) AS HUGEINT) AS sxy
+                     sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+                     sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy,
+                     sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy
                    FROM p WHERE y IS NOT NULL GROUP BY 1)
              SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
                CAST(n * sxy - sx * sy AS DOUBLE)
