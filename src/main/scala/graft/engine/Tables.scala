@@ -1,6 +1,8 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, lit, unix_micros}
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
 import org.apache.spark.storage.StorageLevel
 
 /** Fixture-table loaders (one parquet per table, see /root/repo/TESTDATA.md).
@@ -14,8 +16,49 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") normalizeEventTs(df) else df
+  }
+
+  /** The engine-wide `events.ts` contract is BIGINT epoch-NANOSECONDS
+    * (every downstream query does exact integer arithmetic on it — `ts
+    * div 1000` to µs, `div 1000000000` to seconds — and the DuckDB
+    * oracles mirror via `epoch_us(CAST(ts AS TIMESTAMP))`). Fixture
+    * generations have stored the column two ways: TIMESTAMP(NANOS)
+    * (which Spark 4 reads as BIGINT ns under `nanosAsLong`, see
+    * [[Sessions]]) and plain µs TIMESTAMP / TIMESTAMP_NTZ. This is the
+    * ONE seam that maps either physical encoding onto the contract, so
+    * no query carries schema dispatch. The NTZ wall-clock is interpreted
+    * in the session timezone (pinned UTC) — the same reading DuckDB's
+    * naive-timestamp `epoch_us` uses, so both engines agree by
+    * construction. Works on batch and streaming frames alike (stateless
+    * projection).
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) | None => df
+      case Some(TimestampNTZType) | Some(TimestampType) =>
+        df.withColumn("ts",
+          unix_micros(col("ts").cast("timestamp_ltz")) * lit(1000L))
+      case Some(other) => throw new IllegalStateException(
+        s"events.ts: unsupported physical type $other " +
+          "(expected BIGINT ns or a timestamp)")
+    }
+
+  /** Epoch-µs column for a RAW (un-normalized) events frame — for the
+    * few places that must keep the frame's physical schema intact (the
+    * out-of-order stream staging writes files that a later
+    * `readStream.schema(batchSchema)` must match byte-for-byte) but
+    * still need µs arithmetic on whatever `ts` encoding the fixture has.
+    */
+  def rawTsUs(tsType: DataType): Column = tsType match {
+    case LongType => expr("ts div 1000")
+    case TimestampNTZType | TimestampType =>
+      unix_micros(col("ts").cast("timestamp_ltz"))
+    case other => throw new IllegalStateException(
+      s"events.ts: unsupported physical type $other")
+  }
 
   /** Persist AND materialize now. A lazily-persisted table consumed by
     * several branches of one action (self-joins, derived aggregates) is

@@ -26,17 +26,21 @@ import graft.engine.Tables
   *  - Sessionization shuffles once on user_id (the window partition key),
   *    then every window function and the final session aggregate reuse
   *    that partitioning — Catalyst plans a single Exchange.
-  *  - Timestamps: fixture parquet is ns-precision; Spark reads µs-truncated
-  *    TIMESTAMP_NTZ, DuckDB truncates via CAST(ts AS TIMESTAMP) — outputs
-  *    are epoch-µs BIGINTs on both sides (never raw timestamps).
+  *  - Timestamps: the load seam normalizes `ts` to BIGINT ns whatever
+  *    the fixture stores (see Tables.normalizeEventTs); DuckDB reads the
+  *    same file via CAST(ts AS TIMESTAMP) — outputs are epoch-µs BIGINTs
+  *    on both sides (never raw timestamps).
   */
 object EventQueries {
 
   private val propsSchema = StructType(Seq(StructField("k", IntegerType)))
 
-  /** `events.ts` is TIMESTAMP(NANOS) in parquet; Spark 4 reads it (under
-    * `nanosAsLong`, see Sessions) as BIGINT nanoseconds. Everything
-    * downstream works on epoch-µs BIGINTs / explicit µs timestamps:
+  /** `events.ts` reaches every query as BIGINT nanoseconds — that is
+    * the engine-wide contract [[graft.engine.Tables.normalizeEventTs]]
+    * establishes at the load seam regardless of the fixture's physical
+    * encoding (TIMESTAMP(NANOS)-as-long or µs TIMESTAMP_NTZ; see
+    * Tables). Everything downstream works on epoch-µs BIGINTs /
+    * explicit µs timestamps:
     */
   /** epoch-µs from the ns BIGINT (floor division; all fixture ts > 0). */
   private val tsUs: Column = expr("ts div 1000")
@@ -419,12 +423,16 @@ object EventQueries {
       }
       // 30 s apart: unambiguous ordering even on coarse-mtime filesystems
       val now = System.currentTimeMillis()
+      // staged files must keep the fixture's PHYSICAL ts encoding (the
+      // consumer reads them with schema(batchSchema)), so the µs
+      // arithmetic dispatches on the raw type instead of normalizing
+      val rawUs = Tables.rawTsUs(ev.schema("ts").dataType)
       val evens = ev.filter(col("event_id") % 2 === 0)
       val odds = ev.filter(col("event_id") % 2 =!= 0)
-      val maxEvenUs = evens.agg(max(tsUs)).head.getLong(0)
+      val maxEvenUs = evens.agg(max(rawUs)).head.getLong(0)
       stageOne(evens, "a.parquet", now - 90000)
-      stageOne(odds.filter(tsUs > maxEvenUs), "b.parquet", now - 60000)
-      stageOne(odds.filter(tsUs <= maxEvenUs), "c.parquet", now - 30000)
+      stageOne(odds.filter(rawUs > maxEvenUs), "b.parquet", now - 60000)
+      stageOne(odds.filter(rawUs <= maxEvenUs), "c.parquet", now - 30000)
       Files.writeString(marker, stamp)
     }
     staging.toString
@@ -495,6 +503,7 @@ object EventQueries {
       val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
       val agg = s.readStream.schema(batchSchema)
         .parquet(eventsStreamDir(dir))
+        .transform(Tables.normalizeEventTs)
         .select(tsStamp.as("tss"), col("event_type"))
         .withWatermark("tss", "10 minutes")
         .groupBy(window(col("tss"), "1 hour").as("w"), col("event_type"))
@@ -536,6 +545,7 @@ object EventQueries {
       requireSingleDataFile(stagingDir)
       val dedup = s.readStream.schema(batchSchema)
         .parquet(stagingDir)
+        .transform(Tables.normalizeEventTs)
         .select(tsStamp.as("tss"), col("user_id"))
         .withColumn("hour_us", us(date_trunc("hour", col("tss"))))
         .withWatermark("tss", "10 minutes")
@@ -662,6 +672,7 @@ object EventQueries {
       val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
       val evs = s.readStream.schema(batchSchema)
         .parquet(eventsStreamDir(dir))
+        .transform(Tables.normalizeEventTs)
         .select(col("user_id"), tsUs.as("ts_us"), col("value"))
         .as[graft.streaming.EventStreams.Ev]
       val out = graft.streaming.EventStreams.sessionize(evs)
@@ -697,6 +708,7 @@ object EventQueries {
     val agg = s.readStream.schema(batchSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(eventsOooStreamDir(s, dir))
+      .transform(Tables.normalizeEventTs)
       .select(tsStamp.as("tss"), col("event_type"))
       .withWatermark("tss", "10 minutes")
       .groupBy(window(col("tss"), "1 hour").as("w"), col("event_type"))
@@ -796,6 +808,7 @@ object EventQueries {
       requireSingleDataFile(stagingDir)
       def side(): DataFrame = s.readStream.schema(batchSchema)
         .parquet(stagingDir)
+        .transform(Tables.normalizeEventTs)
         .select(col("user_id"), tsUs.as("ts_us"), col("event_type"))
       val joined = graft.streaming.EventStreams.intervalJoin(
         side(), side(), "user_id", windowUs = 600L * 1000000)
@@ -876,6 +889,7 @@ object EventQueries {
         .select(col("c_custkey"), col("c_mktsegment"))
       val enriched = s.readStream.schema(batchSchema)
         .parquet(eventsStreamDir(dir))
+        .transform(Tables.normalizeEventTs)
         .select(col("user_id"), col("event_type"), col("value"))
         .join(broadcast(cust), col("user_id") === col("c_custkey"))
         .select(col("c_mktsegment"), col("event_type"), col("value"))
@@ -944,6 +958,7 @@ object EventQueries {
       val src = s.readStream.schema(batchSchema)
         .option("maxFilesPerTrigger", 1)
         .parquet(eventsOooStreamDir(s, dir))
+        .transform(Tables.normalizeEventTs)
         .select(col("user_id"), tsUs.as("ts_us"), col("event_type"),
           col("value"))
       val query = src.writeStream
@@ -1316,6 +1331,7 @@ object EventQueries {
       requireSingleDataFile(stagingDir)
       def side(): DataFrame = s.readStream.schema(batchSchema)
         .parquet(stagingDir)
+        .transform(Tables.normalizeEventTs)
         .select(col("user_id"), tsUs.as("ts_us"), col("event_type"))
       val joined = graft.streaming.EventStreams.intervalJoin(
         side(), side(), "user_id", windowUs = 600L * 1000000,
@@ -1549,6 +1565,7 @@ object EventQueries {
       val src = s.readStream.schema(batchSchema)
         .option("maxFilesPerTrigger", 1)
         .parquet(eventsOooStreamDir(s, dir))
+        .transform(Tables.normalizeEventTs)
         .select(col("user_id"),
           floor(col("value") * 100).cast("long").as("cents"),
           tsUs.as("us"))
