@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the bench's LAST stdout line as JSON. sbt's default
+// LoggedOutput routes forked-run output through its logger — "[info] "
+// prefixed on every line, "[success]" banner appended — which kept the
+// driver's parse null for eight rounds even after the summary line was
+// made compact. StdoutOutput hands the forked JVM the real stdout/stderr
+// (raw, unprefixed); showSuccess=false kills the trailing banner so the
+// program's own summary line is the literal last stdout line.
+outputStrategy := Some(StdoutOutput)
+Compile / run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -42,6 +42,10 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
+    # Mirror spark.sql.session.timeZone=UTC: without this, DuckDB's
+    # CAST(TIMESTAMPTZ AS TIMESTAMP) uses the host-local zone and the
+    # LTZ-encoded events.ts branch diverges from Spark on non-UTC hosts.
+    con.execute("SET TimeZone='UTC'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):

@@ -35,12 +35,14 @@ package graft
   *    pre-built, so per-query numbers are comparable across rounds;
   *  - a query that THROWS is reported in an `"errors"` object rather than
   *    silently recording a near-zero (i.e. flatteringly fast) time;
-  *  - BATCH queries: one cold pass (includes per-query Catalyst/Janino/
-  *    JIT cost) + ONE warm pass (codegen cached — the steady-state cost
-  *    that amortizes at 100 TB). Round 5 used min-of-2 warm samples as a
-  *    noise fix; that cost ~127 s of wall and is the second thing the
-  *    round-6 timeout traded away. Cold remains `value` for
-  *    round-over-round comparability.
+  *  - BATCH queries: one cold pass for EVERY query (includes per-query
+  *    Catalyst/Janino/JIT cost; `value` = cold total for round-over-round
+  *    comparability), then ONE warm pass for only the top-20 heaviest by
+  *    this run's cold time (codegen cached — the steady-state cost that
+  *    amortizes at 100 TB). Warming all 161 queries cost 888 s in r08 —
+  *    half a driver wall that ran within sight of the round-6 rc-124
+  *    timeout — for steady-state numbers that only matter on the heavy
+  *    tail. `total_warm` is therefore a top-K figure (see `n_warm`).
   *  - STREAMING queries (`Q.streaming`): cold pass only. Each execution
   *    re-pays state-store provisioning (~3.5 s load in the r06 driver
   *    tail) regardless of warmth — a warm pass measures provisioning
@@ -70,37 +72,54 @@ object Bench {
     try graft.queries.EventQueries.prestage(spark, sfDir)
     catch { case _: Throwable => () }
 
+    def timed(q: Catalog.Q): (Double, Option[String]) = {
+      val t0 = System.nanoTime()
+      val err =
+        try { run(q.fn); None }
+        catch { case e: Throwable =>
+          Some(e.getClass.getSimpleName + ": " +
+            Option(e.getMessage).getOrElse("").take(200))
+        }
+      ((System.nanoTime() - t0) / 1e9, err)
+    }
+    // Phase 1: COLD pass for every query (the round-over-round headline).
+    val colds = Catalog.all.filter(q => only.isEmpty || only(q.name))
+      .sortBy(_.name).map { q =>
+        val (cold, err) = timed(q)
+        spark.sharedState.cacheManager.clearCache()
+        // flushed JSONL progress line: a driver timeout still yields data
+        println(s"""{"progress":"query","name":${Jsons.quote(q.name)},"cold":$cold,"streaming":${q.streaming}${
+          err.fold("")(e => s""","err":${Jsons.quote(e)}""")}}""")
+        System.out.flush()
+        (q, cold, err)
+      }
+    // Phase 2: WARM pass for the top-K heaviest batch queries only,
+    // ranked by THIS run's cold times. r08 warmed all 161 queries and
+    // spent 888 s — nearly half a driver wall that ran within sight of
+    // the round-6 rc-124 timeout — on steady-state numbers that only
+    // matter for the heavy tail. K=20 keeps warm coverage where codegen
+    // amortization is the story (q110 wedge join, the corr matrix, the
+    // minhash agg) and lets cold-only cover regression for the rest.
+    // Streaming stays cold-only as before (a "warm" pass re-pays state
+    // store provisioning, not a cached data path).
+    val WarmK = 20
+    val warms: Map[String, Double] = colds
+      .filter { case (q, _, err) => !q.streaming && err.isEmpty }
+      .sortBy { case (_, cold, _) => -cold }
+      .take(WarmK)
+      .flatMap { case (q, _, _) =>
+        val (t, e) = timed(q)
+        spark.sharedState.cacheManager.clearCache()
+        println(s"""{"progress":"warm","name":${Jsons.quote(q.name)},"warm":$t${
+          e.fold("")(x => s""","err":${Jsons.quote(x)}""")}}""")
+        System.out.flush()
+        // a pass that threw measured time-to-failure, not the data path
+        if (e.isEmpty) Some(q.name -> t) else None
+      }.toMap
     final case class R(name: String, cold: Double, warm: Option[Double],
         err: Option[String])
-    val results = Catalog.all.filter(q => only.isEmpty || only(q.name))
-      .sortBy(_.name).map { q =>
-      def timed(): (Double, Option[String]) = {
-        val t0 = System.nanoTime()
-        val err =
-          try { run(q.fn); None }
-          catch { case e: Throwable =>
-            Some(e.getClass.getSimpleName + ": " +
-              Option(e.getMessage).getOrElse("").take(200))
-          }
-        ((System.nanoTime() - t0) / 1e9, err)
-      }
-      val (cold, coldErr) = timed()
-      spark.sharedState.cacheManager.clearCache()
-      val (warm, warmErr) =
-        if (q.streaming) (None, None)
-        else {
-          val (t, e) = timed()
-          spark.sharedState.cacheManager.clearCache()
-          // a pass that threw measured time-to-failure, not the data path
-          (if (e.isEmpty) Some(t) else None, e)
-        }
-      val r = R(q.name, cold, warm, coldErr.orElse(warmErr))
-      // flushed JSONL progress line: a driver timeout still yields data
-      println(s"""{"progress":"query","name":${Jsons.quote(r.name)},"cold":${r.cold}${
-        r.warm.fold("")(w => s""","warm":$w""")},"streaming":${q.streaming}${
-        r.err.fold("")(e => s""","err":${Jsons.quote(e)}""")}}""")
-      System.out.flush()
-      r
+    val results = colds.map { case (q, cold, err) =>
+      R(q.name, cold, warms.get(q.name), err)
     }
     // Write-path bench (S5 partitioned silver / S7 gold / S5b dynamic
     // overwrite): timed into flushed progress lines so sink regressions
@@ -152,8 +171,15 @@ object Bench {
     // COMPACT summary (see header): totals + counts only — per-query data
     // already streamed above; an ~8 KB map here is what kept the driver's
     // tail-window parse null for seven rounds.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_warm":$totalWarm,"n_queries":${results.size},"n_errors":$errs,"sf":${Jsons.quote(sfDir)}}""")
+    val summary =
+      s"""{"metric":"total","value":$total,"unit":"sec","total_warm":$totalWarm,"n_warm":${warmRs.size},"n_queries":${results.size},"n_errors":$errs,"sf":${Jsons.quote(sfDir)}}"""
+    println(summary)
     System.out.flush()
     spark.stop()
+    // printed AGAIN after spark.stop(): nothing (shutdown logging is on
+    // stderr, sbt's success banner is disabled) can now follow it, so the
+    // summary is the literal last stdout line for the driver's tail parse
+    println(summary)
+    System.out.flush()
   }
 }

@@ -1,8 +1,8 @@
 package graft.engine
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
@@ -62,8 +62,21 @@ class AdaptiveSkewSpec extends SparkSpec {
           concat(lit("body_"), col("doc_id") % 997)))
         .otherwise(array(lit("HOT_BOILERPLATE_SHINGLE"))))
         .as("shingle"))
-    val stats = exploded.groupBy("shingle")
-      .agg(count(lit(1)).as("df"))
+    // The df-per-shingle stats table is materialized to parquet and read
+    // back — as q63 would at 100 TB (corpus df is its own job, reused
+    // across decision passes). This also matters to the plan under test:
+    // OptimizeSkewedJoin pattern-matches a join whose BOTH inputs are
+    // plain ENSURE_REQUIREMENTS shuffle reads; an agg-derived stats
+    // frame arrives already hash-partitioned by shingle, leaves no
+    // right-side ShuffleQueryStage to replicate, and the rule can never
+    // fire on that shape (pattern-match miss, not a threshold miss).
+    val statsDir = java.nio.file.Files
+      .createTempDirectory("graft-skewstats").toFile
+    statsDir.deleteOnExit()
+    val statsPath = s"$statsDir/stats.parquet"
+    exploded.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(statsPath)
+    val stats = s.read.parquet(statsPath)
     // the q63 decision join: per exploded row, the shingle's corpus df
     exploded.join(stats, "shingle")
       .groupBy("doc_id")
@@ -94,16 +107,36 @@ class AdaptiveSkewSpec extends SparkSpec {
       ("spark.sql.adaptive.skewJoin.enabled" -> "true"): _*) {
       val df = shingleJoinBack(spark)
       df.collect() // AQE plans are final only after an action
-      val smjs = df.queryExecution.executedPlan match {
-        case a: AdaptiveSparkPlanExec =>
-          a.executedPlan.collect { case s: SortMergeJoinExec => s }
-        case p => p.collect { case s: SortMergeJoinExec => s }
+      // Spark 4 freely picks ShuffledHashJoin over SortMergeJoin when
+      // one side is small and broadcast is disabled; OptimizeSkewedJoin
+      // splits BOTH shapes and both carry isSkewJoin, so the pin must
+      // accept either — the invariant under test is the split, not the
+      // shuffle-join flavor. Traversal must also CROSS query-stage
+      // boundaries: Spark 4's QueryStageExec (incl. the new
+      // ResultQueryStageExec wrapping the whole final plan) is a
+      // LeafExecNode, so a plain `collect` from the adaptive root sees
+      // no join node at all.
+      def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] =
+        p.collect { case n => n }.flatMap {
+          case q: QueryStageExec => q +: flatten(q.plan)
+          case n => Seq(n)
+        }
+      val skewFlags = {
+        val finalPlan = df.queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.executedPlan
+          case p => p
+        }
+        flatten(finalPlan).collect {
+          case s: SortMergeJoinExec => s.isSkewJoin
+          case s: ShuffledHashJoinExec => s.isSkewJoin
+        }
       }
-      smjs should not be empty
-      withClue("no SortMergeJoin in the final plan had isSkewJoin=true " +
+      skewFlags should not be empty
+      withClue("no shuffle join in the final plan had isSkewJoin=true " +
         "— the skew split did not fire:\n" +
         df.queryExecution.executedPlan.toString) {
-        smjs.exists(_.isSkewJoin) shouldBe true
+        skewFlags.exists(identity) shouldBe true
       }
     }
   }

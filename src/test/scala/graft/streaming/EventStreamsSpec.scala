@@ -164,7 +164,7 @@ class EventStreamsSpec extends SparkSpec {
     a.toSeq shouldBe b.toSeq
     a should not be empty
     // append-mode emission: the window containing max(ts) is NOT final
-    val maxUs = spark.read.parquet(s"$dir/events.parquet")
+    val maxUs = graft.engine.Tables.load(spark, dir, "events")
       .selectExpr("max(ts div 1000)").as[Long](org.apache.spark.sql.Encoders.scalaLong)
       .head()
     val lastWindowStart = maxUs - maxUs % (3600L * 1000000)
@@ -176,7 +176,7 @@ class EventStreamsSpec extends SparkSpec {
     val a = graft.queries.EventQueries.q66StreamDedup.fn(spark, dir).collect()
     val b = graft.queries.EventQueries.q66StreamDedup.fn(spark, dir).collect()
     a.toSeq shouldBe b.toSeq
-    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val batch = graft.engine.Tables.load(spark, dir, "events")
       .selectExpr("user_id",
         "unix_micros(date_trunc('hour', timestamp_micros(ts div 1000))) AS h")
       .distinct().count()
@@ -209,7 +209,7 @@ class EventStreamsSpec extends SparkSpec {
     a.toSeq shouldBe b.toSeq
     a should not be empty
     // single-batch drain: the streamed result IS the batch interval join
-    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val ev = graft.engine.Tables.load(spark, dir, "events")
       .selectExpr("user_id", "ts div 1000 AS us", "event_type")
     val batch = ev.as("x").join(ev.as("y"),
         col("x.user_id") === col("y.user_id") &&
