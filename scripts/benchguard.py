@@ -11,32 +11,57 @@ full bench run, and exits non-zero when the estimate exceeds the budget:
     estimate = (sum(cold) + sum(warm)) * SLOWDOWN + OVERHEAD
 
  - SLOWDOWN 1.3: observed driver/builder wall ratio (r05: driver 232 s
-   vs builder-local ~180 s including compile);
+   vs builder-local ~180 s including compile). Round-8 calibration
+   point: driver wall 1,988 s vs driver-measured query totals
+   1,945.6 s — ratio ~1.0 when the capture comes from the SAME
+   environment and fixtures, so 1.3 is conservative for a fresh
+   same-round capture;
  - OVERHEAD 100 s: sbt launch + incremental compile + SparkSession
    start on the driver, outside the per-query timings;
- - BUDGET 480 s (override with --budget): conservative floor for the
-   driver timeout — r05's 232 s passed, r06's ~600 s estimate was
-   killed, so the true limit lies between; staying under 480 leaves
-   margin for driver-machine contention.
+ - BUDGET 1000 s (override with --budget): the operational target, not
+   the kill threshold. Evidence: r05's 232 s passed; r06 died at
+   rc 124 with an estimated ~600 s; r08's 1,988 s driver wall
+   completed at rc 0 — so the hard timeout (if any) now sits above
+   2,000 s and r06's kill likely had a different cause. The round-8
+   verdict set ~1,000 s as the wall to stay under; a 1,000 s budget
+   trips on a genuine suite blow-up (r08-policy warm-all at r08 env
+   speed estimated ~2,630 s) without tripping on the ~2x environment
+   drift observed round-over-round.
+
+ROUND-8 LESSON — STALENESS IS THE FAILURE MODE, NOT THE MODEL: the
+guard said OK (est 358 s) to a 1,988 s driver run because its input,
+the committed bench_local.jsonl, predated a driver-side fixture
+regeneration AND an environment slowdown. A capture older than the
+fixtures it benchmarked cannot predict anything. The guard now
+REFUSES (exit 2) a capture file older than the newest fixture under
+--fixtures (default /root/testdata), so a regen forces a re-baseline
+before the guard will pass again.
 
 Usage:
     benchguard.py <bench_capture.jsonl> [--budget SECONDS]
+                  [--fixtures DIR | --no-staleness-check]
     benchguard.py --selftest
 """
 import json
+import os
 import sys
 
 SLOWDOWN = 1.3
 OVERHEAD_S = 100.0
-DEFAULT_BUDGET_S = 480.0
+DEFAULT_BUDGET_S = 1000.0
+DEFAULT_FIXTURES = "/root/testdata"
 
 
 def parse_capture(lines):
     """Per-query (cold, warm) seconds from a bench stdout capture.
 
-    Prefers the summary line (complete by construction); falls back to
-    accumulating progress lines, so a capture from a run that was itself
-    killed mid-flight still guards (under-estimating: what it saw).
+    Accumulates the flushed progress lines (cold lines carry
+    progress=query, top-K warm lines carry progress=warm), so a capture
+    from a run that was itself killed mid-flight still guards
+    (under-estimating: what it saw). A pre-round-8 summary line that
+    still embeds full per-query maps is honored when present; the
+    round-8+ compact summary carries no per-query data and is ignored
+    in favor of the accumulated lines.
     """
     cold, warm = {}, {}
     for line in lines:
@@ -47,17 +72,53 @@ def parse_capture(lines):
             d = json.loads(line)
         except json.JSONDecodeError:
             continue
-        if d.get("metric") == "total":
-            return dict(d.get("queries", {})), dict(d.get("queries_warm", {}))
+        if d.get("metric") == "total" and d.get("queries"):
+            return dict(d["queries"]), dict(d.get("queries_warm", {}))
         if d.get("progress") == "query" and "name" in d:
             cold[d["name"]] = float(d.get("cold", 0.0))
             if "warm" in d:
                 warm[d["name"]] = float(d["warm"])
+        if d.get("progress") == "warm" and "name" in d and "warm" in d:
+            warm[d["name"]] = float(d["warm"])
     return cold, warm
 
 
 def estimate_s(cold, warm):
     return (sum(cold.values()) + sum(warm.values())) * SLOWDOWN + OVERHEAD_S
+
+
+def newest_fixture_mtime(fixtures_dir):
+    """Max mtime over every file under the fixtures root (parquet files
+    sit in sf*/ subdirs); None when the root is absent (non-sandbox
+    host) so the check degrades to a warning, never a false trip."""
+    newest = None
+    for root, _dirs, files in os.walk(fixtures_dir):
+        for f in files:
+            try:
+                m = os.path.getmtime(os.path.join(root, f))
+            except OSError:
+                continue
+            newest = m if newest is None else max(newest, m)
+    return newest
+
+
+def staleness_error(capture_path, fixtures_dir):
+    """Non-None message when the capture predates the fixtures."""
+    newest = newest_fixture_mtime(fixtures_dir)
+    if newest is None:
+        return None
+    try:
+        cap = os.path.getmtime(capture_path)
+    except OSError:
+        return None
+    if cap < newest:
+        return (f"capture {capture_path} (mtime {cap:.0f}) is OLDER than "
+                f"the newest fixture under {fixtures_dir} (mtime "
+                f"{newest:.0f}): the fixtures were regenerated after this "
+                f"baseline was taken. Re-run scripts/run_bench.sh and "
+                f"commit a fresh capture — a stale baseline is how the "
+                f"round-8 guard passed a 4x overrun.")
+    return None
 
 
 def check(lines, budget_s, label):
@@ -95,6 +156,41 @@ def selftest():
         "guard tripped on a synthetic under-budget table"
     # empty capture is an error, never a silent pass
     assert check([], DEFAULT_BUDGET_S, "selftest-empty") == 2
+    # round-8+ shape: progress lines + separate top-K warm lines + a
+    # COMPACT summary (no per-query maps) — the parser must use the
+    # accumulated lines, not return the summary's empty maps
+    compact = (
+        [json.dumps({"progress": "query", "name": f"q{i}", "cold": 1.5,
+                     "streaming": False}) for i in range(100)]
+        + [json.dumps({"progress": "warm", "name": f"q{i}", "warm": 1.0})
+           for i in range(20)]
+        + [json.dumps({"metric": "total", "value": 150.0, "unit": "sec",
+                       "total_warm": 20.0, "n_warm": 20,
+                       "n_queries": 100, "n_errors": 0})])
+    c, w = parse_capture(compact)
+    assert len(c) == 100 and len(w) == 20, \
+        f"compact-shape parse failed: {len(c)} cold / {len(w)} warm"
+    assert check(compact, DEFAULT_BUDGET_S, "selftest-compact") == 0
+    # staleness: a capture older than the newest fixture must refuse
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        fixtures = os.path.join(d, "fixtures")
+        os.makedirs(fixtures)
+        cap = os.path.join(d, "capture.jsonl")
+        with open(cap, "w") as f:
+            f.write(under[0] + "\n")
+        os.utime(cap, (1000.0, 1000.0))
+        fix = os.path.join(fixtures, "t.parquet")
+        with open(fix, "w") as f:
+            f.write("x")
+        os.utime(fix, (2000.0, 2000.0))
+        assert staleness_error(cap, fixtures) is not None, \
+            "staleness check failed to flag a capture older than fixtures"
+        os.utime(cap, (3000.0, 3000.0))
+        assert staleness_error(cap, fixtures) is None, \
+            "staleness check tripped on a capture newer than fixtures"
+        assert staleness_error(cap, os.path.join(d, "missing")) is None, \
+            "missing fixtures dir must degrade to no-check, not a trip"
     print("benchguard selftest: PASS")
     return 0
 
@@ -111,6 +207,19 @@ def main():
         i = args.index("--budget")
         budget = float(args[i + 1])
         del args[i:i + 2]
+    fixtures = DEFAULT_FIXTURES
+    if "--fixtures" in args:
+        i = args.index("--fixtures")
+        fixtures = args[i + 1]
+        del args[i:i + 2]
+    if "--no-staleness-check" in args:
+        args.remove("--no-staleness-check")
+        fixtures = None
+    if fixtures is not None:
+        err = staleness_error(args[0], fixtures)
+        if err is not None:
+            print(f"benchguard: STALE BASELINE — {err}")
+            return 2
     with open(args[0]) as f:
         return check(f.readlines(), budget, args[0])
 
