@@ -468,7 +468,52 @@ object GovernanceQueries {
             FROM r WHERE rn = 1 AND op != 'D'
             ORDER BY c_custkey"""))
 
+  /** l-diversity audit — k-anonymity's (q104) necessary companion: a
+    * class can be k-large yet leak everything when its SENSITIVE value
+    * is uniform (the homogeneity attack). Sensitive attribute here is a
+    * 3-band account-balance tier; a quasi-identifier class (nation,
+    * segment) is distinct-l-diverse when it contains >= l distinct
+    * bands. Classes are tagged `homogeneous` (1 band — the attack
+    * case), `at_risk` (< l), or `diverse`.
+    *
+    * Scale shape: one shuffle on the quasi-identifier pair;
+    * `count_distinct` over a 3-value band is a map-side-combinable agg
+    * with bounded state per group. No window, no second pass.
+    */
+  val q164LDiversity: Q = Q(
+    "q164_l_diversity",
+    (s, dir) => {
+      val l = 3L
+      val band = when(col("c_acctbal") < 0, "neg")
+        .when(col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+      Tables.load(s, dir, "customer")
+        .groupBy(col("c_nationkey").as("nation"),
+          col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("class_size"),
+          count_distinct(band).as("n_bands"))
+        .select(col("nation"), col("segment"), col("class_size"),
+          col("n_bands"),
+          when(col("n_bands") === 1, "homogeneous")
+            .when(col("n_bands") < l, "at_risk")
+            .otherwise("diverse").as("status"))
+        .orderBy("nation", "segment")
+    },
+    Some("""WITH b AS (SELECT c_nationkey AS nation,
+                c_mktsegment AS segment,
+                CASE WHEN c_acctbal < 0 THEN 'neg'
+                     WHEN c_acctbal < 5000 THEN 'low'
+                     ELSE 'high' END AS band
+              FROM customer)
+            SELECT nation, segment, count(*) AS class_size,
+              count(DISTINCT band) AS n_bands,
+              CASE WHEN count(DISTINCT band) = 1 THEN 'homogeneous'
+                   WHEN count(DISTINCT band) < 3 THEN 'at_risk'
+                   ELSE 'diverse' END AS status
+            FROM b GROUP BY nation, segment
+            ORDER BY nation, segment"""))
+
   val all: Seq[Q] =
     Seq(q98PiiRedact, q99Scd2Snapshots, q100NfcNormalize, q101IntervalMerge,
-      q104KAnonymity, q121PitEnrich, q126CdcApply)
+      q104KAnonymity, q121PitEnrich, q126CdcApply, q164LDiversity)
 }

@@ -45,6 +45,12 @@ object GraphQueries {
   /** BFS round bound — must match the oracle CTE's `h < MaxHops`. */
   private val MaxHops = 20
 
+  /** k-core peeling bound — the oracle unrolls exactly this many
+    * peeling rounds, so the engine throws (rather than diverges) if the
+    * fixpoint needs more. 8 is ~2x the observed peeling depth at sf0.1.
+    */
+  private val MaxPeelRounds = 8
+
   /** Undirected edge list (u < v), deduplicated. */
   private[queries] def cooccurrenceEdges(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(s, dir, "events")
@@ -223,5 +229,74 @@ object GraphQueries {
             SELECT CAST(hops AS BIGINT) AS hops, count(*) AS n_users
             FROM dist GROUP BY 1 ORDER BY 1"""))
 
-  val all: Seq[Q] = Seq(q110Triangles, q111BfsHops)
+  /** 3-core decomposition — iteratively peel every vertex of degree
+    * < k until the subgraph stabilizes; what survives is the k-core,
+    * the standard dense-community filter (spam rings, bot clusters,
+    * topic cores) that a degree threshold alone cannot find because
+    * peeling CASCADES: removing a weak vertex can drop its neighbors
+    * below k.
+    *
+    * Engine = driver loop to fixpoint, each round two bounded shuffles
+    * (degree agg + two semi-joins), state `localCheckpoint`ed like
+    * q111/q43 so round N stays one flat plan. Converges in
+    * O(peeling depth) rounds — typically a handful; throws past
+    * [[MaxPeelRounds]] so it can never silently diverge from the
+    * oracle, which unrolls EXACTLY MaxPeelRounds peeling rounds as
+    * CTEs (post-fixpoint rounds are no-ops, so the two agree iff the
+    * engine converged within the bound — which the `require` proves).
+    * Output: every 3-core vertex with its within-core degree.
+    */
+  val q165KCore: Q = Q(
+    "q165_kcore",
+    (s, dir) => {
+      val k = 3L
+      var cur = Tables.eager(cooccurrenceEdges(s, dir))
+      var round = 0
+      var done = false
+      var nEdges = cur.count()
+      while (!done) {
+        round += 1
+        require(round <= MaxPeelRounds,
+          s"k-core peeling exceeded $MaxPeelRounds rounds; oracle " +
+            "unroll would diverge")
+        val deg = cur.select(col("u").as("node"))
+          .unionAll(cur.select(col("v").as("node")))
+          .groupBy(col("node")).agg(count(lit(1)).as("d"))
+        val keep = deg.filter(col("d") >= k).select(col("node"))
+        val next = cur
+          .join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
+          .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
+          .select(col("u"), col("v")).localCheckpoint(true)
+        val nNext = next.count()
+        if (nNext == nEdges) done = true
+        else { cur = next; nEdges = nNext }
+      }
+      cur.select(col("u").as("node"))
+        .unionAll(cur.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("core_degree"))
+        .orderBy(col("node"))
+    },
+    Some {
+      // every CTE is MATERIALIZED: each round references its
+      // predecessor three times, so DuckDB's default inline expansion
+      // would re-evaluate the chain ~3^rounds times (observed as an fd
+      // exhaustion on the parquet re-scans)
+      val rounds = (1 to MaxPeelRounds).map { i =>
+        s"""d${i - 1} AS MATERIALIZED (SELECT node, count(*) AS d FROM (
+               SELECT u AS node FROM e${i - 1}
+               UNION ALL SELECT v AS node FROM e${i - 1}) GROUP BY node),
+            e$i AS MATERIALIZED (SELECT e${i - 1}.u, e${i - 1}.v FROM e${i - 1}
+               JOIN d${i - 1} da ON da.node = e${i - 1}.u AND da.d >= 3
+               JOIN d${i - 1} db ON db.node = e${i - 1}.v AND db.d >= 3)"""
+      }.mkString(",\n            ")
+      s"""WITH $duckEdges,
+            e0 AS MATERIALIZED (SELECT u, v FROM e),
+            $rounds
+            SELECT node, count(*) AS core_degree FROM (
+              SELECT u AS node FROM e$MaxPeelRounds
+              UNION ALL SELECT v AS node FROM e$MaxPeelRounds)
+            GROUP BY node ORDER BY node"""
+    })
+
+  val all: Seq[Q] = Seq(q110Triangles, q111BfsHops, q165KCore)
 }

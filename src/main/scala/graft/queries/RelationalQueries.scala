@@ -1443,6 +1443,80 @@ object RelationalQueries {
                    + z2 / (4.0 * nd * nd))) / (1.0 + z2 / nd) AS wilson_hi
              FROM w ORDER BY priority"""))
 
+  /** Z-order (Morton) clustering layout audit — the data-skipping
+    * story behind lakehouse `OPTIMIZE ZORDER BY (a, b)`: interleave the
+    * bits of two scan dimensions, bucket rows by the top 6 z-bits
+    * (64 would-be files), and report each bucket's row count and
+    * per-dimension min/max. Because z-order is locality-preserving in
+    * BOTH dimensions at once, every bucket's (min,max) envelope covers
+    * ~1/8 of each dimension's range — so a point or range predicate on
+    * EITHER column prunes ~7/8 of the files from their min/max stats
+    * alone, which no single-column sort can do for both columns. The
+    * bit-spread is the standard Morton magic-number sequence, written
+    * with decimal mask literals as the same exact integer op tree on
+    * both engines.
+    *
+    * Scale shape: pure projection (5 shifts/masks per dimension) + one
+    * 64-group aggregate — map-side combined, one shuffle of 64 rows. At
+    * 100 TB the same z-value IS the repartitionByRange key for the
+    * actual rewrite; this query is its stats audit.
+    */
+  val q167ZorderLayout: Q = Q(
+    "q167_zorder_layout",
+    (s, dir) => {
+      def spread(c: Column): Column = {
+        // 16-bit value -> 32 bits with zeros interleaved (Morton)
+        val s1 = c.bitwiseOR(shiftleft(c, 8)).bitwiseAND(lit(16711935L))
+        val s2 = s1.bitwiseOR(shiftleft(s1, 4)).bitwiseAND(lit(252645135L))
+        val s3 = s2.bitwiseOR(shiftleft(s2, 2)).bitwiseAND(lit(858993459L))
+        s3.bitwiseOR(shiftleft(s3, 1)).bitwiseAND(lit(1431655765L))
+      }
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"))
+      // normalize each dimension to the full 16-bit range with EXACT
+      // integer division against this run's max (div, not a double
+      // divide+floor, whose rounding could disagree with DuckDB's //)
+      val maxes = li.agg(max(col("l_partkey")).as("maxp"),
+        max(col("l_suppkey")).as("maxs"))
+      val px = expr("CAST(l_partkey AS BIGINT) * 65536 div (maxp + 1)")
+      val sx = expr("CAST(l_suppkey AS BIGINT) * 65536 div (maxs + 1)")
+      val z = spread(px).bitwiseOR(shiftleft(spread(sx), 1))
+      li.crossJoin(broadcast(maxes))
+        .select(col("l_partkey"), col("l_suppkey"),
+          shiftright(z, 26).as("z_bucket"))
+        .groupBy(col("z_bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("l_partkey")).as("min_part"),
+          max(col("l_partkey")).as("max_part"),
+          min(col("l_suppkey")).as("min_supp"),
+          max(col("l_suppkey")).as("max_supp"))
+        .orderBy(col("z_bucket"))
+    },
+    Some("""WITH mx AS (SELECT max(l_partkey) AS maxp,
+                max(l_suppkey) AS maxs FROM lineitem),
+            sp AS (SELECT l_partkey, l_suppkey,
+                (CAST(l_partkey AS BIGINT) * 65536) // (maxp + 1) AS px,
+                (CAST(l_suppkey AS BIGINT) * 65536) // (maxs + 1) AS sx
+              FROM lineitem, mx),
+            s1 AS (SELECT l_partkey, l_suppkey,
+                (px | (px << 8)) & 16711935 AS px,
+                (sx | (sx << 8)) & 16711935 AS sx FROM sp),
+            s2 AS (SELECT l_partkey, l_suppkey,
+                (px | (px << 4)) & 252645135 AS px,
+                (sx | (sx << 4)) & 252645135 AS sx FROM s1),
+            s3 AS (SELECT l_partkey, l_suppkey,
+                (px | (px << 2)) & 858993459 AS px,
+                (sx | (sx << 2)) & 858993459 AS sx FROM s2),
+            s4 AS (SELECT l_partkey, l_suppkey,
+                (px | (px << 1)) & 1431655765 AS px,
+                (sx | (sx << 1)) & 1431655765 AS sx FROM s3),
+            zv AS (SELECT l_partkey, l_suppkey,
+                (px | (sx << 1)) >> 26 AS z_bucket FROM s4)
+            SELECT z_bucket, count(*) AS n_rows,
+              min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+              min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
+            FROM zv GROUP BY z_bucket ORDER BY z_bucket"""))
+
   val all: Seq[Q] = Seq(q06JoinDims, q07StarRevenue, q08SemiJoin, q09AntiJoin,
     q10AggStats, q11Rollup, q12DistinctExact, q13WindowTopK, q14RunningSum,
     q15Pivot, q16SetOps, q17GlobalTopN, q40QuantilesDisc, q41Moments,
@@ -1451,5 +1525,5 @@ object RelationalQueries {
     q114CorrMatrix, q116FullOuter, q117Unpivot, q118GroupingSets,
     q124MadOutliers, q129WowGrowth, q130BloomMembership, q133RankFamily,
     q135SnowflakeChain, q136EquidepthHistogram, q157Winsorize,
-    q160WilsonInterval)
+    q160WilsonInterval, q167ZorderLayout)
 }

@@ -1130,11 +1130,52 @@ object TextQueries {
             SELECT doc_id, rrf FROM fused
             ORDER BY rrf DESC, doc_id ASC LIMIT 20"""))
 
+  /** Deterministic epoch sharding — the loader-facing layout step after
+    * split/packing: every document gets a reproducible pseudo-random
+    * 32-bit key from a seeded content-id hash, shard =
+    * key mod 16, within-shard read order = the key itself. No RNG
+    * state: the same corpus + seed yields the same shards and the same
+    * order on any engine, cluster size, or rerun (change the seed
+    * string to reshuffle between epochs). Audit output per shard: doc
+    * and token counts (balance), distinct-key count (the permutation's
+    * injectivity on this corpus), and the key range.
+    *
+    * Scale shape: one projection (md5 is per-row, codegen'd) + one
+    * 16-group aggregate with map-side partials; the same key is the
+    * `repartitionByRange` sort key when materializing actual shard
+    * files.
+    */
+  val q166EpochShard: Q = Q(
+    "q166_epoch_shard",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val key = Text.hash32(
+        concat(col("doc_id").cast("string"), lit(":epoch1")))
+      docs.select(col("doc_id"), key.as("k"),
+          size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+        .groupBy(pmod(col("k"), lit(16L)).as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          count_distinct(col("k")).as("n_keys_distinct"),
+          sum(col("n_tokens")).as("n_tokens"),
+          min(col("k")).as("min_key"), max(col("k")).as("max_key"))
+        .orderBy(col("shard"))
+    },
+    Some("""WITH keyed AS (SELECT doc_id,
+                ('0x' || substring(md5(doc_id::VARCHAR || ':epoch1'), 1, 8))::BIGINT
+                  AS k,
+                len(string_split(text, ' '))::BIGINT AS n_tokens
+              FROM documents)
+            SELECT k % 16 AS shard, count(*) AS n_docs,
+              count(DISTINCT k) AS n_keys_distinct,
+              CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+              min(k) AS min_key, max(k) AS max_key
+            FROM keyed GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] =
     Seq(q18TextStats, q19TermFreq, q20LangId, q21QualityScore, q22RegexTokens,
       q39WinnowFp, q42EditDistance, q45TfidfTopk, q48SplitAssign,
       q51StratifiedSample, q54Sketches, q62PackSequences, q67Repetition,
       q68MixtureRebalance, q70SplitLeakage, q72CorpusFunnel,
       q82TokenBudget, q134SentenceStats, q137SymspellJoin,
-      q162Bm25Topk, q163RrfFusion)
+      q162Bm25Topk, q163RrfFusion, q166EpochShard)
 }

@@ -176,4 +176,27 @@ class GovernanceOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("q164 l-diversity: homogeneous, at-risk and diverse classes are " +
+      "each tagged from their band count, not their size") {
+    withTempDir { dir =>
+      // class (0,A): bands neg/low/high -> diverse
+      // class (1,A): two members, ONE band -> homogeneous (the
+      //   homogeneity attack: k-large yet fully leaking)
+      // class (2,A): bands low/high -> at_risk
+      Seq(
+        (1L, 0, -5.0, "A"), (2L, 0, 100.0, "A"), (3L, 0, 6000.0, "A"),
+        (4L, 1, 100.0, "A"), (5L, 1, 200.0, "A"),
+        (6L, 2, 100.0, "A"), (7L, 2, 6000.0, "A"))
+        .toDF("c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment")
+        .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+      val out = GovernanceQueries.q164LDiversity.fn(spark, dir)
+        .select("nation", "class_size", "n_bands", "status")
+        .as[(Int, Long, Long, String)].collect().toList
+      out shouldBe List(
+        (0, 3L, 3L, "diverse"),
+        (1, 2L, 1L, "homogeneous"),
+        (2, 2L, 2L, "at_risk"))
+    }
+  }
 }

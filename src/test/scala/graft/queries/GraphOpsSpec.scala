@@ -85,4 +85,31 @@ class GraphOpsSpec extends SparkSpec {
       e shouldBe List((1L, 2L))
     }
   }
+
+  test("q165 k-core: peeling CASCADES — a degree-3 vertex held up only " +
+      "by leaves dies in round two, the K4 survives") {
+    withTempDir { dir =>
+      // h0: K4 on {1,2,3,4}; h1: edge 4-5; h2: 5-6; h3: 5-7.
+      // Degrees: 1,2,3 -> 3; 4 -> 4; 5 -> 3; 6,7 -> 1.
+      // Round 1 peels the leaves 6,7 (d<3) — 5 STILL had d=3;
+      // round 2 peels 5 (now d=1) — the cascade a static degree
+      // threshold misses; round 3 confirms the K4 fixpoint.
+      var id = 0L
+      def ev(h: Long, u: Long): (Long, Long, Long) = { id += 1; (h, u, id) }
+      writeEvents(dir,
+        Seq(ev(0, 1), ev(0, 2), ev(0, 3), ev(0, 4),
+          ev(1, 4), ev(1, 5), ev(2, 5), ev(2, 6), ev(3, 5), ev(3, 7)))
+      val out = GraphQueries.q165KCore.fn(spark, dir)
+        .as[(Long, Long)].collect().toList
+      out shouldBe List((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L))
+    }
+  }
+
+  test("q165 k-core: a graph with no 3-core peels to empty") {
+    withTempDir { dir =>
+      // triangle {1,2,3} has all degrees 2 -> fully peeled at k=3
+      writeEvents(dir, Seq((0L, 1L, 1L), (0L, 2L, 2L), (0L, 3L, 3L)))
+      GraphQueries.q165KCore.fn(spark, dir).count() shouldBe 0L
+    }
+  }
 }

@@ -824,4 +824,44 @@ class NewOpsSpec extends SparkSpec {
       top.head._2 shouldBe (1.0 / 61 + 1.0 / 62)
     }
   }
+
+  test("q166 epoch shard: docs partition across shards, keys are " +
+      "injective, and the assignment is rerun-identical") {
+    withTempDir { dir =>
+      writeDocs(dir, (1L to 64L).map(i => i -> s"tok$i body"))
+      val run1 = TextQueries.q166EpochShard.fn(spark, dir)
+        .select("shard", "n_docs", "n_keys_distinct", "min_key")
+        .as[(Long, Long, Long, Long)].collect().toList
+      run1.map(_._2).sum shouldBe 64L
+      run1.foreach { case (shard, nDocs, nKeys, minKey) =>
+        shard should (be >= 0L and be < 16L)
+        nKeys shouldBe nDocs // no key collisions on this corpus
+        minKey should be >= 0L
+      }
+      // determinism: no RNG anywhere -> a second run is identical
+      val run2 = TextQueries.q166EpochShard.fn(spark, dir)
+        .select("shard", "n_docs", "n_keys_distinct", "min_key")
+        .as[(Long, Long, Long, Long)].collect().toList
+      run2 shouldBe run1
+    }
+  }
+
+  test("q167 z-order: on a 32x32 grid every bucket is a 4x4 tile — " +
+      "locality in BOTH dimensions at once") {
+    withTempDir { dir =>
+      val rows = for (p <- 0 to 31; sk <- 0 to 31) yield (p.toLong, sk.toLong)
+      rows.toDF("l_partkey", "l_suppkey")
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      val out = RelationalQueries.q167ZorderLayout.fn(spark, dir)
+        .select("z_bucket", "n_rows", "min_part", "max_part",
+          "min_supp", "max_supp")
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toList
+      out.size shouldBe 64
+      out.foreach { case (_, n, minP, maxP, minS, maxS) =>
+        n shouldBe 16L          // 1024 rows / 64 buckets, exactly
+        maxP - minP shouldBe 3L // each bucket covers 1/8 of partkey...
+        maxS - minS shouldBe 3L // ...AND 1/8 of suppkey simultaneously
+      }
+    }
+  }
 }
