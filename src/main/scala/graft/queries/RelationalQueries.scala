@@ -1517,6 +1517,54 @@ object RelationalQueries {
               min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
             FROM zv GROUP BY z_bucket ORDER BY z_bucket"""))
 
+  /** Per-brand Pareto frontier (skyline) — minimize retail price while
+    * maximizing size: a part is ON the frontier iff no other part of
+    * the same brand has price <= AND size >= with one strict. The
+    * 2-D skyline reduces to ONE window pass: order each brand by
+    * (price asc, size desc, partkey asc) and keep rows whose size
+    * strictly exceeds the running max over PRECEDING rows — everything
+    * before the current row has price <=, so a preceding max-size >=
+    * current size is exactly a dominator. Exact (price, size)
+    * duplicates collapse to the lowest partkey (neither dominates the
+    * other; the deterministic tiebreak keeps one representative — the
+    * same convention in both engines' identical window specs).
+    *
+    * Scale shape: the window partitions by brand, so no global sort and
+    * no single-partition frame — per-group state is one running max.
+    * One shuffle on brand; map-side nothing to combine (row-level
+    * verdicts).
+    */
+  val q168Skyline: Q = Q(
+    "q168_skyline",
+    (s, dir) => {
+      val w = Window.partitionBy(col("p_brand"))
+        .orderBy(col("price").asc, col("p_size").desc, col("p_partkey").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.load(s, dir, "part")
+        .select(col("p_brand"), col("p_partkey"), col("p_size"),
+          // decimal(15,2) cents -> exact bigint so the frontier verdict
+          // never rides on float comparison
+          (col("p_retailprice") * 100).cast("long").as("price"))
+        .withColumn("max_size_before", max(col("p_size")).over(w))
+        .filter(col("max_size_before").isNull ||
+          col("p_size") > col("max_size_before"))
+        .select(col("p_brand"), col("p_partkey"), col("price"),
+          col("p_size"))
+        .orderBy("p_brand", "price", "p_partkey")
+    },
+    Some("""WITH base AS (SELECT p_brand, p_partkey, p_size,
+                CAST(p_retailprice * 100 AS BIGINT) AS price
+              FROM part),
+            flagged AS (SELECT p_brand, p_partkey, price, p_size,
+                max(p_size) OVER (PARTITION BY p_brand
+                  ORDER BY price ASC, p_size DESC, p_partkey ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS max_size_before
+              FROM base)
+            SELECT p_brand, p_partkey, price, p_size FROM flagged
+            WHERE max_size_before IS NULL OR p_size > max_size_before
+            ORDER BY p_brand, price, p_partkey"""))
+
   val all: Seq[Q] = Seq(q06JoinDims, q07StarRevenue, q08SemiJoin, q09AntiJoin,
     q10AggStats, q11Rollup, q12DistinctExact, q13WindowTopK, q14RunningSum,
     q15Pivot, q16SetOps, q17GlobalTopN, q40QuantilesDisc, q41Moments,
@@ -1525,5 +1573,5 @@ object RelationalQueries {
     q114CorrMatrix, q116FullOuter, q117Unpivot, q118GroupingSets,
     q124MadOutliers, q129WowGrowth, q130BloomMembership, q133RankFamily,
     q135SnowflakeChain, q136EquidepthHistogram, q157Winsorize,
-    q160WilsonInterval, q167ZorderLayout)
+    q160WilsonInterval, q167ZorderLayout, q168Skyline)
 }

@@ -864,4 +864,25 @@ class NewOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("q168 skyline: dominated, tied and duplicate points resolve to " +
+      "the exact per-brand frontier") {
+    withTempDir { dir =>
+      Seq(
+        // brand B1: pk1 frontier; pk5 duplicates it (collapses to pk1);
+        // pk4 same size, worse price -> dominated; pk2 worse in both;
+        // pk3 pricier but bigger -> frontier
+        (1L, "B1", 10, 1.00), (2L, "B1", 5, 2.00), (3L, "B1", 15, 2.00),
+        (4L, "B1", 10, 1.50), (5L, "B1", 10, 1.00),
+        // brand B2 is its own frontier — groups never interfere
+        (6L, "B2", 1, 5.00))
+        .toDF("p_partkey", "p_brand", "p_size", "p_retailprice")
+        .write.mode("overwrite").parquet(s"$dir/part.parquet")
+      val out = RelationalQueries.q168Skyline.fn(spark, dir)
+        .select("p_brand", "p_partkey", "price", "p_size")
+        .as[(String, Long, Long, Int)].collect().toList
+      out shouldBe List(
+        ("B1", 1L, 100L, 10), ("B1", 3L, 200L, 15), ("B2", 6L, 500L, 1))
+    }
+  }
 }
