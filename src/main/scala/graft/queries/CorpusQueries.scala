@@ -363,7 +363,48 @@ object CorpusQueries {
             FROM c WHERE cum // stride - (cum - w) // stride > 0
             ORDER BY doc_id"""))
 
+  /** Inverted-index posting-list construction — the physical structure
+    * behind BM25/tf-idf serving (q162/q45 score WITH an index; this
+    * query BUILDS one): per token, the document frequency and the first
+    * 10 postings (doc_ids ascending), for the 20 highest-df tokens.
+    * Postings are emitted as a comma-joined string: a canonical scalar
+    * encoding both engines produce byte-identically (array columns
+    * would ride on arrow list-type naming differences in the compare).
+    *
+    * Scale shape: one explode + distinct-pair aggregate (the same
+    * (doc, tok) relation the tf-idf family shares), then a per-token
+    * agg whose state is CAPPED — count + a 10-element sorted prefix —
+    * so no posting list ever materializes unbounded; top-20 is
+    * TakeOrderedAndProject. A full index build replaces the cap with a
+    * partitioned sink; the per-token shape is identical.
+    */
+  val q169PostingLists: Q = Q(
+    "q169_posting_lists",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = docs
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+        .distinct()
+      pairs.groupBy(col("tok"))
+        .agg(count(lit(1)).as("df"),
+          concat_ws(",",
+            transform(
+              slice(sort_array(collect_list(col("doc_id"))), 1, 10),
+              _.cast("string"))).as("postings"))
+        .orderBy(col("df").desc, col("tok").asc)
+        .limit(20)
+    },
+    Some("""WITH pairs AS (SELECT DISTINCT doc_id,
+                unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+            SELECT tok, count(*) AS df,
+              array_to_string(list_transform(
+                list_slice(list(doc_id ORDER BY doc_id), 1, 10),
+                x -> CAST(x AS VARCHAR)), ',') AS postings
+            FROM pairs GROUP BY tok
+            ORDER BY df DESC, tok ASC LIMIT 20"""))
+
   val all: Seq[Q] = Seq(q88ChunkOverlap, q91BpePairs, q92UnigramRarity,
     q93BigramLift, q94CdcChunks, q96QuantileNorm, q97MixtureWeights,
-    q125PpsSample)
+    q125PpsSample, q169PostingLists)
 }

@@ -3077,6 +3077,67 @@ object EventQueries {
     * must be added here; `BenchPolicySpec` cross-checks this set against
     * the `all` registry.
     */
+  /** Conversion-lag histogram — time from each user's FIRST view to the
+    * first purchase at-or-after it, bucketed into exponential latency
+    * bins (<1m, <10m, <1h, <6h, <1d, >=1d). The binning is pure integer
+    * CASE on exact µs differences (no log, no float), so the histogram
+    * is bit-stable; the complementary operators are q132 (dwell
+    * between consecutive events) and q74 (inter-arrival gaps) — this
+    * one measures a cross-event-type causal span, the funnel-latency
+    * readout product analytics put beside q86's conversion counts.
+    *
+    * ## 100 TB notes
+    * Two aggregates both keyed on user_id — one partitioning, reused
+    * (AQE coalesces); the view-to-purchase join is co-partitioned on
+    * the same key, so the whole query is one exchange of per-user
+    * rows plus a 6-group rollup.
+    */
+  val q170ConversionLag: Q = Q(
+    "q170_conversion_lag",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"), tsUs.as("us"))
+      val firstView = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("us")).as("view_us"))
+      val lags = ev.filter(col("event_type") === "purchase")
+        .join(firstView, Seq("user_id"))
+        .filter(col("us") >= col("view_us"))
+        .groupBy(col("user_id"), col("view_us"))
+        .agg(min(col("us")).as("purch_us"))
+        .select((col("purch_us") - col("view_us")).as("lag_us"))
+      val m = 60L * 1000000L
+      val bucket = when(col("lag_us") < m, 0)
+        .when(col("lag_us") < 10 * m, 1)
+        .when(col("lag_us") < 60 * m, 2)
+        .when(col("lag_us") < 360 * m, 3)
+        .when(col("lag_us") < 1440 * m, 4)
+        .otherwise(5)
+      lags.groupBy(bucket.as("bucket"))
+        .agg(count(lit(1)).as("n_users"),
+          min(col("lag_us")).as("min_lag_us"),
+          max(col("lag_us")).as("max_lag_us"))
+        .orderBy(col("bucket"))
+    },
+    Some(s"""WITH t AS (SELECT user_id, event_type,
+                    ${duckUs("ts")} AS us FROM events),
+            fv AS (SELECT user_id, min(us) AS view_us FROM t
+                   WHERE event_type = 'view' GROUP BY user_id),
+            lags AS (SELECT t.user_id,
+                    min(t.us) - fv.view_us AS lag_us
+                  FROM t JOIN fv ON t.user_id = fv.user_id
+                  WHERE t.event_type = 'purchase' AND t.us >= fv.view_us
+                  GROUP BY t.user_id, fv.view_us)
+            SELECT CASE WHEN lag_us < 60000000 THEN 0
+                        WHEN lag_us < 600000000 THEN 1
+                        WHEN lag_us < 3600000000 THEN 2
+                        WHEN lag_us < 21600000000 THEN 3
+                        WHEN lag_us < 86400000000 THEN 4
+                        ELSE 5 END AS bucket,
+              count(*) AS n_users,
+              CAST(min(lag_us) AS BIGINT) AS min_lag_us,
+              CAST(max(lag_us) AS BIGINT) AS max_lag_us
+            FROM lags GROUP BY 1 ORDER BY 1"""))
+
   private val streamingNames: Set[String] = Set(
     "q64_stream_hourly", "q66_stream_dedup", "q75_stream_sessions",
     "q76_stream_late_drop", "q78_stream_interval_join",
@@ -3099,6 +3160,6 @@ object EventQueries {
       q145JsonSurface, q146LinearAttribution, q147Ols2, q148AbZtest,
       q149BitmapIntersect, q150RatioToParent, q151Twap,
       q152MaxConcurrency, q154GrowthAccounting, q155ParetoCoverage,
-      q158ModalType, q159ArgmaxPurchase, q161Autocorr)
+      q158ModalType, q159ArgmaxPurchase, q161Autocorr, q170ConversionLag)
       .map(q => q.copy(streaming = streamingNames(q.name)))
 }

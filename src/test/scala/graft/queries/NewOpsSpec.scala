@@ -865,6 +865,54 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("q169 posting lists: df ranks, postings sort ascending, and the " +
+      "10-posting cap holds") {
+    withTempDir { dir =>
+      // "a" in 15 docs (the 10-posting cap bites), "filler" in the same
+      // 15, "b" in 3 — doc 20's "b b" must count ONCE (distinct pairs)
+      val docs = (1L to 15L).map(i => i -> "a filler") ++
+        Seq(16L -> "b x", 17L -> "b y", 20L -> "b b")
+      writeDocs(dir, docs)
+      val out = CorpusQueries.q169PostingLists.fn(spark, dir)
+        .select("tok", "df", "postings")
+        .as[(String, Long, String)].collect().toList
+      val byTok = out.map(r => r._1 -> r).toMap
+      byTok("a")._2 shouldBe 15L
+      // ascending postings, truncated to the FIRST 10 doc_ids
+      byTok("a")._3 shouldBe (1L to 10L).mkString(",")
+      byTok("b")._2 shouldBe 3L
+      byTok("b")._3 shouldBe "16,17,20"
+      // ranked by df desc then token asc: a and filler (15) before b (3)
+      out.map(_._1).take(3) shouldBe List("a", "filler", "b")
+    }
+  }
+
+  test("q170 conversion lag: exact bin edges, pre-view purchases " +
+      "excluded, view-only users absent") {
+    withTempDir { dir =>
+      val s = 1000000000L // 1 s in ns
+      writeEvents(dir, Seq(
+        // user 1: purchase 30 s after first view -> bucket 0 (<1m)
+        (1L, 1L, 0L, "view", 1.0), (2L, 1L, 30L * s, "purchase", 1.0),
+        // user 2: 2 h after -> bucket 3 (<6h); a LATER purchase at 3 h
+        // must not add a second row for the user
+        (3L, 2L, 0L, "view", 1.0), (4L, 2L, 7200L * s, "purchase", 1.0),
+        (5L, 2L, 10800L * s, "purchase", 1.0),
+        // user 3: purchase BEFORE any view only -> no conversion
+        (6L, 3L, 0L, "purchase", 1.0), (7L, 3L, 10L * s, "view", 1.0),
+        // user 4: view only -> absent
+        (8L, 4L, 0L, "view", 1.0),
+        // user 5: purchase at the view instant -> lag 0, bucket 0
+        (9L, 5L, 0L, "view", 1.0), (10L, 5L, 0L, "purchase", 1.0)))
+      val out = EventQueries.q170ConversionLag.fn(spark, dir)
+        .select("bucket", "n_users", "min_lag_us", "max_lag_us")
+        .as[(Int, Long, Long, Long)].collect().toList
+      out shouldBe List(
+        (0, 2L, 0L, 30000000L),
+        (3, 1L, 7200000000L, 7200000000L))
+    }
+  }
+
   test("q168 skyline: dominated, tied and duplicate points resolve to " +
       "the exact per-brand frontier") {
     withTempDir { dir =>
