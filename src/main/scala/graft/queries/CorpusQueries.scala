@@ -404,7 +404,45 @@ object CorpusQueries {
             FROM pairs GROUP BY tok
             ORDER BY df DESC, tok ASC LIMIT 20"""))
 
+  /** Token burstiness (Church–Gale) — cf/df, the mean within-document
+    * repetition of a term among documents that contain it at all.
+    * Content words "burst" (a doc about a topic repeats its terms);
+    * function words spread evenly (cf/df ≈ corpus-wide average rate) —
+    * the signal behind keyword extraction and stop-list induction,
+    * complementary to q92's corpus-frequency rarity. Exact rational:
+    * one double division of two exact counts per token; df >= 5 bounds
+    * the denominator so hapax noise never tops the ranking.
+    *
+    * Scale shape: one explode + (tok, doc) aggregate with map-side
+    * partials, then a per-token rollup; top-20 is
+    * TakeOrderedAndProject. No joins.
+    */
+  val q173Burstiness: Q = Q(
+    "q173_burstiness",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      docs
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+        .groupBy(col("tok"))
+        .agg(sum(col("tf")).cast("long").as("cf"),
+          count(lit(1)).as("df"))
+        .filter(col("df") >= 5)
+        .select(col("tok"), col("cf"), col("df"),
+          (col("cf").cast("double") / col("df").cast("double")).as("burst"))
+        .orderBy(col("burst").desc, col("tok").asc)
+        .limit(20)
+    },
+    Some("""WITH tf AS (SELECT doc_id, tok, count(*) AS tf FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM documents) GROUP BY doc_id, tok)
+            SELECT tok, CAST(sum(tf) AS BIGINT) AS cf, count(*) AS df,
+              CAST(sum(tf) AS BIGINT)::DOUBLE / count(*)::DOUBLE AS burst
+            FROM tf GROUP BY tok HAVING count(*) >= 5
+            ORDER BY burst DESC, tok ASC LIMIT 20"""))
+
   val all: Seq[Q] = Seq(q88ChunkOverlap, q91BpePairs, q92UnigramRarity,
     q93BigramLift, q94CdcChunks, q96QuantileNorm, q97MixtureWeights,
-    q125PpsSample, q169PostingLists)
+    q125PpsSample, q169PostingLists, q173Burstiness)
 }

@@ -895,8 +895,119 @@ object DedupQueries {
              FROM ex JOIN fs USING (sch)
              GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Containment-similarity join — the ASYMMETRIC near-dup measure
+    * Jaccard cannot express: C(d1 ⊂ d2) = |sh1 ∩ sh2| / |sh1| flags a
+    * document EMBEDDED in a larger one (quotations, concatenated
+    * crawls, boilerplate-wrapped reposts) where the union-normalized
+    * Jaccard is diluted by the host document's extra content. Pairs are
+    * ORDERED (d1 contained-in d2 ≠ d2 contained-in d1); candidates come
+    * from the same df-bounded rare-shingle blocks as q25, generated
+    * once and expanded to both orientations.
+    *
+    * Scale shape: identical candidate economics to q25 (df ∈ [2,5]
+    * bounds every block, the only join is the block equi-join); the
+    * verification join is ordered-pair instead of unordered, i.e. at
+    * most 2x q25's verified pairs — still bounded by the block cap.
+    */
+  val q171ContainmentJoin: Q = Q(
+    "q171_containment_join",
+    (s, dir) => {
+      val base = eager(shingled(s, dir))
+      val exploded = base.select(col("doc_id"), explode(col("sh")).as("s"))
+      val rare = exploded.groupBy(col("s"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= 5)
+        .select(col("s"))
+      val blocked = eager(exploded.join(rare, Seq("s")))
+      val cand = blocked.as("x")
+        .join(blocked.as("y"),
+          col("x.s") === col("y.s") && col("x.doc_id") =!= col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        .distinct()
+      cand
+        .join(base.select(col("doc_id").as("d1"), col("sh").as("sh1")), Seq("d1"))
+        .join(base.select(col("doc_id").as("d2"), col("sh").as("sh2")), Seq("d2"))
+        .select(col("d1"), col("d2"),
+          (size(array_intersect(col("sh1"), col("sh2"))).cast("double")
+            / size(col("sh1")).cast("double")).as("containment"))
+        .filter(col("containment") >= 0.8)
+        .orderBy("d1", "d2")
+    },
+    Some(s"""WITH shs AS ($duckShingled),
+             ex AS (SELECT doc_id, unnest(sh) AS s FROM shs),
+             rare AS (SELECT s FROM ex GROUP BY s HAVING count(*) BETWEEN 2 AND 5),
+             blocked AS (SELECT doc_id, s FROM ex JOIN rare USING (s)),
+             cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+                      FROM blocked x JOIN blocked y
+                        ON x.s = y.s AND x.doc_id != y.doc_id)
+             SELECT d1, d2,
+               len(list_intersect(a.sh, b.sh))::DOUBLE
+                 / len(a.sh)::DOUBLE AS containment
+             FROM cand JOIN shs a ON a.doc_id = d1 JOIN shs b ON b.doc_id = d2
+             WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+               / len(a.sh)::DOUBLE >= 0.8
+             ORDER BY d1, d2"""))
+
+  /** Cross-source near-dup contamination matrix — WHICH sources copy
+    * from each other: q25's verified near-dup pairs (blocked candidates,
+    * exact Jaccard >= 0.5) rolled up to an unordered source x source
+    * count. The diagonal is within-source duplication; off-diagonal
+    * cells are the cross-source contamination a mixture-weighting or
+    * decontamination pass (q68/q61) needs to know about.
+    *
+    * Scale shape: everything up to the verified pairs is exactly q25's
+    * plan; the rollup adds two broadcast-joinable (doc_id -> source)
+    * lookups and a 2-key aggregate over pair rows.
+    */
+  val q172SourceDupMatrix: Q = Q(
+    "q172_source_dup_matrix",
+    (s, dir) => {
+      val base = eager(shingled(s, dir))
+      val exploded = base.select(col("doc_id"), explode(col("sh")).as("s"))
+      val rare = exploded.groupBy(col("s"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= 5)
+        .select(col("s"))
+      val blocked = eager(exploded.join(rare, Seq("s")))
+      val cand = blocked.as("x")
+        .join(blocked.as("y"),
+          col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        .distinct()
+      val pairs = verifyPairs(cand, base, threshold = 0.5)
+      val src = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("d1"), col("source").as("s1")), Seq("d1"))
+        .join(src.select(col("doc_id").as("d2"), col("source").as("s2")), Seq("d2"))
+        .select(least(col("s1"), col("s2")).as("src_a"),
+          greatest(col("s1"), col("s2")).as("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("src_a", "src_b")
+    },
+    Some(s"""WITH shs AS ($duckShingled),
+             ex AS (SELECT doc_id, unnest(sh) AS s FROM shs),
+             rare AS (SELECT s FROM ex GROUP BY s HAVING count(*) BETWEEN 2 AND 5),
+             blocked AS (SELECT doc_id, s FROM ex JOIN rare USING (s)),
+             cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+                      FROM blocked x JOIN blocked y
+                        ON x.s = y.s AND x.doc_id < y.doc_id),
+             pairs AS (SELECT d1, d2
+               FROM cand JOIN shs a ON a.doc_id = d1 JOIN shs b ON b.doc_id = d2
+               WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+                 / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5)
+             SELECT least(sa.source, sb.source) AS src_a,
+               greatest(sa.source, sb.source) AS src_b,
+               count(*) AS n_pairs
+             FROM pairs
+             JOIN documents sa ON sa.doc_id = d1
+             JOIN documents sb ON sb.doc_id = d2
+             GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val all: Seq[Q] = Seq(q23DedupExact, q24MinhashLsh, q25JaccardBlocked,
     q26Simhash, q43DedupComponents, q59DedupMaterialize, q60IncrementalDedup,
     q61Decontaminate, q63Boilerplate, q69ComponentsStar, q81SourceOverlap,
-    q102PrefixJoin, q153MinhashNative, q156NoveltyRate)
+    q102PrefixJoin, q153MinhashNative, q156NoveltyRate, q171ContainmentJoin,
+    q172SourceDupMatrix)
 }

@@ -913,6 +913,69 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("q171 containment: a doc embedded in a longer one is caught in " +
+      "ONE direction where Jaccard misses it entirely") {
+    withTempDir { dir =>
+      // doc 1 = 10 tokens (8 3-shingles); doc 2 = doc 1 + 20 more
+      // tokens. containment(1 in 2) = 1.0; Jaccard ≈ 8/28 < 0.5 (q25's
+      // threshold would drop the pair); containment(2 in 1) ≈ 8/28 < 0.8
+      val a = (1 to 10).map(i => s"w$i").mkString(" ")
+      val b = a + " " + (11 to 30).map(i => s"w$i").mkString(" ")
+      val c = (41 to 60).map(i => s"x$i").mkString(" ")
+      writeDocs(dir, Seq(1L -> a, 2L -> b, 3L -> c))
+      val out = DedupQueries.q171ContainmentJoin.fn(spark, dir)
+        .select("d1", "d2", "containment")
+        .as[(Long, Long, Double)].collect().toList
+      out shouldBe List((1L, 2L, 1.0))
+    }
+  }
+
+  test("q171 containment: identical docs pair in BOTH orientations") {
+    withTempDir { dir =>
+      val t = (1 to 12).map(i => s"t$i").mkString(" ")
+      writeDocs(dir, Seq(1L -> t, 2L -> t))
+      val out = DedupQueries.q171ContainmentJoin.fn(spark, dir)
+        .select("d1", "d2", "containment")
+        .as[(Long, Long, Double)].collect().toList
+      out shouldBe List((1L, 2L, 1.0), (2L, 1L, 1.0))
+    }
+  }
+
+  test("q172 source matrix: within-source pairs land on the diagonal, " +
+      "cross-source pairs on the unordered off-diagonal cell") {
+    withTempDir { dir =>
+      val t = (1 to 12).map(i => s"s$i").mkString(" ")
+      Seq((1L, t, "S1"), (2L, t, "S1"), (3L, t, "S2"),
+          (4L, (21 to 40).map(i => s"u$i").mkString(" "), "S2"))
+        .toDF("doc_id", "text", "source")
+        .withColumn("lang", lit("en"))
+        .withColumn("n_chars",
+          org.apache.spark.sql.functions.length(col("text")))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val out = DedupQueries.q172SourceDupMatrix.fn(spark, dir)
+        .select("src_a", "src_b", "n_pairs")
+        .as[(String, String, Long)].collect().toList
+      // pairs: (1,2) S1xS1; (1,3) and (2,3) S1xS2 — doc 4 pairs with
+      // nothing
+      out shouldBe List(("S1", "S1", 1L), ("S1", "S2", 2L))
+    }
+  }
+
+  test("q173 burstiness: repeating tokens outrank evenly-spread ones; " +
+      "df < 5 never ranks") {
+    withTempDir { dir =>
+      // "z" 4x in each of 5 docs -> burst 4.0; "f" once in each of 5
+      // docs -> burst 1.0; "r" 9x but in only ONE doc -> df 1, excluded
+      val docs = (1L to 5L).map(i => i -> "z z z z f") :+
+        (6L -> Seq.fill(9)("r").mkString(" "))
+      writeDocs(dir, docs)
+      val out = CorpusQueries.q173Burstiness.fn(spark, dir)
+        .select("tok", "cf", "df", "burst")
+        .as[(String, Long, Long, Double)].collect().toList
+      out shouldBe List(("z", 20L, 5L, 4.0), ("f", 5L, 5L, 1.0))
+    }
+  }
+
   test("q168 skyline: dominated, tied and duplicate points resolve to " +
       "the exact per-brand frontier") {
     withTempDir { dir =>
