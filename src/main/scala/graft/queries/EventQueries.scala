@@ -3138,6 +3138,96 @@ object EventQueries {
               CAST(max(lag_us) AS BIGINT) AS max_lag_us
             FROM lags GROUP BY 1 ORDER BY 1"""))
 
+  /** RFM segmentation — the classic lifecycle partition of a user base:
+    * per purchasing user, Recency (last purchase time), Frequency
+    * (purchase count) and Monetary (exact decimal revenue) are each
+    * tercile-binned against rank-picked cutoffs (q40's
+    * histogram-cumulative order statistic — the value at cum >=
+    * ceil(n/3) and ceil(2n/3)), then users are counted per (r,f,m)
+    * cell. Bin 3 = top third (most recent / most frequent / highest
+    * spend); assignment is `v <= cut` CASE against broadcast 1-row
+    * cutoffs, so ties land identically on both engines — never ntile,
+    * whose remainder distribution would make cell populations depend
+    * on the tie order of equal metric values.
+    *
+    * ## 100 TB notes
+    * One shuffle to the per-user rollup; each cutoff is a histogram
+    * over DISTINCT metric values (cum window walks value groups, not
+    * users) and lands as a 1-row broadcast; the final agg has <= 27
+    * groups. No global per-user sort anywhere.
+    */
+  val q174RfmSegments: Q = Q(
+    "q174_rfm_segments",
+    (s, dir) => {
+      // eager'd: the rollup feeds FOUR consumers (three cutoff
+      // histograms + the binning pass) — materialize once, or every
+      // cuts() re-scans and re-shuffles the events table
+      val u = Tables.eager(Tables.load(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), tsUs.as("us"),
+          col("value").cast("decimal(30,10)").as("v"))
+        .groupBy(col("user_id"))
+        .agg(max(col("us")).as("r"), count(lit(1)).as("f"),
+          sum(col("v")).as("m")))
+      def cuts(metric: String): DataFrame = {
+        val hist = u.groupBy(col(metric).as("v"))
+          .agg(count(lit(1)).as("c"))
+        val cum = hist
+          .withColumn("cum", sum(col("c")).over(
+            Window.orderBy(col("v"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("n", sum(col("c")).over(
+            Window.rowsBetween(Window.unboundedPreceding,
+              Window.unboundedFollowing)))
+        def pick(num: Int) =
+          min(when(col("cum") * 3 >= col("n") * num, col("v")))
+        cum.agg(pick(1).as(s"${metric}1"), pick(2).as(s"${metric}2"))
+      }
+      def bin(metric: String) =
+        when(col(metric) <= col(s"${metric}1"), 1)
+          .when(col(metric) <= col(s"${metric}2"), 2)
+          .otherwise(3)
+      u.crossJoin(broadcast(cuts("r")))
+        .crossJoin(broadcast(cuts("f")))
+        .crossJoin(broadcast(cuts("m")))
+        .select(bin("r").as("r_bin"), bin("f").as("f_bin"),
+          bin("m").as("m_bin"))
+        .groupBy(col("r_bin"), col("f_bin"), col("m_bin"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("r_bin", "f_bin", "m_bin")
+    },
+    Some(s"""WITH u AS (SELECT user_id, max(${duckUs("ts")}) AS r,
+                count(*) AS f,
+                sum(CAST(value AS DECIMAL(30,10))) AS m
+              FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+            rh AS (SELECT r AS v, count(*) AS c FROM u GROUP BY r),
+            rc AS (SELECT min(CASE WHEN cum * 3 >= n * 1 THEN v END) AS r1,
+                min(CASE WHEN cum * 3 >= n * 2 THEN v END) AS r2
+              FROM (SELECT v, sum(c) OVER (ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                    sum(c) OVER () AS n FROM rh)),
+            fh AS (SELECT f AS v, count(*) AS c FROM u GROUP BY f),
+            fc AS (SELECT min(CASE WHEN cum * 3 >= n * 1 THEN v END) AS f1,
+                min(CASE WHEN cum * 3 >= n * 2 THEN v END) AS f2
+              FROM (SELECT v, sum(c) OVER (ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                    sum(c) OVER () AS n FROM fh)),
+            mh AS (SELECT m AS v, count(*) AS c FROM u GROUP BY m),
+            mc AS (SELECT min(CASE WHEN cum * 3 >= n * 1 THEN v END) AS m1,
+                min(CASE WHEN cum * 3 >= n * 2 THEN v END) AS m2
+              FROM (SELECT v, sum(c) OVER (ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                    sum(c) OVER () AS n FROM mh))
+            SELECT CASE WHEN r <= r1 THEN 1 WHEN r <= r2 THEN 2 ELSE 3 END
+                AS r_bin,
+              CASE WHEN f <= f1 THEN 1 WHEN f <= f2 THEN 2 ELSE 3 END
+                AS f_bin,
+              CASE WHEN m <= m1 THEN 1 WHEN m <= m2 THEN 2 ELSE 3 END
+                AS m_bin,
+              count(*) AS n_users
+            FROM u, rc, fc, mc
+            GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
+
   private val streamingNames: Set[String] = Set(
     "q64_stream_hourly", "q66_stream_dedup", "q75_stream_sessions",
     "q76_stream_late_drop", "q78_stream_interval_join",
@@ -3160,6 +3250,7 @@ object EventQueries {
       q145JsonSurface, q146LinearAttribution, q147Ols2, q148AbZtest,
       q149BitmapIntersect, q150RatioToParent, q151Twap,
       q152MaxConcurrency, q154GrowthAccounting, q155ParetoCoverage,
-      q158ModalType, q159ArgmaxPurchase, q161Autocorr, q170ConversionLag)
+      q158ModalType, q159ArgmaxPurchase, q161Autocorr, q170ConversionLag,
+      q174RfmSegments)
       .map(q => q.copy(streaming = streamingNames(q.name)))
 }

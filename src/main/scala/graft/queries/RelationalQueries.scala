@@ -361,6 +361,55 @@ object RelationalQueries {
                   FROM lineitem)
             GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** Exact weighted median per group — the price point at which half
+    * the QUANTITY (not half the rows) has been sold: the smallest price
+    * whose cumulative quantity reaches half the group total, decided by
+    * the integer comparison 2*cum >= tot (no division, no float). The
+    * robust "typical price" a mean can't give under heavy-tailed order
+    * sizes, and the weighted counterpart of q40's discrete quantiles —
+    * same histogram-cumulative shape: group to (flag, price) first, so
+    * the window walks DISTINCT prices per group, not raw rows.
+    *
+    * ## 100 TB notes
+    * One shuffle to the (flag, price) histogram with map-side partials
+    * (the heavy reduction), then per-flag windows over distinct prices
+    * only. Quantities accumulate in decimal(30,2) — exact, order-
+    * independent — so the crossing point is partitioning-invariant.
+    */
+  val q175WeightedMedian: Q = Q(
+    "q175_weighted_median",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val hist = li.groupBy(col("l_returnflag"), col("l_extendedprice"))
+        .agg(sum(col("l_quantity").cast("decimal(30,2)")).as("w"))
+      val byFlag = Window.partitionBy(col("l_returnflag"))
+      val cum = hist
+        .withColumn("cum", sum(col("w")).over(
+          byFlag.orderBy(col("l_extendedprice"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("tot", sum(col("w")).over(byFlag))
+      cum.groupBy(col("l_returnflag"))
+        .agg(
+          min(when(col("cum") * 2 >= col("tot"), col("l_extendedprice")))
+            .as("wmedian"),
+          max(col("tot")).cast("decimal(30,2)").as("tot_qty"))
+        .orderBy("l_returnflag")
+    },
+    Some("""WITH hist AS (SELECT l_returnflag, l_extendedprice,
+                sum(CAST(l_quantity AS DECIMAL(30,2))) AS w
+              FROM lineitem GROUP BY 1, 2),
+            cum AS (SELECT l_returnflag, l_extendedprice,
+                sum(w) OVER (PARTITION BY l_returnflag
+                  ORDER BY l_extendedprice
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                sum(w) OVER (PARTITION BY l_returnflag) AS tot
+              FROM hist)
+            SELECT l_returnflag,
+              min(CASE WHEN cum * 2 >= tot THEN l_extendedprice END)
+                AS wmedian,
+              CAST(max(tot) AS DECIMAL(30,2)) AS tot_qty
+            FROM cum GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   /** Distributed second moments, deterministically: population variance /
     * stddev of price and covariance(quantity, price) per group — never
     * the stddev()/covar() builtins, whose double accumulation order is
@@ -1573,5 +1622,5 @@ object RelationalQueries {
     q114CorrMatrix, q116FullOuter, q117Unpivot, q118GroupingSets,
     q124MadOutliers, q129WowGrowth, q130BloomMembership, q133RankFamily,
     q135SnowflakeChain, q136EquidepthHistogram, q157Winsorize,
-    q160WilsonInterval, q167ZorderLayout, q168Skyline)
+    q160WilsonInterval, q167ZorderLayout, q168Skyline, q175WeightedMedian)
 }

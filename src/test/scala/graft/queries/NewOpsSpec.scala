@@ -976,6 +976,44 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("q174 RFM: three users with strictly ordered R, F and M land in " +
+      "the three diagonal cells; non-purchasers are absent") {
+    withTempDir { dir =>
+      val s = 1000000000L
+      writeEvents(dir, Seq(
+        (1L, 1L, 10L * s, "purchase", 1.0),
+        (2L, 2L, 20L * s, "purchase", 2.0),
+        (3L, 2L, 21L * s, "purchase", 2.0),
+        (4L, 3L, 30L * s, "purchase", 5.0),
+        (5L, 3L, 31L * s, "purchase", 5.0),
+        (6L, 3L, 32L * s, "purchase", 5.0),
+        (7L, 4L, 40L * s, "view", 9.9))) // no purchase -> excluded
+      val out = EventQueries.q174RfmSegments.fn(spark, dir)
+        .select("r_bin", "f_bin", "m_bin", "n_users")
+        .as[(Int, Int, Int, Long)].collect().toList
+      out shouldBe List((1, 1, 1, 1L), (2, 2, 2, 1L), (3, 3, 3, 1L))
+    }
+  }
+
+  test("q175 weighted median: quantity weight pulls the median to the " +
+      "heavy price, not the middle row") {
+    withTempDir { dir =>
+      Seq(
+        // flag A: 9 units at 1.00 vs 1 unit at 2.00 -> weighted median
+        // 1.00 (a row-median over the 2 price rows would say 1.5-ish)
+        ("A", 1.00, 9.0), ("A", 2.00, 1.0),
+        // flag B: even split -> crossing picks the LOWER price
+        ("B", 1.00, 1.0), ("B", 2.00, 1.0))
+        .toDF("l_returnflag", "l_extendedprice", "l_quantity")
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      val out = RelationalQueries.q175WeightedMedian.fn(spark, dir)
+        .selectExpr("l_returnflag", "wmedian",
+          "CAST(tot_qty AS DOUBLE) AS tot")
+        .as[(String, Double, Double)].collect().toList
+      out shouldBe List(("A", 1.00, 10.0), ("B", 1.00, 2.0))
+    }
+  }
+
   test("q168 skyline: dominated, tied and duplicate points resolve to " +
       "the exact per-brand frontier") {
     withTempDir { dir =>
