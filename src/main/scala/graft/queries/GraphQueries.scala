@@ -51,6 +51,13 @@ object GraphQueries {
     */
   private val MaxPeelRounds = 8
 
+  /** Time-respecting reachability round bound — label-correcting
+    * arrivals strictly improve each round over a finite (node, bucket)
+    * domain, so convergence is certain; the bound only turns a
+    * would-be-silent runaway into a loud throw.
+    */
+  private val MaxWaveRounds = 30
+
   /** Undirected edge list (u < v), deduplicated. */
   private[queries] def cooccurrenceEdges(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(s, dir, "events")
@@ -298,5 +305,92 @@ object GraphQueries {
             GROUP BY node ORDER BY node"""
     })
 
-  val all: Seq[Q] = Seq(q110Triangles, q111BfsHops, q165KCore)
+  /** Time-respecting reachability — influence/contact propagation from
+    * the minimum-id user: an edge (x, y) in time bucket h can only be
+    * traversed AFTER x was reached (arrival(x) <= h) — the temporal
+    * constraint plain BFS (q111) ignores, and the difference between
+    * "connected to" and "could actually have been influenced by".
+    * Label-correcting driver loop: per round, frontier x timed-edges
+    * (h >= arrival) propose arrivals, keep strict improvements
+    * (min-arrival per node), stop at fixpoint. Arrivals only decrease
+    * over a finite domain, so the fixpoint exists; throws past
+    * [[MaxWaveRounds]] so the engine can never silently diverge from
+    * the oracle's recursive CTE (whose UNION-dedup over finite
+    * (node, h) pairs terminates unconditionally). Output: number of
+    * users first reached in each time bucket.
+    */
+  val q176TimeReach: Q = Q(
+    "q176_time_reach",
+    (s, dir) => {
+      // co-occurrence edges KEEPING the bucket time (cooccurrenceEdges
+      // drops it): same distinct/bucket-cap discipline, h in the output
+      val ev = Tables.load(s, dir, "events")
+      val b = ev.select(col("event_type"),
+          expr("(ts div 1000) div 600000000").as("h"), col("user_id"))
+        .distinct()
+      val nu = b.withColumn("nu",
+        count(lit(1)).over(Window.partitionBy(col("event_type"), col("h"))))
+        .filter(col("nu").between(2, MaxBucket))
+        .select(col("event_type"), col("h"), col("user_id"))
+      val te = Tables.eager(nu.as("x")
+        .join(nu.as("y"),
+          col("x.event_type") === col("y.event_type") &&
+            col("x.h") === col("y.h") &&
+            col("x.user_id") =!= col("y.user_id"))
+        .select(col("x.user_id").as("u"), col("y.user_id").as("v"),
+          col("x.h").as("h"))
+        .distinct())
+      var dist = te.agg(min(col("u")).as("node"))
+        .withColumn("arrival", lit(-1L)).localCheckpoint(true)
+      var frontier = dist
+      var round = 0
+      var done = false
+      while (!done) {
+        round += 1
+        require(round <= MaxWaveRounds,
+          s"time-reach exceeded $MaxWaveRounds rounds; label-correcting " +
+            "loop did not converge")
+        val proposals = frontier.as("f")
+          .join(te.as("e"),
+            col("f.node") === col("e.u") && col("e.h") >= col("f.arrival"))
+          .groupBy(col("e.v").as("node"))
+          .agg(min(col("e.h")).as("cand"))
+        val improved = proposals.join(dist, Seq("node"), "left_outer")
+          .filter(col("arrival").isNull || col("cand") < col("arrival"))
+          .select(col("node"), col("cand").as("arrival"))
+          .localCheckpoint(true)
+        if (improved.isEmpty) done = true
+        else {
+          dist = dist.join(improved.select(col("node").as("n2")),
+              col("node") === col("n2"), "left_anti")
+            .unionByName(improved).localCheckpoint(true)
+          frontier = improved
+        }
+      }
+      dist.filter(col("arrival") >= 0)
+        .groupBy(col("arrival"))
+        .agg(count(lit(1)).as("n_reached"))
+        .orderBy(col("arrival"))
+    },
+    Some(s"""WITH RECURSIVE bb AS (SELECT DISTINCT event_type,
+                epoch_us(CAST(ts AS TIMESTAMP)) // 600000000 AS h, user_id
+              FROM events),
+            sz AS (SELECT *, count(*) OVER (PARTITION BY event_type, h)
+                AS nu FROM bb),
+            sm AS (SELECT event_type, h, user_id FROM sz
+                   WHERE nu BETWEEN 2 AND $MaxBucket),
+            te AS (SELECT DISTINCT a.user_id AS u, c.user_id AS v, a.h
+                   FROM sm a JOIN sm c
+                     ON a.event_type = c.event_type AND a.h = c.h
+                   WHERE a.user_id != c.user_id),
+            walk AS (
+              SELECT (SELECT min(u) FROM te) AS node, CAST(-1 AS BIGINT) AS t
+              UNION
+              SELECT te.v AS node, te.h AS t
+              FROM walk JOIN te ON te.u = walk.node AND te.h >= walk.t),
+            arr AS (SELECT node, min(t) AS arrival FROM walk GROUP BY node)
+            SELECT arrival, count(*) AS n_reached FROM arr
+            WHERE arrival >= 0 GROUP BY arrival ORDER BY arrival"""))
+
+  val all: Seq[Q] = Seq(q110Triangles, q111BfsHops, q165KCore, q176TimeReach)
 }

@@ -1171,11 +1171,85 @@ object TextQueries {
               min(k) AS min_key, max(k) AS max_key
             FROM keyed GROUP BY 1 ORDER BY 1"""))
 
+  /** Resharding movement audit: mod-N vs rendezvous (HRW) hashing when
+    * a 17th shard joins 16 — the economics of growing a sharded corpus
+    * layout (q166's sharding is mod-based; this query measures what
+    * that choice costs at reshard time). Under `key mod N`, almost
+    * every key moves when N changes (≈ 15/16 expected); under
+    * rendezvous hashing — each key goes to argmax over shards of
+    * hash(key, shard) — ONLY the keys won by the new shard move
+    * (≈ 1/17), which is the consistent-hashing guarantee without a
+    * ring. Assignment ties break by shard id, identically on both
+    * engines. One row: key count, moved counts and exact moved
+    * fractions for both schemes.
+    *
+    * Scale shape: keys x shards is a broadcast-style bounded expansion
+    * (17 rows per key, the shard table is a literal), reduced by a
+    * per-key argmax with map-side partial aggregation; no shuffle
+    * carries more than one row per (key, scheme).
+    */
+  val q177ReshardMovement: Q = Q(
+    "q177_reshard_movement",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val key = Text.hash32(col("doc_id").cast("string"))
+      val base = docs.select(col("doc_id"), key.as("k"))
+      val shards17 = (0 until 17).map(lit(_))
+      val expanded = base.select(col("doc_id"), col("k"),
+          explode(array(shards17: _*)).as("shard"))
+        .withColumn("w", Text.hash32(
+          concat(col("doc_id").cast("string"), lit(":"), col("shard"))))
+      // argmax over (w, shard): struct max — deterministic tiebreak
+      def hrw(maxShard: Int) = expanded
+        .filter(col("shard") < maxShard)
+        .groupBy(col("doc_id"))
+        .agg(max(struct(col("w"), col("shard"))).getField("shard")
+          .as(s"hrw$maxShard"))
+      base
+        .join(hrw(16), Seq("doc_id"))
+        .join(hrw(17), Seq("doc_id"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when(pmod(col("k"), lit(16L)) =!= pmod(col("k"), lit(17L)), 1L)
+            .otherwise(0L)).as("moved_mod"),
+          sum(when(col("hrw16") =!= col("hrw17"), 1L).otherwise(0L))
+            .as("moved_hrw"))
+        .select(col("n_keys"), col("moved_mod"), col("moved_hrw"),
+          (col("moved_mod").cast("double") / col("n_keys").cast("double"))
+            .as("frac_mod"),
+          (col("moved_hrw").cast("double") / col("n_keys").cast("double"))
+            .as("frac_hrw"))
+    },
+    Some("""WITH base AS (SELECT doc_id,
+                ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS k
+              FROM documents),
+            ex AS (SELECT doc_id, k, shard,
+                ('0x' || substring(md5(doc_id::VARCHAR || ':' || shard), 1, 8))::BIGINT
+                  AS w
+              FROM base, (SELECT unnest(range(0, 17)) AS shard)),
+            h16 AS (SELECT doc_id, shard AS hrw16 FROM (
+                SELECT doc_id, shard, row_number() OVER (
+                  PARTITION BY doc_id ORDER BY w DESC, shard DESC) AS rn
+                FROM ex WHERE shard < 16) WHERE rn = 1),
+            h17 AS (SELECT doc_id, shard AS hrw17 FROM (
+                SELECT doc_id, shard, row_number() OVER (
+                  PARTITION BY doc_id ORDER BY w DESC, shard DESC) AS rn
+                FROM ex) WHERE rn = 1)
+            SELECT count(*) AS n_keys,
+              CAST(sum(CASE WHEN k % 16 != k % 17 THEN 1 ELSE 0 END)
+                AS BIGINT) AS moved_mod,
+              CAST(sum(CASE WHEN hrw16 != hrw17 THEN 1 ELSE 0 END)
+                AS BIGINT) AS moved_hrw,
+              CAST(sum(CASE WHEN k % 16 != k % 17 THEN 1 ELSE 0 END)
+                  AS DOUBLE) / CAST(count(*) AS DOUBLE) AS frac_mod,
+              CAST(sum(CASE WHEN hrw16 != hrw17 THEN 1 ELSE 0 END)
+                  AS DOUBLE) / CAST(count(*) AS DOUBLE) AS frac_hrw
+            FROM base JOIN h16 USING (doc_id) JOIN h17 USING (doc_id)"""))
+
   val all: Seq[Q] =
     Seq(q18TextStats, q19TermFreq, q20LangId, q21QualityScore, q22RegexTokens,
       q39WinnowFp, q42EditDistance, q45TfidfTopk, q48SplitAssign,
       q51StratifiedSample, q54Sketches, q62PackSequences, q67Repetition,
       q68MixtureRebalance, q70SplitLeakage, q72CorpusFunnel,
       q82TokenBudget, q134SentenceStats, q137SymspellJoin,
-      q162Bm25Topk, q163RrfFusion, q166EpochShard)
+      q162Bm25Topk, q163RrfFusion, q166EpochShard, q177ReshardMovement)
 }

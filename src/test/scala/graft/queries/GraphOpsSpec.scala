@@ -105,6 +105,42 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("q176 time-reach: an edge BEFORE its endpoint was reached does " +
+      "not propagate — the constraint plain BFS ignores") {
+    withTempDir { dir =>
+      // seed 1 meets 2 at hour 5; 2 met 3 at hour 2 (BEFORE 2 was
+      // reached -> 3 must stay unreached); 2 meets 4 at hour 7 (after
+      // -> reached). q111-style BFS would reach 3; time-respecting
+      // reachability must not. Bucket index = hour * 6 (10-min cells).
+      writeEvents(dir, Seq(
+        (5L, 1L, 1L), (5L, 2L, 2L),
+        (2L, 2L, 3L), (2L, 3L, 4L),
+        (7L, 2L, 5L), (7L, 4L, 6L)))
+      val out = GraphQueries.q176TimeReach.fn(spark, dir)
+        .as[(Long, Long)].collect().toList
+      out shouldBe List((30L, 1L), (42L, 1L))
+    }
+  }
+
+  test("q176 time-reach: equal-time hops chain (h >= arrival, not >) — " +
+      "two same-hour buckets split by event_type") {
+    withTempDir { dir =>
+      // type "a": {1,2} at hour 3; type "b": {2,5} at hour 3. Edges
+      // 1-2 and 2-5 both carry h=18; arrival(2)=18 and the 2-5 edge
+      // (18 >= 18) must still fire -> 5 reached at 18 too.
+      Seq((1L, 3L * 3600L * 1000000000L, 1L, "a", 1.0, "{}"),
+          (2L, 3L * 3600L * 1000000000L, 2L, "a", 1.0, "{}"),
+          (3L, 3L * 3600L * 1000000000L, 2L, "b", 1.0, "{}"),
+          (4L, 3L * 3600L * 1000000000L, 5L, "b", 1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val out = GraphQueries.q176TimeReach.fn(spark, dir)
+        .as[(Long, Long)].collect().toList
+      // users 2 and 5 both first reached in bucket 18 (hour 3)
+      out shouldBe List((18L, 2L))
+    }
+  }
+
   test("q165 k-core: a graph with no 3-core peels to empty") {
     withTempDir { dir =>
       // triangle {1,2,3} has all degrees 2 -> fully peeled at k=3

@@ -1014,6 +1014,25 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("q177 reshard: rendezvous movement is a fraction of mod movement " +
+      "on the same keys") {
+    withTempDir { dir =>
+      writeDocs(dir, (1L to 200L).map(i => i -> s"doc $i"))
+      val (n, movedMod, movedHrw, fracMod, fracHrw) =
+        TextQueries.q177ReshardMovement.fn(spark, dir)
+          .select("n_keys", "moved_mod", "moved_hrw", "frac_mod", "frac_hrw")
+          .as[(Long, Long, Long, Double, Double)].collect().head
+      n shouldBe 200L
+      movedMod + movedHrw should be > 0L
+      // mod-16 -> mod-17 moves ~15/16 of keys; HRW moves only the keys
+      // the NEW shard wins (~1/17). The structural gap, not a tuning
+      // artifact: assert HRW strictly under half of mod's movement.
+      movedHrw.toDouble should be < movedMod.toDouble / 2
+      fracMod shouldBe movedMod.toDouble / 200
+      fracHrw shouldBe movedHrw.toDouble / 200
+    }
+  }
+
   test("q168 skyline: dominated, tied and duplicate points resolve to " +
       "the exact per-brand frontier") {
     withTempDir { dir =>
