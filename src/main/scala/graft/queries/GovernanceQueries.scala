@@ -513,7 +513,85 @@ object GovernanceQueries {
             FROM b GROUP BY nation, segment
             ORDER BY nation, segment"""))
 
+  /** t-closeness audit — the third leg of the privacy trio: a class
+    * can be k-large (q104) and l-diverse (q164) yet still leak when its
+    * sensitive DISTRIBUTION deviates from the corpus-wide one (skew
+    * attack: "90% of this class is in debt" is a disclosure even with
+    * all three bands present). Per quasi-class, the total-variation
+    * distance between the class's 3-band balance distribution and the
+    * global one; classes with TV > 0.3 are flagged.
+    *
+    * Determinism: the TV sum is a FIXED three-term expression over
+    * pivoted per-band counts — never a float aggregation over band
+    * rows, whose accumulation order would be partitioning-dependent.
+    * Each |p_c - p_g| is one identical IEEE op tree on both engines.
+    *
+    * Scale shape: one shuffle to (class, banded counts) via three
+    * conditional sums (map-side combined), global distribution is a
+    * 1-row broadcast. No window, no second pass.
+    */
+  val q178TCloseness: Q = Q(
+    "q178_t_closeness",
+    (s, dir) => {
+      val band = when(col("c_acctbal") < 0, "neg")
+        .when(col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_nationkey").as("nation"),
+          col("c_mktsegment").as("segment"), band.as("band"))
+      def cnt(b: String) =
+        sum(when(col("band") === b, 1L).otherwise(0L))
+      val cls = cust.groupBy(col("nation"), col("segment"))
+        .agg(count(lit(1)).as("class_size"),
+          cnt("neg").as("cn"), cnt("low").as("cl"), cnt("high").as("ch"))
+      val glob = cust.agg(count(lit(1)).as("n"),
+        cnt("neg").as("gn"), cnt("low").as("gl"), cnt("high").as("gh"))
+      def term(c: Column, g: Column) =
+        abs(c.cast("double") / col("class_size").cast("double")
+          - g.cast("double") / col("n").cast("double"))
+      cls.crossJoin(broadcast(glob))
+        .select(col("nation"), col("segment"), col("class_size"),
+          (lit(0.5) * (term(col("cn"), col("gn"))
+            + term(col("cl"), col("gl"))
+            + term(col("ch"), col("gh")))).as("tv"))
+        .withColumn("status",
+          when(col("tv") > 0.3, "violates").otherwise("within"))
+        .orderBy("nation", "segment")
+    },
+    Some("""WITH b AS (SELECT c_nationkey AS nation,
+                c_mktsegment AS segment,
+                CASE WHEN c_acctbal < 0 THEN 'neg'
+                     WHEN c_acctbal < 5000 THEN 'low'
+                     ELSE 'high' END AS band
+              FROM customer),
+            cls AS (SELECT nation, segment, count(*) AS class_size,
+                CAST(sum(CASE WHEN band = 'neg' THEN 1 ELSE 0 END) AS BIGINT) AS cn,
+                CAST(sum(CASE WHEN band = 'low' THEN 1 ELSE 0 END) AS BIGINT) AS cl,
+                CAST(sum(CASE WHEN band = 'high' THEN 1 ELSE 0 END) AS BIGINT) AS ch
+              FROM b GROUP BY 1, 2),
+            gdist AS (SELECT count(*) AS n,
+                CAST(sum(CASE WHEN band = 'neg' THEN 1 ELSE 0 END) AS BIGINT) AS gn,
+                CAST(sum(CASE WHEN band = 'low' THEN 1 ELSE 0 END) AS BIGINT) AS gl,
+                CAST(sum(CASE WHEN band = 'high' THEN 1 ELSE 0 END) AS BIGINT) AS gh
+              FROM b)
+            SELECT nation, segment, class_size,
+              0.5 * (abs(CAST(cn AS DOUBLE) / CAST(class_size AS DOUBLE)
+                       - CAST(gn AS DOUBLE) / CAST(n AS DOUBLE))
+                   + abs(CAST(cl AS DOUBLE) / CAST(class_size AS DOUBLE)
+                       - CAST(gl AS DOUBLE) / CAST(n AS DOUBLE))
+                   + abs(CAST(ch AS DOUBLE) / CAST(class_size AS DOUBLE)
+                       - CAST(gh AS DOUBLE) / CAST(n AS DOUBLE))) AS tv,
+              CASE WHEN 0.5 * (abs(CAST(cn AS DOUBLE) / CAST(class_size AS DOUBLE)
+                       - CAST(gn AS DOUBLE) / CAST(n AS DOUBLE))
+                   + abs(CAST(cl AS DOUBLE) / CAST(class_size AS DOUBLE)
+                       - CAST(gl AS DOUBLE) / CAST(n AS DOUBLE))
+                   + abs(CAST(ch AS DOUBLE) / CAST(class_size AS DOUBLE)
+                       - CAST(gh AS DOUBLE) / CAST(n AS DOUBLE))) > 0.3
+                   THEN 'violates' ELSE 'within' END AS status
+            FROM cls, gdist ORDER BY nation, segment"""))
+
   val all: Seq[Q] =
     Seq(q98PiiRedact, q99Scd2Snapshots, q100NfcNormalize, q101IntervalMerge,
-      q104KAnonymity, q121PitEnrich, q126CdcApply, q164LDiversity)
+      q104KAnonymity, q121PitEnrich, q126CdcApply, q164LDiversity,
+      q178TCloseness)
 }

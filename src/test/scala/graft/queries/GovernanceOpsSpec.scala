@@ -199,4 +199,28 @@ class GovernanceOpsSpec extends SparkSpec {
         (2, 2L, 2L, "at_risk"))
     }
   }
+
+  test("q178 t-closeness: a class with all three bands still violates " +
+      "when its distribution skews from the global one") {
+    withTempDir { dir =>
+      // class (0,A): 4 neg + 1 low + 1 high — close to the global mix
+      // it dominates (TV = 5/18 ≈ 0.278, within). class (1,A): 3 high —
+      // l-DIVERSE checks would need band variety, but the skew ALONE
+      // leaks (TV = 5/9 ≈ 0.556, violates).
+      val rows =
+        Seq((-10.0, 0), (-20.0, 0), (-30.0, 0), (-40.0, 0),
+          (100.0, 0), (6000.0, 0),
+          (7000.0, 1), (8000.0, 1), (9000.0, 1))
+      rows.zipWithIndex.map { case ((bal, nation), i) =>
+        (i.toLong + 1, nation, bal, "A")
+      }.toDF("c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment")
+        .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+      val out = GovernanceQueries.q178TCloseness.fn(spark, dir)
+        .select("nation", "class_size", "tv", "status")
+        .as[(Int, Long, Double, String)].collect().toList
+      out.map(r => (r._1, r._2, r._4)) shouldBe List(
+        (0, 6L, "within"), (1, 3L, "violates"))
+      out(1)._3 should be > out.head._3
+    }
+  }
 }
