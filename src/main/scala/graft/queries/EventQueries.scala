@@ -3228,6 +3228,98 @@ object EventQueries {
             FROM u, rc, fc, mc
             GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
 
+  /** Linear-interpolation gap fill — q90's spine densification with
+    * INTERPOLATED values instead of zeros: per event_type, hours with
+    * no observed revenue get the straight line between the previous and
+    * next observed hours (`vp + (vn - vp) * (h - hp)/(hn - hp)`, one
+    * fixed IEEE op tree over exact decimal endpoint sums and exact
+    * integer hour distances); hours outside a type's observed range pad
+    * with the nearest observed value. Every row is tagged
+    * obs / interp / pad so downstream consumers can weight or exclude
+    * synthesized points. Zeros (q90) answer "how many events"; a
+    * metric like revenue needs a line, not a cliff.
+    *
+    * ## 100 TB notes
+    * Fact-sized work is one (hour, type) group-by with decimal partial
+    * aggregation; the spine is a 1-row bounds aggregate exploded (never
+    * a driver loop); the four IGNORE NULLS window passes all share the
+    * per-type partitioning of a spine x types frame whose size is
+    * hours x |types| — independent of fact cardinality.
+    */
+  val q179InterpolateGaps: Q = Q(
+    "q179_interpolate_gaps",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(expr("(ts div 1000) div 3600000000").as("h"),
+          col("event_type"), col("value").cast("decimal(30,10)").as("v"))
+      val obs = ev.groupBy(col("h"), col("event_type"))
+        .agg(sum(col("v")).as("v"))
+      val bounds = ev.agg(min("h").as("lo"), max("h").as("hi"))
+      val spine = bounds
+        .select(explode(sequence(col("lo"), col("hi"), lit(1L))).as("h"))
+      val types = ev.select(col("event_type")).distinct()
+      val sv = spine.crossJoin(broadcast(types))
+        .join(obs, Seq("h", "event_type"), "left")
+      val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      val back = w.rowsBetween(Window.unboundedPreceding, -1)
+      val fwd = w.rowsBetween(1, Window.unboundedFollowing)
+      val withEnds = sv
+        .withColumn("hp", last(when(col("v").isNotNull, col("h")), true).over(back))
+        .withColumn("vp", last(col("v"), true).over(back))
+        .withColumn("hn", first(when(col("v").isNotNull, col("h")), true).over(fwd))
+        .withColumn("vn", first(col("v"), true).over(fwd))
+      val interp = col("vp").cast("double") +
+        (col("vn").cast("double") - col("vp").cast("double")) *
+          ((col("h") - col("hp")) / (col("hn") - col("hp")))
+      withEnds.select((col("h") * 3600000000L).as("hour_us"),
+          col("event_type"),
+          when(col("v").isNotNull, col("v").cast("double"))
+            .when(col("vp").isNull, col("vn").cast("double"))
+            .when(col("vn").isNull, col("vp").cast("double"))
+            .otherwise(interp).as("revenue"),
+          when(col("v").isNotNull, "obs")
+            .when(col("vp").isNull || col("vn").isNull, "pad")
+            .otherwise("interp").as("src"))
+        .orderBy("hour_us", "event_type")
+    },
+    Some("""WITH ev AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000
+                AS h, event_type, CAST(value AS DECIMAL(30,10)) AS v
+              FROM events),
+            obs AS (SELECT h, event_type, sum(v) AS v
+                    FROM ev GROUP BY h, event_type),
+            b AS (SELECT min(h) AS lo, max(h) AS hi FROM ev),
+            spine AS (SELECT unnest(generate_series(lo, hi)) AS h FROM b),
+            t AS (SELECT DISTINCT event_type FROM ev),
+            sv AS (SELECT spine.h, t.event_type, obs.v
+                   FROM spine CROSS JOIN t
+                   LEFT JOIN obs ON obs.h = spine.h
+                     AND obs.event_type = t.event_type),
+            ends AS (SELECT h, event_type, v,
+                last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+                  OVER (PARTITION BY event_type ORDER BY h
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hp,
+                last_value(v IGNORE NULLS)
+                  OVER (PARTITION BY event_type ORDER BY h
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS vp,
+                first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+                  OVER (PARTITION BY event_type ORDER BY h
+                    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS hn,
+                first_value(v IGNORE NULLS)
+                  OVER (PARTITION BY event_type ORDER BY h
+                    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS vn
+              FROM sv)
+            SELECT h * 3600000000 AS hour_us, event_type,
+              CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+                   WHEN vp IS NULL THEN CAST(vn AS DOUBLE)
+                   WHEN vn IS NULL THEN CAST(vp AS DOUBLE)
+                   ELSE CAST(vp AS DOUBLE)
+                     + (CAST(vn AS DOUBLE) - CAST(vp AS DOUBLE))
+                       * ((h - hp) / (hn - hp)) END AS revenue,
+              CASE WHEN v IS NOT NULL THEN 'obs'
+                   WHEN vp IS NULL OR vn IS NULL THEN 'pad'
+                   ELSE 'interp' END AS src
+            FROM ends ORDER BY hour_us, event_type"""))
+
   private val streamingNames: Set[String] = Set(
     "q64_stream_hourly", "q66_stream_dedup", "q75_stream_sessions",
     "q76_stream_late_drop", "q78_stream_interval_join",
@@ -3251,6 +3343,6 @@ object EventQueries {
       q149BitmapIntersect, q150RatioToParent, q151Twap,
       q152MaxConcurrency, q154GrowthAccounting, q155ParetoCoverage,
       q158ModalType, q159ArgmaxPurchase, q161Autocorr, q170ConversionLag,
-      q174RfmSegments)
+      q174RfmSegments, q179InterpolateGaps)
       .map(q => q.copy(streaming = streamingNames(q.name)))
 }

@@ -1033,6 +1033,33 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("q179 interpolation: interior gaps get the line, the trailing " +
+      "edge pads, observed points pass through untouched") {
+    withTempDir { dir =>
+      val h = 3600L * 1000000000L
+      writeEvents(dir, Seq(
+        // type "a": observed at hours 0 (10.0) and 3 (40.0) — hours 1,2
+        // interpolate on the line, hour 4 (spine extended by "b") pads
+        (1L, 1L, 0 * h, "a", 10.0), (2L, 1L, 3 * h, "a", 40.0),
+        // type "b": dense 1.0 at hours 0..4 -> all obs, extends spine
+        (3L, 2L, 0 * h, "b", 1.0), (4L, 2L, 1 * h, "b", 1.0),
+        (5L, 2L, 2 * h, "b", 1.0), (6L, 2L, 3 * h, "b", 1.0),
+        (7L, 2L, 4 * h, "b", 1.0)))
+      val out = EventQueries.q179InterpolateGaps.fn(spark, dir)
+        .filter(col("event_type") === "a")
+        .select("hour_us", "revenue", "src")
+        .as[(Long, Double, String)].collect().toList
+      val us = 3600000000L
+      def line(hh: Double) = 10.0 + (40.0 - 10.0) * (hh / 3.0)
+      out shouldBe List(
+        (0 * us, 10.0, "obs"),
+        (1 * us, line(1.0), "interp"),
+        (2 * us, line(2.0), "interp"),
+        (3 * us, 40.0, "obs"),
+        (4 * us, 40.0, "pad"))
+    }
+  }
+
   test("q168 skyline: dominated, tied and duplicate points resolve to " +
       "the exact per-brand frontier") {
     withTempDir { dir =>
