@@ -3320,6 +3320,206 @@ object EventQueries {
                    ELSE 'interp' END AS src
             FROM ends ORDER BY hour_us, event_type"""))
 
+  /** Exact ROC AUC by rank-sum — does `value` separate purchases from
+    * non-purchases? AUC is the Mann-Whitney statistic
+    * U / (n_pos * n_neg) with midrank tie handling; computed exactly in
+    * integers via the distinct-value histogram: per value v count
+    * positives np(v) and negatives nn(v), accumulate negatives strictly
+    * below, and sum 2U = SUM_v np(v) * (2*neg_below(v) + nn(v)) — the
+    * `+ nn(v)` term IS the midrank half-credit for ties, doubled so the
+    * whole sum stays integral. AUC = 2U / (2 * n_pos * n_neg) is the
+    * single IEEE division at the very end; everything before it is
+    * exact BIGINT arithmetic, so the statistic is bit-identical across
+    * engines, partition counts, and reruns.
+    *
+    * ## 100 TB notes
+    * One shuffle to the distinct-value histogram (map-side partial
+    * counts); the cumulative walk runs over value GROUPS, not events —
+    * frame size is the score cardinality, the same histogram-cumulative
+    * discipline as q40/q174 (range-repartition by value + per-range
+    * offsets when the score domain itself is huge). No self-join, no
+    * per-pair expansion of the n_pos x n_neg comparisons the statistic
+    * logically encodes.
+    */
+  val q181AucRanksum: Q = Q(
+    "q181_auc_ranksum",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("value").as("v"),
+          (col("event_type") === "purchase").cast("long").as("pos"))
+      val hist = ev.groupBy(col("v"))
+        .agg(sum(col("pos")).as("np"),
+          (count(lit(1)) - sum(col("pos"))).as("nn"))
+      val below = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cum = hist.withColumn("neg_below",
+        coalesce(sum(col("nn")).over(below), lit(0L)))
+      cum.agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+          sum(col("np") * (col("neg_below") * 2 + col("nn"))).as("u2"))
+        .select(col("n_pos"), col("n_neg"), col("u2"),
+          (col("u2").cast("double") /
+            (col("n_pos") * col("n_neg") * 2).cast("double")).as("auc"))
+    },
+    Some("""WITH ev AS (SELECT value AS v,
+                CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+              FROM events),
+            h AS (SELECT v, CAST(sum(pos) AS BIGINT) AS np,
+                count(*) - CAST(sum(pos) AS BIGINT) AS nn
+              FROM ev GROUP BY v),
+            c AS (SELECT np, nn,
+                coalesce(sum(nn) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS neg_below
+              FROM h),
+            agg AS (SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+                CAST(sum(nn) AS BIGINT) AS n_neg,
+                CAST(sum(np * (neg_below * 2 + nn)) AS BIGINT) AS u2
+              FROM c)
+            SELECT n_pos, n_neg, u2,
+              CAST(u2 AS DOUBLE) / CAST(n_pos * n_neg * 2 AS DOUBLE) AS auc
+            FROM agg"""))
+
+  /** Distinct-user support of sequential patterns a -> b: for every
+    * ordered pair of event types, how many users have SOME occurrence
+    * of `a` strictly before SOME occurrence of `b` — the containment
+    * semantics of sequential pattern mining (PrefixSpan / SPAM), which
+    * q122's Markov matrix does NOT answer (that counts ADJACENT
+    * transitions; a -> b here may have any gap). The per-user test
+    * `exists i<j: t_i=a, t_j=b` reduces exactly to
+    * `min_ts(a) < max_ts(b)`, so each user contributes one bounded row
+    * per type — never a per-event self-join. Also emits support as
+    * exact ppm of the user base (integer floor division).
+    *
+    * ## 100 TB notes
+    * One shuffle to the (user, type) rollup; the pair expansion joins
+    * that rollup with itself PER USER on the shared user_id
+    * partitioning — each side is at most |types| rows per user, so the
+    * join output is bounded by |users| * |types|^2, independent of
+    * event count. The final agg has <= |types|^2 groups.
+    */
+  val q185SeqPatterns: Q = Q(
+    "q185_seq_patterns",
+    (s, dir) => {
+      val ut = Tables.eager(Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"), tsUs.as("us"))
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(min(col("us")).as("first_us"), max(col("us")).as("last_us")))
+      val total = ut.agg(count_distinct(col("user_id")).as("n_total"))
+      val a = ut.select(col("user_id"), col("event_type").as("a"),
+        col("first_us"))
+      val b = ut.select(col("user_id"), col("event_type").as("b"),
+        col("last_us"))
+      a.join(b, Seq("user_id"))
+        .filter(col("a") =!= col("b") && col("first_us") < col("last_us"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("n_users"))
+        .crossJoin(broadcast(total))
+        .select(col("a"), col("b"), col("n_users"),
+          expr("n_users * 1000000 div n_total").as("support_ppm"))
+        .orderBy(col("a"), col("b"))
+    },
+    Some(s"""WITH ut AS (SELECT user_id, event_type,
+                min(${duckUs("ts")}) AS first_us,
+                max(${duckUs("ts")}) AS last_us
+              FROM events GROUP BY user_id, event_type),
+            n AS (SELECT count(DISTINCT user_id) AS n_total FROM ut)
+            SELECT a.event_type AS a, b.event_type AS b,
+              count(*) AS n_users,
+              count(*) * 1000000 // (SELECT n_total FROM n) AS support_ppm
+            FROM ut a JOIN ut b ON a.user_id = b.user_id
+              AND a.event_type <> b.event_type
+              AND a.first_us < b.last_us
+            GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** Decile lift (gains table) — the model-eval companion to q181's
+    * AUC: users ranked by an engagement score (view count) are cut into
+    * ten value-bins against rank-picked cutoffs (q174's
+    * histogram-cumulative order statistic, `v <= cut` assignment so
+    * ties land in one bin on both engines — never ntile, whose
+    * remainder spreading is tie-order-dependent), then each bin reports
+    * its purchase-conversion numerator/denominator exactly and
+    * `lift = (conv_d * n_total) / (purch_total * n_d)` as ONE IEEE
+    * division over a pre-multiplied exact integer numerator and
+    * denominator — not rate/rate, which would be three divergence-prone
+    * divisions.
+    *
+    * ## 100 TB notes
+    * One shuffle to the per-user rollup; the ten cutoffs come from a
+    * histogram over DISTINCT score values reduced to one broadcast row;
+    * the final agg has <= 10 groups. Same shape as q174 at any scale.
+    */
+  val q186DecileLift: Q = Q(
+    "q186_decile_lift",
+    (s, dir) => {
+      val u = Tables.eager(Tables.load(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(count(when(col("event_type") === "view", 1)).as("score"),
+          max((col("event_type") === "purchase").cast("long")).as("buyer")))
+      val hist = u.groupBy(col("score").as("v"))
+        .agg(count(lit(1)).as("c"))
+      val cum = hist
+        .withColumn("cum", sum(col("c")).over(
+          Window.orderBy(col("v"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", sum(col("c")).over(
+          Window.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+      val picks = (1 to 9).map(i =>
+        min(when(col("cum") * 10 >= col("n") * i, col("v"))).as(s"c$i"))
+      val cuts = cum.agg(picks.head, picks.tail: _*)
+      val decile = (1 to 9).foldLeft(when(lit(false), 0)) {
+        case (acc, i) => acc.when(col("score") <= col(s"c$i"), i)
+      }.otherwise(10)
+      val binned = u.crossJoin(broadcast(cuts))
+        .select(decile.as("decile"), col("buyer"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_users"), sum(col("buyer")).as("n_buyers"))
+      val tot = binned.agg(sum(col("n_users")).as("t_users"),
+        sum(col("n_buyers")).as("t_buyers"))
+      binned.crossJoin(broadcast(tot))
+        .select(col("decile"), col("n_users"), col("n_buyers"),
+          ((col("n_buyers") * col("t_users")).cast("double") /
+            (col("t_buyers") * col("n_users")).cast("double")).as("lift"))
+        .orderBy(col("decile"))
+    },
+    Some("""WITH u AS (SELECT user_id,
+                count(CASE WHEN event_type = 'view' THEN 1 END) AS score,
+                max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS buyer
+              FROM events GROUP BY user_id),
+            h AS (SELECT score AS v, count(*) AS c FROM u GROUP BY score),
+            cm AS (SELECT v, sum(c) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                sum(c) OVER () AS n FROM h),
+            cuts AS (SELECT
+                min(CASE WHEN cum * 10 >= n * 1 THEN v END) AS c1,
+                min(CASE WHEN cum * 10 >= n * 2 THEN v END) AS c2,
+                min(CASE WHEN cum * 10 >= n * 3 THEN v END) AS c3,
+                min(CASE WHEN cum * 10 >= n * 4 THEN v END) AS c4,
+                min(CASE WHEN cum * 10 >= n * 5 THEN v END) AS c5,
+                min(CASE WHEN cum * 10 >= n * 6 THEN v END) AS c6,
+                min(CASE WHEN cum * 10 >= n * 7 THEN v END) AS c7,
+                min(CASE WHEN cum * 10 >= n * 8 THEN v END) AS c8,
+                min(CASE WHEN cum * 10 >= n * 9 THEN v END) AS c9
+              FROM cm),
+            binned AS (SELECT CASE
+                  WHEN score <= c1 THEN 1 WHEN score <= c2 THEN 2
+                  WHEN score <= c3 THEN 3 WHEN score <= c4 THEN 4
+                  WHEN score <= c5 THEN 5 WHEN score <= c6 THEN 6
+                  WHEN score <= c7 THEN 7 WHEN score <= c8 THEN 8
+                  WHEN score <= c9 THEN 9 ELSE 10 END AS decile,
+                buyer
+              FROM u, cuts),
+            g AS (SELECT decile, count(*) AS n_users,
+                CAST(sum(buyer) AS BIGINT) AS n_buyers
+              FROM binned GROUP BY decile),
+            t AS (SELECT CAST(sum(n_users) AS BIGINT) AS t_users,
+                CAST(sum(n_buyers) AS BIGINT) AS t_buyers FROM g)
+            SELECT decile, n_users, n_buyers,
+              CAST(n_buyers * t_users AS DOUBLE)
+                / CAST(t_buyers * n_users AS DOUBLE) AS lift
+            FROM g, t ORDER BY decile"""))
+
   private val streamingNames: Set[String] = Set(
     "q64_stream_hourly", "q66_stream_dedup", "q75_stream_sessions",
     "q76_stream_late_drop", "q78_stream_interval_join",
@@ -3343,6 +3543,7 @@ object EventQueries {
       q149BitmapIntersect, q150RatioToParent, q151Twap,
       q152MaxConcurrency, q154GrowthAccounting, q155ParetoCoverage,
       q158ModalType, q159ArgmaxPurchase, q161Autocorr, q170ConversionLag,
-      q174RfmSegments, q179InterpolateGaps)
+      q174RfmSegments, q179InterpolateGaps, q181AucRanksum,
+      q185SeqPatterns, q186DecileLift)
       .map(q => q.copy(streaming = streamingNames(q.name)))
 }

@@ -1614,6 +1614,169 @@ object RelationalQueries {
             WHERE max_size_before IS NULL OR p_size > max_size_before
             ORDER BY p_brand, price, p_partkey"""))
 
+  /** Benford first-significant-digit audit over `l_extendedprice` — the
+    * classic fraud / synthetic-data smoke test: naturally-occurring
+    * multi-scale amounts follow P(d) = log10(1 + 1/d), so a digit
+    * histogram far from that curve flags fabricated or truncated data.
+    * The first significant digit is extracted STRUCTURALLY (strip every
+    * non-1-9 character from the decimal's canonical text form, take the
+    * head) — never floor(log10(x)), whose float rounding misclassifies
+    * exact powers of ten. Observed shares are exact integer ppm (floor
+    * cross-multiplication); the Benford expectation ships as a 9-entry
+    * integer-ppm table (301030 .. 45757 — it sums to exactly 1,000,000),
+    * so the whole audit is BIGINT-exact end to end: no libm ln() whose
+    * last-ulp behavior could differ between engines.
+    *
+    * Scale shape: one map-side-combined 9-group aggregate over a
+    * single-column projection; the 1-row total joins back by broadcast.
+    */
+  val q182Benford: Q = Q(
+    "q182_benford",
+    (s, dir) => {
+      val expPpm = Map(1 -> 301030L, 2 -> 176091L, 3 -> 124939L,
+        4 -> 96910L, 5 -> 79181L, 6 -> 66947L, 7 -> 57992L, 8 -> 51153L,
+        9 -> 45757L)
+      val digit = substring(regexp_replace(
+        col("l_extendedprice").cast("string"), "[^1-9]", ""), 1, 1)
+        .cast("long")
+      val g = Tables.load(s, dir, "lineitem")
+        .select(digit.as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+      val tot = g.agg(sum(col("n_obs")).as("n_total"))
+      val exp = expPpm.foldLeft(when(lit(false), 0L)) {
+        case (acc, (d, p)) => acc.when(col("digit") === d, p)
+      }
+      g.crossJoin(broadcast(tot))
+        .select(col("digit"), col("n_obs"),
+          expr("n_obs * 1000000 div n_total").as("obs_ppm"),
+          exp.as("exp_ppm"),
+          (expr("n_obs * 1000000 div n_total") - exp).as("delta_ppm"))
+        .orderBy(col("digit"))
+    },
+    Some("""WITH d AS (SELECT CAST(substring(regexp_replace(
+                  CAST(l_extendedprice AS VARCHAR), '[^1-9]', '', 'g'),
+                  1, 1) AS BIGINT) AS digit
+              FROM lineitem),
+            g AS (SELECT digit, count(*) AS n_obs FROM d GROUP BY digit),
+            t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM g)
+            SELECT digit, n_obs,
+              n_obs * 1000000 // n_total AS obs_ppm,
+              CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091
+                WHEN 3 THEN 124939 WHEN 4 THEN 96910 WHEN 5 THEN 79181
+                WHEN 6 THEN 66947 WHEN 7 THEN 57992 WHEN 8 THEN 51153
+                WHEN 9 THEN 45757 END AS exp_ppm,
+              n_obs * 1000000 // n_total - CASE digit
+                WHEN 1 THEN 301030 WHEN 2 THEN 176091 WHEN 3 THEN 124939
+                WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66947
+                WHEN 7 THEN 57992 WHEN 8 THEN 51153 WHEN 9 THEN 45757
+                END AS delta_ppm
+            FROM g, t ORDER BY digit"""))
+
+  /** Referential-integrity audit — orphan counts and exact-ppm orphan
+    * rates across every foreign-key edge of the star schema in ONE
+    * result: lineitem -> {orders, part, supplier}, orders -> customer,
+    * {customer, supplier} -> nation, nation -> region. q09 proves the
+    * anti-join operator on one edge; this is the DQ *report* a pipeline
+    * gate consumes (the reference's quality layer checks emptiness and
+    * row floors — plugins/data_quality_operator.py:60-66 — this is the
+    * schema-wide cross-table generalization that layer lacks). Each
+    * edge is `child LEFT ANTI JOIN parent` counted
+    * against the child's total; edges are unioned with a stable edge
+    * name so the report is one ordered relation.
+    *
+    * ## 100 TB notes
+    * Dimension parents (nation, region, part, supplier, customer) reach
+    * the anti-join by broadcast — no shuffle of the fact side; the one
+    * fact-fact edge (lineitem -> orders) shuffles on orderkey exactly as
+    * q09 does (bucketed co-location removes it on a real cluster). Each
+    * edge's count is a 1-row map-side-combined aggregate; the union of
+    * eight 1-row frames is free.
+    */
+  val q183OrphanAudit: Q = Q(
+    "q183_orphan_audit",
+    (s, dir) => {
+      def edge(name: String, child: DataFrame, ck: String,
+          parent: DataFrame, pk: String, bcast: Boolean): DataFrame = {
+        val p = parent.select(col(pk))
+        val par = if (bcast) broadcast(p) else p
+        val orphans = child.select(col(ck))
+          .join(par, col(ck) === col(pk), "left_anti")
+          .agg(count(lit(1)).as("n_orphans"))
+        child.agg(count(lit(1)).as("n_child"))
+          .crossJoin(broadcast(orphans))
+          .select(lit(name).as("edge"), col("n_child"), col("n_orphans"),
+            expr("n_orphans * 1000000 div n_child").as("orphan_ppm"))
+      }
+      val li = Tables.load(s, dir, "lineitem")
+      val ord = Tables.load(s, dir, "orders")
+      val part = Tables.load(s, dir, "part")
+      val supp = Tables.load(s, dir, "supplier")
+      val cust = Tables.load(s, dir, "customer")
+      val nat = Tables.load(s, dir, "nation")
+      val reg = Tables.load(s, dir, "region")
+      Seq(
+        edge("customer->nation", cust, "c_nationkey", nat, "n_nationkey",
+          bcast = true),
+        edge("lineitem->orders", li, "l_orderkey", ord, "o_orderkey",
+          bcast = false),
+        edge("lineitem->part", li, "l_partkey", part, "p_partkey",
+          bcast = true),
+        edge("lineitem->supplier", li, "l_suppkey", supp, "s_suppkey",
+          bcast = true),
+        edge("nation->region", nat, "n_regionkey", reg, "r_regionkey",
+          bcast = true),
+        edge("orders->customer", ord, "o_custkey", cust, "c_custkey",
+          bcast = true),
+        edge("supplier->nation", supp, "s_nationkey", nat, "n_nationkey",
+          bcast = true))
+        .reduce(_.unionByName(_))
+        .orderBy(col("edge"))
+    },
+    Some("""WITH e AS (
+              SELECT 'customer->nation' AS edge,
+                (SELECT count(*) FROM customer) AS n_child,
+                (SELECT count(*) FROM customer c WHERE NOT EXISTS
+                  (SELECT 1 FROM nation n
+                   WHERE n.n_nationkey = c.c_nationkey)) AS n_orphans
+              UNION ALL
+              SELECT 'lineitem->orders',
+                (SELECT count(*) FROM lineitem),
+                (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+                  (SELECT 1 FROM orders o
+                   WHERE o.o_orderkey = l.l_orderkey))
+              UNION ALL
+              SELECT 'lineitem->part',
+                (SELECT count(*) FROM lineitem),
+                (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+                  (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+              UNION ALL
+              SELECT 'lineitem->supplier',
+                (SELECT count(*) FROM lineitem),
+                (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+                  (SELECT 1 FROM supplier s
+                   WHERE s.s_suppkey = l.l_suppkey))
+              UNION ALL
+              SELECT 'nation->region',
+                (SELECT count(*) FROM nation),
+                (SELECT count(*) FROM nation n WHERE NOT EXISTS
+                  (SELECT 1 FROM region r
+                   WHERE r.r_regionkey = n.n_regionkey))
+              UNION ALL
+              SELECT 'orders->customer',
+                (SELECT count(*) FROM orders),
+                (SELECT count(*) FROM orders o WHERE NOT EXISTS
+                  (SELECT 1 FROM customer c
+                   WHERE c.c_custkey = o.o_custkey))
+              UNION ALL
+              SELECT 'supplier->nation',
+                (SELECT count(*) FROM supplier),
+                (SELECT count(*) FROM supplier s WHERE NOT EXISTS
+                  (SELECT 1 FROM nation n
+                   WHERE n.n_nationkey = s.s_nationkey)))
+            SELECT edge, n_child, n_orphans,
+              n_orphans * 1000000 // n_child AS orphan_ppm
+            FROM e ORDER BY edge"""))
+
   val all: Seq[Q] = Seq(q06JoinDims, q07StarRevenue, q08SemiJoin, q09AntiJoin,
     q10AggStats, q11Rollup, q12DistinctExact, q13WindowTopK, q14RunningSum,
     q15Pivot, q16SetOps, q17GlobalTopN, q40QuantilesDisc, q41Moments,
@@ -1622,5 +1785,6 @@ object RelationalQueries {
     q114CorrMatrix, q116FullOuter, q117Unpivot, q118GroupingSets,
     q124MadOutliers, q129WowGrowth, q130BloomMembership, q133RankFamily,
     q135SnowflakeChain, q136EquidepthHistogram, q157Winsorize,
-    q160WilsonInterval, q167ZorderLayout, q168Skyline, q175WeightedMedian)
+    q160WilsonInterval, q167ZorderLayout, q168Skyline, q175WeightedMedian,
+    q182Benford, q183OrphanAudit)
 }

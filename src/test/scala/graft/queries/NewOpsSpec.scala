@@ -1060,6 +1060,136 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("q181 AUC: hand-computed midrank rank-sum, ties get half credit") {
+    withTempDir { dir =>
+      val s = 1000000000L
+      // positives (purchase) at 5.0 and 3.0; negatives at 3.0 and 1.0:
+      // pairs (5,3)=1 (5,1)=1 (3,3)=0.5 (3,1)=1 -> U=3.5, AUC=7/8
+      writeEvents(dir, Seq(
+        (1L, 1L, 1L * s, "purchase", 5.0),
+        (2L, 2L, 2L * s, "purchase", 3.0),
+        (3L, 3L, 3L * s, "view", 3.0),
+        (4L, 4L, 4L * s, "view", 1.0)))
+      val out = EventQueries.q181AucRanksum.fn(spark, dir)
+        .select("n_pos", "n_neg", "u2", "auc")
+        .as[(Long, Long, Long, Double)].collect().head
+      out shouldBe ((2L, 2L, 7L, 0.875))
+    }
+  }
+
+  test("q181 AUC: perfect separation is exactly 1, reversal exactly 0") {
+    withTempDir { dir =>
+      val s = 1000000000L
+      writeEvents(dir, Seq(
+        (1L, 1L, 1L * s, "purchase", 10.0),
+        (2L, 2L, 2L * s, "purchase", 9.0),
+        (3L, 3L, 3L * s, "view", 2.0),
+        (4L, 4L, 4L * s, "view", 1.0)))
+      EventQueries.q181AucRanksum.fn(spark, dir)
+        .select("auc").as[Double].collect().head shouldBe 1.0
+      writeEvents(dir, Seq(
+        (1L, 1L, 1L * s, "view", 10.0),
+        (2L, 2L, 2L * s, "purchase", 1.0)))
+      EventQueries.q181AucRanksum.fn(spark, dir)
+        .select("auc").as[Double].collect().head shouldBe 0.0
+    }
+  }
+
+  test("q182 Benford: first SIGNIFICANT digit — leading zeros and the " +
+      "decimal point never count, ppm table is exact") {
+    withTempDir { dir =>
+      // 0.19 -> 1, 100.00 -> 1, 0.05 -> 5, 923.00 -> 9
+      Seq(BigDecimal("0.19"), BigDecimal("100.00"), BigDecimal("0.05"),
+          BigDecimal("923.00"))
+        .toDF("l_extendedprice")
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      val out = RelationalQueries.q182Benford.fn(spark, dir)
+        .select("digit", "n_obs", "obs_ppm", "exp_ppm", "delta_ppm")
+        .as[(Long, Long, Long, Long, Long)].collect().toList
+      out shouldBe List(
+        (1L, 2L, 500000L, 301030L, 198970L),
+        (5L, 1L, 250000L, 79181L, 170819L),
+        (9L, 1L, 250000L, 45757L, 204243L))
+    }
+  }
+
+  test("q183 orphan audit: a planted dangling orderkey is counted on " +
+      "exactly one edge; intact edges report zero") {
+    withTempDir { dir =>
+      Seq((1L, 101L, 201L), (2L, 101L, 201L), (99L, 101L, 201L))
+        .toDF("l_orderkey", "l_partkey", "l_suppkey")
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      Seq((1L, 11L), (2L, 11L)).toDF("o_orderkey", "o_custkey")
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      Seq(Tuple1(101L)).toDF("p_partkey")
+        .write.mode("overwrite").parquet(s"$dir/part.parquet")
+      Seq((201L, 1L)).toDF("s_suppkey", "s_nationkey")
+        .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+      Seq((11L, 1L)).toDF("c_custkey", "c_nationkey")
+        .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+      Seq((1L, 0L)).toDF("n_nationkey", "n_regionkey")
+        .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+      Seq(Tuple1(0L)).toDF("r_regionkey")
+        .write.mode("overwrite").parquet(s"$dir/region.parquet")
+      val out = RelationalQueries.q183OrphanAudit.fn(spark, dir)
+        .select("edge", "n_child", "n_orphans", "orphan_ppm")
+        .as[(String, Long, Long, Long)].collect().toList
+      out shouldBe List(
+        ("customer->nation", 1L, 0L, 0L),
+        ("lineitem->orders", 3L, 1L, 333333L),
+        ("lineitem->part", 3L, 0L, 0L),
+        ("lineitem->supplier", 3L, 0L, 0L),
+        ("nation->region", 1L, 0L, 0L),
+        ("orders->customer", 2L, 0L, 0L),
+        ("supplier->nation", 1L, 0L, 0L))
+    }
+  }
+
+  test("q185 sequence support: a before b counts ANY gap, order is " +
+      "strict, absent types contribute nothing") {
+    withTempDir { dir =>
+      val s = 1000000000L
+      writeEvents(dir, Seq(
+        // u1: a@1 .. (gap) .. b@9 -> a->b only
+        (1L, 1L, 1L * s, "a", 0.0), (2L, 1L, 9L * s, "b", 0.0),
+        // u2: b@1, a@2 -> b->a only
+        (3L, 2L, 1L * s, "b", 0.0), (4L, 2L, 2L * s, "a", 0.0),
+        // u3: only a -> no pair
+        (5L, 3L, 1L * s, "a", 0.0)))
+      val out = EventQueries.q185SeqPatterns.fn(spark, dir)
+        .select("a", "b", "n_users", "support_ppm")
+        .as[(String, String, Long, Long)].collect().toList
+      out shouldBe List(("a", "b", 1L, 333333L), ("b", "a", 1L, 333333L))
+    }
+  }
+
+  test("q186 decile lift: distinct scores map decile=score; only buyer " +
+      "deciles lift above zero, and exactly to t_users/t_buyers") {
+    withTempDir { dir =>
+      val s = 1000000000L
+      var id = 0L
+      val rows = (1 to 10).flatMap { u =>
+        val views = (1 to u).map { i =>
+          id += 1; (id, u.toLong, (u * 100L + i) * s, "view", 0.0)
+        }
+        val buys = if (u >= 9)
+          Seq({ id += 1; (id, u.toLong, (u * 100L + 50) * s, "purchase", 1.0) })
+        else Seq.empty
+        views ++ buys
+      }
+      writeEvents(dir, rows)
+      val out = EventQueries.q186DecileLift.fn(spark, dir)
+        .select("decile", "n_users", "n_buyers", "lift")
+        .as[(Int, Long, Long, Double)].collect().toList
+      out.map(_._1) shouldBe (1 to 10).toList
+      all(out.map(_._2)) shouldBe 1L
+      out.filter(_._1 <= 8).map(_._3).sum shouldBe 0L
+      // lift = (1 * 10) / (2 * 1) = 5.0 for the two buyer deciles
+      out.filter(_._1 >= 9).map(r => (r._3, r._4)) shouldBe
+        List((1L, 5.0), (1L, 5.0))
+    }
+  }
+
   test("q168 skyline: dominated, tied and duplicate points resolve to " +
       "the exact per-brand frontier") {
     withTempDir { dir =>
