@@ -29,6 +29,7 @@ import graft.engine.ext.Text
 object DedupQueries {
 
   private val K = 3        // shingle width (tokens)
+  private val Wd = 3       // SNM window span: pairs <= Wd ranks apart (q180)
   private val NumHashes = 16
   private val Bands = 4    // 4 bands x 4 rows: catches J>=0.8 w.h.p.
   private val RowsPerBand = NumHashes / Bands
@@ -1005,9 +1006,84 @@ object DedupQueries {
              JOIN documents sb ON sb.doc_id = d2
              GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** Sorted-neighborhood dedup (SNM, Hernandez-Stolfo) — the classic
+    * record-linkage blocking method the family still lacked: sort the
+    * corpus by a domain key (here the first 24 chars of the text —
+    * near-dup docs share long prefixes on this corpus), slide a
+    * fixed-size window over the SORTED order, and verify only pairs
+    * within the window ([[Wd]] rank positions apart). Complements the
+    * content-keyed blockers: LSH (q24) buckets by signature, rare
+    * shingles (q25) by df, SimHash (q26) by band — SNM buckets by sort
+    * ADJACENCY, which also catches pairs whose shared shingles are all
+    * too common to be blocking keys. Its documented weakness is real
+    * here too: a near-dup pair differing in the first words sorts far
+    * apart and is missed — both engines miss it identically.
+    *
+    * The global rank is NOT a single-partition window: docs are blocked
+    * by the key's 2-char prefix (prefix order is consistent with full
+    * lexicographic order, so blocks are contiguous rank ranges),
+    * per-block counts reduce to a tiny frame whose running sum gives
+    * each block's rank offset (broadcast back), and
+    * `rank = offset + intra-block row_number` — the distributed
+    * zipWithIndex, provably equal to the oracle's flat
+    * `row_number() OVER (ORDER BY k, doc_id)`. Window pairs come from
+    * an EQUI-join on `g = (rank-1) div Wd`: each row probes its own
+    * group and the next (bounded x2 explode), so |rank diff| <= Wd
+    * pairs are complete without any band/range join.
+    *
+    * ## 100 TB notes
+    * One shuffle keyed by prefix block for the rank (the same
+    * repartitionByRange a sorted materialization would need anyway);
+    * the pair join is an equi-join on g with <= 2*Wd rows per group —
+    * candidate count is exactly n*Wd minus edge effects, LINEAR in the
+    * corpus, the property that made SNM the pre-LSH workhorse.
+    * Verification joins shingle arrays only for candidates.
+    */
+  val q180SortedNeighborhood: Q = Q(
+    "q180_sorted_neighborhood",
+    (s, dir) => {
+      val base = eager(shingled(s, dir))
+      val keyed = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          lower(substring(col("text"), 1, 24)).as("k"))
+        .withColumn("blk", substring(col("k"), 1, 2))
+      val offsets = keyed.groupBy(col("blk")).agg(count(lit(1)).as("c"))
+        .withColumn("off", coalesce(sum(col("c")).over(
+          Window.orderBy(col("blk"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("blk"), col("off"))
+      val ranked = eager(keyed
+        .join(broadcast(offsets), Seq("blk"))
+        .withColumn("rn", col("off") + row_number().over(
+          Window.partitionBy(col("blk"))
+            .orderBy(col("k"), col("doc_id"))))
+        .select(col("doc_id"), col("rn"),
+          expr(s"(rn - 1) div $Wd").as("g")))
+      val probes = ranked.select(col("doc_id").as("i1"), col("rn").as("rn1"),
+        explode(array(col("g"), col("g") + 1)).as("gp"))
+      val cand = probes
+        .join(ranked.select(col("doc_id").as("i2"), col("rn").as("rn2"),
+          col("g").as("gp")), Seq("gp"))
+        .filter(col("rn2") > col("rn1") && col("rn2") <= col("rn1") + Wd)
+        .select(least(col("i1"), col("i2")).as("d1"),
+          greatest(col("i1"), col("i2")).as("d2"))
+      verifyPairs(cand, base, threshold = 0.5)
+    },
+    Some(s"""WITH shs AS ($duckShingled),
+             keyed AS (SELECT doc_id, lower(substring(text, 1, 24)) AS k
+                       FROM documents),
+             ranked AS (SELECT doc_id,
+                 row_number() OVER (ORDER BY k, doc_id) AS rn
+               FROM keyed),
+             cand AS (SELECT least(a.doc_id, b.doc_id) AS d1,
+                 greatest(a.doc_id, b.doc_id) AS d2
+               FROM ranked a JOIN ranked b
+                 ON b.rn > a.rn AND b.rn <= a.rn + $Wd)
+             ${duckVerify("0.5")}"""))
+
   val all: Seq[Q] = Seq(q23DedupExact, q24MinhashLsh, q25JaccardBlocked,
     q26Simhash, q43DedupComponents, q59DedupMaterialize, q60IncrementalDedup,
     q61Decontaminate, q63Boilerplate, q69ComponentsStar, q81SourceOverlap,
     q102PrefixJoin, q153MinhashNative, q156NoveltyRate, q171ContainmentJoin,
-    q172SourceDupMatrix)
+    q172SourceDupMatrix, q180SortedNeighborhood)
 }

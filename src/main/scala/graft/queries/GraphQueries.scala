@@ -392,5 +392,91 @@ object GraphQueries {
             SELECT arrival, count(*) AS n_reached FROM arr
             WHERE arrival >= 0 GROUP BY arrival ORDER BY arrival"""))
 
-  val all: Seq[Q] = Seq(q110Triangles, q111BfsHops, q165KCore, q176TimeReach)
+  /** Edge triangle-support distribution — the k-truss criterion (an
+    * edge belongs to the k-truss iff it closes >= k-2 triangles), the
+    * cohesion measure BETWEEN q110's global triangle count and q165's
+    * vertex k-core: cores bound degrees, trusses bound *edge* embedding
+    * strength, and truss decomposition peels by exactly this support
+    * number. Triangles are enumerated once by q110's degree-oriented
+    * wedge join (out-degree O(sqrt(m)), so O(m^1.5) wedges — a hub
+    * contributes none); each triangle is then credited to its THREE
+    * canonical (min,max) edges and supports are counted per edge, with
+    * zero-support edges kept through a left join against the full edge
+    * list. Output: one row per support level with its edge count — the
+    * exact histogram a truss-peeling scheduler consumes.
+    *
+    * ## 100 TB notes
+    * The wedge join is q110's plan verbatim (broadcast while `oe` fits,
+    * AQE-shuffled beyond); the triangle->edge explosion is a bounded x3
+    * map BEFORE the support aggregation, which combines map-side on the
+    * canonical edge key; the closing left join shuffles edges once.
+    * Support values are bounded by the wedge cap, so the final
+    * histogram is tiny.
+    */
+  val q184TrussSupport: Q = Q(
+    "q184_truss_support",
+    (s, dir) => {
+      val e = Tables.eager(cooccurrenceEdges(s, dir))
+      val deg = e.select(col("u").as("node"))
+        .unionAll(e.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("d"))
+      val da = deg.select(col("node").as("u"), col("d").as("du"))
+      val db = deg.select(col("node").as("v"), col("d").as("dv"))
+      val lowFirst = col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v"))
+      val oe = Tables.eager(e.join(da, "u").join(db, "v")
+        .select(when(lowFirst, col("u")).otherwise(col("v")).as("s"),
+          when(lowFirst, col("v")).otherwise(col("u")).as("t")))
+      val e1 = oe.select(col("s").as("a"), col("t").as("b"))
+      val e2 = oe.select(col("s").as("b2"), col("t").as("c"))
+      val closing = e.select(col("u").as("x"), col("v").as("y"))
+      val tri = e1.join(e2, col("b") === col("b2"))
+        .join(closing,
+          least(col("a"), col("c")) === col("x") &&
+            greatest(col("a"), col("c")) === col("y"))
+        .select(col("a"), col("b"), col("c"))
+      val triEdges = tri
+        .select(least(col("a"), col("b")).as("p"),
+          greatest(col("a"), col("b")).as("q"))
+        .unionAll(tri.select(least(col("b"), col("c")).as("p"),
+          greatest(col("b"), col("c")).as("q")))
+        .unionAll(tri.select(least(col("a"), col("c")).as("p"),
+          greatest(col("a"), col("c")).as("q")))
+      val support = triEdges.groupBy(col("p"), col("q"))
+        .agg(count(lit(1)).as("sup"))
+      e.join(support, col("u") === col("p") && col("v") === col("q"),
+          "left")
+        .select(coalesce(col("sup"), lit(0L)).as("support"))
+        .groupBy(col("support")).agg(count(lit(1)).as("n_edges"))
+        .orderBy(col("support"))
+    },
+    Some(s"""WITH $duckEdges,
+            deg AS (SELECT node, count(*) AS d
+                    FROM (SELECT u AS node FROM e
+                          UNION ALL SELECT v AS node FROM e)
+                    GROUP BY node),
+            oe AS (SELECT CASE WHEN (da.d < db.d)
+                                 OR (da.d = db.d AND e.u < e.v)
+                               THEN e.u ELSE e.v END AS s,
+                          CASE WHEN (da.d < db.d)
+                                 OR (da.d = db.d AND e.u < e.v)
+                               THEN e.v ELSE e.u END AS t
+                   FROM e JOIN deg da ON da.node = e.u
+                          JOIN deg db ON db.node = e.v),
+            tri AS (SELECT e1.s AS a, e1.t AS b, e2.t AS c
+                    FROM oe e1 JOIN oe e2 ON e1.t = e2.s
+                    JOIN e ON e.u = least(e1.s, e2.t)
+                          AND e.v = greatest(e1.s, e2.t)),
+            te AS (SELECT least(a, b) AS p, greatest(a, b) AS q FROM tri
+                   UNION ALL
+                   SELECT least(b, c), greatest(b, c) FROM tri
+                   UNION ALL
+                   SELECT least(a, c), greatest(a, c) FROM tri),
+            sup AS (SELECT p, q, count(*) AS sup FROM te GROUP BY p, q)
+            SELECT coalesce(sup.sup, 0) AS support, count(*) AS n_edges
+            FROM e LEFT JOIN sup ON sup.p = e.u AND sup.q = e.v
+            GROUP BY 1 ORDER BY 1"""))
+
+  val all: Seq[Q] = Seq(q110Triangles, q111BfsHops, q165KCore, q176TimeReach,
+    q184TrussSupport)
 }

@@ -148,4 +148,31 @@ class GraphOpsSpec extends SparkSpec {
       GraphQueries.q165KCore.fn(spark, dir).count() shouldBe 0L
     }
   }
+
+  test("q184 truss support: every K4 edge closes 2 triangles, a pendant " +
+      "edge closes none") {
+    withTempDir { dir =>
+      // hour 0: users 1..4 -> K4 (6 edges, each in exactly 2 triangles);
+      // hour 1: users 4,5 -> pendant edge 4-5 (support 0)
+      writeEvents(dir, Seq(
+        (0L, 1L, 1L), (0L, 2L, 2L), (0L, 3L, 3L), (0L, 4L, 4L),
+        (1L, 4L, 5L), (1L, 5L, 6L)))
+      val out = GraphQueries.q184TrussSupport.fn(spark, dir)
+        .select("support", "n_edges")
+        .as[(Long, Long)].collect().toList
+      out shouldBe List((0L, 1L), (2L, 6L))
+    }
+  }
+
+  test("q184 truss support: the standard fixture's one triangle credits " +
+      "exactly its three edges") {
+    withTempDir { dir =>
+      fixture(dir)
+      // triangle {1,2,3}: edges 1-2, 1-3, 2-3 support 1; edge 3-4 zero
+      val out = GraphQueries.q184TrussSupport.fn(spark, dir)
+        .select("support", "n_edges")
+        .as[(Long, Long)].collect().toList
+      out shouldBe List((0L, 1L), (1L, 3L))
+    }
+  }
 }

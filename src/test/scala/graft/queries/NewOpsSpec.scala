@@ -1190,6 +1190,42 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("q180 SNM: sort-adjacent near-dups are found; the same content " +
+      "behind a different first word sorts away and is missed") {
+    withTempDir { dir =>
+      writeDocs(dir, Seq(
+        // d1/d2 share the 24-char prefix -> ranks 1,2 -> verified:
+        // 3-shingles inter 3 / union 5 = 0.6
+        (1L, "alpha beta gamma delta epsilon zeta"),
+        (2L, "alpha beta gamma delta epsilon eta"),
+        // four unique spacers push d7 more than Wd=3 ranks away
+        (3L, "m1 m2 m3 m4"), (4L, "n1 n2 n3 n4"),
+        (5L, "p1 p2 p3 p4"), (6L, "q1 q2 q3 q4"),
+        // jaccard 0.8 with d1 — but the leading token sorts it last:
+        // the documented SNM blind spot, missed by construction
+        (7L, "zzz alpha beta gamma delta epsilon zeta")))
+      val out = DedupQueries.q180SortedNeighborhood.fn(spark, dir)
+        .select("d1", "d2", "jacc")
+        .as[(Long, Long, Double)].collect().toList
+      out shouldBe List((1L, 2L, 0.6))
+    }
+  }
+
+  test("q180 SNM: a window pair straddling a prefix-block boundary is " +
+      "still found — the distributed rank is globally contiguous") {
+    withTempDir { dir =>
+      // 2-char blocks "ax" and "ay": the pair crosses blocks, so it only
+      // appears if the block offsets stitch into one global rank
+      writeDocs(dir, Seq(
+        (1L, "ax common tail one two three four"),
+        (2L, "ay common tail one two three four")))
+      val out = DedupQueries.q180SortedNeighborhood.fn(spark, dir)
+        .select("d1", "d2")
+        .as[(Long, Long)].collect().toList
+      out shouldBe List((1L, 2L))
+    }
+  }
+
   test("q168 skyline: dominated, tied and duplicate points resolve to " +
       "the exact per-brand frontier") {
     withTempDir { dir =>
