@@ -3520,6 +3520,54 @@ object EventQueries {
                 / CAST(t_buyers * n_users AS DOUBLE) AS lift
             FROM g, t ORDER BY decile"""))
 
+  /** Sample-ratio mismatch (SRM) check — the first gate of any A/B
+    * readout, complementing q148's effect z-test: users are assigned to
+    * two arms by the same seeded content hash q166's sharding uses
+    * (reproducible on any engine or rerun — no RNG state), and the
+    * OBSERVED split is tested against the designed 50/50. For a two-cell
+    * equal split the chi-square statistic collapses algebraically to
+    * `(n0 - n1)^2 / (n0 + n1)` — one IEEE division over exact integer
+    * counts, so the statistic and the flag (chi2 > 3.841, alpha=0.05,
+    * 1 df) are bit-identical across engines. An SRM flag means the
+    * assignment or logging pipeline is biased and the experiment's
+    * effect estimates are untrustworthy — the check runs BEFORE any
+    * metric query.
+    *
+    * Scale shape: one distinct-user pass (map-side partial distinct on
+    * user_id), then a 2-group count — nothing downstream of the
+    * per-user rollup exceeds two rows.
+    */
+  val q188SrmCheck: Q = Q(
+    "q188_srm_check",
+    (s, dir) => {
+      val arm = pmod(graft.engine.ext.Text.hash32(
+        concat(col("user_id").cast("string"), lit(":ab1"))), lit(2L))
+      val users = Tables.load(s, dir, "events")
+        .select(col("user_id")).distinct()
+      users.select(arm.as("arm"))
+        .agg(count(when(col("arm") === 0, 1)).as("n0"),
+          count(when(col("arm") === 1, 1)).as("n1"))
+        .select(col("n0"), col("n1"),
+          ((col("n0") - col("n1")) * (col("n0") - col("n1"))).cast("double")
+            ./((col("n0") + col("n1")).cast("double")).as("chi2"))
+        .withColumn("srm", col("chi2") > 3.841)
+    },
+    Some("""WITH u AS (SELECT DISTINCT user_id FROM events),
+            armed AS (SELECT
+                ('0x' || substring(md5(user_id::VARCHAR || ':ab1'), 1, 8))
+                  ::BIGINT % 2 AS arm
+              FROM u),
+            g AS (SELECT
+                count(CASE WHEN arm = 0 THEN 1 END) AS n0,
+                count(CASE WHEN arm = 1 THEN 1 END) AS n1
+              FROM armed)
+            SELECT n0, n1,
+              CAST((n0 - n1) * (n0 - n1) AS DOUBLE)
+                / CAST(n0 + n1 AS DOUBLE) AS chi2,
+              CAST((n0 - n1) * (n0 - n1) AS DOUBLE)
+                / CAST(n0 + n1 AS DOUBLE) > 3.841 AS srm
+            FROM g"""))
+
   private val streamingNames: Set[String] = Set(
     "q64_stream_hourly", "q66_stream_dedup", "q75_stream_sessions",
     "q76_stream_late_drop", "q78_stream_interval_join",
@@ -3544,6 +3592,6 @@ object EventQueries {
       q152MaxConcurrency, q154GrowthAccounting, q155ParetoCoverage,
       q158ModalType, q159ArgmaxPurchase, q161Autocorr, q170ConversionLag,
       q174RfmSegments, q179InterpolateGaps, q181AucRanksum,
-      q185SeqPatterns, q186DecileLift)
+      q185SeqPatterns, q186DecileLift, q188SrmCheck)
       .map(q => q.copy(streaming = streamingNames(q.name)))
 }

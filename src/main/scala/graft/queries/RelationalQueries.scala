@@ -1777,6 +1777,178 @@ object RelationalQueries {
               n_orphans * 1000000 // n_child AS orphan_ppm
             FROM e ORDER BY edge"""))
 
+  /** Zone-map file-skipping audit — WHY data layout matters at 100 TB,
+    * quantified: the same orders rows are assigned to files two ways
+    * (arrival order `o_orderkey div 8192`, and weekly date partitions
+    * `epoch_us div 7-days` — the layout a date-partitioned lake writes),
+    * per-file min/max zone maps are computed for `o_orderdate`, and a
+    * fixed 30-day predicate window (anchored at global-min + 300 days,
+    * so it scales with the fixture) counts which files a scan could
+    * SKIP outright (zone disjoint from the predicate range). Arrival
+    * order leaves dates uncorrelated with files — near-zero skipping;
+    * the date layout skips nearly everything. This is the measurement
+    * behind q167's z-order layout and every `repartitionByRange` call
+    * in the sinks: zone maps only prune when layout correlates with
+    * the filter column.
+    *
+    * Scale shape: two map-side-combined aggregates keyed by file id
+    * (file count ~ rows/8192 — bounded), a 1-row bounds broadcast, and
+    * a 2-row union. Exact integer µs arithmetic throughout; rates in
+    * exact ppm.
+    */
+  val q187ZonemapSkip: Q = Q(
+    "q187_zonemap_skip",
+    (s, dir) => {
+      val weekUs = 7L * 86400L * 1000000L
+      val dayUs = 86400L * 1000000L
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"),
+          unix_micros(col("o_orderdate").cast("timestamp_ltz")).as("d_us"))
+      val bounds = o.agg(min(col("d_us")).as("gmin"))
+        .select(col("gmin"),
+          (col("gmin") + 300L * dayUs).as("lo"),
+          (col("gmin") + 330L * dayUs).as("hi"))
+      val rows = o.crossJoin(broadcast(bounds))
+      def layout(name: String, fileId: Column): DataFrame =
+        rows.groupBy(fileId.as("f"))
+          .agg(min(col("d_us")).as("zmin"), max(col("d_us")).as("zmax"),
+            count(lit(1)).as("n_rows"), min(col("lo")).as("lo"),
+            min(col("hi")).as("hi"))
+          .withColumn("skip", col("zmax") < col("lo") || col("zmin") > col("hi"))
+          .agg(count(lit(1)).as("n_files"),
+            count(when(col("skip"), 1)).as("n_skipped"),
+            coalesce(sum(when(col("skip"), col("n_rows"))), lit(0L))
+              .as("rows_skipped"))
+          .select(lit(name).as("layout"), col("n_files"), col("n_skipped"),
+            expr("n_skipped * 1000000 div n_files").as("skip_ppm"),
+            col("rows_skipped"))
+      layout("arrival", expr("o_orderkey div 8192"))
+        .unionByName(layout("bydate", expr(s"d_us div $weekUs")))
+        .orderBy(col("layout"))
+    },
+    Some("""WITH o AS (SELECT o_orderkey, epoch_us(o_orderdate) AS d_us
+              FROM orders),
+            b AS (SELECT min(d_us) + 300 * 86400000000 AS lo,
+                min(d_us) + 330 * 86400000000 AS hi FROM o),
+            za AS (SELECT o_orderkey // 8192 AS f, min(d_us) AS zmin,
+                max(d_us) AS zmax, count(*) AS n_rows
+              FROM o GROUP BY 1),
+            zd AS (SELECT d_us // 604800000000 AS f, min(d_us) AS zmin,
+                max(d_us) AS zmax, count(*) AS n_rows
+              FROM o GROUP BY 1),
+            ra AS (SELECT 'arrival' AS layout, count(*) AS n_files,
+                count(*) FILTER (zmax < lo OR zmin > hi) AS n_skipped,
+                coalesce(sum(n_rows) FILTER (zmax < lo OR zmin > hi), 0)
+                  AS rows_skipped
+              FROM za, b),
+            rd AS (SELECT 'bydate' AS layout, count(*) AS n_files,
+                count(*) FILTER (zmax < lo OR zmin > hi) AS n_skipped,
+                coalesce(sum(n_rows) FILTER (zmax < lo OR zmin > hi), 0)
+                  AS rows_skipped
+              FROM zd, b)
+            SELECT layout, n_files, n_skipped,
+              n_skipped * 1000000 // n_files AS skip_ppm,
+              CAST(rows_skipped AS BIGINT) AS rows_skipped
+            FROM (SELECT * FROM ra UNION ALL SELECT * FROM rd)
+            ORDER BY layout"""))
+
+  /** Mergeable fixed-grid quantile sketch with a PROVABLE error bound —
+    * the quantile member of the sketch family (CMS q120 / Bloom q130 /
+    * HLL q141): 256 equal-width integer-cent buckets between the global
+    * min/max of `l_extendedprice` form a histogram whose per-partition
+    * pieces merge by addition (the mergeability that matters on 1000
+    * executors); the p50/p90/p99 estimate is the lower edge of the
+    * first bucket whose cumulative count crosses the order-statistic
+    * rank. Because the true order statistic lies INSIDE that bucket,
+    * |estimate - exact| < bucket width by construction — the query
+    * emits estimate, the exact quantile (q40's distinct-value
+    * histogram-cumulative order statistic), the error, the bound, and
+    * the per-row proof `within_bound`. All arithmetic is integer cents.
+    *
+    * Scale shape: one bounds pass + one 256-group histogram pass (both
+    * map-side combined; the grid is fixed-width state like CMS), the
+    * cumulative walks run over 256 / |distinct| rows; the exact side is
+    * the expensive one at 100 TB — which is exactly the sketch's selling
+    * point, and here it doubles as the oracle of the bound.
+    */
+  val q189QuantileSketch: Q = Q(
+    "q189_quantile_sketch",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select((col("l_extendedprice") * 100).cast("long").as("v"))
+      val bounds = li.agg(min(col("v")).as("gmin"), max(col("v")).as("gmax"),
+          count(lit(1)).as("n"))
+        .select(col("gmin"), col("n"),
+          (expr("(gmax - gmin) div 256") + 1).as("wdt"))
+      val withB = li.crossJoin(broadcast(bounds))
+      val hist = withB
+        .groupBy(expr("(v - gmin) div wdt").as("b"))
+        .agg(count(lit(1)).as("c"), min(col("gmin")).as("gmin"),
+          min(col("wdt")).as("wdt"), min(col("n")).as("n"))
+        .withColumn("cum", sum(col("c")).over(Window.orderBy(col("b"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val exactHist = li.groupBy(col("v")).agg(count(lit(1)).as("c"))
+        .withColumn("cumv", sum(col("c")).over(Window.orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(broadcast(bounds.select(col("n").as("nv"))))
+      val pcts = Seq(50, 90, 99)
+      val estCols = pcts.map(p => min(when(col("cum") * 100 >= col("n") * p,
+        col("gmin") + col("b") * col("wdt"))).as(s"est$p")) :+
+        min(col("wdt")).as("bound")
+      val est = hist.agg(estCols.head, estCols.tail: _*)
+      val exactCols = pcts.map(p =>
+        min(when(col("cumv") * 100 >= col("nv") * p, col("v")))
+          .as(s"exact$p"))
+      val exact = exactHist.agg(exactCols.head, exactCols.tail: _*)
+      val joined = est.crossJoin(broadcast(exact))
+      pcts.map { p =>
+        joined.select(lit(p).as("pct"), col(s"est$p").as("est_cents"),
+          col(s"exact$p").as("exact_cents"),
+          abs(col(s"est$p") - col(s"exact$p")).as("abs_err"),
+          col("bound"),
+          (abs(col(s"est$p") - col(s"exact$p")) < col("bound"))
+            .as("within_bound"))
+      }.reduce(_.unionByName(_)).orderBy(col("pct"))
+    },
+    Some("""WITH li AS (SELECT CAST(l_extendedprice * 100 AS BIGINT) AS v
+              FROM lineitem),
+            b AS (SELECT min(v) AS gmin, count(*) AS n,
+                (max(v) - min(v)) // 256 + 1 AS wdt FROM li),
+            h AS (SELECT (v - gmin) // wdt AS bk, count(*) AS c
+              FROM li, b GROUP BY 1),
+            hc AS (SELECT bk, sum(c) OVER (ORDER BY bk
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM h),
+            est AS (SELECT
+                min(CASE WHEN cum * 100 >= n * 50
+                    THEN gmin + bk * wdt END) AS est50,
+                min(CASE WHEN cum * 100 >= n * 90
+                    THEN gmin + bk * wdt END) AS est90,
+                min(CASE WHEN cum * 100 >= n * 99
+                    THEN gmin + bk * wdt END) AS est99,
+                min(wdt) AS bound
+              FROM hc, b),
+            vh AS (SELECT v, count(*) AS c FROM li GROUP BY v),
+            vc AS (SELECT v, sum(c) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumv
+              FROM vh),
+            ex AS (SELECT
+                min(CASE WHEN cumv * 100 >= n * 50 THEN v END) AS exact50,
+                min(CASE WHEN cumv * 100 >= n * 90 THEN v END) AS exact90,
+                min(CASE WHEN cumv * 100 >= n * 99 THEN v END) AS exact99
+              FROM vc, b)
+            SELECT pct, est_cents, exact_cents,
+              abs(est_cents - exact_cents) AS abs_err, bound,
+              abs(est_cents - exact_cents) < bound AS within_bound
+            FROM (
+              SELECT 50 AS pct, est50 AS est_cents, exact50 AS exact_cents,
+                bound FROM est, ex
+              UNION ALL
+              SELECT 90, est90, exact90, bound FROM est, ex
+              UNION ALL
+              SELECT 99, est99, exact99, bound FROM est, ex)
+            ORDER BY pct"""))
+
   val all: Seq[Q] = Seq(q06JoinDims, q07StarRevenue, q08SemiJoin, q09AntiJoin,
     q10AggStats, q11Rollup, q12DistinctExact, q13WindowTopK, q14RunningSum,
     q15Pivot, q16SetOps, q17GlobalTopN, q40QuantilesDisc, q41Moments,
@@ -1786,5 +1958,5 @@ object RelationalQueries {
     q124MadOutliers, q129WowGrowth, q130BloomMembership, q133RankFamily,
     q135SnowflakeChain, q136EquidepthHistogram, q157Winsorize,
     q160WilsonInterval, q167ZorderLayout, q168Skyline, q175WeightedMedian,
-    q182Benford, q183OrphanAudit)
+    q182Benford, q183OrphanAudit, q187ZonemapSkip, q189QuantileSketch)
 }

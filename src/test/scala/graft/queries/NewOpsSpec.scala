@@ -1226,6 +1226,66 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("q187 zone maps: a file is skippable iff its [min,max] misses " +
+      "the predicate window, under both layouts") {
+    withTempDir { dir =>
+      val day = 86400000L // ms
+      def ts(d: Long) = new java.sql.Timestamp(d * day)
+      // arrival files (div 8192): f0 = keys 1,2 @ day 0; f1 = key 8193
+      // @ day 310 (inside [300,330]); f2 = key 16385 @ day 600
+      Seq((1L, ts(0)), (2L, ts(0)), (8193L, ts(310)), (16385L, ts(600)))
+        .toDF("o_orderkey", "o_orderdate")
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      val out = RelationalQueries.q187ZonemapSkip.fn(spark, dir)
+        .select("layout", "n_files", "n_skipped", "skip_ppm", "rows_skipped")
+        .as[(String, Long, Long, Long, Long)].collect().toList
+      // both layouts isolate day-0 and day-600 rows from the window
+      out shouldBe List(
+        ("arrival", 3L, 2L, 666666L, 3L),
+        ("bydate", 3L, 2L, 666666L, 3L))
+    }
+  }
+
+  test("q188 SRM: arm counts match an independent MessageDigest mirror " +
+      "of the assignment hash") {
+    withTempDir { dir =>
+      val s = 1000000000L
+      val users = (1L to 20L)
+      writeEvents(dir, users.map(u => (u, u, u * s, "view", 0.0)))
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val exp = users.map { u =>
+        val hex = md.digest(s"$u:ab1".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(8)
+        java.lang.Long.parseLong(hex, 16) % 2
+      }
+      val (n0, n1, chi2, srm) = EventQueries.q188SrmCheck.fn(spark, dir)
+        .select("n0", "n1", "chi2", "srm")
+        .as[(Long, Long, Double, Boolean)].collect().head
+      n0 shouldBe exp.count(_ == 0L)
+      n1 shouldBe exp.count(_ == 1L)
+      chi2 shouldBe (n0 - n1).toDouble * (n0 - n1) / (n0 + n1)
+      srm shouldBe (chi2 > 3.841)
+    }
+  }
+
+  test("q189 quantile sketch: exact order statistics land inside the " +
+      "estimating bucket, so every error is under one bucket width") {
+    withTempDir { dir =>
+      // 100 values, 1.00 .. 100.00 dollars: p50=50.00, p90=90.00, p99=99.00
+      (1 to 100).map(i => Tuple1(i.toDouble))
+        .toDF("l_extendedprice")
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      val out = RelationalQueries.q189QuantileSketch.fn(spark, dir)
+        .select("pct", "est_cents", "exact_cents", "abs_err", "bound",
+          "within_bound")
+        .as[(Int, Long, Long, Long, Long, Boolean)].collect().toList
+      out.map(_._1) shouldBe List(50, 90, 99)
+      out.map(_._3) shouldBe List(5000L, 9000L, 9900L)
+      all(out.map(_._6)) shouldBe true
+      all(out.map(r => r._4 < r._5)) shouldBe true
+    }
+  }
+
   test("q168 skyline: dominated, tied and duplicate points resolve to " +
       "the exact per-brand frontier") {
     withTempDir { dir =>
