@@ -442,7 +442,65 @@ object CorpusQueries {
             FROM tf GROUP BY tok HAVING count(*) >= 5
             ORDER BY burst DESC, tok ASC LIMIT 20"""))
 
+  /** Positional phrase search — the retrieval operation q169's
+    * document-level postings cannot answer: "the tokens are adjacent
+    * AND in order", resolved by intersecting POSITIONAL posting lists
+    * (term_a at position i, term_b at i+1, equi-join on (doc, i+1)).
+    * The phrase itself is chosen from the data (the corpus's most
+    * frequent adjacent bigram, ties broken lexicographically) so the
+    * query is self-contained at any SF; output is the phrase, its
+    * occurrence count and the matching docs (top-10 by hits) — the
+    * shape a phrase-scoring retrieval stage consumes.
+    *
+    * ## 100 TB notes
+    * The positional index is one posexplode projection (map-only); the
+    * adjacency resolution is an equi-join of two single-term posting
+    * streams on (doc_id, position) — each side is first FILTERED to its
+    * term by a 1-row broadcast, so the join carries only the two terms'
+    * postings, never the full index. Same plan a real inverted index
+    * executes: seek two postings, merge on position.
+    */
+  val q191PhraseSearch: Q = Q(
+    "q191_phrase_search",
+    (s, dir) => {
+      val pos = Tables.eager(Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(Text.tokens(col("text"))).as(Seq("i", "tok"))))
+      val next = pos.select(col("doc_id"), (col("i") - 1).as("i"),
+        col("tok").as("tok_b"))
+      val big = pos.join(next, Seq("doc_id", "i"))
+      val top = big.groupBy(col("tok").as("pa"), col("tok_b").as("pb"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("pa").asc, col("pb").asc)
+        .limit(1)
+      big.join(broadcast(top),
+          col("tok") === col("pa") && col("tok_b") === col("pb"))
+        .groupBy(col("doc_id"), col("pa"), col("pb"))
+        .agg(count(lit(1)).as("n_hits"), min(col("i")).as("first_pos"))
+        .select(concat(col("pa"), lit(" "), col("pb")).as("phrase"),
+          col("doc_id"), col("n_hits"), col("first_pos"))
+        .orderBy(col("n_hits").desc, col("doc_id").asc)
+        .limit(10)
+    },
+    Some("""WITH pos AS (SELECT doc_id, i - 1 AS i, tok
+              FROM (SELECT doc_id,
+                      unnest(string_split(text, ' ')) AS tok,
+                      generate_subscripts(string_split(text, ' '), 1) AS i
+                    FROM documents)),
+            nxt AS (SELECT doc_id, i - 1 AS i, tok AS tok_b FROM pos),
+            big AS (SELECT pos.doc_id, pos.i, pos.tok, nxt.tok_b
+                    FROM pos JOIN nxt
+                      ON pos.doc_id = nxt.doc_id AND pos.i = nxt.i),
+            top AS (SELECT tok AS pa, tok_b AS pb, count(*) AS c
+                    FROM big GROUP BY 1, 2
+                    ORDER BY c DESC, pa ASC, pb ASC LIMIT 1)
+            SELECT pa || ' ' || pb AS phrase, doc_id,
+              count(*) AS n_hits, CAST(min(i) AS INT) AS first_pos
+            FROM big JOIN top ON big.tok = top.pa AND big.tok_b = top.pb
+            GROUP BY 1, doc_id
+            ORDER BY n_hits DESC, doc_id ASC LIMIT 10"""))
+
   val all: Seq[Q] = Seq(q88ChunkOverlap, q91BpePairs, q92UnigramRarity,
     q93BigramLift, q94CdcChunks, q96QuantileNorm, q97MixtureWeights,
-    q125PpsSample, q169PostingLists, q173Burstiness)
+    q125PpsSample, q169PostingLists, q173Burstiness, q191PhraseSearch)
 }

@@ -1081,9 +1081,56 @@ object DedupQueries {
                  ON b.rn > a.rn AND b.rn <= a.rn + $Wd)
              ${duckVerify("0.5")}"""))
 
+  /** Token-multiset (bag-of-words) dedup — q23's exact fingerprint over
+    * the SORTED token multiset instead of the raw text: two documents
+    * with the same words in a different order (shuffled boilerplate,
+    * reordered list items, template-permuted pages) collapse to one
+    * group, which byte-exact dedup can never catch and similarity dedup
+    * only catches probabilistically. Sorting happens inside each row
+    * (`sort_array` — per-row, codegen'd, no shuffle), so the canonical
+    * key is deterministic on any engine; grouping keeps the lowest
+    * doc_id as survivor exactly like q23. Output: every collapsed group,
+    * with `n_exact_variants` separating byte-identical duplication
+    * (= 1) from genuine reorderings (> 1) — on a clean corpus the
+    * second kind is absent and the report degrades to q23's groups,
+    * which is itself the audit result.
+    *
+    * ## 100 TB notes
+    * One projection (tokenize + in-row sort + md5) and one shuffle on
+    * the 128-bit key — q23's scale shape with a different key; the
+    * strictly-reordered filter compares two count aggregates computed
+    * in the same pass (count + count distinct of the exact fp).
+    */
+  val q193TokensetDedup: Q = Q(
+    "q193_tokenset_dedup",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(concat_ws(" ", sort_array(Text.tokens(col("text")))))
+            .as("bag_fp"),
+          Text.fingerprint(col("text")).as("exact_fp"))
+      docs.groupBy(col("bag_fp"))
+        .agg(min(col("doc_id")).as("keep_id"),
+          count(lit(1)).as("n_docs"),
+          count_distinct(col("exact_fp")).as("n_exact_variants"))
+        .filter(col("n_docs") > 1)
+        .select(col("keep_id"), col("n_docs"), col("n_exact_variants"))
+        .orderBy(col("keep_id"))
+    },
+    Some("""WITH d AS (SELECT doc_id,
+                md5(array_to_string(list_sort(string_split(text, ' ')), ' '))
+                  AS bag_fp,
+                md5(trim(lower(text))) AS exact_fp
+              FROM documents)
+            SELECT min(doc_id) AS keep_id, count(*) AS n_docs,
+              count(DISTINCT exact_fp) AS n_exact_variants
+            FROM d GROUP BY bag_fp
+            HAVING count(*) > 1
+            ORDER BY keep_id"""))
+
   val all: Seq[Q] = Seq(q23DedupExact, q24MinhashLsh, q25JaccardBlocked,
     q26Simhash, q43DedupComponents, q59DedupMaterialize, q60IncrementalDedup,
     q61Decontaminate, q63Boilerplate, q69ComponentsStar, q81SourceOverlap,
     q102PrefixJoin, q153MinhashNative, q156NoveltyRate, q171ContainmentJoin,
-    q172SourceDupMatrix, q180SortedNeighborhood)
+    q172SourceDupMatrix, q180SortedNeighborhood, q193TokensetDedup)
 }

@@ -3568,6 +3568,81 @@ object EventQueries {
                 / CAST(n0 + n1 AS DOUBLE) > 3.841 AS srm
             FROM g"""))
 
+  /** Exact two-sample Kolmogorov-Smirnov test — does `value` follow the
+    * same distribution for views and purchases? The KS statistic
+    * D = max_v |F1(v) - F2(v)| is computed WITHOUT floats: over the
+    * distinct-value histogram, the supremum of
+    * |cum1(v) * n2 - cum2(v) * n1| is an exact BIGINT (the common
+    * denominator n1*n2 factored out), and D, the asymptotic alpha=0.05
+    * critical value 1.358 * sqrt((n1+n2)/(n1*n2)), and the reject flag
+    * are each one short IEEE op tree over those integers — sqrt is
+    * correctly rounded under IEEE 754 on every platform, so all three
+    * are bit-identical across engines. Complements the family's
+    * parametric tests (q148 z-test, q128 chi-square): KS is
+    * distribution-free and sees shape differences a mean test misses.
+    *
+    * ## 100 TB notes
+    * One shuffle to the distinct-value histogram with map-side partial
+    * counts; the cumulative walk is over value GROUPS (q181's
+    * histogram-cumulative discipline); everything after it is a 1-row
+    * aggregate. No sort of raw events, no per-pair work.
+    */
+  val q192KsTest: Q = Q(
+    "q192_ks_test",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("event_type").isin("view", "purchase"))
+        .select(col("value").as("v"),
+          (col("event_type") === "view").cast("long").as("is1"))
+      val hist = ev.groupBy(col("v"))
+        .agg(sum(col("is1")).as("c1"),
+          (count(lit(1)) - sum(col("is1"))).as("c2"))
+      val w = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val full = Window.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      val cum = hist
+        .withColumn("cum1", sum(col("c1")).over(w))
+        .withColumn("cum2", sum(col("c2")).over(w))
+        .withColumn("n1", sum(col("c1")).over(full))
+        .withColumn("n2", sum(col("c2")).over(full))
+      cum.agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+          max(abs(col("cum1") * col("n2") - col("cum2") * col("n1")))
+            .as("d_numer"))
+        .select(col("n1"), col("n2"), col("d_numer"),
+          (col("d_numer").cast("double") /
+            (col("n1") * col("n2")).cast("double")).as("d"))
+        .withColumn("crit", lit(1.358) *
+          sqrt((col("n1") + col("n2")).cast("double") /
+            (col("n1") * col("n2")).cast("double")))
+        .withColumn("reject", col("d") > col("crit"))
+    },
+    Some("""WITH ev AS (SELECT value AS v,
+                CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is1
+              FROM events WHERE event_type IN ('view', 'purchase')),
+            h AS (SELECT v, CAST(sum(is1) AS BIGINT) AS c1,
+                count(*) - CAST(sum(is1) AS BIGINT) AS c2
+              FROM ev GROUP BY v),
+            c AS (SELECT c1, c2,
+                sum(c1) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+                sum(c2) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2,
+                sum(c1) OVER () AS n1, sum(c2) OVER () AS n2
+              FROM h),
+            agg AS (SELECT CAST(max(n1) AS BIGINT) AS n1,
+                CAST(max(n2) AS BIGINT) AS n2,
+                CAST(max(abs(cum1 * n2 - cum2 * n1)) AS BIGINT) AS d_numer
+              FROM c)
+            SELECT n1, n2, d_numer,
+              CAST(d_numer AS DOUBLE) / CAST(n1 * n2 AS DOUBLE) AS d,
+              1.358 * sqrt(CAST(n1 + n2 AS DOUBLE)
+                / CAST(n1 * n2 AS DOUBLE)) AS crit,
+              CAST(d_numer AS DOUBLE) / CAST(n1 * n2 AS DOUBLE)
+                > 1.358 * sqrt(CAST(n1 + n2 AS DOUBLE)
+                  / CAST(n1 * n2 AS DOUBLE)) AS reject
+            FROM agg"""))
+
   private val streamingNames: Set[String] = Set(
     "q64_stream_hourly", "q66_stream_dedup", "q75_stream_sessions",
     "q76_stream_late_drop", "q78_stream_interval_join",
@@ -3592,6 +3667,6 @@ object EventQueries {
       q152MaxConcurrency, q154GrowthAccounting, q155ParetoCoverage,
       q158ModalType, q159ArgmaxPurchase, q161Autocorr, q170ConversionLag,
       q174RfmSegments, q179InterpolateGaps, q181AucRanksum,
-      q185SeqPatterns, q186DecileLift, q188SrmCheck)
+      q185SeqPatterns, q186DecileLift, q188SrmCheck, q192KsTest)
       .map(q => q.copy(streaming = streamingNames(q.name)))
 }

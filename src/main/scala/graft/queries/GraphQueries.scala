@@ -477,6 +477,118 @@ object GraphQueries {
             FROM e LEFT JOIN sup ON sup.p = e.u AND sup.q = e.v
             GROUP BY 1 ORDER BY 1"""))
 
+  /** One HITS iteration (Kleinberg hubs/authorities) on the bipartite
+    * customer-part purchase graph — the OTHER classic link-analysis
+    * kernel next to q89's PageRank step, and the natural one for
+    * bipartite data where PageRank's single-mode walk doesn't apply.
+    * From the uniform start the first iteration is exact integer
+    * arithmetic: authority(part) = its distinct-buyer count, and
+    * hub(customer) = the SUM of the authorities of the parts they
+    * bought — a buyer of popular parts scores high. One relation,
+    * top-10 of each kind (`kind` in {auth, hub}), deterministic
+    * tiebreak by id; scores stay BIGINT so no normalization float ever
+    * enters the comparison.
+    *
+    * ## 100 TB notes
+    * The edge list is the lineitem-orders equi-join (bucketable on
+    * orderkey) reduced to DISTINCT (customer, part) pairs — one shuffle;
+    * the authority pass is a map-side-combined count on part; the hub
+    * pass re-joins authorities back to edges on part (AQE picks
+    * broadcast while the part dimension fits) and aggregates on
+    * customer. Top-10s are TakeOrderedAndProject — no global sort.
+    */
+  val q190HitsStep: Q = Q(
+    "q190_hits_step",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val ord = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val edges = Tables.eager(li
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("u"), col("l_partkey").as("p"))
+        .distinct())
+      val auth = edges.groupBy(col("p"))
+        .agg(count(lit(1)).as("score"))
+      val hub = edges.join(auth, Seq("p"))
+        .groupBy(col("u")).agg(sum(col("score")).as("score"))
+      val topAuth = auth
+        .select(lit("auth").as("kind"), col("p").as("id"), col("score"))
+        .orderBy(col("score").desc, col("id").asc).limit(10)
+      val topHub = hub
+        .select(lit("hub").as("kind"), col("u").as("id"), col("score"))
+        .orderBy(col("score").desc, col("id").asc).limit(10)
+      topAuth.unionByName(topHub)
+        .orderBy(col("kind"), col("score").desc, col("id").asc)
+    },
+    Some("""WITH e AS (SELECT DISTINCT o_custkey AS u, l_partkey AS p
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+            a AS (SELECT p, count(*) AS score FROM e GROUP BY p),
+            h AS (SELECT u, CAST(sum(a.score) AS BIGINT) AS score
+              FROM e JOIN a ON e.p = a.p GROUP BY u),
+            ta AS (SELECT 'auth' AS kind, p AS id, score FROM a
+                   ORDER BY score DESC, id ASC LIMIT 10),
+            th AS (SELECT 'hub' AS kind, u AS id, score FROM h
+                   ORDER BY score DESC, id ASC LIMIT 10)
+            SELECT kind, id, score
+            FROM (SELECT * FROM ta UNION ALL SELECT * FROM th)
+            ORDER BY kind, score DESC, id ASC"""))
+
+  /** Degree assortativity — do high-degree users co-occur with other
+    * high-degree users (r > 0, social-network-like) or with low-degree
+    * ones (r < 0, hub-and-spoke)? Newman's coefficient is the Pearson
+    * correlation of endpoint degrees over the SYMMETRIZED edge list,
+    * and symmetrization makes both marginals identical, so the usual
+    * sqrt(Var_x)*sqrt(Var_y) denominator collapses to one exact
+    * integer: r = (2m*S_xy - S_x^2) / (2m*S_xx - S_x^2) with
+    * S_x = sum(du+dv), S_xx = sum(du^2+dv^2), S_xy = sum(2*du*dv) over
+    * undirected edges — every term an exact BIGINT (q41/q114's
+    * exact-moment discipline), ONE final IEEE division, no sqrt at all.
+    *
+    * ## 100 TB notes
+    * Degrees are one map-side-combined count; attaching them to edges
+    * is two joins on the vertex key (AQE-broadcast while the degree
+    * table fits); the moment rollup is a 1-row aggregate with map-side
+    * partials. Nothing scales worse than the edge list itself.
+    */
+  val q194Assortativity: Q = Q(
+    "q194_assortativity",
+    (s, dir) => {
+      val e = Tables.eager(cooccurrenceEdges(s, dir))
+      val deg = e.select(col("u").as("node"))
+        .unionAll(e.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("d"))
+      val withDeg = e
+        .join(deg.select(col("node").as("u"), col("d").as("du")), "u")
+        .join(deg.select(col("node").as("v"), col("d").as("dv")), "v")
+      withDeg.agg(count(lit(1)).as("m"),
+          sum(col("du") + col("dv")).as("sx"),
+          sum(col("du") * col("du") + col("dv") * col("dv")).as("sxx"),
+          sum(col("du") * col("dv") * 2).as("sxy"))
+        .select(col("m"), col("sx"), col("sxx"), col("sxy"),
+          ((col("m") * 2 * col("sxy") - col("sx") * col("sx"))
+            .cast("double") /
+            (col("m") * 2 * col("sxx") - col("sx") * col("sx"))
+              .cast("double")).as("r"))
+    },
+    Some(s"""WITH $duckEdges,
+            deg AS (SELECT node, count(*) AS d
+                    FROM (SELECT u AS node FROM e
+                          UNION ALL SELECT v AS node FROM e)
+                    GROUP BY node),
+            wd AS (SELECT da.d AS du, db.d AS dv
+                   FROM e JOIN deg da ON da.node = e.u
+                          JOIN deg db ON db.node = e.v),
+            agg AS (SELECT count(*) AS m,
+                CAST(sum(du + dv) AS BIGINT) AS sx,
+                CAST(sum(du * du + dv * dv) AS BIGINT) AS sxx,
+                CAST(sum(du * dv * 2) AS BIGINT) AS sxy
+              FROM wd)
+            SELECT m, sx, sxx, sxy,
+              CAST(m * 2 * sxy - sx * sx AS DOUBLE)
+                / CAST(m * 2 * sxx - sx * sx AS DOUBLE) AS r
+            FROM agg"""))
+
   val all: Seq[Q] = Seq(q110Triangles, q111BfsHops, q165KCore, q176TimeReach,
-    q184TrussSupport)
+    q184TrussSupport, q190HitsStep, q194Assortativity)
 }

@@ -136,4 +136,48 @@ class DedupPropertySpec extends SparkSpec {
       a should be > 0L
     }
   }
+
+  test("q180 SNM equals a flat-global-rank window dedup on random " +
+      "corpora — the distributed rank construction is exact") {
+    withTempDir { dir =>
+      import org.apache.spark.sql.expressions.Window
+      val bases = Gen.listOfN(30, Gen.listOfN(12, vocab)).sample.get
+        .map(_.mkString(" "))
+      // near-dups share the prefix (token appended at the END), so some
+      // land inside the window and exercise the verified path
+      val docs = bases.zipWithIndex.map { case (t, i) => (i.toLong, t) } ++
+        (0 until 8).map(i => (200L + i, bases(i) + " extra"))
+      writeDocs(dir, docs)
+      // reference: single-partition global row_number + brute-force
+      // range self-join + composed-functions jaccard
+      val raw = spark.read.parquet(s"$dir/documents.parquet")
+      val flat = raw
+        .select(col("doc_id"), lower(substring(col("text"), 1, 24)).as("k"))
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("k"), col("doc_id"))))
+      val a = flat.select(col("doc_id").as("i1"), col("rn").as("rn1"))
+      val b = flat.select(col("doc_id").as("i2"), col("rn").as("rn2"))
+      val sh = raw.select(col("doc_id"),
+        array_distinct(graft.engine.ext.Text.shingles(
+          split(col("text"), " "), 3)).as("sh"))
+      val expected = a.join(b,
+          col("rn2") > col("rn1") && col("rn2") <= col("rn1") + 3)
+        .select(least(col("i1"), col("i2")).as("d1"),
+          greatest(col("i1"), col("i2")).as("d2"))
+        .join(sh.select(col("doc_id").as("d1"), col("sh").as("s1")), Seq("d1"))
+        .join(sh.select(col("doc_id").as("d2"), col("sh").as("s2")), Seq("d2"))
+        .select(col("d1"), col("d2"),
+          (org.apache.spark.sql.functions.size(array_intersect(
+            col("s1"), col("s2"))).cast("double") /
+            org.apache.spark.sql.functions.size(array_union(
+              col("s1"), col("s2")))).as("jacc"))
+        .filter(col("jacc") >= 0.5)
+        .as[(Long, Long, Double)].collect().toSet
+      val got = DedupQueries.q180SortedNeighborhood.fn(spark, dir)
+        .select("d1", "d2", "jacc")
+        .as[(Long, Long, Double)].collect().toSet
+      expected should not be empty
+      got shouldBe expected
+    }
+  }
 }

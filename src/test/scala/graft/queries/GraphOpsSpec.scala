@@ -164,6 +164,19 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("q194 assortativity: exact rational from hand-computed degree " +
+      "moments on the standard fixture") {
+    withTempDir { dir =>
+      fixture(dir)
+      // edges (1-2)(1-3)(2-3)(3-4), degrees d1=2 d2=2 d3=3 d4=1:
+      // sx=18 sxx=44 sxy=38 -> r = (304-324)/(352-324) = -20/28
+      val row = GraphQueries.q194Assortativity.fn(spark, dir)
+        .select("m", "sx", "sxx", "sxy", "r")
+        .as[(Long, Long, Long, Long, Double)].collect().head
+      row shouldBe ((4L, 18L, 44L, 38L, -20.0 / 28.0))
+    }
+  }
+
   test("q184 truss support: the standard fixture's one triangle credits " +
       "exactly its three edges") {
     withTempDir { dir =>

@@ -1286,6 +1286,74 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("q190 HITS: authority = distinct buyers, hub = sum of bought " +
+      "parts' authorities") {
+    withTempDir { dir =>
+      Seq((1L, 101L), (1L, 102L), (2L, 101L))
+        .toDF("l_orderkey", "l_partkey")
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      Seq((1L, 11L), (2L, 12L)).toDF("o_orderkey", "o_custkey")
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      val out = GraphQueries.q190HitsStep.fn(spark, dir)
+        .select("kind", "id", "score")
+        .as[(String, Long, Long)].collect().toList
+      // auth: p101 bought by u11,u12 -> 2; p102 by u11 -> 1
+      // hub:  u11 = auth(101)+auth(102) = 3; u12 = auth(101) = 2
+      out shouldBe List(
+        ("auth", 101L, 2L), ("auth", 102L, 1L),
+        ("hub", 11L, 3L), ("hub", 12L, 2L))
+    }
+  }
+
+  test("q191 phrase search: the top bigram's occurrences resolve by " +
+      "positional adjacency, repeats within a doc all count") {
+    withTempDir { dir =>
+      // bigrams: (x y) x3 tops; d1 has it at positions 0 and 2, d2 at 0
+      writeDocs(dir, Seq(
+        (1L, "x y x y z"), (2L, "x y q"), (3L, "a b")))
+      val out = CorpusQueries.q191PhraseSearch.fn(spark, dir)
+        .select("phrase", "doc_id", "n_hits", "first_pos")
+        .as[(String, Long, Long, Int)].collect().toList
+      out shouldBe List(("x y", 1L, 2L, 0), ("x y", 2L, 1L, 0))
+    }
+  }
+
+  test("q192 KS: disjoint samples reach D = 1 exactly; identical " +
+      "samples reach D = 0; other types are excluded") {
+    withTempDir { dir =>
+      val s = 1000000000L
+      writeEvents(dir, Seq(
+        (1L, 1L, 1L * s, "view", 1.0), (2L, 2L, 2L * s, "view", 2.0),
+        (3L, 3L, 3L * s, "purchase", 3.0),
+        (4L, 4L, 4L * s, "purchase", 4.0),
+        (5L, 5L, 5L * s, "click", 99.0))) // excluded type
+      val r1 = EventQueries.q192KsTest.fn(spark, dir)
+        .select("n1", "n2", "d_numer", "d", "reject")
+        .as[(Long, Long, Long, Double, Boolean)].collect().head
+      r1 shouldBe ((2L, 2L, 4L, 1.0, false)) // crit at n=2+2 is 1.358
+      writeEvents(dir, Seq(
+        (1L, 1L, 1L * s, "view", 1.0), (2L, 2L, 2L * s, "view", 2.0),
+        (3L, 3L, 3L * s, "purchase", 1.0),
+        (4L, 4L, 4L * s, "purchase", 2.0)))
+      EventQueries.q192KsTest.fn(spark, dir)
+        .select("d_numer").as[Long].collect().head shouldBe 0L
+    }
+  }
+
+  test("q193 token-multiset dedup: reordered variants collapse into one " +
+      "group and the variant count separates them from byte dups") {
+    withTempDir { dir =>
+      writeDocs(dir, Seq(
+        (1L, "b a"), (2L, "a b"), (3L, "a b"), // one bag, 2 exact forms
+        (4L, "c d"), (5L, "c d"),              // dup but never reordered
+        (6L, "e f")))                          // singleton -> absent
+      val out = DedupQueries.q193TokensetDedup.fn(spark, dir)
+        .select("keep_id", "n_docs", "n_exact_variants")
+        .as[(Long, Long, Long)].collect().toList
+      out shouldBe List((1L, 3L, 2L), (4L, 2L, 1L))
+    }
+  }
+
   test("q168 skyline: dominated, tied and duplicate points resolve to " +
       "the exact per-brand frontier") {
     withTempDir { dir =>
