@@ -590,8 +590,206 @@ object GovernanceQueries {
                    THEN 'violates' ELSE 'within' END AS status
             FROM cls, gdist ORDER BY nation, segment"""))
 
+  /** SCD2 temporal-invariant audit — the machine-checkable contract
+    * q99's history table and q121's PIT join silently rely on: per
+    * entity, version intervals must never OVERLAP (an as-of lookup
+    * would become ambiguous and the PIT join would fan out), while
+    * GAPS are legal (the entity was absent from those snapshots) but
+    * must be counted because every gap is a version at which the PIT
+    * join goes uncovered. One row: keys, intervals, overlaps (the hard
+    * invariant — 0 by construction, and the oracle re-derives it
+    * independently so the proof is cross-engine), gaps, current rows,
+    * and the deepest per-key history. The audit a dimension pipeline
+    * runs after every snapshot merge.
+    *
+    * ## 100 TB notes
+    * One window pass over the interval table partitioned by entity
+    * (dimension-sized, not fact-sized) feeding a 1-row aggregate —
+    * strictly cheaper than the SCD2 build it audits.
+    */
+  val q195Scd2Invariants: Q = Q(
+    "q195_scd2_invariants",
+    (s, dir) => {
+      val w = Window.partitionBy(col("c_custkey")).orderBy(col("valid_from"))
+      val iv = scd2Intervals(s, dir)
+        .withColumn("prev_to", lag(col("valid_to"), 1).over(w))
+        .withColumn("per_key", count(lit(1)).over(
+          Window.partitionBy(col("c_custkey"))))
+      iv.agg(count_distinct(col("c_custkey")).as("n_keys"),
+          count(lit(1)).as("n_intervals"),
+          count(when(col("valid_from") <= col("prev_to"), 1))
+            .as("n_overlaps"),
+          count(when(col("valid_from") > col("prev_to") + 1, 1))
+            .as("n_gaps"),
+          count(when(col("valid_to") === 3, 1)).as("n_current"),
+          max(col("per_key")).as("max_per_key"))
+    },
+    Some(s"""WITH $Scd2IntervalCtes,
+            lagged AS (SELECT c_custkey, valid_from, valid_to,
+                lag(valid_to) OVER (PARTITION BY c_custkey
+                  ORDER BY valid_from) AS prev_to,
+                count(*) OVER (PARTITION BY c_custkey) AS per_key
+              FROM iv)
+            SELECT count(DISTINCT c_custkey) AS n_keys,
+              count(*) AS n_intervals,
+              count(CASE WHEN valid_from <= prev_to THEN 1 END)
+                AS n_overlaps,
+              count(CASE WHEN valid_from > prev_to + 1 THEN 1 END)
+                AS n_gaps,
+              count(CASE WHEN valid_to = 3 THEN 1 END) AS n_current,
+              CAST(max(per_key) AS BIGINT) AS max_per_key
+            FROM lagged"""))
+
+  /** Domain-constraint audit (CHECK-constraint tests) — every declared
+    * categorical domain of the star + corpus schemas checked in one
+    * relation: rows, violations, exact-ppm violation rate per
+    * constraint. The third leg of the constraint-audit family (q183
+    * foreign keys, q198 primary-key uniqueness); a zero-violation
+    * report is the RESULT — it proves the generators and the loaders
+    * agree on the vocabulary, and any future drift lands in exactly
+    * one row.
+    *
+    * Scale shape: one map-side-combined 1-row aggregate per table
+    * scanned (violation predicate is a codegen'd IN-list), unioned —
+    * no joins, no shuffles beyond the 1-row partials.
+    */
+  val q197DomainAudit: Q = Q(
+    "q197_domain_audit",
+    (s, dir) => {
+      def check(name: String, df: DataFrame, c: String,
+          dom: Seq[String]): DataFrame =
+        df.agg(count(lit(1)).as("n_rows"),
+            count(when(!col(c).isin(dom: _*), 1)).as("n_bad"))
+          .select(lit(name).as("constraint"), col("n_rows"), col("n_bad"),
+            expr("n_bad * 1000000 div n_rows").as("bad_ppm"))
+      Seq(
+        check("customer.c_mktsegment", Tables.load(s, dir, "customer"),
+          "c_mktsegment", Seq("AUTOMOBILE", "BUILDING", "FURNITURE",
+            "HOUSEHOLD", "MACHINERY")),
+        check("documents.lang", Tables.load(s, dir, "documents"),
+          "lang", Seq("en", "es", "de", "zh", "fr")),
+        check("events.event_type", Tables.load(s, dir, "events"),
+          "event_type", Seq("view", "click", "purchase", "signup",
+            "error")),
+        check("lineitem.l_linestatus", Tables.load(s, dir, "lineitem"),
+          "l_linestatus", Seq("O", "F")),
+        check("lineitem.l_returnflag", Tables.load(s, dir, "lineitem"),
+          "l_returnflag", Seq("R", "A", "N")),
+        check("orders.o_orderstatus", Tables.load(s, dir, "orders"),
+          "o_orderstatus", Seq("O", "F", "P")))
+        .reduce(_.unionByName(_))
+        .orderBy(col("constraint"))
+    },
+    Some("""WITH e AS (
+              SELECT 'customer.c_mktsegment' AS con,
+                (SELECT count(*) FROM customer) AS n_rows,
+                (SELECT count(*) FROM customer WHERE c_mktsegment NOT IN
+                  ('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD',
+                   'MACHINERY')) AS n_bad
+              UNION ALL
+              SELECT 'documents.lang', (SELECT count(*) FROM documents),
+                (SELECT count(*) FROM documents
+                 WHERE lang NOT IN ('en','es','de','zh','fr'))
+              UNION ALL
+              SELECT 'events.event_type', (SELECT count(*) FROM events),
+                (SELECT count(*) FROM events WHERE event_type NOT IN
+                  ('view','click','purchase','signup','error'))
+              UNION ALL
+              SELECT 'lineitem.l_linestatus',
+                (SELECT count(*) FROM lineitem),
+                (SELECT count(*) FROM lineitem
+                 WHERE l_linestatus NOT IN ('O','F'))
+              UNION ALL
+              SELECT 'lineitem.l_returnflag',
+                (SELECT count(*) FROM lineitem),
+                (SELECT count(*) FROM lineitem
+                 WHERE l_returnflag NOT IN ('R','A','N'))
+              UNION ALL
+              SELECT 'orders.o_orderstatus',
+                (SELECT count(*) FROM orders),
+                (SELECT count(*) FROM orders
+                 WHERE o_orderstatus NOT IN ('O','F','P')))
+            SELECT con AS "constraint", n_rows, n_bad,
+              n_bad * 1000000 // n_rows AS bad_ppm
+            FROM e ORDER BY con"""))
+
+  /** Primary-key uniqueness audit — the remaining constraint class
+    * (q183 FK, q197 CHECK): for every declared key, total rows vs
+    * distinct key values and the duplicate surplus. lineitem's
+    * composite key (orderkey, linenumber) is audited via a
+    * collision-free integer pack (linenumber < 2^8, orderkey shifted),
+    * so the distinct count is over one BIGINT — at 100 TB that is one
+    * map-side partial distinct per key, never a struct shuffle.
+    */
+  val q198UniquenessAudit: Q = Q(
+    "q198_uniqueness_audit",
+    (s, dir) => {
+      def check(name: String, df: DataFrame, key: Column): DataFrame =
+        df.agg(count(lit(1)).as("n_rows"),
+            count_distinct(key).as("n_distinct"))
+          .select(lit(name).as("key"), col("n_rows"), col("n_distinct"),
+            (col("n_rows") - col("n_distinct")).as("n_dupes"))
+      Seq(
+        check("customer.c_custkey", Tables.load(s, dir, "customer"),
+          col("c_custkey")),
+        check("documents.doc_id", Tables.load(s, dir, "documents"),
+          col("doc_id")),
+        check("events.event_id", Tables.load(s, dir, "events"),
+          col("event_id")),
+        check("lineitem.(l_orderkey,l_linenumber)",
+          Tables.load(s, dir, "lineitem"),
+          col("l_orderkey") * 256 + col("l_linenumber")),
+        check("nation.n_nationkey", Tables.load(s, dir, "nation"),
+          col("n_nationkey")),
+        check("orders.o_orderkey", Tables.load(s, dir, "orders"),
+          col("o_orderkey")),
+        check("part.p_partkey", Tables.load(s, dir, "part"),
+          col("p_partkey")),
+        check("region.r_regionkey", Tables.load(s, dir, "region"),
+          col("r_regionkey")),
+        check("supplier.s_suppkey", Tables.load(s, dir, "supplier"),
+          col("s_suppkey")))
+        .reduce(_.unionByName(_))
+        .orderBy(col("key"))
+    },
+    Some("""WITH e AS (
+              SELECT 'customer.c_custkey' AS key,
+                (SELECT count(*) FROM customer) AS n_rows,
+                (SELECT count(DISTINCT c_custkey) FROM customer)
+                  AS n_distinct
+              UNION ALL
+              SELECT 'documents.doc_id',
+                (SELECT count(*) FROM documents),
+                (SELECT count(DISTINCT doc_id) FROM documents)
+              UNION ALL
+              SELECT 'events.event_id', (SELECT count(*) FROM events),
+                (SELECT count(DISTINCT event_id) FROM events)
+              UNION ALL
+              SELECT 'lineitem.(l_orderkey,l_linenumber)',
+                (SELECT count(*) FROM lineitem),
+                (SELECT count(DISTINCT l_orderkey * 256 + l_linenumber)
+                 FROM lineitem)
+              UNION ALL
+              SELECT 'nation.n_nationkey', (SELECT count(*) FROM nation),
+                (SELECT count(DISTINCT n_nationkey) FROM nation)
+              UNION ALL
+              SELECT 'orders.o_orderkey', (SELECT count(*) FROM orders),
+                (SELECT count(DISTINCT o_orderkey) FROM orders)
+              UNION ALL
+              SELECT 'part.p_partkey', (SELECT count(*) FROM part),
+                (SELECT count(DISTINCT p_partkey) FROM part)
+              UNION ALL
+              SELECT 'region.r_regionkey', (SELECT count(*) FROM region),
+                (SELECT count(DISTINCT r_regionkey) FROM region)
+              UNION ALL
+              SELECT 'supplier.s_suppkey', (SELECT count(*) FROM supplier),
+                (SELECT count(DISTINCT s_suppkey) FROM supplier))
+            SELECT key, n_rows, n_distinct, n_rows - n_distinct AS n_dupes
+            FROM e ORDER BY key"""))
+
   val all: Seq[Q] =
     Seq(q98PiiRedact, q99Scd2Snapshots, q100NfcNormalize, q101IntervalMerge,
       q104KAnonymity, q121PitEnrich, q126CdcApply, q164LDiversity,
-      q178TCloseness)
+      q178TCloseness, q195Scd2Invariants, q197DomainAudit,
+      q198UniquenessAudit)
 }

@@ -1949,6 +1949,102 @@ object RelationalQueries {
               SELECT 99, est99, exact99, bound FROM est, ex)
             ORDER BY pct"""))
 
+  /** Bloom-pruned join audit — the runtime-filter pattern that saves
+    * shuffle bytes at 100 TB, measured end to end: the build side
+    * (BUILDING-segment customers) publishes a 8192-bit / 3-hash Bloom
+    * set (q130's deterministic integer hash family — no RNG, identical
+    * on any engine), the probe side (every orders row) is tested
+    * against it BEFORE the real join would shuffle, and the audit
+    * reports exactly what the filter earned: probe rows, true matches
+    * (the semi-join ground truth), Bloom-passing rows, false-positive
+    * rows (pass - true; one-sided — Bloom never drops a true match,
+    * and the spec asserts FN = 0 structurally via pass >= true), the
+    * FP rate among true negatives, and the fraction of probe rows
+    * pruned — all exact-integer ppm.
+    *
+    * ## 100 TB notes
+    * This is precisely Spark's `spark.sql.optimizer.runtime.bloomFilter`
+    * mechanics made explicit and auditable: the bitset is
+    * dimension-sized and broadcast (the distinct-bit table is <= 8192
+    * rows regardless of build cardinality); the probe side is touched
+    * map-side only — one explode x3 bounded expansion against a
+    * broadcast, no shuffle of unpruned fact rows anywhere in the
+    * filter evaluation.
+    */
+  val q196BloomJoinAudit: Q = Q(
+    "q196_bloom_join_audit",
+    (s, dir) => {
+      val hashes = 3L
+      val bits = 8192L
+      val prime = 2147483647L
+      def pos(k: Column, i: Column): Column =
+        (k * (i * 1048573L + 7L) + (i * 2097143L + 31L)) % prime % bits
+      val is = sequence(lit(0L), lit(hashes - 1))
+      val build = Tables.load(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val bitset = build.select(explode(is).as("i"), col("c_custkey"))
+        .select(pos(col("c_custkey"), col("i")).as("b"))
+        .distinct()
+      val probe = Tables.load(s, dir, "orders").select(col("o_custkey"))
+      val keys = Tables.eager(probe.distinct())
+      val pass = keys.select(col("o_custkey"), explode(is).as("i"))
+        .join(broadcast(bitset), pos(col("o_custkey"), col("i")) === col("b"),
+          "left")
+        .groupBy(col("o_custkey"))
+        .agg((count(col("b")) === hashes).as("pass"))
+      val truth = keys
+        .join(build.select(col("c_custkey").as("o_custkey")),
+          Seq("o_custkey"), "left_semi")
+        .select(col("o_custkey"), lit(true).as("hit"))
+      val flagged = probe
+        .join(broadcast(pass), Seq("o_custkey"))
+        .join(broadcast(truth), Seq("o_custkey"), "left")
+        .select(col("pass"), coalesce(col("hit"), lit(false)).as("hit"))
+      val nb = build.agg(count(lit(1)).as("n_build"))
+      flagged.agg(count(lit(1)).as("n_probe"),
+          count(when(col("hit"), 1)).as("n_true"),
+          count(when(col("pass"), 1)).as("n_pass"))
+        .crossJoin(broadcast(nb))
+        .select(col("n_build"), col("n_probe"), col("n_true"),
+          col("n_pass"), (col("n_pass") - col("n_true")).as("n_fp"),
+          expr("(n_pass - n_true) * 1000000 div (n_probe - n_true)")
+            .as("fp_ppm"),
+          expr("(n_probe - n_pass) * 1000000 div n_probe")
+            .as("pruned_ppm"))
+    },
+    Some("""WITH build AS (SELECT c_custkey FROM customer
+                           WHERE c_mktsegment = 'BUILDING'),
+            hh AS (SELECT unnest(generate_series(0, 2)) AS i),
+            bitset AS (SELECT DISTINCT
+                (c_custkey * (i * 1048573 + 7) + (i * 2097143 + 31))
+                  % 2147483647 % 8192 AS b
+              FROM build CROSS JOIN hh),
+            keys AS (SELECT DISTINCT o_custkey FROM orders),
+            pass AS (SELECT o_custkey, count(b) = 3 AS pass
+              FROM (SELECT k.o_custkey, bs.b
+                    FROM keys k CROSS JOIN hh
+                    LEFT JOIN bitset bs ON
+                      (k.o_custkey * (hh.i * 1048573 + 7)
+                        + (hh.i * 2097143 + 31)) % 2147483647 % 8192 = bs.b)
+              GROUP BY o_custkey),
+            truth AS (SELECT o_custkey, true AS hit FROM keys
+                      WHERE o_custkey IN (SELECT c_custkey FROM build)),
+            flagged AS (SELECT p.pass, coalesce(t.hit, false) AS hit
+              FROM orders o
+              JOIN pass p ON p.o_custkey = o.o_custkey
+              LEFT JOIN truth t ON t.o_custkey = o.o_custkey),
+            agg AS (SELECT count(*) AS n_probe,
+                count(CASE WHEN hit THEN 1 END) AS n_true,
+                count(CASE WHEN pass THEN 1 END) AS n_pass
+              FROM flagged),
+            nb AS (SELECT count(*) AS n_build FROM build)
+            SELECT n_build, n_probe, n_true, n_pass,
+              n_pass - n_true AS n_fp,
+              (n_pass - n_true) * 1000000 // (n_probe - n_true) AS fp_ppm,
+              (n_probe - n_pass) * 1000000 // n_probe AS pruned_ppm
+            FROM agg, nb"""))
+
   val all: Seq[Q] = Seq(q06JoinDims, q07StarRevenue, q08SemiJoin, q09AntiJoin,
     q10AggStats, q11Rollup, q12DistinctExact, q13WindowTopK, q14RunningSum,
     q15Pivot, q16SetOps, q17GlobalTopN, q40QuantilesDisc, q41Moments,
@@ -1958,5 +2054,6 @@ object RelationalQueries {
     q124MadOutliers, q129WowGrowth, q130BloomMembership, q133RankFamily,
     q135SnowflakeChain, q136EquidepthHistogram, q157Winsorize,
     q160WilsonInterval, q167ZorderLayout, q168Skyline, q175WeightedMedian,
-    q182Benford, q183OrphanAudit, q187ZonemapSkip, q189QuantileSketch)
+    q182Benford, q183OrphanAudit, q187ZonemapSkip, q189QuantileSketch,
+    q196BloomJoinAudit)
 }

@@ -91,6 +91,75 @@ class GovernanceOpsSpec extends SparkSpec {
     }
   }
 
+  test("q195 SCD2 invariants: the q99 fixture audits to zero overlaps, " +
+      "one presence gap, and a depth-3 history") {
+    withTempDir { dir =>
+      writeCustomer(dir, Seq(1L, 3L, 7L, 8L, 10L))
+      // intervals (see the q99 spec): 1:[1,3]; 3:[1][2][3]; 7:[1],[3]
+      // (gap); 8:[1,2]; 10:[2,3] -> 8 intervals, current = 1,3,7,10
+      val out = GovernanceQueries.q195Scd2Invariants.fn(spark, dir)
+        .select("n_keys", "n_intervals", "n_overlaps", "n_gaps",
+          "n_current", "max_per_key")
+        .as[(Long, Long, Long, Long, Long, Long)].collect().head
+      out shouldBe ((5L, 8L, 0L, 1L, 4L, 3L))
+    }
+  }
+
+  test("q197 domain audit: a planted out-of-vocabulary value lands in " +
+      "exactly its constraint's row") {
+    withTempDir { dir =>
+      writeCustomer(dir, Seq(1L)) // segment "SEG" violates the domain
+      writeDocs(dir, Seq((1L, "a b")))
+      writeEvents(dir, Seq((1L, 1L, 1000000000L, "view", 0.0),
+        (2L, 2L, 2000000000L, "weird", 0.0)))
+      Seq(("O", "F", "R"), ("F", "O", "A"))
+        .toDF("o_orderstatus", "l_linestatus", "l_returnflag")
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      Seq(Tuple1("O")).toDF("o_orderstatus")
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      val out = GovernanceQueries.q197DomainAudit.fn(spark, dir)
+        .select("constraint", "n_rows", "n_bad", "bad_ppm")
+        .as[(String, Long, Long, Long)].collect().toList
+      out shouldBe List(
+        ("customer.c_mktsegment", 1L, 1L, 1000000L),
+        ("documents.lang", 1L, 0L, 0L),
+        ("events.event_type", 2L, 1L, 500000L),
+        ("lineitem.l_linestatus", 2L, 0L, 0L),
+        ("lineitem.l_returnflag", 2L, 0L, 0L),
+        ("orders.o_orderstatus", 1L, 0L, 0L))
+    }
+  }
+
+  test("q198 uniqueness audit: a duplicated event_id and a composite-key " +
+      "collision are both counted") {
+    withTempDir { dir =>
+      writeCustomer(dir, Seq(1L, 2L))
+      writeDocs(dir, Seq((1L, "a")))
+      // event_id 5 appears twice -> 1 dupe
+      writeEvents(dir, Seq((5L, 1L, 1000000000L, "view", 0.0),
+        (5L, 2L, 2000000000L, "view", 0.0)))
+      // composite key: (1,1) repeats -> 1 dupe; (1,2) distinct
+      Seq((1L, 1), (1L, 1), (1L, 2))
+        .toDF("l_orderkey", "l_linenumber")
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      Seq(Tuple1(1L)).toDF("o_orderkey")
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      Seq(Tuple1(1L)).toDF("p_partkey")
+        .write.mode("overwrite").parquet(s"$dir/part.parquet")
+      Seq(Tuple1(1L)).toDF("n_nationkey")
+        .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+      Seq(Tuple1(1L)).toDF("r_regionkey")
+        .write.mode("overwrite").parquet(s"$dir/region.parquet")
+      Seq(Tuple1(1L)).toDF("s_suppkey")
+        .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+      val out = GovernanceQueries.q198UniquenessAudit.fn(spark, dir)
+        .select("key", "n_dupes").as[(String, Long)].collect().toMap
+      out("events.event_id") shouldBe 1L
+      out("lineitem.(l_orderkey,l_linenumber)") shouldBe 1L
+      out("customer.c_custkey") shouldBe 0L
+    }
+  }
+
   test("q99 intervals partition each key's observed versions") {
     withTempDir { dir =>
       writeCustomer(dir, (1L to 40L).toSeq)

@@ -1354,6 +1354,33 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("q196 bloom join: zero false negatives by construction, and the " +
+      "pass set mirrors an independent Scala model of the hash family") {
+    withTempDir { dir =>
+      val keys = (1L to 40L)
+      keys.map(k => (k, if (k % 2 == 0) "BUILDING" else "AUTOMOBILE"))
+        .toDF("c_custkey", "c_mktsegment")
+        .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+      keys.map(Tuple1(_)).toDF("o_custkey")
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      def pos(k: Long, i: Long): Long =
+        (k * (i * 1048573L + 7L) + (i * 2097143L + 31L)) %
+          2147483647L % 8192L
+      val bits = keys.filter(_ % 2 == 0)
+        .flatMap(k => (0L to 2L).map(pos(k, _))).toSet
+      val expPass = keys.count(k => (0L to 2L).forall(i => bits(pos(k, i))))
+      val r = RelationalQueries.q196BloomJoinAudit.fn(spark, dir)
+        .select("n_build", "n_probe", "n_true", "n_pass", "n_fp")
+        .as[(Long, Long, Long, Long, Long)].collect().head
+      r._1 shouldBe 20L
+      r._2 shouldBe 40L
+      r._3 shouldBe 20L
+      r._4 shouldBe expPass.toLong
+      r._4 should be >= r._3 // bloom is one-sided: no false negatives
+      r._5 shouldBe r._4 - r._3
+    }
+  }
+
   test("q168 skyline: dominated, tied and duplicate points resolve to " +
       "the exact per-brand frontier") {
     withTempDir { dir =>
