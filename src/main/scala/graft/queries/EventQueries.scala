@@ -3643,6 +3643,67 @@ object EventQueries {
                   / CAST(n1 * n2 AS DOUBLE)) AS reject
             FROM agg"""))
 
+  /** Purged temporal cross-validation folds (Lopez de Prado's purged
+    * K-fold) — the time-series counterpart of q48's hash split and q70's
+    * group-leakage gate: the event range is cut into 5 contiguous
+    * time blocks; when block k is the TEST fold, training events inside
+    * the EMBARGO band (6 hours on each side of the test block) are
+    * PURGED, because serially-correlated labels straddling the boundary
+    * leak test information into training. Emits, per fold: the test
+    * bounds, test/train/purged counts — train + purged + test = total
+    * for every fold by construction (the spec asserts the partition).
+    * All block and band arithmetic is exact integer hours from a 1-row
+    * bounds broadcast.
+    *
+    * ## 100 TB notes
+    * The fold expansion is a bounded x5 literal explode per event
+    * (q177's pattern) feeding a map-side-combined 5-group aggregate —
+    * one shuffle of 15 counter rows, however large the fact table. No
+    * sort, no window, no join beyond the broadcast bounds.
+    */
+  val q199PurgedCvFolds: Q = Q(
+    "q199_purged_cv_folds",
+    (s, dir) => {
+      val embargoH = 6L
+      val ev = Tables.load(s, dir, "events")
+        .select(expr("(ts div 1000) div 3600000000").as("h"))
+      val bounds = ev.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+      val withB = ev.crossJoin(broadcast(bounds))
+        .select(col("h"), col("lo"),
+          (col("hi") - col("lo") + 1).as("span"))
+      val folds = withB
+        .select(col("h"), col("lo"), col("span"),
+          explode(sequence(lit(0L), lit(4L))).as("fold"))
+        .withColumn("t_lo", col("lo") + expr("(span * fold) div 5"))
+        .withColumn("t_hi", col("lo") + expr("(span * (fold + 1)) div 5") - 1)
+      val cls = when(col("h").between(col("t_lo"), col("t_hi")), "test")
+        .when(col("h").between(col("t_lo") - embargoH, col("t_hi") + embargoH),
+          "purged")
+        .otherwise("train")
+      folds.groupBy(col("fold"), col("t_lo"), col("t_hi"))
+        .agg(count(when(cls === "test", 1)).as("n_test"),
+          count(when(cls === "train", 1)).as("n_train"),
+          count(when(cls === "purged", 1)).as("n_purged"))
+        .orderBy(col("fold"))
+    },
+    Some(s"""WITH ev AS (SELECT ${duckUs("ts")} // 3600000000 AS h
+              FROM events),
+            b AS (SELECT min(h) AS lo, max(h) - min(h) + 1 AS span FROM ev),
+            f AS (SELECT h, lo, span, fold,
+                lo + (span * fold) // 5 AS t_lo,
+                lo + (span * (fold + 1)) // 5 - 1 AS t_hi
+              FROM ev, b, (SELECT unnest(generate_series(0, 4)) AS fold)),
+            cls AS (SELECT fold, t_lo, t_hi,
+                CASE WHEN h BETWEEN t_lo AND t_hi THEN 'test'
+                     WHEN h BETWEEN t_lo - 6 AND t_hi + 6 THEN 'purged'
+                     ELSE 'train' END AS c
+              FROM f)
+            SELECT fold, t_lo, t_hi,
+              count(CASE WHEN c = 'test' THEN 1 END) AS n_test,
+              count(CASE WHEN c = 'train' THEN 1 END) AS n_train,
+              count(CASE WHEN c = 'purged' THEN 1 END) AS n_purged
+            FROM cls GROUP BY fold, t_lo, t_hi ORDER BY fold"""))
+
   private val streamingNames: Set[String] = Set(
     "q64_stream_hourly", "q66_stream_dedup", "q75_stream_sessions",
     "q76_stream_late_drop", "q78_stream_interval_join",
@@ -3667,6 +3728,7 @@ object EventQueries {
       q152MaxConcurrency, q154GrowthAccounting, q155ParetoCoverage,
       q158ModalType, q159ArgmaxPurchase, q161Autocorr, q170ConversionLag,
       q174RfmSegments, q179InterpolateGaps, q181AucRanksum,
-      q185SeqPatterns, q186DecileLift, q188SrmCheck, q192KsTest)
+      q185SeqPatterns, q186DecileLift, q188SrmCheck, q192KsTest,
+      q199PurgedCvFolds)
       .map(q => q.copy(streaming = streamingNames(q.name)))
 }

@@ -1245,11 +1245,68 @@ object TextQueries {
                   AS DOUBLE) / CAST(count(*) AS DOUBLE) AS frac_hrw
             FROM base JOIN h16 USING (doc_id) JOIN h17 USING (doc_id)"""))
 
+  /** Nested data ladder for scaling-law runs — the 10 % / 25 % / 50 % /
+    * 100 % corpus subsets a data-scaling experiment trains on, with the
+    * property that makes the ladder VALID: each rung strictly CONTAINS
+    * the previous one, guaranteed by thresholding ONE reproducible
+    * per-doc hash (doc in rung r iff hash32 * 100 < 2^32 * pct_r) —
+    * never independent samples, whose rungs would overlap only
+    * partially and confound the curve. Per rung: doc count, exact token
+    * count, and DISTINCT-token vocabulary size — the sublinear
+    * vocabulary growth (Heaps' law) visible right in the output.
+    *
+    * ## 100 TB notes
+    * Membership is a per-row hash compare (codegen'd, no RNG state);
+    * the x4 rung expansion happens AFTER the per-doc rollup (docs x 4,
+    * not tokens x 4); the vocabulary count per rung is the only
+    * heavyweight — a (rung, token) distinct then a 4-group count, both
+    * map-side combined, shuffling at most 4 x |vocab| rows.
+    */
+  val q200DataLadder: Q = Q(
+    "q200_data_ladder",
+    (s, dir) => {
+      val pcts = Seq(10L, 25L, 50L, 100L)
+      val keyed = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), Text.tokens(col("text")).as("toks"),
+          Text.hash32(concat(col("doc_id").cast("string"), lit(":ladder")))
+            .as("k"))
+      val rungs = keyed
+        .select(col("doc_id"), col("toks"), col("k"),
+          explode(array(pcts.map(lit(_)): _*)).as("pct"))
+        .filter(col("k") * 100 < lit(4294967296L) * col("pct"))
+      val docStats = rungs.groupBy(col("pct"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(col("toks")).cast("long")).as("n_tokens"))
+      val vocab = rungs
+        .select(col("pct"), explode(col("toks")).as("tok"))
+        .distinct()
+        .groupBy(col("pct")).agg(count(lit(1)).as("n_vocab"))
+      docStats.join(vocab, Seq("pct"))
+        .orderBy(col("pct"))
+    },
+    Some("""WITH keyed AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                ('0x' || substring(md5(doc_id::VARCHAR || ':ladder'), 1, 8))
+                  ::BIGINT AS k
+              FROM documents),
+            rungs AS (SELECT doc_id, toks, pct
+              FROM keyed, (SELECT unnest([10, 25, 50, 100]) AS pct)
+              WHERE k * 100 < 4294967296 * pct),
+            ds AS (SELECT pct, count(*) AS n_docs,
+                CAST(sum(len(toks)) AS BIGINT) AS n_tokens
+              FROM rungs GROUP BY pct),
+            vc AS (SELECT pct, count(*) AS n_vocab
+              FROM (SELECT DISTINCT pct, unnest(toks) AS tok FROM rungs)
+              GROUP BY pct)
+            SELECT ds.pct, n_docs, n_tokens, n_vocab
+            FROM ds JOIN vc ON ds.pct = vc.pct
+            ORDER BY ds.pct"""))
+
   val all: Seq[Q] =
     Seq(q18TextStats, q19TermFreq, q20LangId, q21QualityScore, q22RegexTokens,
       q39WinnowFp, q42EditDistance, q45TfidfTopk, q48SplitAssign,
       q51StratifiedSample, q54Sketches, q62PackSequences, q67Repetition,
       q68MixtureRebalance, q70SplitLeakage, q72CorpusFunnel,
       q82TokenBudget, q134SentenceStats, q137SymspellJoin,
-      q162Bm25Topk, q163RrfFusion, q166EpochShard, q177ReshardMovement)
+      q162Bm25Topk, q163RrfFusion, q166EpochShard, q177ReshardMovement,
+      q200DataLadder)
 }

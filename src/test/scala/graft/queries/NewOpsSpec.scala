@@ -1381,6 +1381,40 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("q199 purged CV: ten one-event hours partition into exact " +
+      "test/purged/train bands per fold") {
+    withTempDir { dir =>
+      val h = 3600L * 1000000000L
+      writeEvents(dir, (0L to 9L).map(i => (i + 1, i + 1, i * h, "view", 0.0)))
+      val out = EventQueries.q199PurgedCvFolds.fn(spark, dir)
+        .select("fold", "t_lo", "t_hi", "n_test", "n_train", "n_purged")
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toList
+      out.map(_._1) shouldBe List(0L, 1L, 2L, 3L, 4L)
+      // every fold partitions the corpus
+      all(out.map(r => r._4 + r._5 + r._6)) shouldBe 10L
+      // fold 0: test hours 0-1; embargo reaches hour 7; train = 8,9
+      out.head shouldBe ((0L, 0L, 1L, 2L, 2L, 6L))
+      // fold 2: test 4-5; the 6h embargo covers every remaining hour
+      out(2) shouldBe ((2L, 4L, 5L, 2L, 0L, 8L))
+    }
+  }
+
+  test("q200 data ladder: rungs are monotone and the 100% rung is the " +
+      "whole corpus") {
+    withTempDir { dir =>
+      writeDocs(dir, (1L to 50L).map(i => i -> s"tok$i common a b"))
+      val out = TextQueries.q200DataLadder.fn(spark, dir)
+        .select("pct", "n_docs", "n_tokens", "n_vocab")
+        .as[(Long, Long, Long, Long)].collect().toList
+      out.map(_._1) shouldBe List(10L, 25L, 50L, 100L)
+      out.map(_._2) shouldBe out.map(_._2).sorted // nested -> monotone
+      out.map(_._4) shouldBe out.map(_._4).sorted
+      out.last._2 shouldBe 50L
+      out.last._3 shouldBe 200L            // 4 tokens per doc
+      out.last._4 shouldBe 53L             // 50 unique + common, a, b
+    }
+  }
+
   test("q168 skyline: dominated, tied and duplicate points resolve to " +
       "the exact per-brand frontier") {
     withTempDir { dir =>
