@@ -3704,6 +3704,76 @@ object EventQueries {
               count(CASE WHEN c = 'purged' THEN 1 END) AS n_purged
             FROM cls GROUP BY fold, t_lo, t_hi ORDER BY fold"""))
 
+  /** CUPED variance-reduction audit (controlled experiments using
+    * pre-experiment data) — before an A/B readout, how much outcome
+    * variance does the pre-period covariate remove? Per user: x = view
+    * count in the FIRST half of the time range (pre-period), y =
+    * purchase count in the SECOND half (outcome). Both are integer
+    * counts, so every moment (n, Sx, Sy, Sxx, Sxy, Syy) is an exact
+    * BIGINT; theta = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) is one IEEE
+    * division, and the variance-reduction fraction is squared-
+    * correlation r2 = (n*Sxy - Sx*Sy)^2 / ((n*Sxx - Sx^2)(n*Syy - Sy^2))
+    * — numerator and denominator each exact integers, one division.
+    * The practical payoff: the same experiment needs (1 - r2) of the
+    * traffic for equal power when CUPED-adjusted.
+    *
+    * ## 100 TB notes
+    * One shuffle to the per-user rollup (conditional counts computed
+    * in the same pass from a 1-row bounds broadcast), then a 1-row
+    * moment aggregate with map-side partials — q41/q114's exact-moment
+    * discipline applied to experimentation.
+    */
+  val q201CupedAudit: Q = Q(
+    "q201_cuped_audit",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"), tsUs.as("us"))
+      val bounds = ev.agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
+        .select(expr("(lo + hi) div 2").as("mid"))
+      val u = ev.crossJoin(broadcast(bounds))
+        .groupBy(col("user_id"))
+        .agg(count(when(col("event_type") === "view" &&
+            col("us") < col("mid"), 1)).as("x"),
+          count(when(col("event_type") === "purchase" &&
+            col("us") >= col("mid"), 1)).as("y"))
+      u.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("n"), col("sx"), col("sy"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+            .as("theta"),
+          (((col("n") * col("sxy") - col("sx") * col("sy")) *
+            (col("n") * col("sxy") - col("sx") * col("sy"))).cast("double") /
+            ((col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("syy") - col("sy") * col("sy")))
+              .cast("double")).as("var_reduction"))
+    },
+    Some(s"""WITH ev AS (SELECT user_id, event_type, ${duckUs("ts")} AS us
+              FROM events),
+            b AS (SELECT (min(us) + max(us)) // 2 AS mid FROM ev),
+            u AS (SELECT user_id,
+                count(CASE WHEN event_type = 'view' AND us < mid
+                      THEN 1 END) AS x,
+                count(CASE WHEN event_type = 'purchase' AND us >= mid
+                      THEN 1 END) AS y
+              FROM ev, b GROUP BY user_id),
+            m AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+                CAST(sum(y) AS BIGINT) AS sy,
+                CAST(sum(x * x) AS BIGINT) AS sxx,
+                CAST(sum(x * y) AS BIGINT) AS sxy,
+                CAST(sum(y * y) AS BIGINT) AS syy
+              FROM u)
+            SELECT n, sx, sy,
+              CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE) AS theta,
+              CAST((n * sxy - sx * sy) * (n * sxy - sx * sy) AS DOUBLE)
+                / CAST((n * sxx - sx * sx) * (n * syy - sy * sy) AS DOUBLE)
+                AS var_reduction
+            FROM m"""))
+
   private val streamingNames: Set[String] = Set(
     "q64_stream_hourly", "q66_stream_dedup", "q75_stream_sessions",
     "q76_stream_late_drop", "q78_stream_interval_join",
@@ -3729,6 +3799,6 @@ object EventQueries {
       q158ModalType, q159ArgmaxPurchase, q161Autocorr, q170ConversionLag,
       q174RfmSegments, q179InterpolateGaps, q181AucRanksum,
       q185SeqPatterns, q186DecileLift, q188SrmCheck, q192KsTest,
-      q199PurgedCvFolds)
+      q199PurgedCvFolds, q201CupedAudit)
       .map(q => q.copy(streaming = streamingNames(q.name)))
 }

@@ -179,6 +179,69 @@ object MultimodalQueries {
           ORDER BY m.doc_id"""
     })
 
+  /** Cross-asset frame dedup — the multimodal x dedup crossover: q65's
+    * sampled frames hashed and grouped ACROSS assets, reporting how
+    * much frame-level content is shared between different media objects
+    * (re-posted clips, shared intros, watermark padding — the video
+    * analogue of boilerplate q63). One summary row: total sampled
+    * frames, distinct frame hashes, hashes seen in >1 asset, frames
+    * covered by those shared hashes, and the asset pairs sharing at
+    * least one frame (bounded: a hash shared by k assets contributes
+    * k*(k-1)/2 exact pair-credits, summed as integers).
+    *
+    * ## 100 TB notes
+    * Frames never shuffle raw: the md5 projection happens in the same
+    * mapPartitions pass that slices them, and everything downstream
+    * aggregates 16-byte hashes with map-side partials. The per-hash
+    * asset count is bounded by the corpus's true duplication, the same
+    * quantity every dedup family member is linear in.
+    */
+  val q203FrameDedup: Q = Q(
+    "q203_frame_dedup",
+    (s, dir) => {
+      import s.implicits._
+      val media = Multimodal.mediaFromText(
+          Tables.load(s, dir, "documents"), "doc_id", "text")
+        .select(col("id"), col("media"), col("meta.mime").as("mime"))
+        .as[Multimodal.Media]
+      val frames = Multimodal.sampleFrames(media, frameBytes = 64,
+          everyN = 2)
+        .select(col("id"), md5(col("frame")).as("fp"))
+      val perHash = frames.groupBy(col("fp"))
+        .agg(count(lit(1)).as("n_frames"),
+          count_distinct(col("id")).as("n_assets"))
+      perHash.agg(sum(col("n_frames")).as("n_frames_total"),
+          count(lit(1)).as("n_distinct_hashes"),
+          count(when(col("n_assets") > 1, 1)).as("n_shared_hashes"),
+          coalesce(sum(when(col("n_assets") > 1, col("n_frames"))), lit(0L))
+            .as("n_frames_shared"),
+          sum(expr("n_assets * (n_assets - 1) div 2")).as("n_asset_pairs"))
+    },
+    Some("""WITH m AS (SELECT doc_id,
+              CASE WHEN octet_length(encode(text)) <> length(text)
+                   THEN error('q203 oracle needs ASCII text; doc_id='
+                              || doc_id)
+                   ELSE text END AS t
+              FROM documents WHERE text IS NOT NULL),
+            f AS (SELECT doc_id,
+                md5(substring(t, (i * 64 + 1)::INT, 64)) AS fp
+              FROM (SELECT doc_id, t,
+                      unnest(list_filter(range(0, (length(t) + 63) // 64),
+                        i -> i % 2 = 0)) AS i
+                    FROM m)),
+            ph AS (SELECT fp, count(*) AS n_frames,
+                count(DISTINCT doc_id) AS n_assets
+              FROM f GROUP BY fp)
+            SELECT CAST(sum(n_frames) AS BIGINT) AS n_frames_total,
+              count(*) AS n_distinct_hashes,
+              count(CASE WHEN n_assets > 1 THEN 1 END) AS n_shared_hashes,
+              coalesce(CAST(sum(CASE WHEN n_assets > 1 THEN n_frames END)
+                AS BIGINT), 0) AS n_frames_shared,
+              CAST(sum(n_assets * (n_assets - 1) // 2) AS BIGINT)
+                AS n_asset_pairs
+            FROM ph"""))
+
   val all: Seq[Q] =
-    Seq(q36MultimodalMeta, q58FeaturePool, q65FrameSample, q77DecodeStub)
+    Seq(q36MultimodalMeta, q58FeaturePool, q65FrameSample, q77DecodeStub,
+      q203FrameDedup)
 }

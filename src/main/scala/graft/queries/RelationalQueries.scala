@@ -2045,6 +2045,86 @@ object RelationalQueries {
               (n_probe - n_pass) * 1000000 // n_probe AS pruned_ppm
             FROM agg, nb"""))
 
+  /** Join-cardinality estimator audit — the textbook CBO formula
+    * |A JOIN B| ~= |A|*|B| / max(ndv_A, ndv_B) (uniform-containment
+    * assumption, System R) evaluated against the ACTUAL join count for
+    * the three fact joins of the star. Per edge: the four exact input
+    * statistics, the estimate (exact integer floor division of exact
+    * integers — the formula itself), the true count, and the signed
+    * error in exact ppm of actual. This is the audit a planner's
+    * statistics pipeline runs to decide whether column NDVs are stale:
+    * TPC-H-shaped data is nearly uniform, so errors are small; skewed
+    * production keys blow the formula up — visibly, in one row.
+    *
+    * ## 100 TB notes
+    * Inputs are map-side-combined count/approx-free NDV aggregates
+    * (exact distinct — at 100 TB you'd substitute the HLL the q141
+    * family provides; the AUDIT shape is unchanged); the actual join
+    * count per edge is the same shuffle the real query would pay, which
+    * is the point — run it once, trust the estimator until drift.
+    */
+  val q202JoinCardAudit: Q = Q(
+    "q202_join_card_audit",
+    (s, dir) => {
+      def edge(name: String, a: DataFrame, ak: String, b: DataFrame,
+          bk: String): DataFrame = {
+        val sa = a.agg(count(lit(1)).as("na"),
+          count_distinct(col(ak)).as("nda"))
+        val sb = b.agg(count(lit(1)).as("nb"),
+          count_distinct(col(bk)).as("ndb"))
+        val actual = a.select(col(ak))
+          .join(b.select(col(bk)), col(ak) === col(bk))
+          .agg(count(lit(1)).as("actual"))
+        sa.crossJoin(broadcast(sb)).crossJoin(broadcast(actual))
+          .select(lit(name).as("edge"), col("na"), col("nb"),
+            greatest(col("nda"), col("ndb")).as("ndv_max"),
+            expr("(na * nb) div greatest(nda, ndb)").as("est"),
+            col("actual"),
+            expr("((na * nb) div greatest(nda, ndb) - actual) * 1000000 " +
+              "div actual").as("err_ppm"))
+      }
+      val li = Tables.load(s, dir, "lineitem")
+      Seq(
+        edge("lineitem-orders", li, "l_orderkey",
+          Tables.load(s, dir, "orders"), "o_orderkey"),
+        edge("lineitem-part", li, "l_partkey",
+          Tables.load(s, dir, "part"), "p_partkey"),
+        edge("orders-customer", Tables.load(s, dir, "orders"), "o_custkey",
+          Tables.load(s, dir, "customer"), "c_custkey"))
+        .reduce(_.unionByName(_))
+        .orderBy(col("edge"))
+    },
+    Some("""WITH e AS (
+              SELECT 'lineitem-orders' AS edge,
+                (SELECT count(*) FROM lineitem) AS na,
+                (SELECT count(*) FROM orders) AS nb,
+                greatest((SELECT count(DISTINCT l_orderkey) FROM lineitem),
+                  (SELECT count(DISTINCT o_orderkey) FROM orders))
+                  AS ndv_max,
+                (SELECT count(*) FROM lineitem
+                 JOIN orders ON l_orderkey = o_orderkey) AS actual
+              UNION ALL
+              SELECT 'lineitem-part',
+                (SELECT count(*) FROM lineitem),
+                (SELECT count(*) FROM part),
+                greatest((SELECT count(DISTINCT l_partkey) FROM lineitem),
+                  (SELECT count(DISTINCT p_partkey) FROM part)),
+                (SELECT count(*) FROM lineitem
+                 JOIN part ON l_partkey = p_partkey)
+              UNION ALL
+              SELECT 'orders-customer',
+                (SELECT count(*) FROM orders),
+                (SELECT count(*) FROM customer),
+                greatest((SELECT count(DISTINCT o_custkey) FROM orders),
+                  (SELECT count(DISTINCT c_custkey) FROM customer)),
+                (SELECT count(*) FROM orders
+                 JOIN customer ON o_custkey = c_custkey))
+            SELECT edge, na, nb, ndv_max,
+              (na * nb) // ndv_max AS est, actual,
+              ((na * nb) // ndv_max - actual) * 1000000 // actual
+                AS err_ppm
+            FROM e ORDER BY edge"""))
+
   val all: Seq[Q] = Seq(q06JoinDims, q07StarRevenue, q08SemiJoin, q09AntiJoin,
     q10AggStats, q11Rollup, q12DistinctExact, q13WindowTopK, q14RunningSum,
     q15Pivot, q16SetOps, q17GlobalTopN, q40QuantilesDisc, q41Moments,
@@ -2055,5 +2135,5 @@ object RelationalQueries {
     q135SnowflakeChain, q136EquidepthHistogram, q157Winsorize,
     q160WilsonInterval, q167ZorderLayout, q168Skyline, q175WeightedMedian,
     q182Benford, q183OrphanAudit, q187ZonemapSkip, q189QuantileSketch,
-    q196BloomJoinAudit)
+    q196BloomJoinAudit, q202JoinCardAudit)
 }

@@ -1415,6 +1415,67 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("q201 CUPED: a perfectly predictive pre-period covariate reaches " +
+      "theta = 1 and full variance reduction") {
+    withTempDir { dir =>
+      val h = 3600L * 1000000000L
+      var id = 0L
+      def n(u: Long, hour: Long, t: String) = { id += 1; (id, u, hour * h, t, 0.0) }
+      // bounds pinned by user 99 at hours 0 and 10 -> mid = hour 5;
+      // users 1..3: k views pre-mid, k purchases post-mid; y = x exactly
+      val rows = Seq(n(99L, 0L, "click"), n(99L, 10L, "click")) ++
+        (1L to 3L).flatMap { u =>
+          (1L to u).map(_ => n(u, 1L, "view")) ++
+            (1L to u).map(_ => n(u, 6L, "purchase"))
+        }
+      writeEvents(dir, rows)
+      val out = EventQueries.q201CupedAudit.fn(spark, dir)
+        .select("n", "sx", "sy", "theta", "var_reduction")
+        .as[(Long, Long, Long, Double, Double)].collect().head
+      out shouldBe ((4L, 6L, 6L, 1.0, 1.0))
+    }
+  }
+
+  test("q202 join cardinality: the uniform formula is exact on uniform " +
+      "keys and overestimates when probe keys miss the build side") {
+    withTempDir { dir =>
+      Seq((1L, 1L), (1L, 1L), (2L, 1L), (2L, 1L), (3L, 1L), (3L, 1L),
+          (4L, 1L), (4L, 1L))
+        .toDF("l_orderkey", "l_partkey")
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      // o_custkey 9 has no customer row -> actual 3 < est 4
+      Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 9L))
+        .toDF("o_orderkey", "o_custkey")
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      Seq(Tuple1(1L)).toDF("p_partkey")
+        .write.mode("overwrite").parquet(s"$dir/part.parquet")
+      // no customer 9: the containment assumption breaks on that edge
+      Seq(Tuple1(1L), Tuple1(5L), Tuple1(7L)).toDF("c_custkey")
+        .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+      val out = RelationalQueries.q202JoinCardAudit.fn(spark, dir)
+        .select("edge", "est", "actual", "err_ppm")
+        .as[(String, Long, Long, Long)].collect().toList
+      out shouldBe List(
+        ("lineitem-orders", 8L, 8L, 0L),   // 8*4/4, exact
+        ("lineitem-part", 8L, 8L, 0L),     // 8*1/1, exact
+        // est = 4*3 // max(2,3) = 4; actual = 3 (cust 9 missing)
+        ("orders-customer", 4L, 3L, 333333L))
+    }
+  }
+
+  test("q203 frame dedup: one 64-byte frame shared by two assets is one " +
+      "shared hash, two shared frames, one asset pair") {
+    withTempDir { dir =>
+      val shared = "x" * 64
+      writeDocs(dir, Seq((1L, shared), (2L, shared), (3L, "y" * 64)))
+      val out = MultimodalQueries.q203FrameDedup.fn(spark, dir)
+        .select("n_frames_total", "n_distinct_hashes", "n_shared_hashes",
+          "n_frames_shared", "n_asset_pairs")
+        .as[(Long, Long, Long, Long, Long)].collect().head
+      out shouldBe ((3L, 2L, 1L, 2L, 1L))
+    }
+  }
+
   test("q168 skyline: dominated, tied and duplicate points resolve to " +
       "the exact per-brand frontier") {
     withTempDir { dir =>
