@@ -500,7 +500,66 @@ object CorpusQueries {
             GROUP BY 1, doc_id
             ORDER BY n_hits DESC, doc_id ASC LIMIT 10"""))
 
+  /** IDF drift between corpus snapshots — which terms' document
+    * frequencies moved most between two crawls? The fixture has no
+    * crawl timestamps, so the two "snapshots" are the doc_id parity
+    * classes (documented model, like q121's derived versions); the
+    * DRIFT MACHINERY is the operator: per token, df in each snapshot,
+    * and the SYMMETRIC fold ratio max(df2*n1/(df1*n2), df1*n2/(df2*n1))
+    * computed by exact integer cross-multiplication in ppm — no
+    * logarithm, no float ratio, identical ranking on any engine. Terms
+    * must clear df >= 5 in BOTH snapshots (hapax noise never tops the
+    * list); top-15 movers, ties by token. A real ingestion pipeline
+    * runs exactly this against last month's vocabulary before
+    * retraining a tokenizer.
+    *
+    * ## 100 TB notes
+    * One explode -> (token, snapshot) distinct -> vocabulary-sized
+    * aggregate (Heaps-law bounded); the ratio ranking is
+    * TakeOrderedAndProject over that vocabulary table. No joins wider
+    * than the vocabulary.
+    */
+  val q205IdfDrift: Q = Q(
+    "q205_idf_drift",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), pmod(col("doc_id"), lit(2L)).as("epoch"),
+          explode(array_distinct(Text.tokens(col("text")))).as("tok"))
+      val df = docs.groupBy(col("tok"))
+        .agg(count(when(col("epoch") === 0, 1)).as("df1"),
+          count(when(col("epoch") === 1, 1)).as("df2"))
+        .filter(col("df1") >= 5 && col("df2") >= 5)
+      val totals = Tables.load(s, dir, "documents")
+        .agg(count(when(pmod(col("doc_id"), lit(2L)) === 0, 1)).as("n1"),
+          count(when(pmod(col("doc_id"), lit(2L)) === 1, 1)).as("n2"))
+      df.crossJoin(broadcast(totals))
+        .select(col("tok"), col("df1"), col("df2"),
+          greatest(expr("df2 * n1 * 1000000 div (df1 * n2)"),
+            expr("df1 * n2 * 1000000 div (df2 * n1)")).as("drift_ppm"))
+        .orderBy(col("drift_ppm").desc, col("tok").asc)
+        .limit(15)
+    },
+    Some("""WITH ex AS (SELECT doc_id, doc_id % 2 AS epoch,
+                unnest(list_distinct(string_split(text, ' '))) AS tok
+              FROM documents),
+            df AS (SELECT tok,
+                count(CASE WHEN epoch = 0 THEN 1 END) AS df1,
+                count(CASE WHEN epoch = 1 THEN 1 END) AS df2
+              FROM ex GROUP BY tok
+              HAVING count(CASE WHEN epoch = 0 THEN 1 END) >= 5
+                AND count(CASE WHEN epoch = 1 THEN 1 END) >= 5),
+            t AS (SELECT
+                count(CASE WHEN doc_id % 2 = 0 THEN 1 END) AS n1,
+                count(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS n2
+              FROM documents)
+            SELECT tok, df1, df2,
+              greatest(df2 * n1 * 1000000 // (df1 * n2),
+                df1 * n2 * 1000000 // (df2 * n1)) AS drift_ppm
+            FROM df, t
+            ORDER BY drift_ppm DESC, tok ASC LIMIT 15"""))
+
   val all: Seq[Q] = Seq(q88ChunkOverlap, q91BpePairs, q92UnigramRarity,
     q93BigramLift, q94CdcChunks, q96QuantileNorm, q97MixtureWeights,
-    q125PpsSample, q169PostingLists, q173Burstiness, q191PhraseSearch)
+    q125PpsSample, q169PostingLists, q173Burstiness, q191PhraseSearch,
+    q205IdfDrift)
 }

@@ -1301,6 +1301,99 @@ object TextQueries {
             FROM ds JOIN vc ON ds.pct = vc.pct
             ORDER BY ds.pct"""))
 
+  /** Medallion row-provenance waterfall — the observability report the
+    * reference's quality layer implies but never emits
+    * (plugins/data_quality_operator.py raises on the FIRST failure;
+    * this accounts for EVERY row): the corpus flows through the
+    * bronze->silver gauntlet — (1) null-or-empty text, (2) too-short
+    * (< 150 chars), (3) unsupported language (the tokenizer supports
+    * en/es/de/zh; fr is dropped), (4) exact-duplicate (non-first of an
+    * identical-fingerprint group, sequenced AFTER the content filters
+    * so a short dup counts as short, matching pipeline order) — and
+    * every row lands in exactly the FIRST stage that rejects it, or in
+    * `kept`. Per stage: rows dropped and rows remaining; the spec
+    * asserts the waterfall telescopes (each remaining = previous
+    * remaining - dropped; kept = final remaining).
+    *
+    * ## 100 TB notes
+    * One pass computes all reject flags (codegen'd projections); only
+    * the survivors of stages 1-3 reach the dedup window (partitioned
+    * by fingerprint — bounded groups); the final accounting is a 1-row
+    * conditional aggregate expanded to the 5-row report by literal
+    * selects, not re-scans.
+    */
+  val q204MedallionWaterfall: Q = Q(
+    "q204_medallion_waterfall",
+    (s, dir) => {
+      val langs = Seq("en", "es", "de", "zh")
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("n_chars"),
+          Text.fingerprint(col("text")).as("fp"))
+        .withColumn("f1", col("text").isNull || col("text") === "")
+        .withColumn("f2", !col("f1") && col("n_chars") < 150)
+        .withColumn("f3", !col("f1") && !col("f2") &&
+          !col("lang").isin(langs: _*))
+      val surv = docs.filter(!col("f1") && !col("f2") && !col("f3"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+        .withColumn("f4", col("rn") > 1)
+      val head = docs.agg(count(lit(1)).as("n0"),
+        count(when(col("f1"), 1)).as("d1"),
+        count(when(col("f2"), 1)).as("d2"),
+        count(when(col("f3"), 1)).as("d3"))
+      val tail = surv.agg(count(when(col("f4"), 1)).as("d4"),
+        count(when(!col("f4"), 1)).as("kept"))
+      val w = head.crossJoin(broadcast(tail))
+      Seq(
+        w.select(lit("1_null_empty").as("stage"), col("d1").as("n_dropped"),
+          (col("n0") - col("d1")).as("n_remaining")),
+        w.select(lit("2_too_short").as("stage"), col("d2").as("n_dropped"),
+          (col("n0") - col("d1") - col("d2")).as("n_remaining")),
+        w.select(lit("3_unsupported_lang").as("stage"),
+          col("d3").as("n_dropped"),
+          (col("n0") - col("d1") - col("d2") - col("d3")).as("n_remaining")),
+        w.select(lit("4_exact_dup").as("stage"), col("d4").as("n_dropped"),
+          col("kept").as("n_remaining")),
+        w.select(lit("5_kept").as("stage"), lit(0L).as("n_dropped"),
+          col("kept").as("n_remaining")))
+        .reduce(_.unionByName(_))
+        .orderBy(col("stage"))
+    },
+    Some("""WITH d AS (SELECT doc_id, text, lang, n_chars,
+                md5(trim(lower(text))) AS fp,
+                (text IS NULL OR text = '') AS f1
+              FROM documents),
+            d2 AS (SELECT *,
+                (NOT f1 AND n_chars < 150) AS f2
+              FROM d),
+            d3 AS (SELECT *,
+                (NOT f1 AND NOT f2 AND lang NOT IN ('en','es','de','zh'))
+                  AS f3
+              FROM d2),
+            surv AS (SELECT *, row_number() OVER (PARTITION BY fp
+                  ORDER BY doc_id) > 1 AS f4
+              FROM d3 WHERE NOT f1 AND NOT f2 AND NOT f3),
+            h AS (SELECT count(*) AS n0,
+                count(CASE WHEN f1 THEN 1 END) AS d1,
+                count(CASE WHEN f2 THEN 1 END) AS d2,
+                count(CASE WHEN f3 THEN 1 END) AS d3
+              FROM d3),
+            t AS (SELECT count(CASE WHEN f4 THEN 1 END) AS d4,
+                count(CASE WHEN NOT f4 THEN 1 END) AS kept
+              FROM surv)
+            SELECT stage, n_dropped, n_remaining FROM (
+              SELECT '1_null_empty' AS stage, d1 AS n_dropped,
+                n0 - d1 AS n_remaining FROM h, t
+              UNION ALL
+              SELECT '2_too_short', d2, n0 - d1 - d2 FROM h, t
+              UNION ALL
+              SELECT '3_unsupported_lang', d3, n0 - d1 - d2 - d3 FROM h, t
+              UNION ALL
+              SELECT '4_exact_dup', d4, kept FROM h, t
+              UNION ALL
+              SELECT '5_kept', 0, kept FROM h, t)
+            ORDER BY stage"""))
+
   val all: Seq[Q] =
     Seq(q18TextStats, q19TermFreq, q20LangId, q21QualityScore, q22RegexTokens,
       q39WinnowFp, q42EditDistance, q45TfidfTopk, q48SplitAssign,
@@ -1308,5 +1401,5 @@ object TextQueries {
       q68MixtureRebalance, q70SplitLeakage, q72CorpusFunnel,
       q82TokenBudget, q134SentenceStats, q137SymspellJoin,
       q162Bm25Topk, q163RrfFusion, q166EpochShard, q177ReshardMovement,
-      q200DataLadder)
+      q200DataLadder, q204MedallionWaterfall)
 }

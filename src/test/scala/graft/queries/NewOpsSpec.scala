@@ -1476,6 +1476,53 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("q204 waterfall: each row lands in its FIRST failing stage and " +
+      "the ledger telescopes") {
+    withTempDir { dir =>
+      val long1 = Seq.fill(40)("alpha").mkString(" ") // 239 chars
+      val long2 = Seq.fill(40)("gamma").mkString(" ")
+      Seq(
+        (1L, "", "en"),          // empty
+        (2L, "short", "en"),     // < 150 chars
+        (3L, long1, "fr"),       // unsupported lang
+        (4L, long1, "en"),       // kept (first of fp group)
+        (5L, long1, "en"),       // exact dup of 4
+        (6L, long2, "en"))       // kept
+        .toDF("doc_id", "text", "lang")
+        .withColumn("n_chars",
+          org.apache.spark.sql.functions.length(col("text")))
+        .withColumn("source", lit("t"))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val out = TextQueries.q204MedallionWaterfall.fn(spark, dir)
+        .select("stage", "n_dropped", "n_remaining")
+        .as[(String, Long, Long)].collect().toList
+      out shouldBe List(
+        ("1_null_empty", 1L, 5L),
+        ("2_too_short", 1L, 4L),
+        ("3_unsupported_lang", 1L, 3L),
+        ("4_exact_dup", 1L, 2L),
+        ("5_kept", 0L, 2L))
+    }
+  }
+
+  test("q205 IDF drift: a term present in every even doc but half the " +
+      "odd docs doubles, a stable term stays at parity") {
+    withTempDir { dir =>
+      // "e" df: epoch0 (even ids) 10/10, epoch1 (odd ids) 5/10 -> 2x;
+      // "c" everywhere -> ratio exactly 1e6
+      val docs = (1L to 20L).map { i =>
+        val hasE = i % 2 == 0 || i <= 9
+        i -> (Seq("c") ++ (if (hasE) Seq("e") else Seq.empty))
+          .mkString(" ")
+      }
+      writeDocs(dir, docs)
+      val out = CorpusQueries.q205IdfDrift.fn(spark, dir)
+        .select("tok", "df1", "df2", "drift_ppm")
+        .as[(String, Long, Long, Long)].collect().toList
+      out shouldBe List(("e", 10L, 5L, 2000000L), ("c", 10L, 10L, 1000000L))
+    }
+  }
+
   test("q168 skyline: dominated, tied and duplicate points resolve to " +
       "the exact per-brand frontier") {
     withTempDir { dir =>
