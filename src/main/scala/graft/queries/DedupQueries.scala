@@ -1128,9 +1128,78 @@ object DedupQueries {
             HAVING count(*) > 1
             ORDER BY keep_id"""))
 
+  /** Golden-record survivorship — the step AFTER dedup clustering that
+    * every entity-resolution pipeline needs: q23 picks a keeper row,
+    * but a real master record SURVIVES attributes from the whole
+    * cluster. Records are blocked by the classic ER key — the
+    * normalized 5-token title prefix (md5 of the first five
+    * trim+lower tokens; the same family as q180's sort-key blocker,
+    * chosen over the full-text fingerprint because real masters merge
+    * NEAR-identical records, not byte-identical ones) — and each
+    * block with >= 2 members elects a canonical document by the
+    * survivorship rule "longest text wins, ties to the lowest id"
+    * (content-quality preference, unlike q23's pure min-id), then
+    * assembles the merged record: member count, the union of sources
+    * (sorted, comma-joined — the provenance trail), distinct-source
+    * count, and the id span. Every column is deterministic: the
+    * election is a total-order row_number and the source list is
+    * sorted before joining.
+    *
+    * ## 100 TB notes
+    * One shuffle on the fingerprint does everything: election window,
+    * member count, and source collection ride the same hash partition.
+    * The collected source set per cluster is bounded by the distinct
+    * source universe (tiny), not by cluster size — collect_set, never
+    * collect_list.
+    */
+  val q207GoldenRecord: Q = Q(
+    "q207_golden_record",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          md5(array_join(
+            slice(split(trim(lower(col("text"))), " "), 1, 5), " "))
+            .as("fp"))
+      val w = Window.partitionBy(col("fp"))
+      val elect = Window.partitionBy(col("fp"))
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      docs
+        .withColumn("rn", row_number().over(elect))
+        .withColumn("n_members", count(lit(1)).over(w))
+        .withColumn("srcs", sort_array(collect_set(col("source")).over(w)))
+        .withColumn("min_id", min(col("doc_id")).over(w))
+        .withColumn("max_id", max(col("doc_id")).over(w))
+        .filter(col("rn") === 1 && col("n_members") >= 2)
+        .select(col("fp"), col("doc_id").as("canon_id"),
+          col("n_chars").as("canon_chars"), col("n_members"),
+          size(col("srcs")).cast("long").as("n_sources"),
+          array_join(col("srcs"), ",").as("sources"),
+          col("min_id"), col("max_id"))
+        .orderBy(col("canon_id"))
+    },
+    Some("""WITH d AS (SELECT doc_id, source, n_chars,
+                md5(array_to_string(
+                  string_split(trim(lower(text)), ' ')[1:5], ' ')) AS fp
+              FROM documents),
+            g AS (SELECT fp, count(*) AS n_members,
+                    count(DISTINCT source) AS n_sources,
+                    string_agg(DISTINCT source, ',' ORDER BY source)
+                      AS sources,
+                    min(doc_id) AS min_id, max(doc_id) AS max_id
+                  FROM d GROUP BY fp HAVING count(*) >= 2),
+            e AS (SELECT fp, doc_id, n_chars,
+                    row_number() OVER (PARTITION BY fp
+                      ORDER BY n_chars DESC, doc_id ASC) AS rn
+                  FROM d)
+            SELECT g.fp, e.doc_id AS canon_id, e.n_chars AS canon_chars,
+              g.n_members, g.n_sources, g.sources, g.min_id, g.max_id
+            FROM g JOIN e ON e.fp = g.fp AND e.rn = 1
+            ORDER BY canon_id"""))
+
   val all: Seq[Q] = Seq(q23DedupExact, q24MinhashLsh, q25JaccardBlocked,
     q26Simhash, q43DedupComponents, q59DedupMaterialize, q60IncrementalDedup,
     q61Decontaminate, q63Boilerplate, q69ComponentsStar, q81SourceOverlap,
     q102PrefixJoin, q153MinhashNative, q156NoveltyRate, q171ContainmentJoin,
-    q172SourceDupMatrix, q180SortedNeighborhood, q193TokensetDedup)
+    q172SourceDupMatrix, q180SortedNeighborhood, q193TokensetDedup,
+    q207GoldenRecord)
 }

@@ -3780,6 +3780,82 @@ object EventQueries {
     "q83_stream_static_enrich", "q84_foreachbatch_upsert",
     "q107_stream_outer_join", "q119_stream_running_totals")
 
+  /** Session entry/exit/bounce profile — the landing-page report: for
+    * each event type, how many sessions START there, END there, and
+    * BOUNCE there (single-event sessions — entry and exit at once)?
+    * Product analytics reads acquisition quality straight off this
+    * table (high entry + high bounce = a broken front door), and none
+    * of the existing session queries (q33 sessionize, q86 funnel, q132
+    * dwell) expose position-in-session roles. Sessions are q33's exact
+    * gaps-and-islands relation; entry/exit election is the total order
+    * (ts, event_id) ascending/descending, so ties cannot flip roles;
+    * entry_share is one double division against the global session
+    * count (window-summed over the per-type aggregate, which is
+    * event-type-cardinality rows — not data-scale).
+    *
+    * ## 100 TB notes
+    * One shuffle on user_id drives sessionization AND both role
+    * windows (same partition key, same exchange); the per-type rollup
+    * is a map-side-combined conditional sum; the global-total window
+    * runs over ~|event types| rows. Nothing here scales worse than
+    * q33 itself.
+    */
+  val q210EntryExitBounce: Q = Q(
+    "q210_entry_exit_bounce",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us").asc, col("event_id").asc)
+      val newSession = when(
+        col("prev_us").isNull || (col("ts_us") - col("prev_us")) > GapUs, 1L)
+        .otherwise(0L)
+      val sessed = ev.select(col("user_id"), col("event_id"),
+          col("event_type"), tsUs.as("ts_us"))
+        .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+        .withColumn("is_new", newSession)
+        .withColumn("session_seq",
+          sum(col("is_new")).over(byUser.rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)))
+      val bySess = Window.partitionBy(col("user_id"), col("session_seq"))
+      val roles = sessed
+        .withColumn("rn_a", row_number().over(
+          bySess.orderBy(col("ts_us").asc, col("event_id").asc)))
+        .withColumn("rn_d", row_number().over(
+          bySess.orderBy(col("ts_us").desc, col("event_id").desc)))
+      val perType = roles.groupBy(col("event_type"))
+        .agg(sum(when(col("rn_a") === 1, 1L).otherwise(0L)).as("n_entry"),
+          sum(when(col("rn_d") === 1, 1L).otherwise(0L)).as("n_exit"),
+          sum(when(col("rn_a") === 1 && col("rn_d") === 1, 1L)
+            .otherwise(0L)).as("n_bounce"))
+      perType
+        .withColumn("total_sessions",
+          sum(col("n_entry")).over(Window.partitionBy(lit(1))))
+        .select(col("event_type"), col("n_entry"), col("n_exit"),
+          col("n_bounce"),
+          (col("n_entry").cast("double") /
+            col("total_sessions").cast("double")).as("entry_share"))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""WITH $duckSessionCtes,
+             roles AS (SELECT event_type,
+                 row_number() OVER (PARTITION BY user_id, session_seq
+                   ORDER BY ts_us ASC, event_id ASC) AS rn_a,
+                 row_number() OVER (PARTITION BY user_id, session_seq
+                   ORDER BY ts_us DESC, event_id DESC) AS rn_d
+               FROM sess),
+             pt AS (SELECT event_type,
+                 CAST(sum(CASE WHEN rn_a = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_entry,
+                 CAST(sum(CASE WHEN rn_d = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_exit,
+                 CAST(sum(CASE WHEN rn_a = 1 AND rn_d = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_bounce
+               FROM roles GROUP BY event_type)
+             SELECT event_type, n_entry, n_exit, n_bounce,
+               CAST(n_entry AS DOUBLE) / CAST(sum(n_entry) OVER () AS DOUBLE)
+                 AS entry_share
+             FROM pt ORDER BY event_type"""))
+
   val all: Seq[Q] =
     Seq(q31HourlyFromJson, q32SlidingWindow, q33Sessionize, q34SessionWindow,
       q35EventFirst, q37AsofJoin, q38RangeJoin, q50AsofForward,
@@ -3799,6 +3875,6 @@ object EventQueries {
       q158ModalType, q159ArgmaxPurchase, q161Autocorr, q170ConversionLag,
       q174RfmSegments, q179InterpolateGaps, q181AucRanksum,
       q185SeqPatterns, q186DecileLift, q188SrmCheck, q192KsTest,
-      q199PurgedCvFolds, q201CupedAudit)
+      q199PurgedCvFolds, q201CupedAudit, q210EntryExitBounce)
       .map(q => q.copy(streaming = streamingNames(q.name)))
 }

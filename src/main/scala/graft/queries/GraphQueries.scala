@@ -589,6 +589,92 @@ object GraphQueries {
                 / CAST(m * 2 * sxx - sx * sx AS DOUBLE) AS r
             FROM agg"""))
 
+  /** Per-vertex local clustering coefficient — the LOCAL counterpart of
+    * q110's single global coefficient: for each vertex with degree >= 2,
+    * how many of its d*(d-1)/2 possible neighbor pairs are actually
+    * edges? The distribution separates graphs q110's global number
+    * cannot: a graph of cliques and a star-heavy graph can share a
+    * global coefficient while their local distributions are disjoint —
+    * and the local value is the standard per-account feature for
+    * spam/bot scoring (bots have star neighborhoods, lcc ~ 0; organic
+    * communities have dense ones, lcc -> 1).
+    *
+    * Triangles are enumerated ONCE by q110's degree-oriented wedge join
+    * (O(m^1.5), hub-proof) and credited to all THREE corners; vertices
+    * closing no triangle survive via a left join against the degree
+    * table. tri_v and wedges_v are exact BIGINTs; lcc is ONE double
+    * division (bit-identical across engines per the Catalog contract).
+    *
+    * ## 100 TB notes
+    * The wedge join is q110's plan verbatim; the corner explosion is a
+    * bounded x3 map before a map-side-combined count on vertex id; the
+    * closing left join shuffles the degree table once. Output is one
+    * row per degree->=2 vertex — linear in |V|, never in wedges.
+    */
+  val q206LocalClustering: Q = Q(
+    "q206_local_clustering",
+    (s, dir) => {
+      val e = Tables.eager(cooccurrenceEdges(s, dir))
+      val deg = e.select(col("u").as("node"))
+        .unionAll(e.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("d"))
+      val da = deg.select(col("node").as("u"), col("d").as("du"))
+      val db = deg.select(col("node").as("v"), col("d").as("dv"))
+      val lowFirst = col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v"))
+      val oe = Tables.eager(e.join(da, "u").join(db, "v")
+        .select(when(lowFirst, col("u")).otherwise(col("v")).as("s"),
+          when(lowFirst, col("v")).otherwise(col("u")).as("t")))
+      val e1 = oe.select(col("s").as("a"), col("t").as("b"))
+      val e2 = oe.select(col("s").as("b2"), col("t").as("c"))
+      val closing = e.select(col("u").as("x"), col("v").as("y"))
+      val tri = e1.join(e2, col("b") === col("b2"))
+        .join(closing,
+          least(col("a"), col("c")) === col("x") &&
+            greatest(col("a"), col("c")) === col("y"))
+        .select(col("a"), col("b"), col("c"))
+      val corners = tri.select(col("a").as("node"))
+        .unionAll(tri.select(col("b").as("node")))
+        .unionAll(tri.select(col("c").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("tri_v"))
+      deg.filter(col("d") >= 2)
+        .join(corners, Seq("node"), "left")
+        .select(col("node"), col("d"),
+          coalesce(col("tri_v"), lit(0L)).as("tri_v"),
+          expr("d * (d - 1) div 2").as("wedges_v"))
+        .withColumn("lcc", col("tri_v").cast("double") /
+          col("wedges_v").cast("double"))
+        .orderBy(col("node"))
+    },
+    Some(s"""WITH $duckEdges,
+            deg AS (SELECT node, count(*) AS d
+                    FROM (SELECT u AS node FROM e
+                          UNION ALL SELECT v AS node FROM e)
+                    GROUP BY node),
+            oe AS (SELECT CASE WHEN (da.d < db.d)
+                                 OR (da.d = db.d AND e.u < e.v)
+                               THEN e.u ELSE e.v END AS s,
+                          CASE WHEN (da.d < db.d)
+                                 OR (da.d = db.d AND e.u < e.v)
+                               THEN e.v ELSE e.u END AS t
+                   FROM e JOIN deg da ON da.node = e.u
+                          JOIN deg db ON db.node = e.v),
+            tri AS (SELECT e1.s AS a, e1.t AS b, e2.t AS c
+                    FROM oe e1 JOIN oe e2 ON e1.t = e2.s
+                    JOIN e ON e.u = least(e1.s, e2.t)
+                          AND e.v = greatest(e1.s, e2.t)),
+            corners AS (SELECT node, count(*) AS tri_v FROM (
+                          SELECT a AS node FROM tri
+                          UNION ALL SELECT b FROM tri
+                          UNION ALL SELECT c FROM tri)
+                        GROUP BY node)
+            SELECT deg.node, deg.d, coalesce(corners.tri_v, 0) AS tri_v,
+              deg.d * (deg.d - 1) // 2 AS wedges_v,
+              CAST(coalesce(corners.tri_v, 0) AS DOUBLE)
+                / CAST(deg.d * (deg.d - 1) // 2 AS DOUBLE) AS lcc
+            FROM deg LEFT JOIN corners ON corners.node = deg.node
+            WHERE deg.d >= 2 ORDER BY deg.node"""))
+
   val all: Seq[Q] = Seq(q110Triangles, q111BfsHops, q165KCore, q176TimeReach,
-    q184TrussSupport, q190HitsStep, q194Assortativity)
+    q184TrussSupport, q190HitsStep, q194Assortativity, q206LocalClustering)
 }

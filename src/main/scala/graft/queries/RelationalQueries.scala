@@ -2125,6 +2125,73 @@ object RelationalQueries {
                 AS err_ppm
             FROM e ORDER BY edge"""))
 
+  /** Cohort LTV triangle — the standard subscription/commerce lifetime-
+    * value accounting: customers are cohorted by their FIRST order
+    * month, and each cohort's revenue is tracked by age (months since
+    * acquisition), cumulatively — reading down a column compares
+    * cohorts at equal age; reading across a row shows one cohort
+    * maturing. q80's cohort retention counts ACTIVITY; this one
+    * accumulates MONEY, which is what the acquisition-payback decision
+    * actually consumes. Ages capped at 11 (first-year LTV triangle).
+    *
+    * Determinism: months are exact integers (y*12+m); revenue sums
+    * accumulate in decimal(30,10) and round IN DECIMAL to cents; the
+    * cumulative sum then adds already-rounded decimals (exact), so the
+    * final double cast is bit-stable on both engines.
+    *
+    * ## 100 TB notes
+    * One shuffle on o_custkey computes first-order months (map-side
+    * combined min); attaching the cohort back to orders is a self-join
+    * on the same key (rides the same exchange under AQE); the triangle
+    * rollup is a tiny grouped agg, and the running sum windows over
+    * the ~cohorts x 12 result — driver-scale, not data-scale.
+    */
+  val q209CohortLtv: Q = Q(
+    "q209_cohort_ltv",
+    (s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+        .select(col("o_custkey"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+            .cast("long").as("ym"),
+          col("o_totalprice"))
+      val cohort = orders.groupBy(col("o_custkey"))
+        .agg(min(col("ym")).as("cohort_ym"))
+      val cells = orders.join(cohort, Seq("o_custkey"))
+        .withColumn("age", col("ym") - col("cohort_ym"))
+        .filter(col("age") <= 11)
+        .groupBy(col("cohort_ym"), col("age"))
+        .agg(countDistinct(col("o_custkey")).as("n_active"),
+          round(sum(col("o_totalprice").cast("decimal(30,10)")), 2)
+            .as("rev_dec"))
+      val w = Window.partitionBy(col("cohort_ym")).orderBy(col("age"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cells
+        .withColumn("cum_dec", sum(col("rev_dec")).over(w))
+        .select(col("cohort_ym"), col("age"), col("n_active"),
+          col("rev_dec").cast("double").as("revenue"),
+          col("cum_dec").cast("double").as("cum_revenue"))
+        .orderBy(col("cohort_ym"), col("age"))
+    },
+    Some("""WITH o AS (SELECT o_custkey,
+                CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+                     AS BIGINT) AS ym,
+                o_totalprice FROM orders),
+            c AS (SELECT o_custkey, min(ym) AS cohort_ym
+                  FROM o GROUP BY o_custkey),
+            cells AS (SELECT cohort_ym, o.ym - cohort_ym AS age,
+                count(DISTINCT o.o_custkey) AS n_active,
+                round(sum(CAST(o_totalprice AS DECIMAL(30,10))), 2)
+                  AS rev_dec
+              FROM o JOIN c ON o.o_custkey = c.o_custkey
+              WHERE o.ym - cohort_ym <= 11
+              GROUP BY 1, 2)
+            SELECT cohort_ym, age, n_active,
+              CAST(rev_dec AS DOUBLE) AS revenue,
+              CAST(sum(rev_dec) OVER (PARTITION BY cohort_ym ORDER BY age
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS cum_revenue
+            FROM cells ORDER BY cohort_ym, age"""))
+
   val all: Seq[Q] = Seq(q06JoinDims, q07StarRevenue, q08SemiJoin, q09AntiJoin,
     q10AggStats, q11Rollup, q12DistinctExact, q13WindowTopK, q14RunningSum,
     q15Pivot, q16SetOps, q17GlobalTopN, q40QuantilesDisc, q41Moments,
@@ -2135,5 +2202,5 @@ object RelationalQueries {
     q135SnowflakeChain, q136EquidepthHistogram, q157Winsorize,
     q160WilsonInterval, q167ZorderLayout, q168Skyline, q175WeightedMedian,
     q182Benford, q183OrphanAudit, q187ZonemapSkip, q189QuantileSketch,
-    q196BloomJoinAudit, q202JoinCardAudit)
+    q196BloomJoinAudit, q202JoinCardAudit, q209CohortLtv)
 }

@@ -745,7 +745,72 @@ object SimilarityQueries {
              FROM q LEFT JOIN hits ON hits.q_id = q.q_id
              ORDER BY q.q_id"""))
 
+  /** Mutual nearest neighbors — the symmetric-match filter bitext
+    * mining and cross-lingual pair extraction rely on (Artetxe &
+    * Schwenk's margin criterion starts from exactly this): a candidate
+    * pair survives only if each vector is the OTHER's top-1 neighbor.
+    * One-directional top-1 (q27's shape) keeps hub vectors that are
+    * "closest" to thousands of points; mutuality kills hubs without any
+    * tuned threshold, which is why it is the standard high-precision
+    * pairing rule.
+    *
+    * Scale path: neighbors are computed WITHIN sign-LSH buckets (q28's
+    * 4-bit partitioning) — the candidate set is bucket-bounded, never
+    * all-pairs. Top-1 election is a total order (score desc, id asc);
+    * the mutual join then keeps pairs where a.top1 = b and b.top1 = a,
+    * emitted once with a < b. Score is the raw double cosine of one
+    * fixed op tree (Catalog contract).
+    *
+    * ## 100 TB notes
+    * The bucket self-join shuffles once on the 4-bit key; per-bucket
+    * work is quadratic only in the BUCKET population (the same bound
+    * q28 carries). The mutuality check is a self-join of the top-1
+    * table on (id, nn) = (nn, id) — one more shuffle of |V| rows.
+    * At real scale the bucket bits widen (more planes), keeping
+    * per-bucket population constant; the plan shape is unchanged.
+    */
+  val q208MutualNn: Q = Q(
+    "q208_mutual_nn",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val withB = e.select(col("vec_id"), col("embedding"),
+        signBucket(col("embedding")).as("bucket"))
+      val a = withB.select(col("vec_id").as("id"), col("embedding").as("ae"),
+        col("bucket"))
+      val b = withB.select(col("vec_id").as("cand"), col("embedding").as("be"),
+        col("bucket"))
+      val scored = a.join(b, Seq("bucket"))
+        .filter(col("id") =!= col("cand"))
+        .select(col("id"), col("cand"),
+          cosineSim(col("ae"), col("be")).as("score"))
+      val w = Window.partitionBy(col("id"))
+        .orderBy(col("score").desc, col("cand").asc)
+      val top1 = scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("id"), col("cand").as("nn"), col("score"))
+      val rev = top1.select(col("id").as("r_id"), col("nn").as("r_nn"))
+      top1.join(rev,
+          col("nn") === col("r_id") && col("id") === col("r_nn"))
+        .filter(col("id") < col("nn"))
+        .select(col("id").as("a"), col("nn").as("b"), col("score"))
+        .orderBy(col("a"))
+    },
+    Some(s"""WITH wb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                  $duckBucket AS bucket
+                FROM embeddings),
+             sc AS (SELECT x.vec_id AS id, y.vec_id AS cand,
+                      ${duckCos("x.e", "y.e")} AS score
+                    FROM wb x JOIN wb y ON x.bucket = y.bucket
+                    WHERE x.vec_id != y.vec_id),
+             t1 AS (SELECT id, cand AS nn, score FROM (
+                      SELECT *, row_number() OVER (PARTITION BY id
+                        ORDER BY score DESC, cand ASC) AS rn FROM sc)
+                    WHERE rn = 1)
+             SELECT p.id AS a, p.nn AS b, p.score
+             FROM t1 p JOIN t1 r ON p.nn = r.id AND p.id = r.nn
+             WHERE p.id < p.nn ORDER BY a"""))
+
   val all: Seq[Q] = Seq(q27KnnBrute, q28AnnLsh, q29EmbNearDup, q30IvfCentroid,
     q44KmeansStep, q49AnnRecall, q52SqlSurface, q57L2Knn, q71Int8Quant,
-    q79SemanticDedup, q138PqCodebook, q139PqAdcRecall)
+    q79SemanticDedup, q138PqCodebook, q139PqAdcRecall, q208MutualNn)
 }

@@ -1543,4 +1543,101 @@ class NewOpsSpec extends SparkSpec {
         ("B1", 1L, 100L, 10), ("B1", 3L, 200L, 15), ("B2", 6L, 500L, 1))
     }
   }
+
+  test("q206 local clustering: triangle corners get credit, pendant is excluded") {
+    withTempDir { dir =>
+      val cell = 600L * 1000000000L // one 10-minute cell in ns
+      // cell 0: users 1,2,3 -> triangle; cell 1: users 3,4 -> pendant edge
+      writeEvents(dir, Seq(
+        (1L, 1L, 0 * cell, "a", 0.0),
+        (2L, 2L, 0 * cell, "a", 0.0),
+        (3L, 3L, 0 * cell, "a", 0.0),
+        (4L, 3L, 1 * cell, "a", 0.0),
+        (5L, 4L, 1 * cell, "a", 0.0)))
+      val out = GraphQueries.q206LocalClustering.fn(spark, dir)
+        .select("node", "d", "tri_v", "wedges_v", "lcc")
+        .as[(Long, Long, Long, Long, Double)].collect().toList
+      // degree-1 vertex 4 is absent; 1 and 2 close their only wedge;
+      // 3 has 3 wedges, 1 closed
+      out shouldBe List(
+        (1L, 2L, 1L, 1L, 1.0),
+        (2L, 2L, 1L, 1L, 1.0),
+        (3L, 3L, 1L, 3L, 1.0 / 3.0))
+    }
+  }
+
+  test("q207 golden record: longest-text canon, sorted source union, singleton dropped") {
+    withTempDir { dir =>
+      // ids 1,2,3 share the blocking key (trim+lower 5-token prefix —
+      // here both tokens); 4 is alone
+      Seq((1L, "hello world", "s2"),
+        (2L, "Hello World  ", "s1"),
+        (3L, "  HELLO WORLD", "s1"),
+        (4L, "something else", "s1"))
+        .toDF("doc_id", "text", "source")
+        .withColumn("lang", lit("en"))
+        .withColumn("n_chars",
+          org.apache.spark.sql.functions.length(col("text")))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val out = DedupQueries.q207GoldenRecord.fn(spark, dir)
+        .select("canon_id", "canon_chars", "n_members", "n_sources",
+          "sources", "min_id", "max_id")
+        .as[(Long, Long, Long, Long, String, Long, Long)].collect().toList
+      // 2 and 3 tie at 13 chars -> lowest id 2 wins the election
+      out shouldBe List((2L, 13L, 3L, 2L, "s1,s2", 1L, 3L))
+    }
+  }
+
+  test("q208 mutual nn: reciprocal top-1 pairs survive, cross pairs don't") {
+    withTempDir { dir =>
+      // all first-4 signs >= 0 -> one bucket; two tight pairs
+      Seq((1L, Seq(1.0f, 0.0f, 0.0f, 0.0f), 0),
+        (2L, Seq(0.9f, 0.1f, 0.0f, 0.0f), 0),
+        (3L, Seq(0.0f, 1.0f, 0.0f, 0.0f), 0),
+        (4L, Seq(0.1f, 0.9f, 0.0f, 0.0f), 0))
+        .toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val out = SimilarityQueries.q208MutualNn.fn(spark, dir)
+        .select("a", "b").as[(Long, Long)].collect().toList
+      out shouldBe List((1L, 2L), (3L, 4L))
+    }
+  }
+
+  test("q209 cohort ltv: ages offset from first order month, cumulative is exact") {
+    withTempDir { dir =>
+      Seq((1L, 1L, "1995-01-15", 100.0),
+        (2L, 1L, "1995-03-10", 50.0),
+        (3L, 2L, "1995-03-20", 200.0))
+        .toDF("o_orderkey", "o_custkey", "d", "o_totalprice")
+        .withColumn("o_orderdate", to_timestamp(col("d")))
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      val out = RelationalQueries.q209CohortLtv.fn(spark, dir)
+        .select("cohort_ym", "age", "n_active", "revenue", "cum_revenue")
+        .as[(Long, Long, Long, Double, Double)].collect().toList
+      val c1 = 1995L * 12 + 0
+      val c2 = 1995L * 12 + 2
+      out shouldBe List(
+        (c1, 0L, 1L, 100.0, 100.0),
+        (c1, 2L, 1L, 50.0, 150.0),
+        (c2, 0L, 1L, 200.0, 200.0))
+    }
+  }
+
+  test("q210 entry/exit/bounce: roles from session position, bounce = both") {
+    withTempDir { dir =>
+      val m = 60L * 1000000000L // one minute in ns
+      // user 1: session 1 = [a, b] (1 min apart), session 2 = [c] (2 h later)
+      writeEvents(dir, Seq(
+        (1L, 1L, 0 * m, "a", 0.0),
+        (2L, 1L, 1 * m, "b", 0.0),
+        (3L, 1L, 121 * m, "c", 0.0)))
+      val out = EventQueries.q210EntryExitBounce.fn(spark, dir)
+        .select("event_type", "n_entry", "n_exit", "n_bounce", "entry_share")
+        .as[(String, Long, Long, Long, Double)].collect().toList
+      out shouldBe List(
+        ("a", 1L, 0L, 0L, 0.5),
+        ("b", 0L, 1L, 0L, 0.0),
+        ("c", 1L, 1L, 1L, 0.5))
+    }
+  }
 }
