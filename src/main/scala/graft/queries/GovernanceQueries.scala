@@ -787,9 +787,87 @@ object GovernanceQueries {
             SELECT key, n_rows, n_distinct, n_rows - n_distinct AS n_dupes
             FROM e ORDER BY key"""))
 
+  /** Right-to-be-forgotten (GDPR Art. 17) purge audit — before a
+    * deletion job runs, compliance wants the blast radius: for a
+    * deterministic 5 % erasure cohort of customers (content-hash
+    * threshold, q48/q51's no-RNG discipline — same cohort on every
+    * engine and rerun), how many rows in each linked table will be
+    * erased? customer is hit directly; orders through o_custkey; and
+    * lineitem only TRANSITIVELY through its order — the join-depth-2
+    * case naive per-table key scans miss entirely (lineitem has no
+    * customer column). One row per table with exact counts and ppm
+    * (integer cross-multiplied), plus the cohort size, so the audit
+    * doubles as the completeness proof: after the purge, re-running it
+    * must report zeros.
+    *
+    * ## 100 TB notes
+    * The cohort predicate is a map-side hash test (no cohort table is
+    * materialized for customer/orders); lineitem's transitive hit
+    * ships only the purged ORDER KEYS through a left-semi join (AQE
+    * broadcasts the 5 % key set while it fits). Counts are map-side
+    * combined; output is 3 rows.
+    */
+  val q213RtbfAudit: Q = Q(
+    "q213_rtbf_audit",
+    (s, dir) => {
+      def inCohort(k: Column): Column =
+        pmod(conv(substring(md5(k.cast("string")), 1, 8), 16, 10)
+          .cast("long"), lit(100)) < 5
+      val cust = Tables.load(s, dir, "customer")
+      val orders = Tables.load(s, dir, "orders")
+      val li = Tables.load(s, dir, "lineitem")
+      val custRow = cust.agg(count(lit(1)).as("n_rows"),
+          sum(when(inCohort(col("c_custkey")), 1L).otherwise(0L))
+            .as("n_purged"))
+        .select(lit("customer").as("table_name"), col("n_rows"),
+          col("n_purged"))
+      val ordRow = orders.agg(count(lit(1)).as("n_rows"),
+          sum(when(inCohort(col("o_custkey")), 1L).otherwise(0L))
+            .as("n_purged"))
+        .select(lit("orders").as("table_name"), col("n_rows"),
+          col("n_purged"))
+      val purgedOrders = orders.filter(inCohort(col("o_custkey")))
+        .select(col("o_orderkey"))
+      val liTotal = li.agg(count(lit(1)).as("n_rows"))
+      val liPurged = li.join(purgedOrders,
+          col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .agg(count(lit(1)).as("n_purged"))
+      val liRow = liTotal.crossJoin(broadcast(liPurged))
+        .select(lit("lineitem").as("table_name"), col("n_rows"),
+          col("n_purged"))
+      custRow.unionByName(ordRow).unionByName(liRow)
+        .select(col("table_name"), col("n_rows"), col("n_purged"),
+          expr("n_purged * 1000000 div n_rows").as("purge_ppm"))
+        .orderBy(col("table_name"))
+    },
+    Some("""WITH c AS (SELECT 'customer' AS table_name,
+                count(*) AS n_rows,
+                CAST(count(*) FILTER (
+                  ('0x' || substring(md5(CAST(c_custkey AS VARCHAR)), 1, 8))
+                    ::BIGINT % 100 < 5) AS BIGINT) AS n_purged
+              FROM customer),
+            o AS (SELECT 'orders' AS table_name, count(*) AS n_rows,
+                CAST(count(*) FILTER (
+                  ('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 8))
+                    ::BIGINT % 100 < 5) AS BIGINT) AS n_purged
+              FROM orders),
+            pk AS (SELECT o_orderkey FROM orders
+                   WHERE ('0x' || substring(md5(CAST(o_custkey AS VARCHAR)),
+                     1, 8))::BIGINT % 100 < 5),
+            l AS (SELECT 'lineitem' AS table_name,
+                (SELECT count(*) FROM lineitem) AS n_rows,
+                (SELECT count(*) FROM lineitem
+                 WHERE l_orderkey IN (SELECT o_orderkey FROM pk))
+                  AS n_purged)
+            SELECT table_name, n_rows, n_purged,
+              n_purged * 1000000 // n_rows AS purge_ppm
+            FROM (SELECT * FROM c UNION ALL SELECT * FROM o
+                  UNION ALL SELECT * FROM l)
+            ORDER BY table_name"""))
+
   val all: Seq[Q] =
     Seq(q98PiiRedact, q99Scd2Snapshots, q100NfcNormalize, q101IntervalMerge,
       q104KAnonymity, q121PitEnrich, q126CdcApply, q164LDiversity,
       q178TCloseness, q195Scd2Invariants, q197DomainAudit,
-      q198UniquenessAudit)
+      q198UniquenessAudit, q213RtbfAudit)
 }

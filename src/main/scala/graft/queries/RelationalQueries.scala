@@ -2192,6 +2192,165 @@ object RelationalQueries {
                 AS DOUBLE) AS cum_revenue
             FROM cells ORDER BY cohort_ym, age"""))
 
+  /** Day-of-week seasonal index — the multiplicative seasonality table
+    * demand forecasting divides by before modeling trend: for each
+    * weekday, average revenue per CALENDAR DAY of that weekday relative
+    * to the all-days average. Normalizing by distinct active dates (not
+    * by row counts) is the part naive GROUP BY dow gets wrong: a
+    * weekday that appears 53 times in the window vs 52 would otherwise
+    * look ~2 % "hotter" from calendar arithmetic alone. Weekday
+    * numbering is pinned to Sunday=0 on both engines (Spark's
+    * dayofweek is Sunday=1, shifted by -1; DuckDB's is Sunday=0
+    * natively). Revenue accumulates in decimal and rounds to cents IN
+    * DECIMAL; the index is a fixed double op tree (two divisions) over
+    * window totals of those exact decimals.
+    *
+    * ## 100 TB notes
+    * One map-side-combined aggregate on a 7-value key; the distinct-
+    * date count per dow is a two-level agg that reuses the same
+    * exchange; the global totals are windows over the 7-row result.
+    * Scan-bound, shuffle-trivial.
+    */
+  val q211SeasonalDow: Q = Q(
+    "q211_seasonal_dow",
+    (s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .select((dayofweek(col("o_orderdate")) - 1).cast("long").as("dow"),
+          to_date(col("o_orderdate")).as("d"), col("o_totalprice"))
+      val perDow = o.groupBy(col("dow"))
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct(col("d")).as("n_days"),
+          round(sum(col("o_totalprice").cast("decimal(30,10)")), 2)
+            .as("rev_dec"))
+      val wAll = Window.partitionBy(lit(1))
+      perDow
+        .withColumn("tot_rev", sum(col("rev_dec")).over(wAll))
+        .withColumn("tot_days", sum(col("n_days")).over(wAll))
+        .select(col("dow"), col("n_orders"), col("n_days"),
+          col("rev_dec").cast("double").as("revenue"),
+          ((col("rev_dec").cast("double") / col("n_days").cast("double")) /
+            (col("tot_rev").cast("double") / col("tot_days").cast("double")))
+            .as("seasonal_index"))
+        .orderBy(col("dow"))
+    },
+    Some("""WITH o AS (SELECT CAST(dayofweek(o_orderdate) AS BIGINT) AS dow,
+                CAST(o_orderdate AS DATE) AS d, o_totalprice FROM orders),
+            pd AS (SELECT dow, count(*) AS n_orders,
+                count(DISTINCT d) AS n_days,
+                round(sum(CAST(o_totalprice AS DECIMAL(30,10))), 2)
+                  AS rev_dec
+              FROM o GROUP BY dow)
+            SELECT dow, n_orders, n_days,
+              CAST(rev_dec AS DOUBLE) AS revenue,
+              (CAST(rev_dec AS DOUBLE) / CAST(n_days AS DOUBLE))
+                / (CAST(sum(rev_dec) OVER () AS DOUBLE)
+                   / CAST(sum(n_days) OVER () AS DOUBLE)) AS seasonal_index
+            FROM pd ORDER BY dow"""))
+
+  /** Repeat-purchase interval histogram — the inter-order gap
+    * distribution that drives replenishment-reminder timing and churn
+    * cutoffs ("a customer 3x past their modal gap is churning"). Per
+    * customer, consecutive orders (ordered by date then key — a total
+    * order, so same-day orders cannot flip) yield gaps in whole days
+    * (exact integer day arithmetic on the epoch), bucketed into weeks;
+    * the histogram also carries each bucket's distinct-customer reach.
+    *
+    * ## 100 TB notes
+    * One shuffle on o_custkey feeds the lag window; the week rollup is
+    * map-side combined on a small key domain. No joins at all.
+    */
+  val q212PurchaseGaps: Q = Q(
+    "q212_purchase_gaps",
+    (s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_custkey"),
+          (unix_micros(col("o_orderdate").cast("timestamp_ltz"))
+            / lit(86400000000L)).cast("long").as("day"),
+          col("o_orderkey"))
+      val byCust = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("day").asc, col("o_orderkey").asc)
+      o.withColumn("prev_day", lag(col("day"), 1).over(byCust))
+        .filter(col("prev_day").isNotNull)
+        .select(col("o_custkey"),
+          ((col("day") - col("prev_day")) / 7).cast("long").as("gap_weeks"))
+        .groupBy(col("gap_weeks"))
+        .agg(count(lit(1)).as("n_gaps"),
+          countDistinct(col("o_custkey")).as("n_customers"))
+        .orderBy(col("gap_weeks"))
+    },
+    Some("""WITH o AS (SELECT o_custkey,
+                epoch_us(o_orderdate) // 86400000000 AS day, o_orderkey
+              FROM orders),
+            g AS (SELECT o_custkey,
+                (day - lag(day) OVER (PARTITION BY o_custkey
+                  ORDER BY day, o_orderkey)) // 7 AS gap_weeks
+              FROM o)
+            SELECT gap_weeks, count(*) AS n_gaps,
+              count(DISTINCT o_custkey) AS n_customers
+            FROM g WHERE gap_weeks IS NOT NULL
+            GROUP BY gap_weeks ORDER BY gap_weeks"""))
+
+  /** ABC inventory classification — the 80/95 cumulative-revenue-share
+    * partition of the part catalog (A: the head that earns the first
+    * 80 %, B: to 95 %, C: the long tail), the warehousing classic that
+    * q155's single Pareto point generalizes: q155 answers "how many
+    * users cover 80 %?", this CLASSIFIES every part and rolls the
+    * classes up. Revenue is exact integer cents (floor(x*100), q155's
+    * discipline); the class boundary test is pure integer
+    * cross-multiplication on the running total (cum*100 <= tot*80), so
+    * no float ever decides a class; share is one double division per
+    * class row.
+    *
+    * ## 100 TB notes
+    * Per-part revenue is one map-side-combined shuffle on partkey; the
+    * ranked cumulative walk windows over the |parts|-sized aggregate
+    * (ties broken by partkey — well-defined on both engines); the
+    * class rollup is 3 rows. Same shape as q155, a proven scale plan.
+    */
+  val q214AbcClasses: Q = Q(
+    "q214_abc_classes",
+    (s, dir) => {
+      val perPart = Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum(floor(col("l_extendedprice") * 100).cast("long"))
+          .as("cents"))
+      val ord = Window.orderBy(col("cents").desc, col("l_partkey").asc)
+      val ranked = perPart
+        .withColumn("cum", sum(col("cents")).over(
+          ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("tot", sum(col("cents")).over(Window.partitionBy(lit(1))))
+      ranked
+        .withColumn("abc_class",
+          when(col("cum") * 100 <= col("tot") * 80, "A")
+            .when(col("cum") * 100 <= col("tot") * 95, "B")
+            .otherwise("C"))
+        .groupBy(col("abc_class"))
+        .agg(count(lit(1)).as("n_parts"), sum(col("cents")).as("cents"),
+          max(col("tot")).as("tot"))
+        .select(col("abc_class"), col("n_parts"), col("cents"),
+          (col("cents").cast("double") / col("tot").cast("double"))
+            .as("share"))
+        .orderBy(col("abc_class"))
+    },
+    Some("""WITH pp AS (SELECT l_partkey,
+                CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+              FROM lineitem GROUP BY l_partkey),
+            r AS (SELECT l_partkey, cents,
+                sum(cents) OVER (ORDER BY cents DESC, l_partkey ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                sum(cents) OVER () AS tot
+              FROM pp),
+            c AS (SELECT CASE WHEN cum * 100 <= tot * 80 THEN 'A'
+                              WHEN cum * 100 <= tot * 95 THEN 'B'
+                              ELSE 'C' END AS abc_class,
+                         cents, tot
+                  FROM r)
+            SELECT abc_class, count(*) AS n_parts,
+              CAST(sum(cents) AS BIGINT) AS cents,
+              CAST(sum(cents) AS DOUBLE) / CAST(max(tot) AS DOUBLE) AS share
+            FROM c GROUP BY abc_class ORDER BY abc_class"""))
+
   val all: Seq[Q] = Seq(q06JoinDims, q07StarRevenue, q08SemiJoin, q09AntiJoin,
     q10AggStats, q11Rollup, q12DistinctExact, q13WindowTopK, q14RunningSum,
     q15Pivot, q16SetOps, q17GlobalTopN, q40QuantilesDisc, q41Moments,
@@ -2202,5 +2361,6 @@ object RelationalQueries {
     q135SnowflakeChain, q136EquidepthHistogram, q157Winsorize,
     q160WilsonInterval, q167ZorderLayout, q168Skyline, q175WeightedMedian,
     q182Benford, q183OrphanAudit, q187ZonemapSkip, q189QuantileSketch,
-    q196BloomJoinAudit, q202JoinCardAudit, q209CohortLtv)
+    q196BloomJoinAudit, q202JoinCardAudit, q209CohortLtv, q211SeasonalDow,
+    q212PurchaseGaps, q214AbcClasses)
 }

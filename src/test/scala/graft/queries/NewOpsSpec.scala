@@ -1623,6 +1623,82 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("q211 seasonal dow: per-day normalization, Sunday=0 on both engines") {
+    withTempDir { dir =>
+      // two Sundays (100 each), one Monday (50): Sunday is per-day hot
+      Seq((1L, 1L, "1995-01-01", 100.0), (2L, 2L, "1995-01-08", 100.0),
+        (3L, 3L, "1995-01-02", 50.0))
+        .toDF("o_orderkey", "o_custkey", "d", "o_totalprice")
+        .withColumn("o_orderdate", to_timestamp(col("d")))
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      val out = RelationalQueries.q211SeasonalDow.fn(spark, dir)
+        .select("dow", "n_orders", "n_days", "revenue", "seasonal_index")
+        .as[(Long, Long, Long, Double, Double)].collect().toList
+      out shouldBe List(
+        (0L, 2L, 2L, 200.0, (200.0 / 2.0) / (250.0 / 3.0)),
+        (1L, 1L, 1L, 50.0, (50.0 / 1.0) / (250.0 / 3.0)))
+    }
+  }
+
+  test("q212 purchase gaps: consecutive-order day gaps bucketed by week") {
+    withTempDir { dir =>
+      // cust 1: days 0, 10, 24 -> gaps 10 d (week 1) and 14 d (week 2);
+      // cust 2: one order -> no gap
+      Seq((1L, 1L, "1995-01-01"), (2L, 1L, "1995-01-11"),
+        (3L, 1L, "1995-01-25"), (4L, 2L, "1995-06-01"))
+        .toDF("o_orderkey", "o_custkey", "d")
+        .withColumn("o_orderdate", to_timestamp(col("d")))
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      val out = RelationalQueries.q212PurchaseGaps.fn(spark, dir)
+        .select("gap_weeks", "n_gaps", "n_customers")
+        .as[(Long, Long, Long)].collect().toList
+      out shouldBe List((1L, 1L, 1L), (2L, 1L, 1L))
+    }
+  }
+
+  test("q213 rtbf audit: cohort blast radius matches an independent md5 model") {
+    withTempDir { dir =>
+      // independent Scala model of the cohort rule (engine uses SQL md5)
+      def bucket(k: Long): Long = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(k.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex.substring(0, 8), 16) % 100
+      }
+      val custs = (1L to 200L)
+      custs.map(k => Tuple1(k)).toDF("c_custkey")
+        .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+      custs.map(k => (k * 10, k)).toDF("o_orderkey", "o_custkey")
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      custs.flatMap(k => Seq((k * 10, 1L), (k * 10, 2L)))
+        .toDF("l_orderkey", "l_linenumber")
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      val nCohort = custs.count(k => bucket(k) < 5).toLong
+      nCohort should be > 0L // the model must actually select someone
+      val out = GovernanceQueries.q213RtbfAudit.fn(spark, dir)
+        .select("table_name", "n_rows", "n_purged", "purge_ppm")
+        .as[(String, Long, Long, Long)].collect().toList
+      out shouldBe List(
+        ("customer", 200L, nCohort, nCohort * 1000000L / 200L),
+        ("lineitem", 400L, 2 * nCohort, 2 * nCohort * 1000000L / 400L),
+        ("orders", 200L, nCohort, nCohort * 1000000L / 200L))
+    }
+  }
+
+  test("q214 abc classes: integer boundary test at exactly 80/95 percent") {
+    withTempDir { dir =>
+      // cents 800 / 150 / 50: cum hits the 80 % and 95 % boundaries exactly
+      Seq((1L, 10L, 8.00), (2L, 20L, 1.50), (3L, 30L, 0.50))
+        .toDF("l_orderkey", "l_partkey", "l_extendedprice")
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      val out = RelationalQueries.q214AbcClasses.fn(spark, dir)
+        .select("abc_class", "n_parts", "cents", "share")
+        .as[(String, Long, Long, Double)].collect().toList
+      out shouldBe List(
+        ("A", 1L, 800L, 0.8), ("B", 1L, 150L, 0.15), ("C", 1L, 50L, 0.05))
+    }
+  }
+
   test("q210 entry/exit/bounce: roles from session position, bounce = both") {
     withTempDir { dir =>
       val m = 60L * 1000000000L // one minute in ns
