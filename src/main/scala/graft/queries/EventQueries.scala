@@ -3856,6 +3856,61 @@ object EventQueries {
                  AS entry_share
              FROM pt ORDER BY event_type"""))
 
+  /** Top session trigram paths — the three-step navigation sequences
+    * users actually walk, the "top paths" report product analytics
+    * tools ship front-and-center: q122's Markov matrix only sees
+    * MEMORYLESS transitions (a->b), which cannot distinguish
+    * view->click->purchase from error->click->purchase; the trigram
+    * restores two steps of context, exactly the depth funnel
+    * diagnostics need. Paths are formed WITHIN q33's sessions (lead
+    * over the session's total event order, so a path can never span a
+    * session boundary), counted, and top-10'd with a path-string
+    * tiebreak.
+    *
+    * ## 100 TB notes
+    * The same single user_id shuffle as q33 feeds the session windows
+    * AND both leads; the path rollup is map-side combined on a bounded
+    * key domain (|event types|^3); top-10 is TakeOrderedAndProject.
+    */
+  val q215TrigramPaths: Q = Q(
+    "q215_trigram_paths",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us").asc, col("event_id").asc)
+      val newSession = when(
+        col("prev_us").isNull || (col("ts_us") - col("prev_us")) > GapUs, 1L)
+        .otherwise(0L)
+      val sessed = ev.select(col("user_id"), col("event_id"),
+          col("event_type"), tsUs.as("ts_us"))
+        .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+        .withColumn("is_new", newSession)
+        .withColumn("session_seq",
+          sum(col("is_new")).over(byUser.rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)))
+      val inSess = Window.partitionBy(col("user_id"), col("session_seq"))
+        .orderBy(col("ts_us").asc, col("event_id").asc)
+      sessed
+        .withColumn("t2", lead(col("event_type"), 1).over(inSess))
+        .withColumn("t3", lead(col("event_type"), 2).over(inSess))
+        .filter(col("t2").isNotNull && col("t3").isNotNull)
+        .select(concat_ws(">", col("event_type"), col("t2"), col("t3"))
+          .as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n_walks"))
+        .orderBy(col("n_walks").desc, col("path").asc)
+        .limit(10)
+    },
+    Some(s"""WITH $duckSessionCtes,
+             tri AS (SELECT event_type || '>' ||
+                 lead(event_type, 1) OVER w || '>' ||
+                 lead(event_type, 2) OVER w AS path
+               FROM sess
+               WINDOW w AS (PARTITION BY user_id, session_seq
+                 ORDER BY ts_us ASC, event_id ASC))
+             SELECT path, count(*) AS n_walks FROM tri
+             WHERE path IS NOT NULL
+             GROUP BY path ORDER BY n_walks DESC, path ASC LIMIT 10"""))
+
   val all: Seq[Q] =
     Seq(q31HourlyFromJson, q32SlidingWindow, q33Sessionize, q34SessionWindow,
       q35EventFirst, q37AsofJoin, q38RangeJoin, q50AsofForward,
@@ -3875,6 +3930,7 @@ object EventQueries {
       q158ModalType, q159ArgmaxPurchase, q161Autocorr, q170ConversionLag,
       q174RfmSegments, q179InterpolateGaps, q181AucRanksum,
       q185SeqPatterns, q186DecileLift, q188SrmCheck, q192KsTest,
-      q199PurgedCvFolds, q201CupedAudit, q210EntryExitBounce)
+      q199PurgedCvFolds, q201CupedAudit, q210EntryExitBounce,
+      q215TrigramPaths)
       .map(q => q.copy(streaming = streamingNames(q.name)))
 }

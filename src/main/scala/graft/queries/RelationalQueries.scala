@@ -2351,6 +2351,152 @@ object RelationalQueries {
               CAST(sum(cents) AS DOUBLE) / CAST(max(tot) AS DOUBLE) AS share
             FROM c GROUP BY abc_class ORDER BY abc_class"""))
 
+  /** One-way ANOVA — is the weekday effect on DAILY revenue real?
+    * q211 reports the per-weekday seasonal indices; this tests whether
+    * the between-weekday variation exceeds what within-weekday noise
+    * explains — the F-statistic gate before anyone acts on a seasonal
+    * table, completing the inference family (q148 z, q128/q188 chi2,
+    * q192 KS) with the k-group mean comparison.
+    *
+    * Determinism: daily revenues are exact integer cents; all moments
+    * (per-group sums/counts via conditional aggregation, global sum of
+    * squares in decimal(38,0) — q161's discipline) are exact; the
+    * between-group term sum_g Sg^2/ng is assembled as an EXPLICIT
+    * 7-term left-fold of doubles (t0+t1+...+t6 in one expression tree)
+    * rather than any windowed accumulation, because windowed double
+    * sums don't pin associativity order across engines (DuckDB's
+    * segment-tree window combine vs Spark's sequential add). Absent
+    * weekdays contribute exactly 0.0 and drop out of k.
+    *
+    * ## 100 TB notes
+    * Two map-side-combined aggregations (daily rollup, then ONE global
+    * row with 16 conditional moments) — no joins, no windows, nothing
+    * data-scale past the daily rollup's date-keyed shuffle.
+    */
+  val q216AnovaDow: Q = Q(
+    "q216_anova_dow",
+    (s, dir) => {
+      val daily = Tables.load(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .select((dayofweek(col("d")) - 1).cast("long").as("dow"),
+          col("cents"))
+      def D(c: Column) = c.cast("decimal(38,0)")
+      val groupAggs = (0 to 6).flatMap { i =>
+        Seq(sum(when(col("dow") === i, col("cents")).otherwise(0L))
+            .as(s"s$i"),
+          sum(when(col("dow") === i, 1L).otherwise(0L)).as(s"g$i"))
+      }
+      val aggs = Seq(count(lit(1)).as("n"), sum(col("cents")).as("s"),
+        sum(D(col("cents")) * D(col("cents"))).as("sq")) ++ groupAggs
+      val m = daily.agg(aggs.head, aggs.tail: _*)
+      val terms = (0 to 6).map { i =>
+        when(col(s"g$i") > 0,
+          (col(s"s$i").cast("double") * col(s"s$i").cast("double")) /
+            col(s"g$i").cast("double")).otherwise(lit(0.0))
+      }
+      val t = terms.reduceLeft(_ + _) // fixed left-fold: ((t0+t1)+...)+t6
+      val k = (0 to 6).map(i =>
+        when(col(s"g$i") > 0, 1L).otherwise(0L)).reduceLeft(_ + _)
+      m.withColumn("t", t).withColumn("k", k)
+        .select(col("n").as("n_days"), col("k"),
+          (col("t") - (col("s").cast("double") * col("s").cast("double")) /
+            col("n").cast("double")).as("ssb"),
+          (col("sq").cast("double") - col("t")).as("ssw"))
+        .withColumn("f_stat",
+          (col("ssb") / (col("k") - 1).cast("double")) /
+            (col("ssw") / (col("n_days") - col("k")).cast("double")))
+        .select(col("n_days"), col("k"), col("ssb"), col("ssw"),
+          col("f_stat"))
+    },
+    Some {
+      val filterSums = (0 to 6).map { i =>
+        s"""CAST(sum(cents) FILTER (dow = $i) AS BIGINT) AS s$i,
+            CAST(count(*) FILTER (dow = $i) AS BIGINT) AS g$i"""
+      }.mkString(",\n                ")
+      val terms = (0 to 6).map { i =>
+        s"""CASE WHEN g$i > 0
+                 THEN (CAST(s$i AS DOUBLE) * CAST(s$i AS DOUBLE))
+                      / CAST(g$i AS DOUBLE) ELSE 0.0 END"""
+      }.reduceLeft((a, b) => s"($a + $b)")
+      val k = (0 to 6).map(i => s"CASE WHEN g$i > 0 THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+                CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+              FROM orders GROUP BY 1),
+            dd AS (SELECT CAST(dayofweek(d) AS BIGINT) AS dow, cents
+                   FROM daily),
+            m AS (SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS s,
+                sum(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) AS sq,
+                $filterSums
+              FROM dd),
+            e AS (SELECT n, CAST($k AS BIGINT) AS k,
+                $terms AS t, s, sq FROM m),
+            r AS (SELECT n AS n_days, k,
+                t - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                    / CAST(n AS DOUBLE) AS ssb,
+                CAST(sq AS DOUBLE) - t AS ssw
+              FROM e)
+            SELECT n_days, k, ssb, ssw,
+              (ssb / CAST(k - 1 AS DOUBLE))
+                / (ssw / CAST(n_days - k AS DOUBLE)) AS f_stat
+            FROM r"""
+    })
+
+  /** Supplier-concentration HHI per nation — the Herfindahl-Hirschman
+    * index procurement and antitrust teams compute to flag fragile
+    * single-supplier markets: per nation, the sum of squared revenue
+    * shares of its suppliers. HHI needs no float shares at all:
+    * sum(c_i^2) / (sum c_i)^2 with revenue in exact integer cents,
+    * squares accumulated in decimal(38,0) (q161's discipline), ONE
+    * double division at the end — 1/n_suppliers = perfectly
+    * fragmented, 1.0 = monopoly.
+    *
+    * ## 100 TB notes
+    * Supplier revenue is one map-side-combined shuffle on l_suppkey;
+    * the supplier->nation attach is AQE-broadcast (supplier is a
+    * dimension); nation name joins off a fixed 25-row broadcast. The
+    * per-nation moment rollup is map-side combined on a 25-value key.
+    */
+  val q217SupplierHhi: Q = Q(
+    "q217_supplier_hhi",
+    (s, dir) => {
+      def D(c: Column) = c.cast("decimal(38,0)")
+      val suppRev = Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_suppkey"))
+        .agg(sum(floor(col("l_extendedprice") * 100).cast("long"))
+          .as("cents"))
+      val supp = Tables.load(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val nation = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+      suppRev.join(supp, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum(col("cents")).as("total_cents"),
+          sum(D(col("cents")) * D(col("cents"))).as("sumsq"))
+        .select(col("n_name"), col("n_suppliers"), col("total_cents"),
+          (col("sumsq").cast("double") /
+            (col("total_cents").cast("double") *
+              col("total_cents").cast("double"))).as("hhi"))
+        .orderBy(col("n_name"))
+    },
+    Some("""WITH sr AS (SELECT l_suppkey,
+                CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+              FROM lineitem GROUP BY l_suppkey)
+            SELECT n_name, count(*) AS n_suppliers,
+              CAST(sum(cents) AS BIGINT) AS total_cents,
+              CAST(sum(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT))
+                   AS DOUBLE)
+                / (CAST(sum(cents) AS DOUBLE) * CAST(sum(cents) AS DOUBLE))
+                AS hhi
+            FROM sr JOIN supplier ON l_suppkey = s_suppkey
+                    JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY n_name ORDER BY n_name"""))
+
   val all: Seq[Q] = Seq(q06JoinDims, q07StarRevenue, q08SemiJoin, q09AntiJoin,
     q10AggStats, q11Rollup, q12DistinctExact, q13WindowTopK, q14RunningSum,
     q15Pivot, q16SetOps, q17GlobalTopN, q40QuantilesDisc, q41Moments,
@@ -2362,5 +2508,5 @@ object RelationalQueries {
     q160WilsonInterval, q167ZorderLayout, q168Skyline, q175WeightedMedian,
     q182Benford, q183OrphanAudit, q187ZonemapSkip, q189QuantileSketch,
     q196BloomJoinAudit, q202JoinCardAudit, q209CohortLtv, q211SeasonalDow,
-    q212PurchaseGaps, q214AbcClasses)
+    q212PurchaseGaps, q214AbcClasses, q216AnovaDow, q217SupplierHhi)
 }

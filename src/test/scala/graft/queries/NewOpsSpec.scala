@@ -1699,6 +1699,58 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("q215 trigram paths: windows stay inside the session, both walks counted") {
+    withTempDir { dir =>
+      val m = 60L * 1000000000L
+      // one session a,b,c,d -> trigrams a>b>c and b>c>d; the next
+      // session (2 h later) has only 2 events -> no trigram
+      writeEvents(dir, Seq(
+        (1L, 1L, 0 * m, "a", 0.0),
+        (2L, 1L, 1 * m, "b", 0.0),
+        (3L, 1L, 2 * m, "c", 0.0),
+        (4L, 1L, 3 * m, "d", 0.0),
+        (5L, 1L, 200 * m, "e", 0.0),
+        (6L, 1L, 201 * m, "f", 0.0)))
+      val out = EventQueries.q215TrigramPaths.fn(spark, dir)
+        .select("path", "n_walks").as[(String, Long)].collect().toList
+      out shouldBe List(("a>b>c", 1L), ("b>c>d", 1L))
+    }
+  }
+
+  test("q216 anova: hand-computed F for two weekday groups") {
+    withTempDir { dir =>
+      // Sundays: daily cents 10000, 20000; Mondays: 10000, 10000
+      // T = 450e6 + 200e6; ssb = 650e6 - 625e6 = 25e6; ssw = 50e6; F = 1
+      Seq((1L, 1L, "1995-01-01", 100.0), (2L, 2L, "1995-01-08", 200.0),
+        (3L, 3L, "1995-01-02", 100.0), (4L, 4L, "1995-01-09", 100.0))
+        .toDF("o_orderkey", "o_custkey", "d", "o_totalprice")
+        .withColumn("o_orderdate", to_timestamp(col("d")))
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      val out = RelationalQueries.q216AnovaDow.fn(spark, dir)
+        .select("n_days", "k", "ssb", "ssw", "f_stat")
+        .as[(Long, Long, Double, Double, Double)].collect().toList
+      out shouldBe List((4L, 2L, 2.5e7, 5.0e7, 1.0))
+    }
+  }
+
+  test("q217 hhi: squared-share concentration per nation, monopoly = 1") {
+    withTempDir { dir =>
+      Seq((0, "A"), (1, "B")).toDF("n_nationkey", "n_name")
+        .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+      Seq((1L, 0), (2L, 0), (3L, 1)).toDF("s_suppkey", "s_nationkey")
+        .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+      // nation A: suppliers earn 300 and 100 cents -> HHI = 0.625;
+      // nation B: one supplier -> monopoly
+      Seq((10L, 1L, 3.00), (11L, 2L, 1.00), (12L, 3L, 1.00))
+        .toDF("l_orderkey", "l_suppkey", "l_extendedprice")
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      val out = RelationalQueries.q217SupplierHhi.fn(spark, dir)
+        .select("n_name", "n_suppliers", "total_cents", "hhi")
+        .as[(String, Long, Long, Double)].collect().toList
+      out shouldBe List(("A", 2L, 400L, 0.625), ("B", 1L, 100L, 1.0))
+    }
+  }
+
   test("q210 entry/exit/bounce: roles from session position, bounce = both") {
     withTempDir { dir =>
       val m = 60L * 1000000000L // one minute in ns
