@@ -558,8 +558,139 @@ object CorpusQueries {
             FROM df, t
             ORDER BY drift_ppm DESC, tok ASC LIMIT 15"""))
 
+  /** Per-source hapax profile — the share of each source's vocabulary
+    * that occurs exactly ONCE. High hapax share is the classic tell of
+    * OCR noise, tokenizer damage, or un-deduplicated boilerplate being
+    * the minority (healthy natural text runs ~40-60 %; near-0 means
+    * heavy templating, near-1 means garbage) — the single-number check
+    * corpus triage runs per source before any quality modeling. Type
+    * and token counts ride along so the type-token ratio is readable
+    * off the row.
+    *
+    * ## 100 TB notes
+    * Explode -> (source, term) partial-agg group-by: map-side combine
+    * collapses the token stream to per-partition distinct keys; the
+    * second rollup to per-source is vocabulary-sized (Heaps-sublinear).
+    * hapax_share is one double division of exact counts.
+    */
+  val q219HapaxProfile: Q = Q(
+    "q219_hapax_profile",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val tf = docs
+        .select(col("source"), explode(Text.tokens(col("text"))).as("tok"))
+        .groupBy(col("source"), col("tok"))
+        .agg(count(lit(1)).as("cnt"))
+      val perDoc = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+      tf.groupBy(col("source"))
+        .agg(count(lit(1)).as("vocab"),
+          sum(col("cnt")).as("n_tokens"),
+          sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("hapax"))
+        .join(perDoc, Seq("source"))
+        .select(col("source"), col("n_docs"), col("n_tokens"), col("vocab"),
+          col("hapax"),
+          (col("hapax").cast("double") / col("vocab").cast("double"))
+            .as("hapax_share"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH tf AS (SELECT source, tok, count(*) AS cnt
+              FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+                    FROM documents)
+              GROUP BY source, tok),
+            pd AS (SELECT source, count(*) AS n_docs
+                   FROM documents GROUP BY source),
+            v AS (SELECT source, count(*) AS vocab,
+                CAST(sum(cnt) AS BIGINT) AS n_tokens,
+                CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS hapax
+              FROM tf GROUP BY source)
+            SELECT v.source, n_docs, n_tokens, vocab, hapax,
+              CAST(hapax AS DOUBLE) / CAST(vocab AS DOUBLE) AS hapax_share
+            FROM v JOIN pd ON v.source = pd.source
+            ORDER BY v.source"""))
+
+  /** Proximity search — docs where the corpus's two most frequent terms
+    * co-occur within a 5-token window, with the exact minimum gap. The
+    * generalization of q191's adjacency (positional phrase search):
+    * ranked retrieval scores "near" matches (NEAR/5 in classic IR
+    * syntax), and the merge-scan here is the textbook way to answer it
+    * WITHOUT the quadratic positions x positions join: per document,
+    * both terms' positions interleave into one ordered stream, and a
+    * single lag pass takes the min gap at every tag ALTERNATION — any
+    * closer pair would have to be adjacent in the merged order, so the
+    * scan is exact and linear in occurrences. Terms are chosen from
+    * the data (count desc, term asc), so the query is self-contained
+    * at any SF.
+    *
+    * ## 100 TB notes
+    * The 2-row term table broadcasts into the exploded-positions
+    * stream (a semi-join that prunes ~all tokens at the scan); the lag
+    * window shuffles once on doc_id; everything after is per-doc
+    * aggregation on that same exchange. Linear in matched positions,
+    * never quadratic.
+    */
+  val q220ProximitySearch: Q = Q(
+    "q220_proximity_search",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.load(s, dir, "documents")
+      val pos = docs.select(col("doc_id"),
+        posexplode(Text.tokens(col("text"))).as(Seq("pos", "tok")))
+      val top2 = pos.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok").asc).limit(2)
+        .select(col("tok"),
+          row_number().over(Window.orderBy(col("cnt").desc,
+            col("tok").asc)).cast("long").as("tag"))
+      val tagged = pos.join(broadcast(top2), Seq("tok"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("pos").asc)
+      val gaps = tagged
+        .withColumn("prev_pos", lag(col("pos"), 1).over(w))
+        .withColumn("prev_tag", lag(col("tag"), 1).over(w))
+        .filter(col("prev_tag").isNotNull && col("prev_tag") =!= col("tag"))
+        .select(col("doc_id"), (col("pos") - col("prev_pos")).as("gap"))
+      val counts = tagged.groupBy(col("doc_id"))
+        .agg(sum(when(col("tag") === 1, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("tag") === 2, 1L).otherwise(0L)).as("n_b"))
+      gaps.groupBy(col("doc_id"))
+        .agg(min(col("gap")).cast("long").as("min_gap"))
+        .filter(col("min_gap") <= 5)
+        .join(counts, Seq("doc_id"))
+        .select(col("doc_id"), col("n_a"), col("n_b"), col("min_gap"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH p AS (SELECT doc_id,
+                  generate_subscripts(string_split(text, ' '), 1) AS pos,
+                  unnest(string_split(text, ' ')) AS tok
+                FROM documents),
+            t2 AS (SELECT tok,
+                CAST(row_number() OVER (ORDER BY cnt DESC, tok ASC)
+                  AS BIGINT) AS tag
+              FROM (SELECT tok, count(*) AS cnt FROM p GROUP BY tok)
+              ORDER BY cnt DESC, tok ASC LIMIT 2),
+            tg AS (SELECT doc_id, pos, tag FROM p JOIN t2 USING (tok)),
+            g AS (SELECT doc_id, pos - prev_pos AS gap
+                  FROM (SELECT doc_id, pos, tag,
+                          lag(pos) OVER w AS prev_pos,
+                          lag(tag) OVER w AS prev_tag
+                        FROM tg
+                        WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+                  WHERE prev_tag IS NOT NULL AND prev_tag != tag),
+            c AS (SELECT doc_id,
+                CAST(sum(CASE WHEN tag = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_a,
+                CAST(sum(CASE WHEN tag = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_b
+              FROM tg GROUP BY doc_id),
+            m AS (SELECT doc_id, CAST(min(gap) AS BIGINT) AS min_gap
+                  FROM g GROUP BY doc_id)
+            SELECT m.doc_id, n_a, n_b, min_gap
+            FROM m JOIN c ON m.doc_id = c.doc_id
+            WHERE min_gap <= 5 ORDER BY m.doc_id"""))
+
   val all: Seq[Q] = Seq(q88ChunkOverlap, q91BpePairs, q92UnigramRarity,
     q93BigramLift, q94CdcChunks, q96QuantileNorm, q97MixtureWeights,
     q125PpsSample, q169PostingLists, q173Burstiness, q191PhraseSearch,
-    q205IdfDrift)
+    q205IdfDrift, q219HapaxProfile, q220ProximitySearch)
 }

@@ -810,7 +810,84 @@ object SimilarityQueries {
              FROM t1 p JOIN t1 r ON p.nn = r.id AND p.id = r.nn
              WHERE p.id < p.nn ORDER BY a"""))
 
+  /** Cluster cohesion vs separation margin — the silhouette-style
+    * health check run before trusting labels (or k-means output) for
+    * anything downstream: per label, how similar are members to their
+    * OWN centroid (cohesion), how similar is that centroid to its
+    * nearest OTHER centroid (cross_sim), and the margin between the
+    * two. A label whose margin goes negative is bleeding into a
+    * neighbor — the exact failure IVF routing (q30) and semantic dedup
+    * (q79) silently inherit. Centroids are q30/q44's exact-decimal
+    * means (shared helper, so the math cannot diverge); per-member
+    * cosines accumulate in decimal(30,10) (the Catalog double-sum
+    * contract); nearest-other election is a total order.
+    *
+    * ## 100 TB notes
+    * Centroids are label-count-sized and broadcast; the cohesion pass
+    * streams the corpus once against them (map-side agg on label); the
+    * separation pass is a centroid-x-centroid cross join — k^2 rows of
+    * driver scale, nothing more.
+    */
+  val q218ClusterMargin: Q = Q(
+    "q218_cluster_margin",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val cents = Tables.eager(centroids(e))
+      val own = e.join(broadcast(cents), col("label") === col("c_label"))
+        .select(col("label"),
+          cosineSim(col("embedding"), col("cemb")).as("sim"))
+      val coh = own.groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          (round(sum(col("sim").cast("decimal(30,10)")), 6).cast("double") /
+            count(lit(1))).as("cohesion"))
+      val c2 = cents.select(col("c_label").as("o_label"),
+        col("cemb").as("oemb"))
+      val cross = cents.crossJoin(broadcast(c2))
+        .filter(col("c_label") =!= col("o_label"))
+        .select(col("c_label").as("label"), col("o_label"),
+          cosineSim(col("cemb"), col("oemb")).as("xsim"))
+      val w = Window.partitionBy(col("label"))
+        .orderBy(col("xsim").desc, col("o_label").asc)
+      val sep = cross.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("label"), col("o_label").as("nearest_other"),
+          col("xsim").as("cross_sim"))
+      coh.join(sep, Seq("label"))
+        .select(col("label"), col("n_vecs"), col("cohesion"),
+          col("nearest_other"), col("cross_sim"),
+          (col("cohesion") - col("cross_sim")).as("margin"))
+        .orderBy(col("label"))
+    },
+    Some(s"""WITH pe AS (SELECT label, j AS pos, embedding[j+1] AS v
+                FROM embeddings, range(0, 64) r(j)),
+             cd AS (SELECT label, pos,
+                      CAST(round(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(30,15))), 9)
+                        AS DOUBLE) / count(*) AS cv
+                    FROM pe GROUP BY label, pos),
+             cent AS (SELECT label AS c_label, list(cv ORDER BY pos) AS cemb
+                      FROM cd GROUP BY label),
+             own AS (SELECT label,
+                 ${duckCos("CAST(embedding AS DOUBLE[])", "cemb")} AS sim
+               FROM embeddings JOIN cent ON label = c_label),
+             coh AS (SELECT label, count(*) AS n_vecs,
+                 CAST(round(sum(CAST(sim AS DECIMAL(30,10))), 6) AS DOUBLE)
+                   / count(*) AS cohesion
+               FROM own GROUP BY label),
+             cr AS (SELECT a.c_label AS label, b.c_label AS o_label,
+                      ${duckCos("a.cemb", "b.cemb")} AS xsim
+                    FROM cent a JOIN cent b ON a.c_label != b.c_label),
+             sep AS (SELECT label, o_label AS nearest_other,
+                       xsim AS cross_sim
+                     FROM (SELECT *, row_number() OVER (PARTITION BY label
+                             ORDER BY xsim DESC, o_label ASC) AS rn FROM cr)
+                     WHERE rn = 1)
+             SELECT coh.label, n_vecs, cohesion, nearest_other, cross_sim,
+               cohesion - cross_sim AS margin
+             FROM coh JOIN sep ON coh.label = sep.label
+             ORDER BY coh.label"""))
+
   val all: Seq[Q] = Seq(q27KnnBrute, q28AnnLsh, q29EmbNearDup, q30IvfCentroid,
     q44KmeansStep, q49AnnRecall, q52SqlSurface, q57L2Knn, q71Int8Quant,
-    q79SemanticDedup, q138PqCodebook, q139PqAdcRecall, q208MutualNn)
+    q79SemanticDedup, q138PqCodebook, q139PqAdcRecall, q208MutualNn,
+    q218ClusterMargin)
 }

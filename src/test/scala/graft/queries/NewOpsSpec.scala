@@ -1751,6 +1751,57 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("q218 cluster margin: orthogonal tight clusters get margin 1") {
+    withTempDir { dir =>
+      Seq((1L, Seq(1.0f, 0.0f, 0.0f, 0.0f), 0),
+        (2L, Seq(1.0f, 0.0f, 0.0f, 0.0f), 0),
+        (3L, Seq(0.0f, 1.0f, 0.0f, 0.0f), 1),
+        (4L, Seq(0.0f, 1.0f, 0.0f, 0.0f), 1))
+        .toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val out = SimilarityQueries.q218ClusterMargin.fn(spark, dir)
+        .select("label", "n_vecs", "cohesion", "nearest_other", "cross_sim",
+          "margin")
+        .as[(Int, Long, Double, Int, Double, Double)].collect().toList
+      out shouldBe List(
+        (0, 2L, 1.0, 1, 0.0, 1.0),
+        (1, 2L, 1.0, 0, 0.0, 1.0))
+    }
+  }
+
+  test("q219 hapax profile: once-only vocabulary share per source") {
+    withTempDir { dir =>
+      Seq((1L, "a a b", "s1"), (2L, "c", "s2"))
+        .toDF("doc_id", "text", "source")
+        .withColumn("lang", lit("en"))
+        .withColumn("n_chars",
+          org.apache.spark.sql.functions.length(col("text")))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val out = CorpusQueries.q219HapaxProfile.fn(spark, dir)
+        .select("source", "n_docs", "n_tokens", "vocab", "hapax",
+          "hapax_share")
+        .as[(String, Long, Long, Long, Long, Double)].collect().toList
+      out shouldBe List(
+        ("s1", 1L, 3L, 2L, 1L, 0.5),
+        ("s2", 1L, 1L, 1L, 1L, 1.0))
+    }
+  }
+
+  test("q220 proximity search: merge-scan min gap, window bound at 5") {
+    withTempDir { dir =>
+      // x and y tie at 3 occurrences (tiebreak by term: x=tag1, y=tag2);
+      // fillers occur once each so they can't reach the top-2
+      writeDocs(dir, Seq(
+        1L -> "x a b c d y", // min gap 5 -> kept
+        2L -> "x e f g h i y", // gap 6 -> dropped
+        3L -> "y x")) // gap 1 -> kept
+      val out = CorpusQueries.q220ProximitySearch.fn(spark, dir)
+        .select("doc_id", "n_a", "n_b", "min_gap")
+        .as[(Long, Long, Long, Long)].collect().toList
+      out shouldBe List((1L, 1L, 1L, 5L), (3L, 1L, 1L, 1L))
+    }
+  }
+
   test("q210 entry/exit/bounce: roles from session position, bounce = both") {
     withTempDir { dir =>
       val m = 60L * 1000000000L // one minute in ns
