@@ -2497,6 +2497,82 @@ object RelationalQueries {
                     JOIN nation ON s_nationkey = n_nationkey
             GROUP BY n_name ORDER BY n_name"""))
 
+  /** Popularity-baseline recommender eval — the hit-rate@10 floor every
+    * recommender must beat before it ships: hold out each repeat
+    * customer's LAST order (leave-last-out, by date then key — a total
+    * order, so the holdout is deterministic), rank parts by distinct
+    * trainers buying them, and score a "hit" when the held-out basket
+    * contains any global top-10 part. One row: eligible users, hits,
+    * hit rate (one division of exact counts) — the number that turns
+    * "our model gets 0.31" into "versus 0.24 for just recommending
+    * bestsellers".
+    *
+    * ## 100 TB notes
+    * The holdout election is one window over the o_custkey shuffle;
+    * train/test basket expansion joins lineitem on orderkey (bucketable
+    * at scale); the top-10 is a TakeOrderedAndProject over the part
+    * aggregate and broadcasts into the test-basket semi-join. Nothing
+    * retains per-user state beyond the one window pass.
+    */
+  val q222PopBaseline: Q = Q(
+    "q222_pop_baseline",
+    (s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      val marked = orders
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_orders", count(lit(1)).over(
+          Window.partitionBy(col("o_custkey"))))
+      val test = marked.filter(col("rn") === 1 && col("n_orders") >= 2)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val train = marked.filter(col("rn") =!= 1 || col("n_orders") < 2)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val top10 = li.join(train, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_partkey"))
+        .agg(countDistinct(col("o_custkey")).as("n_buyers"))
+        .orderBy(col("n_buyers").desc, col("l_partkey").asc)
+        .limit(10)
+        .select(col("l_partkey"))
+      val testBaskets = li.join(test, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey"), col("l_partkey"))
+      val hits = testBaskets
+        .join(broadcast(top10), Seq("l_partkey"), "left_semi")
+        .select(col("o_custkey")).distinct()
+      val nUsers = test.select(col("o_custkey")).distinct()
+        .agg(count(lit(1)).as("n_users"))
+      val nHits = hits.agg(count(lit(1)).as("n_hits"))
+      nUsers.crossJoin(broadcast(nHits))
+        .select(col("n_users"), col("n_hits"),
+          (col("n_hits").cast("double") / col("n_users").cast("double"))
+            .as("hit_rate"))
+    },
+    Some("""WITH m AS (SELECT o_orderkey, o_custkey,
+                row_number() OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn,
+                count(*) OVER (PARTITION BY o_custkey) AS n_orders
+              FROM orders),
+            test AS (SELECT o_orderkey, o_custkey FROM m
+                     WHERE rn = 1 AND n_orders >= 2),
+            train AS (SELECT o_orderkey, o_custkey FROM m
+                      WHERE rn != 1 OR n_orders < 2),
+            top10 AS (SELECT l_partkey FROM (
+                SELECT l_partkey, count(DISTINCT o_custkey) AS n_buyers
+                FROM lineitem JOIN train ON l_orderkey = o_orderkey
+                GROUP BY l_partkey)
+              ORDER BY n_buyers DESC, l_partkey ASC LIMIT 10),
+            tb AS (SELECT DISTINCT t.o_custkey
+                   FROM lineitem l JOIN test t ON l.l_orderkey = t.o_orderkey
+                   WHERE l.l_partkey IN (SELECT l_partkey FROM top10)),
+            nu AS (SELECT count(DISTINCT o_custkey) AS n_users FROM test),
+            nh AS (SELECT count(*) AS n_hits FROM tb)
+            SELECT n_users, n_hits,
+              CAST(n_hits AS DOUBLE) / CAST(n_users AS DOUBLE) AS hit_rate
+            FROM nu, nh"""))
+
   val all: Seq[Q] = Seq(q06JoinDims, q07StarRevenue, q08SemiJoin, q09AntiJoin,
     q10AggStats, q11Rollup, q12DistinctExact, q13WindowTopK, q14RunningSum,
     q15Pivot, q16SetOps, q17GlobalTopN, q40QuantilesDisc, q41Moments,
@@ -2508,5 +2584,6 @@ object RelationalQueries {
     q160WilsonInterval, q167ZorderLayout, q168Skyline, q175WeightedMedian,
     q182Benford, q183OrphanAudit, q187ZonemapSkip, q189QuantileSketch,
     q196BloomJoinAudit, q202JoinCardAudit, q209CohortLtv, q211SeasonalDow,
-    q212PurchaseGaps, q214AbcClasses, q216AnovaDow, q217SupplierHhi)
+    q212PurchaseGaps, q214AbcClasses, q216AnovaDow, q217SupplierHhi,
+    q222PopBaseline)
 }

@@ -1394,6 +1394,55 @@ object TextQueries {
               SELECT '5_kept', 0, kept FROM h, t)
             ORDER BY stage"""))
 
+  /** Split balance audit — after q48 assigns train/val/test by content
+    * hash, is each split REPRESENTATIVE? A hash split guarantees
+    * determinism and leak-freedom (q70), but nothing about balance:
+    * a language that hashes unluckily can end up over-represented in
+    * val, and every metric computed on that split inherits the skew.
+    * One row per (split, lang): document count, exact token count,
+    * mean tokens per doc, and the language's share WITHIN its split
+    * (the number to compare across rows of the same lang) — shares and
+    * means are single double divisions of exact integers, the split
+    * totals window over the |splits| x |langs| aggregate.
+    *
+    * ## 100 TB notes
+    * Pure projection (hash + token count) into one map-side-combined
+    * group-by on a ~15-cell key; the share window runs over that tiny
+    * aggregate. No joins, no data-scale window.
+    */
+  val q221SplitBalance: Q = Q(
+    "q221_split_balance",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.load(s, dir, "documents")
+      val cells = docs.select(splitCol.as("split"), col("lang"),
+          size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      cells
+        .withColumn("split_docs",
+          sum(col("n_docs")).over(Window.partitionBy(col("split"))))
+        .select(col("split"), col("lang"), col("n_docs"), col("n_tokens"),
+          (col("n_tokens").cast("double") / col("n_docs").cast("double"))
+            .as("mean_tokens"),
+          (col("n_docs").cast("double") / col("split_docs").cast("double"))
+            .as("share_in_split"))
+        .orderBy(col("split"), col("lang"))
+    },
+    Some(s"""WITH $duckSplitCte,
+            cells AS (SELECT sp.split, d.lang, count(*) AS n_docs,
+                CAST(sum(len(string_split(d.text, ' '))) AS BIGINT)
+                  AS n_tokens
+              FROM documents d JOIN sp ON sp.doc_id = d.doc_id
+              GROUP BY sp.split, d.lang)
+            SELECT split, lang, n_docs, n_tokens,
+              CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                AS mean_tokens,
+              CAST(n_docs AS DOUBLE)
+                / CAST(sum(n_docs) OVER (PARTITION BY split) AS DOUBLE)
+                AS share_in_split
+            FROM cells ORDER BY split, lang"""))
+
   val all: Seq[Q] =
     Seq(q18TextStats, q19TermFreq, q20LangId, q21QualityScore, q22RegexTokens,
       q39WinnowFp, q42EditDistance, q45TfidfTopk, q48SplitAssign,
@@ -1401,5 +1450,5 @@ object TextQueries {
       q68MixtureRebalance, q70SplitLeakage, q72CorpusFunnel,
       q82TokenBudget, q134SentenceStats, q137SymspellJoin,
       q162Bm25Topk, q163RrfFusion, q166EpochShard, q177ReshardMovement,
-      q200DataLadder, q204MedallionWaterfall)
+      q200DataLadder, q204MedallionWaterfall, q221SplitBalance)
 }

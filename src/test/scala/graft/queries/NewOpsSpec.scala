@@ -1802,6 +1802,69 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("q221 split balance: cells match an independent hash-split model") {
+    withTempDir { dir =>
+      def bucket(t: String): Long = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(t.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex.substring(0, 8), 16) % 100
+      }
+      def split(t: String): String = {
+        val b = bucket(t)
+        if (b < 80) "train" else if (b < 90) "val" else "test"
+      }
+      val docs = (1L to 40L).map(i =>
+        (i, s"doc number $i with ${"pad " * (i % 3).toInt}tail",
+          if (i % 2 == 0) "en" else "de"))
+      docs.toDF("doc_id", "text", "source")
+        .withColumn("lang", col("source"))
+        .withColumn("source", lit("t"))
+        .withColumn("n_chars",
+          org.apache.spark.sql.functions.length(col("text")))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val expected = docs
+        .map { case (_, t, lang) =>
+          ((split(t), lang), t.split(" ", -1).length.toLong) }
+        .groupBy(_._1).map { case ((sp, lang), xs) =>
+          val n = xs.size.toLong
+          val tok = xs.map(_._2).sum
+          (sp, lang, n, tok)
+        }.toList
+      val bySplit = expected.groupBy(_._1)
+        .map { case (sp, xs) => sp -> xs.map(_._3).sum }
+      val expRows = expected.map { case (sp, lang, n, tok) =>
+        (sp, lang, n, tok, tok.toDouble / n.toDouble,
+          n.toDouble / bySplit(sp).toDouble)
+      }.sortBy(r => (r._1, r._2))
+      val out = TextQueries.q221SplitBalance.fn(spark, dir)
+        .select("split", "lang", "n_docs", "n_tokens", "mean_tokens",
+          "share_in_split")
+        .as[(String, String, Long, Long, Double, Double)].collect().toList
+      out shouldBe expRows
+    }
+  }
+
+  test("q222 popularity baseline: leave-last-out holdout, top-10 hit test") {
+    withTempDir { dir =>
+      // c1: train {p5}, test {p7} -> miss; c2: single order (train only);
+      // c3: train {p9}, test {p5} -> hit (p5 tops the train ranking)
+      Seq((1L, 1L, "1995-01-01"), (2L, 1L, "1995-02-01"),
+        (3L, 2L, "1995-01-05"), (4L, 3L, "1995-01-02"),
+        (5L, 3L, "1995-03-01"))
+        .toDF("o_orderkey", "o_custkey", "d")
+        .withColumn("o_orderdate", to_timestamp(col("d")))
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      Seq((1L, 5L), (2L, 7L), (3L, 5L), (4L, 9L), (5L, 5L))
+        .toDF("l_orderkey", "l_partkey")
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      val out = RelationalQueries.q222PopBaseline.fn(spark, dir)
+        .select("n_users", "n_hits", "hit_rate")
+        .as[(Long, Long, Double)].collect().toList
+      out shouldBe List((2L, 1L, 0.5))
+    }
+  }
+
   test("q210 entry/exit/bounce: roles from session position, bounce = both") {
     withTempDir { dir =>
       val m = 60L * 1000000000L // one minute in ns
