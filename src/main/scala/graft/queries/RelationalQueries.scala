@@ -2573,6 +2573,138 @@ object RelationalQueries {
               CAST(n_hits AS DOUBLE) / CAST(n_users AS DOUBLE) AS hit_rate
             FROM nu, nh"""))
 
+  /** Type-7 interpolated quantiles — the LINEAR-interpolation quantile
+    * definition (R's default, NumPy's 'linear') per order priority:
+    * q40 returns exact ORDER STATISTICS (a value that exists in the
+    * data) and q189 a bounded sketch; type-7 is the third semantics —
+    * h = (n-1)p lands between ranks and the estimate blends the two
+    * neighbors — and the one most tooling reports, so an engine that
+    * can't reproduce it can't cross-check reports. Values are exact
+    * integer cents; h, the blend fraction, and the interpolation are
+    * ONE fixed double op tree; rank picks are integer comparisons
+    * (floor(h)+1 against a row_number), ties collapse harmlessly
+    * because equal ranks carry equal values.
+    *
+    * ## 100 TB notes
+    * One shuffle partitions by priority; the rank window and the three
+    * conditional picks ride it. At real scale the per-group sort is
+    * the cost — the same cost any exact quantile pays — and the
+    * histogram-compression trick (q40's distinct-value walk) applies
+    * unchanged if values repeat heavily.
+    */
+  val q223QuantileInterp: Q = Q(
+    "q223_quantile_interp",
+    (s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderpriority"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val byP = Window.partitionBy(col("o_orderpriority"))
+      val ranked = o
+        .withColumn("rn", row_number().over(byP.orderBy(col("cents").asc)))
+        .withColumn("n", count(lit(1)).over(byP))
+      def pick(p: Double): Column = {
+        val h = (col("n") - 1).cast("double") * lit(p)
+        val lo = floor(h).cast("long") + 1
+        val xlo = min(when(col("rn") === lo, col("cents")))
+        val xhi = coalesce(min(when(col("rn") === lo + 1, col("cents"))),
+          min(when(col("rn") === lo, col("cents"))))
+        val hAgg = (max(col("n")) - 1).cast("double") * lit(p)
+        xlo.cast("double") +
+          (hAgg - floor(hAgg)) * (xhi.cast("double") - xlo.cast("double"))
+      }
+      ranked.groupBy(col("o_orderpriority"))
+        .agg(max(col("n")).as("n"), pick(0.5).as("p50"),
+          pick(0.9).as("p90"), pick(0.99).as("p99"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some {
+      def pick(p: Double): String =
+        s"""(max(CASE WHEN rn = floor((n - 1) * $p)::BIGINT + 1
+                 THEN cents END)::DOUBLE
+             + ((max(n) - 1)::DOUBLE * $p
+                - floor((max(n) - 1)::DOUBLE * $p))
+               * (coalesce(
+                    max(CASE WHEN rn = floor((n - 1) * $p)::BIGINT + 2
+                        THEN cents END),
+                    max(CASE WHEN rn = floor((n - 1) * $p)::BIGINT + 1
+                        THEN cents END))::DOUBLE
+                  - max(CASE WHEN rn = floor((n - 1) * $p)::BIGINT + 1
+                        THEN cents END)::DOUBLE))"""
+      s"""WITH o AS (SELECT o_orderpriority,
+                CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders),
+            r AS (SELECT o_orderpriority, cents,
+                row_number() OVER (PARTITION BY o_orderpriority
+                  ORDER BY cents ASC) AS rn,
+                count(*) OVER (PARTITION BY o_orderpriority) AS n
+              FROM o)
+            SELECT o_orderpriority, CAST(max(n) AS BIGINT) AS n,
+              ${pick(0.5)} AS p50, ${pick(0.9)} AS p90,
+              ${pick(0.99)} AS p99
+            FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+    })
+
+  /** Gini mean difference and Gini coefficient of order value per
+    * priority — revenue inequality measured properly: the mean
+    * absolute difference between two random orders, and its normalized
+    * form (0 = all orders equal, ->1 = one order carries everything).
+    * The naive definition is an all-pairs |xi - xj| average — O(n^2)
+    * and a scale-killer; the rank identity sum((2i - n - 1) * x_(i))
+    * computes it EXACTLY from one sort: each sorted value is counted
+    * +1 against everything below it and -1 against everything above.
+    * Tie order between equal values cannot change the sum (equal
+    * coefficients apply to equal values). Weighted rank-sum in
+    * decimal(38,0) (q161's discipline), two fixed double op trees.
+    * q127's "gini" is Simpson diversity over categories — different
+    * statistic; this is the wealth/concentration Gini.
+    *
+    * ## 100 TB notes
+    * One shuffle on priority, one rank window on it, one
+    * map-side-combined moment rollup. The O(n^2) pair join never
+    * exists — that is the point.
+    */
+  val q224GiniMeanDiff: Q = Q(
+    "q224_gini_mean_diff",
+    (s, dir) => {
+      def D(c: Column) = c.cast("decimal(38,0)")
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderpriority"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val byP = Window.partitionBy(col("o_orderpriority"))
+      val ranked = o
+        .withColumn("rn", row_number().over(byP.orderBy(col("cents").asc)))
+        .withColumn("n", count(lit(1)).over(byP))
+      ranked.groupBy(col("o_orderpriority"))
+        .agg(max(col("n")).as("n"), sum(col("cents")).as("total_cents"),
+          sum(D((col("rn") * 2 - col("n") - 1)) * D(col("cents")))
+            .as("num"))
+        .select(col("o_orderpriority"), col("n"), col("total_cents"),
+          (col("num").cast("double") * 2.0 /
+            (col("n") * (col("n") - 1)).cast("double")).as("gmd_cents"),
+          (col("num").cast("double") /
+            (col("n").cast("double") * col("total_cents").cast("double")))
+            .as("gini"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""WITH o AS (SELECT o_orderpriority,
+                CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders),
+            r AS (SELECT o_orderpriority, cents,
+                row_number() OVER (PARTITION BY o_orderpriority
+                  ORDER BY cents ASC) AS rn,
+                count(*) OVER (PARTITION BY o_orderpriority) AS n
+              FROM o)
+            SELECT o_orderpriority, CAST(max(n) AS BIGINT) AS n,
+              CAST(sum(cents) AS BIGINT) AS total_cents,
+              CAST(sum(CAST(rn * 2 - n - 1 AS HUGEINT)
+                       * CAST(cents AS HUGEINT)) AS DOUBLE) * 2.0
+                / CAST(max(n) * (max(n) - 1) AS DOUBLE) AS gmd_cents,
+              CAST(sum(CAST(rn * 2 - n - 1 AS HUGEINT)
+                       * CAST(cents AS HUGEINT)) AS DOUBLE)
+                / (CAST(max(n) AS DOUBLE) * CAST(sum(cents) AS DOUBLE))
+                AS gini
+            FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
   val all: Seq[Q] = Seq(q06JoinDims, q07StarRevenue, q08SemiJoin, q09AntiJoin,
     q10AggStats, q11Rollup, q12DistinctExact, q13WindowTopK, q14RunningSum,
     q15Pivot, q16SetOps, q17GlobalTopN, q40QuantilesDisc, q41Moments,
@@ -2585,5 +2717,5 @@ object RelationalQueries {
     q182Benford, q183OrphanAudit, q187ZonemapSkip, q189QuantileSketch,
     q196BloomJoinAudit, q202JoinCardAudit, q209CohortLtv, q211SeasonalDow,
     q212PurchaseGaps, q214AbcClasses, q216AnovaDow, q217SupplierHhi,
-    q222PopBaseline)
+    q222PopBaseline, q223QuantileInterp, q224GiniMeanDiff)
 }

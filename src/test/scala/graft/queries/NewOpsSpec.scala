@@ -1865,6 +1865,38 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("q223 type-7 quantiles: hand-interpolated p50/p90/p99 on five values") {
+    withTempDir { dir =>
+      // cents 100..500: p50 h=2.0 -> 300; p90 h=3.6 -> 460; p99 h=3.96 -> 496
+      (1L to 5L).map(i => (i, s"P1", i.toDouble))
+        .toDF("o_orderkey", "o_orderpriority", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      val out = RelationalQueries.q223QuantileInterp.fn(spark, dir)
+        .select("o_orderpriority", "n", "p50", "p90", "p99")
+        .as[(String, Long, Double, Double, Double)].collect().toList
+      out.map(_._1) shouldBe List("P1")
+      val (_, n, p50, p90, p99) = out.head
+      n shouldBe 5L
+      p50 shouldBe 300.0
+      p90 shouldBe (400.0 + (3.6 - 3.0) * 100.0)
+      p99 shouldBe (400.0 + (4 * 0.99 - 3.0) * 100.0)
+    }
+  }
+
+  test("q224 gini mean difference: rank identity equals the pairwise mean") {
+    withTempDir { dir =>
+      // cents {100,200,300}: pairwise diffs {100,200,100} -> mean 400/3;
+      // rank sum = -2*100 + 0*200 + 2*300 = 400 -> gmd = 800/6, gini = 400/1800
+      Seq((1L, "P1", 1.00), (2L, "P1", 2.00), (3L, "P1", 3.00))
+        .toDF("o_orderkey", "o_orderpriority", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      val out = RelationalQueries.q224GiniMeanDiff.fn(spark, dir)
+        .select("o_orderpriority", "n", "total_cents", "gmd_cents", "gini")
+        .as[(String, Long, Long, Double, Double)].collect().toList
+      out shouldBe List(("P1", 3L, 600L, 800.0 / 6.0, 400.0 / 1800.0))
+    }
+  }
+
   test("q210 entry/exit/bounce: roles from session position, bounce = both") {
     withTempDir { dir =>
       val m = 60L * 1000000000L // one minute in ns
