@@ -865,9 +865,76 @@ object GovernanceQueries {
                   UNION ALL SELECT * FROM l)
             ORDER BY table_name"""))
 
+  /** Cross-table invoice reconciliation — recompute every order's
+    * invoice total from its lines (extendedprice x (1-discount) x
+    * (1+tax), the TPC-H pricing identity) and band each order by how
+    * far the header's o_totalprice deviates: exact-to-the-cent, within
+    * 1 %, within 5 %, worse, or header with NO lines at all. This is
+    * the reconciliation control finance runs between any two systems
+    * that are supposed to agree — and on THIS synthetic fixture it
+    * correctly reports that header totals do NOT derive from lines
+    * (the bands quantify the discrepancy rather than assuming it
+    * away). Line totals accumulate per-row double products into
+    * decimal(30,10) (the Catalog double-sum contract); band edges
+    * compare identical double op trees, so classification cannot flip
+    * between engines.
+    *
+    * ## 100 TB notes
+    * One shuffle on orderkey aggregates lines (map-side combined);
+    * the header attach is the same-key join (bucketable, exchange
+    * reused under AQE); banding is a map; the band rollup is 5 rows.
+    */
+  val q227InvoiceRecon: Q = Q(
+    "q227_invoice_recon",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+            (lit(1.0) + col("l_tax"))).as("net"))
+      val lineTotals = li.groupBy(col("l_orderkey"))
+        .agg(round(sum(col("net").cast("decimal(30,10)")), 2)
+          .cast("double").as("line_total"))
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val bands = o.join(lineTotals,
+          col("o_orderkey") === col("l_orderkey"), "left")
+        .select(when(col("line_total").isNull, "e_no_lines")
+          .when(abs(col("o_totalprice") - col("line_total")) < 0.01,
+            "a_exact")
+          .when(abs(col("o_totalprice") - col("line_total")) <
+            col("o_totalprice") * 0.01, "b_within_1pct")
+          .when(abs(col("o_totalprice") - col("line_total")) <
+            col("o_totalprice") * 0.05, "c_within_5pct")
+          .otherwise("d_worse").as("band"))
+      val wAll = Window.partitionBy(lit(1))
+      bands.groupBy(col("band")).agg(count(lit(1)).as("n_orders"))
+        .withColumn("total", sum(col("n_orders")).over(wAll))
+        .select(col("band"), col("n_orders"),
+          expr("n_orders * 1000000 div total").as("ppm"))
+        .orderBy(col("band"))
+    },
+    Some("""WITH lt AS (SELECT l_orderkey,
+                CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                    * (1.0 + l_tax) AS DECIMAL(30,10))), 2) AS DOUBLE)
+                  AS line_total
+              FROM lineitem GROUP BY l_orderkey),
+            b AS (SELECT CASE
+                WHEN line_total IS NULL THEN 'e_no_lines'
+                WHEN abs(o_totalprice - line_total) < 0.01 THEN 'a_exact'
+                WHEN abs(o_totalprice - line_total) < o_totalprice * 0.01
+                  THEN 'b_within_1pct'
+                WHEN abs(o_totalprice - line_total) < o_totalprice * 0.05
+                  THEN 'c_within_5pct'
+                ELSE 'd_worse' END AS band
+              FROM orders LEFT JOIN lt ON o_orderkey = l_orderkey)
+            SELECT band, count(*) AS n_orders,
+              count(*) * 1000000 // CAST(sum(count(*)) OVER () AS BIGINT)
+                AS ppm
+            FROM b GROUP BY band ORDER BY band"""))
+
   val all: Seq[Q] =
     Seq(q98PiiRedact, q99Scd2Snapshots, q100NfcNormalize, q101IntervalMerge,
       q104KAnonymity, q121PitEnrich, q126CdcApply, q164LDiversity,
       q178TCloseness, q195Scd2Invariants, q197DomainAudit,
-      q198UniquenessAudit, q213RtbfAudit)
+      q198UniquenessAudit, q213RtbfAudit, q227InvoiceRecon)
 }

@@ -2705,6 +2705,133 @@ object RelationalQueries {
                 AS gini
             FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
+  /** Return-rate SPC by brand — the supplier-quality control chart: per
+    * part brand, the return rate with its z-score against the GLOBAL
+    * rate under the null that brands share one rate (the p-chart test;
+    * |z| > 3 is the classic out-of-control signal that triggers a
+    * supplier review). Counts and ppm are exact integers; p-hat, p0,
+    * and z are one fixed double op tree; the global totals window over
+    * the |brands|-sized aggregate.
+    *
+    * ## 100 TB notes
+    * lineitem joins part on partkey (dimension-sized build side — AQE
+    * broadcasts it); one map-side-combined rollup on brand; the global
+    * window runs over the tiny brand aggregate. Scan-bound.
+    */
+  val q225ReturnRate: Q = Q(
+    "q225_return_rate",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_returnflag"))
+      val part = Tables.load(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))
+      val perBrand = li.join(part, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+            .as("n_returned"))
+      val wAll = Window.partitionBy(lit(1))
+      perBrand
+        .withColumn("gn", sum(col("n_lines")).over(wAll))
+        .withColumn("gr", sum(col("n_returned")).over(wAll))
+        .select(col("p_brand"), col("n_lines"), col("n_returned"),
+          expr("n_returned * 1000000 div n_lines").as("return_ppm"),
+          ((col("n_returned").cast("double") / col("n_lines").cast("double")
+            - col("gr").cast("double") / col("gn").cast("double")) /
+            sqrt((col("gr").cast("double") / col("gn").cast("double") *
+              (lit(1.0) - col("gr").cast("double") / col("gn").cast("double")))
+              / col("n_lines").cast("double"))).as("z"))
+        .orderBy(col("p_brand"))
+    },
+    Some("""WITH pb AS (SELECT p_brand, count(*) AS n_lines,
+                CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_returned
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              GROUP BY p_brand)
+            SELECT p_brand, n_lines, n_returned,
+              n_returned * 1000000 // n_lines AS return_ppm,
+              ((CAST(n_returned AS DOUBLE) / CAST(n_lines AS DOUBLE)
+                - CAST(sum(n_returned) OVER () AS DOUBLE)
+                  / CAST(sum(n_lines) OVER () AS DOUBLE))
+               / sqrt((CAST(sum(n_returned) OVER () AS DOUBLE)
+                         / CAST(sum(n_lines) OVER () AS DOUBLE)
+                       * (1.0 - CAST(sum(n_returned) OVER () AS DOUBLE)
+                           / CAST(sum(n_lines) OVER () AS DOUBLE)))
+                      / CAST(n_lines AS DOUBLE))) AS z
+            FROM pb ORDER BY p_brand"""))
+
+  /** Shipping-lag SLA audit — order-to-ship latency per priority in
+    * whole days, with the discrete p50/p95 (q40's exact order-statistic
+    * walk over the lag histogram) and the share of lines breaching a
+    * 90-day SLA in exact ppm. The fulfillment dashboard: urgent
+    * priorities are SUPPOSED to show smaller quantiles — this makes the
+    * claim checkable. Every column is an exact integer; no floats
+    * anywhere.
+    *
+    * ## 100 TB notes
+    * The lineitem-orders join shuffles on orderkey (bucketable); lags
+    * collapse to a (priority, lag_days) histogram FIRST (map-side
+    * combined, bounded by priorities x distinct lags), and the
+    * quantile walk windows over that histogram, never over raw lines.
+    */
+  val q226ShipSla: Q = Q(
+    "q226_ship_sla",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"),
+          (unix_micros(col("l_shipdate").cast("timestamp_ltz"))
+            / lit(86400000000L)).cast("long").as("ship_day"))
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          (unix_micros(col("o_orderdate").cast("timestamp_ltz"))
+            / lit(86400000000L)).cast("long").as("order_day"))
+      val lags = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority"),
+          (col("ship_day") - col("order_day")).as("lag_days"))
+      val hist = lags.groupBy(col("o_orderpriority"), col("lag_days"))
+        .agg(count(lit(1)).as("c"))
+      val byP = Window.partitionBy(col("o_orderpriority"))
+      val cum = hist
+        .withColumn("cum", sum(col("c")).over(
+          byP.orderBy(col("lag_days"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", sum(col("c")).over(byP))
+      def pick(p: Double) =
+        min(when(col("cum") >= ceil(col("n") * p), col("lag_days")))
+      cum.groupBy(col("o_orderpriority"))
+        .agg(max(col("n")).as("n_lines"),
+          min(col("lag_days")).as("min_days"),
+          pick(0.5).as("p50_days"), pick(0.95).as("p95_days"),
+          max(col("lag_days")).as("max_days"),
+          sum(when(col("lag_days") > 90, col("c")).otherwise(0L))
+            .as("n_breach"))
+        .withColumn("breach_ppm", expr("n_breach * 1000000 div n_lines"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""WITH lg AS (SELECT o_orderpriority,
+                epoch_us(l_shipdate) // 86400000000
+                  - epoch_us(o_orderdate) // 86400000000 AS lag_days
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+            h AS (SELECT o_orderpriority, lag_days, count(*) AS c
+                  FROM lg GROUP BY 1, 2),
+            cu AS (SELECT *,
+                sum(c) OVER (PARTITION BY o_orderpriority ORDER BY lag_days
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                sum(c) OVER (PARTITION BY o_orderpriority) AS n
+              FROM h)
+            SELECT o_orderpriority, CAST(max(n) AS BIGINT) AS n_lines,
+              min(lag_days) AS min_days,
+              min(CASE WHEN cum >= ceil(n * 0.5) THEN lag_days END)
+                AS p50_days,
+              min(CASE WHEN cum >= ceil(n * 0.95) THEN lag_days END)
+                AS p95_days,
+              max(lag_days) AS max_days,
+              CAST(sum(CASE WHEN lag_days > 90 THEN c ELSE 0 END) AS BIGINT)
+                AS n_breach,
+              CAST(sum(CASE WHEN lag_days > 90 THEN c ELSE 0 END) AS BIGINT)
+                * 1000000 // CAST(max(n) AS BIGINT) AS breach_ppm
+            FROM cu GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
   val all: Seq[Q] = Seq(q06JoinDims, q07StarRevenue, q08SemiJoin, q09AntiJoin,
     q10AggStats, q11Rollup, q12DistinctExact, q13WindowTopK, q14RunningSum,
     q15Pivot, q16SetOps, q17GlobalTopN, q40QuantilesDisc, q41Moments,
@@ -2717,5 +2844,6 @@ object RelationalQueries {
     q182Benford, q183OrphanAudit, q187ZonemapSkip, q189QuantileSketch,
     q196BloomJoinAudit, q202JoinCardAudit, q209CohortLtv, q211SeasonalDow,
     q212PurchaseGaps, q214AbcClasses, q216AnovaDow, q217SupplierHhi,
-    q222PopBaseline, q223QuantileInterp, q224GiniMeanDiff)
+    q222PopBaseline, q223QuantileInterp, q224GiniMeanDiff, q225ReturnRate,
+    q226ShipSla)
 }

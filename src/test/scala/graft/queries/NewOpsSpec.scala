@@ -1897,6 +1897,65 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("q225 return-rate SPC: symmetric brands get symmetric z") {
+    withTempDir { dir =>
+      Seq((1L, "B1"), (2L, "B2")).toDF("p_partkey", "p_brand")
+        .write.mode("overwrite").parquet(s"$dir/part.parquet")
+      // B1: 1/4 returned, B2: 3/4 -> global p0 = 0.5, z = -1 and +1
+      val b1 = Seq.fill(3)((1L, "N")) :+ ((1L, "R"))
+      val b2 = Seq.fill(3)((2L, "R")) :+ ((2L, "N"))
+      (b1 ++ b2).toDF("l_partkey", "l_returnflag")
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      val out = RelationalQueries.q225ReturnRate.fn(spark, dir)
+        .select("p_brand", "n_lines", "n_returned", "return_ppm", "z")
+        .as[(String, Long, Long, Long, Double)].collect().toList
+      out shouldBe List(
+        ("B1", 4L, 1L, 250000L, -1.0),
+        ("B2", 4L, 3L, 750000L, 1.0))
+    }
+  }
+
+  test("q226 ship SLA: discrete quantiles over the lag histogram, breach ppm") {
+    withTempDir { dir =>
+      Seq((1L, "1-URGENT", "1995-01-01"))
+        .toDF("o_orderkey", "o_orderpriority", "d")
+        .withColumn("o_orderdate", to_timestamp(col("d")))
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      // lags 1, 2, 3, 100 days: p50 = 2, p95 = 100, one 90-day breach
+      Seq("1995-01-02", "1995-01-03", "1995-01-04", "1995-04-11")
+        .zipWithIndex.map { case (d, i) => (1L, i.toLong, d) }
+        .toDF("l_orderkey", "l_linenumber", "sd")
+        .withColumn("l_shipdate", to_timestamp(col("sd")))
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      val out = RelationalQueries.q226ShipSla.fn(spark, dir)
+        .select("o_orderpriority", "n_lines", "min_days", "p50_days",
+          "p95_days", "max_days", "n_breach", "breach_ppm")
+        .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+        .collect().toList
+      out shouldBe List(("1-URGENT", 4L, 1L, 2L, 100L, 100L, 1L, 250000L))
+    }
+  }
+
+  test("q227 invoice reconciliation: one order lands in each band") {
+    withTempDir { dir =>
+      Seq((1L, 100.0), (2L, 100.0), (3L, 100.0), (4L, 100.0), (5L, 100.0))
+        .toDF("o_orderkey", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      // line totals: 100.00 exact / 100.50 (0.5%) / 103 (3%) / 150 / none
+      Seq((1L, 100.0), (2L, 100.5), (3L, 103.0), (4L, 150.0))
+        .toDF("l_orderkey", "l_extendedprice")
+        .withColumn("l_discount", lit(0.0)).withColumn("l_tax", lit(0.0))
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      val out = GovernanceQueries.q227InvoiceRecon.fn(spark, dir)
+        .select("band", "n_orders", "ppm")
+        .as[(String, Long, Long)].collect().toList
+      out shouldBe List(
+        ("a_exact", 1L, 200000L), ("b_within_1pct", 1L, 200000L),
+        ("c_within_5pct", 1L, 200000L), ("d_worse", 1L, 200000L),
+        ("e_no_lines", 1L, 200000L))
+    }
+  }
+
   test("q210 entry/exit/bounce: roles from session position, bounce = both") {
     withTempDir { dir =>
       val m = 60L * 1000000000L // one minute in ns
