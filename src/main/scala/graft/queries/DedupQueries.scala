@@ -1196,10 +1196,95 @@ object DedupQueries {
             FROM g JOIN e ON e.fp = g.fp AND e.rn = 1
             ORDER BY canon_id"""))
 
+  /** Dedup threshold sensitivity curve — the tuning table consulted
+    * before ANY near-dup threshold ships: from one candidate
+    * generation (q25's df-blocked pairs) and ONE exact-Jaccard scoring
+    * pass, how many pairs and how many affected documents survive at
+    * each candidate threshold {0.5 .. 0.9}? The curve's knee is where
+    * the threshold belongs; picking 0.8 blind (the MinHash default)
+    * without this table is guesswork. Thresholds that match nothing
+    * still emit a zero row (left join from the threshold table), so
+    * the curve never silently truncates.
+    *
+    * ## 100 TB notes
+    * Candidates and Jaccards are computed ONCE (q25's bounded blocked
+    * join); the 5-row threshold table broadcasts into the scored pairs
+    * (a theta join over |pairs| x 5 — pair-scale, not corpus-scale);
+    * both rollups are map-side combined on the 5-value key.
+    */
+  val q228ThresholdCurve: Q = Q(
+    "q228_threshold_curve",
+    (s, dir) => {
+      import s.implicits._
+      val base = eager(shingled(s, dir))
+      val exploded = base.select(col("doc_id"), explode(col("sh")).as("s"))
+      val rare = exploded.groupBy(col("s"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= 5)
+        .select(col("s"))
+      val blocked = eager(exploded.join(rare, Seq("s")))
+      val cand = blocked.as("x")
+        .join(blocked.as("y"),
+          col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        .distinct()
+      val scored = eager(cand
+        .join(base.select(col("doc_id").as("d1"), col("sh").as("sh1")),
+          Seq("d1"))
+        .join(base.select(col("doc_id").as("d2"), col("sh").as("sh2")),
+          Seq("d2"))
+        .select(col("d1"), col("d2"),
+          jaccard(col("sh1"), col("sh2")).as("jacc")))
+      val thr = Seq(0.5, 0.6, 0.7, 0.8, 0.9).toDF("threshold")
+      val hits = scored.crossJoin(broadcast(thr))
+        .filter(col("jacc") >= col("threshold"))
+      val pairs = hits.groupBy(col("threshold"))
+        .agg(count(lit(1)).as("n_pairs"))
+      val docs = hits
+        .select(col("threshold"),
+          explode(array(col("d1"), col("d2"))).as("doc"))
+        .groupBy(col("threshold"))
+        .agg(countDistinct(col("doc")).as("n_docs"))
+      thr.join(pairs, Seq("threshold"), "left")
+        .join(docs, Seq("threshold"), "left")
+        .select(col("threshold"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+        .orderBy(col("threshold"))
+    },
+    Some(s"""WITH shs AS ($duckShingled),
+             ex AS (SELECT doc_id, unnest(sh) AS s FROM shs),
+             rare AS (SELECT s FROM ex GROUP BY s
+                      HAVING count(*) BETWEEN 2 AND 5),
+             blocked AS (SELECT doc_id, s FROM ex JOIN rare USING (s)),
+             cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+                      FROM blocked x JOIN blocked y
+                        ON x.s = y.s AND x.doc_id < y.doc_id),
+             scored AS (SELECT d1, d2,
+                 len(list_intersect(a.sh, b.sh))::DOUBLE
+                   / len(list_distinct(list_concat(a.sh, b.sh))) AS jacc
+               FROM cand JOIN shs a ON a.doc_id = d1
+                         JOIN shs b ON b.doc_id = d2),
+             thr AS (SELECT CAST(unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS DOUBLE)
+                       AS threshold),
+             hits AS (SELECT threshold, d1, d2 FROM scored JOIN thr
+                      ON jacc >= threshold),
+             p AS (SELECT threshold, count(*) AS n_pairs
+                   FROM hits GROUP BY threshold),
+             d AS (SELECT threshold, count(DISTINCT doc) AS n_docs
+                   FROM (SELECT threshold, unnest([d1, d2]) AS doc
+                         FROM hits)
+                   GROUP BY threshold)
+             SELECT thr.threshold, coalesce(n_pairs, 0) AS n_pairs,
+               coalesce(n_docs, 0) AS n_docs
+             FROM thr LEFT JOIN p ON thr.threshold = p.threshold
+                      LEFT JOIN d ON thr.threshold = d.threshold
+             ORDER BY thr.threshold"""))
+
   val all: Seq[Q] = Seq(q23DedupExact, q24MinhashLsh, q25JaccardBlocked,
     q26Simhash, q43DedupComponents, q59DedupMaterialize, q60IncrementalDedup,
     q61Decontaminate, q63Boilerplate, q69ComponentsStar, q81SourceOverlap,
     q102PrefixJoin, q153MinhashNative, q156NoveltyRate, q171ContainmentJoin,
     q172SourceDupMatrix, q180SortedNeighborhood, q193TokensetDedup,
-    q207GoldenRecord)
+    q207GoldenRecord, q228ThresholdCurve)
 }

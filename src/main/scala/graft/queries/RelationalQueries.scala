@@ -2832,6 +2832,66 @@ object RelationalQueries {
                 * 1000000 // CAST(max(n) AS BIGINT) AS breach_ppm
             FROM cu GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
+  /** Seasonal decomposition, integer-exact — the trend-adjusted weekday
+    * effect: a centered 7-day moving window is the classic decomposition
+    * trend (it absorbs level and slope, which q211's raw per-day
+    * averages cannot — a revenue RAMP leaks into naive per-dow means),
+    * and the residual seasonal deviation falls out WITHOUT a single
+    * float: scaling by 7 turns `daily - trend` into
+    * `7*daily - window_sum` (both exact BIGINTs), and only the final
+    * per-weekday mean divides. Windows touching missing days are
+    * excluded (the count-=7 guard), not silently averaged short.
+    * Weekday comes from pure integer epoch-day arithmetic
+    * ((day+4) mod 7, Sunday=0 — epoch day 0 is a Thursday), so no
+    * date-function semantics can diverge between engines.
+    *
+    * ## 100 TB notes
+    * The daily rollup is the only data-scale work (map-side combined
+    * on date); the RANGE window and dow rollup run over the ~|days|
+    * aggregate — driver-scale. The RANGE frame is on the integer day
+    * index, so absent days genuinely shrink the frame (and trip the
+    * completeness guard) instead of sliding over 7 present rows.
+    */
+  val q229SeasonalDecomp: Q = Q(
+    "q229_seasonal_decomp",
+    (s, dir) => {
+      val daily = Tables.load(s, dir, "orders")
+        .groupBy((unix_micros(col("o_orderdate").cast("timestamp_ltz"))
+          / lit(86400000000L)).cast("long").as("day"))
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val w = Window.orderBy(col("day")).rangeBetween(-3, 3)
+      val dev = daily
+        .withColumn("win_sum", sum(col("cents")).over(w))
+        .withColumn("win_n", count(lit(1)).over(w))
+        .filter(col("win_n") === 7)
+        .select(pmod(col("day") + 4, lit(7)).as("dow"),
+          (col("cents") * 7 - col("win_sum")).as("dev7"))
+      dev.groupBy(col("dow"))
+        .agg(count(lit(1)).as("n_windows"), sum(col("dev7")).as("sum_dev7"))
+        .select(col("dow"), col("n_windows"), col("sum_dev7"),
+          (col("sum_dev7").cast("double") / col("n_windows").cast("double"))
+            .as("mean_dev7_cents"))
+        .orderBy(col("dow"))
+    },
+    Some("""WITH daily AS (SELECT epoch_us(o_orderdate) // 86400000000
+                  AS day,
+                CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+              FROM orders GROUP BY 1),
+            d AS (SELECT (day + 4) % 7 AS dow, cents * 7 - win_sum AS dev7
+                  FROM (SELECT day, cents,
+                          CAST(sum(cents) OVER w AS BIGINT) AS win_sum,
+                          count(*) OVER w AS win_n
+                        FROM daily
+                        WINDOW w AS (ORDER BY day
+                          RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING))
+                  WHERE win_n = 7)
+            SELECT dow, count(*) AS n_windows,
+              CAST(sum(dev7) AS BIGINT) AS sum_dev7,
+              CAST(sum(dev7) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                AS mean_dev7_cents
+            FROM d GROUP BY dow ORDER BY dow"""))
+
   val all: Seq[Q] = Seq(q06JoinDims, q07StarRevenue, q08SemiJoin, q09AntiJoin,
     q10AggStats, q11Rollup, q12DistinctExact, q13WindowTopK, q14RunningSum,
     q15Pivot, q16SetOps, q17GlobalTopN, q40QuantilesDisc, q41Moments,
@@ -2845,5 +2905,5 @@ object RelationalQueries {
     q196BloomJoinAudit, q202JoinCardAudit, q209CohortLtv, q211SeasonalDow,
     q212PurchaseGaps, q214AbcClasses, q216AnovaDow, q217SupplierHhi,
     q222PopBaseline, q223QuantileInterp, q224GiniMeanDiff, q225ReturnRate,
-    q226ShipSla)
+    q226ShipSla, q229SeasonalDecomp)
 }

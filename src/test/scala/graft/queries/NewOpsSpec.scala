@@ -1956,6 +1956,40 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("q228 threshold curve: pair survives exactly up to its jaccard, zero rows kept") {
+    withTempDir { dir =>
+      // docs 1,2: 3-shingle sets {abc,bcd} vs {abc,bcd,cde} -> J = 2/3;
+      // doc 3 shares nothing (all its shingles have df 1)
+      writeDocs(dir, Seq(
+        1L -> "a b c d",
+        2L -> "a b c d e",
+        3L -> "p q r s"))
+      val out = DedupQueries.q228ThresholdCurve.fn(spark, dir)
+        .select("threshold", "n_pairs", "n_docs")
+        .as[(Double, Long, Long)].collect().toList
+      out shouldBe List(
+        (0.5, 1L, 2L), (0.6, 1L, 2L), (0.7, 0L, 0L),
+        (0.8, 0L, 0L), (0.9, 0L, 0L))
+    }
+  }
+
+  test("q229 seasonal decomposition: only the complete window scores, exact dev") {
+    withTempDir { dir =>
+      // days 0..6 of 1970; only day 3 (a Sunday, dow 0) has a full
+      // centered window: dev7 = 7*800 - 1400 = 4200 cents
+      val cents = Seq(1.0, 1.0, 1.0, 8.0, 1.0, 1.0, 1.0)
+      cents.zipWithIndex.map { case (v, i) =>
+        (i.toLong, f"1970-01-${i + 1}%02d", v) }
+        .toDF("o_orderkey", "d", "o_totalprice")
+        .withColumn("o_orderdate", to_timestamp(col("d")))
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      val out = RelationalQueries.q229SeasonalDecomp.fn(spark, dir)
+        .select("dow", "n_windows", "sum_dev7", "mean_dev7_cents")
+        .as[(Long, Long, Long, Double)].collect().toList
+      out shouldBe List((0L, 1L, 4200L, 4200.0))
+    }
+  }
+
   test("q210 entry/exit/bounce: roles from session position, bounce = both") {
     withTempDir { dir =>
       val m = 60L * 1000000000L // one minute in ns
