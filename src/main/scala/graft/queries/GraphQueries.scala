@@ -58,6 +58,12 @@ object GraphQueries {
     */
   private val MaxWaveRounds = 30
 
+  /** q231's per-middle neighborhood cap: each middle generates wedge
+    * pairs only among its LinkCap lowest-id neighbors (deterministic
+    * sample), bounding candidates at |V| * cap^2 / 2.
+    */
+  private val LinkCap = 16
+
   /** Undirected edge list (u < v), deduplicated. */
   private[queries] def cooccurrenceEdges(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(s, dir, "events")
@@ -675,6 +681,82 @@ object GraphQueries {
             FROM deg LEFT JOIN corners ON corners.node = deg.node
             WHERE deg.d >= 2 ORDER BY deg.node"""))
 
+  /** Link prediction by capped common-neighbor Jaccard — the classic
+    * who-should-know-whom baseline: score NON-edge pairs that share a
+    * neighbor by cn / (du + dv - cn) and take the top-20. The wedge
+    * join is bounded by a DETERMINISTIC per-middle neighborhood cap:
+    * each middle vertex generates pairs only among its [[LinkCap]]
+    * lowest-id neighbors (row_number, a total order — same sample on
+    * every engine and run). An uncapped common-neighbor join emits
+    * deg^2 pairs per hub — the blow-up that kills CN joins on dense
+    * graphs (this one has NO low-degree vertices to route through:
+    * min degree 15 at sf0.01, 133 at sf0.1, so a degree-threshold
+    * middle filter selects nothing, and q110's orientation trick is
+    * wrong HERE because it can only find pairs whose common neighbor
+    * ranks below both endpoints — open wedges through high middles,
+    * the typical shape in a clique-union graph, would vanish). The
+    * score is therefore the CAPPED common-neighbor count, stated as
+    * such. Existing edges are anti-joined away; ranking ties break by
+    * (u, v), so top-20 is total-ordered.
+    *
+    * ## 100 TB notes
+    * The capped adjacency is one row_number window over the adjacency
+    * shuffle; the wedge join is keyed on the middle with <= cap^2
+    * pairs each — total candidates <= |V| * cap^2 / 2, LINEAR in
+    * vertices regardless of skew; cn counting is map-side combined on
+    * the pair key; the anti-join and two degree attaches shuffle
+    * pair-scale rows; top-20 is TakeOrderedAndProject.
+    */
+  val q231LinkPrediction: Q = Q(
+    "q231_link_prediction",
+    (s, dir) => {
+      val e = Tables.eager(cooccurrenceEdges(s, dir))
+      val adj = e.select(col("u").as("m"), col("v").as("x"))
+        .unionAll(e.select(col("v").as("m"), col("u").as("x")))
+      val deg = adj.groupBy(col("m")).agg(count(lit(1)).as("d"))
+      val capped = adj
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("m")).orderBy(col("x").asc)))
+        .filter(col("rn") <= LinkCap)
+        .select(col("m"), col("x"))
+      val cn = capped.as("a")
+        .join(capped.as("b"),
+          col("a.m") === col("b.m") && col("a.x") < col("b.x"))
+        .groupBy(col("a.x").as("u"), col("b.x").as("v"))
+        .agg(count(lit(1)).as("cn"))
+      val nonEdge = cn.join(e, Seq("u", "v"), "left_anti")
+      val du = deg.select(col("m").as("u"), col("d").as("du"))
+      val dv = deg.select(col("m").as("v"), col("d").as("dv"))
+      nonEdge.join(du, Seq("u")).join(dv, Seq("v"))
+        .select(col("u"), col("v"), col("cn"), col("du"), col("dv"),
+          (col("cn").cast("double") /
+            (col("du") + col("dv") - col("cn")).cast("double"))
+            .as("score"))
+        .orderBy(col("score").desc, col("u").asc, col("v").asc)
+        .limit(20)
+    },
+    Some(s"""WITH $duckEdges,
+            adj AS (SELECT u AS m, v AS x FROM e
+                    UNION ALL SELECT v AS m, u AS x FROM e),
+            deg AS (SELECT m, count(*) AS d FROM adj GROUP BY m),
+            capped AS (SELECT m, x FROM (
+                SELECT m, x, row_number() OVER (PARTITION BY m
+                  ORDER BY x ASC) AS rn FROM adj)
+              WHERE rn <= $LinkCap),
+            cn AS (SELECT a.x AS u, b.x AS v, count(*) AS cn
+                   FROM capped a JOIN capped b
+                     ON a.m = b.m AND a.x < b.x
+                   GROUP BY a.x, b.x),
+            ne AS (SELECT cn.* FROM cn LEFT JOIN e
+                     ON cn.u = e.u AND cn.v = e.v
+                   WHERE e.u IS NULL)
+            SELECT ne.u, ne.v, ne.cn, da.d AS du, db.d AS dv,
+              CAST(ne.cn AS DOUBLE) / CAST(da.d + db.d - ne.cn AS DOUBLE)
+                AS score
+            FROM ne JOIN deg da ON da.m = ne.u JOIN deg db ON db.m = ne.v
+            ORDER BY score DESC, ne.u ASC, ne.v ASC LIMIT 20"""))
+
   val all: Seq[Q] = Seq(q110Triangles, q111BfsHops, q165KCore, q176TimeReach,
-    q184TrussSupport, q190HitsStep, q194Assortativity, q206LocalClustering)
+    q184TrussSupport, q190HitsStep, q194Assortativity, q206LocalClustering,
+    q231LinkPrediction)
 }

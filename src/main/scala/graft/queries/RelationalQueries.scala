@@ -2892,6 +2892,72 @@ object RelationalQueries {
                 AS mean_dev7_cents
             FROM d GROUP BY dow ORDER BY dow"""))
 
+  /** Leave-one-out target-encoding audit — target encoding (replace a
+    * category with its mean target) is the highest-leakage feature
+    * transform in tabular ML: encoding row i with a mean that INCLUDES
+    * row i leaks the label. The LOO fix encodes i as
+    * (S_c - x_i)/(n_c - 1), and this audit reports, per market
+    * segment, the encoding's full behavior envelope: the naive mean,
+    * the LOO extremes (min = (S - max_x)/(n-1), max = (S - min_x)/
+    * (n-1) — numerators are exact integer cents), and the worst-case
+    * leakage gap |naive - loo| either extreme realizes. A gap that
+    * rivals between-segment spread means the encoder is memorizing
+    * rows, not segments. Customers with no orders count with spend 0
+    * (left join), not dropped — dropping them would shift every mean.
+    *
+    * ## 100 TB notes
+    * One shuffle aggregates spend per customer; the segment rollup is
+    * map-side combined on a 5-value key; extremes come from min/max in
+    * the same aggregate — no per-row encoded output ever materializes.
+    */
+  val q230TargetEncoding: Q = Q(
+    "q230_target_encoding",
+    (s, dir) => {
+      val spend = Tables.load(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val x = cust.join(spend, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_mktsegment"),
+          coalesce(col("cents"), lit(0L)).as("x"))
+      x.groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sum_cents"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"))
+        .select(col("c_mktsegment"), col("n"), col("sum_cents"),
+          (col("sum_cents").cast("double") / col("n").cast("double"))
+            .as("naive_mean"),
+          ((col("sum_cents") - col("max_x")).cast("double") /
+            (col("n") - 1).cast("double")).as("min_loo"),
+          ((col("sum_cents") - col("min_x")).cast("double") /
+            (col("n") - 1).cast("double")).as("max_loo"))
+        .withColumn("max_leak_gap",
+          greatest(abs(col("naive_mean") - col("min_loo")),
+            abs(col("naive_mean") - col("max_loo"))))
+        .orderBy(col("c_mktsegment"))
+    },
+    Some("""WITH sp AS (SELECT o_custkey,
+                CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+              FROM orders GROUP BY o_custkey),
+            x AS (SELECT c_mktsegment, coalesce(cents, 0) AS x
+                  FROM customer LEFT JOIN sp ON c_custkey = o_custkey),
+            g AS (SELECT c_mktsegment, count(*) AS n,
+                CAST(sum(x) AS BIGINT) AS sum_cents,
+                min(x) AS min_x, max(x) AS max_x
+              FROM x GROUP BY c_mktsegment),
+            e AS (SELECT c_mktsegment, n, sum_cents,
+                CAST(sum_cents AS DOUBLE) / CAST(n AS DOUBLE) AS naive_mean,
+                CAST(sum_cents - max_x AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+                  AS min_loo,
+                CAST(sum_cents - min_x AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+                  AS max_loo
+              FROM g)
+            SELECT c_mktsegment, n, sum_cents, naive_mean, min_loo, max_loo,
+              greatest(abs(naive_mean - min_loo), abs(naive_mean - max_loo))
+                AS max_leak_gap
+            FROM e ORDER BY c_mktsegment"""))
+
   val all: Seq[Q] = Seq(q06JoinDims, q07StarRevenue, q08SemiJoin, q09AntiJoin,
     q10AggStats, q11Rollup, q12DistinctExact, q13WindowTopK, q14RunningSum,
     q15Pivot, q16SetOps, q17GlobalTopN, q40QuantilesDisc, q41Moments,
@@ -2905,5 +2971,5 @@ object RelationalQueries {
     q196BloomJoinAudit, q202JoinCardAudit, q209CohortLtv, q211SeasonalDow,
     q212PurchaseGaps, q214AbcClasses, q216AnovaDow, q217SupplierHhi,
     q222PopBaseline, q223QuantileInterp, q224GiniMeanDiff, q225ReturnRate,
-    q226ShipSla, q229SeasonalDecomp)
+    q226ShipSla, q229SeasonalDecomp, q230TargetEncoding)
 }

@@ -1990,6 +1990,43 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("q230 target encoding: LOO extremes from exact integer numerators") {
+    withTempDir { dir =>
+      Seq((1L, "S1"), (2L, "S1"), (3L, "S1"), (4L, "S2"), (5L, "S2"))
+        .toDF("c_custkey", "c_mktsegment")
+        .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+      // spends: S1 = {100, 200, 600}; S2 = {0 (no orders), 50}
+      Seq((1L, 1L, 1.00), (2L, 2L, 2.00), (3L, 3L, 6.00), (4L, 5L, 0.50))
+        .toDF("o_orderkey", "o_custkey", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      val out = RelationalQueries.q230TargetEncoding.fn(spark, dir)
+        .select("c_mktsegment", "n", "sum_cents", "naive_mean", "min_loo",
+          "max_loo", "max_leak_gap")
+        .as[(String, Long, Long, Double, Double, Double, Double)]
+        .collect().toList
+      out shouldBe List(
+        ("S1", 3L, 900L, 300.0, 150.0, 400.0, 150.0),
+        ("S2", 2L, 50L, 25.0, 0.0, 50.0, 25.0))
+    }
+  }
+
+  test("q231 link prediction: the open wedge scores, existing edges excluded") {
+    withTempDir { dir =>
+      val cell = 600L * 1000000000L
+      // path 1-2-3 (edges 1-2 and 2-3): only the open pair (1,3) is a
+      // candidate, through middle 2, scoring 1/(1+1-1) = 1
+      writeEvents(dir, Seq(
+        (1L, 1L, 0 * cell, "a", 0.0),
+        (2L, 2L, 0 * cell, "a", 0.0),
+        (3L, 2L, 1 * cell, "a", 0.0),
+        (4L, 3L, 1 * cell, "a", 0.0)))
+      val out = GraphQueries.q231LinkPrediction.fn(spark, dir)
+        .select("u", "v", "cn", "du", "dv", "score")
+        .as[(Long, Long, Long, Long, Long, Double)].collect().toList
+      out shouldBe List((1L, 3L, 1L, 1L, 1L, 1.0))
+    }
+  }
+
   test("q210 entry/exit/bounce: roles from session position, bounce = both") {
     withTempDir { dir =>
       val m = 60L * 1000000000L // one minute in ns
