@@ -3911,6 +3911,135 @@ object EventQueries {
              WHERE path IS NOT NULL
              GROUP BY path ORDER BY n_walks DESC, path ASC LIMIT 10"""))
 
+  /** Time-decay attribution — the third member of the attribution
+    * family (q131 first-touch gives everything to the opener, q146
+    * linear splits equally): credit halves for every hour between
+    * touch and purchase, the standard recency model. And it needs NO
+    * floats: with a 24 h lookback the weight is the exact integer
+    * 2^(24 - age_hours), so each touch's credit is
+    * cents * 10^6 * w div sum(w) — all BIGINT (max fixture cents
+    * 5.7e4 x 10^6 x 2^24 ~ 9.4e17, inside int64 with headroom), the
+    * same exact micro-credit discipline as q146, just recency-shaped.
+    * The usual pow(0.5, age/halflife) formulation would hang the
+    * result on libm pow's last-ulp behavior across engines; powers of
+    * two make the model exact instead.
+    *
+    * ## 100 TB notes
+    * Identical plan shape to q146: the purchase-click interval join on
+    * user_id, one per-purchase window for sum(w) on the same
+    * partitioning, then a map-side-combined rollup on hour-of-day.
+    */
+  val q232TimeDecayAttribution: Q = Q(
+    "q232_time_decay_attribution",
+    (s, dir) => {
+      val lookbackUs = 24L * 3600 * 1000000
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          tsUs.as("ts_us"), col("value"))
+      val pur = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pur_id"), col("user_id"),
+          col("ts_us").as("pur_ts_us"),
+          floor(col("value") * 100).cast("long").as("cents"))
+      val clk = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("clk_user"),
+          col("ts_us").as("clk_ts_us"))
+      val touched = pur.join(clk,
+        col("user_id") === col("clk_user") &&
+          col("clk_ts_us") >= col("pur_ts_us") - lookbackUs &&
+          col("clk_ts_us") <= col("pur_ts_us"))
+        .withColumn("w", expr(
+          "shiftleft(cast(1 as bigint), " +
+            "cast(24 - (pur_ts_us - clk_ts_us) div 3600000000 as int))"))
+      val withW = touched
+        .withColumn("sum_w",
+          sum(col("w")).over(Window.partitionBy("pur_id")))
+      withW
+        .select(expr("(clk_ts_us div 3600000000) % 24").as("hour_of_day"),
+          expr("cents * 1000000 * w div sum_w").as("credit_micro"))
+        .groupBy(col("hour_of_day"))
+        .agg(count(lit(1)).as("n_touches"),
+          sum(col("credit_micro")).as("credited_micro"),
+          (sum(col("credit_micro")).cast("double") / 1e8)
+            .as("credited_dollars"))
+        .orderBy("hour_of_day")
+    },
+    Some(s"""WITH ev AS (SELECT event_id, user_id, event_type,
+                    ${duckUs("ts")} AS ts_us,
+                    CAST(floor(value * 100) AS BIGINT) AS cents
+                  FROM events),
+             p AS (SELECT event_id AS pur_id, user_id,
+                     ts_us AS pur_ts_us, cents
+                   FROM ev WHERE event_type = 'purchase'),
+             c AS (SELECT user_id AS clk_user, ts_us AS clk_ts_us
+                   FROM ev WHERE event_type = 'click'),
+             t AS (SELECT p.*, clk_ts_us,
+                     (CAST(1 AS BIGINT) << CAST(24 -
+                       (pur_ts_us - clk_ts_us) // 3600000000 AS INT)) AS w
+                   FROM p JOIN c
+                     ON user_id = clk_user
+                       AND clk_ts_us >= pur_ts_us - ${24L * 3600 * 1000000}
+                       AND clk_ts_us <= pur_ts_us),
+             tw AS (SELECT *, CAST(sum(w) OVER (PARTITION BY pur_id)
+                      AS BIGINT) AS sum_w FROM t)
+             SELECT (clk_ts_us // 3600000000) % 24 AS hour_of_day,
+               count(*) AS n_touches,
+               CAST(sum(cents * 1000000 * w // sum_w) AS BIGINT)
+                 AS credited_micro,
+               CAST(sum(cents * 1000000 * w // sum_w) AS DOUBLE) / 1e8
+                 AS credited_dollars
+             FROM tw GROUP BY 1 ORDER BY 1"""))
+
+  /** Per-transition dwell time — the semi-Markov companion to q122:
+    * the transition MATRIX says users go view -> purchase, but not how
+    * long that edge takes; this reports, for every adjacent in-session
+    * transition (same 30-min gap rule as q33, single-sourced GapUs),
+    * the count and mean seconds spent on the edge. The report that
+    * separates a fast checkout funnel from a stalled one. Gap sums are
+    * exact epoch-µs BIGINTs; the mean is one fixed double tree.
+    *
+    * ## 100 TB notes
+    * One user_id shuffle feeds the lead window; the transition rollup
+    * is map-side combined on a |types|^2-bounded key. Same cost as
+    * q122 itself.
+    */
+  val q233TransitionDwell: Q = Q(
+    "q233_transition_dwell",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us").asc, col("event_id").asc)
+      ev.select(col("user_id"), col("event_id"), col("event_type"),
+          tsUs.as("ts_us"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(byUser))
+        .withColumn("next_ts", lead(col("ts_us"), 1).over(byUser))
+        .filter(col("next_type").isNotNull &&
+          (col("next_ts") - col("ts_us")) <= GapUs)
+        .groupBy(col("event_type").as("from_type"),
+          col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("next_ts") - col("ts_us")).as("sum_gap_us"))
+        .select(col("from_type"), col("to_type"), col("n"),
+          col("sum_gap_us"),
+          (col("sum_gap_us").cast("double") / col("n").cast("double") /
+            1000000.0).as("mean_gap_s"))
+        .orderBy(col("from_type"), col("to_type"))
+    },
+    Some(s"""WITH e AS (SELECT user_id, event_id, event_type,
+                    ${duckUs("ts")} AS ts_us FROM events),
+             p AS (SELECT event_type AS from_type,
+                     lead(event_type) OVER w AS to_type,
+                     lead(ts_us) OVER w - ts_us AS gap_us
+                   FROM e
+                   WINDOW w AS (PARTITION BY user_id
+                     ORDER BY ts_us ASC, event_id ASC))
+             SELECT from_type, to_type, count(*) AS n,
+               CAST(sum(gap_us) AS BIGINT) AS sum_gap_us,
+               CAST(sum(gap_us) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                 / 1000000.0 AS mean_gap_s
+             FROM p WHERE to_type IS NOT NULL AND gap_us <= $GapUs
+             GROUP BY from_type, to_type
+             ORDER BY from_type, to_type"""))
+
   val all: Seq[Q] =
     Seq(q31HourlyFromJson, q32SlidingWindow, q33Sessionize, q34SessionWindow,
       q35EventFirst, q37AsofJoin, q38RangeJoin, q50AsofForward,
@@ -3931,6 +4060,6 @@ object EventQueries {
       q174RfmSegments, q179InterpolateGaps, q181AucRanksum,
       q185SeqPatterns, q186DecileLift, q188SrmCheck, q192KsTest,
       q199PurgedCvFolds, q201CupedAudit, q210EntryExitBounce,
-      q215TrigramPaths)
+      q215TrigramPaths, q232TimeDecayAttribution, q233TransitionDwell)
       .map(q => q.copy(streaming = streamingNames(q.name)))
 }

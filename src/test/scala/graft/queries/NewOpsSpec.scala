@@ -2027,6 +2027,40 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("q232 time-decay attribution: exact power-of-two credit split") {
+    withTempDir { dir =>
+      val h = 3600L * 1000000000L
+      // purchase (800 cents) at hour 2; clicks at hours 2 (w=2^24) and
+      // 1 (w=2^23): credits floor(800e6*2/3) and floor(800e6/3)
+      writeEvents(dir, Seq(
+        (1L, 1L, 1 * h, "click", 0.0),
+        (2L, 1L, 2 * h, "click", 0.0),
+        (3L, 1L, 2 * h, "purchase", 8.0)))
+      val out = EventQueries.q232TimeDecayAttribution.fn(spark, dir)
+        .select("hour_of_day", "n_touches", "credited_micro",
+          "credited_dollars")
+        .as[(Long, Long, Long, Double)].collect().toList
+      out shouldBe List(
+        (1L, 1L, 266666666L, 266666666L / 1e8),
+        (2L, 1L, 533333333L, 533333333L / 1e8))
+    }
+  }
+
+  test("q233 transition dwell: in-session edges only, exact mean seconds") {
+    withTempDir { dir =>
+      val m = 60L * 1000000000L
+      // a -> b after 60 s; b -> c is 2 h later (outside the session gap)
+      writeEvents(dir, Seq(
+        (1L, 1L, 0 * m, "a", 0.0),
+        (2L, 1L, 1 * m, "b", 0.0),
+        (3L, 1L, 121 * m, "c", 0.0)))
+      val out = EventQueries.q233TransitionDwell.fn(spark, dir)
+        .select("from_type", "to_type", "n", "sum_gap_us", "mean_gap_s")
+        .as[(String, String, Long, Long, Double)].collect().toList
+      out shouldBe List(("a", "b", 1L, 60000000L, 60.0))
+    }
+  }
+
   test("q210 entry/exit/bounce: roles from session position, bounce = both") {
     withTempDir { dir =>
       val m = 60L * 1000000000L // one minute in ns
