@@ -1281,10 +1281,109 @@ object DedupQueries {
                       LEFT JOIN d ON thr.threshold = d.threshold
              ORDER BY thr.threshold"""))
 
+  /** Near-dup transitivity audit — "similar" is not transitive, and
+    * how badly it fails decides whether connected-component clustering
+    * (q43) over the pair graph is safe: if a~b and b~c rarely implies
+    * a~c, CC chains unrelated documents through bridges and one
+    * cluster keeper deletes text it never matched. The audit computes
+    * the global transitivity of q25's verified pair graph — wedges as
+    * the exact integer sum d(d-1)/2 (no wedge join at all), triangles
+    * via q110's degree-oriented join, closure = 3*tri/wedges: near 1
+    * means the relation is effectively an equivalence and CC is safe;
+    * near 0 means bridges dominate — cluster by star/medoid instead.
+    *
+    * ## 100 TB notes
+    * Runs on the VERIFIED pair graph — orders of magnitude smaller
+    * than the corpus (pairs ~ dup rate x docs). The triangle join is
+    * the O(m^1.5) oriented shape; everything downstream is one row.
+    */
+  val q234DedupTransitivity: Q = Q(
+    "q234_dedup_transitivity",
+    (s, dir) => {
+      val base = eager(shingled(s, dir))
+      val exploded = base.select(col("doc_id"), explode(col("sh")).as("s"))
+      val rare = exploded.groupBy(col("s"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= 5)
+        .select(col("s"))
+      val blocked = eager(exploded.join(rare, Seq("s")))
+      val cand = blocked.as("x")
+        .join(blocked.as("y"),
+          col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        .distinct()
+      val e = eager(verifyPairs(cand, base, threshold = 0.5)
+        .select(col("d1").as("u"), col("d2").as("v")))
+      val deg = e.select(col("u").as("node"))
+        .unionAll(e.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("d"))
+      val da = deg.select(col("node").as("u"), col("d").as("du"))
+      val db = deg.select(col("node").as("v"), col("d").as("dv"))
+      val lowFirst = col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v"))
+      val oe = e.join(da, "u").join(db, "v")
+        .select(when(lowFirst, col("u")).otherwise(col("v")).as("s"),
+          when(lowFirst, col("v")).otherwise(col("u")).as("t"))
+      val e1 = oe.select(col("s").as("a"), col("t").as("b"))
+      val e2 = oe.select(col("s").as("b2"), col("t").as("c"))
+      val closing = e.select(col("u").as("x"), col("v").as("y"))
+      val tri = e1.join(e2, col("b") === col("b2"))
+        .join(closing,
+          least(col("a"), col("c")) === col("x") &&
+            greatest(col("a"), col("c")) === col("y"))
+        .agg(count(lit(1)).as("n_tri"))
+      val nPairs = e.agg(count(lit(1)).as("n_pairs"))
+      val nWedges = deg.agg(
+        coalesce(sum(expr("d * (d - 1) div 2")), lit(0L)).as("n_wedges"))
+      nPairs.crossJoin(broadcast(nWedges)).crossJoin(broadcast(tri))
+        .select(col("n_pairs"), col("n_wedges"), col("n_tri"),
+          when(col("n_wedges") > 0,
+            lit(3.0) * col("n_tri").cast("double") /
+              col("n_wedges").cast("double")).otherwise(lit(1.0))
+            .as("closure_rate"))
+    },
+    Some(s"""WITH shs AS ($duckShingled),
+             ex AS (SELECT doc_id, unnest(sh) AS s FROM shs),
+             rare AS (SELECT s FROM ex GROUP BY s
+                      HAVING count(*) BETWEEN 2 AND 5),
+             blocked AS (SELECT doc_id, s FROM ex JOIN rare USING (s)),
+             cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+                      FROM blocked x JOIN blocked y
+                        ON x.s = y.s AND x.doc_id < y.doc_id),
+             e AS (SELECT d1 AS u, d2 AS v FROM cand
+                   JOIN shs a ON a.doc_id = d1 JOIN shs b ON b.doc_id = d2
+                   WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+                     / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+             deg AS (SELECT node, count(*) AS d
+                     FROM (SELECT u AS node FROM e
+                           UNION ALL SELECT v AS node FROM e)
+                     GROUP BY node),
+             oe AS (SELECT CASE WHEN (da.d < db.d)
+                                  OR (da.d = db.d AND e.u < e.v)
+                                THEN e.u ELSE e.v END AS s,
+                           CASE WHEN (da.d < db.d)
+                                  OR (da.d = db.d AND e.u < e.v)
+                                THEN e.v ELSE e.u END AS t
+                    FROM e JOIN deg da ON da.node = e.u
+                           JOIN deg db ON db.node = e.v),
+             tri AS (SELECT count(*) AS n_tri
+                     FROM oe e1 JOIN oe e2 ON e1.t = e2.s
+                     JOIN e ON e.u = least(e1.s, e2.t)
+                           AND e.v = greatest(e1.s, e2.t)),
+             wd AS (SELECT CAST(coalesce(sum(d * (d - 1) // 2), 0)
+                      AS BIGINT) AS n_wedges FROM deg)
+             SELECT (SELECT count(*) FROM e) AS n_pairs,
+               (SELECT n_wedges FROM wd) AS n_wedges,
+               (SELECT n_tri FROM tri) AS n_tri,
+               CASE WHEN (SELECT n_wedges FROM wd) > 0
+                    THEN 3.0 * (SELECT n_tri FROM tri)::DOUBLE
+                         / (SELECT n_wedges FROM wd)::DOUBLE
+                    ELSE 1.0 END AS closure_rate"""))
+
   val all: Seq[Q] = Seq(q23DedupExact, q24MinhashLsh, q25JaccardBlocked,
     q26Simhash, q43DedupComponents, q59DedupMaterialize, q60IncrementalDedup,
     q61Decontaminate, q63Boilerplate, q69ComponentsStar, q81SourceOverlap,
     q102PrefixJoin, q153MinhashNative, q156NoveltyRate, q171ContainmentJoin,
     q172SourceDupMatrix, q180SortedNeighborhood, q193TokensetDedup,
-    q207GoldenRecord, q228ThresholdCurve)
+    q207GoldenRecord, q228ThresholdCurve, q234DedupTransitivity)
 }

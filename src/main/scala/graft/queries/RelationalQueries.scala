@@ -2958,6 +2958,141 @@ object RelationalQueries {
                 AS max_leak_gap
             FROM e ORDER BY c_mktsegment"""))
 
+  /** Drill-across — revenue per region computed from TWO fact tables
+    * through the conformed customer->nation->region dimension chain:
+    * path A rolls up order HEADERS (o_totalprice), path B rolls up
+    * LINES (extendedprice x (1-disc) x (1+tax)); a real BI deployment
+    * answers "revenue by region" from whichever mart is handy, so the
+    * drill-across delta (exact signed ppm) is the number that says
+    * whether those answers agree — the multi-fact conformance check
+    * q227 does per-order, lifted to the reporting grain. Both paths
+    * accumulate in decimal and round to cents IN DECIMAL; the ppm is
+    * integer cross-multiplication on the cent values.
+    *
+    * ## 100 TB notes
+    * Each path is a fact scan with broadcast dimension attaches
+    * (nation/region fixed-size, customer AQE-decided); the final
+    * region-grain join is 5 rows x 5 rows. Two scans total — the
+    * irreducible drill-across cost.
+    */
+  val q235DrillAcross: Q = Q(
+    "q235_drill_across",
+    (s, dir) => {
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val nation = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_regionkey"))
+      val region = Tables.load(s, dir, "region")
+        .select(col("r_regionkey"), col("r_name"))
+      val custRegion = cust
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"), col("r_name"))
+      val orders = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val pathA = orders
+        .join(custRegion, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("r_name"))
+        .agg((round(sum(col("o_totalprice").cast("decimal(30,10)")), 2)
+          * 100).cast("long").as("hdr_cents"))
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+            (lit(1.0) + col("l_tax"))).as("net"))
+      val pathB = li
+        .join(orders.select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(custRegion, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("r_name"))
+        .agg((round(sum(col("net").cast("decimal(30,10)")), 2) * 100)
+          .cast("long").as("line_cents"))
+      pathA.join(pathB, Seq("r_name"))
+        .select(col("r_name"), col("hdr_cents"), col("line_cents"),
+          expr("(line_cents - hdr_cents) * 1000000 div hdr_cents")
+            .as("delta_ppm"))
+        .orderBy(col("r_name"))
+    },
+    Some("""WITH cr AS (SELECT c_custkey, r_name
+              FROM customer JOIN nation ON c_nationkey = n_nationkey
+                            JOIN region ON n_regionkey = r_regionkey),
+            pa AS (SELECT r_name,
+                CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,10))), 2)
+                  * 100 AS BIGINT) AS hdr_cents
+              FROM orders JOIN cr ON o_custkey = c_custkey
+              GROUP BY r_name),
+            pb AS (SELECT r_name,
+                CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                    * (1.0 + l_tax) AS DECIMAL(30,10))), 2) * 100
+                  AS BIGINT) AS line_cents
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                            JOIN cr ON o_custkey = c_custkey
+              GROUP BY r_name)
+            SELECT pa.r_name, hdr_cents, line_cents,
+              (line_cents - hdr_cents) * 1000000 // hdr_cents AS delta_ppm
+            FROM pa JOIN pb ON pa.r_name = pb.r_name
+            ORDER BY pa.r_name"""))
+
+  /** Join fan-out profile — the EMPIRICAL group-size distribution of
+    * the three star FK edges (orders per customer, lines per order,
+    * lines per part): q202 audits what the optimizer's uniform
+    * formula PREDICTS; this is what the data actually does, and the
+    * p99/max tail is the number that decides salting (q115) and
+    * skew-split (AQE) thresholds. Quantiles are exact discrete order
+    * statistics walked over the (edge, group-size) histogram — the
+    * same q40 machinery — so every column is an exact integer.
+    *
+    * ## 100 TB notes
+    * Each edge is one map-side-combined count on its key; sizes then
+    * collapse to an (edge, size) histogram BEFORE the quantile walk,
+    * so the window runs over distinct sizes, never over groups.
+    */
+  val q236FanoutProfile: Q = Q(
+    "q236_fanout_profile",
+    (s, dir) => {
+      def sizes(df: DataFrame, key: String, edge: String): DataFrame =
+        df.groupBy(col(key)).agg(count(lit(1)).as("sz"))
+          .select(lit(edge).as("edge"), col("sz"))
+      val orders = Tables.load(s, dir, "orders")
+      val li = Tables.load(s, dir, "lineitem")
+      val all3 = sizes(orders, "o_custkey", "orders_per_customer")
+        .unionByName(sizes(li, "l_orderkey", "lines_per_order"))
+        .unionByName(sizes(li, "l_partkey", "lines_per_part"))
+      val hist = all3.groupBy(col("edge"), col("sz"))
+        .agg(count(lit(1)).as("c"))
+      val byEdge = Window.partitionBy(col("edge"))
+      val cum = hist
+        .withColumn("cum", sum(col("c")).over(
+          byEdge.orderBy(col("sz"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", sum(col("c")).over(byEdge))
+      def pick(p: Double) =
+        min(when(col("cum") >= ceil(col("n") * p), col("sz")))
+      cum.groupBy(col("edge"))
+        .agg(max(col("n")).as("n_groups"),
+          pick(0.5).as("p50"), pick(0.99).as("p99"),
+          max(col("sz")).as("max_size"))
+        .orderBy(col("edge"))
+    },
+    Some("""WITH s1 AS (SELECT 'orders_per_customer' AS edge,
+                count(*) AS sz FROM orders GROUP BY o_custkey),
+            s2 AS (SELECT 'lines_per_order' AS edge, count(*) AS sz
+                   FROM lineitem GROUP BY l_orderkey),
+            s3 AS (SELECT 'lines_per_part' AS edge, count(*) AS sz
+                   FROM lineitem GROUP BY l_partkey),
+            a AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+                  UNION ALL SELECT * FROM s3),
+            h AS (SELECT edge, sz, count(*) AS c FROM a GROUP BY edge, sz),
+            cu AS (SELECT *,
+                sum(c) OVER (PARTITION BY edge ORDER BY sz
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                sum(c) OVER (PARTITION BY edge) AS n
+              FROM h)
+            SELECT edge, CAST(max(n) AS BIGINT) AS n_groups,
+              min(CASE WHEN cum >= ceil(n * 0.5) THEN sz END) AS p50,
+              min(CASE WHEN cum >= ceil(n * 0.99) THEN sz END) AS p99,
+              max(sz) AS max_size
+            FROM cu GROUP BY edge ORDER BY edge"""))
+
   val all: Seq[Q] = Seq(q06JoinDims, q07StarRevenue, q08SemiJoin, q09AntiJoin,
     q10AggStats, q11Rollup, q12DistinctExact, q13WindowTopK, q14RunningSum,
     q15Pivot, q16SetOps, q17GlobalTopN, q40QuantilesDisc, q41Moments,
@@ -2971,5 +3106,6 @@ object RelationalQueries {
     q196BloomJoinAudit, q202JoinCardAudit, q209CohortLtv, q211SeasonalDow,
     q212PurchaseGaps, q214AbcClasses, q216AnovaDow, q217SupplierHhi,
     q222PopBaseline, q223QuantileInterp, q224GiniMeanDiff, q225ReturnRate,
-    q226ShipSla, q229SeasonalDecomp, q230TargetEncoding)
+    q226ShipSla, q229SeasonalDecomp, q230TargetEncoding, q235DrillAcross,
+    q236FanoutProfile)
 }

@@ -2061,6 +2061,59 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("q234 dedup transitivity: an open similarity wedge yields closure 0") {
+    withTempDir { dir =>
+      // J(1,2)=3/4 and J(2,3)=3/5 pass 0.5; J(1,3)=2/5 fails ->
+      // edges (1,2),(2,3) only: one wedge at doc 2, no triangle
+      writeDocs(dir, Seq(
+        1L -> "a b c d e",
+        2L -> "a b c d e f",
+        3L -> "b c d e f g"))
+      val out = DedupQueries.q234DedupTransitivity.fn(spark, dir)
+        .select("n_pairs", "n_wedges", "n_tri", "closure_rate")
+        .as[(Long, Long, Long, Double)].collect().toList
+      out shouldBe List((2L, 1L, 0L, 0.0))
+    }
+  }
+
+  test("q235 drill-across: header and line paths diverge by exact ppm") {
+    withTempDir { dir =>
+      Seq((0, "A")).toDF("r_regionkey", "r_name")
+        .write.mode("overwrite").parquet(s"$dir/region.parquet")
+      Seq((0, 0)).toDF("n_nationkey", "n_regionkey")
+        .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+      Seq((1L, 0)).toDF("c_custkey", "c_nationkey")
+        .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+      Seq((1L, 1L, 100.0)).toDF("o_orderkey", "o_custkey", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      Seq((1L, 100.5)).toDF("l_orderkey", "l_extendedprice")
+        .withColumn("l_discount", lit(0.0)).withColumn("l_tax", lit(0.0))
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      val out = RelationalQueries.q235DrillAcross.fn(spark, dir)
+        .select("r_name", "hdr_cents", "line_cents", "delta_ppm")
+        .as[(String, Long, Long, Long)].collect().toList
+      out shouldBe List(("A", 10000L, 10050L, 5000L))
+    }
+  }
+
+  test("q236 fan-out profile: discrete quantiles per FK edge") {
+    withTempDir { dir =>
+      Seq((1L, 10L), (2L, 10L), (3L, 20L))
+        .toDF("o_orderkey", "o_custkey")
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      Seq((1L, 10L), (1L, 10L), (1L, 20L), (2L, 20L))
+        .toDF("l_orderkey", "l_partkey")
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      val out = RelationalQueries.q236FanoutProfile.fn(spark, dir)
+        .select("edge", "n_groups", "p50", "p99", "max_size")
+        .as[(String, Long, Long, Long, Long)].collect().toList
+      out shouldBe List(
+        ("lines_per_order", 2L, 1L, 3L, 3L),
+        ("lines_per_part", 2L, 2L, 2L, 2L),
+        ("orders_per_customer", 2L, 1L, 2L, 2L))
+    }
+  }
+
   test("q210 entry/exit/bounce: roles from session position, bounce = both") {
     withTempDir { dir =>
       val m = 60L * 1000000000L // one minute in ns
