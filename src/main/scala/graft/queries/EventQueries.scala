@@ -4040,6 +4040,80 @@ object EventQueries {
              GROUP BY from_type, to_type
              ORDER BY from_type, to_type"""))
 
+  /** Process-conformance audit — process mining's conformance check
+    * against a declared happy-path model: signup starts a journey;
+    * view/click browse; purchase must follow a click; error may follow
+    * anything but nothing may follow an error (within a session). Each
+    * adjacent in-session transition is classified against the declared
+    * whitelist, and the report gives every observed (from, to) edge
+    * with its count, its allowed/violating flag, and its share of ALL
+    * transitions — the fitness table auditors read to see WHERE the
+    * real process deviates from the designed one, not just that it
+    * does. The model is explicit in the query (a literal whitelist),
+    * so the audit is self-documenting.
+    *
+    * ## 100 TB notes
+    * Same single user_id shuffle as q233 (adjacency via one lead
+    * window); classification is a map; the rollup is |types|^2-bounded
+    * with the global share window over that tiny aggregate.
+    */
+  val q238ProcessConformance: Q = Q(
+    "q238_process_conformance",
+    (s, dir) => {
+      val allowed = Seq(
+        "signup" -> "view", "signup" -> "click",
+        "view" -> "view", "view" -> "click",
+        "click" -> "view", "click" -> "click", "click" -> "purchase",
+        "purchase" -> "view", "purchase" -> "click",
+        "signup" -> "error", "view" -> "error", "click" -> "error",
+        "purchase" -> "error")
+      val ev = Tables.load(s, dir, "events")
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us").asc, col("event_id").asc)
+      val trans = ev.select(col("user_id"), col("event_id"),
+          col("event_type"), tsUs.as("ts_us"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(byUser))
+        .withColumn("next_ts", lead(col("ts_us"), 1).over(byUser))
+        .filter(col("next_type").isNotNull &&
+          (col("next_ts") - col("ts_us")) <= GapUs)
+        .select(col("event_type").as("from_type"),
+          col("next_type").as("to_type"))
+      val isAllowed = allowed.map { case (f, t) =>
+        col("from_type") === f && col("to_type") === t
+      }.reduce(_ || _)
+      trans.groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("allowed", isAllowed)
+        .withColumn("total",
+          sum(col("n")).over(Window.partitionBy(lit(1))))
+        .select(col("from_type"), col("to_type"), col("n"), col("allowed"),
+          (col("n").cast("double") / col("total").cast("double"))
+            .as("share"))
+        .orderBy(col("from_type"), col("to_type"))
+    },
+    Some(s"""WITH e AS (SELECT user_id, event_id, event_type,
+                    ${duckUs("ts")} AS ts_us FROM events),
+             p AS (SELECT event_type AS from_type,
+                     lead(event_type) OVER w AS to_type,
+                     lead(ts_us) OVER w - ts_us AS gap_us
+                   FROM e
+                   WINDOW w AS (PARTITION BY user_id
+                     ORDER BY ts_us ASC, event_id ASC)),
+             t AS (SELECT from_type, to_type, count(*) AS n
+                   FROM p WHERE to_type IS NOT NULL AND gap_us <= $GapUs
+                   GROUP BY from_type, to_type)
+             SELECT from_type, to_type, n,
+               (from_type, to_type) IN (
+                 ('signup', 'view'), ('signup', 'click'),
+                 ('view', 'view'), ('view', 'click'),
+                 ('click', 'view'), ('click', 'click'),
+                 ('click', 'purchase'),
+                 ('purchase', 'view'), ('purchase', 'click'),
+                 ('signup', 'error'), ('view', 'error'),
+                 ('click', 'error'), ('purchase', 'error')) AS allowed,
+               CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE) AS share
+             FROM t ORDER BY from_type, to_type"""))
+
   val all: Seq[Q] =
     Seq(q31HourlyFromJson, q32SlidingWindow, q33Sessionize, q34SessionWindow,
       q35EventFirst, q37AsofJoin, q38RangeJoin, q50AsofForward,
@@ -4060,6 +4134,7 @@ object EventQueries {
       q174RfmSegments, q179InterpolateGaps, q181AucRanksum,
       q185SeqPatterns, q186DecileLift, q188SrmCheck, q192KsTest,
       q199PurgedCvFolds, q201CupedAudit, q210EntryExitBounce,
-      q215TrigramPaths, q232TimeDecayAttribution, q233TransitionDwell)
+      q215TrigramPaths, q232TimeDecayAttribution, q233TransitionDwell,
+      q238ProcessConformance)
       .map(q => q.copy(streaming = streamingNames(q.name)))
 }

@@ -932,9 +932,74 @@ object GovernanceQueries {
                 AS ppm
             FROM b GROUP BY band ORDER BY band"""))
 
+  /** Order-insensitive table content signatures — the anti-entropy
+    * primitive behind replica verification (Dynamo/Cassandra repair,
+    * cross-region copy checks): two copies of a table agree iff their
+    * signatures agree, computable WITHOUT sorting or co-locating the
+    * copies because the signature is a commutative SUM of per-row
+    * hashes (md5-derived 60-bit ints, accumulated exactly in
+    * decimal/HUGEINT, reduced mod 2^61) — order-, partition-, and
+    * engine-independent by construction, which this oracle proves
+    * cross-engine. One row per audited table with its row count and
+    * signature; the row hash covers a canonical pipe-joined rendering
+    * of every business column.
+    *
+    * ## 100 TB notes
+    * Map-only per table: hash each row, one map-side-combined global
+    * sum — no shuffle wider than one row. This is what makes the
+    * primitive usable for repair at scale: each replica computes its
+    * signature locally and ships 16 bytes.
+    */
+  val q237ContentSignature: Q = Q(
+    "q237_content_signature",
+    (s, dir) => {
+      val Mod = 2305843009213693952L // 2^61
+      def sig(df: DataFrame, name: String, cols: Seq[String]): DataFrame = {
+        val rendered = concat_ws("|", cols.map(c => col(c).cast("string")): _*)
+        val rowHash = conv(substring(md5(rendered), 1, 15), 16, 10)
+          .cast("long")
+        df.agg(count(lit(1)).as("n_rows"),
+            pmod(sum(rowHash.cast("decimal(38,0)")),
+              lit(Mod).cast("decimal(38,0)")).cast("long").as("signature"))
+          .select(lit(name).as("table_name"), col("n_rows"),
+            col("signature"))
+      }
+      val nation = sig(Tables.load(s, dir, "nation"), "nation",
+        Seq("n_nationkey", "n_name"))
+      val cust = sig(Tables.load(s, dir, "customer"), "customer",
+        Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment"))
+      val orders = sig(Tables.load(s, dir, "orders"), "orders",
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+      nation.unionByName(cust).unionByName(orders)
+        .orderBy(col("table_name"))
+    },
+    Some("""WITH n AS (SELECT 'nation' AS table_name, count(*) AS n_rows,
+                CAST(sum(('0x' || substring(md5(
+                    CAST(n_nationkey AS VARCHAR) || '|' || n_name),
+                  1, 15))::BIGINT::HUGEINT) % (1::HUGEINT << 61) AS BIGINT)
+                  AS signature
+              FROM nation),
+            c AS (SELECT 'customer', count(*),
+                CAST(sum(('0x' || substring(md5(
+                    CAST(c_custkey AS VARCHAR) || '|' || c_name || '|'
+                    || CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment),
+                  1, 15))::BIGINT::HUGEINT) % (1::HUGEINT << 61) AS BIGINT)
+              FROM customer),
+            o AS (SELECT 'orders', count(*),
+                CAST(sum(('0x' || substring(md5(
+                    CAST(o_orderkey AS VARCHAR) || '|'
+                    || CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus
+                    || '|' || o_orderpriority),
+                  1, 15))::BIGINT::HUGEINT) % (1::HUGEINT << 61) AS BIGINT)
+              FROM orders)
+            SELECT * FROM n UNION ALL SELECT * FROM c
+            UNION ALL SELECT * FROM o
+            ORDER BY table_name"""))
+
   val all: Seq[Q] =
     Seq(q98PiiRedact, q99Scd2Snapshots, q100NfcNormalize, q101IntervalMerge,
       q104KAnonymity, q121PitEnrich, q126CdcApply, q164LDiversity,
       q178TCloseness, q195Scd2Invariants, q197DomainAudit,
-      q198UniquenessAudit, q213RtbfAudit, q227InvoiceRecon)
+      q198UniquenessAudit, q213RtbfAudit, q227InvoiceRecon,
+      q237ContentSignature)
 }

@@ -2114,6 +2114,53 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("q237 content signature: matches an independent commutative-hash model") {
+    withTempDir { dir =>
+      def h60(s: String): BigInt = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(s.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        BigInt(hex.substring(0, 15), 16)
+      }
+      val mod = BigInt(2).pow(61)
+      Seq((0, "ALPHA"), (1, "BETA")).toDF("n_nationkey", "n_name")
+        .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+      Seq((7L, "Customer#7", 0, "SEG")).toDF(
+          "c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+        .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+      Seq((9L, 7L, "O", "1-URGENT")).toDF(
+          "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      val expNation = ((h60("0|ALPHA") + h60("1|BETA")) mod mod).toLong
+      val expCust = (h60("7|Customer#7|0|SEG") mod mod).toLong
+      val expOrders = (h60("9|7|O|1-URGENT") mod mod).toLong
+      val out = GovernanceQueries.q237ContentSignature.fn(spark, dir)
+        .select("table_name", "n_rows", "signature")
+        .as[(String, Long, Long)].collect().toList
+      out shouldBe List(
+        ("customer", 1L, expCust), ("nation", 2L, expNation),
+        ("orders", 1L, expOrders))
+    }
+  }
+
+  test("q238 process conformance: the error->view edge is flagged") {
+    withTempDir { dir =>
+      val m = 60L * 1000000000L
+      writeEvents(dir, Seq(
+        (1L, 1L, 0 * m, "signup", 0.0),
+        (2L, 1L, 1 * m, "view", 0.0),
+        (3L, 1L, 2 * m, "error", 0.0),
+        (4L, 1L, 3 * m, "view", 0.0)))
+      val out = EventQueries.q238ProcessConformance.fn(spark, dir)
+        .select("from_type", "to_type", "n", "allowed", "share")
+        .as[(String, String, Long, Boolean, Double)].collect().toList
+      out shouldBe List(
+        ("error", "view", 1L, false, 1.0 / 3.0),
+        ("signup", "view", 1L, true, 1.0 / 3.0),
+        ("view", "error", 1L, true, 1.0 / 3.0))
+    }
+  }
+
   test("q210 entry/exit/bounce: roles from session position, bounce = both") {
     withTempDir { dir =>
       val m = 60L * 1000000000L // one minute in ns
