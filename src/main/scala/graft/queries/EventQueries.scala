@@ -4114,6 +4114,99 @@ object EventQueries {
                CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE) AS share
              FROM t ORDER BY from_type, to_type"""))
 
+  /** Difference-in-differences — the quasi-experimental workhorse when
+    * randomization alone isn't trusted: users are split into q188's
+    * deterministic hash arms, event time into pre/post halves at the
+    * integer midpoint of the observed range (computed from the data,
+    * identically on both engines), and the estimate is
+    * (T_post - T_pre) - (C_post - C_pre) on mean event value per
+    * cell — differencing out both the arm's level and the period's
+    * trend, which a naive post-only comparison conflates with the
+    * effect. Cell sums are exact integer cents; the four means and the
+    * DiD are one fixed double op tree; with hash arms and no real
+    * intervention the estimate should hover near zero — the A/A
+    * reading of this audit.
+    *
+    * ## 100 TB notes
+    * One pass: the midpoint comes from a 1-row min/max aggregate
+    * broadcast back (cross join of a single row), then a single
+    * map-side-combined 4-cell conditional aggregate. No shuffle wider
+    * than one row after the scan.
+    */
+  val q239DiffInDiff: Q = Q(
+    "q239_diff_in_diff",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), tsUs.as("ts_us"),
+          floor(col("value") * 100).cast("long").as("cents"))
+      val bounds = ev.agg(min(col("ts_us")).as("lo"),
+        max(col("ts_us")).as("hi"))
+      val arm = pmod(graft.engine.ext.Text.hash32(
+        concat(col("user_id").cast("string"), lit(":ab1"))), lit(2L))
+      val cells = ev.crossJoin(broadcast(bounds))
+        .select(arm.as("arm"),
+          (col("ts_us") >= expr("(lo + hi) div 2")).as("post"),
+          col("cents"))
+      def cell(a: Int, p: Boolean, c: String) = Seq(
+        sum(when(col("arm") === a && col("post") === p, col("cents"))
+          .otherwise(0L)).as(s"s_$c"),
+        sum(when(col("arm") === a && col("post") === p, 1L)
+          .otherwise(0L)).as(s"n_$c"))
+      val aggs = cell(1, false, "t_pre") ++ cell(1, true, "t_post") ++
+        cell(0, false, "c_pre") ++ cell(0, true, "c_post")
+      val m = cells.agg(aggs.head, aggs.tail: _*)
+      def mean(c: String) =
+        col(s"s_$c").cast("double") / col(s"n_$c").cast("double")
+      m.select(col("n_t_pre"), col("n_t_post"), col("n_c_pre"),
+          col("n_c_post"),
+          mean("t_pre").as("mean_t_pre"), mean("t_post").as("mean_t_post"),
+          mean("c_pre").as("mean_c_pre"), mean("c_post").as("mean_c_post"))
+        .withColumn("did",
+          (col("mean_t_post") - col("mean_t_pre")) -
+            (col("mean_c_post") - col("mean_c_pre")))
+    },
+    Some(s"""WITH ev AS (SELECT user_id, ${duckUs("ts")} AS ts_us,
+                  CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+             b AS (SELECT min(ts_us) AS lo, max(ts_us) AS hi FROM ev),
+             c AS (SELECT
+                 ('0x' || substring(md5(user_id::VARCHAR || ':ab1'), 1, 8))
+                   ::BIGINT % 2 AS arm,
+                 ts_us >= (lo + hi) // 2 AS post, cents
+               FROM ev, b),
+             m AS (SELECT
+                 CAST(sum(CASE WHEN arm = 1 AND NOT post THEN cents
+                          ELSE 0 END) AS BIGINT) AS s_t_pre,
+                 CAST(sum(CASE WHEN arm = 1 AND NOT post THEN 1
+                          ELSE 0 END) AS BIGINT) AS n_t_pre,
+                 CAST(sum(CASE WHEN arm = 1 AND post THEN cents
+                          ELSE 0 END) AS BIGINT) AS s_t_post,
+                 CAST(sum(CASE WHEN arm = 1 AND post THEN 1
+                          ELSE 0 END) AS BIGINT) AS n_t_post,
+                 CAST(sum(CASE WHEN arm = 0 AND NOT post THEN cents
+                          ELSE 0 END) AS BIGINT) AS s_c_pre,
+                 CAST(sum(CASE WHEN arm = 0 AND NOT post THEN 1
+                          ELSE 0 END) AS BIGINT) AS n_c_pre,
+                 CAST(sum(CASE WHEN arm = 0 AND post THEN cents
+                          ELSE 0 END) AS BIGINT) AS s_c_post,
+                 CAST(sum(CASE WHEN arm = 0 AND post THEN 1
+                          ELSE 0 END) AS BIGINT) AS n_c_post
+               FROM c)
+             SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
+               CAST(s_t_pre AS DOUBLE) / CAST(n_t_pre AS DOUBLE)
+                 AS mean_t_pre,
+               CAST(s_t_post AS DOUBLE) / CAST(n_t_post AS DOUBLE)
+                 AS mean_t_post,
+               CAST(s_c_pre AS DOUBLE) / CAST(n_c_pre AS DOUBLE)
+                 AS mean_c_pre,
+               CAST(s_c_post AS DOUBLE) / CAST(n_c_post AS DOUBLE)
+                 AS mean_c_post,
+               (CAST(s_t_post AS DOUBLE) / CAST(n_t_post AS DOUBLE)
+                - CAST(s_t_pre AS DOUBLE) / CAST(n_t_pre AS DOUBLE))
+               - (CAST(s_c_post AS DOUBLE) / CAST(n_c_post AS DOUBLE)
+                  - CAST(s_c_pre AS DOUBLE) / CAST(n_c_pre AS DOUBLE))
+                 AS did
+             FROM m"""))
+
   val all: Seq[Q] =
     Seq(q31HourlyFromJson, q32SlidingWindow, q33Sessionize, q34SessionWindow,
       q35EventFirst, q37AsofJoin, q38RangeJoin, q50AsofForward,
@@ -4135,6 +4228,6 @@ object EventQueries {
       q185SeqPatterns, q186DecileLift, q188SrmCheck, q192KsTest,
       q199PurgedCvFolds, q201CupedAudit, q210EntryExitBounce,
       q215TrigramPaths, q232TimeDecayAttribution, q233TransitionDwell,
-      q238ProcessConformance)
+      q238ProcessConformance, q239DiffInDiff)
       .map(q => q.copy(streaming = streamingNames(q.name)))
 }

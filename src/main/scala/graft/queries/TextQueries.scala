@@ -1443,6 +1443,98 @@ object TextQueries {
                 AS share_in_split
             FROM cells ORDER BY split, lang"""))
 
+  /** Cohen's kappa for the langid heuristic — q20 prints the confusion
+    * matrix; this is the single number reviewers actually compare:
+    * chance-corrected agreement between the labeled language and the
+    * stopword-argmax prediction. And the whole statistic is ONE exact
+    * integer identity: with D = sum of diagonal cells and
+    * P = sum over labels of row_total x col_total,
+    * kappa = (N*D - P) / (N^2 - P) — the po/pe fractions cancel into
+    * integer cross-multiplication, so the only float is the final
+    * division (raw accuracy D/N rides along for the naive-baseline
+    * contrast kappa exists to correct).
+    *
+    * ## 100 TB notes
+    * The per-doc prediction is q20's explode + conditional-sum shape;
+    * the confusion matrix is |langs|^2 cells, marginals and the moment
+    * products are driver-scale arithmetic over that tiny aggregate.
+    */
+  val q240CohensKappa: Q = Q(
+    "q240_cohens_kappa",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      def hits(set: Seq[String]) =
+        sum(when(col("tok").isin(set.map(lit): _*), 1L).otherwise(0L))
+      val perDoc = docs
+        .select(col("doc_id"), col("lang"),
+          explode(Text.tokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(hits(wordsDe).as("s_de"), hits(wordsEn).as("s_en"),
+          hits(wordsEs).as("s_es"), hits(wordsFr).as("s_fr"),
+          hits(wordsZh).as("s_zh"))
+      val (sDe, sEn, sEs, sFr, sZh) =
+        (col("s_de"), col("s_en"), col("s_es"), col("s_fr"), col("s_zh"))
+      val predicted =
+        when(sDe >= sEn && sDe >= sEs && sDe >= sFr && sDe >= sZh, "de")
+          .when(sEn >= sEs && sEn >= sFr && sEn >= sZh, "en")
+          .when(sEs >= sFr && sEs >= sZh, "es")
+          .when(sFr >= sZh, "fr")
+          .otherwise("zh")
+      val cells = perDoc.select(col("lang"), predicted.as("predicted"))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("c"))
+      val rows = cells.groupBy(col("lang").as("k"))
+        .agg(sum(col("c")).as("row_n"))
+      val cols = cells.groupBy(col("predicted").as("k"))
+        .agg(sum(col("c")).as("col_n"))
+      val p = rows.join(cols, Seq("k"))
+        .agg(coalesce(sum(col("row_n") * col("col_n")), lit(0L)).as("p"))
+      val dn = cells.agg(sum(col("c")).as("n"),
+        sum(when(col("lang") === col("predicted"), col("c"))
+          .otherwise(0L)).as("d"))
+      dn.crossJoin(broadcast(p))
+        .select(col("n").as("n_docs"), col("d").as("d_agree"),
+          col("p").as("p_chance_num"),
+          (col("d").cast("double") / col("n").cast("double"))
+            .as("accuracy"),
+          ((col("n") * col("d") - col("p")).cast("double") /
+            (col("n") * col("n") - col("p")).cast("double")).as("kappa"))
+    },
+    Some(s"""WITH pd AS (SELECT lang,
+                 CASE
+                   WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr
+                     AND s_de >= s_zh THEN 'de'
+                   WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh
+                     THEN 'en'
+                   WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                   WHEN s_fr >= s_zh THEN 'fr'
+                   ELSE 'zh' END AS predicted
+               FROM (SELECT lang,
+                       ${duckHits(wordsDe)} AS s_de,
+                       ${duckHits(wordsEn)} AS s_en,
+                       ${duckHits(wordsEs)} AS s_es,
+                       ${duckHits(wordsFr)} AS s_fr,
+                       ${duckHits(wordsZh)} AS s_zh
+                     FROM documents WHERE text IS NOT NULL)),
+             cells AS (SELECT lang, predicted, count(*) AS c
+                       FROM pd GROUP BY lang, predicted),
+             r AS (SELECT lang AS k, CAST(sum(c) AS BIGINT) AS row_n
+                   FROM cells GROUP BY lang),
+             cl AS (SELECT predicted AS k, CAST(sum(c) AS BIGINT) AS col_n
+                    FROM cells GROUP BY predicted),
+             p AS (SELECT CAST(coalesce(sum(row_n * col_n), 0) AS BIGINT)
+                     AS p
+                   FROM r JOIN cl ON r.k = cl.k),
+             dn AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN lang = predicted THEN c ELSE 0 END)
+                   AS BIGINT) AS d
+               FROM cells)
+             SELECT n AS n_docs, d AS d_agree, p AS p_chance_num,
+               CAST(d AS DOUBLE) / CAST(n AS DOUBLE) AS accuracy,
+               CAST(n * d - p AS DOUBLE) / CAST(n * n - p AS DOUBLE)
+                 AS kappa
+             FROM dn, p"""))
+
   val all: Seq[Q] =
     Seq(q18TextStats, q19TermFreq, q20LangId, q21QualityScore, q22RegexTokens,
       q39WinnowFp, q42EditDistance, q45TfidfTopk, q48SplitAssign,
@@ -1450,5 +1542,6 @@ object TextQueries {
       q68MixtureRebalance, q70SplitLeakage, q72CorpusFunnel,
       q82TokenBudget, q134SentenceStats, q137SymspellJoin,
       q162Bm25Topk, q163RrfFusion, q166EpochShard, q177ReshardMovement,
-      q200DataLadder, q204MedallionWaterfall, q221SplitBalance)
+      q200DataLadder, q204MedallionWaterfall, q221SplitBalance,
+      q240CohensKappa)
 }

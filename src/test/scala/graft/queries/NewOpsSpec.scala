@@ -2161,6 +2161,46 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("q239 diff-in-diff: hand-built 2x2 cells, trend differenced out") {
+    withTempDir { dir =>
+      def arm(u: Long): Long = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(s"$u:ab1".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex.substring(0, 8), 16) % 2
+      }
+      val uT = (1L to 50L).find(arm(_) == 1L).get
+      val uC = (1L to 50L).find(arm(_) == 0L).get
+      val h = 3600L * 1000000000L
+      // midpoint of [0, 2h] = 1h: events at 0 are pre, at 2h post
+      writeEvents(dir, Seq(
+        (1L, uT, 0 * h, "view", 1.0), (2L, uT, 2 * h, "view", 3.0),
+        (3L, uC, 0 * h, "view", 1.0), (4L, uC, 2 * h, "view", 1.5)))
+      val out = EventQueries.q239DiffInDiff.fn(spark, dir)
+        .select("mean_t_pre", "mean_t_post", "mean_c_pre", "mean_c_post",
+          "did")
+        .as[(Double, Double, Double, Double, Double)].collect().toList
+      out shouldBe List((100.0, 300.0, 100.0, 150.0, 150.0))
+    }
+  }
+
+  test("q240 cohen's kappa: integer identity matches the hand matrix") {
+    withTempDir { dir =>
+      // cells: (en,en,1), (de,de,1), (de,en,1): D=2, P=1*2+2*1=4,
+      // kappa = (3*2-4)/(9-4) = 0.4
+      Seq((1L, "the a", "en"), (2L, "scan", "de"), (3L, "the", "de"))
+        .toDF("doc_id", "text", "lang")
+        .withColumn("source", lit("t"))
+        .withColumn("n_chars",
+          org.apache.spark.sql.functions.length(col("text")))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val out = TextQueries.q240CohensKappa.fn(spark, dir)
+        .select("n_docs", "d_agree", "p_chance_num", "accuracy", "kappa")
+        .as[(Long, Long, Long, Double, Double)].collect().toList
+      out shouldBe List((3L, 2L, 4L, 2.0 / 3.0, 0.4))
+    }
+  }
+
   test("q210 entry/exit/bounce: roles from session position, bounce = both") {
     withTempDir { dir =>
       val m = 60L * 1000000000L // one minute in ns
