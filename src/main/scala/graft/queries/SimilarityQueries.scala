@@ -886,8 +886,119 @@ object SimilarityQueries {
              FROM coh JOIN sep ON coh.label = sep.label
              ORDER BY coh.label"""))
 
+  /** ANN plane-count tuning curve — q49 measures recall for ONE sign-LSH
+    * configuration; this sweeps the hyperplane count k in {2,3,4} and
+    * reports, per k, the recall@3 against exhaustive truth AND the scan
+    * fraction (candidates probed / full-scan candidates) — the
+    * recall-vs-cost frontier an ANN deployment actually tunes on:
+    * every added plane halves the expected bucket (scan cost down),
+    * and this table shows exactly what each halving costs in recall.
+    * Truth is computed once and shared by all three arms; every
+    * election is a total order (score desc, id asc).
+    *
+    * ## 100 TB notes
+    * One exhaustive pass for truth (the benchmark's irreducible cost —
+    * sampled in production); each arm is a bucket equi-join whose
+    * per-bucket population halves per plane. The three arms reuse the
+    * same eager'd bucketed relation; rollups are 1-row each.
+    */
+  val q241AnnBitsCurve: Q = Q(
+    "q241_ann_bits_curve",
+    (s, dir) => {
+      val e = Tables.eager(emb(s, dir))
+      val corpusN = e.count().toDouble
+      val nQ = 10
+      val q = e.filter(col("vec_id") < nQ)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
+      val wTruth = Window.partitionBy(col("q_id"))
+        .orderBy(col("score").desc, col("cand_id").asc)
+      val truth = Tables.eager(c.crossJoin(broadcast(q))
+        .filter(col("cand_id") =!= col("q_id"))
+        .select(col("q_id"), col("cand_id"),
+          cosineSim(col("qe"), col("ce")).as("score"))
+        .withColumn("rn", row_number().over(wTruth))
+        .filter(col("rn") <= 3)
+        .select(col("q_id"), col("cand_id")))
+      def bucketK(e: Column, k: Int): Column =
+        (0 until k).map(i =>
+          when(element_at(e, i + 1) >= 0, 1 << i).otherwise(0))
+          .reduce(_ + _)
+      val arms = Seq(2, 3, 4).map { k =>
+        val qb = q.select(col("q_id"), col("qe"),
+          bucketK(col("qe"), k).as("bucket"))
+        val cb = c.select(col("cand_id"), col("ce"),
+          bucketK(col("ce"), k).as("bucket"))
+        val cand = cb.join(broadcast(qb), Seq("bucket"))
+          .filter(col("cand_id") =!= col("q_id"))
+        val candCount = cand.agg(count(lit(1)).as("n_candidates"))
+        val top3 = cand
+          .select(col("q_id"), col("cand_id"),
+            cosineSim(col("qe"), col("ce")).as("score"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("q_id"))
+              .orderBy(col("score").desc, col("cand_id").asc)))
+          .filter(col("rn") <= 3)
+          .select(col("q_id"), col("cand_id"))
+        val hits = top3.join(truth, Seq("q_id", "cand_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hits"))
+        candCount.crossJoin(broadcast(hits))
+          .select(lit(k).as("n_planes"), col("n_candidates"), col("n_hits"),
+            (col("n_hits").cast("double") / lit(3.0 * nQ)).as("recall_at_3"),
+            (col("n_candidates").cast("double") /
+              lit(nQ.toDouble) / lit(corpusN)).as("scan_frac"))
+      }
+      arms.reduce(_ unionByName _).orderBy(col("n_planes"))
+    },
+    Some {
+      def duckBucketK(e: String, k: Int): String =
+        (0 until k).map(i =>
+          s"(CASE WHEN $e[${i + 1}] >= 0 THEN ${1 << i} ELSE 0 END)")
+          .mkString(" + ")
+      def arm(k: Int): String =
+        s"""SELECT $k AS n_planes,
+              (SELECT count(*) FROM cand$k) AS n_candidates,
+              (SELECT count(*) FROM top$k t
+               JOIN truth ON t.q_id = truth.q_id
+                 AND t.cand_id = truth.cand_id) AS n_hits,
+              (SELECT count(*) FROM top$k t
+               JOIN truth ON t.q_id = truth.q_id
+                 AND t.cand_id = truth.cand_id)::DOUBLE / 30.0
+                AS recall_at_3,
+              (SELECT count(*) FROM cand$k)::DOUBLE / 10.0
+                / (SELECT count(*) FROM embeddings)::DOUBLE AS scan_frac"""
+      val candCtes = Seq(2, 3, 4).map { k =>
+        s"""cand$k AS (SELECT q.q_id, c.vec_id AS cand_id,
+               ${duckCos("q.qe", "CAST(c.embedding AS DOUBLE[])")} AS score
+             FROM embeddings c JOIN qs q
+               ON ${duckBucketK("c.embedding", k)} = q.b$k
+             WHERE c.vec_id != q.q_id),
+            top$k AS (SELECT q_id, cand_id FROM (
+                SELECT q_id, cand_id, row_number() OVER (PARTITION BY q_id
+                  ORDER BY score DESC, cand_id ASC) AS rn FROM cand$k)
+              WHERE rn <= 3)"""
+      }.mkString(",\n            ")
+      s"""WITH qs AS (SELECT vec_id AS q_id,
+                CAST(embedding AS DOUBLE[]) AS qe,
+                ${duckBucketK("embedding", 2)} AS b2,
+                ${duckBucketK("embedding", 3)} AS b3,
+                ${duckBucketK("embedding", 4)} AS b4
+              FROM embeddings WHERE vec_id < 10),
+            tr AS (SELECT q.q_id, c.vec_id AS cand_id,
+                ${duckCos("q.qe", "CAST(c.embedding AS DOUBLE[])")} AS score
+              FROM embeddings c, qs q WHERE c.vec_id != q.q_id),
+            truth AS (SELECT q_id, cand_id FROM (
+                SELECT q_id, cand_id, row_number() OVER (PARTITION BY q_id
+                  ORDER BY score DESC, cand_id ASC) AS rn FROM tr)
+              WHERE rn <= 3),
+            $candCtes
+            SELECT * FROM (${Seq(2, 3, 4).map(arm).mkString(
+        " UNION ALL ")})
+            ORDER BY n_planes"""
+    })
+
   val all: Seq[Q] = Seq(q27KnnBrute, q28AnnLsh, q29EmbNearDup, q30IvfCentroid,
     q44KmeansStep, q49AnnRecall, q52SqlSurface, q57L2Knn, q71Int8Quant,
     q79SemanticDedup, q138PqCodebook, q139PqAdcRecall, q208MutualNn,
-    q218ClusterMargin)
+    q218ClusterMargin, q241AnnBitsCurve)
 }

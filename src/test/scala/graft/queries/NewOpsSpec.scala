@@ -2201,6 +2201,29 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("q241 ann bits curve: two clean clusters give full recall at 0.4 scan") {
+    withTempDir { dir =>
+      // ids 0-4: dim1 positive; ids 5-9: dim1 negative -> the clusters
+      // never share a bucket at any k, and cross-cluster cosines are
+      // negative, so bucket top-3 = global truth for every query
+      val rows =
+        (0 until 5).map(i => (i.toLong,
+          Seq(1.0f, 0.1f * i, 0.1f, 0.1f), 0)) ++
+        (5 until 10).map(i => (i.toLong,
+          Seq(-1.0f, 0.1f * (i - 5), 0.1f, 0.1f), 1))
+      rows.toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val out = SimilarityQueries.q241AnnBitsCurve.fn(spark, dir)
+        .select("n_planes", "n_candidates", "n_hits", "recall_at_3",
+          "scan_frac")
+        .as[(Int, Long, Long, Double, Double)].collect().toList
+      out shouldBe List(
+        (2, 40L, 30L, 1.0, 0.4),
+        (3, 40L, 30L, 1.0, 0.4),
+        (4, 40L, 30L, 1.0, 0.4))
+    }
+  }
+
   test("q210 entry/exit/bounce: roles from session position, bounce = both") {
     withTempDir { dir =>
       val m = 60L * 1000000000L // one minute in ns
