@@ -1380,10 +1380,125 @@ object DedupQueries {
                          / (SELECT n_wedges FROM wd)::DOUBLE
                     ELSE 1.0 END AS closure_rate"""))
 
+  /** MinHash estimator accuracy audit — the sketch-error envelope
+    * behind every q24/q153 decision: for each blocked candidate pair,
+    * compare the 16-permutation signature agreement (matches/16, the
+    * unbiased Jaccard estimator) against the EXACT shingle Jaccard,
+    * and report the error profile per exact-Jaccard decile: pair
+    * count, mean estimate (decimal-summed), mean signed error, and the
+    * worst absolute error in estimator units (sixteenths — an exact
+    * integer, so "max error" is not itself an estimate). This is the
+    * table that justifies (or indicts) 16 permutations: theory says
+    * sd ~ sqrt(J(1-J)/16) ~ 0.12 at J=0.5; the audit shows what the
+    * corpus actually does.
+    *
+    * ## 100 TB notes
+    * Signatures are q24's explode + 16-min-aggregate shape (one doc-id
+    * shuffle); candidates are the df-blocked pairs (bounded); the
+    * match count per pair is a fixed 16-term integer sum — no
+    * additional shuffles beyond the pair join itself.
+    */
+  val q242MinhashAccuracy: Q = Q(
+    "q242_minhash_accuracy",
+    (s, dir) => {
+      val base = eager(shingled(s, dir))
+      val ex = base
+        .select(col("doc_id"), explode(col("sh")).as("sch"))
+        .select(col("doc_id"), md5(col("sch")).as("m"))
+        .select(col("doc_id"),
+          conv(substring(col("m"), 1, 8), 16, 10).cast("long").as("h1"),
+          conv(substring(col("m"), 9, 8), 16, 10).cast("long").as("h2"))
+      val sigCols = (0 until NumHashes).map(i =>
+        min(pmod(col("h1") + lit(i.toLong) * col("h2"), lit(P))).as(s"m$i"))
+      val sig = eager(ex.groupBy(col("doc_id"))
+        .agg(sigCols.head, sigCols.tail: _*))
+      val exploded = base.select(col("doc_id"), explode(col("sh")).as("s"))
+      val rare = exploded.groupBy(col("s"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= 5)
+        .select(col("s"))
+      val blocked = eager(exploded.join(rare, Seq("s")))
+      val cand = blocked.as("x")
+        .join(blocked.as("y"),
+          col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        .distinct()
+      val scored = cand
+        .join(base.select(col("doc_id").as("d1"), col("sh").as("sh1")),
+          Seq("d1"))
+        .join(base.select(col("doc_id").as("d2"), col("sh").as("sh2")),
+          Seq("d2"))
+        .select(col("d1"), col("d2"),
+          jaccard(col("sh1"), col("sh2")).as("jacc"))
+      val s1 = sig.select(col("doc_id").as("d1") +:
+        (0 until NumHashes).map(i => col(s"m$i").as(s"a$i")): _*)
+      val s2 = sig.select(col("doc_id").as("d2") +:
+        (0 until NumHashes).map(i => col(s"m$i").as(s"b$i")): _*)
+      val matches = (0 until NumHashes).map(i =>
+        when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      val paired = scored.join(s1, Seq("d1")).join(s2, Seq("d2"))
+        .select(col("jacc"), matches.as("n_match"))
+        .withColumn("decile",
+          least(floor(col("jacc") * 10).cast("long"), lit(9L)))
+      paired.groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_pairs"),
+          (round(sum((col("n_match").cast("double") / 16.0)
+            .cast("decimal(30,10)")), 6).cast("double") /
+            count(lit(1))).as("mean_est"),
+          (round(sum(((col("n_match").cast("double") / 16.0) - col("jacc"))
+            .cast("decimal(30,10)")), 6).cast("double") /
+            count(lit(1))).as("mean_signed_err"),
+          max(abs(col("n_match") * lit(16L) -
+            floor(col("jacc") * 256.0).cast("long")))
+            .as("max_abs_err_256ths"))
+        .orderBy(col("decile"))
+    },
+    Some(s"""WITH shs AS ($duckShingled),
+             sig AS (SELECT doc_id,
+                       list_transform(range(0, $NumHashes), i -> list_min(
+                         list_transform(
+                           list_transform(sh, s -> md5(s)),
+                           m -> (('0x' || substring(m, 1, 8))::BIGINT
+                             + i * ('0x' || substring(m, 9, 8))::BIGINT)
+                             % $P))) AS sig
+                     FROM shs),
+             ex AS (SELECT doc_id, unnest(sh) AS s FROM shs),
+             rare AS (SELECT s FROM ex GROUP BY s
+                      HAVING count(*) BETWEEN 2 AND 5),
+             blocked AS (SELECT doc_id, s FROM ex JOIN rare USING (s)),
+             cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+                      FROM blocked x JOIN blocked y
+                        ON x.s = y.s AND x.doc_id < y.doc_id),
+             scored AS (SELECT d1, d2,
+                 len(list_intersect(a.sh, b.sh))::DOUBLE
+                   / len(list_distinct(list_concat(a.sh, b.sh))) AS jacc
+               FROM cand JOIN shs a ON a.doc_id = d1
+                         JOIN shs b ON b.doc_id = d2),
+             pm AS (SELECT jacc,
+                 CAST(len(list_filter(range(1, $NumHashes + 1),
+                   i -> sa.sig[i] = sb.sig[i])) AS BIGINT) AS n_match
+               FROM scored JOIN sig sa ON sa.doc_id = d1
+                           JOIN sig sb ON sb.doc_id = d2),
+             dd AS (SELECT least(CAST(floor(jacc * 10) AS BIGINT), 9)
+                      AS decile, jacc, n_match FROM pm)
+             SELECT decile, count(*) AS n_pairs,
+               CAST(round(sum(CAST(CAST(n_match AS DOUBLE) / 16.0
+                   AS DECIMAL(30,10))), 6) AS DOUBLE) / count(*)
+                 AS mean_est,
+               CAST(round(sum(CAST(CAST(n_match AS DOUBLE) / 16.0 - jacc
+                   AS DECIMAL(30,10))), 6) AS DOUBLE) / count(*)
+                 AS mean_signed_err,
+               CAST(max(abs(n_match * 16
+                 - CAST(floor(jacc * 256.0) AS BIGINT))) AS BIGINT)
+                 AS max_abs_err_256ths
+             FROM dd GROUP BY decile ORDER BY decile"""))
+
   val all: Seq[Q] = Seq(q23DedupExact, q24MinhashLsh, q25JaccardBlocked,
     q26Simhash, q43DedupComponents, q59DedupMaterialize, q60IncrementalDedup,
     q61Decontaminate, q63Boilerplate, q69ComponentsStar, q81SourceOverlap,
     q102PrefixJoin, q153MinhashNative, q156NoveltyRate, q171ContainmentJoin,
     q172SourceDupMatrix, q180SortedNeighborhood, q193TokensetDedup,
-    q207GoldenRecord, q228ThresholdCurve, q234DedupTransitivity)
+    q207GoldenRecord, q228ThresholdCurve, q234DedupTransitivity,
+    q242MinhashAccuracy)
 }

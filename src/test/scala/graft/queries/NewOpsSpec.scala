@@ -2224,6 +2224,26 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("q242 minhash accuracy: the J=2/3 pair lands in decile 6 with a sane estimate") {
+    withTempDir { dir =>
+      writeDocs(dir, Seq(
+        1L -> "a b c d",
+        2L -> "a b c d e",
+        3L -> "p q r s"))
+      val out = DedupQueries.q242MinhashAccuracy.fn(spark, dir)
+        .select("decile", "n_pairs", "mean_est", "mean_signed_err",
+          "max_abs_err_256ths")
+        .as[(Long, Long, Double, Double, Long)].collect().toList
+      out.map(r => (r._1, r._2)) shouldBe List((6L, 1L))
+      val (_, _, est, signed, maxErr) = out.head
+      est should be >= 0.0
+      est should be <= 1.0
+      // signed error is est - 2/3, both rounded at 1e-6 in decimal
+      math.abs(signed - (est - 2.0 / 3.0)) should be < 2e-6
+      maxErr should be <= 256L
+    }
+  }
+
   test("q210 entry/exit/bounce: roles from session position, bounce = both") {
     withTempDir { dir =>
       val m = 60L * 1000000000L // one minute in ns
