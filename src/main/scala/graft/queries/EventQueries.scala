@@ -4207,6 +4207,52 @@ object EventQueries {
                  AS did
              FROM m"""))
 
+  /** Double-fire detection — the idempotency audit every event
+    * pipeline runs: the same user emitting the SAME event type again
+    * within 10 minutes is the signature of duplicate webhooks, retry
+    * storms, and double-submitted forms (a plain event_id dedup — q66
+    * — cannot catch these, because re-fires arrive with FRESH ids).
+    * One row per event type: repeat count, affected-user reach, and
+    * the tightest observed gap (a near-zero minimum screams
+    * at-least-once delivery; minutes-scale repeats are humans).
+    * Exact integer microseconds throughout.
+    *
+    * ## 100 TB notes
+    * One lag window on a SINGLE (user_id, event_type) shuffle — note
+    * the type in the key: repeats are per-type, so the partitioning is
+    * finer than q233's — then a map-side-combined rollup on type.
+    */
+  val q244DoubleFire: Q = Q(
+    "q244_double_fire",
+    (s, dir) => {
+      val windowUs = 600L * 1000000
+      val ev = Tables.load(s, dir, "events")
+      val byRun = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts_us").asc, col("event_id").asc)
+      ev.select(col("user_id"), col("event_id"), col("event_type"),
+          tsUs.as("ts_us"))
+        .withColumn("prev", lag(col("ts_us"), 1).over(byRun))
+        .filter(col("prev").isNotNull &&
+          (col("ts_us") - col("prev")) <= windowUs)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_refires"),
+          countDistinct(col("user_id")).as("n_users"),
+          min(col("ts_us") - col("prev")).as("tightest_gap_us"))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""WITH e AS (SELECT user_id, event_id, event_type,
+                    ${duckUs("ts")} AS ts_us FROM events),
+             r AS (SELECT user_id, event_type,
+                     ts_us - lag(ts_us, 1) OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts_us ASC, event_id ASC) AS gap
+                   FROM e)
+             SELECT event_type, count(*) AS n_refires,
+               count(DISTINCT user_id) AS n_users,
+               min(gap) AS tightest_gap_us
+             FROM r WHERE gap IS NOT NULL AND gap <= ${600L * 1000000}
+             GROUP BY event_type ORDER BY event_type"""))
+
   val all: Seq[Q] =
     Seq(q31HourlyFromJson, q32SlidingWindow, q33Sessionize, q34SessionWindow,
       q35EventFirst, q37AsofJoin, q38RangeJoin, q50AsofForward,
@@ -4228,6 +4274,6 @@ object EventQueries {
       q185SeqPatterns, q186DecileLift, q188SrmCheck, q192KsTest,
       q199PurgedCvFolds, q201CupedAudit, q210EntryExitBounce,
       q215TrigramPaths, q232TimeDecayAttribution, q233TransitionDwell,
-      q238ProcessConformance, q239DiffInDiff)
+      q238ProcessConformance, q239DiffInDiff, q244DoubleFire)
       .map(q => q.copy(streaming = streamingNames(q.name)))
 }

@@ -996,10 +996,108 @@ object GovernanceQueries {
             UNION ALL SELECT * FROM o
             ORDER BY table_name"""))
 
+    /** Functional-dependency discovery — TANE-style profiling over a
+    * declared candidate set: for each A -> B hypothesis, how many
+    * A-groups carry MORE than one distinct B (the groups where the
+    * dependency breaks), and how many rows sit in those broken groups
+    * (exact ppm)? An FD that holds exactly is a key/normalization fact
+    * the schema never wrote down (and a dedup/merge precondition); one
+    * that holds at 99.9 % is usually a data bug wearing a business
+    * rule's clothes. Candidates cover real modeling questions: does a
+    * customer pin its nation and segment, a nation its region, a part
+    * its brand, an order its customer via lineitem?
+    *
+    * ## 100 TB notes
+    * Each hypothesis is one map-side-combined two-level aggregate on
+    * its determinant (group by A with count + count distinct B);
+    * hypotheses scan only the columns they profile. No joins at all.
+    */
+  lazy val q243FdDiscovery: Q = Q(
+    "q243_fd_discovery",
+    (s, dir) => {
+      def fd(df: DataFrame, a: String, b: String, name: String): DataFrame =
+        df.groupBy(col(a))
+          .agg(count(lit(1)).as("rows_g"),
+            countDistinct(col(b)).as("nb"))
+          .agg(count(lit(1)).as("n_groups"),
+            sum(when(col("nb") > 1, 1L).otherwise(0L))
+              .as("n_broken_groups"),
+            sum(col("rows_g")).as("n_rows"),
+            sum(when(col("nb") > 1, col("rows_g")).otherwise(0L))
+              .as("n_broken_rows"))
+          .select(lit(name).as("fd"), col("n_groups"),
+            col("n_broken_groups"), col("n_rows"), col("n_broken_rows"),
+            expr("n_broken_rows * 1000000 div n_rows").as("broken_ppm"))
+      val cust = Tables.load(s, dir, "customer")
+      val nationRegion = Tables.load(s, dir, "nation")
+      val part = Tables.load(s, dir, "part")
+      val li = Tables.load(s, dir, "lineitem")
+      fd(cust, "c_custkey", "c_nationkey", "custkey_to_nation")
+        .unionByName(fd(cust, "c_nationkey", "c_mktsegment",
+          "nation_to_segment"))
+        .unionByName(fd(nationRegion, "n_nationkey", "n_regionkey",
+          "nationkey_to_region"))
+        .unionByName(fd(part, "p_partkey", "p_brand", "partkey_to_brand"))
+        .unionByName(fd(li, "l_orderkey", "l_suppkey", "order_to_supplier"))
+        .orderBy(col("fd"))
+    },
+    Some("""WITH t1 AS (SELECT 'custkey_to_nation' AS fd, g.*
+              FROM (SELECT count(*) AS n_groups,
+                  CAST(sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_broken_groups,
+                  CAST(sum(rows_g) AS BIGINT) AS n_rows,
+                  CAST(sum(CASE WHEN nb > 1 THEN rows_g ELSE 0 END)
+                    AS BIGINT) AS n_broken_rows
+                FROM (SELECT c_custkey, count(*) AS rows_g,
+                        count(DISTINCT c_nationkey) AS nb
+                      FROM customer GROUP BY c_custkey)) g),
+            t2 AS (SELECT 'nation_to_segment', g.*
+              FROM (SELECT count(*),
+                  CAST(sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT),
+                  CAST(sum(rows_g) AS BIGINT),
+                  CAST(sum(CASE WHEN nb > 1 THEN rows_g ELSE 0 END)
+                    AS BIGINT)
+                FROM (SELECT c_nationkey, count(*) AS rows_g,
+                        count(DISTINCT c_mktsegment) AS nb
+                      FROM customer GROUP BY c_nationkey)) g),
+            t3 AS (SELECT 'nationkey_to_region', g.*
+              FROM (SELECT count(*),
+                  CAST(sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT),
+                  CAST(sum(rows_g) AS BIGINT),
+                  CAST(sum(CASE WHEN nb > 1 THEN rows_g ELSE 0 END)
+                    AS BIGINT)
+                FROM (SELECT n_nationkey, count(*) AS rows_g,
+                        count(DISTINCT n_regionkey) AS nb
+                      FROM nation GROUP BY n_nationkey)) g),
+            t4 AS (SELECT 'partkey_to_brand', g.*
+              FROM (SELECT count(*),
+                  CAST(sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT),
+                  CAST(sum(rows_g) AS BIGINT),
+                  CAST(sum(CASE WHEN nb > 1 THEN rows_g ELSE 0 END)
+                    AS BIGINT)
+                FROM (SELECT p_partkey, count(*) AS rows_g,
+                        count(DISTINCT p_brand) AS nb
+                      FROM part GROUP BY p_partkey)) g),
+            t5 AS (SELECT 'order_to_supplier', g.*
+              FROM (SELECT count(*),
+                  CAST(sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT),
+                  CAST(sum(rows_g) AS BIGINT),
+                  CAST(sum(CASE WHEN nb > 1 THEN rows_g ELSE 0 END)
+                    AS BIGINT)
+                FROM (SELECT l_orderkey, count(*) AS rows_g,
+                        count(DISTINCT l_suppkey) AS nb
+                      FROM lineitem GROUP BY l_orderkey)) g)
+            SELECT fd, n_groups, n_broken_groups, n_rows, n_broken_rows,
+              n_broken_rows * 1000000 // n_rows AS broken_ppm
+            FROM (SELECT * FROM t1 UNION ALL SELECT * FROM t2
+                  UNION ALL SELECT * FROM t3 UNION ALL SELECT * FROM t4
+                  UNION ALL SELECT * FROM t5)
+            ORDER BY fd"""))
+
   val all: Seq[Q] =
     Seq(q98PiiRedact, q99Scd2Snapshots, q100NfcNormalize, q101IntervalMerge,
       q104KAnonymity, q121PitEnrich, q126CdcApply, q164LDiversity,
       q178TCloseness, q195Scd2Invariants, q197DomainAudit,
       q198UniquenessAudit, q213RtbfAudit, q227InvoiceRecon,
-      q237ContentSignature)
+      q237ContentSignature, q243FdDiscovery)
 }

@@ -2244,6 +2244,50 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("q243 fd discovery: a planted violation is counted in rows and groups") {
+    withTempDir { dir =>
+      // c_custkey -> c_nationkey holds; c_nationkey -> c_mktsegment is
+      // broken for nation 0 (two segments, 3 rows in the broken group)
+      Seq((1L, 0, "S1"), (2L, 0, "S1"), (3L, 0, "S2"), (4L, 1, "S1"))
+        .toDF("c_custkey", "c_nationkey", "c_mktsegment")
+        .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+      Seq((0, 0), (1, 0)).toDF("n_nationkey", "n_regionkey")
+        .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+      Seq((10L, "B1")).toDF("p_partkey", "p_brand")
+        .write.mode("overwrite").parquet(s"$dir/part.parquet")
+      Seq((100L, 7L), (100L, 8L)).toDF("l_orderkey", "l_suppkey")
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      val out = GovernanceQueries.q243FdDiscovery.fn(spark, dir)
+        .select("fd", "n_groups", "n_broken_groups", "n_rows",
+          "n_broken_rows", "broken_ppm")
+        .as[(String, Long, Long, Long, Long, Long)].collect().toList
+      out shouldBe List(
+        ("custkey_to_nation", 4L, 0L, 4L, 0L, 0L),
+        ("nation_to_segment", 2L, 1L, 4L, 3L, 750000L),
+        ("nationkey_to_region", 2L, 0L, 2L, 0L, 0L),
+        ("order_to_supplier", 1L, 1L, 2L, 2L, 1000000L),
+        ("partkey_to_brand", 1L, 0L, 1L, 0L, 0L))
+    }
+  }
+
+  test("q244 double-fire: same-type repeats inside 10 min, fresh ids caught") {
+    withTempDir { dir =>
+      val m = 60L * 1000000000L
+      // clicks at 0, 3 min, 6 min: two qualifying repeats; the views
+      // are 20 min apart and never qualify
+      writeEvents(dir, Seq(
+        (1L, 1L, 0 * m, "click", 0.0),
+        (2L, 1L, 3 * m, "click", 0.0),
+        (3L, 1L, 6 * m, "click", 0.0),
+        (4L, 1L, 30 * m, "view", 0.0),
+        (5L, 1L, 50 * m, "view", 0.0)))
+      val out = EventQueries.q244DoubleFire.fn(spark, dir)
+        .select("event_type", "n_refires", "n_users", "tightest_gap_us")
+        .as[(String, Long, Long, Long)].collect().toList
+      out shouldBe List(("click", 2L, 1L, 180000000L))
+    }
+  }
+
   test("q210 entry/exit/bounce: roles from session position, bounce = both") {
     withTempDir { dir =>
       val m = 60L * 1000000000L // one minute in ns
