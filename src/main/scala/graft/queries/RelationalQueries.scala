@@ -3093,6 +3093,124 @@ object RelationalQueries {
               max(sz) AS max_size
             FROM cu GROUP BY edge ORDER BY edge"""))
 
+  /** Seasonal-naive forecast backtest — before anyone ships a revenue
+    * forecast, the baseline it must beat: predict each day's revenue
+    * as the SAME WEEKDAY one week earlier (the seasonal-naive model,
+    * M-competition's standard yardstick), walk it over the whole
+    * history, and report per weekday the MAE in exact cents and the
+    * MAPE (per-day ratios decimal-summed per the Catalog contract).
+    * Only days whose lag-7 neighbor EXISTS score (a LAG over the
+    * day-indexed series would silently compare across gaps; the
+    * self-join on day-7 cannot). The per-dow split shows where the
+    * weekly pattern carries information and where it's noise.
+    *
+    * ## 100 TB notes
+    * The daily rollup is the only data-scale pass; the lag-7 self-join
+    * and rollup run over the |days| aggregate — driver-scale. Weekday
+    * from pure epoch-day arithmetic, as in q229.
+    */
+  val q245ForecastBacktest: Q = Q(
+    "q245_forecast_backtest",
+    (s, dir) => {
+      val daily = Tables.load(s, dir, "orders")
+        .groupBy((unix_micros(col("o_orderdate").cast("timestamp_ltz"))
+          / lit(86400000000L)).cast("long").as("day"))
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val lagged = daily.select((col("day") + 7).as("day"),
+        col("cents").as("forecast"))
+      val scored = daily.join(lagged, Seq("day"))
+        .select(pmod(col("day") + 4, lit(7)).as("dow"),
+          col("cents"), col("forecast"),
+          abs(col("cents") - col("forecast")).as("abs_err"))
+      scored.groupBy(col("dow"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("abs_err")).as("sum_abs_err"),
+          (round(sum((col("abs_err").cast("double") /
+            col("cents").cast("double")).cast("decimal(30,10)")), 6)
+            .cast("double") / count(lit(1))).as("mape"))
+        .select(col("dow"), col("n_days"), col("sum_abs_err"),
+          (col("sum_abs_err").cast("double") / col("n_days").cast("double"))
+            .as("mae_cents"), col("mape"))
+        .orderBy(col("dow"))
+    },
+    Some("""WITH daily AS (SELECT epoch_us(o_orderdate) // 86400000000
+                  AS day,
+                CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+              FROM orders GROUP BY 1),
+            sc AS (SELECT (a.day + 4) % 7 AS dow, a.cents,
+                f.cents AS forecast, abs(a.cents - f.cents) AS abs_err
+              FROM daily a JOIN daily f ON f.day = a.day - 7)
+            SELECT dow, count(*) AS n_days,
+              CAST(sum(abs_err) AS BIGINT) AS sum_abs_err,
+              CAST(sum(abs_err) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                AS mae_cents,
+              CAST(round(sum(CAST(CAST(abs_err AS DOUBLE)
+                  / CAST(cents AS DOUBLE) AS DECIMAL(30,10))), 6)
+                AS DOUBLE) / count(*) AS mape
+            FROM sc GROUP BY dow ORDER BY dow"""))
+
+  /** Attribute fill-rate profile — the first profiling query anyone
+    * runs on an unfamiliar dataset: per (table, column), how many rows
+    * carry a usable value (non-null AND non-blank for strings — the
+    * reference's own quality gate treats empty-after-trim as missing,
+    * reference data_quality_operator.py:24-38)? One row per audited
+    * column with exact fill ppm. Profiled columns span every table
+    * family: keys, categoricals, free text, and the JSON props blob.
+    *
+    * ## 100 TB notes
+    * Pure map-side conditional counts — each table is scanned once
+    * with column pruning down to the audited columns; no shuffle
+    * wider than one row per table.
+    */
+  val q246FillRate: Q = Q(
+    "q246_fill_rate",
+    (s, dir) => {
+      def profile(df: DataFrame, table: String,
+          cols: Seq[String]): DataFrame = {
+        val aggs = count(lit(1)).as("n_rows") +: cols.map(c =>
+          sum(when(col(c).isNotNull &&
+            length(trim(col(c).cast("string"))) > 0, 1L).otherwise(0L))
+            .as(s"f_$c"))
+        val one = df.agg(aggs.head, aggs.tail: _*)
+        cols.map { c =>
+          one.select(lit(table).as("table_name"), lit(c).as("column_name"),
+            col("n_rows"), col(s"f_$c").as("n_filled"),
+            expr(s"f_$c * 1000000 div n_rows").as("fill_ppm"))
+        }.reduce(_ unionByName _)
+      }
+      profile(Tables.load(s, dir, "customer"), "customer",
+          Seq("c_name", "c_mktsegment"))
+        .unionByName(profile(Tables.load(s, dir, "orders"), "orders",
+          Seq("o_orderstatus", "o_orderpriority")))
+        .unionByName(profile(Tables.load(s, dir, "documents"), "documents",
+          Seq("text", "lang", "source")))
+        .unionByName(profile(Tables.load(s, dir, "events"), "events",
+          Seq("event_type", "props")))
+        .orderBy(col("table_name"), col("column_name"))
+    },
+    Some {
+      def p(table: String, c: String): String =
+        s"""SELECT '$table' AS table_name, '$c' AS column_name,
+              count(*) AS n_rows,
+              CAST(sum(CASE WHEN $c IS NOT NULL
+                AND length(trim(CAST($c AS VARCHAR))) > 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+              CAST(sum(CASE WHEN $c IS NOT NULL
+                AND length(trim(CAST($c AS VARCHAR))) > 0
+                THEN 1 ELSE 0 END) AS BIGINT) * 1000000 // count(*)
+                AS fill_ppm
+            FROM $table"""
+      val parts = Seq(
+        p("customer", "c_name"), p("customer", "c_mktsegment"),
+        p("orders", "o_orderstatus"), p("orders", "o_orderpriority"),
+        p("documents", "text"), p("documents", "lang"),
+        p("documents", "source"),
+        p("events", "event_type"), p("events", "props"))
+      s"""SELECT * FROM (${parts.mkString(" UNION ALL ")})
+          ORDER BY table_name, column_name"""
+    })
+
   val all: Seq[Q] = Seq(q06JoinDims, q07StarRevenue, q08SemiJoin, q09AntiJoin,
     q10AggStats, q11Rollup, q12DistinctExact, q13WindowTopK, q14RunningSum,
     q15Pivot, q16SetOps, q17GlobalTopN, q40QuantilesDisc, q41Moments,
@@ -3107,5 +3225,5 @@ object RelationalQueries {
     q212PurchaseGaps, q214AbcClasses, q216AnovaDow, q217SupplierHhi,
     q222PopBaseline, q223QuantileInterp, q224GiniMeanDiff, q225ReturnRate,
     q226ShipSla, q229SeasonalDecomp, q230TargetEncoding, q235DrillAcross,
-    q236FanoutProfile)
+    q236FanoutProfile, q245ForecastBacktest, q246FillRate)
 }

@@ -2288,6 +2288,59 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("q245 forecast backtest: flat week forecasting a 50% jump") {
+    withTempDir { dir =>
+      // week 1: 100 cents/day; week 2: 150 -> every scored day has
+      // abs_err 50, MAPE 50/150 rounded at 1e-6
+      val rows = (0 until 14).map { d =>
+        (d.toLong, f"1970-01-${d + 1}%02d", if (d < 7) 1.00 else 1.50) }
+      rows.toDF("o_orderkey", "d", "o_totalprice")
+        .withColumn("o_orderdate", to_timestamp(col("d")))
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      val out = RelationalQueries.q245ForecastBacktest.fn(spark, dir)
+        .select("dow", "n_days", "sum_abs_err", "mae_cents", "mape")
+        .as[(Long, Long, Long, Double, Double)].collect().toList
+      out.map(_._1) shouldBe (0L to 6L).toList
+      out.foreach { case (_, n, sae, mae, mape) =>
+        n shouldBe 1L
+        sae shouldBe 50L
+        mae shouldBe 50.0
+        mape shouldBe 0.333333
+      }
+    }
+  }
+
+  test("q246 fill rate: blanks and nulls counted as unfilled") {
+    withTempDir { dir =>
+      Seq((1L, "Name", "SEG"), (2L, "", "S2"))
+        .toDF("c_custkey", "c_name", "c_mktsegment")
+        .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+      Seq((1L, "O", "1-URGENT"))
+        .toDF("o_orderkey", "o_orderstatus", "o_orderpriority")
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      Seq((1L, "hello", "en", Some("s")), (2L, "", "de", None))
+        .toDF("doc_id", "text", "lang", "source")
+        .withColumn("n_chars",
+          org.apache.spark.sql.functions.length(col("text")))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      writeEvents(dir, Seq((1L, 1L, 0L, "view", 0.0)))
+      val out = RelationalQueries.q246FillRate.fn(spark, dir)
+        .select("table_name", "column_name", "n_rows", "n_filled",
+          "fill_ppm")
+        .as[(String, String, Long, Long, Long)].collect().toList
+      out shouldBe List(
+        ("customer", "c_mktsegment", 2L, 2L, 1000000L),
+        ("customer", "c_name", 2L, 1L, 500000L),
+        ("documents", "lang", 2L, 2L, 1000000L),
+        ("documents", "source", 2L, 1L, 500000L),
+        ("documents", "text", 2L, 1L, 500000L),
+        ("events", "event_type", 1L, 1L, 1000000L),
+        ("events", "props", 1L, 1L, 1000000L),
+        ("orders", "o_orderpriority", 1L, 1L, 1000000L),
+        ("orders", "o_orderstatus", 1L, 1L, 1000000L))
+    }
+  }
+
   test("q210 entry/exit/bounce: roles from session position, bounce = both") {
     withTempDir { dir =>
       val m = 60L * 1000000000L // one minute in ns
