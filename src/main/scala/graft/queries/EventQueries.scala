@@ -4253,6 +4253,84 @@ object EventQueries {
              FROM r WHERE gap IS NOT NULL AND gap <= ${600L * 1000000}
              GROUP BY event_type ORDER BY event_type"""))
 
+  /** Lead-lag cross-correlation — does the error rate LEAD revenue, or
+    * follow it? For every lag in [-3, +3] days, the Pearson
+    * correlation between daily purchase revenue on day d and the
+    * error-event count on day d+lag: a peak at a negative lag means
+    * errors foreshadow revenue moves (an alerting signal); at zero,
+    * they co-move; at positive lags, revenue shifts precede error
+    * shifts. q161 autocorrelates ONE series with itself; this is the
+    * cross-series generalization, and the lag table is what
+    * root-cause dashboards actually plot. Moments are exact
+    * (decimal(38,0) from the multiply up, q161's discipline); each
+    * correlation is one fixed double tree with a single sqrt.
+    *
+    * ## 100 TB notes
+    * One map-side-combined daily rollup; the 7-row lag table
+    * broadcasts into the day-aligned self-join of that |days|-sized
+    * aggregate; the moment rollup groups on the 7-value lag key.
+    * Nothing data-scale past the first aggregation.
+    */
+  val q248LeadLagXcorr: Q = Q(
+    "q248_lead_lag_xcorr",
+    (s, dir) => {
+      import s.implicits._
+      val daily = Tables.eager(Tables.load(s, dir, "events")
+        .groupBy(expr("(ts div 1000) div 86400000000").as("day"))
+        .agg(sum(when(col("event_type") === "purchase",
+          floor(col("value") * 100).cast("long")).otherwise(0L)).as("rev"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L))
+            .as("err")))
+      val lags = Seq(-3L, -2L, -1L, 0L, 1L, 2L, 3L).toDF("lag")
+      val a = daily.select(col("day"), col("rev"))
+      val b = daily.select(col("day").as("bday"), col("err"))
+      def D(c: Column) = c.cast("decimal(38,0)")
+      val paired = a.crossJoin(broadcast(lags))
+        .join(b, col("bday") === col("day") + col("lag"))
+      val m = paired.groupBy(col("lag"))
+        .agg(count(lit(1)).as("n"), sum(col("rev")).as("sx"),
+          sum(col("err")).as("sy"),
+          sum(D(col("rev")) * D(col("rev"))).as("sxx"),
+          sum(D(col("err")) * D(col("err"))).as("syy"),
+          sum(D(col("rev")) * D(col("err"))).as("sxy"))
+      val num = D(col("n")) * col("sxy") - D(col("sx")) * D(col("sy"))
+      val vx = D(col("n")) * col("sxx") - D(col("sx")) * D(col("sx"))
+      val vy = D(col("n")) * col("syy") - D(col("sy")) * D(col("sy"))
+      // zero variance (or a single pair) has no defined correlation:
+      // emit NULL rather than tripping ANSI's divide-by-zero
+      m.select(col("lag"), col("n").as("n_days"),
+          when(vx > 0 && vy > 0,
+            num.cast("double") /
+              sqrt(vx.cast("double") * vy.cast("double")))
+            .otherwise(lit(null).cast("double")).as("r"))
+        .orderBy(col("lag"))
+    },
+    Some(s"""WITH daily AS (SELECT ${duckUs("ts")} // 86400000000 AS day,
+                CAST(sum(CASE WHEN event_type = 'purchase'
+                  THEN CAST(floor(value * 100) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS rev,
+                CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS err
+              FROM events GROUP BY 1),
+            lags AS (SELECT unnest([-3, -2, -1, 0, 1, 2, 3]) AS lag),
+            p AS (SELECT lag, a.rev, b.err
+                  FROM daily a CROSS JOIN lags
+                  JOIN daily b ON b.day = a.day + lag),
+            m AS (SELECT lag, CAST(count(*) AS HUGEINT) AS n,
+                CAST(sum(rev) AS HUGEINT) AS sx,
+                CAST(sum(err) AS HUGEINT) AS sy,
+                sum(CAST(rev AS HUGEINT) * CAST(rev AS HUGEINT)) AS sxx,
+                sum(CAST(err AS HUGEINT) * CAST(err AS HUGEINT)) AS syy,
+                sum(CAST(rev AS HUGEINT) * CAST(err AS HUGEINT)) AS sxy
+              FROM p GROUP BY lag)
+            SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_days,
+              CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                   THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                     / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                       * CAST(n * syy - sy * sy AS DOUBLE))
+                   ELSE NULL END AS r
+            FROM m ORDER BY lag"""))
+
   val all: Seq[Q] =
     Seq(q31HourlyFromJson, q32SlidingWindow, q33Sessionize, q34SessionWindow,
       q35EventFirst, q37AsofJoin, q38RangeJoin, q50AsofForward,
@@ -4274,6 +4352,6 @@ object EventQueries {
       q185SeqPatterns, q186DecileLift, q188SrmCheck, q192KsTest,
       q199PurgedCvFolds, q201CupedAudit, q210EntryExitBounce,
       q215TrigramPaths, q232TimeDecayAttribution, q233TransitionDwell,
-      q238ProcessConformance, q239DiffInDiff, q244DoubleFire)
+      q238ProcessConformance, q239DiffInDiff, q244DoubleFire, q248LeadLagXcorr)
       .map(q => q.copy(streaming = streamingNames(q.name)))
 }

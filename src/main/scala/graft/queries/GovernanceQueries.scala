@@ -1094,10 +1094,84 @@ object GovernanceQueries {
                   UNION ALL SELECT * FROM t5)
             ORDER BY fd"""))
 
+  /** Freshness-skew audit — a warehouse is "current" only if every
+    * table reached the SAME watermark: per timestamped table, the
+    * latest event time, its lag behind the freshest table (exact µs),
+    * and the row count arriving in the final 30 days before that
+    * table's own watermark (a near-zero tail says the feed died long
+    * before its max timestamp suggests). The cross-table LAG is the
+    * audit: a report joining a fresh fact to a stale dimension is
+    * wrong in a way neither table shows alone.
+    *
+    * ## 100 TB notes
+    * Per table: one map-side-combined min/max/conditional-count
+    * aggregate over the pruned timestamp column; the skew join is
+    * 3 rows x 1 row. At scale the per-table aggregate reads footer
+    * statistics-sized data when the table is date-partitioned.
+    */
+  val q247FreshnessSkew: Q = Q(
+    "q247_freshness_skew",
+    (s, dir) => {
+      val dayUs = 86400000000L
+      def audit(df: DataFrame, name: String, tsUsCol: Column): DataFrame =
+        df.select(tsUsCol.as("t"))
+          .agg(count(lit(1)).as("n_rows"), max(col("t")).as("max_ts_us"))
+          .select(lit(name).as("table_name"), col("n_rows"),
+            col("max_ts_us"))
+      def tail30(df: DataFrame, name: String, tsUsCol: Column): DataFrame =
+        df.select(tsUsCol.as("t"))
+          .withColumn("mx", max(col("t")).over(Window.partitionBy(lit(1))))
+          .filter(col("t") > col("mx") - lit(30L * dayUs))
+          .agg(count(lit(1)).as("n_last_30d"))
+          .select(lit(name).as("table_name"), col("n_last_30d"))
+      def us(c: Column): Column =
+        unix_micros(c.cast("timestamp_ltz"))
+      val orders = Tables.load(s, dir, "orders")
+      val li = Tables.load(s, dir, "lineitem")
+      val ev = Tables.load(s, dir, "events")
+      val heads = audit(orders, "orders", us(col("o_orderdate")))
+        .unionByName(audit(li, "lineitem", us(col("l_shipdate"))))
+        .unionByName(audit(ev, "events", expr("ts div 1000")))
+      val tails = tail30(orders, "orders", us(col("o_orderdate")))
+        .unionByName(tail30(li, "lineitem", us(col("l_shipdate"))))
+        .unionByName(tail30(ev, "events", expr("ts div 1000")))
+      heads.join(tails, Seq("table_name"))
+        .withColumn("global_max",
+          max(col("max_ts_us")).over(Window.partitionBy(lit(1))))
+        .select(col("table_name"), col("n_rows"), col("max_ts_us"),
+          (col("global_max") - col("max_ts_us")).as("lag_us"),
+          col("n_last_30d"))
+        .orderBy(col("table_name"))
+    },
+    Some("""WITH o AS (SELECT 'orders' AS table_name, count(*) AS n_rows,
+                max(epoch_us(o_orderdate)) AS max_ts_us,
+                count(*) FILTER (epoch_us(o_orderdate) >
+                  (SELECT max(epoch_us(o_orderdate)) FROM orders)
+                    - 2592000000000) AS n_last_30d
+              FROM orders),
+            l AS (SELECT 'lineitem', count(*),
+                max(epoch_us(l_shipdate)),
+                count(*) FILTER (epoch_us(l_shipdate) >
+                  (SELECT max(epoch_us(l_shipdate)) FROM lineitem)
+                    - 2592000000000)
+              FROM lineitem),
+            e AS (SELECT 'events', count(*),
+                max(epoch_us(CAST(ts AS TIMESTAMP))),
+                count(*) FILTER (epoch_us(CAST(ts AS TIMESTAMP)) >
+                  (SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) FROM events)
+                    - 2592000000000)
+              FROM events),
+            u AS (SELECT * FROM o UNION ALL SELECT * FROM l
+                  UNION ALL SELECT * FROM e)
+            SELECT table_name, n_rows, max_ts_us,
+              (SELECT max(max_ts_us) FROM u) - max_ts_us AS lag_us,
+              n_last_30d
+            FROM u ORDER BY table_name"""))
+
   val all: Seq[Q] =
     Seq(q98PiiRedact, q99Scd2Snapshots, q100NfcNormalize, q101IntervalMerge,
       q104KAnonymity, q121PitEnrich, q126CdcApply, q164LDiversity,
       q178TCloseness, q195Scd2Invariants, q197DomainAudit,
       q198UniquenessAudit, q213RtbfAudit, q227InvoiceRecon,
-      q237ContentSignature, q243FdDiscovery)
+      q237ContentSignature, q243FdDiscovery, q247FreshnessSkew)
 }

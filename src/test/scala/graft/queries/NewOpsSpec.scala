@@ -2341,6 +2341,53 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("q247 freshness skew: lags against the freshest table, 30-day tails") {
+    withTempDir { dir =>
+      Seq((1L, "1995-01-01"), (2L, "1995-02-15"))
+        .toDF("o_orderkey", "d")
+        .withColumn("o_orderdate", to_timestamp(col("d")))
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      Seq((1L, "1995-03-01")).toDF("l_orderkey", "sd")
+        .withColumn("l_shipdate", to_timestamp(col("sd")))
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      // one event on 1995-01-10: 50 days behind lineitem's watermark
+      val day = 86400000000L
+      val jan10Us = java.time.LocalDate.parse("1995-01-10")
+        .toEpochDay * day
+      val mar01Us = java.time.LocalDate.parse("1995-03-01")
+        .toEpochDay * day
+      writeEvents(dir, Seq((1L, 1L, jan10Us * 1000L, "view", 0.0)))
+      val out = GovernanceQueries.q247FreshnessSkew.fn(spark, dir)
+        .select("table_name", "n_rows", "max_ts_us", "lag_us", "n_last_30d")
+        .as[(String, Long, Long, Long, Long)].collect().toList
+      out shouldBe List(
+        ("events", 1L, jan10Us, mar01Us - jan10Us, 1L),
+        ("lineitem", 1L, mar01Us, 0L, 1L),
+        ("orders", 2L, mar01Us - 14L * day, 14L * day, 1L))
+    }
+  }
+
+  test("q248 lead-lag xcorr: a shifted linear series correlates exactly at +1") {
+    withTempDir { dir =>
+      val d = 86400L * 1000000000L
+      // purchases 100/200/300 on days 0/1/2; errors 1/2/3 on days 1/2/3:
+      // err(d+1) is a perfect linear function of rev(d) -> r(+1) = 1
+      writeEvents(dir, Seq(
+        (1L, 1L, 0 * d, "purchase", 1.0),
+        (2L, 1L, 1 * d, "purchase", 2.0),
+        (3L, 1L, 2 * d, "purchase", 3.0),
+        (4L, 2L, 1 * d, "error", 0.0),
+        (5L, 2L, 2 * d, "error", 0.0), (6L, 3L, 2 * d, "error", 0.0),
+        (7L, 2L, 3 * d, "error", 0.0), (8L, 3L, 3 * d, "error", 0.0),
+        (9L, 4L, 3 * d, "error", 0.0)))
+      val byLag = EventQueries.q248LeadLagXcorr.fn(spark, dir)
+        .select("lag", "n_days", "r")
+        .as[(Long, Long, Option[Double])].collect().toList
+        .map(t => t._1 -> (t._2, t._3)).toMap
+      byLag(1L) shouldBe ((3L, Some(1.0)))
+    }
+  }
+
   test("q210 entry/exit/bounce: roles from session position, bounce = both") {
     withTempDir { dir =>
       val m = 60L * 1000000000L // one minute in ns
