@@ -4331,6 +4331,96 @@ object EventQueries {
                    ELSE NULL END AS r
             FROM m ORDER BY lag"""))
 
+  /** Time-weighted concurrency profile — q152 reports the single peak;
+    * capacity planning needs the DISTRIBUTION: how many microseconds
+    * did the system spend at each simultaneous-session level, and what
+    * are the time-weighted p50/p99? (A peak of 80 that lasted two
+    * seconds sizes very differently from a p99 of 60.) Sessions are
+    * q33's exact relation; the sweep is the classic event-boundary
+    * walk: +1/-1 deltas ordered by (time, delta) — ends before starts
+    * at the same instant, so touching sessions never double-count —
+    * running sum = level, each segment weighted by its exact µs
+    * duration, zero-duration tie segments weightless by construction.
+    * Quantiles are the discrete cumulative walk over the (level,
+    * duration) histogram: all exact integers.
+    *
+    * ## 100 TB notes
+    * Sessionization shuffles once on user_id; the boundary sweep is a
+    * GLOBAL ordered window over 2x|sessions| rows — the one genuinely
+    * serial step, same as q152, bounded by session count not events;
+    * at cluster scale this walk runs per time-shard with boundary
+    * levels carried between shards (prefix-sum decomposition).
+    */
+  val q251ConcurrencyProfile: Q = Q(
+    "q251_concurrency_profile",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us").asc, col("event_id").asc)
+      val newSession = when(
+        col("prev_us").isNull || (col("ts_us") - col("prev_us")) > GapUs, 1L)
+        .otherwise(0L)
+      val sess = ev.select(col("user_id"), col("event_id"),
+          tsUs.as("ts_us"))
+        .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+        .withColumn("is_new", newSession)
+        .withColumn("session_seq",
+          sum(col("is_new")).over(byUser.rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"))
+      val deltas = sess.select(col("start_us").as("t"), lit(1L).as("d"))
+        .unionAll(sess.select(col("end_us").as("t"), lit(-1L).as("d")))
+      val ord = Window.orderBy(col("t").asc, col("d").asc)
+      val segs = deltas
+        .withColumn("level", sum(col("d")).over(
+          ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("next_t", lead(col("t"), 1).over(ord))
+        .filter(col("next_t").isNotNull)
+        .select(col("level"), (col("next_t") - col("t")).as("dur"))
+      val hist = segs.groupBy(col("level"))
+        .agg(sum(col("dur")).as("dur_us"))
+      val wAll = Window.partitionBy(lit(1))
+      val cum = hist
+        .withColumn("cum", sum(col("dur_us")).over(
+          Window.orderBy(col("level"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", sum(col("dur_us")).over(wAll))
+      def pick(p: Double) =
+        min(when(col("cum") >= ceil(col("n") * p), col("level")))
+      cum.agg(max(col("n")).as("observed_us"),
+        max(col("level")).as("max_conc"),
+        pick(0.5).as("p50_conc"), pick(0.99).as("p99_conc"))
+    },
+    Some(s"""WITH $duckSessionCtes,
+             sb AS (SELECT user_id, session_seq, min(ts_us) AS start_us,
+                      max(ts_us) AS end_us
+                    FROM sess GROUP BY user_id, session_seq),
+             dl AS (SELECT start_us AS t, 1 AS d FROM sb
+                    UNION ALL SELECT end_us AS t, -1 AS d FROM sb),
+             sg AS (SELECT level, next_t - t AS dur FROM (
+                 SELECT t, CAST(sum(d) OVER (ORDER BY t ASC, d ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS level,
+                   lead(t) OVER (ORDER BY t ASC, d ASC) AS next_t
+                 FROM dl)
+               WHERE next_t IS NOT NULL),
+             h AS (SELECT level, CAST(sum(dur) AS BIGINT) AS dur_us
+                   FROM sg GROUP BY level),
+             cu AS (SELECT *,
+                 CAST(sum(dur_us) OVER (ORDER BY level
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum,
+                 CAST(sum(dur_us) OVER () AS BIGINT) AS n
+               FROM h)
+             SELECT CAST(max(n) AS BIGINT) AS observed_us,
+               max(level) AS max_conc,
+               min(CASE WHEN cum >= ceil(n * 0.5) THEN level END)
+                 AS p50_conc,
+               min(CASE WHEN cum >= ceil(n * 0.99) THEN level END)
+                 AS p99_conc
+             FROM cu"""))
+
   val all: Seq[Q] =
     Seq(q31HourlyFromJson, q32SlidingWindow, q33Sessionize, q34SessionWindow,
       q35EventFirst, q37AsofJoin, q38RangeJoin, q50AsofForward,
@@ -4352,6 +4442,6 @@ object EventQueries {
       q185SeqPatterns, q186DecileLift, q188SrmCheck, q192KsTest,
       q199PurgedCvFolds, q201CupedAudit, q210EntryExitBounce,
       q215TrigramPaths, q232TimeDecayAttribution, q233TransitionDwell,
-      q238ProcessConformance, q239DiffInDiff, q244DoubleFire, q248LeadLagXcorr)
+      q238ProcessConformance, q239DiffInDiff, q244DoubleFire, q248LeadLagXcorr, q251ConcurrencyProfile)
       .map(q => q.copy(streaming = streamingNames(q.name)))
 }

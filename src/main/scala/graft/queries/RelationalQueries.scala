@@ -3211,6 +3211,120 @@ object RelationalQueries {
           ORDER BY table_name, column_name"""
     })
 
+  /** OTIF (on-time-in-full) supplier scorecard — the supply-chain KPI
+    * procurement contracts are written against: a line scores when it
+    * ships within 30 days of the order AND is not returned. Bottom-10
+    * suppliers by OTIF ppm (ties by supplier key), each with volume,
+    * the two failure components separated (late vs returned — a
+    * supplier can fail either way, and the fix differs), and exact
+    * ppm. The worst-performer ranking, not the average, is what a
+    * supplier review meeting consumes.
+    *
+    * ## 100 TB notes
+    * One lineitem-orders join on orderkey (bucketable), one
+    * map-side-combined rollup on suppkey, bottom-10 via
+    * TakeOrderedAndProject. Day arithmetic is exact integers.
+    */
+  val q249OtifScore: Q = Q(
+    "q249_otif_score",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"),
+          (unix_micros(col("l_shipdate").cast("timestamp_ltz"))
+            / lit(86400000000L)).cast("long").as("ship_day"))
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"),
+          (unix_micros(col("o_orderdate").cast("timestamp_ltz"))
+            / lit(86400000000L)).cast("long").as("order_day"))
+      val scored = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey"),
+          (col("ship_day") - col("order_day") <= 30).as("on_time"),
+          (col("l_returnflag") =!= "R").as("in_full"))
+      scored.groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(col("on_time") && col("in_full"), 1L).otherwise(0L))
+            .as("n_otif"),
+          sum(when(!col("on_time"), 1L).otherwise(0L)).as("n_late"),
+          sum(when(!col("in_full"), 1L).otherwise(0L)).as("n_returned"))
+        .withColumn("otif_ppm", expr("n_otif * 1000000 div n_lines"))
+        .orderBy(col("otif_ppm").asc, col("l_suppkey").asc)
+        .limit(10)
+    },
+    Some("""WITH sc AS (SELECT l_suppkey,
+                (epoch_us(l_shipdate) // 86400000000
+                 - epoch_us(o_orderdate) // 86400000000) <= 30 AS on_time,
+                l_returnflag != 'R' AS in_full
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+            g AS (SELECT l_suppkey, count(*) AS n_lines,
+                CAST(sum(CASE WHEN on_time AND in_full THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_otif,
+                CAST(sum(CASE WHEN NOT on_time THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_late,
+                CAST(sum(CASE WHEN NOT in_full THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_returned
+              FROM sc GROUP BY l_suppkey)
+            SELECT l_suppkey, n_lines, n_otif, n_late, n_returned,
+              n_otif * 1000000 // n_lines AS otif_ppm
+            FROM g ORDER BY otif_ppm ASC, l_suppkey ASC LIMIT 10"""))
+
+  /** Revenue bridge — the finance waterfall from list revenue to net:
+    * gross extended price, minus the discount given, plus the tax
+    * collected, equals net invoiced — four component rows with exact
+    * decimal cents and each component's share of gross (one double
+    * division). The bridge's internal consistency (gross - discount +
+    * tax = net TO THE CENT) is itself part of the check: each
+    * component is rounded IN DECIMAL from its own exact accumulation,
+    * and the net row is computed from the same per-row product the
+    * invoice reconciliation (q227) uses, so the bridge and the
+    * reconciliation can never quietly diverge.
+    *
+    * ## 100 TB notes
+    * One scan, one 1-row aggregate with four decimal accumulators —
+    * map-side combined, nothing else.
+    */
+  val q250RevenueBridge: Q = Q(
+    "q250_revenue_bridge",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      def cents(c: Column) =
+        (round(sum(c.cast("decimal(30,10)")), 2) * 100).cast("long")
+      val m = li.agg(
+        cents(col("l_extendedprice")).as("gross"),
+        cents(col("l_extendedprice") * col("l_discount")).as("discount"),
+        cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+          col("l_tax")).as("tax"),
+        cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+          (lit(1.0) + col("l_tax"))).as("net"))
+      val rows = Seq(
+        ("a_gross", col("gross")), ("b_discount", col("discount")),
+        ("c_tax", col("tax")), ("d_net", col("net")))
+      rows.map { case (name, c) =>
+        m.select(lit(name).as("component"), c.as("cents"),
+          (c.cast("double") / col("gross").cast("double"))
+            .as("share_of_gross"))
+      }.reduce(_ unionByName _).orderBy(col("component"))
+    },
+    Some("""WITH m AS (SELECT
+                CAST(round(sum(CAST(l_extendedprice AS DECIMAL(30,10))), 2)
+                  * 100 AS BIGINT) AS gross,
+                CAST(round(sum(CAST(l_extendedprice * l_discount
+                  AS DECIMAL(30,10))), 2) * 100 AS BIGINT) AS discount,
+                CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                  * l_tax AS DECIMAL(30,10))), 2) * 100 AS BIGINT) AS tax,
+                CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                  * (1.0 + l_tax) AS DECIMAL(30,10))), 2) * 100 AS BIGINT)
+                  AS net
+              FROM lineitem)
+            SELECT component, cents,
+              CAST(cents AS DOUBLE) / CAST(gross AS DOUBLE)
+                AS share_of_gross
+            FROM (SELECT 'a_gross' AS component, gross AS cents, gross
+                    FROM m
+                  UNION ALL SELECT 'b_discount', discount, gross FROM m
+                  UNION ALL SELECT 'c_tax', tax, gross FROM m
+                  UNION ALL SELECT 'd_net', net, gross FROM m)
+            ORDER BY component"""))
+
   val all: Seq[Q] = Seq(q06JoinDims, q07StarRevenue, q08SemiJoin, q09AntiJoin,
     q10AggStats, q11Rollup, q12DistinctExact, q13WindowTopK, q14RunningSum,
     q15Pivot, q16SetOps, q17GlobalTopN, q40QuantilesDisc, q41Moments,
@@ -3225,5 +3339,6 @@ object RelationalQueries {
     q212PurchaseGaps, q214AbcClasses, q216AnovaDow, q217SupplierHhi,
     q222PopBaseline, q223QuantileInterp, q224GiniMeanDiff, q225ReturnRate,
     q226ShipSla, q229SeasonalDecomp, q230TargetEncoding, q235DrillAcross,
-    q236FanoutProfile, q245ForecastBacktest, q246FillRate)
+    q236FanoutProfile, q245ForecastBacktest, q246FillRate, q249OtifScore,
+    q250RevenueBridge)
 }

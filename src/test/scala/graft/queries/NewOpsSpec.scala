@@ -2388,6 +2388,58 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("q249 otif score: late and returned failures separated, worst first") {
+    withTempDir { dir =>
+      Seq((1L, "1995-01-01")).toDF("o_orderkey", "d")
+        .withColumn("o_orderdate", to_timestamp(col("d")))
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      // s1: one OTIF line + one late; s2: one returned -> s2 ranks worst
+      Seq((1L, 1L, "N", "1995-01-11"), (1L, 1L, "N", "1995-02-10"),
+        (1L, 2L, "R", "1995-01-06"))
+        .toDF("l_orderkey", "l_suppkey", "l_returnflag", "sd")
+        .withColumn("l_shipdate", to_timestamp(col("sd")))
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      val out = RelationalQueries.q249OtifScore.fn(spark, dir)
+        .select("l_suppkey", "n_lines", "n_otif", "n_late", "n_returned",
+          "otif_ppm")
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toList
+      out shouldBe List(
+        (2L, 1L, 0L, 0L, 1L, 0L),
+        (1L, 2L, 1L, 1L, 0L, 500000L))
+    }
+  }
+
+  test("q250 revenue bridge: hand-decomposed gross/discount/tax/net") {
+    withTempDir { dir =>
+      Seq((1L, 100.0, 0.1, 0.2))
+        .toDF("l_orderkey", "l_extendedprice", "l_discount", "l_tax")
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      val out = RelationalQueries.q250RevenueBridge.fn(spark, dir)
+        .select("component", "cents", "share_of_gross")
+        .as[(String, Long, Double)].collect().toList
+      out shouldBe List(
+        ("a_gross", 10000L, 1.0), ("b_discount", 1000L, 0.1),
+        ("c_tax", 1800L, 0.18), ("d_net", 10800L, 1.08))
+    }
+  }
+
+  test("q251 concurrency profile: time-weighted levels from the boundary sweep") {
+    withTempDir { dir =>
+      val m = 60L * 1000000000L
+      // u1 session [0, 10 min]; u3 session [2, 8 min]; u2 point session
+      // at 5 min (zero duration -- weightless). Level 2 holds 6 of the
+      // 10 observed minutes -> p50 = p99 = max = 2
+      writeEvents(dir, Seq(
+        (1L, 1L, 0 * m, "a", 0.0), (2L, 1L, 10 * m, "a", 0.0),
+        (3L, 3L, 2 * m, "a", 0.0), (4L, 3L, 8 * m, "a", 0.0),
+        (5L, 2L, 5 * m, "a", 0.0)))
+      val out = EventQueries.q251ConcurrencyProfile.fn(spark, dir)
+        .select("observed_us", "max_conc", "p50_conc", "p99_conc")
+        .as[(Long, Long, Long, Long)].collect().toList
+      out shouldBe List((600000000L, 2L, 2L, 2L))
+    }
+  }
+
   test("q210 entry/exit/bounce: roles from session position, bounce = both") {
     withTempDir { dir =>
       val m = 60L * 1000000000L // one minute in ns
