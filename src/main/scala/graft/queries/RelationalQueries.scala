@@ -3325,6 +3325,124 @@ object RelationalQueries {
                   UNION ALL SELECT 'd_net', net, gross FROM m)
             ORDER BY component"""))
 
+  /** Basket economics — the merchandising table relating basket SIZE to
+    * basket VALUE: per lines-per-order bucket, how many orders, their
+    * share, and the average order value (exact decimal line-revenue
+    * sums; one division per row). Whether AOV grows sub- or
+    * super-linearly with basket size is the "add one more item"
+    * upsell economics, and reading it needs the joint table, not two
+    * marginals.
+    *
+    * ## 100 TB notes
+    * One shuffle on orderkey builds per-order (size, cents); the
+    * bucket rollup is map-side combined on a tiny key; the share
+    * window runs over the bucket aggregate.
+    */
+  val q252BasketEconomics: Q = Q(
+    "q252_basket_economics",
+    (s, dir) => {
+      val perOrder = Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(floor(col("l_extendedprice") * 100).cast("long")).as("cents"))
+      val buckets = perOrder.groupBy(col("n_lines"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("cents"))
+      buckets
+        .withColumn("total_orders",
+          sum(col("n_orders")).over(Window.partitionBy(lit(1))))
+        .select(col("n_lines"), col("n_orders"),
+          (col("n_orders").cast("double") /
+            col("total_orders").cast("double")).as("order_share"),
+          (col("cents").cast("double") / col("n_orders").cast("double"))
+            .as("avg_order_cents"))
+        .orderBy(col("n_lines"))
+    },
+    Some("""WITH po AS (SELECT l_orderkey, count(*) AS n_lines,
+                CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+              FROM lineitem GROUP BY l_orderkey),
+            b AS (SELECT n_lines, count(*) AS n_orders,
+                CAST(sum(cents) AS BIGINT) AS cents
+              FROM po GROUP BY n_lines)
+            SELECT n_lines, n_orders,
+              CAST(n_orders AS DOUBLE)
+                / CAST(sum(n_orders) OVER () AS DOUBLE) AS order_share,
+              CAST(cents AS DOUBLE) / CAST(n_orders AS DOUBLE)
+                AS avg_order_cents
+            FROM b ORDER BY n_lines"""))
+
+  /** Cumulative-deviation drawdown — the deepest sustained
+    * under-performance stretch: scale daily revenue deviation from the
+    * overall mean by n (s_d = n*cents_d - S, exact — no division), walk
+    * its cumulative sum, and report the maximum peak-to-trough drop
+    * and its trough day (earliest on ties — total-order election). Plain cumulative revenue never decreases, so drawdown
+    * needs the deviation series; the result reads as "from its best
+    * relative position, the business fell this many n-scaled cents
+    * behind the average run-rate by trough_day". All
+    * exact BIGINTs.
+    *
+    * ## 100 TB notes
+    * The daily rollup is the only data-scale pass; cumulative sum,
+    * running max, and the argmax election run over the |days|
+    * aggregate. Same prefix-sum decomposition note as q251 at cluster
+    * scale.
+    */
+  val q253DeviationDrawdown: Q = Q(
+    "q253_deviation_drawdown",
+    (s, dir) => {
+      val daily = Tables.load(s, dir, "orders")
+        .groupBy((unix_micros(col("o_orderdate").cast("timestamp_ltz"))
+          / lit(86400000000L)).cast("long").as("day"))
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val wAll = Window.partitionBy(lit(1))
+      val ord = Window.orderBy(col("day").asc)
+      val dev = daily
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("s", sum(col("cents")).over(wAll))
+        .withColumn("c", sum(D38(col("cents")) * D38(col("n")) -
+          D38(col("s"))).over(
+          ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val withPeak = dev
+        .withColumn("peak", max(col("c")).over(
+          ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("dd", col("peak") - col("c"))
+      withPeak
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("dd").desc, col("day").asc)))
+        .filter(col("rn") === 1)
+        .select(col("n").as("n_days"),
+          col("dd").cast("decimal(38,0)").cast("double")
+            .as("max_drawdown_ncents"),
+          col("day").as("trough_day"))
+    },
+    Some("""WITH daily AS (SELECT epoch_us(o_orderdate) // 86400000000
+                  AS day,
+                CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+              FROM orders GROUP BY 1),
+            g AS (SELECT day, cents,
+                count(*) OVER () AS n,
+                CAST(sum(cents) OVER () AS BIGINT) AS s
+              FROM daily),
+            c AS (SELECT day, n,
+                sum(CAST(cents AS HUGEINT) * n - s) OVER (ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+              FROM g),
+            p AS (SELECT day, n, c,
+                max(c) OVER (ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+              FROM c),
+            d AS (SELECT day, n, peak - c AS dd,
+                row_number() OVER (ORDER BY peak - c DESC, day ASC) AS rn
+              FROM p)
+            SELECT CAST(n AS BIGINT) AS n_days,
+              CAST(dd AS DOUBLE) AS max_drawdown_ncents,
+              day AS trough_day
+            FROM d WHERE rn = 1"""))
+
+  /** decimal(38,0) cast shared by the drawdown walk. */
+  private def D38(c: Column): Column = c.cast("decimal(38,0)")
+
   val all: Seq[Q] = Seq(q06JoinDims, q07StarRevenue, q08SemiJoin, q09AntiJoin,
     q10AggStats, q11Rollup, q12DistinctExact, q13WindowTopK, q14RunningSum,
     q15Pivot, q16SetOps, q17GlobalTopN, q40QuantilesDisc, q41Moments,
@@ -3340,5 +3458,5 @@ object RelationalQueries {
     q222PopBaseline, q223QuantileInterp, q224GiniMeanDiff, q225ReturnRate,
     q226ShipSla, q229SeasonalDecomp, q230TargetEncoding, q235DrillAcross,
     q236FanoutProfile, q245ForecastBacktest, q246FillRate, q249OtifScore,
-    q250RevenueBridge)
+    q250RevenueBridge, q252BasketEconomics, q253DeviationDrawdown)
 }

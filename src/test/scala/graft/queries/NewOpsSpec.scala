@@ -2440,6 +2440,34 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("q252 basket economics: joint size-value table with shares") {
+    withTempDir { dir =>
+      Seq((1L, 1.00), (2L, 2.00), (2L, 3.00))
+        .toDF("l_orderkey", "l_extendedprice")
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      val out = RelationalQueries.q252BasketEconomics.fn(spark, dir)
+        .select("n_lines", "n_orders", "order_share", "avg_order_cents")
+        .as[(Long, Long, Double, Double)].collect().toList
+      out shouldBe List((1L, 1L, 0.5, 100.0), (2L, 1L, 0.5, 500.0))
+    }
+  }
+
+  test("q253 deviation drawdown: hand-walked cumulative deviation") {
+    withTempDir { dir =>
+      // cents 100,100,40,160: n-scaled deviations 0,0,-240,240 ->
+      // cumulative 0,0,-240,0 -> max drawdown 240 at day 2
+      Seq((1L, "1970-01-01", 1.00), (2L, "1970-01-02", 1.00),
+        (3L, "1970-01-03", 0.40), (4L, "1970-01-04", 1.60))
+        .toDF("o_orderkey", "d", "o_totalprice")
+        .withColumn("o_orderdate", to_timestamp(col("d")))
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      val out = RelationalQueries.q253DeviationDrawdown.fn(spark, dir)
+        .select("n_days", "max_drawdown_ncents", "trough_day")
+        .as[(Long, Double, Long)].collect().toList
+      out shouldBe List((4L, 240.0, 2L))
+    }
+  }
+
   test("q210 entry/exit/bounce: roles from session position, bounce = both") {
     withTempDir { dir =>
       val m = 60L * 1000000000L // one minute in ns
