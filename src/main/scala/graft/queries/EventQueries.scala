@@ -4421,6 +4421,51 @@ object EventQueries {
                  AS p99_conc
              FROM cu"""))
 
+  /** Activity heatmap — the dow x hour event matrix every ops dashboard
+    * leads with: per (weekday, hour-of-day) cell, event count, share of
+    * all events, and a peak flag on the single busiest cell (total-
+    * order election: count desc, then dow, then hour — so exactly one
+    * row carries true on both engines). Weekday from pure epoch-day
+    * arithmetic (Sunday=0, as q229); hour from exact integer division.
+    * The heatmap is how staffing and maintenance windows get chosen;
+    * the peak flag is the one cell you never deploy during.
+    *
+    * ## 100 TB notes
+    * One map-side-combined aggregate on a 168-cell key; the share and
+    * peak windows run over those 168 rows. Scan-bound.
+    */
+  val q254ActivityHeatmap: Q = Q(
+    "q254_activity_heatmap",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val cells = ev.select(
+          pmod(expr("(ts div 1000) div 86400000000") + 4, lit(7)).as("dow"),
+          expr("((ts div 1000) div 3600000000) % 24").as("hour"))
+        .groupBy(col("dow"), col("hour"))
+        .agg(count(lit(1)).as("n_events"))
+      val wAll = Window.partitionBy(lit(1))
+      cells
+        .withColumn("total", sum(col("n_events")).over(wAll))
+        .withColumn("rn", row_number().over(Window.orderBy(
+          col("n_events").desc, col("dow").asc, col("hour").asc)))
+        .select(col("dow"), col("hour"), col("n_events"),
+          (col("n_events").cast("double") / col("total").cast("double"))
+            .as("share"),
+          (col("rn") === 1).as("is_peak"))
+        .orderBy(col("dow"), col("hour"))
+    },
+    Some(s"""WITH c AS (SELECT
+                (${duckUs("ts")} // 86400000000 + 4) % 7 AS dow,
+                (${duckUs("ts")} // 3600000000) % 24 AS hour,
+                count(*) AS n_events
+              FROM events GROUP BY 1, 2)
+             SELECT dow, hour, n_events,
+               CAST(n_events AS DOUBLE)
+                 / CAST(sum(n_events) OVER () AS DOUBLE) AS share,
+               row_number() OVER (ORDER BY n_events DESC, dow ASC,
+                 hour ASC) = 1 AS is_peak
+             FROM c ORDER BY dow, hour"""))
+
   val all: Seq[Q] =
     Seq(q31HourlyFromJson, q32SlidingWindow, q33Sessionize, q34SessionWindow,
       q35EventFirst, q37AsofJoin, q38RangeJoin, q50AsofForward,
@@ -4442,6 +4487,6 @@ object EventQueries {
       q185SeqPatterns, q186DecileLift, q188SrmCheck, q192KsTest,
       q199PurgedCvFolds, q201CupedAudit, q210EntryExitBounce,
       q215TrigramPaths, q232TimeDecayAttribution, q233TransitionDwell,
-      q238ProcessConformance, q239DiffInDiff, q244DoubleFire, q248LeadLagXcorr, q251ConcurrencyProfile)
+      q238ProcessConformance, q239DiffInDiff, q244DoubleFire, q248LeadLagXcorr, q251ConcurrencyProfile, q254ActivityHeatmap)
       .map(q => q.copy(streaming = streamingNames(q.name)))
 }

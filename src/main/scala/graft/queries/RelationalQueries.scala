@@ -3443,6 +3443,79 @@ object RelationalQueries {
   /** decimal(38,0) cast shared by the drawdown walk. */
   private def D38(c: Column): Column = c.cast("decimal(38,0)")
 
+  /** New-vs-returning revenue mix by month — the growth-quality lens on
+    * the revenue curve: per order month, how much revenue came from
+    * customers in their FIRST month versus established ones, with
+    * exact-decimal cents and the new-revenue share (one division)?
+    * q154 tracks USER states and q209 follows cohorts forward; this is
+    * the composition read across the calendar — flat revenue with a
+    * shrinking new-share is a retention business aging, the same
+    * topline with a growing new-share is a leaky funnel buying growth.
+    *
+    * ## 100 TB notes
+    * One shuffle on o_custkey derives first months (map-side-combined
+    * min); the self-join back rides the same key under AQE; the month
+    * rollup is map-side combined.
+    */
+  val q255NewVsReturning: Q = Q(
+    "q255_new_vs_returning",
+    (s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+        .select(col("o_custkey"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+            .cast("long").as("ym"),
+          col("o_totalprice"))
+      val first = orders.groupBy(col("o_custkey"))
+        .agg(min(col("ym")).as("first_ym"))
+      def cents(c: Column) =
+        (round(sum(c.cast("decimal(30,10)")), 2) * 100).cast("long")
+      orders.join(first, Seq("o_custkey"))
+        .withColumn("is_new", col("ym") === col("first_ym"))
+        .groupBy(col("ym"))
+        .agg(countDistinct(when(col("is_new"), col("o_custkey")))
+            .as("n_new_cust"),
+          countDistinct(when(!col("is_new"), col("o_custkey")))
+            .as("n_ret_cust"),
+          cents(when(col("is_new"), col("o_totalprice")).otherwise(0.0))
+            .as("new_cents"),
+          cents(when(!col("is_new"), col("o_totalprice")).otherwise(0.0))
+            .as("ret_cents"))
+        .select(col("ym"), col("n_new_cust"), col("n_ret_cust"),
+          col("new_cents"), col("ret_cents"),
+          (col("new_cents").cast("double") /
+            (col("new_cents") + col("ret_cents")).cast("double"))
+            .as("new_share"))
+        .orderBy(col("ym"))
+    },
+    Some("""WITH o AS (SELECT o_custkey,
+                CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+                  AS BIGINT) AS ym,
+                o_totalprice FROM orders),
+            f AS (SELECT o_custkey, min(ym) AS first_ym
+                  FROM o GROUP BY o_custkey),
+            j AS (SELECT o.ym, o.o_custkey, o_totalprice,
+                    o.ym = first_ym AS is_new
+                  FROM o JOIN f ON o.o_custkey = f.o_custkey)
+            SELECT ym,
+              count(DISTINCT CASE WHEN is_new THEN o_custkey END)
+                AS n_new_cust,
+              count(DISTINCT CASE WHEN NOT is_new THEN o_custkey END)
+                AS n_ret_cust,
+              CAST(round(sum(CAST(CASE WHEN is_new THEN o_totalprice
+                ELSE 0.0 END AS DECIMAL(30,10))), 2) * 100 AS BIGINT)
+                AS new_cents,
+              CAST(round(sum(CAST(CASE WHEN NOT is_new THEN o_totalprice
+                ELSE 0.0 END AS DECIMAL(30,10))), 2) * 100 AS BIGINT)
+                AS ret_cents,
+              CAST(round(sum(CAST(CASE WHEN is_new THEN o_totalprice
+                ELSE 0.0 END AS DECIMAL(30,10))), 2) * 100 AS DOUBLE)
+                / CAST(round(sum(CAST(CASE WHEN is_new THEN o_totalprice
+                    ELSE 0.0 END AS DECIMAL(30,10))), 2) * 100
+                  + round(sum(CAST(CASE WHEN NOT is_new THEN o_totalprice
+                    ELSE 0.0 END AS DECIMAL(30,10))), 2) * 100 AS DOUBLE)
+                AS new_share
+            FROM j GROUP BY ym ORDER BY ym"""))
+
   val all: Seq[Q] = Seq(q06JoinDims, q07StarRevenue, q08SemiJoin, q09AntiJoin,
     q10AggStats, q11Rollup, q12DistinctExact, q13WindowTopK, q14RunningSum,
     q15Pivot, q16SetOps, q17GlobalTopN, q40QuantilesDisc, q41Moments,
@@ -3458,5 +3531,6 @@ object RelationalQueries {
     q222PopBaseline, q223QuantileInterp, q224GiniMeanDiff, q225ReturnRate,
     q226ShipSla, q229SeasonalDecomp, q230TargetEncoding, q235DrillAcross,
     q236FanoutProfile, q245ForecastBacktest, q246FillRate, q249OtifScore,
-    q250RevenueBridge, q252BasketEconomics, q253DeviationDrawdown)
+    q250RevenueBridge, q252BasketEconomics, q253DeviationDrawdown,
+    q255NewVsReturning)
 }

@@ -2468,6 +2468,44 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("q254 activity heatmap: one total-order peak cell, exact shares") {
+    withTempDir { dir =>
+      val h = 3600L * 1000000000L
+      val day3 = 3L * 24 * h // epoch day 3 is a Sunday (dow 0)
+      val day4 = 4L * 24 * h
+      writeEvents(dir, Seq(
+        (1L, 1L, day3 + 5 * h, "a", 0.0),
+        (2L, 2L, day3 + 5 * h, "a", 0.0),
+        (3L, 3L, day3 + 5 * h, "a", 0.0),
+        (4L, 1L, day4 + 5 * h, "a", 0.0)))
+      val out = EventQueries.q254ActivityHeatmap.fn(spark, dir)
+        .select("dow", "hour", "n_events", "share", "is_peak")
+        .as[(Long, Long, Long, Double, Boolean)].collect().toList
+      out shouldBe List(
+        (0L, 5L, 3L, 0.75, true),
+        (1L, 5L, 1L, 0.25, false))
+    }
+  }
+
+  test("q255 new vs returning: first-month revenue split with exact cents") {
+    withTempDir { dir =>
+      // c1: Jan (new) then Mar (returning); c2: Mar (new)
+      Seq((1L, 1L, "1995-01-15", 100.0), (2L, 1L, "1995-03-10", 50.0),
+        (3L, 2L, "1995-03-20", 200.0))
+        .toDF("o_orderkey", "o_custkey", "d", "o_totalprice")
+        .withColumn("o_orderdate", to_timestamp(col("d")))
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      val out = RelationalQueries.q255NewVsReturning.fn(spark, dir)
+        .select("ym", "n_new_cust", "n_ret_cust", "new_cents", "ret_cents",
+          "new_share")
+        .as[(Long, Long, Long, Long, Long, Double)].collect().toList
+      val jan = 1995L * 12
+      out shouldBe List(
+        (jan, 1L, 0L, 10000L, 0L, 1.0),
+        (jan + 2, 1L, 1L, 20000L, 5000L, 0.8))
+    }
+  }
+
   test("q210 entry/exit/bounce: roles from session position, bounce = both") {
     withTempDir { dir =>
       val m = 60L * 1000000000L // one minute in ns
