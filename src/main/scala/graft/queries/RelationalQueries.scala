@@ -3516,6 +3516,81 @@ object RelationalQueries {
                 AS new_share
             FROM j GROUP BY ym ORDER BY ym"""))
 
+  /** Brand-concentration trend — q217's HHI with a time axis: per
+    * order YEAR, the Herfindahl index of revenue across part brands,
+    * plus the year's top brand (total-order election) and its share.
+    * A rising series is consolidation (fewer brands carrying the
+    * shelf), a falling one is fragmentation — the trend is the signal,
+    * and a single-point HHI cannot show it. Same no-float-shares
+    * discipline as q217: exact cents, decimal(38,0) squared sums, one
+    * division per row.
+    *
+    * ## 100 TB notes
+    * lineitem joins orders (orderkey, bucketable) and part (dimension,
+    * AQE-broadcast); the (year, brand) rollup is map-side combined;
+    * the HHI moment rollup and top-brand election run over the
+    * years x brands aggregate — driver-scale.
+    */
+  val q256HhiTrend: Q = Q(
+    "q256_hhi_trend",
+    (s, dir) => {
+      def D(c: Column) = c.cast("decimal(38,0)")
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"),
+          floor(col("l_extendedprice") * 100).cast("long").as("cents"))
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), year(col("o_orderdate")).as("yr"))
+      val part = Tables.load(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))
+      val cells = li
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(part, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("yr"), col("p_brand"))
+        .agg(sum(col("cents")).as("cents"))
+      val elect = Window.partitionBy(col("yr"))
+        .orderBy(col("cents").desc, col("p_brand").asc)
+      val top = cells.withColumn("rn", row_number().over(elect))
+        .filter(col("rn") === 1)
+        .select(col("yr"), col("p_brand").as("top_brand"),
+          col("cents").as("top_cents"))
+      val m = cells.groupBy(col("yr"))
+        .agg(count(lit(1)).as("n_brands"), sum(col("cents")).as("total"),
+          sum(D(col("cents")) * D(col("cents"))).as("sumsq"))
+      m.join(top, Seq("yr"))
+        .select(col("yr").cast("long").as("yr"), col("n_brands"),
+          col("total").as("total_cents"), col("top_brand"),
+          (col("top_cents").cast("double") / col("total").cast("double"))
+            .as("top_share"),
+          (col("sumsq").cast("double") /
+            (col("total").cast("double") * col("total").cast("double")))
+            .as("hhi"))
+        .orderBy(col("yr"))
+    },
+    Some("""WITH cells AS (SELECT year(o_orderdate) AS yr, p_brand,
+                CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                            JOIN part ON l_partkey = p_partkey
+              GROUP BY 1, 2),
+            t AS (SELECT yr, p_brand AS top_brand, cents AS top_cents
+                  FROM (SELECT *, row_number() OVER (PARTITION BY yr
+                          ORDER BY cents DESC, p_brand ASC) AS rn
+                        FROM cells)
+                  WHERE rn = 1),
+            m AS (SELECT yr, count(*) AS n_brands,
+                CAST(sum(cents) AS BIGINT) AS total_cents,
+                sum(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT))
+                  AS sumsq
+              FROM cells GROUP BY yr)
+            SELECT CAST(m.yr AS BIGINT) AS yr, n_brands, total_cents,
+              top_brand,
+              CAST(top_cents AS DOUBLE) / CAST(total_cents AS DOUBLE)
+                AS top_share,
+              CAST(sumsq AS DOUBLE)
+                / (CAST(total_cents AS DOUBLE) * CAST(total_cents AS DOUBLE))
+                AS hhi
+            FROM m JOIN t ON m.yr = t.yr ORDER BY yr"""))
+
   val all: Seq[Q] = Seq(q06JoinDims, q07StarRevenue, q08SemiJoin, q09AntiJoin,
     q10AggStats, q11Rollup, q12DistinctExact, q13WindowTopK, q14RunningSum,
     q15Pivot, q16SetOps, q17GlobalTopN, q40QuantilesDisc, q41Moments,
@@ -3532,5 +3607,5 @@ object RelationalQueries {
     q226ShipSla, q229SeasonalDecomp, q230TargetEncoding, q235DrillAcross,
     q236FanoutProfile, q245ForecastBacktest, q246FillRate, q249OtifScore,
     q250RevenueBridge, q252BasketEconomics, q253DeviationDrawdown,
-    q255NewVsReturning)
+    q255NewVsReturning, q256HhiTrend)
 }

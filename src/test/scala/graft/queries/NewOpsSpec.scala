@@ -2506,6 +2506,29 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("q256 hhi trend: per-year concentration with a total-order top brand") {
+    withTempDir { dir =>
+      Seq((1L, "B1"), (2L, "B2")).toDF("p_partkey", "p_brand")
+        .write.mode("overwrite").parquet(s"$dir/part.parquet")
+      Seq((1L, "1995-06-01"), (2L, "1996-06-01"))
+        .toDF("o_orderkey", "d")
+        .withColumn("o_orderdate", to_timestamp(col("d")))
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      // 1995: B1=300, B2=100 -> HHI 0.625, top B1 0.75;
+      // 1996: B2 only -> monopoly
+      Seq((1L, 1L, 3.00), (1L, 2L, 1.00), (2L, 2L, 1.00))
+        .toDF("l_orderkey", "l_partkey", "l_extendedprice")
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      val out = RelationalQueries.q256HhiTrend.fn(spark, dir)
+        .select("yr", "n_brands", "total_cents", "top_brand", "top_share",
+          "hhi")
+        .as[(Long, Long, Long, String, Double, Double)].collect().toList
+      out shouldBe List(
+        (1995L, 2L, 400L, "B1", 0.75, 0.625),
+        (1996L, 1L, 100L, "B2", 1.0, 1.0))
+    }
+  }
+
   test("q210 entry/exit/bounce: roles from session position, bounce = both") {
     withTempDir { dir =>
       val m = 60L * 1000000000L // one minute in ns
