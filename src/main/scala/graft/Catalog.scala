@@ -19,7 +19,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - timestamps are emitted as epoch microseconds (BIGINT) or
   *     formatted strings, never raw timestamp columns;
   *   - aggregate counts use count(...) on both sides (DuckDB sum(int)
-  *     widens to HUGEINT, which would break schema comparison).
+  *     widens to HUGEINT, which would break schema comparison);
+  *   - NO arithmetic on precision-saturated decimals: once a decimal
+  *     hits the p=38 cap (any sum of decimal(p>=28,s) does), every
+  *     further multiply/compare sits exactly where Spark's
+  *     precision-loss rules and a DuckDB version's DOUBLE promotion
+  *     can disagree (the q175 lesson: `cum * 2 >= tot` on DECIMAL(38,2)
+  *     flipped an exact tie at the driver). Wherever a comparison or
+  *     output VALUE depends on the result, do the exact work in
+  *     integer units instead — BIGINT cents / centi-units / epoch-µs
+  *     (q155/q175 discipline); wide decimals may only be summed and
+  *     emitted, never multiplied or compared against each other.
   */
 object Catalog {
   type QueryFn = (SparkSession, String) => DataFrame

@@ -1143,7 +1143,12 @@ object DedupQueries {
     * (sorted, comma-joined — the provenance trail), distinct-source
     * count, and the id span. Every column is deterministic: the
     * election is a total-order row_number and the source list is
-    * sorted before joining.
+    * sorted before joining. NULL-text docs are filtered out BEFORE
+    * fingerprinting on both engines: Spark's md5(NULL) is NULL and
+    * Window.partitionBy groups all NULL fps into one bogus cluster
+    * (a semantically wrong merge of unrelated docs), while DuckDB's
+    * equi-join `e.fp = g.fp` silently drops the NULL group — a latent
+    * engine/oracle divergence the filter removes identically.
     *
     * ## 100 TB notes
     * One shuffle on the fingerprint does everything: election window,
@@ -1156,6 +1161,7 @@ object DedupQueries {
     "q207_golden_record",
     (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
+        .filter(col("text").isNotNull)
         .select(col("doc_id"), col("source"), col("n_chars"),
           md5(array_join(
             slice(split(trim(lower(col("text"))), " "), 1, 5), " "))
@@ -1180,7 +1186,7 @@ object DedupQueries {
     Some("""WITH d AS (SELECT doc_id, source, n_chars,
                 md5(array_to_string(
                   string_split(trim(lower(text)), ' ')[1:5], ' ')) AS fp
-              FROM documents),
+              FROM documents WHERE text IS NOT NULL),
             g AS (SELECT fp, count(*) AS n_members,
                     count(DISTINCT source) AS n_sources,
                     string_agg(DISTINCT source, ',' ORDER BY source)
@@ -1386,8 +1392,11 @@ object DedupQueries {
     * unbiased Jaccard estimator) against the EXACT shingle Jaccard,
     * and report the error profile per exact-Jaccard decile: pair
     * count, mean estimate (decimal-summed), mean signed error, and the
-    * worst absolute error in estimator units (sixteenths — an exact
-    * integer, so "max error" is not itself an estimate). This is the
+    * worst absolute error in 256ths (`|n_match*16 - floor(jacc*256)|`:
+    * the estimator is exact in 256ths, but flooring the true Jaccard
+    * onto the same 1/256 grid quantizes it, so the reported max error
+    * carries up to 1/256 of quantization slack — a bound, not an exact
+    * residual; integer and deterministic on both engines). This is the
     * table that justifies (or indicts) 16 permutations: theory says
     * sd ~ sqrt(J(1-J)/16) ~ 0.12 at J=0.5; the audit shows what the
     * corpus actually does.

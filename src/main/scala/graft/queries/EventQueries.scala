@@ -3917,9 +3917,13 @@ object EventQueries {
     * touch and purchase, the standard recency model. And it needs NO
     * floats: with a 24 h lookback the weight is the exact integer
     * 2^(24 - age_hours), so each touch's credit is
-    * cents * 10^6 * w div sum(w) — all BIGINT (max fixture cents
-    * 5.7e4 x 10^6 x 2^24 ~ 9.4e17, inside int64 with headroom), the
-    * same exact micro-credit discipline as q146, just recency-shaped.
+    * cents * 10^6 * w div sum(w). The numerator accumulates in
+    * decimal(38,0) / HUGEINT (cents x 10^6 x 2^24 passes int64 at
+    * ~$5,497 per purchase — int64 would wrap silently on Spark while
+    * DuckDB raises, a divergent failure mode); the quotient is back
+    * inside int64 (<= cents * 10^6, since w <= sum_w) so the credit
+    * lands as exact BIGINT micro-cents on both engines — the same
+    * exact micro-credit discipline as q146, just recency-shaped.
     * The usual pow(0.5, age/halflife) formulation would hang the
     * result on libm pow's last-ulp behavior across engines; powers of
     * two make the model exact instead.
@@ -3955,7 +3959,8 @@ object EventQueries {
           sum(col("w")).over(Window.partitionBy("pur_id")))
       withW
         .select(expr("(clk_ts_us div 3600000000) % 24").as("hour_of_day"),
-          expr("cents * 1000000 * w div sum_w").as("credit_micro"))
+          expr("cast(cents as decimal(38,0)) * 1000000 * w div sum_w")
+            .as("credit_micro"))
         .groupBy(col("hour_of_day"))
         .agg(count(lit(1)).as("n_touches"),
           sum(col("credit_micro")).as("credited_micro"),
@@ -3983,9 +3988,10 @@ object EventQueries {
                       AS BIGINT) AS sum_w FROM t)
              SELECT (clk_ts_us // 3600000000) % 24 AS hour_of_day,
                count(*) AS n_touches,
-               CAST(sum(cents * 1000000 * w // sum_w) AS BIGINT)
-                 AS credited_micro,
-               CAST(sum(cents * 1000000 * w // sum_w) AS DOUBLE) / 1e8
+               CAST(sum(CAST(CAST(cents AS HUGEINT) * 1000000 * w // sum_w
+                   AS BIGINT)) AS BIGINT) AS credited_micro,
+               CAST(sum(CAST(CAST(cents AS HUGEINT) * 1000000 * w // sum_w
+                   AS BIGINT)) AS DOUBLE) / 1e8
                  AS credited_dollars
              FROM tw GROUP BY 1 ORDER BY 1"""))
 

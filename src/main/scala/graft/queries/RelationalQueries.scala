@@ -370,44 +370,61 @@ object RelationalQueries {
     * same histogram-cumulative shape: group to (flag, price) first, so
     * the window walks DISTINCT prices per group, not raw rows.
     *
+    * The crossing predicate runs entirely in integer CENTI-UNITS
+    * (`floor(l_quantity*100)` as BIGINT, the q155 discipline): a sum
+    * of decimal(30,2) saturates to the precision cap (38,2), and
+    * arithmetic on precision-38 decimals (`cum * 2`) is exactly where
+    * Spark's precision-loss rules and a DuckDB version's DOUBLE
+    * promotion can disagree, flipping exact ties at the median
+    * crossing. BIGINT (HUGEINT-widened on DuckDB) is exact on both
+    * engines. The decimal quantity sum survives only as the reported
+    * `tot_qty` — never multiplied or compared.
+    *
     * ## 100 TB notes
     * One shuffle to the (flag, price) histogram with map-side partials
     * (the heavy reduction), then per-flag windows over distinct prices
-    * only. Quantities accumulate in decimal(30,2) — exact, order-
+    * only. Centi-unit quantities accumulate in int64 — exact, order-
     * independent — so the crossing point is partitioning-invariant.
+    * (int64 centi-quantity holds ~9.2e16 = 9.2e14 quantity units;
+    * fine past sf100k.)
     */
   val q175WeightedMedian: Q = Q(
     "q175_weighted_median",
     (s, dir) => {
       val li = Tables.load(s, dir, "lineitem")
       val hist = li.groupBy(col("l_returnflag"), col("l_extendedprice"))
-        .agg(sum(col("l_quantity").cast("decimal(30,2)")).as("w"))
+        .agg(
+          sum(floor(col("l_quantity") * 100).cast("long")).as("wc"),
+          sum(col("l_quantity").cast("decimal(30,2)")).as("w"))
       val byFlag = Window.partitionBy(col("l_returnflag"))
       val cum = hist
-        .withColumn("cum", sum(col("w")).over(
+        .withColumn("cum", sum(col("wc")).over(
           byFlag.orderBy(col("l_extendedprice"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .withColumn("tot", sum(col("w")).over(byFlag))
+        .withColumn("tot", sum(col("wc")).over(byFlag))
+        .withColumn("totq", sum(col("w")).over(byFlag))
       cum.groupBy(col("l_returnflag"))
         .agg(
           min(when(col("cum") * 2 >= col("tot"), col("l_extendedprice")))
             .as("wmedian"),
-          max(col("tot")).cast("decimal(30,2)").as("tot_qty"))
+          max(col("totq")).cast("decimal(30,2)").as("tot_qty"))
         .orderBy("l_returnflag")
     },
     Some("""WITH hist AS (SELECT l_returnflag, l_extendedprice,
+                sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS wc,
                 sum(CAST(l_quantity AS DECIMAL(30,2))) AS w
               FROM lineitem GROUP BY 1, 2),
             cum AS (SELECT l_returnflag, l_extendedprice,
-                sum(w) OVER (PARTITION BY l_returnflag
+                sum(wc) OVER (PARTITION BY l_returnflag
                   ORDER BY l_extendedprice
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-                sum(w) OVER (PARTITION BY l_returnflag) AS tot
+                sum(wc) OVER (PARTITION BY l_returnflag) AS tot,
+                sum(w) OVER (PARTITION BY l_returnflag) AS totq
               FROM hist)
             SELECT l_returnflag,
               min(CASE WHEN cum * 2 >= tot THEN l_extendedprice END)
                 AS wmedian,
-              CAST(max(tot) AS DECIMAL(30,2)) AS tot_qty
+              CAST(max(totq) AS DECIMAL(30,2)) AS tot_qty
             FROM cum GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
   /** Distributed second moments, deterministically: population variance /
