@@ -34,11 +34,68 @@ object DedupQueries {
   private val Bands = 4    // 4 bands x 4 rows: catches J>=0.8 w.h.p.
   private val RowsPerBand = NumHashes / Bands
 
-  /** doc_id + distinct k-shingle array (the unit near-dup works on). */
+  /** doc_id + distinct k-shingle array (the unit near-dup works on),
+    * served from the per-JVM landed table ([[docShingleTable]]) so the
+    * tokenize+shingle pass over all documents runs once, not once per
+    * consumer query.
+    */
   private def shingled(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents")
-      .select(col("doc_id"),
-        array_distinct(Text.shingles(Text.tokens(col("text")), K)).as("sh"))
+    docShingleTable(s, dir).select(col("doc_id"), col("sh"))
+
+  private val shinglePaths =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  /** Number of from-scratch shingle-table computations this JVM has run
+    * (spec hook: many consumers, one compute).
+    */
+  private[graft] val shingleComputeCount =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Materialized (doc_id, source, sh) distinct-K-shingle table, landed
+    * as parquet once per (JVM, dir). The tokenize+shingle projection
+    * over every document is the shared prefix of
+    * q24/q25/q60/q61/q63/q79/q81/q153/q156/q180/q228/q234/q242 and was
+    * recomputed fresh by each — q81 alone re-paid it at ~18 s cold, the
+    * suite's heaviest query. Same gold-sink pattern as
+    * [[componentLabelTable]] (q59's 2.0 s → 0.23 s precedent): the first
+    * consumer computes and writes, every later one scans parquet. At
+    * 100 TB this IS the architecture — the shingle projection is a
+    * landed silver table shared by the whole dedup family, not a
+    * per-query recompute of the corpus tokenization.
+    */
+  /** Cache key: dir + a signature of the documents parquet files
+    * (names, sizes, mtimes) — a REWRITTEN fixture directory (the
+    * property specs overwrite temp dirs in place) must recompute, never
+    * observe a stale shingle table.
+    */
+  private def docsSignature(dir: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).map(_.toSeq.sortBy(_.getName)).getOrElse(Nil)
+          .flatMap(walk)
+      else Seq(f)
+    walk(new java.io.File(s"$dir/documents.parquet"))
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString("|").hashCode.toHexString
+  }
+
+  private[queries] def docShingleTable(s: SparkSession,
+                                       dir: String): DataFrame = {
+    val path = shinglePaths.getOrElseUpdate(s"$dir@${docsSignature(dir)}", {
+      val p = labelRoot
+        .resolve(s"sh_${shinglePaths.size}_" +
+          dir.replaceAll("[^A-Za-z0-9._-]", "_"))
+        .toString
+      shingleComputeCount.incrementAndGet()
+      graft.engine.Sinks.writeParquet(
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            array_distinct(Text.shingles(Text.tokens(col("text")), K))
+              .as("sh")),
+        p)
+      p
+    })
+    s.read.parquet(path)
+  }
 
   /** See [[Tables.eager]]: materialize before multi-branch consumption. */
   private def eager(df: DataFrame): DataFrame = Tables.eager(df)
@@ -716,11 +773,10 @@ object DedupQueries {
     "q81_source_overlap",
     (s, dir) => {
       // distinct (source, shingle) vocabulary — reused by both join
-      // sides and the per-source size aggregate
-      val sv = eager(Tables.load(s, dir, "documents")
-        .select(col("source"),
-          explode(array_distinct(Text.shingles(Text.tokens(col("text")), K)))
-            .as("sg"))
+      // sides and the per-source size aggregate; shingles come from the
+      // landed docShingleTable, not a fresh corpus tokenization
+      val sv = eager(docShingleTable(s, dir)
+        .select(col("source"), explode(col("sh")).as("sg"))
         .distinct())
       val vocab = sv.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
       sv.as("x").join(sv.as("y"),

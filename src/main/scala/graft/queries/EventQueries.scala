@@ -2886,9 +2886,12 @@ object EventQueries {
     * purchases cover >= 80 % of total revenue, decided by EXACT integer
     * cross-multiplication (`cum_cents · 100 >= 80 · total_cents` — no
     * percentage double ever compared). The per-user rollup is the only
-    * event-sized work; the ranked cumulative walk is a window over the
-    * |users|-sized aggregate. Ties in revenue rank break by user_id, so
-    * K is well-defined on both engines.
+    * event-sized work; the ranked cumulative walk runs over the
+    * |users|-sized aggregate via
+    * [[graft.engine.Cumulative.rankedCumSum]] — a range-partitioned
+    * two-phase prefix sum, NOT a single-partition global window, so
+    * even a billion-user dimension walks in parallel. Ties in revenue
+    * rank break by user_id, so K is well-defined on both engines.
     */
   val q155ParetoCoverage: Q = Q(
     "q155_pareto_coverage",
@@ -2897,12 +2900,8 @@ object EventQueries {
         .filter(col("event_type") === "purchase")
         .groupBy(col("user_id"))
         .agg(sum(floor(col("value") * 100).cast("long")).as("cents"))
-      val ranked = perUser
-        .withColumn("rk", row_number().over(
-          Window.orderBy(col("cents").desc, col("user_id").asc)))
-        .withColumn("cum", sum(col("cents")).over(
-          Window.orderBy(col("cents").desc, col("user_id").asc)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val ranked = graft.engine.Cumulative.rankedCumSum(perUser,
+        Seq(col("cents").desc, col("user_id").asc), col("cents"))
       val total = perUser.agg(sum(col("cents")).as("tot"),
         count(lit(1)).as("n_users")) // 1 row
       ranked.crossJoin(broadcast(total))

@@ -2320,9 +2320,12 @@ object RelationalQueries {
     *
     * ## 100 TB notes
     * Per-part revenue is one map-side-combined shuffle on partkey; the
-    * ranked cumulative walk windows over the |parts|-sized aggregate
-    * (ties broken by partkey — well-defined on both engines); the
-    * class rollup is 3 rows. Same shape as q155, a proven scale plan.
+    * ranked cumulative walk runs over the |parts|-sized aggregate via
+    * [[graft.engine.Cumulative.rankedCumSum]] (range-partitioned
+    * two-phase prefix sum — no single-partition window; ties broken by
+    * partkey, well-defined on both engines); the global total is a
+    * 1-row broadcast attach; the class rollup is 3 rows. Same shape as
+    * q155, a proven scale plan.
     */
   val q214AbcClasses: Q = Q(
     "q214_abc_classes",
@@ -2331,11 +2334,10 @@ object RelationalQueries {
         .groupBy(col("l_partkey"))
         .agg(sum(floor(col("l_extendedprice") * 100).cast("long"))
           .as("cents"))
-      val ord = Window.orderBy(col("cents").desc, col("l_partkey").asc)
-      val ranked = perPart
-        .withColumn("cum", sum(col("cents")).over(
-          ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .withColumn("tot", sum(col("cents")).over(Window.partitionBy(lit(1))))
+      val cumulative = graft.engine.Cumulative.rankedCumSum(perPart,
+        Seq(col("cents").desc, col("l_partkey").asc), col("cents"))
+      val total = perPart.agg(sum(col("cents")).as("tot")) // 1 row
+      val ranked = cumulative.crossJoin(broadcast(total))
       ranked
         .withColumn("abc_class",
           when(col("cum") * 100 <= col("tot") * 80, "A")

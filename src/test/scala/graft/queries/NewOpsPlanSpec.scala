@@ -73,4 +73,27 @@ class NewOpsPlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
     bcast should be >= 1
   }
+
+  // Cumulative.rankedCumSum converts the dimension-sized ranked
+  // cumulative walk (q155 Pareto, q214 ABC) from a single-partition
+  // global window into a range-partitioned two-phase prefix sum: every
+  // WindowExec left in the plan must carry a partitionSpec (here the
+  // internal per-range __pid), i.e. no "No Partition Defined" window
+  // survives anywhere — including over the subtotal/offset tables.
+  private def noGlobalWindow(p: SparkPlan): Unit = {
+    val global = collect(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(global.isEmpty,
+      s"found ${global.size} single-partition WindowExec node(s)")
+  }
+
+  test("q155 pareto: ranked cumulative walk has no single-partition window") {
+    noGlobalWindow(executed(EventQueries.q155ParetoCoverage.fn(spark, dir)))
+  }
+
+  test("q214 abc: ranked cumulative walk has no single-partition window") {
+    noGlobalWindow(executed(RelationalQueries.q214AbcClasses.fn(spark, dir)))
+  }
 }

@@ -313,6 +313,30 @@ class NewOpsSpec extends SparkSpec {
     mat shouldBe direct
   }
 
+  test("doc shingle table materializes once and serves the dedup family") {
+    val dir = "/root/testdata/sf0.001"
+    val before = DedupQueries.shingleComputeCount.get
+    val table = DedupQueries.docShingleTable(spark, dir)
+    val mid = DedupQueries.shingleComputeCount.get
+    // first call for this (JVM, dir) computes and lands the table; any
+    // later call — including one from an earlier test — reads parquet
+    (mid - before) should be <= 1
+    // consumers across the family run WITHOUT another tokenize pass
+    DedupQueries.q24MinhashLsh.fn(spark, dir).collect()
+    DedupQueries.q81SourceOverlap.fn(spark, dir).collect()
+    DedupQueries.q153MinhashNative.fn(spark, dir).collect()
+    DedupQueries.shingleComputeCount.get shouldBe mid
+    // and the landed table IS the from-scratch shingle projection
+    val mat = table.select(col("doc_id"), explode(col("sh")).as("g"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val direct = graft.engine.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), explode(array_distinct(
+        graft.engine.ext.Text.shingles(
+          graft.engine.ext.Text.tokens(col("text")), 3))).as("g"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    mat shouldBe direct
+  }
+
   test("single-data-file precondition trips on a multi-file staging") {
     withTempDir { dir =>
       java.nio.file.Files.createFile(
