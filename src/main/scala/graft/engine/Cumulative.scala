@@ -51,29 +51,54 @@ object Cumulative {
     */
   def rankedCumSum(df: DataFrame, order: Seq[Column], value: Column,
       rkName: String = "rk", cumName: String = "cum",
+      numPartitions: Int = 32): DataFrame =
+    rankedCumSums(df, order, Seq(value -> cumName), rkName, numPartitions)
+
+  /** [[rankedCumSum]] for SEVERAL values in one pass: each
+    * `(value, cumName)` pair gets its own inclusive running sum, all
+    * sharing one range shuffle, one per-partition window pass, and one
+    * offset join (the q192 two-sample shape: cum1 and cum2 over the
+    * same value order must not pay two shuffles).
+    */
+  def rankedCumSums(df: DataFrame, order: Seq[Column],
+      values: Seq[(Column, String)], rkName: String = "rk",
       numPartitions: Int = 32): DataFrame = {
     val ranged = df
       .repartitionByRange(numPartitions, order: _*)
       .withColumn("__pid", spark_partition_id())
     val byPid = Window.partitionBy(col("__pid")).orderBy(order: _*)
-    val local = Tables.eager(ranged
-      .withColumn("__lrn", row_number().over(byPid).cast("long"))
-      .withColumn("__lcum", sum(value).over(
-        byPid.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+    val cumFrame =
+      byPid.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = Tables.eager(values.zipWithIndex.foldLeft(
+      ranged.withColumn("__lrn", row_number().over(byPid).cast("long"))) {
+      case (acc, ((v, _), i)) =>
+        acc.withColumn(s"__lcum$i", sum(v).over(cumFrame))
+    })
     val subtotals = local.groupBy(col("__pid"))
-      .agg(count(lit(1)).as("__n"), sum(value).as("__s"))
-    val earlier = subtotals.select(col("__pid").as("__pid2"),
-      col("__n").as("__n2"), col("__s").as("__s2"))
+      .agg(count(lit(1)).as("__n"),
+        values.zipWithIndex.map { case ((v, _), i) =>
+          sum(v).as(s"__s$i")
+        }: _*)
+    val earlier = subtotals.select(
+      (col("__pid").as("__pid2") +: col("__n").as("__n2") +:
+        values.indices.map(i => col(s"__s$i").as(s"__s${i}2"))): _*)
     // exclusive prefix offsets over the N-row subtotal table: triangular
     // broadcast self-join, not a global window
     val offsets = subtotals
       .join(broadcast(earlier), col("__pid2") < col("__pid"), "left")
       .groupBy(col("__pid"))
       .agg(coalesce(sum(col("__n2")), lit(0L)).as("__noff"),
-        coalesce(sum(col("__s2")), lit(0L)).as("__soff"))
-    local.join(broadcast(offsets), "__pid")
+        values.indices.map(i =>
+          coalesce(sum(col(s"__s${i}2")), lit(0L)).as(s"__soff$i")): _*)
+    val joined = local.join(broadcast(offsets), "__pid")
       .withColumn(rkName, (col("__lrn") + col("__noff")).cast("long"))
-      .withColumn(cumName, col("__lcum") + col("__soff"))
-      .drop("__pid", "__lrn", "__lcum", "__noff", "__soff")
+    val withCums = values.zipWithIndex.foldLeft(joined) {
+      case (acc, ((_, name), i)) =>
+        acc.withColumn(name, col(s"__lcum$i") + col(s"__soff$i"))
+    }
+    withCums.drop(
+      ("__pid" +: "__lrn" +: "__noff" +:
+        values.indices.flatMap(i =>
+          Seq(s"__lcum$i", s"__soff$i"))): _*)
   }
 }

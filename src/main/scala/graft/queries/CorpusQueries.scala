@@ -310,40 +310,26 @@ object CorpusQueries {
     * identical sample.
     *
     * ## 100 TB notes
-    * The global prefix sum is computed in TWO PHASES — per-bucket
-    * running sums plus a cumulative offset table — because a
-    * single-partition global window is the canonical scale-killer. The
-    * bucket offset table is |buckets|-sized (tiny), cumulated on one
-    * partition deliberately, then broadcast back; the per-bucket window
-    * runs fully parallel. The oracle computes the SAME numbers with one
-    * flat window (two-phase prefix summation is exactly associative
+    * The global prefix sum is [[graft.engine.Cumulative.rankedCumSum]]
+    * — range-repartitioned per-partition running sums plus a broadcast
+    * offset table — because a single-partition global window is the
+    * canonical scale-killer. The oracle computes the SAME numbers with
+    * one flat window (two-phase prefix summation is exactly associative
     * regrouping of integer addition — identical values, proven by the
     * hash match).
     */
   val q125PpsSample: Q = Q(
     "q125_pps_sample",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val k = 20L
       val docs = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), col("n_chars").as("w"),
-          expr("doc_id div 100").as("bucket"))
-      // phase 1: running sum WITHIN each bucket (parallel over buckets)
-      val intra = docs.withColumn("cum_in",
-        sum(col("w")).over(Window.partitionBy("bucket").orderBy("doc_id")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      // phase 2: |buckets|-sized offset table — exclusive cumulative sum
-      // of bucket totals (single-partition window over a TINY frame)
-      val offsets = docs.groupBy("bucket").agg(sum(col("w")).as("bw"))
-        .withColumn("offset",
-          coalesce(sum(col("bw")).over(Window.orderBy("bucket")
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select(col("bucket"), col("offset"))
+        .select(col("doc_id"), col("n_chars").as("w"))
+      val cum = graft.engine.Cumulative
+        .rankedCumSum(docs, Seq(col("doc_id").asc), col("w"),
+          rkName = "__rk")
       val total = docs.agg(sum(col("w")).as("tw")) // 1 row
-      intra.join(broadcast(offsets), "bucket")
-        .crossJoin(broadcast(total))
-        .select(col("doc_id"), col("w"),
-          (col("offset") + col("cum_in")).as("cum"),
+      cum.crossJoin(broadcast(total))
+        .select(col("doc_id"), col("w"), col("cum"),
           expr(s"tw div $k").as("stride"))
         // multiples of stride inside (cum - w, cum] — integer div only
         .select(col("doc_id"), col("w"),

@@ -3171,13 +3171,13 @@ object EventQueries {
       def cuts(metric: String): DataFrame = {
         val hist = u.groupBy(col(metric).as("v"))
           .agg(count(lit(1)).as("c"))
-        val cum = hist
-          .withColumn("cum", sum(col("c")).over(
-            Window.orderBy(col("v"))
-              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .withColumn("n", sum(col("c")).over(
-            Window.rowsBetween(Window.unboundedPreceding,
-              Window.unboundedFollowing)))
+        // tercile walk over distinct metric values (recency is
+        // |users|-cardinality) without a single-partition window:
+        // rankedCumSum for cum, 1-row broadcast for n
+        val nTot = hist.agg(sum(col("c")).as("n")) // 1 row
+        val cum = graft.engine.Cumulative
+          .rankedCumSum(hist, Seq(col("v").asc), col("c"), rkName = "__rk")
+          .crossJoin(broadcast(nTot))
         def pick(num: Int) =
           min(when(col("cum") * 3 >= col("n") * num, col("v")))
         cum.agg(pick(1).as(s"${metric}1"), pick(2).as(s"${metric}2"))
@@ -3333,12 +3333,11 @@ object EventQueries {
     *
     * ## 100 TB notes
     * One shuffle to the distinct-value histogram (map-side partial
-    * counts); the cumulative walk runs over value GROUPS, not events —
-    * frame size is the score cardinality, the same histogram-cumulative
-    * discipline as q40/q174 (range-repartition by value + per-range
-    * offsets when the score domain itself is huge). No self-join, no
-    * per-pair expansion of the n_pos x n_neg comparisons the statistic
-    * logically encodes.
+    * counts); the cumulative walk runs over value GROUPS, not events,
+    * via [[graft.engine.Cumulative.rankedCumSum]] — range-repartition
+    * by value + per-range offsets, so even a huge score domain never
+    * lands on one partition. No self-join, no per-pair expansion of
+    * the n_pos x n_neg comparisons the statistic logically encodes.
     */
   val q181AucRanksum: Q = Q(
     "q181_auc_ranksum",
@@ -3349,10 +3348,11 @@ object EventQueries {
       val hist = ev.groupBy(col("v"))
         .agg(sum(col("pos")).as("np"),
           (count(lit(1)) - sum(col("pos"))).as("nn"))
-      val below = Window.orderBy(col("v"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val cum = hist.withColumn("neg_below",
-        coalesce(sum(col("nn")).over(below), lit(0L)))
+      // inclusive running sum minus the row's own nn = strictly-below
+      val cum = graft.engine.Cumulative
+        .rankedCumSum(hist, Seq(col("v").asc), col("nn"),
+          rkName = "__rk", cumName = "__cumnn")
+        .withColumn("neg_below", col("__cumnn") - col("nn"))
       cum.agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
           sum(col("np") * (col("neg_below") * 2 + col("nn"))).as("u2"))
         .select(col("n_pos"), col("n_neg"), col("u2"),
@@ -3456,13 +3456,12 @@ object EventQueries {
           max((col("event_type") === "purchase").cast("long")).as("buyer")))
       val hist = u.groupBy(col("score").as("v"))
         .agg(count(lit(1)).as("c"))
-      val cum = hist
-        .withColumn("cum", sum(col("c")).over(
-          Window.orderBy(col("v"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .withColumn("n", sum(col("c")).over(
-          Window.rowsBetween(Window.unboundedPreceding,
-            Window.unboundedFollowing)))
+      // cutoff walk over distinct scores without a single-partition
+      // window: rankedCumSum for cum, 1-row broadcast for n
+      val nTot = hist.agg(sum(col("c")).as("n")) // 1 row
+      val cum = graft.engine.Cumulative
+        .rankedCumSum(hist, Seq(col("v").asc), col("c"), rkName = "__rk")
+        .crossJoin(broadcast(nTot))
       val picks = (1 to 9).map(i =>
         min(when(col("cum") * 10 >= col("n") * i, col("v"))).as(s"c$i"))
       val cuts = cum.agg(picks.head, picks.tail: _*)
@@ -3596,15 +3595,14 @@ object EventQueries {
       val hist = ev.groupBy(col("v"))
         .agg(sum(col("is1")).as("c1"),
           (count(lit(1)) - sum(col("is1"))).as("c2"))
-      val w = Window.orderBy(col("v"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val full = Window.rowsBetween(Window.unboundedPreceding,
-        Window.unboundedFollowing)
-      val cum = hist
-        .withColumn("cum1", sum(col("c1")).over(w))
-        .withColumn("cum2", sum(col("c2")).over(w))
-        .withColumn("n1", sum(col("c1")).over(full))
-        .withColumn("n2", sum(col("c2")).over(full))
+      // both CDF walks share one range shuffle (rankedCumSums); the
+      // sample sizes are a 1-row broadcast, not a full-frame window
+      val totals = hist.agg(sum(col("c1")).as("n1"),
+        sum(col("c2")).as("n2")) // 1 row
+      val cum = graft.engine.Cumulative
+        .rankedCumSums(hist, Seq(col("v").asc),
+          Seq(col("c1") -> "cum1", col("c2") -> "cum2"), rkName = "__rk")
+        .crossJoin(broadcast(totals))
       cum.agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
           max(abs(col("cum1") * col("n2") - col("cum2") * col("n1")))
             .as("d_numer"))
