@@ -675,8 +675,115 @@ object CorpusQueries {
             FROM m JOIN c ON m.doc_id = c.doc_id
             WHERE min_gap <= 5 ORDER BY m.doc_id"""))
 
+  /** Prefix-duplication curve — how much of the corpus is "same opening,
+    * different tail"? For k in {1, 2, 3, 5, 8}, fingerprint every doc by
+    * its first k tokens (md5 of the space-joined prefix; docs shorter
+    * than k use the whole doc) and report: distinct prefixes, docs whose
+    * prefix is shared with at least one other doc, the largest prefix
+    * group, and the shared-prefix doc fraction. The curve's shape is the
+    * boilerplate-opening signal (news wires, licence headers, template
+    * intros) that full-text dedup (q23) and shingle near-dup (q24/q25)
+    * both miss when tails diverge — and the k where the curve knees is
+    * the right prefix length for a prefix-cache or template-stripping
+    * pass. NULL text would fingerprint to one bogus NULL group (the q207
+    * lesson), so it is filtered identically on both engines.
+    *
+    * ## 100 TB notes
+    * One projection computes all five fingerprints per doc (a bounded
+    * x5 literal explode — q177's pattern), then one shuffle on
+    * (k, prefix-fp) with map-side partials and a 5-group rollup. No
+    * joins, no windows; the prefix groups are the only state and each
+    * is a count.
+    */
+  val q258PrefixDupCurve: Q = Q(
+    "q258_prefix_dup_curve",
+    (s, dir) => {
+      val ks = Seq(1, 2, 3, 5, 8)
+      val docs = Tables.load(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          explode(array(ks.map(k => lit(k)): _*)).as("k"),
+          col("toks"))
+        .select(col("k"),
+          md5(array_join(slice(col("toks"), lit(1), col("k")), " "))
+            .as("fp"))
+      docs.groupBy(col("k"), col("fp"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("k"))
+        .agg(sum(col("c")).as("n_docs"),
+          count(lit(1)).as("n_prefixes"),
+          sum(when(col("c") > 1, col("c")).otherwise(0L)).as("n_shared_docs"),
+          max(col("c")).as("max_group"))
+        .select(col("k").cast("long").as("k"), col("n_docs"),
+          col("n_prefixes"), col("n_shared_docs"), col("max_group"),
+          (col("n_shared_docs").cast("double") /
+            col("n_docs").cast("double")).as("shared_frac"))
+        .orderBy(col("k"))
+    },
+    Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents WHERE text IS NOT NULL),
+            f AS (SELECT k,
+                md5(array_to_string(list_slice(toks, 1, k), ' ')) AS fp
+              FROM d, unnest([1, 2, 3, 5, 8]) u(k)),
+            g AS (SELECT k, fp, count(*) AS c FROM f GROUP BY k, fp)
+            SELECT CAST(k AS BIGINT) AS k,
+              CAST(sum(c) AS BIGINT) AS n_docs,
+              count(*) AS n_prefixes,
+              CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+                AS n_shared_docs,
+              CAST(max(c) AS BIGINT) AS max_group,
+              CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+                / CAST(sum(c) AS DOUBLE) AS shared_frac
+            FROM g GROUP BY k ORDER BY k"""))
+
+  /** Context-window truncation-loss audit — before any packing (q62) or
+    * budget split (q82) decision: if every document is clipped to a
+    * C = 64 token context, what does each source lose? Per source:
+    * docs, docs over budget, total tokens, tokens kept
+    * (sum of min(n_tok, C)), and the exact truncation loss in ppm
+    * (integer cross-division — no double rate). The per-source spread
+    * is the decision input: a source losing 30 % of its tokens to
+    * clipping needs chunking (q88) rather than truncation, while a
+    * source under budget everywhere can skip the chunker entirely.
+    *
+    * ## 100 TB notes
+    * One map-side token count per doc, one map-side-combined rollup on
+    * the (small) source key. No joins, no windows, nothing bigger than
+    * |sources| rows after the scan.
+    */
+  val q259TruncationLoss: Q = Q(
+    "q259_truncation_loss",
+    (s, dir) => {
+      val c = 64L
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("source"),
+          size(Text.tokens(col("text"))).cast("long").as("n_tok"))
+      docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("n_tok") > c, 1)).as("n_over"),
+          sum(col("n_tok")).as("total_tokens"),
+          sum(least(col("n_tok"), lit(c))).as("kept_tokens"))
+        .select(col("source"), col("n_docs"), col("n_over"),
+          col("total_tokens"), col("kept_tokens"),
+          expr("(total_tokens - kept_tokens) * 1000000 div total_tokens")
+            .as("loss_ppm"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH d AS (SELECT source,
+                len(string_split(text, ' '))::BIGINT AS n_tok
+              FROM documents)
+            SELECT source, count(*) AS n_docs,
+              count(CASE WHEN n_tok > 64 THEN 1 END) AS n_over,
+              CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+              CAST(sum(least(n_tok, 64)) AS BIGINT) AS kept_tokens,
+              CAST(sum(n_tok) - sum(least(n_tok, 64)) AS BIGINT) * 1000000
+                // CAST(sum(n_tok) AS BIGINT) AS loss_ppm
+            FROM d GROUP BY source ORDER BY source"""))
+
   val all: Seq[Q] = Seq(q88ChunkOverlap, q91BpePairs, q92UnigramRarity,
     q93BigramLift, q94CdcChunks, q96QuantileNorm, q97MixtureWeights,
     q125PpsSample, q169PostingLists, q173Burstiness, q191PhraseSearch,
-    q205IdfDrift, q219HapaxProfile, q220ProximitySearch)
+    q205IdfDrift, q219HapaxProfile, q220ProximitySearch,
+    q258PrefixDupCurve, q259TruncationLoss)
 }

@@ -997,8 +997,106 @@ object SimilarityQueries {
             ORDER BY n_planes"""
     })
 
+  /** Matryoshka truncation-recall curve — can the index serve the FIRST
+    * d dims of each embedding and keep the neighbors? (The
+    * dimension-reduction counterpart of q241's plane curve and q139's
+    * PQ recall: MRL-style models pack information head-first, so
+    * truncation is the cheapest storage/bandwidth knob an embedding
+    * service has; this measures what it costs on THIS corpus.) For the
+    * 10-query probe set: exhaustive top-5 by full 64-dim cosine is
+    * ground truth; each arm re-ranks the SAME corpus by cosine over the
+    * leading d in {8, 16, 32} dims; recall@5 = |truncated-top-5 ∩
+    * full-top-5| / (5 * |Q|) — hit counting is exact integers, the
+    * recall is one closing division.
+    *
+    * ## 100 TB notes
+    * Both passes stream the corpus against the broadcast query set (the
+    * exhaustive baseline's irreducible cost — sample in production);
+    * the three truncation arms ride ONE stream via a literal explode of
+    * widths (q177's bounded-explode pattern), so the corpus is scanned
+    * twice total (full + arms), never once per arm. Top-5 cuts are
+    * per-(width, query) window heaps; the hit join handles
+    * 5 * |Q| * |widths| rows.
+    */
+  val q257MatryoshkaRecall: Q = Q(
+    "q257_matryoshka_recall",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
+      def top5(scored: DataFrame, part: Seq[Column]): DataFrame = {
+        val w = Window.partitionBy(part: _*)
+          .orderBy(col("score").desc, col("cand_id").asc)
+        scored.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5).drop("rn", "score")
+      }
+      val truth = top5(
+        c.crossJoin(broadcast(q))
+          .filter(col("cand_id") =!= col("q_id"))
+          .select(col("q_id"), col("cand_id"),
+            cosineSim(col("qe"), col("ce")).as("score")),
+        Seq(col("q_id")))
+      val arms = top5(
+        c.crossJoin(broadcast(q))
+          .filter(col("cand_id") =!= col("q_id"))
+          .select(col("q_id"), col("cand_id"),
+            explode(array(lit(8), lit(16), lit(32))).as("d"),
+            col("qe"), col("ce"))
+          .select(col("d"), col("q_id"), col("cand_id"),
+            cosineSim(slice(col("qe"), lit(1), col("d")),
+              slice(col("ce"), lit(1), col("d"))).as("score")),
+        Seq(col("d"), col("q_id")))
+      val nQ = q.agg(count(lit(1)).as("n_queries")) // 1 row
+      arms.join(truth.withColumn("hit", lit(1L)), Seq("q_id", "cand_id"),
+          "left")
+        .groupBy(col("d"))
+        .agg(coalesce(sum(col("hit")), lit(0L)).as("n_hits"))
+        .crossJoin(broadcast(nQ))
+        .select(col("d"), col("n_queries"), col("n_hits"),
+          (col("n_hits").cast("double") /
+            (col("n_queries") * 5).cast("double")).as("recall_at_5"))
+        .orderBy(col("d"))
+    },
+    Some {
+      def armCte(d: Int) =
+        s"""a$d AS (SELECT q_id, cand_id FROM (
+               SELECT q_id, cand_id, row_number() OVER (PARTITION BY q_id
+                 ORDER BY score DESC, cand_id ASC) AS rn
+               FROM (SELECT q.q_id, c.vec_id AS cand_id,
+                   ${duckCos(s"list_slice(qe, 1, $d)",
+          s"list_slice(CAST(c.embedding AS DOUBLE[]), 1, $d)")}
+                     AS score
+                 FROM embeddings c, qs q WHERE c.vec_id != q.q_id))
+             WHERE rn <= 5)"""
+      def armRow(d: Int) =
+        s"""SELECT $d AS d,
+              (SELECT count(*) FROM qs) AS n_queries,
+              (SELECT count(*) FROM a$d t JOIN truth
+                 ON t.q_id = truth.q_id AND t.cand_id = truth.cand_id)
+                AS n_hits,
+              (SELECT count(*) FROM a$d t JOIN truth
+                 ON t.q_id = truth.q_id AND t.cand_id = truth.cand_id)
+                ::DOUBLE / ((SELECT count(*) FROM qs) * 5)::DOUBLE
+                AS recall_at_5"""
+      s"""WITH qs AS (SELECT vec_id AS q_id,
+                CAST(embedding AS DOUBLE[]) AS qe
+              FROM embeddings WHERE vec_id < 10),
+            tr AS (SELECT q.q_id, c.vec_id AS cand_id,
+                ${duckCos("q.qe", "CAST(c.embedding AS DOUBLE[])")} AS score
+              FROM embeddings c, qs q WHERE c.vec_id != q.q_id),
+            truth AS (SELECT q_id, cand_id FROM (
+                SELECT q_id, cand_id, row_number() OVER (PARTITION BY q_id
+                  ORDER BY score DESC, cand_id ASC) AS rn FROM tr)
+              WHERE rn <= 5),
+            ${Seq(8, 16, 32).map(armCte).mkString(",\n            ")}
+            SELECT * FROM (${Seq(8, 16, 32).map(armRow).mkString(
+        " UNION ALL ")})
+            ORDER BY d"""
+    })
+
   val all: Seq[Q] = Seq(q27KnnBrute, q28AnnLsh, q29EmbNearDup, q30IvfCentroid,
     q44KmeansStep, q49AnnRecall, q52SqlSurface, q57L2Knn, q71Int8Quant,
     q79SemanticDedup, q138PqCodebook, q139PqAdcRecall, q208MutualNn,
-    q218ClusterMargin, q241AnnBitsCurve)
+    q218ClusterMargin, q241AnnBitsCurve, q257MatryoshkaRecall)
 }

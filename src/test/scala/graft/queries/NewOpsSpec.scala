@@ -2570,4 +2570,51 @@ class NewOpsSpec extends SparkSpec {
         ("c", 1L, 1L, 1L, 0.5))
     }
   }
+
+  test("q257 matryoshka: full-width arm would be perfect, hit counts bounded") {
+    val dir = "/root/testdata/sf0.001"
+    val out = SimilarityQueries.q257MatryoshkaRecall.fn(spark, dir)
+      .select("d", "n_queries", "n_hits", "recall_at_5")
+      .as[(Int, Long, Long, Double)].collect().toList
+    out.map(_._1) shouldBe List(8, 16, 32)
+    out.foreach { case (_, nq, hits, recall) =>
+      nq shouldBe 10L
+      hits should be >= 0L
+      hits should be <= 5 * nq
+      recall shouldBe hits.toDouble / (5.0 * nq)
+    }
+    // wider truncation keeps at least as much of the head-packed signal
+    // on this corpus (not a theorem, but a fixture-stable sanity rail)
+    out.map(_._3).sliding(2).foreach { case Seq(a, b) => b should be >= a }
+  }
+
+  test("q258 prefix-dup curve: refinement monotonicity across k") {
+    val dir = "/root/testdata/sf0.001"
+    val out = CorpusQueries.q258PrefixDupCurve.fn(spark, dir)
+      .select("k", "n_docs", "n_prefixes", "n_shared_docs", "max_group")
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    out.map(_._1) shouldBe List(1L, 2L, 3L, 5L, 8L)
+    // every arm sees the whole (non-null-text) corpus
+    out.map(_._2).distinct should have size 1
+    // longer prefixes REFINE shorter ones: distinct-prefix counts can
+    // only grow, shared-doc counts and the largest group can only shrink
+    out.map(_._3).sliding(2).foreach { case Seq(a, b) => b should be >= a }
+    out.map(_._4).sliding(2).foreach { case Seq(a, b) => b should be <= a }
+    out.map(_._5).sliding(2).foreach { case Seq(a, b) => b should be <= a }
+  }
+
+  test("q259 truncation loss: kept <= total and ppm is the exact ratio") {
+    val dir = "/root/testdata/sf0.001"
+    val out = CorpusQueries.q259TruncationLoss.fn(spark, dir)
+      .select("n_docs", "n_over", "total_tokens", "kept_tokens", "loss_ppm")
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    out should not be empty
+    out.foreach { case (nDocs, nOver, total, kept, ppm) =>
+      nOver should be <= nDocs
+      kept should be <= total
+      // a doc over budget keeps exactly 64 tokens, so the clipped
+      // token mass bounds: kept >= total - (docs * max_doc_len)
+      ppm shouldBe (total - kept) * 1000000L / total
+    }
+  }
 }
