@@ -28,8 +28,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     flipped an exact tie at the driver). Wherever a comparison or
   *     output VALUE depends on the result, do the exact work in
   *     integer units instead — BIGINT cents / centi-units / epoch-µs
-  *     (q155/q175 discipline); wide decimals may only be summed and
-  *     emitted, never multiplied or compared against each other.
+  *     (q155/q175 discipline). Wide decimals may be summed, compared
+  *     same-type with NO intervening arithmetic (q174's binning),
+  *     rounded-in-decimal and emitted — never multiplied or divided
+  *     (statically enforced: ComparatorContract.wideDecimalArithmetic
+  *     + DecimalDisciplineSpec over every declared query).
   */
 object Catalog {
   type QueryFn = (SparkSession, String) => DataFrame

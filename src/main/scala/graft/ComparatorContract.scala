@@ -59,4 +59,40 @@ object ComparatorContract {
       s"$queryName output schema breaks the driver-comparator contract: " +
         v.mkString("; "))
   }
+
+  /** The q175 lesson as a STATIC plan check: multiply/divide where an
+    * operand is a precision-SATURATED decimal (p >= 38 with fractional
+    * scale — what any `sum(decimal(p>=28,s>0))` widens to). Those are
+    * exactly the operations where Spark's precision-loss rules and a
+    * DuckDB version's DOUBLE promotion can disagree (q175's
+    * `cum * 2 >= tot` on DECIMAL(38,2) flipped an exact tie at the
+    * driver while passing both local sweeps). NOT flagged, because both
+    * engines are exact there: plain sums, same-type comparisons with no
+    * intervening arithmetic (q174's binning), `round`-in-decimal then
+    * cast-to-double (the sanctioned emit pattern), and scale-0
+    * decimal(38,0) integer work mirrored by HUGEINT oracles (q89,
+    * moment sums). Enforced over every declared query's analyzed plan
+    * by DecimalDisciplineSpec.
+    */
+  def wideDecimalArithmetic(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{Divide, Multiply}
+    def isSaturated(dt: DataType): Boolean = dt match {
+      case d: DecimalType => d.precision >= 38 && d.scale > 0
+      case _ => false
+    }
+    plan.collect { case node =>
+      node.expressions.flatMap(e => e.collect {
+        case m: Multiply
+            if isSaturated(m.left.dataType) || isSaturated(m.right.dataType) =>
+          s"multiply on ${m.dataType.simpleString}: " +
+            m.toString.take(120)
+        case d: Divide
+            if isSaturated(d.left.dataType) || isSaturated(d.right.dataType) =>
+          s"divide on ${d.dataType.simpleString}: " +
+            d.toString.take(120)
+      })
+    }.flatten.distinct
+  }
 }
