@@ -42,8 +42,6 @@ object DedupQueries {
   private def shingled(s: SparkSession, dir: String): DataFrame =
     docShingleTable(s, dir).select(col("doc_id"), col("sh"))
 
-  private val shinglePaths =
-    scala.collection.concurrent.TrieMap.empty[String, String]
   /** Number of from-scratch shingle-table computations this JVM has run
     * (spec hook: many consumers, one compute).
     */
@@ -62,40 +60,16 @@ object DedupQueries {
     * landed silver table shared by the whole dedup family, not a
     * per-query recompute of the corpus tokenization.
     */
-  /** Cache key: dir + a signature of the documents parquet files
-    * (names, sizes, mtimes) — a REWRITTEN fixture directory (the
-    * property specs overwrite temp dirs in place) must recompute, never
-    * observe a stale shingle table.
-    */
-  private def docsSignature(dir: String): String = {
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory)
-        Option(f.listFiles()).map(_.toSeq.sortBy(_.getName)).getOrElse(Nil)
-          .flatMap(walk)
-      else Seq(f)
-    walk(new java.io.File(s"$dir/documents.parquet"))
-      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
-      .mkString("|").hashCode.toHexString
-  }
-
   private[queries] def docShingleTable(s: SparkSession,
-                                       dir: String): DataFrame = {
-    val path = shinglePaths.getOrElseUpdate(s"$dir@${docsSignature(dir)}", {
-      val p = labelRoot
-        .resolve(s"sh_${shinglePaths.size}_" +
-          dir.replaceAll("[^A-Za-z0-9._-]", "_"))
-        .toString
-      shingleComputeCount.incrementAndGet()
-      graft.engine.Sinks.writeParquet(
-        Tables.load(s, dir, "documents")
-          .select(col("doc_id"), col("source"),
-            array_distinct(Text.shingles(Text.tokens(col("text")), K))
-              .as("sh")),
-        p)
-      p
-    })
-    s.read.parquet(path)
-  }
+                                       dir: String): DataFrame =
+    Tables.landed(s,
+      s"shingles:$dir@${Tables.fileSignature(dir, "documents")}",
+      shingleComputeCount) {
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          array_distinct(Text.shingles(Text.tokens(col("text")), K))
+            .as("sh"))
+    }
 
   /** See [[Tables.eager]]: materialize before multi-branch consumption. */
   private def eager(df: DataFrame): DataFrame = Tables.eager(df)

@@ -64,8 +64,65 @@ object GraphQueries {
     */
   private val LinkCap = 16
 
-  /** Undirected edge list (u < v), deduplicated. */
-  private[queries] def cooccurrenceEdges(s: SparkSession, dir: String): DataFrame = {
+  /** Number of from-scratch edge-list computations this JVM has run
+    * (spec hook: the whole graph family, one compute).
+    */
+  private[graft] val edgeComputeCount =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Undirected edge list (u < v), deduplicated — LANDED once per
+    * (JVM, events-fixture signature) via [[Tables.landed]]: eight graph
+    * kernels (q110/q111/q165/q184/q190/q194/q206/q231) consume this
+    * exact relation and previously each re-ran the events scan + bucket
+    * window + pair join + distinct. At 100 TB the edge list IS a landed
+    * silver table; recomputing it per analytic query would be the
+    * pipeline bug, not the architecture.
+    */
+  private[queries] def cooccurrenceEdges(s: SparkSession,
+                                         dir: String): DataFrame =
+    Tables.landed(s,
+      s"gedges:$dir@${Tables.fileSignature(dir, "events")}",
+      edgeComputeCount)(computeCooccurrenceEdges(s, dir))
+
+  /** (node, d) vertex degrees of [[cooccurrenceEdges]] — landed with
+    * the same fixture-signature key (consumed by q110/q206 directly and
+    * by [[orientedEdges]]).
+    */
+  private[queries] def graphDegrees(s: SparkSession,
+                                    dir: String): DataFrame =
+    Tables.landed(s,
+      s"gdeg:$dir@${Tables.fileSignature(dir, "events")}") {
+      val e = cooccurrenceEdges(s, dir)
+      e.select(col("u").as("node"))
+        .unionAll(e.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    }
+
+  /** Degree-oriented edge list (s, t): each undirected edge points
+    * low-degree -> high-degree, ties by vertex id — a total order, so
+    * each triangle has exactly one wedge s->t1, t1->t2 and every
+    * vertex's out-degree is O(sqrt(m)). The shared first stage of the
+    * wedge-join kernels (q110 triangles, q184 truss, q206 local
+    * clustering), landed once per (JVM, events signature) instead of
+    * re-deriving degrees + orientation per query.
+    */
+  private[queries] def orientedEdges(s: SparkSession,
+                                     dir: String): DataFrame =
+    Tables.landed(s,
+      s"goedges:$dir@${Tables.fileSignature(dir, "events")}") {
+      val e = cooccurrenceEdges(s, dir)
+      val deg = graphDegrees(s, dir)
+      val da = deg.select(col("node").as("u"), col("d").as("du"))
+      val db = deg.select(col("node").as("v"), col("d").as("dv"))
+      val lowFirst = col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v"))
+      e.join(da, "u").join(db, "v")
+        .select(when(lowFirst, col("u")).otherwise(col("v")).as("s"),
+          when(lowFirst, col("v")).otherwise(col("u")).as("t"))
+    }
+
+  private def computeCooccurrenceEdges(s: SparkSession,
+                                       dir: String): DataFrame = {
     val ev = Tables.load(s, dir, "events")
     // ts is an epoch-ns BIGINT (see EventQueries.tsUs); the 10-minute cell index
     // is exact integer division, identical on both engines (all ts > 0)
@@ -124,18 +181,8 @@ object GraphQueries {
     "q110_triangles",
     (s, dir) => {
       val e = Tables.eager(cooccurrenceEdges(s, dir))
-      val deg = e.select(col("u").as("node"))
-        .unionAll(e.select(col("v").as("node")))
-        .groupBy(col("node")).agg(count(lit(1)).as("d"))
-      val da = deg.select(col("node").as("u"), col("d").as("du"))
-      val db = deg.select(col("node").as("v"), col("d").as("dv"))
-      // orient low-degree -> high-degree, ties by vertex id: a total
-      // order, so each triangle has exactly one wedge s->t1, t1->t2
-      val lowFirst = col("du") < col("dv") ||
-        (col("du") === col("dv") && col("u") < col("v"))
-      val oe = Tables.eager(e.join(da, "u").join(db, "v")
-        .select(when(lowFirst, col("u")).otherwise(col("v")).as("s"),
-          when(lowFirst, col("v")).otherwise(col("u")).as("t")))
+      val deg = graphDegrees(s, dir)
+      val oe = Tables.eager(orientedEdges(s, dir))
       val e1 = oe.select(col("s").as("a"), col("t").as("b"))
       val e2 = oe.select(col("s").as("b2"), col("t").as("c"))
       val closing = e.select(col("u").as("x"), col("v").as("y"))
@@ -423,16 +470,7 @@ object GraphQueries {
     "q184_truss_support",
     (s, dir) => {
       val e = Tables.eager(cooccurrenceEdges(s, dir))
-      val deg = e.select(col("u").as("node"))
-        .unionAll(e.select(col("v").as("node")))
-        .groupBy(col("node")).agg(count(lit(1)).as("d"))
-      val da = deg.select(col("node").as("u"), col("d").as("du"))
-      val db = deg.select(col("node").as("v"), col("d").as("dv"))
-      val lowFirst = col("du") < col("dv") ||
-        (col("du") === col("dv") && col("u") < col("v"))
-      val oe = Tables.eager(e.join(da, "u").join(db, "v")
-        .select(when(lowFirst, col("u")).otherwise(col("v")).as("s"),
-          when(lowFirst, col("v")).otherwise(col("u")).as("t")))
+      val oe = Tables.eager(orientedEdges(s, dir))
       val e1 = oe.select(col("s").as("a"), col("t").as("b"))
       val e2 = oe.select(col("s").as("b2"), col("t").as("c"))
       val closing = e.select(col("u").as("x"), col("v").as("y"))
@@ -621,16 +659,8 @@ object GraphQueries {
     "q206_local_clustering",
     (s, dir) => {
       val e = Tables.eager(cooccurrenceEdges(s, dir))
-      val deg = e.select(col("u").as("node"))
-        .unionAll(e.select(col("v").as("node")))
-        .groupBy(col("node")).agg(count(lit(1)).as("d"))
-      val da = deg.select(col("node").as("u"), col("d").as("du"))
-      val db = deg.select(col("node").as("v"), col("d").as("dv"))
-      val lowFirst = col("du") < col("dv") ||
-        (col("du") === col("dv") && col("u") < col("v"))
-      val oe = Tables.eager(e.join(da, "u").join(db, "v")
-        .select(when(lowFirst, col("u")).otherwise(col("v")).as("s"),
-          when(lowFirst, col("v")).otherwise(col("u")).as("t")))
+      val deg = graphDegrees(s, dir)
+      val oe = Tables.eager(orientedEdges(s, dir))
       val e1 = oe.select(col("s").as("a"), col("t").as("b"))
       val e2 = oe.select(col("s").as("b2"), col("t").as("c"))
       val closing = e.select(col("u").as("x"), col("v").as("y"))

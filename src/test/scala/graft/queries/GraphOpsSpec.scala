@@ -44,6 +44,35 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("edge list lands once and serves the wedge kernels; rewritten " +
+      "fixtures recompute") {
+    withTempDir { dir =>
+      fixture(dir)
+      val before = GraphQueries.edgeComputeCount.get
+      GraphQueries.cooccurrenceEdges(spark, dir).collect()
+      val mid = GraphQueries.edgeComputeCount.get
+      (mid - before) shouldBe 1
+      // three wedge kernels + degrees + orientation: no second compute
+      GraphQueries.q110Triangles.fn(spark, dir).collect()
+      GraphQueries.q184TrussSupport.fn(spark, dir).collect()
+      GraphQueries.q206LocalClustering.fn(spark, dir).collect()
+      GraphQueries.edgeComputeCount.get shouldBe mid
+      // oriented edges are a permutation of the undirected list
+      val e = GraphQueries.cooccurrenceEdges(spark, dir)
+        .as[(Long, Long)].collect().toSet
+      val oe = GraphQueries.orientedEdges(spark, dir)
+        .as[(Long, Long)].collect()
+      oe.length shouldBe e.size
+      oe.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .toSet shouldBe e
+      // an in-place rewrite of the fixture must trigger a fresh compute
+      writeEvents(dir, Seq((0L, 7L, 1L), (0L, 8L, 2L)))
+      GraphQueries.cooccurrenceEdges(spark, dir)
+        .as[(Long, Long)].collect().toSet shouldBe Set((7L, 8L))
+      GraphQueries.edgeComputeCount.get shouldBe mid + 1
+    }
+  }
+
   test("q110: exact counts, degree stats, and clustering coefficient") {
     withTempDir { dir =>
       fixture(dir)
