@@ -241,7 +241,62 @@ object MultimodalQueries {
                 AS n_asset_pairs
             FROM ph"""))
 
+  /** WebDataset-style shard packing plan — the layout step between a
+    * curated media corpus and the training loader: assets are packed in
+    * corpus order (sequential tar writes, reproducible resume points)
+    * into ~32 KiB shards, each asset assigned to the shard its START
+    * byte offset falls in (`(cum - n_bytes) div S` — so an asset
+    * straddling a boundary belongs to the shard it begins in, the tar
+    * semantics). Emits the physical manifest per shard: asset count,
+    * byte fill, id range, and fill ppm vs the target — the
+    * over/under-fill spread is the decision input for the shard size
+    * (too many tail-underfilled shards starve loader parallelism).
+    *
+    * ## 100 TB notes
+    * The byte-offset line is [[graft.engine.Cumulative.rankedCumSum]]
+    * (range-partitioned two-phase prefix sum — no single-partition
+    * window even though the offset is a global cumulative), then one
+    * map-side-combined rollup on shard id. The real writer materializes
+    * with `repartitionByRange(shard)` + `sortWithinPartitions` and
+    * streams tars per partition; this query IS its manifest.
+    */
+  val q260ShardPacking: Q = Q(
+    "q260_shard_packing",
+    (s, dir) => {
+      val S = 32768L
+      val media = Tables.load(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("long").as("n_bytes"))
+      val cum = graft.engine.Cumulative.rankedCumSum(media,
+        Seq(col("doc_id").asc), col("n_bytes"), rkName = "__rk")
+      cum
+        .select(col("doc_id"), col("n_bytes"),
+          expr(s"(cum - n_bytes) div $S").as("shard"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_assets"),
+          sum(col("n_bytes")).as("bytes"),
+          min(col("doc_id")).as("first_id"),
+          max(col("doc_id")).as("last_id"))
+        .select(col("shard"), col("n_assets"), col("bytes"),
+          col("first_id"), col("last_id"),
+          expr(s"bytes * 1000000 div $S").as("fill_ppm"))
+        .orderBy(col("shard"))
+    },
+    Some("""WITH m AS (SELECT doc_id,
+                octet_length(encode(text))::BIGINT AS n_bytes
+              FROM documents WHERE text IS NOT NULL),
+            c AS (SELECT doc_id, n_bytes,
+                (sum(n_bytes) OVER (ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) - n_bytes) // 32768 AS shard
+              FROM m)
+            SELECT CAST(shard AS BIGINT) AS shard, count(*) AS n_assets,
+              CAST(sum(n_bytes) AS BIGINT) AS bytes,
+              min(doc_id) AS first_id, max(doc_id) AS last_id,
+              CAST(sum(n_bytes) AS BIGINT) * 1000000 // 32768 AS fill_ppm
+            FROM c GROUP BY shard ORDER BY shard"""))
+
   val all: Seq[Q] =
     Seq(q36MultimodalMeta, q58FeaturePool, q65FrameSample, q77DecodeStub,
-      q203FrameDedup)
+      q203FrameDedup, q260ShardPacking)
 }

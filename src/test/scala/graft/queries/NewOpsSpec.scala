@@ -2603,6 +2603,28 @@ class NewOpsSpec extends SparkSpec {
     out.map(_._5).sliding(2).foreach { case Seq(a, b) => b should be <= a }
   }
 
+  test("q260 shard packing: shards partition the corpus in id order") {
+    val dir = "/root/testdata/sf0.001"
+    val out = MultimodalQueries.q260ShardPacking.fn(spark, dir)
+      .select("shard", "n_assets", "bytes", "first_id", "last_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    out should not be empty
+    // contiguous shard ids from 0
+    out.map(_._1) shouldBe out.indices.map(_.toLong).toList
+    // id ranges are ordered and non-overlapping across shards
+    out.sliding(2).foreach { case List(a, b) =>
+      b._4 should be > a._5
+    case _ => ()
+    }
+    // the shards partition the corpus exactly
+    val docs = graft.engine.Tables.load(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+    out.map(_._2).sum shouldBe docs.count()
+    out.map(_._3).sum shouldBe docs
+      .agg(sum(octet_length(col("text")).cast("long"))).as[Long]
+      .collect().head
+  }
+
   test("q259 truncation loss: kept <= total and ppm is the exact ratio") {
     val dir = "/root/testdata/sf0.001"
     val out = CorpusQueries.q259TruncationLoss.fn(spark, dir)
