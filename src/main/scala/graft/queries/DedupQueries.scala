@@ -1533,11 +1533,128 @@ object DedupQueries {
                  AS max_abs_err_256ths
              FROM dd GROUP BY decile ORDER BY decile"""))
 
+  /** Contrastive negative mining — the pair-generation step of
+    * embedding/reranker training data: for each anchor document, HARD
+    * negatives (similar but below the q24 dup threshold — the pairs
+    * that actually teach a contrastive model) and EASY negatives (a
+    * deterministic hash-picked sample from OTHER sources — the
+    * baseline). Hard candidates come from the df-bounded rare-shingle
+    * blocking the dedup pipeline already uses (q25's generator — at
+    * this corpus's similarity profile the 4x4 LSH bands only fire at
+    * dup-level Jaccard, exactly the pairs a negative set must EXCLUDE):
+    * any shared rare shingle makes a candidate, pairs at or above the
+    * 0.8 dup threshold are excluded (a dup is a false negative, not a
+    * hard one), and each anchor keeps its top-3 remaining by (jacc
+    * desc, id) — the MOST similar non-duplicates available, whatever
+    * their absolute score. Easy negatives: top-3 by md5(anchor:cand)
+    * from OTHER sources — reproducible on any engine, no RNG. Both
+    * kinds carry their exact Jaccard so the audit can verify the
+    * hard/easy separation.
+    *
+    * ## 100 TB notes
+    * Hard candidates are the df-capped shingle equi-join,
+    * anchor-filtered on one side — bucket fan-out is bounded by the df
+    * cap, cost by the anchors' shingle rows. Easy negatives stream the
+    * corpus once against the broadcast anchor set (the q27
+    * exhaustive-baseline shape — run on an anchor sample in
+    * production; the per-anchor top-3 is a bounded window heap).
+    */
+  val q261ContrastiveMining: Q = Q(
+    "q261_contrastive_mining",
+    (s, dir) => {
+      val anchorCap = 30L
+      val base = eager(docShingleTable(s, dir))
+      val exploded = base.select(col("doc_id"), explode(col("sh")).as("s"))
+      val rare = exploded.groupBy(col("s"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= 5)
+        .select(col("s"))
+      val blocked = eager(exploded.join(rare, Seq("s")))
+      val hardCand = blocked.as("x")
+        .join(blocked.as("y"),
+          col("x.s") === col("y.s")
+            && col("x.doc_id") < lit(anchorCap)
+            && col("x.doc_id") =!= col("y.doc_id"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("neg_id"))
+        .distinct()
+      val aSh = base.select(col("doc_id").as("a_id"),
+        col("source").as("a_src"), col("sh").as("a_sh"))
+      val nSh = base.select(col("doc_id").as("neg_id"),
+        col("source").as("n_src"), col("sh").as("n_sh"))
+      val hard = hardCand
+        .join(aSh.drop("a_src"), Seq("a_id"))
+        .join(nSh.drop("n_src"), Seq("neg_id"))
+        .select(col("a_id"), col("neg_id"),
+          jaccard(col("a_sh"), col("n_sh")).as("jacc"))
+        .filter(col("jacc") < 0.8)
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("a_id"))
+            .orderBy(col("jacc").desc, col("neg_id").asc)))
+        .filter(col("rank") <= 3)
+        .select(col("a_id"), lit("hard").as("kind"),
+          col("rank").cast("long").as("rank"), col("neg_id"), col("jacc"))
+      val anchors = aSh.filter(col("a_id") < anchorCap)
+      val easy = nSh
+        .join(broadcast(anchors),
+          col("n_src") =!= col("a_src") && col("neg_id") =!= col("a_id"))
+        .withColumn("pick", md5(concat(col("a_id").cast("string"),
+          lit(":"), col("neg_id").cast("string"))))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("a_id"))
+            .orderBy(col("pick").asc, col("neg_id").asc)))
+        .filter(col("rank") <= 3)
+        .select(col("a_id"), lit("easy").as("kind"),
+          col("rank").cast("long").as("rank"), col("neg_id"),
+          jaccard(col("a_sh"), col("n_sh")).as("jacc"))
+      hard.unionAll(easy).orderBy("a_id", "kind", "rank")
+    },
+    Some(s"""WITH shs AS ($duckShingled),
+             src AS (SELECT doc_id, source FROM documents),
+             ex AS (SELECT doc_id, unnest(sh) AS s FROM shs),
+             rare AS (SELECT s FROM ex GROUP BY s
+                      HAVING count(*) BETWEEN 2 AND 5),
+             blocked AS (SELECT doc_id, s FROM ex JOIN rare USING (s)),
+             hc AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS neg_id
+                    FROM blocked x JOIN blocked y ON x.s = y.s
+                    WHERE x.doc_id < 30 AND x.doc_id != y.doc_id),
+             hs AS (SELECT a_id, neg_id,
+                      len(list_intersect(a.sh, b.sh))::DOUBLE
+                        / len(list_distinct(list_concat(a.sh, b.sh)))
+                        AS jacc
+                    FROM hc JOIN shs a ON a.doc_id = a_id
+                            JOIN shs b ON b.doc_id = neg_id),
+             ht AS (SELECT a_id, 'hard' AS kind, CAST(rank AS BIGINT)
+                        AS rank, neg_id, jacc
+                    FROM (SELECT *, row_number() OVER (PARTITION BY a_id
+                            ORDER BY jacc DESC, neg_id ASC) AS rank
+                          FROM hs WHERE jacc < 0.8)
+                    WHERE rank <= 3),
+             ec AS (SELECT a.doc_id AS a_id, c.doc_id AS neg_id,
+                      md5(a.doc_id::VARCHAR || ':' || c.doc_id::VARCHAR)
+                        AS pick
+                    FROM src a JOIN src c
+                      ON a.source <> c.source AND a.doc_id != c.doc_id
+                    WHERE a.doc_id < 30),
+             et AS (SELECT a_id, neg_id, rank FROM (
+                      SELECT *, row_number() OVER (PARTITION BY a_id
+                        ORDER BY pick ASC, neg_id ASC) AS rank
+                      FROM ec)
+                    WHERE rank <= 3),
+             ee AS (SELECT a_id, 'easy' AS kind, CAST(rank AS BIGINT)
+                        AS rank, neg_id,
+                      len(list_intersect(a.sh, b.sh))::DOUBLE
+                        / len(list_distinct(list_concat(a.sh, b.sh)))
+                        AS jacc
+                    FROM et JOIN shs a ON a.doc_id = a_id
+                            JOIN shs b ON b.doc_id = neg_id)
+             SELECT * FROM (SELECT * FROM ht UNION ALL SELECT * FROM ee)
+             ORDER BY a_id, kind, rank"""))
+
   val all: Seq[Q] = Seq(q23DedupExact, q24MinhashLsh, q25JaccardBlocked,
     q26Simhash, q43DedupComponents, q59DedupMaterialize, q60IncrementalDedup,
     q61Decontaminate, q63Boilerplate, q69ComponentsStar, q81SourceOverlap,
     q102PrefixJoin, q153MinhashNative, q156NoveltyRate, q171ContainmentJoin,
     q172SourceDupMatrix, q180SortedNeighborhood, q193TokensetDedup,
     q207GoldenRecord, q228ThresholdCurve, q234DedupTransitivity,
-    q242MinhashAccuracy)
+    q242MinhashAccuracy, q261ContrastiveMining)
 }

@@ -2625,6 +2625,28 @@ class NewOpsSpec extends SparkSpec {
       .collect().head
   }
 
+  test("q261 contrastive mining: hard above easy, no dups, bounded per anchor") {
+    val dir = "/root/testdata/sf0.001"
+    val out = DedupQueries.q261ContrastiveMining.fn(spark, dir)
+      .select("a_id", "kind", "rank", "neg_id", "jacc")
+      .as[(Long, String, Long, Long, Double)].collect().toList
+    out should not be empty
+    // per (anchor, kind): at most 3, ranks 1..n, no self-pairs
+    out.groupBy(t => (t._1, t._2)).foreach { case (_, rows) =>
+      rows.length should be <= 3
+      rows.map(_._3).sorted shouldBe (1L to rows.length).toList
+    }
+    out.foreach { case (a, _, _, n, j) =>
+      n should not be a
+      j should be < 0.8 // never a duplicate-level pair
+    }
+    // the mined hard negatives are at least as similar as the easy ones
+    val hard = out.filter(_._2 == "hard").map(_._5)
+    val easy = out.filter(_._2 == "easy").map(_._5)
+    if (hard.nonEmpty && easy.nonEmpty)
+      hard.sum / hard.length should be >= easy.sum / easy.length
+  }
+
   test("q259 truncation loss: kept <= total and ppm is the exact ratio") {
     val dir = "/root/testdata/sf0.001"
     val out = CorpusQueries.q259TruncationLoss.fn(spark, dir)
