@@ -781,9 +781,61 @@ object CorpusQueries {
                 // CAST(sum(n_tok) AS BIGINT) AS loss_ppm
             FROM d GROUP BY source ORDER BY source"""))
 
+  /** Length-bucket padding-waste table — the batching-policy audit for
+    * both training packers and inference servers: documents are padded
+    * to their power-of-two length bucket (16/32/64/128, the continuous
+    * batching shape), and each bucket reports docs, real tokens, padded
+    * tokens, and the exact padding waste in ppm. The per-bucket spread
+    * is the knob decision: a bucket wasting 40 % wants a finer bucket
+    * edge or packing (q62); near-zero waste means bucketed padding is
+    * already cheap and packing complexity buys nothing. Complements
+    * q259 (truncation LOSS under one hard cap) with the padding COST
+    * side of the same layout decision.
+    *
+    * ## 100 TB notes
+    * One map-side token count + CASE bucket per doc, one
+    * map-side-combined rollup on a 4-value key. Nothing bigger than
+    * |buckets| rows after the scan.
+    */
+  val q262PaddingWaste: Q = Q(
+    "q262_padding_waste",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .select(size(Text.tokens(col("text"))).cast("long").as("n_tok"))
+      val bucket = when(col("n_tok") <= 16, 16L)
+        .when(col("n_tok") <= 32, 32L)
+        .when(col("n_tok") <= 64, 64L)
+        .when(col("n_tok") <= 128, 128L)
+        .otherwise(256L)
+      docs.select(bucket.as("bucket"), col("n_tok"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("real_tokens"))
+        .select(col("bucket"), col("n_docs"), col("real_tokens"),
+          (col("bucket") * col("n_docs")).as("padded_tokens"),
+          expr("(bucket * n_docs - real_tokens) * 1000000 " +
+            "div (bucket * n_docs)").as("waste_ppm"))
+        .orderBy(col("bucket"))
+    },
+    Some("""WITH d AS (SELECT len(string_split(text, ' '))::BIGINT AS n_tok
+              FROM documents),
+            b AS (SELECT CASE WHEN n_tok <= 16 THEN 16
+                              WHEN n_tok <= 32 THEN 32
+                              WHEN n_tok <= 64 THEN 64
+                              WHEN n_tok <= 128 THEN 128
+                              ELSE 256 END AS bucket, n_tok
+                  FROM d)
+            SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_docs,
+              CAST(sum(n_tok) AS BIGINT) AS real_tokens,
+              CAST(bucket * count(*) AS BIGINT) AS padded_tokens,
+              (CAST(bucket * count(*) AS BIGINT)
+                 - CAST(sum(n_tok) AS BIGINT)) * 1000000
+                // CAST(bucket * count(*) AS BIGINT) AS waste_ppm
+            FROM b GROUP BY bucket ORDER BY bucket"""))
+
   val all: Seq[Q] = Seq(q88ChunkOverlap, q91BpePairs, q92UnigramRarity,
     q93BigramLift, q94CdcChunks, q96QuantileNorm, q97MixtureWeights,
     q125PpsSample, q169PostingLists, q173Burstiness, q191PhraseSearch,
     q205IdfDrift, q219HapaxProfile, q220ProximitySearch,
-    q258PrefixDupCurve, q259TruncationLoss)
+    q258PrefixDupCurve, q259TruncationLoss, q262PaddingWaste)
 }

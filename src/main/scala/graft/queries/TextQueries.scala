@@ -1535,6 +1535,83 @@ object TextQueries {
                  AS kappa
              FROM dn, p"""))
 
+  /** Quality x duplication contingency — are near-duplicates DIFFERENT
+    * in quality from unique docs? Crosses the dedup-cluster relation
+    * (q43/q59's component labels: a doc is a dup iff it belongs to any
+    * >= 2-member cluster — the exact+Levenshtein edge closure, read
+    * from the landed label table) with the quality gate (q21's score at
+    * 0.3, the corpus midpoint) into the 2x2 cell table plus the odds
+    * ratio — the interaction audit run before anyone orders "dedup then
+    * quality-filter" as if the two were independent (a strong positive
+    * association means dedup is already doing much of the quality
+    * filter's work, and the filter's measured yield on the deduped
+    * corpus will disappoint). Cell counts are exact; each row carries
+    * cell_ppm (exact integer) and the one odds ratio (a*d)/(b*c) as a
+    * single double op tree, NULL when any off-diagonal cell is empty —
+    * identical on both engines.
+    *
+    * ## 100 TB notes
+    * The dup relation is the ALREADY-LANDED clustering (one parquet
+    * scan + a left-semi-shaped join on doc_id); the score is a map-side
+    * projection; the rollup has 4 groups. The odds ratio attaches from
+    * a 1-row broadcast.
+    */
+  val q263QualityDupMatrix: Q = Q(
+    "q263_quality_dup_matrix",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), (qualityScoreCol >= 0.3).as("is_hq"))
+      val dupMembers = DedupQueries.componentLabelTable(s, dir)
+        .select(col("doc_id"), lit(true).as("is_dup"))
+      val cells = docs.join(dupMembers, Seq("doc_id"), "left")
+        .select(coalesce(col("is_dup"), lit(false)).as("is_dup"),
+          col("is_hq"))
+        .groupBy(col("is_dup"), col("is_hq"))
+        .agg(count(lit(1)).as("n_docs"))
+      val totals = cells.agg(
+        sum(col("n_docs")).as("n_total"),
+        sum(when(col("is_dup") && col("is_hq"), col("n_docs"))
+          .otherwise(0L)).as("a"),
+        sum(when(col("is_dup") && !col("is_hq"), col("n_docs"))
+          .otherwise(0L)).as("b"),
+        sum(when(!col("is_dup") && col("is_hq"), col("n_docs"))
+          .otherwise(0L)).as("c"),
+        sum(when(!col("is_dup") && !col("is_hq"), col("n_docs"))
+          .otherwise(0L)).as("d")) // 1 row
+      cells.crossJoin(broadcast(totals))
+        .select(col("is_dup"), col("is_hq"), col("n_docs"),
+          expr("n_docs * 1000000 div n_total").as("cell_ppm"),
+          when(col("b") > 0 && col("c") > 0,
+            (col("a") * col("d")).cast("double") /
+              (col("b") * col("c")).cast("double"))
+            .as("odds_ratio"))
+        .orderBy(col("is_dup"), col("is_hq"))
+    },
+    Some(s"""WITH RECURSIVE ${DedupQueries.duckComponentCtes},
+             docs AS (SELECT doc_id, ($duckScore) >= 0.3 AS is_hq
+                  FROM documents),
+             x AS (SELECT doc_id IN (SELECT doc_id FROM comp) AS is_dup,
+                     is_hq
+                   FROM docs),
+             cells AS (SELECT is_dup, is_hq, count(*) AS n_docs
+                       FROM x GROUP BY is_dup, is_hq),
+             t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+                     CAST(coalesce(sum(n_docs) FILTER (is_dup AND is_hq),
+                       0) AS BIGINT) AS a,
+                     CAST(coalesce(sum(n_docs) FILTER (is_dup AND NOT is_hq),
+                       0) AS BIGINT) AS b,
+                     CAST(coalesce(sum(n_docs) FILTER (NOT is_dup AND is_hq),
+                       0) AS BIGINT) AS c,
+                     CAST(coalesce(sum(n_docs) FILTER
+                       (NOT is_dup AND NOT is_hq), 0) AS BIGINT) AS d
+                   FROM cells)
+             SELECT is_dup, is_hq, n_docs,
+               n_docs * 1000000 // n_total AS cell_ppm,
+               CASE WHEN b > 0 AND c > 0
+                    THEN CAST(a * d AS DOUBLE) / CAST(b * c AS DOUBLE)
+                    END AS odds_ratio
+             FROM cells, t ORDER BY is_dup, is_hq"""))
+
   val all: Seq[Q] =
     Seq(q18TextStats, q19TermFreq, q20LangId, q21QualityScore, q22RegexTokens,
       q39WinnowFp, q42EditDistance, q45TfidfTopk, q48SplitAssign,
@@ -1543,5 +1620,5 @@ object TextQueries {
       q82TokenBudget, q134SentenceStats, q137SymspellJoin,
       q162Bm25Topk, q163RrfFusion, q166EpochShard, q177ReshardMovement,
       q200DataLadder, q204MedallionWaterfall, q221SplitBalance,
-      q240CohensKappa)
+      q240CohensKappa, q263QualityDupMatrix)
 }

@@ -2647,6 +2647,42 @@ class NewOpsSpec extends SparkSpec {
       hard.sum / hard.length should be >= easy.sum / easy.length
   }
 
+  test("q262 padding waste: buckets cover the corpus, padding bounds hold") {
+    val dir = "/root/testdata/sf0.001"
+    val out = CorpusQueries.q262PaddingWaste.fn(spark, dir)
+      .select("bucket", "n_docs", "real_tokens", "padded_tokens", "waste_ppm")
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    out should not be empty
+    val nDocs = graft.engine.Tables.load(spark, dir, "documents").count()
+    out.map(_._2).sum shouldBe nDocs
+    out.foreach { case (bucket, n, real, padded, ppm) =>
+      padded shouldBe bucket * n
+      real should be <= padded
+      // every doc in the bucket exceeds the previous power of two
+      real should be > (if (bucket > 16) bucket / 2 * n - n else 0L)
+      ppm shouldBe (padded - real) * 1000000L / padded
+    }
+  }
+
+  test("q263 quality-dup matrix: cells partition the corpus, OR from cells") {
+    val dir = "/root/testdata/sf0.001"
+    val out = TextQueries.q263QualityDupMatrix.fn(spark, dir)
+      .select("is_dup", "is_hq", "n_docs", "odds_ratio")
+      .as[(Boolean, Boolean, Long, Option[Double])].collect().toList
+    out should not be empty
+    val nDocs = graft.engine.Tables.load(spark, dir, "documents").count()
+    out.map(_._3).sum shouldBe nDocs
+    def cell(d: Boolean, h: Boolean) =
+      out.find(t => t._1 == d && t._2 == h).map(_._3).getOrElse(0L)
+    val (a, b, c, dd) =
+      (cell(true, true), cell(true, false), cell(false, true),
+        cell(false, false))
+    val or = out.head._4
+    if (b > 0 && c > 0)
+      or.get shouldBe (a * dd).toDouble / (b * c).toDouble
+    else or shouldBe None
+  }
+
   test("q259 truncation loss: kept <= total and ppm is the exact ratio") {
     val dir = "/root/testdata/sf0.001"
     val out = CorpusQueries.q259TruncationLoss.fn(spark, dir)
