@@ -101,4 +101,40 @@ object Cumulative {
         values.indices.flatMap(i =>
           Seq(s"__lcum$i", s"__soff$i"))): _*)
   }
+
+  /** Running MAX over a total order, same two-phase shape as
+    * [[rankedCumSum]] (max is associative, so per-range maxima plus a
+    * broadcast prefix-max offset regroup exactly): appends `cumName` =
+    * max of `value` over rows up to the current one — INCLUDING it by
+    * default, or strictly BEFORE it with `inclusive = false` (the
+    * record-detection frame: the global first row gets NULL, exactly
+    * like the flat `ROWS ... AND 1 PRECEDING` window it replaces).
+    * `greatest`/`max` skip NULLs on the combine, so partition-boundary
+    * rows regroup correctly in the exclusive frame too.
+    */
+  def runningMax(df: DataFrame, order: Seq[Column], value: Column,
+      cumName: String = "run_max", numPartitions: Int = 32,
+      inclusive: Boolean = true): DataFrame = {
+    val ranged = df
+      .repartitionByRange(numPartitions, order: _*)
+      .withColumn("__pid", spark_partition_id())
+    val byPid = Window.partitionBy(col("__pid")).orderBy(order: _*)
+    val frame = if (inclusive)
+      byPid.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    else byPid.rowsBetween(Window.unboundedPreceding, -1)
+    val local = Tables.eager(
+      ranged.withColumn("__lmax", max(value).over(frame)))
+    val subtotals = local.groupBy(col("__pid")).agg(max(value).as("__m"))
+    val earlier = subtotals.select(col("__pid").as("__pid2"),
+      col("__m").as("__m2"))
+    val offsets = subtotals
+      .join(broadcast(earlier), col("__pid2") < col("__pid"), "left")
+      .groupBy(col("__pid"))
+      .agg(max(col("__m2")).as("__moff")) // null for the first range
+    local.join(broadcast(offsets), "__pid")
+      // greatest skips nulls; null result only when BOTH frames are
+      // empty (the global first row under the exclusive frame)
+      .withColumn(cumName, greatest(col("__lmax"), col("__moff")))
+      .drop("__pid", "__lmax", "__moff")
+  }
 }

@@ -4469,6 +4469,50 @@ object EventQueries {
                  hour ASC) = 1 AS is_peak
              FROM c ORDER BY dow, hour"""))
 
+  /** All-time record purchases — the "biggest order ever" tracker every
+    * revenue dashboard alerts on: purchases whose cent value STRICTLY
+    * exceeds every earlier purchase in event-time order (ties are not
+    * records), each with the record it broke. Expected output is tiny
+    * (~ln n records under exchangeable values) but the comparison frame
+    * is the WHOLE history — the classic global-order running max.
+    *
+    * ## 100 TB notes
+    * The prior-record line is [[graft.engine.Cumulative.runningMax]]
+    * with the EXCLUSIVE frame — the two-phase range-partitioned
+    * regrouping of `max() OVER (ORDER BY ... AND 1 PRECEDING)` (max is
+    * associative; the first range's offset is NULL and `greatest`
+    * skips it) — so no single-partition window exists even though the
+    * semantics are a global scan. One corpus pass + the record filter;
+    * cents are exact int64.
+    */
+  val q264RecordHighs: Q = Q(
+    "q264_record_highs",
+    (s, dir) => {
+      val pur = Tables.load(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), tsUs.as("ts_us"),
+          floor(col("value") * 100).cast("long").as("cents"))
+      graft.engine.Cumulative
+        .runningMax(pur, Seq(col("ts_us").asc, col("event_id").asc),
+          col("cents"), cumName = "prev_record", inclusive = false)
+        .filter(col("prev_record").isNull ||
+          col("cents") > col("prev_record"))
+        .select(col("ts_us"), col("event_id"), col("cents"),
+          col("prev_record"))
+        .orderBy("ts_us", "event_id")
+    },
+    Some(s"""WITH p AS (SELECT event_id, ${duckUs("ts")} AS ts_us,
+                    CAST(floor(value * 100) AS BIGINT) AS cents
+                  FROM events WHERE event_type = 'purchase'),
+             r AS (SELECT ts_us, event_id, cents,
+                     max(cents) OVER (ORDER BY ts_us ASC, event_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS prev_record
+                   FROM p)
+             SELECT ts_us, event_id, cents, prev_record
+             FROM r WHERE prev_record IS NULL OR cents > prev_record
+             ORDER BY ts_us, event_id"""))
+
   val all: Seq[Q] =
     Seq(q31HourlyFromJson, q32SlidingWindow, q33Sessionize, q34SessionWindow,
       q35EventFirst, q37AsofJoin, q38RangeJoin, q50AsofForward,
@@ -4490,6 +4534,7 @@ object EventQueries {
       q185SeqPatterns, q186DecileLift, q188SrmCheck, q192KsTest,
       q199PurgedCvFolds, q201CupedAudit, q210EntryExitBounce,
       q215TrigramPaths, q232TimeDecayAttribution, q233TransitionDwell,
-      q238ProcessConformance, q239DiffInDiff, q244DoubleFire, q248LeadLagXcorr, q251ConcurrencyProfile, q254ActivityHeatmap)
+      q238ProcessConformance, q239DiffInDiff, q244DoubleFire, q248LeadLagXcorr, q251ConcurrencyProfile, q254ActivityHeatmap,
+      q264RecordHighs)
       .map(q => q.copy(streaming = streamingNames(q.name)))
 }

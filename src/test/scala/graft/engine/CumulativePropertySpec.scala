@@ -67,6 +67,28 @@ class CumulativePropertySpec extends SparkSpec {
     got shouldBe expect
   }
 
+  test("runningMax (inclusive and exclusive) equals the flat window") {
+    (1 to 10).foreach { _ =>
+      val rows = rowsGen.sample.getOrElse(Seq(0L -> 1L))
+      val nParts = Gen.oneOf(1, 3, 8, 300).sample.getOrElse(8)
+      val df = rows.toDF("k", "v")
+      val sorted = rows.sortBy(_._1)
+      val inc = Cumulative.runningMax(df, Seq(col("k").asc), col("v"),
+          numPartitions = nParts)
+        .select(col("k"), col("run_max"))
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq
+      inc shouldBe sorted.indices.map(i =>
+        (sorted(i)._1, sorted.take(i + 1).map(_._2).max))
+      val exc = Cumulative.runningMax(df, Seq(col("k").asc), col("v"),
+          numPartitions = nParts, inclusive = false)
+        .select(col("k"), col("run_max"))
+        .as[(Long, Option[Long])].collect().sortBy(_._1).toSeq
+      exc shouldBe sorted.indices.map(i =>
+        (sorted(i)._1,
+          if (i == 0) None else Some(sorted.take(i).map(_._2).max)))
+    }
+  }
+
   test("descending order with tie-broken keys matches the reference") {
     // the q155 shape: primary desc with ties, unique tiebreaker asc
     val rows = Seq((1L, 50L), (2L, 50L), (3L, 10L), (4L, 90L), (5L, 10L))

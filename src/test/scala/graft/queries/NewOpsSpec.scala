@@ -2683,6 +2683,28 @@ class NewOpsSpec extends SparkSpec {
     else or shouldBe None
   }
 
+  test("q264 record highs: strictly increasing chain, first has no prior") {
+    val dir = "/root/testdata/sf0.001"
+    val out = EventQueries.q264RecordHighs.fn(spark, dir)
+      .select("ts_us", "cents", "prev_record")
+      .as[(Long, Long, Option[Long])].collect().toList
+    out should not be empty
+    out.head._3 shouldBe None
+    // records strictly increase, and each broke exactly the previous one
+    out.sliding(2).foreach {
+      case List(a, b) =>
+        b._2 should be > a._2
+        b._3 shouldBe Some(a._2)
+      case _ => ()
+    }
+    // the last record is the corpus maximum
+    val maxCents = graft.engine.Tables.load(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .agg(max(floor(col("value") * 100).cast("long"))).as[Long]
+      .collect().head
+    out.last._2 shouldBe maxCents
+  }
+
   test("q259 truncation loss: kept <= total and ppm is the exact ratio") {
     val dir = "/root/testdata/sf0.001"
     val out = CorpusQueries.q259TruncationLoss.fn(spark, dir)
