@@ -35,6 +35,13 @@ object Verify {
         val df = fn(spark, sfDir)
         // fail loudly here, not as an opaque pandas error driver-side
         ComparatorContract.require(name, df.schema)
+        // ... and the q175 class too: a precision-saturated decimal
+        // multiply/divide can pass every local sweep and still flip at
+        // the driver's DuckDB — reject it before a result is written
+        val wide = ComparatorContract.wideDecimalArithmetic(
+          df.queryExecution.analyzed)
+        if (wide.nonEmpty) throw new IllegalStateException(
+          s"$name breaks the decimal discipline: ${wide.mkString("; ")}")
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       } catch { case e: Throwable =>
         // a failure must not be maskable: remove any stale result a
