@@ -1575,7 +1575,15 @@ object EventQueries {
           "q119_stream_running_totals_mem", outputMode = "update"))
         .orderBy("user_id", "n_events")
     },
-    Some(s"""WITH e AS (SELECT user_id, event_id,
+    Some(duckRunningTotalsOracle))
+
+  /** Oracle for the update-mode running-totals emission log — shared
+    * verbatim by q119 (mapGroupsWithState) and q265 (transformWithState):
+    * the same SQL matching BOTH runs is the engine-side proof the two
+    * state APIs are semantically identical.
+    */
+  private lazy val duckRunningTotalsOracle: String =
+    s"""WITH e AS (SELECT user_id, event_id,
                    CAST(floor(value * 100) AS BIGINT) AS cents,
                    ${duckUs("ts")} AS us
                  FROM events),
@@ -1592,7 +1600,49 @@ object EventQueries {
                       ON x.user_id = t.user_id AND x.batch <= t.batch
                     GROUP BY t.user_id, t.batch)
             SELECT user_id, n_events, total_cents, max_us
-            FROM cum ORDER BY user_id, n_events"""))
+            FROM cum ORDER BY user_id, n_events"""
+
+  /** q119's running per-user totals through Spark 4's
+    * `transformWithState` (typed named-state handles + per-state TTL —
+    * the successor stateful API; see
+    * [[graft.streaming.EventStreams.RunningTotalProcessor]]): identical
+    * staging, identical emissions, SAME oracle SQL — the hash match of
+    * both queries against one oracle proves the two state APIs fold
+    * identically, the q24/q153 relational-vs-native pattern applied to
+    * streaming state. transformWithState only runs on the RocksDB state
+    * store provider, so the runner pins the provider for this query and
+    * restores the session conf after — which also makes this a real
+    * RocksDB-backed run in every verify pass, not just in
+    * RocksDbStateSpec.
+    */
+  val q265StreamTwsTotals: Q = Q(
+    "q265_stream_tws_totals",
+    (s, dir) => {
+      import s.implicits._
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prior = s.conf.getOption(key)
+      s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider")
+      try {
+        val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+        val src = s.readStream.schema(batchSchema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(eventsOooStreamDir(s, dir))
+          .transform(Tables.normalizeEventTs)
+          .select(col("user_id"),
+            floor(col("value") * 100).cast("long").as("cents"),
+            tsUs.as("us"))
+          .as[graft.streaming.EventStreams.Counted]
+        graft.streaming.EventStreams.runningTotalsTws(src).toDF()
+          .transform(df => runToMemorySink(s, df,
+            "q265_stream_tws_totals_mem", outputMode = "update"))
+          .orderBy("user_id", "n_events")
+      } finally prior match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    },
+    Some(duckRunningTotalsOracle))
 
   /** Count–min sketch heavy hitters, expressed as dataflow: the sketch
     * is a (depth x width) counter table built by one explode + group-by
@@ -3775,7 +3825,8 @@ object EventQueries {
     "q64_stream_hourly", "q66_stream_dedup", "q75_stream_sessions",
     "q76_stream_late_drop", "q78_stream_interval_join",
     "q83_stream_static_enrich", "q84_foreachbatch_upsert",
-    "q107_stream_outer_join", "q119_stream_running_totals")
+    "q107_stream_outer_join", "q119_stream_running_totals",
+    "q265_stream_tws_totals")
 
   /** Session entry/exit/bounce profile — the landing-page report: for
     * each event type, how many sessions START there, END there, and
@@ -4535,6 +4586,6 @@ object EventQueries {
       q199PurgedCvFolds, q201CupedAudit, q210EntryExitBounce,
       q215TrigramPaths, q232TimeDecayAttribution, q233TransitionDwell,
       q238ProcessConformance, q239DiffInDiff, q244DoubleFire, q248LeadLagXcorr, q251ConcurrencyProfile, q254ActivityHeatmap,
-      q264RecordHighs)
+      q264RecordHighs, q265StreamTwsTotals)
       .map(q => q.copy(streaming = streamingNames(q.name)))
 }

@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Structured-Streaming transforms over the event schema
   * (SURVEY.md §2.7: the reference is strictly daily batch with incremental
@@ -157,6 +157,45 @@ object EventStreams {
           state.update(s1)
           TotalsRow(uid, s1.n, s1.cents, s1.max_us)
       }
+  }
+
+  /** [[runningTotals]] through Spark 4's `transformWithState` — the
+    * successor API to mapGroupsWithState (typed named-state handles,
+    * per-state TTL, timers decoupled from output mode). Same fold, same
+    * emissions: one `ValueState[RunningTotal]` per user, each batch
+    * folds its rows and emits the key's new cumulative row. The oracle
+    * hash-match against q119's mapGroupsWithState run is the proof the
+    * two state APIs implement identical semantics — the q24/q153
+    * relational-vs-native pattern applied to streaming state.
+    *
+    * Requires the RocksDB state store provider (transformWithState is
+    * not implemented on the default HDFS-backed provider); the q265
+    * runner pins it for the query and restores the session conf after.
+    */
+  class RunningTotalProcessor
+      extends StatefulProcessor[Long, Counted, TotalsRow] {
+    @transient private var state: ValueState[RunningTotal] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[RunningTotal]("totals",
+        Encoders.product[RunningTotal], TTLConfig.NONE)
+    override def handleInputRows(uid: Long, batch: Iterator[Counted],
+        timers: TimerValues): Iterator[TotalsRow] = {
+      val s0 = if (state.exists()) state.get()
+               else RunningTotal(0L, 0L, Long.MinValue)
+      var n = s0.n; var c = s0.cents; var m = s0.max_us
+      batch.foreach { e => n += 1; c += e.cents; if (e.us > m) m = e.us }
+      val s1 = RunningTotal(n, c, m)
+      state.update(s1)
+      Iterator.single(TotalsRow(uid, s1.n, s1.cents, s1.max_us))
+    }
+  }
+
+  def runningTotalsTws(events: Dataset[Counted]): Dataset[TotalsRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningTotalProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 
   /** Stateful sessionization: 30-min-gap sessions per user, emitted when

@@ -41,6 +41,36 @@ class RocksDbStateSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState fold matches mapGroupsWithState batch-for-batch") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val tws =
+      try {
+        implicit val sq = spark.sqlContext
+        val in = MemoryStream[Counted]
+        val q: StreamingQuery = EventStreams.runningTotalsTws(in.toDS())
+          .writeStream.format("memory").queryName("totals_tws")
+          .outputMode("update").start()
+        try {
+          in.addData(Counted(1L, 100L, H), Counted(2L, 250L, H + 1))
+          q.processAllAvailable()
+          in.addData(Counted(1L, 50L, 2 * H))
+          q.processAllAvailable()
+          spark.table("totals_tws")
+            .as[(Long, Long, Long, Long)].collect().toSet
+        } finally q.stop()
+      } finally prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    // identical per-batch emission log as the mapGroupsWithState fold
+    tws shouldBe Set(
+      (1L, 1L, 100L, H), (2L, 1L, 250L, H + 1),
+      (1L, 2L, 150L, 2 * H))
+  }
+
   test("runningTotals is identical under RocksDB and default providers") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val default = runTotals("totals_default")
