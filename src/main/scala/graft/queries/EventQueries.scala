@@ -681,7 +681,16 @@ object EventQueries {
       runToMemorySink(s, out, "q75_stream_sessions_mem")
         .orderBy("user_id", "start_us")
     },
-    Some(s"""WITH $duckSessionCtes,
+    Some(duckStreamSessionsOracle))
+
+  /** Oracle for the append-mode sessionization emissions — shared
+    * verbatim by q75 (flatMapGroupsWithState + EventTimeTimeout) and
+    * q266 (transformWithState + explicit event-time timers): one SQL
+    * matching BOTH runs proves the two timeout mechanisms fire on the
+    * same boundaries.
+    */
+  private lazy val duckStreamSessionsOracle: String =
+    s"""WITH $duckSessionCtes,
             mx AS (SELECT max(ts_us) AS max_us FROM e),
             agg AS (SELECT user_id, session_seq, min(ts_us) AS start_us,
                 max(ts_us) AS end_us, count(*) AS n_events
@@ -694,7 +703,44 @@ object EventQueries {
             WHERE a.session_seq <> l.last_seq
                OR (a.end_us + $GapUs) // 1000
                   < max_us // 1000 - ${GapUs / 1000}
-            ORDER BY a.user_id, a.start_us"""))
+            ORDER BY a.user_id, a.start_us"""
+
+  /** q75's stateful sessionization through Spark 4's
+    * `transformWithState` with EXPLICIT event-time timers
+    * ([[graft.streaming.EventStreams.SessionProcessor]]): identical
+    * staging and the SAME oracle SQL, so the hash match of both
+    * sessionizers against one oracle proves
+    * flatMapGroupsWithState's EventTimeTimeout and the successor API's
+    * registered timers fire on the same boundaries — q265's
+    * API-equivalence pattern extended to the timer half of the state
+    * surface. Pinned to the RocksDB provider like q265.
+    */
+  val q266StreamTwsSessions: Q = Q(
+    "q266_stream_tws_sessions",
+    (s, dir) => {
+      import s.implicits._
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prior = s.conf.getOption(key)
+      s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider")
+      try {
+        val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+        val evs = s.readStream.schema(batchSchema)
+          .parquet(eventsStreamDir(dir))
+          .transform(Tables.normalizeEventTs)
+          .select(col("user_id"), tsUs.as("ts_us"), col("value"))
+          .as[graft.streaming.EventStreams.Ev]
+        val out = graft.streaming.EventStreams.sessionizeTws(evs)
+          .select(col("user_id"), col("start_us"), col("end_us"),
+            col("n_events"))
+        runToMemorySink(s, out, "q266_stream_tws_sessions_mem")
+          .orderBy("user_id", "start_us")
+      } finally prior match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    },
+    Some(duckStreamSessionsOracle))
 
   /** Run q76's two-batch late-data stream and surface the state
     * operator's `numRowsDroppedByWatermark` alongside the drained result
@@ -3826,7 +3872,7 @@ object EventQueries {
     "q76_stream_late_drop", "q78_stream_interval_join",
     "q83_stream_static_enrich", "q84_foreachbatch_upsert",
     "q107_stream_outer_join", "q119_stream_running_totals",
-    "q265_stream_tws_totals")
+    "q265_stream_tws_totals", "q266_stream_tws_sessions")
 
   /** Session entry/exit/bounce profile — the landing-page report: for
     * each event type, how many sessions START there, END there, and
@@ -4586,6 +4632,6 @@ object EventQueries {
       q199PurgedCvFolds, q201CupedAudit, q210EntryExitBounce,
       q215TrigramPaths, q232TimeDecayAttribution, q233TransitionDwell,
       q238ProcessConformance, q239DiffInDiff, q244DoubleFire, q248LeadLagXcorr, q251ConcurrencyProfile, q254ActivityHeatmap,
-      q264RecordHighs, q265StreamTwsTotals)
+      q264RecordHighs, q265StreamTwsTotals, q266StreamTwsSessions)
       .map(q => q.copy(streaming = streamingNames(q.name)))
 }

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Structured-Streaming transforms over the event schema
   * (SURVEY.md §2.7: the reference is strictly daily batch with incremental
@@ -196,6 +196,71 @@ object EventStreams {
       .groupByKey(_.user_id)
       .transformWithState(new RunningTotalProcessor,
         TimeMode.None(), OutputMode.Update())
+  }
+
+  /** [[sessionize]] through `transformWithState` with EVENT-TIME TIMERS
+    * — the hard half of the successor API (q265's counter only needed
+    * value state): the open session lives in a named `ValueState`, and
+    * its gap horizon is an explicit registered timer at
+    * `(end_us + gap) / 1000` ms. Each batch deletes the stale timer,
+    * folds its rows (closing superseded sessions inline), and registers
+    * the new horizon; `handleExpiredTimer` fires when the WATERMARK
+    * passes a horizon and finalizes the open session — exactly
+    * flatMapGroupsWithState's `EventTimeTimeout` + `setTimeoutTimestamp`
+    * contract, made explicit. Same staging, same emissions, same q75
+    * oracle: the hash match of both sessionizers against one oracle
+    * proves the timer semantics line up boundary-for-boundary.
+    */
+  class SessionProcessor extends StatefulProcessor[Long, Ev, Session] {
+    @transient private var state: ValueState[OpenSession] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[OpenSession]("open",
+        Encoders.product[OpenSession], TTLConfig.NONE)
+    private def horizonMs(s: OpenSession): Long =
+      (s.end_us + SessionGapUs) / 1000
+    override def handleInputRows(uid: Long, batch: Iterator[Ev],
+        timers: TimerValues): Iterator[Session] = {
+      val evs = batch.toSeq.sortBy(_.ts_us)
+      var open = if (state.exists()) Some(state.get()) else None
+      // the fold below moves the horizon; drop the stale timer first
+      open.foreach(s => getHandle.deleteTimer(horizonMs(s)))
+      val closed = List.newBuilder[Session]
+      evs.foreach { e =>
+        open match {
+          case Some(s) if e.ts_us - s.end_us <= SessionGapUs =>
+            open = Some(OpenSession(s.start_us, e.ts_us, s.n + 1,
+              s.total + e.value))
+          case Some(s) =>
+            closed += Session(uid, s.start_us, s.end_us, s.n, s.total)
+            open = Some(OpenSession(e.ts_us, e.ts_us, 1, e.value))
+          case None =>
+            open = Some(OpenSession(e.ts_us, e.ts_us, 1, e.value))
+        }
+      }
+      open.foreach { s =>
+        state.update(s)
+        getHandle.registerTimer(horizonMs(s))
+      }
+      closed.result().iterator
+    }
+    override def handleExpiredTimer(uid: Long, timers: TimerValues,
+        info: ExpiredTimerInfo): Iterator[Session] =
+      if (state.exists()) {
+        val s = state.get()
+        state.clear()
+        Iterator.single(Session(uid, s.start_us, s.end_us, s.n, s.total))
+      } else Iterator.empty
+  }
+
+  def sessionizeTws(events: Dataset[Ev]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("tss", timestamp_micros(col("ts_us")))
+      .withWatermark("tss", SessionWatermark)
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Stateful sessionization: 30-min-gap sessions per user, emitted when
