@@ -833,9 +833,85 @@ object CorpusQueries {
                 // CAST(bucket * count(*) AS BIGINT) AS waste_ppm
             FROM b GROUP BY bucket ORDER BY bucket"""))
 
+  /** Largest-remainder (Hamilton) apportionment of a training-token
+    * budget across sources: allocate EXACTLY B = 1,000,000 budget
+    * tokens proportionally to each source's corpus tokens, entirely in
+    * integer arithmetic. `base = (w*B) div W` floors each share;
+    * the `L = B - Σ base` leftover units (one per source at most,
+    * L < #sources) go to the largest remainders `(w*B) % W`
+    * (tie-break: source name asc). The allocation provably sums to B
+    * — the invariant every "we trained on exactly N tokens from this
+    * mix" claim needs — with no floating-point shares anywhere
+    * (q97's mixture weights are the continuous analogue; this is the
+    * integer-exact scheduler step downstream of it).
+    *
+    * The remainder RANK is computed by a triangular broadcast
+    * self-join over the |sources|-sized table (count of strictly
+    * larger remainders), not a global window — sources are a
+    * dimension, so the join is a broadcast nested loop over a handful
+    * of rows and no single-partition WindowExec exists in the plan.
+    *
+    * ## 100 TB notes
+    * One explode-free token count (`size(split)`) with map-side
+    * partials is the only full scan; everything after runs on
+    * |sources| rows. `w * 1,000,000` needs headroom: at real scale
+    * (w ~ 1e13 tokens) the product approaches int64's 9.2e18 cap, so
+    * the production variant accumulates the product in decimal(38,0)
+    * (exact scale-0 integers are sanctioned by the determinism
+    * contract); the fixture stays far inside int64.
+    */
+  val q268TokenApportionment: Q = Q(
+    "q268_token_apportionment",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val bySrc = docs.groupBy(col("source"))
+        .agg(sum(size(Text.tokens(col("text"))).cast("long")).as("w"))
+      val tot = bySrc.agg(sum(col("w")).as("wtot")) // 1 row
+      val based = bySrc.crossJoin(broadcast(tot))
+        .select(col("source"), col("w"),
+          expr("w * 1000000 div wtot").as("base_alloc"),
+          expr("(w * 1000000) % wtot").as("rem"))
+      val leftover = based
+        .agg((lit(1000000L) - sum(col("base_alloc"))).as("leftover"))
+      val rhs = based.select(col("source").as("s2"), col("rem").as("rem2"))
+      val ranked = based.join(broadcast(rhs),
+          col("rem2") > col("rem") ||
+            (col("rem2") === col("rem") && col("s2") < col("source")),
+          "left")
+        .groupBy(col("source"), col("w"), col("base_alloc"), col("rem"))
+        .agg(count(col("s2")).as("ahead"))
+      val extra = when(col("ahead") < col("leftover"), 1L).otherwise(0L)
+      ranked.crossJoin(broadcast(leftover))
+        .select(col("source"), col("w").as("tokens"), col("base_alloc"),
+          extra.as("extra"), (col("base_alloc") + extra).as("alloc"))
+        .orderBy("source")
+    },
+    Some("""WITH w AS (SELECT source,
+                CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS w
+              FROM documents GROUP BY 1),
+            t AS (SELECT CAST(sum(w) AS BIGINT) AS wtot FROM w),
+            b AS (SELECT source, w, (w * 1000000) // wtot AS base_alloc,
+                    (w * 1000000) % wtot AS rem
+                  FROM w, t),
+            l AS (SELECT 1000000 - CAST(sum(base_alloc) AS BIGINT)
+                    AS leftover FROM b),
+            rk AS (SELECT b.source, b.w, b.base_alloc, b.rem,
+                     count(b2.source) AS ahead
+                   FROM b LEFT JOIN b b2
+                     ON b2.rem > b.rem
+                        OR (b2.rem = b.rem AND b2.source < b.source)
+                   GROUP BY 1, 2, 3, 4)
+            SELECT source, w AS tokens, base_alloc,
+              CAST(CASE WHEN ahead < leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS extra,
+              base_alloc + CAST(CASE WHEN ahead < leftover THEN 1 ELSE 0
+                END AS BIGINT) AS alloc
+            FROM rk, l ORDER BY source"""))
+
   val all: Seq[Q] = Seq(q88ChunkOverlap, q91BpePairs, q92UnigramRarity,
     q93BigramLift, q94CdcChunks, q96QuantileNorm, q97MixtureWeights,
     q125PpsSample, q169PostingLists, q173Burstiness, q191PhraseSearch,
     q205IdfDrift, q219HapaxProfile, q220ProximitySearch,
-    q258PrefixDupCurve, q259TruncationLoss, q262PaddingWaste)
+    q258PrefixDupCurve, q259TruncationLoss, q262PaddingWaste,
+    q268TokenApportionment)
 }

@@ -4610,6 +4610,114 @@ object EventQueries {
              FROM r WHERE prev_record IS NULL OR cents > prev_record
              ORDER BY ts_us, event_id"""))
 
+  /** Head-to-head layout PRUNING comparison — the cell the layout
+    * family's other two audits leave open. q167 reports the per-bucket
+    * (min,max) envelopes a Morton clustering produces but counts
+    * nothing; q187 counts skipped files but compares arrival order vs
+    * a SINGLE-dimension (date) layout, where the answer is all-or-
+    * nothing. This query runs the actual two-dimensional decision: for
+    * the SAME rows clustered lexicographically vs by Morton code, how
+    * many files does a point predicate on EACH dimension force a scan
+    * to read?
+    *
+    * The two candidate layouts cluster rows into files by a single
+    * integer sort key over the 2-D key (x = `user_id % 32`,
+    * y = epoch-day `% 32`, 5 bits each — the fixture's 30-day window
+    * and user id space populate both dimensions at every SF):
+    *   - `linear`: lexicographic `x * 32 + y` (partition-by-user
+    *     then day — the layout a naive writer produces);
+    *   - `zorder`: the Morton code interleaving the 5 bits of x and y
+    *     (bit i of x at position 2i, bit i of y at 2i+1), the
+    *     space-filling curve Delta/Iceberg `OPTIMIZE ZORDER BY` uses.
+    * Files are fixed key-ranges of the sort key (32 codes/file → 32
+    * files), so file assignment is MAP-ONLY here; a real writer gets
+    * the same file population from `repartitionByRange(zv)` +
+    * `sortWithinPartitions` (the q260 manifest path). Per layout the
+    * audit computes each file's min/max per dimension — exactly the
+    * parquet/Iceberg zone-map stats — and counts how many files a
+    * point predicate on EACH dimension must read (`x = 7`, `y = 7`:
+    * a file is read iff its [min,max] straddles the constant).
+    * Linear prunes x perfectly (each file is one x value) and y not
+    * at all; each z-order file is an 8-wide × 4-tall tile, so z-order
+    * pays 8× on x to win 8× on y — `skip_ppm_x`/`skip_ppm_y` (exact
+    * integer ppm of files skipped) quantify the trade on this data.
+    *
+    * ## 100 TB notes
+    * The Morton code is 16 integer ops per row, map-only, codegen'd;
+    * the zone-map table is |files|-sized (dim-bounded). At real scale
+    * the file count scales with data but the per-file stats table is
+    * exactly what the table format's manifest already stores — the
+    * audit is a metadata-only query there. The bit interleave is
+    * plain `div`/`%` arithmetic (no UDF, no bit intrinsics) so the
+    * SAME expression text runs on both engines.
+    */
+  val q267LayoutPruning: Q = Q(
+    "q267_layout_pruning",
+    (s, dir) => {
+      val morton = (0 until 5).map { i =>
+        val p = 1L << i; val zx = 1L << (2 * i); val zy = 1L << (2 * i + 1)
+        s"((x div $p) % 2) * $zx + ((y div $p) % 2) * $zy"
+      }.mkString(" + ")
+      val ev = Tables.load(s, dir, "events")
+        .select(expr("user_id % 32").as("x"),
+          expr("(ts div 86400000000000) % 32").as("y"))
+      val keyed = ev.select(col("x"), col("y"), expr(morton).as("zv"))
+      val tagged = keyed
+        .select(lit("linear").as("layout"),
+          expr("(x * 32 + y) div 32").as("file_id"), col("x"), col("y"))
+        .unionAll(keyed.select(lit("zorder").as("layout"),
+          expr("zv div 32").as("file_id"), col("x"), col("y")))
+      val zoneMaps = tagged.groupBy(col("layout"), col("file_id"))
+        .agg(min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("y")).as("min_y"), max(col("y")).as("max_y"),
+          count(lit(1)).as("n"))
+      zoneMaps.groupBy(col("layout"))
+        .agg(count(lit(1)).as("n_files"), sum(col("n")).as("n_rows"),
+          sum(when(col("min_x") <= 7 && col("max_x") >= 7, 1L)
+            .otherwise(0L)).as("files_hit_x"),
+          sum(when(col("min_y") <= 7 && col("max_y") >= 7, 1L)
+            .otherwise(0L)).as("files_hit_y"))
+        .select(col("layout"), col("n_files"), col("n_rows"),
+          col("files_hit_x"), col("files_hit_y"),
+          expr("(n_files - files_hit_x) * 1000000 div n_files")
+            .as("skip_ppm_x"),
+          expr("(n_files - files_hit_y) * 1000000 div n_files")
+            .as("skip_ppm_y"))
+        .orderBy("layout")
+    },
+    Some {
+      val morton = (0 until 5).map { i =>
+        val p = 1L << i; val zx = 1L << (2 * i); val zy = 1L << (2 * i + 1)
+        s"((x // $p) % 2) * $zx + ((y // $p) % 2) * $zy"
+      }.mkString(" + ")
+      s"""WITH ev AS (SELECT user_id % 32 AS x,
+                (${duckUs("ts")} // 86400000000) % 32 AS y
+              FROM events),
+            keyed AS (SELECT x, y, $morton AS zv FROM ev),
+            tagged AS (
+              SELECT 'linear' AS layout, (x * 32 + y) // 32 AS file_id,
+                     x, y FROM keyed
+              UNION ALL
+              SELECT 'zorder' AS layout, zv // 32 AS file_id, x, y
+              FROM keyed),
+            zm AS (SELECT layout, file_id,
+                     min(x) AS min_x, max(x) AS max_x,
+                     min(y) AS min_y, max(y) AS max_y,
+                     count(*) AS n
+                   FROM tagged GROUP BY 1, 2),
+            agg AS (SELECT layout, count(*) AS n_files,
+                     CAST(sum(n) AS BIGINT) AS n_rows,
+                     CAST(sum(CASE WHEN min_x <= 7 AND max_x >= 7
+                       THEN 1 ELSE 0 END) AS BIGINT) AS files_hit_x,
+                     CAST(sum(CASE WHEN min_y <= 7 AND max_y >= 7
+                       THEN 1 ELSE 0 END) AS BIGINT) AS files_hit_y
+                   FROM zm GROUP BY 1)
+            SELECT layout, n_files, n_rows, files_hit_x, files_hit_y,
+              (n_files - files_hit_x) * 1000000 // n_files AS skip_ppm_x,
+              (n_files - files_hit_y) * 1000000 // n_files AS skip_ppm_y
+            FROM agg ORDER BY layout"""
+    })
+
   val all: Seq[Q] =
     Seq(q31HourlyFromJson, q32SlidingWindow, q33Sessionize, q34SessionWindow,
       q35EventFirst, q37AsofJoin, q38RangeJoin, q50AsofForward,
@@ -4632,6 +4740,7 @@ object EventQueries {
       q199PurgedCvFolds, q201CupedAudit, q210EntryExitBounce,
       q215TrigramPaths, q232TimeDecayAttribution, q233TransitionDwell,
       q238ProcessConformance, q239DiffInDiff, q244DoubleFire, q248LeadLagXcorr, q251ConcurrencyProfile, q254ActivityHeatmap,
-      q264RecordHighs, q265StreamTwsTotals, q266StreamTwsSessions)
+      q264RecordHighs, q265StreamTwsTotals, q266StreamTwsSessions,
+      q267LayoutPruning)
       .map(q => q.copy(streaming = streamingNames(q.name)))
 }

@@ -1612,6 +1612,119 @@ object TextQueries {
                     END AS odds_ratio
              FROM cells, t ORDER BY is_dup, is_hq"""))
 
+  /** Fixed-size deterministic stratified sample: EXACTLY k = 50 docs
+    * per language (fewer only if the stratum is smaller), chosen by
+    * seeded-hash order — the distributed, re-runnable equivalent of
+    * per-stratum reservoir sampling. Ranking by `md5(doc_id)` gives a
+    * uniform pseudo-random permutation that any worker reproduces
+    * byte-for-byte (same doc set → same sample, regardless of
+    * partitioning or execution order), unlike a true reservoir pass
+    * whose result depends on encounter order. q51 is the keep-RATE
+    * (Bernoulli) sampler — its sample size is binomial; this is the
+    * fixed-SIZE side of the same coin, the one eval-set builders need
+    * ("exactly 50 held-out docs per language").
+    *
+    * ## 100 TB notes
+    * The window partitions by `lang` — per-stratum state only, no
+    * global window. For strata too large for one task's sort, the
+    * scale path is a per-partition top-k (TakeOrderedAndProject shape)
+    * followed by a k·#partitions re-rank: both phases bounded, the
+    * result identical because hash-rank selection is a pure total
+    * order. At any scale the output is k·|strata| rows — tiny.
+    */
+  val q269FixedSample: Q = Q(
+    "q269_fixed_sample",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val h = md5(col("doc_id").cast("string"))
+      val byLang = Window.partitionBy(col("lang"))
+        .orderBy(h.asc, col("doc_id").asc)
+      docs
+        .select(col("lang"), col("doc_id"), col("n_chars"))
+        .withColumn("rk", row_number().over(byLang).cast("long"))
+        .filter(col("rk") <= 50)
+        .select(col("lang"), col("rk"), col("doc_id"), col("n_chars"))
+        .orderBy("lang", "rk")
+    },
+    Some("""WITH r AS (SELECT lang, doc_id, n_chars,
+                row_number() OVER (PARTITION BY lang
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC)
+                  AS rk
+              FROM documents)
+            SELECT lang, rk, doc_id, n_chars
+            FROM r WHERE rk <= 50 ORDER BY lang, rk"""))
+
+  /** Epoch-shuffle mixing audit: after the standard hash-shuffle
+    * (global order by `md5(doc_id)` — q166's epoch-shard permutation),
+    * does every consecutive 100-doc reader block actually see a MIX of
+    * sources, or do stretches of one source survive? Per block the
+    * audit takes the top source's share in exact ppm (`max count *
+    * 1e6 div block size`) and the distinct-source count, then folds
+    * the |blocks|-sized table into a bounded histogram over 10 %
+    * share bands: blocks per band, min/max observed top-share, and
+    * the worst block's distinct-source count. A well-mixed corpus
+    * concentrates in the band around the largest source's global
+    * share; mass in high bands means the dataloader would feed
+    * single-source runs (the curriculum-breaking failure mode
+    * shuffling exists to prevent).
+    *
+    * ## 100 TB notes
+    * The global rank uses [[graft.engine.Cumulative.rankedCumSum]] —
+    * range-repartition + per-partition windows + broadcast offsets, no
+    * single-partition WindowExec (the q155 discipline). The per-block
+    * aggregation is a bounded two-level group-by (block, source) with
+    * map-side partials; the histogram is 10 rows no matter the corpus
+    * size.
+    */
+  val q270ShuffleMixing: Q = Q(
+    "q270_shuffle_mixing",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          md5(col("doc_id").cast("string")).as("h"))
+      val ranked = graft.engine.Cumulative.rankedCumSum(
+        docs, Seq(col("h").asc, col("doc_id").asc), lit(1L))
+      val blocks = ranked
+        .select(expr("(rk - 1) div 100").as("block"), col("source"))
+        .groupBy(col("block"), col("source"))
+        .agg(count(lit(1)).as("cnt"))
+      val perBlock = blocks.groupBy(col("block"))
+        .agg(sum(col("cnt")).as("bn"), max(col("cnt")).as("maxc"),
+          count(lit(1)).as("n_sources"))
+        .select(col("block"),
+          expr("maxc * 1000000 div bn").as("top_share_ppm"),
+          col("n_sources"))
+      perBlock
+        .select(expr("least(top_share_ppm div 100000, 9L)").as("band"),
+          col("top_share_ppm"), col("n_sources"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_blocks"),
+          min(col("top_share_ppm")).as("min_share_ppm"),
+          max(col("top_share_ppm")).as("max_share_ppm"),
+          min(col("n_sources")).as("min_sources"))
+        .orderBy("band")
+    },
+    Some("""WITH r AS (SELECT source,
+                row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR))
+                  ASC, doc_id ASC) AS rk
+              FROM documents),
+            bs AS (SELECT (rk - 1) // 100 AS block, source,
+                     count(*) AS cnt
+                   FROM r GROUP BY 1, 2),
+            pb AS (SELECT block, CAST(sum(cnt) AS BIGINT) AS bn,
+                     CAST(max(cnt) AS BIGINT) AS maxc,
+                     count(*) AS n_sources
+                   FROM bs GROUP BY 1),
+            sh AS (SELECT block, maxc * 1000000 // bn AS top_share_ppm,
+                     n_sources
+                   FROM pb)
+            SELECT least(top_share_ppm // 100000, 9) AS band,
+              count(*) AS n_blocks,
+              min(top_share_ppm) AS min_share_ppm,
+              max(top_share_ppm) AS max_share_ppm,
+              min(n_sources) AS min_sources
+            FROM sh GROUP BY 1 ORDER BY band"""))
+
   val all: Seq[Q] =
     Seq(q18TextStats, q19TermFreq, q20LangId, q21QualityScore, q22RegexTokens,
       q39WinnowFp, q42EditDistance, q45TfidfTopk, q48SplitAssign,
@@ -1620,5 +1733,6 @@ object TextQueries {
       q82TokenBudget, q134SentenceStats, q137SymspellJoin,
       q162Bm25Topk, q163RrfFusion, q166EpochShard, q177ReshardMovement,
       q200DataLadder, q204MedallionWaterfall, q221SplitBalance,
-      q240CohensKappa, q263QualityDupMatrix)
+      q240CohensKappa, q263QualityDupMatrix, q269FixedSample,
+      q270ShuffleMixing)
 }

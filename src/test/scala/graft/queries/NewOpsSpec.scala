@@ -2719,4 +2719,96 @@ class NewOpsSpec extends SparkSpec {
       ppm shouldBe (total - kept) * 1000000L / total
     }
   }
+
+  test("q267 layout pruning: rows conserved, linear prunes x only, " +
+      "zorder prunes both") {
+    val dir = "/root/testdata/sf0.001"
+    val out = EventQueries.q267LayoutPruning.fn(spark, dir)
+      .select("layout", "n_files", "n_rows", "files_hit_x", "files_hit_y",
+        "skip_ppm_x", "skip_ppm_y")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toList
+    out.map(_._1).sorted shouldBe List("linear", "zorder")
+    val nEvents = graft.engine.Tables.load(spark, dir, "events").count()
+    out.foreach { case (_, nFiles, nRows, hitX, hitY, skipX, skipY) =>
+      nRows shouldBe nEvents // every event lands in exactly one file
+      hitX should be <= nFiles
+      hitY should be <= nFiles
+      skipX shouldBe (nFiles - hitX) * 1000000L / nFiles
+      skipY shouldBe (nFiles - hitY) * 1000000L / nFiles
+    }
+    val lin = out.find(_._1 == "linear").get
+    val zo = out.find(_._1 == "zorder").get
+    // lexicographic files are single-x slices: perfect x pruning, none on y
+    lin._4 shouldBe 1L
+    lin._5 shouldBe lin._2
+    // z-order tiles are 8x4: both dimensions prune to a strict subset
+    zo._4 should be < zo._2
+    zo._5 should be < zo._2
+  }
+
+  test("q268 apportionment: allocations are exact and sum to the budget") {
+    val dir = "/root/testdata/sf0.001"
+    val out = CorpusQueries.q268TokenApportionment.fn(spark, dir)
+      .select("source", "tokens", "base_alloc", "extra", "alloc")
+      .as[(String, Long, Long, Long, Long)].collect().toList
+    out should not be empty
+    out.map(_._5).sum shouldBe 1000000L // Hamilton invariant: exact budget
+    val w = out.map(_._2).sum
+    out.foreach { case (_, tok, base, extra, alloc) =>
+      base shouldBe tok * 1000000L / w
+      (extra == 0L || extra == 1L) shouldBe true
+      alloc shouldBe base + extra
+    }
+    // leftover went to the largest remainders: every source that got an
+    // extra unit has remainder >= every source that did not (ties broken
+    // by name, so compare (rem, reversed-name) lexicographically)
+    val withRem = out.map(t => (t._1, t._2 * 1000000L % w, t._4))
+    val minGot = withRem.filter(_._3 == 1L).map(_._2).minOption
+    val maxNot = withRem.filter(_._3 == 0L).map(_._2).maxOption
+    (minGot, maxNot) match {
+      case (Some(g), Some(n)) => g should be >= n
+      case _ => ()
+    }
+  }
+
+  test("q269 fixed sample: exactly min(k, stratum) docs, dense ranks, " +
+      "deterministic") {
+    val dir = "/root/testdata/sf0.001"
+    val out = TextQueries.q269FixedSample.fn(spark, dir)
+      .select("lang", "rk", "doc_id")
+      .as[(String, Long, Long)].collect().toList
+    out should not be empty
+    val strata = graft.engine.Tables.load(spark, dir, "documents")
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    out.groupBy(_._1).foreach { case (lang, rows) =>
+      rows.size.toLong shouldBe math.min(50L, strata(lang))
+      rows.map(_._2).sorted shouldBe (1L to rows.size.toLong).toList
+    }
+    // re-running yields the identical sample (hash order, not encounter
+    // order — the reservoir property a distributed engine can promise)
+    val again = TextQueries.q269FixedSample.fn(spark, dir)
+      .select("lang", "rk", "doc_id")
+      .as[(String, Long, Long)].collect().toList
+    again shouldBe out
+  }
+
+  test("q270 shuffle mixing: bands cover all blocks, shares are ppm-exact") {
+    val dir = "/root/testdata/sf0.001"
+    val out = TextQueries.q270ShuffleMixing.fn(spark, dir)
+      .select("band", "n_blocks", "min_share_ppm", "max_share_ppm",
+        "min_sources")
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    out should not be empty
+    val nDocs = graft.engine.Tables.load(spark, dir, "documents").count()
+    out.map(_._2).sum shouldBe (nDocs + 99) / 100 // every block in a band
+    out.foreach { case (band, _, minS, maxS, minSrc) =>
+      band should be >= 0L
+      band should be <= 9L
+      minS should be <= maxS
+      // a band's shares live inside its 10% slice (band 9 is open-topped)
+      minS should be >= band * 100000L
+      if (band < 9L) maxS should be < (band + 1L) * 100000L
+      minSrc should be >= 1L
+    }
+  }
 }
