@@ -908,10 +908,63 @@ object CorpusQueries {
                 END AS BIGINT) AS alloc
             FROM rk, l ORDER BY source"""))
 
+  /** Vocabulary ID assignment + Zipf coverage curve — the
+    * tokenizer-vocab-size decision table: every distinct token gets a
+    * dense integer id by (collection frequency desc, token asc), and
+    * each row carries the EXACT cumulative share of all token
+    * occurrences the vocabulary up to that id covers (`cover_ppm`).
+    * Reading the curve answers "how many vocab entries cover 95 % of
+    * the corpus?" — the question that sizes a tokenizer — and the id
+    * column is itself the artifact (the tok→id mapping an embedding
+    * table indexes by, frequency-sorted so hot ids are dense and
+    * cache-friendly).
+    *
+    * ## 100 TB notes
+    * The vocabulary is Heaps-law sublinear in corpus size, so the
+    * ranked table stays small relative to data; the dense rank and
+    * running sum use [[graft.engine.Cumulative.rankedCumSum]] (range
+    * partition + per-partition windows + broadcast offsets) so even a
+    * billion-entry vocabulary never lands on one partition. `df` is an
+    * exact distinct-doc count (one (doc, tok)-distinct shuffle);
+    * `cover_ppm` is exact BIGINT cross-multiplication, no doubles.
+    */
+  val q272VocabCoverage: Q = Q(
+    "q272_vocab_coverage",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val toks = docs.select(col("doc_id"),
+        explode(Text.regexTokens(col("text"))).as("tok"))
+      val vocab = toks.groupBy(col("tok"))
+        .agg(count(lit(1)).as("cf"),
+          count_distinct(col("doc_id")).as("df"))
+      val tot = vocab.agg(sum(col("cf")).as("total")) // 1 row
+      graft.engine.Cumulative
+        .rankedCumSum(vocab, Seq(col("cf").desc, col("tok").asc),
+          col("cf"), rkName = "id", cumName = "cum")
+        .crossJoin(broadcast(tot))
+        .select(col("tok"), col("id"), col("df"), col("cf"),
+          expr("cum * 1000000 div total").as("cover_ppm"))
+        .orderBy("id")
+    },
+    Some(s"""WITH tok AS (SELECT doc_id, unnest($DuckToks) AS tok
+               FROM documents),
+             v AS (SELECT tok, count(*) AS cf,
+                     count(DISTINCT doc_id) AS df
+                   FROM tok GROUP BY 1),
+             t AS (SELECT CAST(sum(cf) AS BIGINT) AS total FROM v),
+             r AS (SELECT tok, cf, df,
+                     row_number() OVER (ORDER BY cf DESC, tok ASC) AS id,
+                     CAST(sum(cf) OVER (ORDER BY cf DESC, tok ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS cum
+                   FROM v)
+             SELECT tok, id, df, cf, cum * 1000000 // total AS cover_ppm
+             FROM r, t ORDER BY id"""))
+
   val all: Seq[Q] = Seq(q88ChunkOverlap, q91BpePairs, q92UnigramRarity,
     q93BigramLift, q94CdcChunks, q96QuantileNorm, q97MixtureWeights,
     q125PpsSample, q169PostingLists, q173Burstiness, q191PhraseSearch,
     q205IdfDrift, q219HapaxProfile, q220ProximitySearch,
     q258PrefixDupCurve, q259TruncationLoss, q262PaddingWaste,
-    q268TokenApportionment)
+    q268TokenApportionment, q272VocabCoverage)
 }

@@ -3610,6 +3610,90 @@ object RelationalQueries {
                 AS hhi
             FROM m JOIN t ON m.yr = t.yr ORDER BY yr"""))
 
+  /** Column-encoding selection audit — the per-column statistics a
+    * 100 TB parquet writer tunes its encodings with: exact NDV, NDV as
+    * ppm of rows, and the heaviest single value's share, folded into
+    * the standard decision rule (low-cardinality → dictionary; a
+    * dominant value on top → dictionary + run-length). Six columns
+    * across lineitem/orders are unpivoted (`stack`) into one
+    * (column, value) stream so a single aggregation pass covers them
+    * all; `l_partkey` is the deliberate PLAIN control (NDV ~ rows).
+    * The thresholds (NDV ≤ 4096 — a dictionary page that stays
+    * CPU-cache-resident; top share ≥ 20 %) are the audit's declared
+    * policy, not engine magic.
+    *
+    * ## 100 TB notes
+    * The unpivot multiplies rows ×#columns BEFORE aggregation, but
+    * map-side partial aggregation collapses each partition to its
+    * distinct (column, value) pairs — the shuffle carries vocabulary,
+    * not data. At petabyte scale the same numbers come free from
+    * parquet footer statistics; this query is the from-first-
+    * principles version that validates those footers. Timestamps
+    * become epoch-DAY strings before grouping (exact integer µs
+    * arithmetic, the Catalog contract — no raw timestamps anywhere).
+    */
+  val q271EncodingAudit: Q = Q(
+    "q271_encoding_audit",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val ord = Tables.load(s, dir, "orders")
+      val liU = li.select(expr(
+        """stack(4,
+             'l_returnflag', l_returnflag,
+             'l_linestatus', l_linestatus,
+             'l_shipday', CAST(unix_micros(CAST(l_shipdate AS
+                 TIMESTAMP_LTZ)) div 86400000000 AS STRING),
+             'l_partkey', CAST(l_partkey AS STRING))
+           AS (col_name, val)"""))
+      val ordU = ord.select(expr(
+        """stack(2,
+             'o_orderpriority', o_orderpriority,
+             'o_orderstatus', o_orderstatus)
+           AS (col_name, val)"""))
+      val grouped = liU.unionAll(ordU)
+        .groupBy(col("col_name"), col("val"))
+        .agg(count(lit(1)).as("c"))
+      grouped.groupBy(col("col_name"))
+        .agg(sum(col("c")).as("n"), count(lit(1)).as("ndv"),
+          max(col("c")).as("top"))
+        .select(col("col_name"), col("n"), col("ndv"),
+          expr("ndv * 1000000 div n").as("ndv_ppm"),
+          expr("top * 1000000 div n").as("top_share_ppm"),
+          expr("""CASE
+              WHEN ndv <= 4096 AND top * 1000000 div n >= 200000
+                THEN 'DICT_RLE'
+              WHEN ndv <= 4096 THEN 'DICT'
+              ELSE 'PLAIN' END""").as("encoding"))
+        .orderBy("col_name")
+    },
+    Some("""WITH u AS (
+              SELECT 'l_returnflag' AS col_name, l_returnflag AS val
+              FROM lineitem
+              UNION ALL SELECT 'l_linestatus', l_linestatus FROM lineitem
+              UNION ALL SELECT 'l_shipday',
+                CAST(epoch_us(CAST(l_shipdate AS TIMESTAMP))
+                  // 86400000000 AS VARCHAR) FROM lineitem
+              UNION ALL SELECT 'l_partkey', CAST(l_partkey AS VARCHAR)
+              FROM lineitem
+              UNION ALL SELECT 'o_orderpriority', o_orderpriority
+              FROM orders
+              UNION ALL SELECT 'o_orderstatus', o_orderstatus
+              FROM orders),
+            g AS (SELECT col_name, val, count(*) AS c
+                  FROM u GROUP BY 1, 2),
+            a AS (SELECT col_name, CAST(sum(c) AS BIGINT) AS n,
+                    count(*) AS ndv, CAST(max(c) AS BIGINT) AS top
+                  FROM g GROUP BY 1)
+            SELECT col_name, n, ndv,
+              ndv * 1000000 // n AS ndv_ppm,
+              top * 1000000 // n AS top_share_ppm,
+              CASE
+                WHEN ndv <= 4096 AND top * 1000000 // n >= 200000
+                  THEN 'DICT_RLE'
+                WHEN ndv <= 4096 THEN 'DICT'
+                ELSE 'PLAIN' END AS encoding
+            FROM a ORDER BY col_name"""))
+
   val all: Seq[Q] = Seq(q06JoinDims, q07StarRevenue, q08SemiJoin, q09AntiJoin,
     q10AggStats, q11Rollup, q12DistinctExact, q13WindowTopK, q14RunningSum,
     q15Pivot, q16SetOps, q17GlobalTopN, q40QuantilesDisc, q41Moments,
@@ -3626,5 +3710,5 @@ object RelationalQueries {
     q226ShipSla, q229SeasonalDecomp, q230TargetEncoding, q235DrillAcross,
     q236FanoutProfile, q245ForecastBacktest, q246FillRate, q249OtifScore,
     q250RevenueBridge, q252BasketEconomics, q253DeviationDrawdown,
-    q255NewVsReturning, q256HhiTrend)
+    q255NewVsReturning, q256HhiTrend, q271EncodingAudit)
 }

@@ -2792,6 +2792,49 @@ class NewOpsSpec extends SparkSpec {
     again shouldBe out
   }
 
+  test("q271 encoding audit: stats are exact and the rule is applied") {
+    val dir = "/root/testdata/sf0.001"
+    val out = RelationalQueries.q271EncodingAudit.fn(spark, dir)
+      .select("col_name", "n", "ndv", "ndv_ppm", "top_share_ppm",
+        "encoding")
+      .as[(String, Long, Long, Long, Long, String)].collect().toList
+    out.map(_._1).sorted shouldBe List("l_linestatus", "l_partkey",
+      "l_returnflag", "l_shipday", "o_orderpriority", "o_orderstatus")
+    out.foreach { case (_, n, ndv, ndvPpm, topPpm, enc) =>
+      ndv should be >= 1L
+      ndv should be <= n
+      ndvPpm shouldBe ndv * 1000000L / n
+      topPpm should be <= 1000000L
+      // the declared decision rule, re-derived
+      enc shouldBe (if (ndv <= 4096 && topPpm >= 200000) "DICT_RLE"
+        else if (ndv <= 4096) "DICT" else "PLAIN")
+    }
+    // the two-value flag column dictionary+RLE-encodes at every SF;
+    // the key column's NDV dwarfs the flag columns' (it reaches PLAIN
+    // from sf0.01 up — the per-SF oracle checks pin that)
+    out.find(_._1 == "l_linestatus").get._6 shouldBe "DICT_RLE"
+    out.find(_._1 == "l_partkey").get._3 should be >
+      out.find(_._1 == "l_returnflag").get._3 * 10
+  }
+
+  test("q272 vocab coverage: dense frequency-sorted ids, exact " +
+      "monotone coverage reaching 100%") {
+    val dir = "/root/testdata/sf0.001"
+    val out = CorpusQueries.q272VocabCoverage.fn(spark, dir)
+      .select("id", "cf", "df", "cover_ppm")
+      .as[(Long, Long, Long, Long)].collect().toList
+    out should not be empty
+    out.map(_._1) shouldBe (1L to out.size.toLong).toList // dense ids
+    out.sliding(2).foreach {
+      case List(a, b) =>
+        b._2 should be <= a._2 // cf non-increasing down the ranking
+        b._4 should be >= a._4 // coverage monotone
+      case _ => ()
+    }
+    out.foreach { case (_, cf, df, _) => df should be <= cf }
+    out.last._4 shouldBe 1000000L // the full vocabulary covers everything
+  }
+
   test("q270 shuffle mixing: bands cover all blocks, shares are ppm-exact") {
     val dir = "/root/testdata/sf0.001"
     val out = TextQueries.q270ShuffleMixing.fn(spark, dir)
