@@ -961,10 +961,80 @@ object CorpusQueries {
              SELECT tok, id, df, cf, cum * 1000000 // total AS cover_ppm
              FROM r, t ORDER BY id"""))
 
+  /** Curriculum staging by corpus-relative difficulty: every document
+    * is scored with the exact integer mean-rarity of its tokens (the
+    * q92 surprisal proxy: `rar(tok) = n_total div cf(tok)`, doc score
+    * = `sum(rar) div n_tok` — order-independent BIGINT throughout),
+    * then the corpus is cut into 10 curriculum stages of near-equal
+    * document count by GLOBAL difficulty rank (`stage =
+    * (rk-1)*10 div n_docs` — the same exact-integer decile formula on
+    * both engines, deliberately NOT ntile(), whose remainder placement
+    * is engine-defined). Per stage: docs, token budget, and the
+    * difficulty range — the table an easy-to-hard training schedule
+    * reads ("stage 0 = the easiest tenth, N tokens").
+    *
+    * ## 100 TB notes
+    * Difficulty reuses the broadcast vocabulary rarity table (Heaps-
+    * law small); the global rank is
+    * [[graft.engine.Cumulative.rankedCumSum]] (range partition +
+    * broadcast offsets, no single-partition window); the output is 10
+    * rows at any scale. Stage CUTS are by exact rank arithmetic, so
+    * the staging is partitioning-invariant and reproducible run to
+    * run — the property a resumable curriculum needs.
+    */
+  val q273CurriculumStages: Q = Q(
+    "q273_curriculum_stages",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val toks = docs.select(col("doc_id"),
+        explode(Text.regexTokens(col("text"))).as("tok"))
+      val cf = toks.groupBy("tok").agg(count(lit(1)).as("cf"))
+      val tot = toks.agg(count(lit(1)).as("n_total")) // 1 row
+      val rar = cf.crossJoin(broadcast(tot))
+        .select(col("tok"), expr("n_total div cf").as("rar"))
+      val diff = toks.join(broadcast(rar), "tok")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"), sum(col("rar")).as("rsum"))
+        .select(col("doc_id"), col("n_tok"),
+          expr("rsum div n_tok").as("difficulty"))
+      val n = diff.agg(count(lit(1)).as("nd")) // 1 row
+      graft.engine.Cumulative
+        .rankedCumSum(diff,
+          Seq(col("difficulty").asc, col("doc_id").asc), col("n_tok"))
+        .crossJoin(broadcast(n))
+        .select(expr("((rk - 1) * 10) div nd").as("stage"),
+          col("n_tok"), col("difficulty"))
+        .groupBy(col("stage"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+          min(col("difficulty")).as("min_diff"),
+          max(col("difficulty")).as("max_diff"))
+        .orderBy("stage")
+    },
+    Some(s"""WITH toks AS (SELECT doc_id, unnest($DuckToks) AS tok
+               FROM documents),
+             cf AS (SELECT tok, count(*) AS cf FROM toks GROUP BY 1),
+             tot AS (SELECT count(*) AS n_total FROM toks),
+             rar AS (SELECT tok, n_total // cf AS rar
+                     FROM cf CROSS JOIN tot),
+             d AS (SELECT doc_id, count(*) AS n_tok,
+                     CAST(sum(rar) AS BIGINT) AS rsum
+                   FROM toks JOIN rar USING (tok) GROUP BY 1),
+             dd AS (SELECT doc_id, n_tok, rsum // n_tok AS difficulty
+                    FROM d),
+             r AS (SELECT n_tok, difficulty,
+                     row_number() OVER (ORDER BY difficulty ASC,
+                       doc_id ASC) AS rk
+                   FROM dd),
+             n AS (SELECT count(*) AS nd FROM dd)
+             SELECT ((rk - 1) * 10) // nd AS stage, count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+               min(difficulty) AS min_diff, max(difficulty) AS max_diff
+             FROM r, n GROUP BY 1 ORDER BY stage"""))
+
   val all: Seq[Q] = Seq(q88ChunkOverlap, q91BpePairs, q92UnigramRarity,
     q93BigramLift, q94CdcChunks, q96QuantileNorm, q97MixtureWeights,
     q125PpsSample, q169PostingLists, q173Burstiness, q191PhraseSearch,
     q205IdfDrift, q219HapaxProfile, q220ProximitySearch,
     q258PrefixDupCurve, q259TruncationLoss, q262PaddingWaste,
-    q268TokenApportionment, q272VocabCoverage)
+    q268TokenApportionment, q272VocabCoverage, q273CurriculumStages)
 }

@@ -1725,6 +1725,94 @@ object TextQueries {
               min(n_sources) AS min_sources
             FROM sh GROUP BY 1 ORDER BY band"""))
 
+  /** Deterministic proportional interleaver — stride scheduling for
+    * the training dataloader: within each source, docs are ranked by
+    * seeded hash; each doc's VIRTUAL TIME is its source-local rank
+    * scaled by the source's inverse share (`vt = rk_s * 1e9 div w_s`
+    * — exact BIGINT, the classic stride-scheduler pass ticket), and
+    * the global read order sorts by (vt, source, rank). That order
+    * provably interleaves sources in proportion CONTINUOUSLY — every
+    * consecutive 100-doc batch carries each source at close to its
+    * corpus share, unlike a plain hash shuffle (q270) whose per-block
+    * shares only CONCENTRATE around proportional. The audit emits,
+    * per batch, the worst per-source deviation from proportional in
+    * exact ppm — the number that stays small here and noisy under
+    * q270's hash order.
+    *
+    * ## 100 TB notes
+    * Per-source ranks come from windows partitioned by source
+    * (bounded strata); the global order is
+    * [[graft.engine.Cumulative.rankedCumSum]] over the virtual-time
+    * key — range partition + broadcast offsets, no single-partition
+    * window. The deviation check is a bounded two-level group-by.
+    * Everything is integer: `|cnt*W - w_s*bn|` cross-multiplication
+    * avoids any rational arithmetic.
+    */
+  val q274StrideInterleave: Q = Q(
+    "q274_stride_interleave",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          md5(col("doc_id").cast("string")).as("h"))
+      val bySrc = Window.partitionBy(col("source"))
+        .orderBy(col("h").asc, col("doc_id").asc)
+      val rankedSrc = docs
+        .withColumn("rk_s", row_number().over(bySrc).cast("long"))
+      val weights = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("w_s"))
+      val tot = docs.agg(count(lit(1)).as("w_tot")) // 1 row
+      val vt = rankedSrc.join(broadcast(weights), "source")
+        .select(col("source"), col("rk_s"),
+          expr("rk_s * 1000000000 div w_s").as("vt"))
+      val ordered = graft.engine.Cumulative.rankedCumSum(
+        vt, Seq(col("vt").asc, col("source").asc, col("rk_s").asc),
+        lit(1L), rkName = "grk")
+      val perBatchSrc = ordered
+        .select(expr("(grk - 1) div 100").as("batch"), col("source"))
+        .groupBy(col("batch"), col("source"))
+        .agg(count(lit(1)).as("cnt"))
+      perBatchSrc
+        .join(broadcast(weights), "source")
+        .crossJoin(broadcast(tot))
+        .withColumn("bn",
+          sum(col("cnt")).over(Window.partitionBy(col("batch"))))
+        .groupBy(col("batch"))
+        .agg(max(col("bn")).as("batch_size"),
+          count(lit(1)).as("n_sources"),
+          max(expr("abs(cnt * w_tot - w_s * bn) * 1000000" +
+            " div (bn * w_tot)")).as("max_dev_ppm"))
+        .orderBy("batch")
+    },
+    Some("""WITH d AS (SELECT doc_id, source,
+                md5(CAST(doc_id AS VARCHAR)) AS h
+              FROM documents),
+            rs AS (SELECT source, doc_id,
+                     row_number() OVER (PARTITION BY source
+                       ORDER BY h ASC, doc_id ASC) AS rk_s
+                   FROM d),
+            w AS (SELECT source, count(*) AS w_s FROM d GROUP BY 1),
+            t AS (SELECT count(*) AS w_tot FROM d),
+            v AS (SELECT rs.source, rs.rk_s,
+                    rs.rk_s * 1000000000 // w.w_s AS vt
+                  FROM rs JOIN w USING (source)),
+            o AS (SELECT source,
+                    row_number() OVER (ORDER BY vt ASC, source ASC,
+                      rk_s ASC) AS grk
+                  FROM v),
+            pb AS (SELECT (grk - 1) // 100 AS batch, source,
+                     count(*) AS cnt
+                   FROM o GROUP BY 1, 2),
+            pbb AS (SELECT batch, source, cnt,
+                      CAST(sum(cnt) OVER (PARTITION BY batch) AS BIGINT)
+                        AS bn
+                    FROM pb)
+            SELECT batch, max(bn) AS batch_size,
+              count(*) AS n_sources,
+              CAST(max(abs(cnt * w_tot - w_s * bn) * 1000000
+                // (bn * w_tot)) AS BIGINT) AS max_dev_ppm
+            FROM pbb JOIN w USING (source) CROSS JOIN t
+            GROUP BY 1 ORDER BY batch"""))
+
   val all: Seq[Q] =
     Seq(q18TextStats, q19TermFreq, q20LangId, q21QualityScore, q22RegexTokens,
       q39WinnowFp, q42EditDistance, q45TfidfTopk, q48SplitAssign,
@@ -1734,5 +1822,5 @@ object TextQueries {
       q162Bm25Topk, q163RrfFusion, q166EpochShard, q177ReshardMovement,
       q200DataLadder, q204MedallionWaterfall, q221SplitBalance,
       q240CohensKappa, q263QualityDupMatrix, q269FixedSample,
-      q270ShuffleMixing)
+      q270ShuffleMixing, q274StrideInterleave)
 }

@@ -2835,6 +2835,44 @@ class NewOpsSpec extends SparkSpec {
     out.last._4 shouldBe 1000000L // the full vocabulary covers everything
   }
 
+  test("q273 curriculum stages: near-equal deciles, difficulty " +
+      "monotone across stages, corpus fully covered") {
+    val dir = "/root/testdata/sf0.001"
+    val out = CorpusQueries.q273CurriculumStages.fn(spark, dir)
+      .select("stage", "n_docs", "n_tokens", "min_diff", "max_diff")
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    out.map(_._1) shouldBe (0L to 9L).toList
+    val nDocs = graft.engine.Tables.load(spark, dir, "documents").count()
+    out.map(_._2).sum shouldBe nDocs // stages partition the corpus
+    // exact decile formula: every stage within 1 doc of n/10
+    out.foreach { case (_, d, toks, lo, hi) =>
+      math.abs(d - nDocs / 10) should be <= 1L
+      toks should be >= d // every doc has >= 1 token
+      lo should be <= hi
+    }
+    // stage ranges never decrease: stage k's max <= stage k+1's max
+    out.sliding(2).foreach {
+      case List(a, b) => b._5 should be >= a._4
+      case _ => ()
+    }
+  }
+
+  test("q274 stride interleave: every full batch carries near-" +
+      "proportional source shares") {
+    val dir = "/root/testdata/sf0.001"
+    val out = TextQueries.q274StrideInterleave.fn(spark, dir)
+      .select("batch", "batch_size", "n_sources", "max_dev_ppm")
+      .as[(Long, Long, Long, Long)].collect().toList
+    out should not be empty
+    val nDocs = graft.engine.Tables.load(spark, dir, "documents").count()
+    out.map(_._2).sum shouldBe nDocs // batches partition the corpus
+    // every FULL batch of the stride order deviates from proportional
+    // by at most 1 doc per source: dev <= (1/batch) + rounding
+    out.filter(_._2 == 100L).foreach { case (_, bn, _, dev) =>
+      dev should be <= 1000000L / bn + 10000L
+    }
+  }
+
   test("q270 shuffle mixing: bands cover all blocks, shares are ppm-exact") {
     val dir = "/root/testdata/sf0.001"
     val out = TextQueries.q270ShuffleMixing.fn(spark, dir)
