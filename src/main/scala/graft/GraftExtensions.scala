@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ArrayModeCount, CosineSimilarity, JaccardSimilarity, MinHashAgg, NfcNormalize}
+import graft.functions.{ArrayModeCount, CosineSimilarity, JaccardSimilarity, MinHashAgg, MortonCode, NfcNormalize}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions in the session FunctionRegistry, so SQL users get
@@ -44,6 +44,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 1, "nfc_normalize takes exactly 1 argument")
         NfcNormalize(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("morton_code"),
+      new ExpressionInfo(classOf[MortonCode].getName, "morton_code"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "morton_code takes exactly 2 arguments")
+        MortonCode(children.head, children(1))
       }))
     ext.injectFunction((
       new FunctionIdentifier("minhash_agg"),

@@ -108,6 +108,10 @@ object GraftFunctions {
   def arrayModeCount(a: Column): Column =
     ColumnBridge.column(ArrayModeCount(ColumnBridge.expression(a)))
 
+  def mortonCode(a: Column, b: Column): Column =
+    ColumnBridge.column(MortonCode(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   def nfcNormalize(a: Column): Column =
     ColumnBridge.column(NfcNormalize(ColumnBridge.expression(a)))
 

@@ -1690,6 +1690,127 @@ object EventQueries {
     },
     Some(duckRunningTotalsOracle))
 
+  /** Pin the RocksDB state store provider for the duration of `body`
+    * and restore the prior session conf after — transformWithState
+    * only runs on RocksDB, and pinning per-query keeps every verify
+    * pass a real RocksDB-backed run (q265's posture, shared by the
+    * list/map-state queries).
+    */
+  private def withRocksDb[A](s: SparkSession)(body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = s.conf.getOption(key)
+    s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try body finally prior match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
+  /** Streaming per-user top-3 amounts via `transformWithState` LIST
+    * state (see [[graft.streaming.EventStreams.TopkProcessor]]: a
+    * bounded `ListState[Long]` leaderboard plus a `ValueState[Long]`
+    * counter — two named state handles in one processor, the state
+    * shape q265/q266 didn't cover). Same three-batch out-of-order
+    * staging as q119; the emission log is one row per
+    * (user, touched batch) carrying the cumulative event count and the
+    * 3 largest cents so far. Top-k is a commutative fold, so the log
+    * is deterministic under any partitioning; `(user_id, n_events)` is
+    * a total order because every touched batch adds at least one
+    * event. The oracle reconstructs the log relationally with a ranked
+    * self-join over the deterministic batch assignment.
+    */
+  val q275StreamTwsTopk: Q = Q(
+    "q275_stream_tws_topk",
+    (s, dir) => {
+      import s.implicits._
+      withRocksDb(s) {
+        val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+        val src = s.readStream.schema(batchSchema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(eventsOooStreamDir(s, dir))
+          .transform(Tables.normalizeEventTs)
+          .select(col("user_id"),
+            floor(col("value") * 100).cast("long").as("cents"),
+            tsUs.as("us"))
+          .as[graft.streaming.EventStreams.Counted]
+        graft.streaming.EventStreams.topkTws(src).toDF()
+          .transform(df => runToMemorySink(s, df,
+            "q275_stream_tws_topk_mem", outputMode = "update"))
+          .orderBy("user_id", "n_events")
+      }
+    },
+    Some(s"""WITH e AS (SELECT user_id, event_id,
+                   CAST(floor(value * 100) AS BIGINT) AS cents,
+                   ${duckUs("ts")} AS us
+                 FROM events),
+            mx AS (SELECT max(us) AS m FROM e WHERE event_id % 2 = 0),
+            b AS (SELECT e.*, CASE WHEN event_id % 2 = 0 THEN 1
+                                   WHEN us > mx.m THEN 2 ELSE 3 END AS batch
+                  FROM e, mx),
+            touched AS (SELECT DISTINCT user_id, batch FROM b),
+            j AS (SELECT t.user_id, t.batch, x.cents
+                  FROM touched t JOIN b x
+                    ON x.user_id = t.user_id AND x.batch <= t.batch),
+            r AS (SELECT user_id, batch, cents,
+                    row_number() OVER (PARTITION BY user_id, batch
+                      ORDER BY cents DESC) AS rn,
+                    count(*) OVER (PARTITION BY user_id, batch)
+                      AS n_events
+                  FROM j)
+            SELECT user_id, n_events,
+              max(CASE WHEN rn = 1 THEN cents END) AS top1,
+              max(CASE WHEN rn = 2 THEN cents END) AS top2,
+              max(CASE WHEN rn = 3 THEN cents END) AS top3
+            FROM r GROUP BY user_id, batch, n_events
+            ORDER BY user_id, n_events"""))
+
+  /** Streaming per-(user, type) counters via `transformWithState` MAP
+    * state (see [[graft.streaming.EventStreams.TypeCountProcessor]]:
+    * one `MapState[String, Long]` per user — the per-type sub-key
+    * lives in the state-store key, so a batch touches only the
+    * entries it changes instead of rewriting a serialized map). Each
+    * batch emits one row per type it touched with the type's new
+    * cumulative count, so the log never repeats a row and
+    * `(user_id, event_type, n)` is a total order. Counting is
+    * commutative — partitioning-invariant by construction.
+    */
+  val q276StreamTwsTypeCounts: Q = Q(
+    "q276_stream_tws_typecounts",
+    (s, dir) => {
+      import s.implicits._
+      withRocksDb(s) {
+        val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+        val src = s.readStream.schema(batchSchema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(eventsOooStreamDir(s, dir))
+          .transform(Tables.normalizeEventTs)
+          .select(col("user_id"), col("event_type"), lit(1L).as("n"))
+          .as[graft.streaming.EventStreams.TypeCount]
+        graft.streaming.EventStreams.typeCountsTws(src).toDF()
+          .transform(df => runToMemorySink(s, df,
+            "q276_stream_tws_typecounts_mem", outputMode = "update"))
+          .orderBy("user_id", "event_type", "n")
+      }
+    },
+    Some(s"""WITH e AS (SELECT user_id, event_id, event_type,
+                   ${duckUs("ts")} AS us
+                 FROM events),
+            mx AS (SELECT max(us) AS m FROM e WHERE event_id % 2 = 0),
+            b AS (SELECT e.*, CASE WHEN event_id % 2 = 0 THEN 1
+                                   WHEN us > mx.m THEN 2 ELSE 3 END AS batch
+                  FROM e, mx),
+            touched AS (SELECT DISTINCT user_id, event_type, batch
+                        FROM b),
+            cum AS (SELECT t.user_id, t.event_type, count(*) AS n
+                    FROM touched t JOIN b x
+                      ON x.user_id = t.user_id
+                         AND x.event_type = t.event_type
+                         AND x.batch <= t.batch
+                    GROUP BY t.user_id, t.event_type, t.batch)
+            SELECT user_id, event_type, n FROM cum
+            ORDER BY user_id, event_type, n"""))
+
   /** Count–min sketch heavy hitters, expressed as dataflow: the sketch
     * is a (depth x width) counter table built by one explode + group-by
     * (map-side partial agg collapses the exploded stream to at most
@@ -3872,7 +3993,8 @@ object EventQueries {
     "q76_stream_late_drop", "q78_stream_interval_join",
     "q83_stream_static_enrich", "q84_foreachbatch_upsert",
     "q107_stream_outer_join", "q119_stream_running_totals",
-    "q265_stream_tws_totals", "q266_stream_tws_sessions")
+    "q265_stream_tws_totals", "q266_stream_tws_sessions",
+    "q275_stream_tws_topk", "q276_stream_tws_typecounts")
 
   /** Session entry/exit/bounce profile — the landing-page report: for
     * each event type, how many sessions START there, END there, and
@@ -4643,25 +4765,28 @@ object EventQueries {
     * integer ppm of files skipped) quantify the trade on this data.
     *
     * ## 100 TB notes
-    * The Morton code is 16 integer ops per row, map-only, codegen'd;
-    * the zone-map table is |files|-sized (dim-bounded). At real scale
-    * the file count scales with data but the per-file stats table is
-    * exactly what the table format's manifest already stores — the
-    * audit is a metadata-only query there. The bit interleave is
-    * plain `div`/`%` arithmetic (no UDF, no bit intrinsics) so the
-    * SAME expression text runs on both engines.
+    * The Morton code is the native codegen'd
+    * [[graft.functions.MortonCode]] bit spread (11 long ops per row,
+    * branch-free, fused into the scan projection — the write-path hot
+    * loop of a real z-order rewrite); the DuckDB oracle keeps the
+    * per-bit `div`/`%` arithmetic form, so the hash comparison
+    * doubles as the expression's cross-engine equality proof. The
+    * zone-map table is |files|-sized (dim-bounded): at real scale the
+    * file count grows with data but the per-file stats are exactly
+    * what the table format's manifest already stores — the audit is a
+    * metadata-only query there.
     */
   val q267LayoutPruning: Q = Q(
     "q267_layout_pruning",
     (s, dir) => {
-      val morton = (0 until 5).map { i =>
-        val p = 1L << i; val zx = 1L << (2 * i); val zy = 1L << (2 * i + 1)
-        s"((x div $p) % 2) * $zx + ((y div $p) % 2) * $zy"
-      }.mkString(" + ")
       val ev = Tables.load(s, dir, "events")
         .select(expr("user_id % 32").as("x"),
           expr("(ts div 86400000000000) % 32").as("y"))
-      val keyed = ev.select(col("x"), col("y"), expr(morton).as("zv"))
+      // the native codegen'd bit spread; the DuckDB oracle keeps the
+      // per-bit arithmetic form, so the comparator proves them equal
+      val keyed = ev.select(col("x"), col("y"),
+        graft.functions.GraftFunctions.mortonCode(col("x"), col("y"))
+          .as("zv"))
       val tagged = keyed
         .select(lit("linear").as("layout"),
           expr("(x * 32 + y) div 32").as("file_id"), col("x"), col("y"))
@@ -4741,6 +4866,6 @@ object EventQueries {
       q215TrigramPaths, q232TimeDecayAttribution, q233TransitionDwell,
       q238ProcessConformance, q239DiffInDiff, q244DoubleFire, q248LeadLagXcorr, q251ConcurrencyProfile, q254ActivityHeatmap,
       q264RecordHighs, q265StreamTwsTotals, q266StreamTwsSessions,
-      q267LayoutPruning)
+      q267LayoutPruning, q275StreamTwsTopk, q276StreamTwsTypeCounts)
       .map(q => q.copy(streaming = streamingNames(q.name)))
 }

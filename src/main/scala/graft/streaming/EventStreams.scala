@@ -308,4 +308,105 @@ object EventStreams {
           }
       }
   }
+
+  final case class TopkRow(user_id: Long, n_events: Long,
+                           top1: Long, top2: Option[Long],
+                           top3: Option[Long])
+
+  /** Streaming per-user top-3 purchase amounts via `transformWithState`
+    * LIST state — the third state shape of the successor API (q265:
+    * ValueState; q266: ValueState + timers; here: a bounded
+    * `ListState[Long]` holding the k largest cents ever seen, plus a
+    * `ValueState[Long]` event counter — TWO named state handles in one
+    * processor). Each batch merges its values into the list, keeps the
+    * 3 largest, and emits the key's new (count, top-3) row.
+    *
+    * Top-k is a COMMUTATIVE fold — the multiset of the 3 largest
+    * values is independent of arrival order within and across batches
+    * — so the emission log is deterministic under any partitioning
+    * (the §7.11 sweep discipline; a "last-N by arrival" list would NOT
+    * be, which is why the audit keeps top-k semantics).
+    *
+    * ## 100 TB/day notes
+    * State per user is exactly k longs + one counter — fixed-width, the
+    * ListState contract a bounded leaderboard needs; emissions per
+    * batch are bounded by touched keys.
+    */
+  class TopkProcessor extends StatefulProcessor[Long, Counted, TopkRow] {
+    @transient private var topk: org.apache.spark.sql.streaming.ListState[Long] = _
+    @transient private var nSeen: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      topk = getHandle.getListState[Long]("topk", Encoders.scalaLong,
+        TTLConfig.NONE)
+      nSeen = getHandle.getValueState[Long]("n", Encoders.scalaLong,
+        TTLConfig.NONE)
+    }
+    override def handleInputRows(uid: Long, batch: Iterator[Counted],
+        timers: TimerValues): Iterator[TopkRow] = {
+      val prior = if (topk.exists()) topk.get().toList else Nil
+      var n = if (nSeen.exists()) nSeen.get() else 0L
+      val incoming = batch.map { e => n += 1; e.cents }.toList
+      val best = (prior ++ incoming).sorted(Ordering[Long].reverse).take(3)
+      topk.put(best.toArray)
+      nSeen.update(n)
+      Iterator.single(TopkRow(uid, n, best.head,
+        best.lift(1), best.lift(2)))
+    }
+  }
+
+  def topkTws(events: Dataset[Counted]): Dataset[TopkRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new TopkProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  final case class TypeCount(user_id: Long, event_type: String, n: Long)
+
+  /** Streaming per-(user, event-type) counters via `transformWithState`
+    * MAP state — the fourth state shape: one `MapState[String, Long]`
+    * per user keyed by event type. Each batch folds its rows into the
+    * per-type counters and emits one row per type TOUCHED IN THIS
+    * BATCH with its new cumulative count (untouched types stay silent,
+    * so the emission log never repeats a row and `(user, type, n)` is
+    * a total order). Counting is commutative, so the log is
+    * partitioning-invariant.
+    *
+    * ## 100 TB/day notes
+    * MapState puts the per-type sub-key IN THE STATE STORE KEY (prefix
+    * scan per user), so a user with few active types costs a few small
+    * entries — unlike a ValueState holding a serialized map, which
+    * rewrites the whole map every batch. That is the API's point, and
+    * why the per-type counter is its canonical use.
+    */
+  class TypeCountProcessor
+      extends StatefulProcessor[Long, TypeCount, TypeCount] {
+    @transient private var byType: org.apache.spark.sql.streaming.MapState[String, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      byType = getHandle.getMapState[String, Long]("bytype",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(uid: Long, batch: Iterator[TypeCount],
+        timers: TimerValues): Iterator[TypeCount] = {
+      val delta = scala.collection.mutable.Map.empty[String, Long]
+      batch.foreach { e =>
+        delta.update(e.event_type, delta.getOrElse(e.event_type, 0L) + e.n)
+      }
+      // deterministic emission order within the key (sorted types)
+      delta.toSeq.sortBy(_._1).map { case (tpe, d) =>
+        val cur = if (byType.containsKey(tpe)) byType.getValue(tpe) else 0L
+        val next = cur + d
+        byType.updateValue(tpe, next)
+        TypeCount(uid, tpe, next)
+      }.iterator
+    }
+  }
+
+  def typeCountsTws(events: Dataset[TypeCount]): Dataset[TypeCount] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new TypeCountProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
 }
