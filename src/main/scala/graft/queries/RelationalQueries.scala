@@ -3472,9 +3472,15 @@ object RelationalQueries {
     * topline with a growing new-share is a leaky funnel buying growth.
     *
     * ## 100 TB notes
-    * One shuffle on o_custkey derives first months (map-side-combined
-    * min); the self-join back rides the same key under AQE; the month
-    * rollup is map-side combined.
+    * ONE full-data shuffle: orders reduce to customer-months
+    * (map-side-combined exact-decimal sums — |customers|×|months|
+    * rows), the first-month flag is a window over that reduced
+    * relation (per-customer partitions, bounded state), and the month
+    * rollup needs plain `count`s because the reduced relation is
+    * distinct-by-construction — the original join + two
+    * `countDistinct`s (an Expand doubling every order row before a
+    * second shuffle) measured 7.3 s at sf0.1; this shape is the same
+    * values without the expand.
     */
   val q255NewVsReturning: Q = Q(
     "q255_new_vs_returning",
@@ -3484,20 +3490,21 @@ object RelationalQueries {
           (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
             .cast("long").as("ym"),
           col("o_totalprice"))
-      val first = orders.groupBy(col("o_custkey"))
-        .agg(min(col("ym")).as("first_ym"))
-      def cents(c: Column) =
-        (round(sum(c.cast("decimal(30,10)")), 2) * 100).cast("long")
-      orders.join(first, Seq("o_custkey"))
-        .withColumn("is_new", col("ym") === col("first_ym"))
-        .groupBy(col("ym"))
-        .agg(countDistinct(when(col("is_new"), col("o_custkey")))
-            .as("n_new_cust"),
-          countDistinct(when(!col("is_new"), col("o_custkey")))
-            .as("n_ret_cust"),
-          cents(when(col("is_new"), col("o_totalprice")).otherwise(0.0))
+      // customer-month grain: exact partial sums, one row per
+      // (customer, month) — countDistinct becomes a plain count
+      val cm = orders.groupBy(col("o_custkey"), col("ym"))
+        .agg(sum(col("o_totalprice").cast("decimal(30,10)")).as("amt"))
+      val byCust = Window.partitionBy(col("o_custkey"))
+      val flagged = cm.withColumn("is_new",
+        col("ym") === min(col("ym")).over(byCust))
+      def cents(c: Column) = (round(sum(c), 2) * 100).cast("long")
+      val zero = lit(0).cast("decimal(30,10)")
+      flagged.groupBy(col("ym"))
+        .agg(count(when(col("is_new"), 1)).as("n_new_cust"),
+          count(when(!col("is_new"), 1)).as("n_ret_cust"),
+          cents(when(col("is_new"), col("amt")).otherwise(zero))
             .as("new_cents"),
-          cents(when(!col("is_new"), col("o_totalprice")).otherwise(0.0))
+          cents(when(!col("is_new"), col("amt")).otherwise(zero))
             .as("ret_cents"))
         .select(col("ym"), col("n_new_cust"), col("n_ret_cust"),
           col("new_cents"), col("ret_cents"),
