@@ -1811,6 +1811,52 @@ object EventQueries {
             SELECT user_id, event_type, n FROM cum
             ORDER BY user_id, event_type, n"""))
 
+  /** Incremental gold maintenance under oracle check: the per-user
+    * totals table built by folding THREE per-batch aggregates through
+    * [[graft.engine.Incremental.mergeAdditive]] (full-outer join +
+    * monoid combine: counts/sums add, max takes greatest) must equal
+    * the one-shot aggregation over all events — `agg(A ∪ B) =
+    * merge(agg(A), agg(B))`, the identity every "process only today's
+    * partition" pipeline silently relies on. The oracle IS the
+    * one-shot aggregation, so the hash match proves the incremental
+    * path exactly, not approximately; the batch split reuses q119's
+    * deterministic assignment (event-id parity + event time vs the
+    * even side's max) so the same three deltas exist on both engines.
+    *
+    * ## 100 TB notes
+    * Each delta aggregation is one map-side-combined shuffle over ITS
+    * batch only; each merge joins key-space-sized aggregates (gold
+    * bucketed on the key at scale → co-located join; AQE broadcasts
+    * small deltas). History is never re-read — that is the point.
+    */
+  val q277IncrementalGold: Q = Q(
+    "q277_incremental_gold",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          floor(col("value") * 100).cast("long").as("cents"),
+          tsUs.as("us"))
+      val mx = ev.filter(col("event_id") % 2 === 0)
+        .agg(max(col("us")).as("m")) // 1 row
+      val batched = ev.crossJoin(broadcast(mx))
+        .withColumn("batch", when(col("event_id") % 2 === 0, 1)
+          .when(col("us") > col("m"), 2).otherwise(3))
+      def aggBatch(b: Int) = batched.filter(col("batch") === b)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("cents")).as("total_cents"),
+          max(col("us")).as("max_us"))
+      Seq(2, 3).foldLeft(aggBatch(1)) { (gold, b) =>
+        graft.engine.Incremental.mergeAdditive(gold, aggBatch(b),
+          Seq("user_id"), Seq("n_events", "total_cents"), Seq("max_us"))
+      }.orderBy("user_id")
+    },
+    Some(s"""SELECT user_id, count(*) AS n_events,
+              CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                AS total_cents,
+              max(${duckUs("ts")}) AS max_us
+            FROM events GROUP BY 1 ORDER BY user_id"""))
+
   /** Count–min sketch heavy hitters, expressed as dataflow: the sketch
     * is a (depth x width) counter table built by one explode + group-by
     * (map-side partial agg collapses the exploded stream to at most
@@ -4866,6 +4912,7 @@ object EventQueries {
       q215TrigramPaths, q232TimeDecayAttribution, q233TransitionDwell,
       q238ProcessConformance, q239DiffInDiff, q244DoubleFire, q248LeadLagXcorr, q251ConcurrencyProfile, q254ActivityHeatmap,
       q264RecordHighs, q265StreamTwsTotals, q266StreamTwsSessions,
-      q267LayoutPruning, q275StreamTwsTopk, q276StreamTwsTypeCounts)
+      q267LayoutPruning, q275StreamTwsTopk, q276StreamTwsTypeCounts,
+      q277IncrementalGold)
       .map(q => q.copy(streaming = streamingNames(q.name)))
 }

@@ -1,0 +1,72 @@
+package graft.engine
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+import graft.SparkSpec
+
+/** The monoid identity behind incremental gold maintenance:
+  * `mergeAdditive(agg(A), agg(B)) == agg(A ++ B)` for sum/count/max
+  * measures, on random data and random splits — plus the full-outer
+  * edge cases (key only in gold, only in delta, NULL keys via <=>).
+  */
+class IncrementalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def aggOf(rows: Seq[(Long, Long)]) =
+    rows.toDF("k", "v").groupBy("k")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+        max(col("v")).as("mx"))
+
+  test("merge of per-split aggregates equals the one-shot aggregate " +
+      "on random data and random split points") {
+    val rowsGen = Gen.choose(1, 60).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.choose(0L, 7L), Gen.choose(-100L, 100L))))
+    (1 to 15).foreach { _ =>
+      val rows = rowsGen.sample.getOrElse(List(1L -> 1L))
+      val cut = Gen.choose(0, rows.size).sample.getOrElse(rows.size / 2)
+      val (a, b) = rows.splitAt(cut)
+      val merged =
+        if (a.isEmpty) aggOf(b)
+        else if (b.isEmpty) aggOf(a)
+        else Incremental.mergeAdditive(aggOf(a), aggOf(b),
+          Seq("k"), Seq("n", "s"), Seq("mx"))
+      val m = merged.orderBy("k")
+        .as[(Long, Long, Long, Long)].collect().toList
+      val o = aggOf(rows).orderBy("k")
+        .as[(Long, Long, Long, Long)].collect().toList
+      m shouldBe o
+    }
+  }
+
+  test("keys present in only one side pass through unchanged") {
+    val gold = Seq((1L, 5L), (2L, 7L)).toDF("k", "v")
+      .groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("s"),
+        max("v").as("mx"))
+    val delta = Seq((2L, 3L), (9L, 4L)).toDF("k", "v")
+      .groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("s"),
+        max("v").as("mx"))
+    val out = Incremental.mergeAdditive(gold, delta,
+      Seq("k"), Seq("n", "s"), Seq("mx"))
+      .orderBy("k").as[(Long, Long, Long, Long)].collect().toList
+    out shouldBe List(
+      (1L, 1L, 5L, 5L),  // gold-only: untouched
+      (2L, 2L, 10L, 7L), // merged: counts add, sums add, max greatest
+      (9L, 1L, 4L, 4L))  // delta-only: inserted
+  }
+
+  test("NULL keys merge with each other (null-safe join), not explode") {
+    val gold = Seq((Option.empty[Long], 5L), (Some(1L), 2L))
+      .toDF("k", "v").groupBy("k")
+      .agg(count(lit(1)).as("n"), sum("v").as("s"), max("v").as("mx"))
+    val delta = Seq((Option.empty[Long], 7L))
+      .toDF("k", "v").groupBy("k")
+      .agg(count(lit(1)).as("n"), sum("v").as("s"), max("v").as("mx"))
+    val out = Incremental.mergeAdditive(gold, delta,
+      Seq("k"), Seq("n", "s"), Seq("mx"))
+      .as[(Option[Long], Long, Long, Long)].collect().toSet
+    out shouldBe Set(
+      (None, 2L, 12L, 7L), // the two NULL-key rows combined once
+      (Some(1L), 1L, 2L, 2L))
+  }
+}
