@@ -1857,6 +1857,119 @@ object EventQueries {
               max(${duckUs("ts")}) AS max_us
             FROM events GROUP BY 1 ORDER BY user_id"""))
 
+  /** Retractable aggregates — incremental maintenance under DELETES
+    * (the Z-set / differential-dataflow move): a retraction is just a
+    * delta with NEGATED measures, so the same
+    * [[graft.engine.Incremental.mergeAdditive]] that applies inserts
+    * applies erasures, followed by zero-weight elimination
+    * (`n > 0` — a key whose every row was retracted must vanish, not
+    * linger at zero). The demo erases the deterministic
+    * `event_id % 7 = 0` cohort from the standing per-user totals; the
+    * oracle aggregates the SURVIVORS directly, so the hash match
+    * proves subtract-then-eliminate equals never-having-seen-them.
+    * Only SUBTRACTABLE measures qualify (count/sum form a group;
+    * max does not — q277 carries max through insert-only merges, this
+    * query deliberately excludes it: after a delete, a max must be
+    * recomputed from survivors or kept in a sketch).
+    *
+    * ## 100 TB notes
+    * An RTBF purge (q213's blast radius) becomes one key-space-sized
+    * merge of the negated erasure cohort — no fact-table recompute.
+    * The retraction delta aggregates map-side like any other batch.
+    */
+  val q278RetractableAgg: Q = Q(
+    "q278_retractable_agg",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          floor(col("value") * 100).cast("long").as("cents"))
+      def totals(df: DataFrame) = df.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      val gold = totals(ev)
+      val retraction = totals(ev.filter(col("event_id") % 7 === 0))
+        .select(col("user_id"), (-col("n")).as("n"),
+          (-col("cents")).as("cents"))
+      graft.engine.Incremental
+        .mergeAdditive(gold, retraction, Seq("user_id"),
+          Seq("n", "cents"))
+        .filter(col("n") > 0) // Z-set zero-weight elimination
+        .orderBy("user_id")
+    },
+    Some("""SELECT user_id, count(*) AS n,
+              CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                AS cents
+            FROM events WHERE event_id % 7 <> 0
+            GROUP BY 1 ORDER BY user_id"""))
+
+  /** Watermark restatement scope — how much already-finalized output
+    * does the lateness profile force an incremental pipeline to
+    * restate? Using q119's deterministic three-batch arrival order,
+    * batch 1's completion sets the watermark (max event time seen
+    * minus a 1-hour allowed delay); an hourly (user, hour) cell is
+    * FINALIZED once its end sits at or below that watermark. Every
+    * later-arriving row landing in a finalized cell is a restatement:
+    * per subsequent batch the audit counts rows, restating rows, the
+    * distinct finalized cells they reopen, and the exact-ppm
+    * restatement rate. Batch 2 (the genuinely-new rows) restates
+    * nothing by construction; batch 3 (the stragglers) is the
+    * correction load — the number that decides between "reprocess the
+    * partition" and "serve approximate until compaction".
+    *
+    * ## 100 TB notes
+    * One broadcast scalar (the watermark), one two-level group-by
+    * ((batch, user, hour) cells with map-side partials, then per
+    * batch). The cell relation is the same size as the streaming
+    * state the watermark would have bounded — this is the BATCH
+    * measurement of that streaming contract.
+    */
+  val q279RestatementScope: Q = Q(
+    "q279_restatement_scope",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), tsUs.as("us"))
+      val mx = ev.filter(col("event_id") % 2 === 0)
+        .agg(max(col("us")).as("m")) // 1 row: batch-1 max event time
+      val cells = ev.crossJoin(broadcast(mx))
+        .withColumn("batch", when(col("event_id") % 2 === 0, 1L)
+          .when(col("us") > col("m"), 2L).otherwise(3L))
+        .filter(col("batch") =!= 1)
+        .withColumn("hr", expr("us div 3600000000"))
+        .withColumn("restates",
+          (col("hr") + 1) * 3600000000L <= col("m") - 3600000000L)
+      cells.groupBy(col("batch"), col("user_id"), col("hr"),
+          col("restates"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("batch"))
+        .agg(sum(col("cnt")).as("n_rows"),
+          sum(when(col("restates"), col("cnt")).otherwise(0L))
+            .as("n_restating"),
+          count(when(col("restates"), 1)).as("n_cells_reopened"))
+        .select(col("batch"), col("n_rows"), col("n_restating"),
+          col("n_cells_reopened"),
+          expr("n_restating * 1000000 div n_rows").as("restate_ppm"))
+        .orderBy("batch")
+    },
+    Some(s"""WITH e AS (SELECT user_id, event_id, ${duckUs("ts")} AS us
+                 FROM events),
+            mx AS (SELECT max(us) AS m FROM e WHERE event_id % 2 = 0),
+            c AS (SELECT CASE WHEN event_id % 2 = 0 THEN 1
+                              WHEN us > m THEN 2 ELSE 3 END AS batch,
+                    user_id, us // 3600000000 AS hr,
+                    (us // 3600000000 + 1) * 3600000000
+                      <= m - 3600000000 AS restates
+                  FROM e, mx),
+            g AS (SELECT batch, user_id, hr, restates, count(*) AS cnt
+                  FROM c WHERE batch <> 1 GROUP BY 1, 2, 3, 4),
+            a AS (SELECT batch, CAST(sum(cnt) AS BIGINT) AS n_rows,
+                    CAST(sum(CASE WHEN restates THEN cnt ELSE 0 END)
+                      AS BIGINT) AS n_restating,
+                    count(CASE WHEN restates THEN 1 END)
+                      AS n_cells_reopened
+                  FROM g GROUP BY 1)
+            SELECT batch, n_rows, n_restating, n_cells_reopened,
+              n_restating * 1000000 // n_rows AS restate_ppm
+            FROM a ORDER BY batch"""))
+
   /** Count–min sketch heavy hitters, expressed as dataflow: the sketch
     * is a (depth x width) counter table built by one explode + group-by
     * (map-side partial agg collapses the exploded stream to at most
@@ -4913,6 +5026,6 @@ object EventQueries {
       q238ProcessConformance, q239DiffInDiff, q244DoubleFire, q248LeadLagXcorr, q251ConcurrencyProfile, q254ActivityHeatmap,
       q264RecordHighs, q265StreamTwsTotals, q266StreamTwsSessions,
       q267LayoutPruning, q275StreamTwsTopk, q276StreamTwsTypeCounts,
-      q277IncrementalGold)
+      q277IncrementalGold, q278RetractableAgg, q279RestatementScope)
       .map(q => q.copy(streaming = streamingNames(q.name)))
 }

@@ -2873,6 +2873,42 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("q278 retractable agg: subtract-then-eliminate equals " +
+      "never-having-seen-them") {
+    val dir = "/root/testdata/sf0.001"
+    val out = EventQueries.q278RetractableAgg.fn(spark, dir)
+      .select("user_id", "n", "cents")
+      .as[(Long, Long, Long)].collect().toList
+    out should not be empty
+    // direct survivor aggregation, bypassing the merge machinery
+    val direct = graft.engine.Tables.load(spark, dir, "events")
+      .filter(col("event_id") % 7 =!= 0)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100).cast("long")).as("cents"))
+      .orderBy("user_id")
+      .as[(Long, Long, Long)].collect().toList
+    out shouldBe direct
+    out.foreach { case (_, n, _) => n should be > 0L } // zero-elim held
+  }
+
+  test("q279 restatement scope: batch 2 restates nothing, counts are " +
+      "ppm-consistent") {
+    val dir = "/root/testdata/sf0.001"
+    val out = EventQueries.q279RestatementScope.fn(spark, dir)
+      .select("batch", "n_rows", "n_restating", "n_cells_reopened",
+        "restate_ppm")
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    out.map(_._1) shouldBe List(2L, 3L)
+    out.foreach { case (batch, n, restating, cells, ppm) =>
+      restating should be <= n
+      cells should be <= restating
+      ppm shouldBe restating * 1000000L / n
+      // batch 2 is strictly-newer rows: it cannot reopen finalized cells
+      if (batch == 2L) restating shouldBe 0L
+    }
+  }
+
   test("q270 shuffle mixing: bands cover all blocks, shares are ppm-exact") {
     val dir = "/root/testdata/sf0.001"
     val out = TextQueries.q270ShuffleMixing.fn(spark, dir)
