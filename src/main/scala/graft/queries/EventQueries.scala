@@ -1970,6 +1970,79 @@ object EventQueries {
               n_restating * 1000000 // n_rows AS restate_ppm
             FROM a ORDER BY batch"""))
 
+  /** Watermark tuning curve — the state-vs-restatement tradeoff that
+    * picks an allowed-delay, computed exactly per candidate delay
+    * (0/1/2/4/8/16 hours): a larger delay keeps more (user, hour)
+    * cells OPEN at batch-1 close (streaming state the store must
+    * hold), but fewer straggler rows land in already-FINALIZED cells
+    * (restatements the serving layer must correct). q279 reads one
+    * point off this curve; this emits the whole decision table —
+    * `open_cells` rises and `restating_rows` falls monotonically in
+    * the delay, and the knee is the watermark you deploy.
+    *
+    * ## 100 TB notes
+    * The cell relation (distinct user-hours) is computed ONCE with
+    * map-side partials, then crossed with the 6-row delay dimension —
+    * broadcast, no re-scan per delay. Exact integer µs arithmetic
+    * throughout; the curve is 6 rows at any scale.
+    */
+  val q280WatermarkCurve: Q = Q(
+    "q280_watermark_curve",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), tsUs.as("us"))
+      val mx = ev.filter(col("event_id") % 2 === 0)
+        .agg(max(col("us")).as("m")) // 1 row
+      val tagged = ev.crossJoin(broadcast(mx))
+        .withColumn("batch", when(col("event_id") % 2 === 0, 1L)
+          .when(col("us") > col("m"), 2L).otherwise(3L))
+        .withColumn("hr", expr("us div 3600000000"))
+      // one pass to cells: batch-1 cells (candidate state) and
+      // straggler rows per cell (candidate restatements)
+      val cells = tagged.groupBy(col("user_id"), col("hr"), col("m"))
+        .agg(count(when(col("batch") === 1, 1)).as("b1_rows"),
+          count(when(col("batch") === 3, 1)).as("late_rows"))
+      val delays = s.range(0, 1).select(
+        explode(array(Seq(0L, 1L, 2L, 4L, 8L, 16L).map(lit): _*))
+          .as("delay_h"))
+      cells.crossJoin(broadcast(delays))
+        .withColumn("finalized",
+          (col("hr") + 1) * 3600000000L <=
+            col("m") - col("delay_h") * 3600000000L)
+        .groupBy(col("delay_h"))
+        .agg(count(when(!col("finalized") && col("b1_rows") > 0, 1))
+            .as("open_cells"),
+          sum(when(col("finalized"), col("late_rows")).otherwise(0L))
+            .as("restating_rows"),
+          count(when(col("finalized") && col("late_rows") > 0, 1))
+            .as("reopened_cells"))
+        .orderBy("delay_h")
+    },
+    Some(s"""WITH e AS (SELECT user_id, event_id, ${duckUs("ts")} AS us
+                 FROM events),
+            mx AS (SELECT max(us) AS m FROM e WHERE event_id % 2 = 0),
+            t AS (SELECT user_id, us // 3600000000 AS hr, m,
+                    CASE WHEN event_id % 2 = 0 THEN 1
+                         WHEN us > m THEN 2 ELSE 3 END AS batch
+                  FROM e, mx),
+            c AS (SELECT user_id, hr, m,
+                    count(CASE WHEN batch = 1 THEN 1 END) AS b1_rows,
+                    count(CASE WHEN batch = 3 THEN 1 END) AS late_rows
+                  FROM t GROUP BY 1, 2, 3),
+            d AS (SELECT unnest([0, 1, 2, 4, 8, 16]) AS delay_h),
+            j AS (SELECT c.*, d.delay_h,
+                    (hr + 1) * 3600000000
+                      <= m - delay_h * 3600000000 AS finalized
+                  FROM c CROSS JOIN d)
+            SELECT CAST(delay_h AS BIGINT) AS delay_h,
+              count(CASE WHEN NOT finalized AND b1_rows > 0 THEN 1 END)
+                AS open_cells,
+              CAST(sum(CASE WHEN finalized THEN late_rows ELSE 0 END)
+                AS BIGINT) AS restating_rows,
+              count(CASE WHEN finalized AND late_rows > 0 THEN 1 END)
+                AS reopened_cells
+            FROM j GROUP BY 1 ORDER BY delay_h"""))
+
   /** Count–min sketch heavy hitters, expressed as dataflow: the sketch
     * is a (depth x width) counter table built by one explode + group-by
     * (map-side partial agg collapses the exploded stream to at most
@@ -5026,6 +5099,7 @@ object EventQueries {
       q238ProcessConformance, q239DiffInDiff, q244DoubleFire, q248LeadLagXcorr, q251ConcurrencyProfile, q254ActivityHeatmap,
       q264RecordHighs, q265StreamTwsTotals, q266StreamTwsSessions,
       q267LayoutPruning, q275StreamTwsTopk, q276StreamTwsTypeCounts,
-      q277IncrementalGold, q278RetractableAgg, q279RestatementScope)
+      q277IncrementalGold, q278RetractableAgg, q279RestatementScope,
+      q280WatermarkCurve)
       .map(q => q.copy(streaming = streamingNames(q.name)))
 }

@@ -1095,8 +1095,78 @@ object SimilarityQueries {
             ORDER BY d"""
     })
 
+  /** Embedding-table intake QA — the gate an embedding column passes
+    * before any similarity work is trusted: per label, vector counts,
+    * the dimension range (ragged dimensions break every dot product
+    * downstream), zero vectors (cosine is undefined on them — q27's
+    * scores would go NaN), non-finite vectors (one NaN poisons a
+    * centroid mean), and the L2-norm envelope (min/max/rounded sum —
+    * unnormalized outliers dominate IVF assignment). On the clean
+    * fixture the defect counts are zero — the audit PROVES clean, the
+    * same posture as q183's orphan audit.
+    *
+    * Norms are per-row IEEE op trees (sequential fold, identical on
+    * both engines); the only cross-row float reduction is the norm
+    * SUM, accumulated in decimal(30,10) and rounded in decimal (the
+    * determinism contract); min/max of identical doubles are
+    * order-independent. A sum of squares can only be >= 0 or
+    * non-finite, so `isnan(ns) OR ns = +Inf` is a complete
+    * finiteness test.
+    *
+    * ## 100 TB notes
+    * Map-only per-row arithmetic + one |labels|-sized group-by with
+    * map-side partials. This is the profile a vector-lake ingest job
+    * emits per shard; mergeable across shards because every measure
+    * is a monoid (counts, min/max, decimal sum).
+    */
+  val q281EmbeddingQa: Q = Q(
+    "q281_embedding_qa",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val normSq = aggregate(col("embedding"), lit(0.0d),
+        (acc, x) => acc + x.cast("double") * x.cast("double"))
+      val rows = e.select(col("label"),
+        size(col("embedding")).cast("long").as("dim"),
+        normSq.as("ns"))
+        .withColumn("nonfinite",
+          isnan(col("ns")) ||
+            col("ns") === lit(Double.PositiveInfinity))
+        .withColumn("norm",
+          when(col("nonfinite"), lit(null)).otherwise(sqrt(col("ns"))))
+      rows.groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          min(col("dim")).as("dim_min"), max(col("dim")).as("dim_max"),
+          count(when(col("ns") === 0.0d, 1)).as("n_zero"),
+          count(when(col("nonfinite"), 1)).as("n_nonfinite"),
+          min(col("norm")).as("min_norm"), max(col("norm")).as("max_norm"),
+          round(sum(col("norm").cast("decimal(30,10)")), 6).cast("double")
+            .as("norm_sum"))
+        .orderBy("label")
+    },
+    Some("""WITH r AS (SELECT label,
+                CAST(len(embedding) AS BIGINT) AS dim,
+                coalesce(list_sum(list_transform(
+                  CAST(embedding AS DOUBLE[]), v -> v * v)), 0.0) AS ns
+              FROM embeddings),
+            f AS (SELECT label, dim, ns,
+                    (isnan(ns) OR ns = 'Infinity'::DOUBLE) AS nonfinite
+                  FROM r),
+            n AS (SELECT label, dim, ns, nonfinite,
+                    CASE WHEN nonfinite THEN NULL ELSE sqrt(ns) END
+                      AS norm
+                  FROM f)
+            SELECT label, count(*) AS n_vecs,
+              min(dim) AS dim_min, max(dim) AS dim_max,
+              count(CASE WHEN ns = 0.0 THEN 1 END) AS n_zero,
+              count(CASE WHEN nonfinite THEN 1 END) AS n_nonfinite,
+              min(norm) AS min_norm, max(norm) AS max_norm,
+              CAST(round(sum(CAST(norm AS DECIMAL(30,10))), 6) AS DOUBLE)
+                AS norm_sum
+            FROM n GROUP BY label ORDER BY label"""))
+
   val all: Seq[Q] = Seq(q27KnnBrute, q28AnnLsh, q29EmbNearDup, q30IvfCentroid,
     q44KmeansStep, q49AnnRecall, q52SqlSurface, q57L2Knn, q71Int8Quant,
     q79SemanticDedup, q138PqCodebook, q139PqAdcRecall, q208MutualNn,
-    q218ClusterMargin, q241AnnBitsCurve, q257MatryoshkaRecall)
+    q218ClusterMargin, q241AnnBitsCurve, q257MatryoshkaRecall,
+    q281EmbeddingQa)
 }

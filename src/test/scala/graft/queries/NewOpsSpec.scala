@@ -2909,6 +2909,44 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("q280 watermark curve: state rises and restatements fall " +
+      "monotonically in the delay") {
+    val dir = "/root/testdata/sf0.001"
+    val out = EventQueries.q280WatermarkCurve.fn(spark, dir)
+      .select("delay_h", "open_cells", "restating_rows", "reopened_cells")
+      .as[(Long, Long, Long, Long)].collect().toList
+    out.map(_._1) shouldBe List(0L, 1L, 2L, 4L, 8L, 16L)
+    out.sliding(2).foreach {
+      case List(a, b) =>
+        b._2 should be >= a._2 // more delay -> more open state
+        b._3 should be <= a._3 // more delay -> fewer restatements
+      case _ => ()
+    }
+    out.foreach { case (_, _, restating, cells) =>
+      cells should be <= restating
+    }
+  }
+
+  test("q281 embedding QA: fixture audits clean — uniform dims, " +
+      "no zero or non-finite vectors, unit-ish norms") {
+    val dir = "/root/testdata/sf0.001"
+    val out = SimilarityQueries.q281EmbeddingQa.fn(spark, dir)
+      .select("label", "n_vecs", "dim_min", "dim_max", "n_zero",
+        "n_nonfinite", "min_norm", "max_norm")
+      .as[(Int, Long, Long, Long, Long, Long, Double, Double)]
+      .collect().toList
+    out should not be empty
+    val nVecs = graft.engine.Tables.load(spark, dir, "embeddings").count()
+    out.map(_._2).sum shouldBe nVecs // labels partition the table
+    out.foreach { case (_, _, dMin, dMax, nZero, nBad, lo, hi) =>
+      dMin shouldBe dMax // no ragged dimensions
+      nZero shouldBe 0L
+      nBad shouldBe 0L
+      lo should be <= hi
+      lo should be > 0.0
+    }
+  }
+
   test("q270 shuffle mixing: bands cover all blocks, shares are ppm-exact") {
     val dir = "/root/testdata/sf0.001"
     val out = TextQueries.q270ShuffleMixing.fn(spark, dir)
