@@ -2043,6 +2043,97 @@ object EventQueries {
                 AS reopened_cells
             FROM j GROUP BY 1 ORDER BY delay_h"""))
 
+  /** Run-length profile per layout — the COMPRESSION side of the
+    * clustering trade q267 prices for pruning: within each file, in
+    * the layout's physical sort order, how many value RUNS do the two
+    * key columns carry? Parquet's RLE cost is proportional to runs,
+    * so `runs * 1e6 div rows` (exact ppm; lower = fewer, longer runs)
+    * is the encoded-size proxy per column per layout. The fixture
+    * measures the real trade: lexicographic is PERFECT on x (one
+    * value per file, runs_x = n_files = 32) and ndv-bound on y
+    * (runs_y 960); Morton order pays 30× on x (runs_x 960) but
+    * HALVES y's runs (464) — the curve keeps both keys locally
+    * coherent instead of one perfectly. So z-order buys
+    * two-dimensional pruning (q267) at a one-sided compression cost,
+    * not a total one. Reading both tables is the actual OPTIMIZE
+    * decision.
+    *
+    * ## 100 TB notes
+    * One pass; the run detection is a `lag` window PARTITIONED BY
+    * (layout, file) in the file's sort order — per-file state only,
+    * exactly the writer's own encoding pass. The rollup to 2 rows is
+    * map-side combined. The Morton code is the native
+    * [[graft.functions.MortonCode]]; the oracle keeps per-bit
+    * arithmetic (the q267 cross-engine equality discipline).
+    */
+  val q282RleProfile: Q = Q(
+    "q282_rle_profile",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), expr("user_id % 32").as("x"),
+          expr("(ts div 86400000000000) % 32").as("y"))
+      val keyed = ev.select(col("event_id"), col("x"), col("y"),
+        graft.functions.GraftFunctions.mortonCode(col("x"), col("y"))
+          .as("zv"))
+      val tagged = keyed
+        .select(lit("linear").as("layout"), (col("x") * 32 + col("y"))
+            .as("sk"), col("event_id"), col("x"), col("y"))
+        .unionAll(keyed.select(lit("zorder").as("layout"),
+          col("zv").as("sk"), col("event_id"), col("x"), col("y")))
+        .withColumn("file_id", expr("sk div 32"))
+      val inFile = Window.partitionBy(col("layout"), col("file_id"))
+        .orderBy(col("sk").asc, col("event_id").asc)
+      val runs = tagged
+        .withColumn("px", lag(col("x"), 1).over(inFile))
+        .withColumn("py", lag(col("y"), 1).over(inFile))
+        .withColumn("rx", when(col("px").isNull ||
+          col("px") =!= col("x"), 1L).otherwise(0L))
+        .withColumn("ry", when(col("py").isNull ||
+          col("py") =!= col("y"), 1L).otherwise(0L))
+      runs.groupBy(col("layout"))
+        .agg(count_distinct(col("file_id")).as("n_files"),
+          count(lit(1)).as("n_rows"),
+          sum(col("rx")).as("runs_x"), sum(col("ry")).as("runs_y"))
+        .select(col("layout"), col("n_files"), col("n_rows"),
+          col("runs_x"), col("runs_y"),
+          expr("runs_x * 1000000 div n_rows").as("rle_x_ppm"),
+          expr("runs_y * 1000000 div n_rows").as("rle_y_ppm"))
+        .orderBy("layout")
+    },
+    Some {
+      val morton = (0 until 5).map { i =>
+        val p = 1L << i; val zx = 1L << (2 * i); val zy = 1L << (2 * i + 1)
+        s"((x // $p) % 2) * $zx + ((y // $p) % 2) * $zy"
+      }.mkString(" + ")
+      s"""WITH ev AS (SELECT event_id, user_id % 32 AS x,
+                (${duckUs("ts")} // 86400000000) % 32 AS y
+              FROM events),
+            keyed AS (SELECT event_id, x, y, $morton AS zv FROM ev),
+            tagged AS (
+              SELECT 'linear' AS layout, x * 32 + y AS sk, event_id, x, y
+              FROM keyed
+              UNION ALL
+              SELECT 'zorder' AS layout, zv AS sk, event_id, x, y
+              FROM keyed),
+            runs AS (SELECT layout, sk // 32 AS file_id, x, y,
+                       lag(x) OVER (PARTITION BY layout, sk // 32
+                         ORDER BY sk ASC, event_id ASC) AS px,
+                       lag(y) OVER (PARTITION BY layout, sk // 32
+                         ORDER BY sk ASC, event_id ASC) AS py
+                     FROM tagged)
+            SELECT layout, count(DISTINCT file_id) AS n_files,
+              count(*) AS n_rows,
+              CAST(sum(CASE WHEN px IS NULL OR px <> x THEN 1 ELSE 0 END)
+                AS BIGINT) AS runs_x,
+              CAST(sum(CASE WHEN py IS NULL OR py <> y THEN 1 ELSE 0 END)
+                AS BIGINT) AS runs_y,
+              CAST(sum(CASE WHEN px IS NULL OR px <> x THEN 1 ELSE 0 END)
+                AS BIGINT) * 1000000 // count(*) AS rle_x_ppm,
+              CAST(sum(CASE WHEN py IS NULL OR py <> y THEN 1 ELSE 0 END)
+                AS BIGINT) * 1000000 // count(*) AS rle_y_ppm
+            FROM runs GROUP BY layout ORDER BY layout"""
+    })
+
   /** Count–min sketch heavy hitters, expressed as dataflow: the sketch
     * is a (depth x width) counter table built by one explode + group-by
     * (map-side partial agg collapses the exploded stream to at most
@@ -5100,6 +5191,6 @@ object EventQueries {
       q264RecordHighs, q265StreamTwsTotals, q266StreamTwsSessions,
       q267LayoutPruning, q275StreamTwsTopk, q276StreamTwsTypeCounts,
       q277IncrementalGold, q278RetractableAgg, q279RestatementScope,
-      q280WatermarkCurve)
+      q280WatermarkCurve, q282RleProfile)
       .map(q => q.copy(streaming = streamingNames(q.name)))
 }

@@ -2947,6 +2947,29 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("q282 RLE profile: linear is run-perfect on x; ppm arithmetic " +
+      "exact; rows conserved") {
+    val dir = "/root/testdata/sf0.001"
+    val out = EventQueries.q282RleProfile.fn(spark, dir)
+      .select("layout", "n_files", "n_rows", "runs_x", "runs_y",
+        "rle_x_ppm", "rle_y_ppm")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toList
+    out.map(_._1).sorted shouldBe List("linear", "zorder")
+    val nEvents = graft.engine.Tables.load(spark, dir, "events").count()
+    out.foreach { case (_, nFiles, nRows, rx, ry, px, py) =>
+      nRows shouldBe nEvents
+      rx should be >= nFiles // at least one run per file
+      ry should be >= nFiles
+      px shouldBe rx * 1000000L / nRows
+      py shouldBe ry * 1000000L / nRows
+    }
+    // lexicographic files hold a single x value: one x-run per file
+    val lin = out.find(_._1 == "linear").get
+    lin._4 shouldBe lin._2
+    // Morton order pays on x against the lexicographic optimum
+    out.find(_._1 == "zorder").get._4 should be > lin._4
+  }
+
   test("q270 shuffle mixing: bands cover all blocks, shares are ppm-exact") {
     val dir = "/root/testdata/sf0.001"
     val out = TextQueries.q270ShuffleMixing.fn(spark, dir)
