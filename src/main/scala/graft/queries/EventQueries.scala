@@ -2043,6 +2043,74 @@ object EventQueries {
                 AS reopened_cells
             FROM j GROUP BY 1 ORDER BY delay_h"""))
 
+  /** The incremental-gold identity (q277) run END-TO-END through
+    * Structured Streaming: `foreachBatch` aggregates each micro-batch
+    * to a per-user delta and folds it into a parquet-landed gold
+    * snapshot via [[graft.engine.Incremental.mergeAdditive]]
+    * (tmp-write + directory swap per batch — q84's sink discipline,
+    * additive instead of latest-wins). After the three staged batches
+    * drain, the landed snapshot must equal the one-shot aggregation
+    * over all events — the oracle — proving the streaming incremental
+    * path exact, not just the relational identity q277 already
+    * pinned. Counts and exact-cent sums are commutative, so the
+    * result is arrival-order- and partitioning-invariant.
+    *
+    * ## 100 TB/day notes
+    * This is the production shape for continuous gold maintenance
+    * when the serving store is a table, not a state store: per-batch
+    * work is one map-side-combined delta aggregation + one
+    * key-space-sized merge join; nothing re-reads history. The swap
+    * publishes atomically per batch — a reader sees batch N or N+1,
+    * never a torn merge.
+    */
+  val q284StreamIncrementalGold: Q = Q(
+    "q284_stream_incremental_gold",
+    (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import java.nio.file.{Files, Path}
+      val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val root = Files.createTempDirectory("graft_q284")
+      val goldDir = root.resolve("gold")
+      def rm(p: Path): Unit = if (Files.exists(p)) {
+        if (Files.isDirectory(p)) {
+          val l = Files.list(p)
+          try l.forEach(rm(_)) finally l.close()
+        }
+        Files.deleteIfExists(p); ()
+      }
+      val src = s.readStream.schema(batchSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(eventsOooStreamDir(s, dir))
+        .transform(Tables.normalizeEventTs)
+        .select(col("user_id"),
+          floor(col("value") * 100).cast("long").as("cents"))
+      val query = src.writeStream
+        .option("checkpointLocation", root.resolve("ckpt").toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val delta = batch.groupBy(col("user_id"))
+            .agg(count(lit(1)).as("n_events"),
+              sum(col("cents")).as("total_cents"))
+          val merged =
+            if (Files.exists(goldDir))
+              graft.engine.Incremental.mergeAdditive(
+                s.read.parquet(goldDir.toString), delta,
+                Seq("user_id"), Seq("n_events", "total_cents"))
+            else delta
+          val tmp = root.resolve("gold_tmp")
+          merged.write.mode("overwrite").parquet(tmp.toString)
+          rm(goldDir)
+          Files.move(tmp, goldDir)
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+      s.read.parquet(goldDir.toString).orderBy("user_id")
+    },
+    Some("""SELECT user_id, count(*) AS n_events,
+              CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                AS total_cents
+            FROM events GROUP BY 1 ORDER BY user_id"""))
+
   /** Run-length profile per layout — the COMPRESSION side of the
     * clustering trade q267 prices for pruning: within each file, in
     * the layout's physical sort order, how many value RUNS do the two
@@ -4317,7 +4385,8 @@ object EventQueries {
     "q83_stream_static_enrich", "q84_foreachbatch_upsert",
     "q107_stream_outer_join", "q119_stream_running_totals",
     "q265_stream_tws_totals", "q266_stream_tws_sessions",
-    "q275_stream_tws_topk", "q276_stream_tws_typecounts")
+    "q275_stream_tws_topk", "q276_stream_tws_typecounts",
+    "q284_stream_incremental_gold")
 
   /** Session entry/exit/bounce profile — the landing-page report: for
     * each event type, how many sessions START there, END there, and
@@ -5191,6 +5260,6 @@ object EventQueries {
       q264RecordHighs, q265StreamTwsTotals, q266StreamTwsSessions,
       q267LayoutPruning, q275StreamTwsTopk, q276StreamTwsTypeCounts,
       q277IncrementalGold, q278RetractableAgg, q279RestatementScope,
-      q280WatermarkCurve, q282RleProfile)
+      q280WatermarkCurve, q282RleProfile, q284StreamIncrementalGold)
       .map(q => q.copy(streaming = streamingNames(q.name)))
 }
