@@ -3701,6 +3701,86 @@ object RelationalQueries {
                 ELSE 'PLAIN' END AS encoding
             FROM a ORDER BY col_name"""))
 
+  /** Delete-one-group jackknife for a RATIO metric — the variance
+    * estimator scalable A/B systems actually use (per-unit ratios
+    * don't average; the delete-one-bucket jackknife over G hash
+    * buckets — here the 25 nations — handles ratio-of-sums metrics
+    * without per-row resampling). Each replicate is the metric with
+    * one group deleted, computed from the group SUMS
+    * (`(C-c_i)/(N-n_i)` — no second data pass), and every replicate
+    * and the spread statistics live in exact integers: replicates in
+    * MICRO-units (`r_i = (C-c_i)*1e6 div (N-n_i)` BIGINT), mean by
+    * integer div, and the sum of squared deviations in scale-0
+    * decimal (squared micro-deviations overflow int64; decimal(19,0)
+    * × decimal(19,0) → decimal(38,0) stays exact — the sanctioned
+    * exact-integer use of wide decimals, summed but never divided).
+    * The `(G-1)/G` correction and the `sqrt` are one final double op
+    * tree (correctly-rounded IEEE, the q148 discipline). Output: one
+    * row per replicate (nation, its sums, its leave-out ratio) each
+    * carrying the shared summary columns — the full diagnostic
+    * table, not just the SE.
+    *
+    * ## 100 TB notes
+    * One shuffle to per-group sums (map-side combined); everything
+    * after runs on G rows with two broadcast scalar attaches. This is
+    * the whole point of the group jackknife: replicates come from
+    * ALGEBRA on the group sums, never from re-scanning data — at any
+    * scale the estimator costs one aggregation.
+    */
+  val q285JackknifeRatio: Q = Q(
+    "q285_jackknife_ratio",
+    (s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_custkey"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val c = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val byNation = o.join(broadcast(c),
+          o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_nationkey").as("nation"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("cents"))
+      val tot = byNation.agg(sum(col("n_orders")).as("tn"),
+        sum(col("cents")).as("tc"), count(lit(1)).as("g")) // 1 row
+      val reps = byNation.crossJoin(broadcast(tot))
+        .select(col("nation"), col("n_orders"), col("cents"),
+          col("tn"), col("tc"), col("g"),
+          expr("(tc - cents) * 1000000 div (tn - n_orders)").as("r_micro"))
+      val spread = reps.agg(sum(col("r_micro")).as("rsum")) // 1 row
+      val withMean = reps.crossJoin(broadcast(spread))
+        .withColumn("rbar", expr("rsum div g"))
+      val dev = expr("CAST(r_micro - rbar AS DECIMAL(19,0))")
+      val ss = withMean.agg(sum(dev * dev).as("ss"))
+      withMean.crossJoin(broadcast(ss))
+        .select(col("nation"), col("n_orders"), col("cents"),
+          col("r_micro"),
+          expr("tc * 1000000 div tn").as("full_ratio_micro"),
+          col("rbar").as("mean_rep_micro"),
+          sqrt(expr("CAST(ss AS DOUBLE) * (g - 1) / g")).as("jack_se"))
+        .orderBy("nation")
+    },
+    Some("""WITH o AS (SELECT o_custkey,
+                CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders),
+            bn AS (SELECT c_nationkey AS nation, count(*) AS n_orders,
+                     CAST(sum(cents) AS BIGINT) AS cents
+                   FROM o JOIN customer ON o_custkey = c_custkey
+                   GROUP BY 1),
+            t AS (SELECT CAST(sum(n_orders) AS BIGINT) AS tn,
+                    CAST(sum(cents) AS BIGINT) AS tc,
+                    count(*) AS g FROM bn),
+            reps AS (SELECT nation, n_orders, cents, tn, tc, g,
+                       (tc - cents) * 1000000 // (tn - n_orders) AS r_micro
+                     FROM bn, t),
+            sp AS (SELECT CAST(sum(r_micro) AS BIGINT) AS rsum FROM reps),
+            wm AS (SELECT reps.*, rsum // g AS rbar FROM reps, sp),
+            s2 AS (SELECT sum(CAST(r_micro - rbar AS HUGEINT)
+                     * CAST(r_micro - rbar AS HUGEINT)) AS ss FROM wm)
+            SELECT nation, n_orders, cents, r_micro,
+              tc * 1000000 // tn AS full_ratio_micro,
+              rbar AS mean_rep_micro,
+              sqrt(CAST(ss AS DOUBLE) * (g - 1) / g) AS jack_se
+            FROM wm, s2 ORDER BY nation"""))
+
   val all: Seq[Q] = Seq(q06JoinDims, q07StarRevenue, q08SemiJoin, q09AntiJoin,
     q10AggStats, q11Rollup, q12DistinctExact, q13WindowTopK, q14RunningSum,
     q15Pivot, q16SetOps, q17GlobalTopN, q40QuantilesDisc, q41Moments,
@@ -3717,5 +3797,5 @@ object RelationalQueries {
     q226ShipSla, q229SeasonalDecomp, q230TargetEncoding, q235DrillAcross,
     q236FanoutProfile, q245ForecastBacktest, q246FillRate, q249OtifScore,
     q250RevenueBridge, q252BasketEconomics, q253DeviationDrawdown,
-    q255NewVsReturning, q256HhiTrend, q271EncodingAudit)
+    q255NewVsReturning, q256HhiTrend, q271EncodingAudit, q285JackknifeRatio)
 }

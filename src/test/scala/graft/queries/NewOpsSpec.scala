@@ -2970,6 +2970,29 @@ class NewOpsSpec extends SparkSpec {
     out.find(_._1 == "zorder").get._4 should be > lin._4
   }
 
+  test("q285 jackknife: replicates bracket the full ratio and the SE " +
+      "matches a direct recomputation") {
+    val dir = "/root/testdata/sf0.001"
+    val out = RelationalQueries.q285JackknifeRatio.fn(spark, dir)
+      .select("nation", "r_micro", "full_ratio_micro", "mean_rep_micro",
+        "jack_se")
+      .as[(Int, Long, Long, Long, Double)].collect().toList
+    out should not be empty
+    val g = out.size
+    val full = out.head._3
+    // every row carries the same summary values
+    out.map(_._3).distinct.size shouldBe 1
+    out.map(_._5).distinct.size shouldBe 1
+    // deleting one group moves the ratio both ways around the full value
+    out.map(_._2).min should be <= full
+    out.map(_._2).max should be >= full
+    // SE recomputed directly from the replicates (same integer path)
+    val rbar = out.map(_._2).sum / g
+    val ss = out.map(r => BigInt(r._2 - rbar) * BigInt(r._2 - rbar)).sum
+    val expected = math.sqrt(ss.toDouble * (g - 1) / g)
+    out.head._5 shouldBe expected
+  }
+
   test("q270 shuffle mixing: bands cover all blocks, shares are ppm-exact") {
     val dir = "/root/testdata/sf0.001"
     val out = TextQueries.q270ShuffleMixing.fn(spark, dir)
