@@ -2111,6 +2111,61 @@ object EventQueries {
                 AS total_cents
             FROM events GROUP BY 1 ORDER BY user_id"""))
 
+  /** Metronome ranking — the timing-regularity bot signal: humans
+    * produce ragged inter-event gaps, schedulers produce constant
+    * ones, so the per-user gap SPREAD (`(max-min)*1e6 div max`, exact
+    * ppm — 0 means perfectly periodic) ranks accounts by
+    * machine-likeness. The top-20 most regular senders with at least
+    * 5 gaps is the triage list an abuse pipeline reviews first; gap
+    * stats ride along (n, min/max µs). All exact integer µs
+    * arithmetic — no variance estimate needed, the min/max envelope
+    * IS the periodicity test (a metronome's min equals its max).
+    *
+    * ## 100 TB notes
+    * Gaps are a lag window PARTITIONED BY user (bounded state); the
+    * rollup is map-side combined; the top-20 is
+    * TakeOrderedAndProject (per-partition heap, no global sort
+    * materialization). The total order (spread, user) makes the cut
+    * deterministic.
+    */
+  val q286MetronomeRank: Q = Q(
+    "q286_metronome_rank",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), tsUs.as("us"))
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("us").asc, col("event_id").asc)
+      val gaps = ev
+        .withColumn("prev", lag(col("us"), 1).over(byUser))
+        .filter(col("prev").isNotNull)
+        .select(col("user_id"), (col("us") - col("prev")).as("gap"))
+      gaps.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_gaps"),
+          min(col("gap")).as("min_gap_us"),
+          max(col("gap")).as("max_gap_us"))
+        .filter(col("n_gaps") >= 5 && col("max_gap_us") > 0)
+        .select(col("user_id"), col("n_gaps"), col("min_gap_us"),
+          col("max_gap_us"),
+          expr("(max_gap_us - min_gap_us) * 1000000 div max_gap_us")
+            .as("spread_ppm"))
+        .orderBy(col("spread_ppm").asc, col("user_id").asc)
+        .limit(20)
+    },
+    Some(s"""WITH e AS (SELECT user_id, event_id, ${duckUs("ts")} AS us
+                 FROM events),
+            g AS (SELECT user_id,
+                    us - lag(us) OVER (PARTITION BY user_id
+                      ORDER BY us ASC, event_id ASC) AS gap
+                  FROM e),
+            a AS (SELECT user_id, count(*) AS n_gaps,
+                    min(gap) AS min_gap_us, max(gap) AS max_gap_us
+                  FROM g WHERE gap IS NOT NULL GROUP BY 1)
+            SELECT user_id, n_gaps, min_gap_us, max_gap_us,
+              (max_gap_us - min_gap_us) * 1000000 // max_gap_us
+                AS spread_ppm
+            FROM a WHERE n_gaps >= 5 AND max_gap_us > 0
+            ORDER BY spread_ppm ASC, user_id ASC LIMIT 20"""))
+
   /** Run-length profile per layout — the COMPRESSION side of the
     * clustering trade q267 prices for pruning: within each file, in
     * the layout's physical sort order, how many value RUNS do the two
@@ -5260,6 +5315,7 @@ object EventQueries {
       q264RecordHighs, q265StreamTwsTotals, q266StreamTwsSessions,
       q267LayoutPruning, q275StreamTwsTopk, q276StreamTwsTypeCounts,
       q277IncrementalGold, q278RetractableAgg, q279RestatementScope,
-      q280WatermarkCurve, q282RleProfile, q284StreamIncrementalGold)
+      q280WatermarkCurve, q282RleProfile, q284StreamIncrementalGold,
+      q286MetronomeRank)
       .map(q => q.copy(streaming = streamingNames(q.name)))
 }

@@ -2993,6 +2993,23 @@ class NewOpsSpec extends SparkSpec {
     out.head._5 shouldBe expected
   }
 
+  test("q286 metronome rank: ascending spread, exact ppm, gap bounds") {
+    val dir = "/root/testdata/sf0.001"
+    val out = EventQueries.q286MetronomeRank.fn(spark, dir)
+      .select("user_id", "n_gaps", "min_gap_us", "max_gap_us",
+        "spread_ppm")
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    out should not be empty
+    out.size should be <= 20
+    out.map(_._5) shouldBe out.map(_._5).sorted // most regular first
+    out.foreach { case (_, n, lo, hi, ppm) =>
+      n should be >= 5L
+      lo should be >= 0L
+      lo should be <= hi
+      ppm shouldBe (hi - lo) * 1000000L / hi
+    }
+  }
+
   test("q270 shuffle mixing: bands cover all blocks, shares are ppm-exact") {
     val dir = "/root/testdata/sf0.001"
     val out = TextQueries.q270ShuffleMixing.fn(spark, dir)
