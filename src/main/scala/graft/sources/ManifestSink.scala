@@ -85,13 +85,19 @@ object ManifestSink {
 
   /** Read back the data THROUGH the manifest: only committed files are
     * listed, so orphans from lost attempts are invisible by
-    * construction.
+    * construction. The file list is driver-side METADATA (|files|
+    * entries, the scan plan's input), parsed straight from the
+    * manifest body — file names are the sink's own
+    * `part-NNNNN-TT.jsonl` pattern, so the extraction is a plain
+    * regex, no Spark job.
     */
   def readData(spark: SparkSession, dir: String,
       schema: StructType): DataFrame = {
-    import spark.implicits._
-    val files = readManifest(spark, dir).select("name").as[String]
-      .collect().map(n => Paths.get(dir, n).toString)
+    val body = new String(
+      Files.readAllBytes(Paths.get(dir, ManifestName)),
+      StandardCharsets.UTF_8)
+    val files = "\"name\":\"([^\"]+)\"".r.findAllMatchIn(body)
+      .map(m => Paths.get(dir, m.group(1)).toString).toSeq
     spark.read.schema(schema).json(files: _*)
   }
 
