@@ -2111,6 +2111,127 @@ object EventQueries {
                 AS total_cents
             FROM events GROUP BY 1 ORDER BY user_id"""))
 
+  /** Shuffle-partition balance planner — pick
+    * `spark.sql.shuffle.partitions` from DATA, not folklore: for each
+    * candidate partition count p ∈ {8, 32, 128}, hash every event's
+    * key (the engine-portable md5-derived `hash32`, so DuckDB builds
+    * the IDENTICAL assignment) into p reducers and report the load
+    * envelope — partitions actually used, max/min rows, and the
+    * hottest reducer's EXCESS over the perfect share in exact ppm
+    * (`(max*p - n)*1e6 div n`). q105 profiles hot KEYS; this profiles
+    * the reducer LOADS those keys induce at each candidate width —
+    * the number that says whether raising p actually flattens the
+    * wave or just shards the same hot key thinner.
+    *
+    * ## 100 TB notes
+    * One explode (×3 candidate widths) into a map-side-combined
+    * (p, part) count — the shuffle carries at most p rows per
+    * partition per width. The output is Σp rows regardless of data
+    * size. At real scale this query IS the tuning loop's feedback.
+    */
+  val q287PartitionBalance: Q = Q(
+    "q287_partition_balance",
+    (s, dir) => {
+      val h = graft.engine.ext.Text.hash32(col("user_id").cast("string"))
+      val ev = Tables.load(s, dir, "events").select(h.as("h"))
+      val widths = explode(array(Seq(8L, 32L, 128L).map(lit): _*)).as("p")
+      val loads = ev.select(col("h"), widths)
+        .select(col("p"), pmod(col("h"), col("p")).as("part"))
+        .groupBy(col("p"), col("part"))
+        .agg(count(lit(1)).as("rows"))
+      loads.groupBy(col("p"))
+        .agg(count(lit(1)).as("parts_used"), sum(col("rows")).as("n_rows"),
+          max(col("rows")).as("max_rows"), min(col("rows")).as("min_rows"))
+        .select(col("p"), col("parts_used"), col("n_rows"),
+          col("max_rows"), col("min_rows"),
+          expr("(max_rows * p - n_rows) * 1000000 div n_rows")
+            .as("hot_excess_ppm"))
+        .orderBy("p")
+    },
+    Some("""WITH e AS (SELECT
+                ('0x' || substring(md5(user_id::VARCHAR), 1, 8))::BIGINT
+                  AS h
+              FROM events),
+            w AS (SELECT unnest([8, 32, 128]) AS p),
+            l AS (SELECT p, h % p AS part, count(*) AS rows
+                  FROM e CROSS JOIN w GROUP BY 1, 2),
+            a AS (SELECT p, count(*) AS parts_used,
+                    CAST(sum(rows) AS BIGINT) AS n_rows,
+                    CAST(max(rows) AS BIGINT) AS max_rows,
+                    CAST(min(rows) AS BIGINT) AS min_rows
+                  FROM l GROUP BY 1)
+            SELECT CAST(p AS BIGINT) AS p, parts_used, n_rows, max_rows,
+              min_rows,
+              (max_rows * p - n_rows) * 1000000 // n_rows
+                AS hot_excess_ppm
+            FROM a ORDER BY p"""))
+
+  /** Quantile treatment effect — the DISTRIBUTIONAL A/B readout a
+    * mean-difference test (q148) cannot give: per seeded-hash arm
+    * (q188's assignment), the exact discrete deciles of purchase
+    * cents and their per-decile difference. A treatment that moves
+    * the tail but not the median shows a flat diff at d5 and a wide
+    * one at d9 — invisible to the mean. Deciles come from the
+    * histogram-cumulative walk (per-(arm, cents) counts, per-arm
+    * cumulative over DISTINCT values only), and the decile election
+    * is the exact integer predicate `cum * 10 >= n * k` — the q175
+    * discipline, no percentile_disc engine-semantics roulette.
+    *
+    * ## 100 TB notes
+    * One shuffle to the (arm, cents) histogram with map-side
+    * partials; the per-arm window walks distinct values only; the
+    * decile election crosses the histogram with a broadcast 9-row
+    * dimension. Output is 9 rows at any scale.
+    */
+  val q288QteDeciles: Q = Q(
+    "q288_qte_deciles",
+    (s, dir) => {
+      val arm = pmod(graft.engine.ext.Text.hash32(
+        concat(col("user_id").cast("string"), lit(":ab1"))), lit(2L))
+      val pur = Tables.load(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(arm.as("arm"),
+          floor(col("value") * 100).cast("long").as("cents"))
+      val hist = pur.groupBy(col("arm"), col("cents"))
+        .agg(count(lit(1)).as("c"))
+      val byArm = Window.partitionBy(col("arm"))
+      val cum = hist
+        .withColumn("cum", sum(col("c")).over(
+          byArm.orderBy(col("cents"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", sum(col("c")).over(byArm))
+      val ks = s.range(1, 10).select(col("id").as("k"))
+      cum.crossJoin(broadcast(ks))
+        .filter(col("cum") * 10 >= col("n") * col("k"))
+        .groupBy(col("k"))
+        .agg(min(when(col("arm") === 0, col("cents"))).as("d_control"),
+          min(when(col("arm") === 1, col("cents"))).as("d_treat"))
+        .select(col("k"), col("d_control"), col("d_treat"),
+          (col("d_treat") - col("d_control")).as("qte_cents"))
+        .orderBy("k")
+    },
+    Some("""WITH p AS (SELECT
+                ('0x' || substring(md5(user_id::VARCHAR || ':ab1'), 1, 8))
+                  ::BIGINT % 2 AS arm,
+                CAST(floor(value * 100) AS BIGINT) AS cents
+              FROM events WHERE event_type = 'purchase'),
+            h AS (SELECT arm, cents, count(*) AS c FROM p GROUP BY 1, 2),
+            cum AS (SELECT arm, cents,
+                      sum(c) OVER (PARTITION BY arm ORDER BY cents
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS cum,
+                      sum(c) OVER (PARTITION BY arm) AS n
+                    FROM h),
+            ks AS (SELECT unnest([1, 2, 3, 4, 5, 6, 7, 8, 9]) AS k)
+            SELECT CAST(k AS BIGINT) AS k,
+              min(CASE WHEN arm = 0 THEN cents END) AS d_control,
+              min(CASE WHEN arm = 1 THEN cents END) AS d_treat,
+              min(CASE WHEN arm = 1 THEN cents END)
+                - min(CASE WHEN arm = 0 THEN cents END) AS qte_cents
+            FROM cum CROSS JOIN ks
+            WHERE cum * 10 >= n * k
+            GROUP BY k ORDER BY k"""))
+
   /** Metronome ranking — the timing-regularity bot signal: humans
     * produce ragged inter-event gaps, schedulers produce constant
     * ones, so the per-user gap SPREAD (`(max-min)*1e6 div max`, exact
@@ -5316,6 +5437,6 @@ object EventQueries {
       q267LayoutPruning, q275StreamTwsTopk, q276StreamTwsTypeCounts,
       q277IncrementalGold, q278RetractableAgg, q279RestatementScope,
       q280WatermarkCurve, q282RleProfile, q284StreamIncrementalGold,
-      q286MetronomeRank)
+      q286MetronomeRank, q287PartitionBalance, q288QteDeciles)
       .map(q => q.copy(streaming = streamingNames(q.name)))
 }

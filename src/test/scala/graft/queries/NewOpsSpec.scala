@@ -3010,6 +3010,40 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("q287 partition balance: loads conserve rows, envelope ordered, " +
+      "excess exact") {
+    val dir = "/root/testdata/sf0.001"
+    val out = EventQueries.q287PartitionBalance.fn(spark, dir)
+      .select("p", "parts_used", "n_rows", "max_rows", "min_rows",
+        "hot_excess_ppm")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toList
+    out.map(_._1) shouldBe List(8L, 32L, 128L)
+    val n = graft.engine.Tables.load(spark, dir, "events").count()
+    out.foreach { case (p, used, nRows, mx, mn, excess) =>
+      nRows shouldBe n // every event lands in exactly one reducer
+      used should be <= p
+      mn should be <= mx
+      mx should be >= nRows / p // max is at least the perfect share
+      excess shouldBe (mx * p - nRows) * 1000000L / nRows
+    }
+  }
+
+  test("q288 QTE deciles: per-arm deciles are monotone and diffs " +
+      "consistent") {
+    val dir = "/root/testdata/sf0.001"
+    val out = EventQueries.q288QteDeciles.fn(spark, dir)
+      .select("k", "d_control", "d_treat", "qte_cents")
+      .as[(Long, Long, Long, Long)].collect().toList
+    out.map(_._1) shouldBe (1L to 9L).toList
+    out.sliding(2).foreach {
+      case List(a, b) =>
+        b._2 should be >= a._2 // deciles monotone within each arm
+        b._3 should be >= a._3
+      case _ => ()
+    }
+    out.foreach { case (_, c, t, d) => d shouldBe t - c }
+  }
+
   test("q270 shuffle mixing: bands cover all blocks, shares are ppm-exact") {
     val dir = "/root/testdata/sf0.001"
     val out = TextQueries.q270ShuffleMixing.fn(spark, dir)
