@@ -2166,6 +2166,66 @@ object EventQueries {
                 AS hot_excess_ppm
             FROM a ORDER BY p"""))
 
+  /** Salting effectiveness, measured — q287 shows widening the
+    * shuffle only shards hot keys thinner; this query closes the
+    * argument by measuring what SALTING does to the same reducer-load
+    * envelope at a fixed width (p = 32): the raw key layout vs the
+    * salted key (`(key, hash % 16)` — q73/q115's split) side by side,
+    * with the hottest reducer's excess over the perfect share in
+    * exact ppm. Salting multiplies distinct keys ×16, so the
+    * law-of-large-numbers flattening that more PARTITIONS cannot buy
+    * (same hot keys, thinner shards) more KEYS can. The two rows are
+    * the before/after of the q73 design decision.
+    *
+    * ## 100 TB notes
+    * Same economics as q287: map-side-combined (strategy, part)
+    * counts, output 2 rows. The salt hash reuses the engine-portable
+    * md5 derivation so DuckDB reproduces the assignment exactly.
+    */
+  val q289SaltingBalance: Q = Q(
+    "q289_salting_balance",
+    (s, dir) => {
+      val h = graft.engine.ext.Text.hash32(col("user_id").cast("string"))
+      val salt = pmod(graft.engine.ext.Text.hash32(
+        concat(col("event_id").cast("string"), lit(":salt"))), lit(16L))
+      val ev = Tables.load(s, dir, "events")
+        .select(h.as("h"), salt.as("salt"))
+      val loads = ev
+        .select(lit("raw").as("strategy"), pmod(col("h"), lit(32L)).as("part"))
+        .unionAll(ev.select(lit("salted").as("strategy"),
+          pmod(col("h") * 16 + col("salt"), lit(32L)).as("part")))
+        .groupBy(col("strategy"), col("part"))
+        .agg(count(lit(1)).as("rows"))
+      loads.groupBy(col("strategy"))
+        .agg(count(lit(1)).as("parts_used"), sum(col("rows")).as("n_rows"),
+          max(col("rows")).as("max_rows"), min(col("rows")).as("min_rows"))
+        .select(col("strategy"), col("parts_used"), col("n_rows"),
+          col("max_rows"), col("min_rows"),
+          expr("(max_rows * 32 - n_rows) * 1000000 div n_rows")
+            .as("hot_excess_ppm"))
+        .orderBy("strategy")
+    },
+    Some("""WITH e AS (SELECT
+                ('0x' || substring(md5(user_id::VARCHAR), 1, 8))::BIGINT
+                  AS h,
+                ('0x' || substring(md5(event_id::VARCHAR || ':salt'),
+                  1, 8))::BIGINT % 16 AS salt
+              FROM events),
+            t AS (SELECT 'raw' AS strategy, h % 32 AS part FROM e
+                  UNION ALL
+                  SELECT 'salted', (h * 16 + salt) % 32 FROM e),
+            l AS (SELECT strategy, part, count(*) AS rows
+                  FROM t GROUP BY 1, 2),
+            a AS (SELECT strategy, count(*) AS parts_used,
+                    CAST(sum(rows) AS BIGINT) AS n_rows,
+                    CAST(max(rows) AS BIGINT) AS max_rows,
+                    CAST(min(rows) AS BIGINT) AS min_rows
+                  FROM l GROUP BY 1)
+            SELECT strategy, parts_used, n_rows, max_rows, min_rows,
+              (max_rows * 32 - n_rows) * 1000000 // n_rows
+                AS hot_excess_ppm
+            FROM a ORDER BY strategy"""))
+
   /** Quantile treatment effect — the DISTRIBUTIONAL A/B readout a
     * mean-difference test (q148) cannot give: per seeded-hash arm
     * (q188's assignment), the exact discrete deciles of purchase
@@ -5437,6 +5497,7 @@ object EventQueries {
       q267LayoutPruning, q275StreamTwsTopk, q276StreamTwsTypeCounts,
       q277IncrementalGold, q278RetractableAgg, q279RestatementScope,
       q280WatermarkCurve, q282RleProfile, q284StreamIncrementalGold,
-      q286MetronomeRank, q287PartitionBalance, q288QteDeciles)
+      q286MetronomeRank, q287PartitionBalance, q288QteDeciles,
+      q289SaltingBalance)
       .map(q => q.copy(streaming = streamingNames(q.name)))
 }

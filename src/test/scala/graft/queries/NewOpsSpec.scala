@@ -3044,6 +3044,28 @@ class NewOpsSpec extends SparkSpec {
     out.foreach { case (_, c, t, d) => d shouldBe t - c }
   }
 
+  test("q289 salting balance: salting flattens the hot reducer at the " +
+      "same width") {
+    val dir = "/root/testdata/sf0.001"
+    val out = EventQueries.q289SaltingBalance.fn(spark, dir)
+      .select("strategy", "parts_used", "n_rows", "max_rows", "min_rows",
+        "hot_excess_ppm")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toList
+    out.map(_._1).sorted shouldBe List("raw", "salted")
+    val n = graft.engine.Tables.load(spark, dir, "events").count()
+    out.foreach { case (_, used, nRows, mx, mn, excess) =>
+      nRows shouldBe n
+      used should be <= 32L
+      mn should be <= mx
+      excess shouldBe (mx * 32 - nRows) * 1000000L / nRows
+    }
+    val raw = out.find(_._1 == "raw").get
+    val salted = out.find(_._1 == "salted").get
+    // the q73/q115 design decision, measured: more KEYS flatten the
+    // wave where more PARTITIONS (q287) could not
+    salted._6 should be < raw._6
+  }
+
   test("q270 shuffle mixing: bands cover all blocks, shares are ppm-exact") {
     val dir = "/root/testdata/sf0.001"
     val out = TextQueries.q270ShuffleMixing.fn(spark, dir)
