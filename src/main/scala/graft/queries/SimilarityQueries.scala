@@ -1164,9 +1164,113 @@ object SimilarityQueries {
                 AS norm_sum
             FROM n GROUP BY label ORDER BY label"""))
 
+  /** IVF probe-count tuning curve — the nprobe decision table that
+    * completes the ANN tuning set (q241 sweeps the sign-LSH plane
+    * count; this sweeps how many inverted-file CELLS a query visits):
+    * the corpus is assigned to its argmax-cosine centroid cell (q30's
+    * assignment, reused verbatim), each query ranks the centroids,
+    * and for nprobe ∈ {1, 2, 4} the probe joins only the top-nprobe
+    * cells' vectors, takes top-3 by exact cosine, and scores recall@3
+    * against the exhaustive truth. Hits and truth are exact counts,
+    * so `recall_ppm = hits*1e6 div truth` is exact integer — the
+    * curve shows recall bought per extra cell visited, which is the
+    * cost knob (probe work scales ~linearly in nprobe).
+    *
+    * ## 100 TB notes
+    * The probe is the production IVF shape: candidates come from an
+    * equi-join on the CELL id (corpus bucketed by cell — bounded
+    * probe sets), never a corpus scan; the exhaustive truth pass is
+    * the measurement's cost, run on a query SAMPLE in production
+    * (10 queries here). Centroids broadcast (k×dims, tiny).
+    */
+  val q290IvfProbeCurve: Q = Q(
+    "q290_ivf_probe_curve",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      val cells = assignToCentroid(e, carry = Seq("embedding"))
+        .select(col("vec_id").as("cand_id"), col("c_label").as("cell"),
+          col("embedding").as("ce"))
+      val crank = Window.partitionBy(col("q_id"))
+        .orderBy(col("cscore").desc, col("cell").asc)
+      val qCells = q.crossJoin(broadcast(centroids(e)))
+        .select(col("q_id"), col("qe"), col("c_label").as("cell"),
+          cosineSim(col("qe"), col("cemb")).as("cscore"))
+        .withColumn("crk", row_number().over(crank))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("score").desc, col("cand_id").asc)
+      val truth = Tables.eager(e
+        .select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
+        .crossJoin(broadcast(q))
+        .filter(col("cand_id") =!= col("q_id"))
+        .select(col("q_id"), col("cand_id"),
+          cosineSim(col("qe"), col("ce")).as("score"))
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+        .select(col("q_id"), col("cand_id")))
+      val probes = s.range(0, 1).select(
+        explode(array(lit(1), lit(2), lit(4))).as("nprobe"))
+      val wm = Window.partitionBy(col("nprobe"), col("q_id"))
+        .orderBy(col("score").desc, col("cand_id").asc)
+      val annTop = qCells.crossJoin(broadcast(probes))
+        .filter(col("crk") <= col("nprobe"))
+        .join(cells, Seq("cell"))
+        .filter(col("cand_id") =!= col("q_id"))
+        .select(col("nprobe"), col("q_id"), col("cand_id"),
+          cosineSim(col("qe"), col("ce")).as("score"))
+        .withColumn("rank", row_number().over(wm))
+        .filter(col("rank") <= 3)
+        .select(col("nprobe"), col("q_id"), col("cand_id"))
+      val nTruth = truth.agg(count(lit(1)).as("n_truth")) // 1 row
+      annTop.join(truth, Seq("q_id", "cand_id"), "left_semi")
+        .groupBy(col("nprobe"))
+        .agg(count(lit(1)).as("n_hit"))
+        .crossJoin(broadcast(nTruth))
+        .select(col("nprobe").cast("long").as("nprobe"),
+          col("n_truth"), col("n_hit"),
+          expr("n_hit * 1000000 div n_truth").as("recall_ppm"))
+        .orderBy("nprobe")
+    },
+    Some(s"""WITH ${duckAssignCtes("embedding,")},
+             cells AS (SELECT vec_id AS cand_id, c_label AS cell,
+                         CAST(embedding AS DOUBLE[]) AS ce
+                       FROM a WHERE rn = 1),
+             q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+                   FROM embeddings WHERE vec_id < 10),
+             qc AS (SELECT q_id, qe, c_label AS cell,
+                      row_number() OVER (PARTITION BY q_id ORDER BY
+                        ${duckCos("qe", "cemb")} DESC, c_label ASC) AS crk
+                    FROM q, cent),
+             ts AS (SELECT q_id, cand_id,
+                      row_number() OVER (PARTITION BY q_id ORDER BY
+                        ${duckCos("qe", "ce")} DESC, cand_id ASC) AS rank
+                    FROM (SELECT vec_id AS cand_id,
+                            CAST(embedding AS DOUBLE[]) AS ce
+                          FROM embeddings) c, q
+                    WHERE cand_id != q_id),
+             truth AS (SELECT q_id, cand_id FROM ts WHERE rank <= 3),
+             nt AS (SELECT count(*) AS n_truth FROM truth),
+             m AS (SELECT unnest([1, 2, 4]) AS nprobe),
+             pr AS (SELECT m.nprobe, qc.q_id, qc.qe, qc.cell
+                    FROM qc CROSS JOIN m WHERE qc.crk <= m.nprobe),
+             ac AS (SELECT pr.nprobe, pr.q_id, cells.cand_id,
+                      row_number() OVER (PARTITION BY pr.nprobe, pr.q_id
+                        ORDER BY ${duckCos("pr.qe", "cells.ce")} DESC,
+                          cells.cand_id ASC) AS rank
+                    FROM pr JOIN cells USING (cell)
+                    WHERE cells.cand_id != pr.q_id),
+             at2 AS (SELECT nprobe, q_id, cand_id FROM ac WHERE rank <= 3),
+             h AS (SELECT nprobe, count(*) AS n_hit
+                   FROM at2 JOIN truth USING (q_id, cand_id)
+                   GROUP BY 1)
+             SELECT CAST(nprobe AS BIGINT) AS nprobe,
+               CAST(n_truth AS BIGINT) AS n_truth, n_hit,
+               n_hit * 1000000 // n_truth AS recall_ppm
+             FROM h, nt ORDER BY nprobe"""))
+
   val all: Seq[Q] = Seq(q27KnnBrute, q28AnnLsh, q29EmbNearDup, q30IvfCentroid,
     q44KmeansStep, q49AnnRecall, q52SqlSurface, q57L2Knn, q71Int8Quant,
     q79SemanticDedup, q138PqCodebook, q139PqAdcRecall, q208MutualNn,
     q218ClusterMargin, q241AnnBitsCurve, q257MatryoshkaRecall,
-    q281EmbeddingQa)
+    q281EmbeddingQa, q290IvfProbeCurve)
 }

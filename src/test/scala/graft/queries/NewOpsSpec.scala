@@ -3066,6 +3066,24 @@ class NewOpsSpec extends SparkSpec {
     salted._6 should be < raw._6
   }
 
+  test("q290 IVF probe curve: recall is monotone in nprobe and " +
+      "ppm-exact") {
+    val dir = "/root/testdata/sf0.001"
+    val out = SimilarityQueries.q290IvfProbeCurve.fn(spark, dir)
+      .select("nprobe", "n_truth", "n_hit", "recall_ppm")
+      .as[(Long, Long, Long, Long)].collect().toList
+    out.map(_._1) shouldBe List(1L, 2L, 4L)
+    out.map(_._2).distinct.size shouldBe 1 // shared truth set
+    out.sliding(2).foreach {
+      case List(a, b) => b._3 should be >= a._3 // more cells, >= recall
+      case _ => ()
+    }
+    out.foreach { case (_, truth, hit, ppm) =>
+      hit should be <= truth
+      ppm shouldBe hit * 1000000L / truth
+    }
+  }
+
   test("q270 shuffle mixing: bands cover all blocks, shares are ppm-exact") {
     val dir = "/root/testdata/sf0.001"
     val out = TextQueries.q270ShuffleMixing.fn(spark, dir)
