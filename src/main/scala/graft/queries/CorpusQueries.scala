@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 import graft.Catalog.Q
 import graft.engine.Tables
@@ -1031,10 +1032,119 @@ object CorpusQueries {
                min(difficulty) AS min_diff, max(difficulty) AS max_diff
              FROM r, n GROUP BY 1 ORDER BY stage"""))
 
+  /** Hierarchical (two-level) largest-remainder apportionment — real
+    * mixture schedulers allocate a budget DOWN A TREE (budget →
+    * source → language), and the exactness must hold at EVERY level:
+    * each source's allocation is q268's Hamilton apportionment of
+    * B = 1,000,000 over source token masses; each source then
+    * re-apportions ITS allocation over its languages by the same
+    * rule. Both levels are pure BIGINT; the invariants (Σ sources =
+    * B; Σ languages within a source = that source's allocation) hold
+    * by construction and are spec-pinned — the property a flat
+    * per-(source, lang) apportionment does NOT give you (its
+    * source-level sums drift from the source allocations by the
+    * rounding of each leaf).
+    *
+    * Level-1 remainder ranks use q268's triangular broadcast join
+    * (sources are a dimension); level-2 ranks use a window
+    * PARTITIONED BY source (bounded strata — never a global window).
+    *
+    * ## 100 TB notes
+    * One token-count scan with map-side partials to the
+    * (source, lang) grain; everything after runs on |source×lang|
+    * rows. The tree shape generalizes: each level is one broadcast
+    * of the parent allocations plus one bounded rank.
+    */
+  val q291HierApportion: Q = Q(
+    "q291_hier_apportion",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val wsl = docs.groupBy(col("source"), col("lang"))
+        .agg(sum(size(Text.tokens(col("text"))).cast("long")).as("w"))
+      val ws = wsl.groupBy(col("source")).agg(sum(col("w")).as("ws"))
+      val tot = ws.agg(sum(col("ws")).as("wtot")) // 1 row
+      // level 1: Hamilton over sources (q268 verbatim shape)
+      val based = ws.crossJoin(broadcast(tot))
+        .select(col("source"), col("ws"),
+          expr("ws * 1000000 div wtot").as("base1"),
+          expr("(ws * 1000000) % wtot").as("rem1"))
+      val left1 = based.agg((lit(1000000L) - sum(col("base1"))).as("l1"))
+      val rhs = based.select(col("source").as("s2"), col("rem1").as("rem2"))
+      val srcAlloc = based.join(broadcast(rhs),
+          col("rem2") > col("rem1") ||
+            (col("rem2") === col("rem1") && col("s2") < col("source")),
+          "left")
+        .groupBy(col("source"), col("ws"), col("base1"))
+        .agg(count(col("s2")).as("ahead"))
+        .crossJoin(broadcast(left1))
+        .select(col("source"), col("ws"),
+          (col("base1") + when(col("ahead") < col("l1"), 1L)
+            .otherwise(0L)).as("a_src"))
+      // level 2: Hamilton of a_src over the source's languages
+      val l2 = wsl.join(broadcast(srcAlloc), Seq("source"))
+        .select(col("source"), col("lang"), col("w"), col("ws"),
+          col("a_src"),
+          expr("a_src * w div ws").as("base2"),
+          expr("(a_src * w) % ws").as("rem2"))
+      val bySrc = Window.partitionBy(col("source"))
+      val ranked = l2
+        .withColumn("l2left", col("a_src") - sum(col("base2")).over(bySrc))
+        .withColumn("rk", row_number().over(
+          bySrc.orderBy(col("rem2").desc, col("lang").asc)))
+      ranked
+        .select(col("source"), col("lang"), col("w").as("tokens"),
+          col("base2").as("base_alloc"),
+          when(col("rk") <= col("l2left"), 1L).otherwise(0L).as("extra"),
+          (col("base2") + when(col("rk") <= col("l2left"), 1L)
+            .otherwise(0L)).as("alloc"),
+          col("a_src").as("source_alloc"))
+        .orderBy("source", "lang")
+    },
+    Some("""WITH wsl AS (SELECT source, lang,
+                CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS w
+              FROM documents GROUP BY 1, 2),
+            ws AS (SELECT source, CAST(sum(w) AS BIGINT) AS ws
+                   FROM wsl GROUP BY 1),
+            t AS (SELECT CAST(sum(ws) AS BIGINT) AS wtot FROM ws),
+            b AS (SELECT source, ws,
+                    (ws * 1000000) // wtot AS base1,
+                    (ws * 1000000) % wtot AS rem1
+                  FROM ws, t),
+            l1 AS (SELECT 1000000 - CAST(sum(base1) AS BIGINT) AS l1
+                   FROM b),
+            rk1 AS (SELECT b.source, b.ws, b.base1,
+                      count(b2.source) AS ahead
+                    FROM b LEFT JOIN b b2
+                      ON b2.rem1 > b.rem1
+                         OR (b2.rem1 = b.rem1 AND b2.source < b.source)
+                    GROUP BY 1, 2, 3),
+            sa AS (SELECT source, ws,
+                     base1 + CASE WHEN ahead < l1 THEN 1 ELSE 0 END
+                       AS a_src
+                   FROM rk1, l1),
+            l2 AS (SELECT wsl.source, wsl.lang, wsl.w, sa.ws, sa.a_src,
+                     (sa.a_src * wsl.w) // sa.ws AS base2,
+                     (sa.a_src * wsl.w) % sa.ws AS rem2
+                   FROM wsl JOIN sa USING (source)),
+            r AS (SELECT l2.*,
+                    a_src - CAST(sum(base2) OVER (PARTITION BY source)
+                      AS BIGINT) AS l2left,
+                    row_number() OVER (PARTITION BY source
+                      ORDER BY rem2 DESC, lang ASC) AS rk
+                  FROM l2)
+            SELECT source, lang, w AS tokens, base2 AS base_alloc,
+              CAST(CASE WHEN rk <= l2left THEN 1 ELSE 0 END AS BIGINT)
+                AS extra,
+              base2 + CAST(CASE WHEN rk <= l2left THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc,
+              a_src AS source_alloc
+            FROM r ORDER BY source, lang"""))
+
   val all: Seq[Q] = Seq(q88ChunkOverlap, q91BpePairs, q92UnigramRarity,
     q93BigramLift, q94CdcChunks, q96QuantileNorm, q97MixtureWeights,
     q125PpsSample, q169PostingLists, q173Burstiness, q191PhraseSearch,
     q205IdfDrift, q219HapaxProfile, q220ProximitySearch,
     q258PrefixDupCurve, q259TruncationLoss, q262PaddingWaste,
-    q268TokenApportionment, q272VocabCoverage, q273CurriculumStages)
+    q268TokenApportionment, q272VocabCoverage, q273CurriculumStages,
+    q291HierApportion)
 }

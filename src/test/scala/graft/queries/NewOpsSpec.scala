@@ -3084,6 +3084,27 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("q291 hierarchical apportionment: exact at both tree levels") {
+    val dir = "/root/testdata/sf0.001"
+    val out = CorpusQueries.q291HierApportion.fn(spark, dir)
+      .select("source", "lang", "tokens", "base_alloc", "extra", "alloc",
+        "source_alloc")
+      .as[(String, String, Long, Long, Long, Long, Long)].collect().toList
+    out should not be empty
+    // level 1: source allocations sum exactly to the budget
+    out.groupBy(_._1).map(_._2.head._7).sum shouldBe 1000000L
+    // level 2: language allocations within a source sum exactly to
+    // that source's allocation — the invariant a flat apportionment
+    // does not give
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      rows.map(_._6).sum shouldBe rows.head._7
+    }
+    out.foreach { case (_, _, _, base, extra, alloc, _) =>
+      (extra == 0L || extra == 1L) shouldBe true
+      alloc shouldBe base + extra
+    }
+  }
+
   test("q270 shuffle mixing: bands cover all blocks, shares are ppm-exact") {
     val dir = "/root/testdata/sf0.001"
     val out = TextQueries.q270ShuffleMixing.fn(spark, dir)
