@@ -62,6 +62,24 @@ class MortonCodeSpec extends SparkSpec {
       bad.getMessage.contains("DATATYPE_MISMATCH"))
   }
 
+  test("interpreted eval path agrees with codegen") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    // the DataFrame tests above exercise whole-stage codegen; this
+    // drives the interpreted nullSafeEval directly on the same cases
+    for ((x, y) <- Seq((3L, 1L), (31L, 17L), (0xFFFFFFFFL, 0L),
+        (123456789L, 987654321L))) {
+      val e = MortonCode(Literal(x), Literal(y))
+      e.eval(null).asInstanceOf[Long] shouldBe
+        (MortonCode.spread(x) | (MortonCode.spread(y) << 1))
+      // and against the per-bit definition, bit by bit
+      val code = e.eval(null).asInstanceOf[Long]
+      for (i <- 0 until 32) {
+        ((code >> (2 * i)) & 1L) shouldBe ((x >> i) & 1L)
+        ((code >> (2 * i + 1)) & 1L) shouldBe ((y >> i) & 1L)
+      }
+    }
+  }
+
   test("SQL surface: morton_code resolves through the extension registry") {
     val out = spark.sql(
       "SELECT morton_code(CAST(3 AS BIGINT), CAST(1 AS BIGINT))")
