@@ -927,7 +927,10 @@ object CorpusQueries {
     * partition + per-partition windows + broadcast offsets) so even a
     * billion-entry vocabulary never lands on one partition. `df` is an
     * exact distinct-doc count (one (doc, tok)-distinct shuffle);
-    * `cover_ppm` is exact BIGINT cross-multiplication, no doubles.
+    * `cover_ppm` is exact BIGINT cross-multiplication, no doubles —
+    * `cum * 1e6` holds to ~9.2e12 total tokens; a larger corpus (100 TB
+    * of text passes it) widens the product to decimal(38,0), the
+    * q268-documented discipline.
     */
   val q272VocabCoverage: Q = Q(
     "q272_vocab_coverage",

@@ -1746,7 +1746,11 @@ object TextQueries {
     * key — range partition + broadcast offsets, no single-partition
     * window. The deviation check is a bounded two-level group-by.
     * Everything is integer: `|cnt*W - w_s*bn|` cross-multiplication
-    * avoids any rational arithmetic.
+    * avoids any rational arithmetic. Headroom: the fixed-point ticket
+    * `rk_s * 1e9` stays inside int64 up to ~9.2e9 docs per source;
+    * past that (a 100 TB corpus can exceed it) shard each source into
+    * sub-sources first or widen the product to decimal(38,0) — the
+    * tie-break keeps the order deterministic either way.
     */
   val q274StrideInterleave: Q = Q(
     "q274_stride_interleave",
