@@ -795,6 +795,33 @@ object DedupQueries {
     */
   private val PrefixK = 5
 
+  /** Number of from-scratch K=[[PrefixK]] shingle-table computations
+    * this JVM has run (spec hook, mirrors [[shingleComputeCount]]).
+    */
+  private[graft] val prefixShingleComputeCount =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Materialized (doc_id, sh) distinct-[[PrefixK]]-shingle table,
+    * landed once per (JVM, dir) — the K=5 sibling of
+    * [[docShingleTable]]. q102 was the one dedup query still paying its
+    * shingle projection per run after the family moved to landed tables
+    * (the round-10 bench's only warm regression, +21 %): the prefix
+    * join needs the WIDER K=5 shingles (see [[PrefixK]]'s df rationale)
+    * so it cannot share the K=3 table, but the landing pattern is
+    * identical — first consumer computes and writes parquet, every
+    * later run scans it.
+    */
+  private[queries] def docPrefixShingleTable(s: SparkSession,
+                                             dir: String): DataFrame =
+    Tables.landed(s,
+      s"shingles$PrefixK:$dir@${Tables.fileSignature(dir, "documents")}",
+      prefixShingleComputeCount) {
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          array_distinct(
+            Text.shingles(Text.tokens(col("text")), PrefixK)).as("sh"))
+    }
+
   /** EXACT set-similarity join via prefix filtering (the AllPairs/PPJoin
     * candidate scheme): order every doc's shingles by ascending global
     * document frequency (ties by shingle), keep only the first
@@ -817,10 +844,10 @@ object DedupQueries {
   val q102PrefixJoin: Q = Q(
     "q102_prefix_join",
     (s, dir) => {
-      val base = eager(Tables.load(s, dir, "documents")
-        .select(col("doc_id"),
-          array_distinct(
-            Text.shingles(Text.tokens(col("text")), PrefixK)).as("sh")))
+      // K=5 shingles from the landed table ([[docPrefixShingleTable]]),
+      // not a fresh per-run tokenization; the landed parquet is cheap
+      // to scan on each of its three consuming branches below.
+      val base = docPrefixShingleTable(s, dir)
       val ex = base.select(col("doc_id"), size(col("sh")).as("sz"),
         explode(col("sh")).as("g"))
       val dfreq = ex.groupBy("g").agg(count(lit(1)).as("df"))

@@ -2059,9 +2059,12 @@ object EventQueries {
     * This is the production shape for continuous gold maintenance
     * when the serving store is a table, not a state store: per-batch
     * work is one map-side-combined delta aggregation + one
-    * key-space-sized merge join; nothing re-reads history. The swap
-    * publishes atomically per batch — a reader sees batch N or N+1,
-    * never a torn merge.
+    * key-space-sized merge join; nothing re-reads history. The
+    * per-batch publish is two directory renames (old aside, tmp in),
+    * so a reader sees batch N or N+1 — never a torn merge, and never
+    * the no-snapshot window a delete-then-move would open (only the
+    * instant between the two renames remains; a real deployment swaps
+    * a symlink or a metastore pointer for true atomicity).
     */
   val q284StreamIncrementalGold: Q = Q(
     "q284_stream_incremental_gold",
@@ -2098,8 +2101,15 @@ object EventQueries {
             else delta
           val tmp = root.resolve("gold_tmp")
           merged.write.mode("overwrite").parquet(tmp.toString)
-          rm(goldDir)
+          // publish without a visibility gap: rename the old snapshot
+          // ASIDE (a directory rename, not a recursive delete), move
+          // tmp into place, THEN delete the old one — a concurrent
+          // reader sees batch N or N+1, never a missing gold dir
+          val prev = root.resolve("gold_prev")
+          rm(prev)
+          if (Files.exists(goldDir)) Files.move(goldDir, prev)
           Files.move(tmp, goldDir)
+          rm(prev)
           ()
         }
         .trigger(Trigger.AvailableNow()).start()
@@ -3994,17 +4004,25 @@ object EventQueries {
     * on the tie order of equal metric values.
     *
     * ## 100 TB notes
-    * One shuffle to the per-user rollup; each cutoff is a histogram
-    * over DISTINCT metric values (cum window walks value groups, not
-    * users) and lands as a 1-row broadcast; the final agg has <= 27
-    * groups. No global per-user sort anywhere.
+    * One shuffle to the per-user rollup; ALL SIX tercile cutoffs come
+    * from ONE unpivoted histogram pass — the three metrics stack into a
+    * common exact DECIMAL(38,10) carrier (µs recency, counts and the
+    * decimal revenue sum all embed exactly), one (metric, value)
+    * group-count, one rankedCumSum over the (metric, value) total
+    * order, and per-metric cums recovered by subtracting a 3-row
+    * broadcast earlier-metric offset — then pivot to ONE 1-row
+    * broadcast attached once to the user rollup (the r10 plan paid
+    * three separate histogram+cum+attach passes, 11 shuffles / 9
+    * scalar attaches; this shape is 4 shuffles / 1 attach). Cutoff
+    * values are bit-identical to the per-metric walk (exact-int cums,
+    * exact decimal order), so the oracle is unchanged. The final agg
+    * has <= 27 groups. No global per-user sort anywhere.
     */
   val q174RfmSegments: Q = Q(
     "q174_rfm_segments",
     (s, dir) => {
-      // eager'd: the rollup feeds FOUR consumers (three cutoff
-      // histograms + the binning pass) — materialize once, or every
-      // cuts() re-scans and re-shuffles the events table
+      // eager'd: the rollup feeds the cutoff histogram AND the binning
+      // pass — materialize once, or each re-scans the events table
       val u = Tables.eager(Tables.load(s, dir, "events")
         .filter(col("event_type") === "purchase")
         .select(col("user_id"), tsUs.as("us"),
@@ -4012,27 +4030,41 @@ object EventQueries {
         .groupBy(col("user_id"))
         .agg(max(col("us")).as("r"), count(lit(1)).as("f"),
           sum(col("v")).as("m")))
-      def cuts(metric: String): DataFrame = {
-        val hist = u.groupBy(col(metric).as("v"))
-          .agg(count(lit(1)).as("c"))
-        // tercile walk over distinct metric values (recency is
-        // |users|-cardinality) without a single-partition window:
-        // rankedCumSum for cum, 1-row broadcast for n
-        val nTot = hist.agg(sum(col("c")).as("n")) // 1 row
-        val cum = graft.engine.Cumulative
-          .rankedCumSum(hist, Seq(col("v").asc), col("c"), rkName = "__rk")
-          .crossJoin(broadcast(nTot))
-        def pick(num: Int) =
-          min(when(col("cum") * 3 >= col("n") * num, col("v")))
-        cum.agg(pick(1).as(s"${metric}1"), pick(2).as(s"${metric}2"))
-      }
+      // one histogram over distinct values of ALL THREE metrics
+      val hist = u.selectExpr(
+          "stack(3, 'r', CAST(r AS DECIMAL(38,10)), " +
+            "'f', CAST(f AS DECIMAL(38,10)), " +
+            "'m', CAST(m AS DECIMAL(38,10))) AS (metric, v)")
+        .groupBy(col("metric"), col("v")).agg(count(lit(1)).as("c"))
+      // per-metric totals + exclusive earlier-metric count offsets
+      // (3-row broadcast triangular join, the Cumulative offset trick)
+      val tot = hist.groupBy(col("metric")).agg(sum(col("c")).as("n"))
+      val withOff = tot
+        .join(broadcast(tot.select(col("metric").as("m2"),
+          col("n").as("n2"))), col("m2") < col("metric"), "left")
+        .groupBy(col("metric"), col("n"))
+        .agg(coalesce(sum(col("n2")), lit(0L)).as("off"))
+      // one global ranked walk; within-metric cum = global cum - off
+      val cum = graft.engine.Cumulative
+        .rankedCumSum(hist, Seq(col("metric").asc, col("v").asc),
+          col("c"), rkName = "__rk")
+        .join(broadcast(withOff), Seq("metric"))
+        .withColumn("mcum", col("cum") - col("off"))
+      def pick(num: Int) =
+        min(when(col("mcum") * 3 >= col("n") * num, col("v")))
+      val perMetric = cum.groupBy(col("metric"))
+        .agg(pick(1).as("c1"), pick(2).as("c2"))
+      def side(m: String, c: String) =
+        max(when(col("metric") === m, col(c)))
+      val cuts = perMetric.agg(
+        side("r", "c1").as("r1"), side("r", "c2").as("r2"),
+        side("f", "c1").as("f1"), side("f", "c2").as("f2"),
+        side("m", "c1").as("m1"), side("m", "c2").as("m2"))
       def bin(metric: String) =
         when(col(metric) <= col(s"${metric}1"), 1)
           .when(col(metric) <= col(s"${metric}2"), 2)
           .otherwise(3)
-      u.crossJoin(broadcast(cuts("r")))
-        .crossJoin(broadcast(cuts("f")))
-        .crossJoin(broadcast(cuts("m")))
+      u.crossJoin(broadcast(cuts))
         .select(bin("r").as("r_bin"), bin("f").as("f_bin"),
           bin("m").as("m_bin"))
         .groupBy(col("r_bin"), col("f_bin"), col("m_bin"))

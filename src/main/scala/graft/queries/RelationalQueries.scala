@@ -370,15 +370,21 @@ object RelationalQueries {
     * same histogram-cumulative shape: group to (flag, price) first, so
     * the window walks DISTINCT prices per group, not raw rows.
     *
-    * The crossing predicate runs entirely in integer CENTI-UNITS
+    * The WHOLE query runs in integer CENTI-UNITS
     * (`floor(l_quantity*100)` as BIGINT, the q155 discipline): a sum
     * of decimal(30,2) saturates to the precision cap (38,2), and
     * arithmetic on precision-38 decimals (`cum * 2`) is exactly where
     * Spark's precision-loss rules and a DuckDB version's DOUBLE
     * promotion can disagree, flipping exact ties at the median
-    * crossing. BIGINT (HUGEINT-widened on DuckDB) is exact on both
-    * engines. The decimal quantity sum survives only as the reported
-    * `tot_qty` — never multiplied or compared.
+    * crossing — and even a REPORTED decimal column is a cross-engine
+    * surface, because double→decimal cast rounding differs between
+    * Spark (shortest-representation HALF_UP via BigDecimal.valueOf)
+    * and DuckDB builds that scale the raw binary double. So there is
+    * no decimal anywhere: the group quantity total is emitted as the
+    * exact BIGINT centi sum `tot_qty_centi`, and `wmedian` is a
+    * raw-double passthrough (selection, not arithmetic). BIGINT
+    * (HUGEINT-widened on DuckDB) is exact on both engines; nothing
+    * left in the query can disagree across engines or versions.
     *
     * ## 100 TB notes
     * One shuffle to the (flag, price) histogram with map-side partials
@@ -393,38 +399,33 @@ object RelationalQueries {
     (s, dir) => {
       val li = Tables.load(s, dir, "lineitem")
       val hist = li.groupBy(col("l_returnflag"), col("l_extendedprice"))
-        .agg(
-          sum(floor(col("l_quantity") * 100).cast("long")).as("wc"),
-          sum(col("l_quantity").cast("decimal(30,2)")).as("w"))
+        .agg(sum(floor(col("l_quantity") * 100).cast("long")).as("wc"))
       val byFlag = Window.partitionBy(col("l_returnflag"))
       val cum = hist
         .withColumn("cum", sum(col("wc")).over(
           byFlag.orderBy(col("l_extendedprice"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .withColumn("tot", sum(col("wc")).over(byFlag))
-        .withColumn("totq", sum(col("w")).over(byFlag))
       cum.groupBy(col("l_returnflag"))
         .agg(
           min(when(col("cum") * 2 >= col("tot"), col("l_extendedprice")))
             .as("wmedian"),
-          max(col("totq")).cast("decimal(30,2)").as("tot_qty"))
+          max(col("tot")).as("tot_qty_centi"))
         .orderBy("l_returnflag")
     },
     Some("""WITH hist AS (SELECT l_returnflag, l_extendedprice,
-                sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS wc,
-                sum(CAST(l_quantity AS DECIMAL(30,2))) AS w
+                sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS wc
               FROM lineitem GROUP BY 1, 2),
             cum AS (SELECT l_returnflag, l_extendedprice,
                 sum(wc) OVER (PARTITION BY l_returnflag
                   ORDER BY l_extendedprice
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-                sum(wc) OVER (PARTITION BY l_returnflag) AS tot,
-                sum(w) OVER (PARTITION BY l_returnflag) AS totq
+                sum(wc) OVER (PARTITION BY l_returnflag) AS tot
               FROM hist)
             SELECT l_returnflag,
               min(CASE WHEN cum * 2 >= tot THEN l_extendedprice END)
                 AS wmedian,
-              CAST(max(totq) AS DECIMAL(30,2)) AS tot_qty
+              CAST(max(tot) AS BIGINT) AS tot_qty_centi
             FROM cum GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
   /** Distributed second moments, deterministically: population variance /

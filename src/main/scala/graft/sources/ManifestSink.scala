@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.io.{BufferedWriter, File, FileWriter}
+import java.io.{BufferedWriter, File}
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.util.{Map => JMap}
@@ -11,7 +11,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType, IntegerType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -32,7 +32,11 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *  4. readers ([[ManifestSink.readData]]) list files FROM THE
   *     MANIFEST, never from the directory — an orphan file from a
   *     lost speculative attempt is invisible, because visibility IS
-  *     the manifest entry.
+  *     the manifest entry;
+  *  5. every commit REPLACES the visible snapshot (the manifest lists
+  *     only the committing job's files) — `append` and `overwrite`
+  *     are therefore the same operation here, which ManifestSinkSpec
+  *     pins for both modes.
   * This is the same protocol parquet's OutputCommitter and the table
   * formats' snapshot commit implement; here it is small enough to
   * read and to test (ManifestSinkSpec drives the success, duplicate-
@@ -110,10 +114,23 @@ object ManifestSink {
       case DoubleType => row.getDouble(i).toString
       case BooleanType => row.getBoolean(i).toString
       case StringType =>
-        "\"" + row.getUTF8String(i).toString
-          .replace("\\", "\\\\").replace("\"", "\\\"")
-          .replace("\n", "\\n").replace("\r", "\\r")
-          .replace("\t", "\\t") + "\""
+        // RFC 8259 string escaping: backslash, quote, and EVERY control
+        // char < 0x20 (\b, \f, U+0000… — not just \n\r\t; a raw control
+        // char emits invalid JSON that the permissive reader on the
+        // read path would silently null the whole row for)
+        val s = row.getUTF8String(i).toString
+        val b = new java.lang.StringBuilder(s.length + 2)
+        b.append('"')
+        s.foreach {
+          case '\\' => b.append("\\\\")
+          case '"' => b.append("\\\"")
+          case '\n' => b.append("\\n")
+          case '\r' => b.append("\\r")
+          case '\t' => b.append("\\t")
+          case c if c < 0x20 => b.append(f"\\u${c.toInt}%04x")
+          case c => b.append(c)
+        }
+        b.append('"').toString
       case other => throw new UnsupportedOperationException(
         s"graft-manifest supports primitive columns only, got $other")
     }
@@ -127,8 +144,18 @@ private class ManifestTable(schema0: StructType, path: String)
     java.util.EnumSet.of(TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE)
 
+  /** Every commit REPLACES the visible snapshot (the manifest lists
+    * only the committing job's files), so `append` and `overwrite`
+    * land on the same write: truncate is a no-op — there is nothing to
+    * clear that the commit's manifest swap doesn't already supersede.
+    * Implementing [[SupportsTruncate]] is still required: the
+    * advertised TRUNCATE capability only passes the analyzer's check;
+    * V2 write PLANNING then demands the trait, and `mode("overwrite")`
+    * would otherwise fail after passing analysis.
+    */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder {
+    new WriteBuilder with SupportsTruncate {
+      override def truncate(): WriteBuilder = this
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
           new ManifestBatchWrite(info.schema(), path)
@@ -193,8 +220,12 @@ private class ManifestDataWriter(schema: StructType, path: String,
   private var out: BufferedWriter = _
   private var rows = 0L
 
+  // explicit UTF-8: readData/readManifest decode UTF-8, so the writer
+  // must not depend on the platform default charset (a latin-1 JVM
+  // would mojibake every non-ASCII string on the round trip)
   private def ensureOpen(): Unit =
-    if (out == null) out = new BufferedWriter(new FileWriter(file))
+    if (out == null)
+      out = Files.newBufferedWriter(file.toPath, StandardCharsets.UTF_8)
 
   override def write(row: InternalRow): Unit = {
     ensureOpen()

@@ -337,6 +337,27 @@ class NewOpsSpec extends SparkSpec {
     mat shouldBe direct
   }
 
+  test("prefix shingle table (K=5) materializes once and serves q102") {
+    val dir = "/root/testdata/sf0.001"
+    val before = DedupQueries.prefixShingleComputeCount.get
+    val table = DedupQueries.docPrefixShingleTable(spark, dir)
+    val mid = DedupQueries.prefixShingleComputeCount.get
+    // first call for this (JVM, dir) computes and lands; later calls scan
+    (mid - before) should be <= 1
+    // the production consumer runs WITHOUT another tokenize pass
+    DedupQueries.q102PrefixJoin.fn(spark, dir).collect()
+    DedupQueries.prefixShingleComputeCount.get shouldBe mid
+    // and the landed table IS the from-scratch K=5 shingle projection
+    val mat = table.select(col("doc_id"), explode(col("sh")).as("g"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val direct = graft.engine.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), explode(array_distinct(
+        graft.engine.ext.Text.shingles(
+          graft.engine.ext.Text.tokens(col("text")), 5))).as("g"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    mat shouldBe direct
+  }
+
   test("single-data-file precondition trips on a multi-file staging") {
     withTempDir { dir =>
       java.nio.file.Files.createFile(
@@ -1031,10 +1052,9 @@ class NewOpsSpec extends SparkSpec {
         .toDF("l_returnflag", "l_extendedprice", "l_quantity")
         .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
       val out = RelationalQueries.q175WeightedMedian.fn(spark, dir)
-        .selectExpr("l_returnflag", "wmedian",
-          "CAST(tot_qty AS DOUBLE) AS tot")
-        .as[(String, Double, Double)].collect().toList
-      out shouldBe List(("A", 1.00, 10.0), ("B", 1.00, 2.0))
+        .selectExpr("l_returnflag", "wmedian", "tot_qty_centi")
+        .as[(String, Double, Long)].collect().toList
+      out shouldBe List(("A", 1.00, 1000L), ("B", 1.00, 200L))
     }
   }
 

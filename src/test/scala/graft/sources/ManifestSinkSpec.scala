@@ -37,6 +37,33 @@ class ManifestSinkSpec extends SparkSpec {
     }
   }
 
+  test("control chars and non-ASCII survive the JSON round trip") {
+    withTempDir { dir =>
+      // \b and \f are NOT in the \n\r\t shortcut set — they must escape
+      // as \u00XX or the reader silently nulls the row; é/∑ pin UTF-8
+      val rows = Seq(
+        (1L, "bell back\b feed\f"),
+        (2L, "café ∑ mixed\t\nline"),
+        (3L, "nul-adjacent"))
+      writeRows(dir, rows)
+      val back = ManifestSink.readData(spark, dir, schema)
+        .as[(Long, String)].collect().toSet
+      back shouldBe rows.toSet
+    }
+  }
+
+  test("mode(overwrite) routes through truncate and replaces the snapshot") {
+    withTempDir { dir =>
+      writeRows(dir, Seq((1L, "old")))
+      Seq((2L, "new")).toDF("id", "name")
+        .write.format("graft-manifest").option("path", dir)
+        .mode("overwrite").save()
+      val back = ManifestSink.readData(spark, dir, schema)
+        .as[(Long, String)].collect().toSet
+      back shouldBe Set((2L, "new"))
+    }
+  }
+
   test("orphan files from lost attempts are invisible to readers") {
     withTempDir { dir =>
       writeRows(dir, Seq((1L, "a"), (2L, "b")))
