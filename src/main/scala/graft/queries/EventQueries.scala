@@ -4011,9 +4011,12 @@ object EventQueries {
     * group-count, one rankedCumSum over the (metric, value) total
     * order, and per-metric cums recovered by subtracting a 3-row
     * broadcast earlier-metric offset — then pivot to ONE 1-row
-    * broadcast attached once to the user rollup (the r10 plan paid
-    * three separate histogram+cum+attach passes, 11 shuffles / 9
-    * scalar attaches; this shape is 4 shuffles / 1 attach). Cutoff
+    * broadcast attached once to the user rollup. The previous plan
+    * paid three separate histogram+cum+attach passes (audited at 11
+    * shuffles / 38 aggregates / 9 broadcast attaches); this shape
+    * audits at 8 shuffles / 22 aggregates / 3 broadcast attaches (the
+    * cutoff row, the 3-row offset, and rankedCumSum's internal prefix
+    * offset — all <=3-row sides). Cutoff
     * values are bit-identical to the per-metric walk (exact-int cums,
     * exact decimal order), so the oracle is unchanged. The final agg
     * has <= 27 groups. No global per-user sort anywhere.
