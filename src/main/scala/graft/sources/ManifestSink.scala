@@ -2,7 +2,7 @@ package graft.sources
 
 import java.io.{BufferedWriter, File}
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths}
 import java.util.{Map => JMap}
 
 import scala.jdk.CollectionConverters._
@@ -17,30 +17,50 @@ import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType, IntegerTyp
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** `graft-manifest`: a DataSource V2 BATCH WRITE with an explicit
-  * two-phase commit — the write-side counterpart of [[PagedSource]]
-  * (which covers the read/stream side of the connector API).
+  * two-phase snapshot commit — the write-side counterpart of
+  * [[PagedSource]] (which covers the read/stream side of the connector
+  * API), and the table-format core this environment cannot get from a
+  * packaged lake format (no extra jars ship with the image).
   *
   * The exactly-once contract, spelled out:
   *  1. every task writes its rows to a file named by its UNIQUE
-  *     (partitionId, taskId) — a speculative or retried attempt gets a
-  *     different taskId, so attempts never clobber each other;
+  *     (writeId, partitionId, taskId) — a speculative or retried
+  *     attempt gets a different taskId, a different job a different
+  *     writeId, so attempts never clobber each other;
   *  2. a task that succeeds returns a [[FileCommit]] message (name,
   *     rows, bytes); a task that fails has `abort()` delete its file;
   *  3. ONLY the driver's `BatchWrite.commit` — called once, after all
-  *     tasks succeeded — writes `_graft_manifest.json` listing the
-  *     committed files (tmp-write + atomic rename);
-  *  4. readers ([[ManifestSink.readData]]) list files FROM THE
+  *     tasks succeeded — publishes a NEW VERSIONED MANIFEST
+  *     `_graft_log/v0000000000N.json` listing the snapshot's full file
+  *     set (tmp-write + rename-claim, see below);
+  *  4. readers ([[ManifestSink.readData]]) list files FROM A
   *     MANIFEST, never from the directory — an orphan file from a
   *     lost speculative attempt is invisible, because visibility IS
   *     the manifest entry;
-  *  5. every commit REPLACES the visible snapshot (the manifest lists
-  *     only the committing job's files) — `append` and `overwrite`
-  *     are therefore the same operation here, which ManifestSinkSpec
-  *     pins for both modes.
-  * This is the same protocol parquet's OutputCommitter and the table
-  * formats' snapshot commit implement; here it is small enough to
-  * read and to test (ManifestSinkSpec drives the success, duplicate-
-  * attempt and abort paths explicitly).
+  *  5. `append` commits a snapshot containing the PREVIOUS snapshot's
+  *     files plus this job's; `overwrite` (routed through
+  *     [[SupportsTruncate]]) commits this job's files alone. Old
+  *     versions stay readable ([[ManifestSink.readData]] takes an
+  *     optional version — time travel) until
+  *     [[ManifestSink.expireVersions]] vacuums them;
+  *  6. the version number is claimed OPTIMISTICALLY: the commit
+  *     renames its tmp manifest to `v{latest+1}` with
+  *     fail-if-exists semantics; losing a race throws
+  *     [[FileAlreadyExistsException]] on the claim, and the committer
+  *     re-reads the new latest, re-bases its file union, and retries
+  *     (bounded) — a blind append composes with any concurrent commit,
+  *     which is exactly the optimistic-concurrency rule the table
+  *     formats apply to append transactions.
+  * This is the snapshot-log protocol the table formats implement over
+  * a cloud LogStore; here it is small enough to read and to test
+  * (ManifestSinkSpec drives the success, duplicate-attempt, abort,
+  * append/overwrite, time-travel, conflict-re-base and vacuum paths
+  * explicitly). One honesty note: `Files.move` without
+  * REPLACE_EXISTING checks-then-renames, so the claim is atomic
+  * against project-internal committers but not against an adversarial
+  * same-instant external rename — a real deployment backs the claim
+  * with a CAS primitive (object-store conditional put / metastore
+  * lock), which is precisely what lake formats' LogStore abstracts.
   *
   * Rows are serialized as JSON lines; supported field types are the
   * primitive surface (long/int/double/string/boolean — documented
@@ -49,9 +69,11 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * ## 100 TB notes
   * The data path is embarrassingly parallel (one file per task, no
   * coordination until commit); the commit is O(#files) driver work —
-  * exactly the scaling shape of real table-format commits. The
-  * manifest doubles as the statistics source (per-file rows/bytes)
-  * that q260-style packing and q267-style pruning audits read.
+  * exactly the scaling shape of real table-format commits (a full
+  * file listing per snapshot is the Iceberg manifest-list posture;
+  * delta-encoding the log is the next step when |files| itself is
+  * huge). The manifest doubles as the statistics source (per-file
+  * rows/bytes) that packing and pruning audits read.
   */
 class ManifestSink extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-manifest"
@@ -69,40 +91,134 @@ class ManifestSink extends TableProvider with DataSourceRegister {
 }
 
 object ManifestSink {
-  val ManifestName = "_graft_manifest.json"
-
-  /** The committed file list (name, rows, bytes) — the only source of
-    * visibility a reader may trust. The `_`-prefixed name keeps the
-    * manifest invisible to Spark's own file listings (the parquet
-    * `_SUCCESS` convention), so it is read through plain file IO, not
-    * a path-based scan.
+  /** Snapshot-log directory under the table path. The `_`-prefixed
+    * name keeps it invisible to Spark's own file listings (the parquet
+    * `_SUCCESS` convention), so manifests are read through plain file
+    * IO, not a path-based scan.
     */
-  def readManifest(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val body = new String(
-      Files.readAllBytes(Paths.get(dir, ManifestName)),
-      StandardCharsets.UTF_8)
-    spark.read.json(Seq(body).toDS)
-      .selectExpr("explode(files) AS f")
-      .selectExpr("f.name AS name", "f.rows AS rows", "f.bytes AS bytes")
+  val LogDirName = "_graft_log"
+
+  private def logDir(dir: String): Path = Paths.get(dir, LogDirName)
+  private def vFileName(v: Long): String = f"v$v%010d.json"
+  private val VFile = """v(\d{10})\.json""".r
+  private val FileEntry =
+    """\{"name":"([^"]+)","rows":(\d+),"bytes":(\d+)\}""".r
+
+  /** All committed snapshot versions, ascending; empty for a dir the
+    * sink never committed to.
+    */
+  def listVersions(dir: String): Seq[Long] = {
+    val d = logDir(dir)
+    if (!Files.isDirectory(d)) Seq.empty
+    else {
+      val s = Files.list(d)
+      try s.iterator.asScala
+        .flatMap(p => p.getFileName.toString match {
+          case VFile(n) => Some(n.toLong)
+          case _ => None
+        }).toSeq.sorted
+      finally s.close()
+    }
   }
 
-  /** Read back the data THROUGH the manifest: only committed files are
-    * listed, so orphans from lost attempts are invisible by
-    * construction. The file list is driver-side METADATA (|files|
-    * entries, the scan plan's input), parsed straight from the
-    * manifest body — file names are the sink's own
-    * `part-NNNNN-TT.jsonl` pattern, so the extraction is a plain
-    * regex, no Spark job.
-    */
-  def readData(spark: SparkSession, dir: String,
-      schema: StructType): DataFrame = {
-    val body = new String(
-      Files.readAllBytes(Paths.get(dir, ManifestName)),
+  def latestVersion(dir: String): Option[Long] = listVersions(dir).lastOption
+
+  private def manifestBody(dir: String, version: Long): String =
+    new String(Files.readAllBytes(logDir(dir).resolve(vFileName(version))),
       StandardCharsets.UTF_8)
-    val files = "\"name\":\"([^\"]+)\"".r.findAllMatchIn(body)
-      .map(m => Paths.get(dir, m.group(1)).toString).toSeq
+
+  private def resolve(dir: String, version: Option[Long]): Long =
+    version.getOrElse(latestVersion(dir).getOrElse(throw new
+      IllegalStateException(s"no committed graft-manifest snapshot in $dir")))
+
+  private[sources] def filesOf(dir: String,
+      version: Long): Seq[FileCommit] =
+    FileEntry.findAllMatchIn(manifestBody(dir, version))
+      .map(m => FileCommit(m.group(1), m.group(2).toLong, m.group(3).toLong))
+      .toSeq
+
+  /** The committed file list (name, rows, bytes) of the requested — or
+    * latest — snapshot: the only source of visibility a reader may
+    * trust.
+    */
+  def readManifest(spark: SparkSession, dir: String,
+      version: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    filesOf(dir, resolve(dir, version))
+      .map(f => (f.name, f.rows, f.bytes))
+      .toDF("name", "rows", "bytes")
+  }
+
+  /** Read back the data THROUGH a manifest: only committed files are
+    * listed, so orphans from lost attempts are invisible by
+    * construction, and `version` reads any still-retained historical
+    * snapshot (time travel). The file list is driver-side METADATA
+    * (|files| entries, the scan plan's input).
+    */
+  def readData(spark: SparkSession, dir: String, schema: StructType,
+      version: Option[Long] = None): DataFrame = {
+    val files = filesOf(dir, resolve(dir, version))
+      .map(f => Paths.get(dir, f.name).toString)
     spark.read.schema(schema).json(files: _*)
+  }
+
+  /** Publish a new snapshot: claim version `latest+1` by renaming a
+    * tmp manifest WITHOUT replace-existing — if a concurrent committer
+    * claimed it first, re-read the latest, RE-BASE (append unions with
+    * whatever snapshot is now current; truncate doesn't care) and
+    * retry. Returns the committed version.
+    */
+  private[sources] def commitSnapshot(dir: String,
+      newFiles: Seq[FileCommit], truncate: Boolean): Long = {
+    val log = logDir(dir)
+    Files.createDirectories(log)
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val base = latestVersion(dir)
+      val prev =
+        if (truncate) Seq.empty
+        else base.map(filesOf(dir, _)).getOrElse(Seq.empty)
+      val all = (prev ++ newFiles).sortBy(_.name)
+      val next = base.getOrElse(0L) + 1
+      val files = all.map(c =>
+        s"""{"name":"${c.name}","rows":${c.rows},"bytes":${c.bytes}}""")
+        .mkString("[", ",", "]")
+      val body = s"""{"version":$next,"files":$files,""" +
+        s""""n_files":${all.length},"n_rows":${all.map(_.rows).sum}}"""
+      val tmp = log.resolve(vFileName(next) + ".tmp." +
+        java.util.UUID.randomUUID.toString.take(8))
+      Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+      try {
+        Files.move(tmp, log.resolve(vFileName(next))) // fails if claimed
+        return next
+      } catch {
+        case _: FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp)
+          if (attempt >= 20) throw new java.util.ConcurrentModificationException(
+            s"graft-manifest: lost the version-claim race $attempt times in $dir")
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** Vacuum: keep the newest `keepLast` snapshots, delete older
+    * manifests plus every data file REFERENCED ONLY BY the expired
+    * ones (a file still listed by any surviving snapshot is retained —
+    * append-chains share files across versions, so reference counting
+    * against the survivors is the correctness core of any table-format
+    * VACUUM). Returns (expired manifest count, deleted data-file
+    * count).
+    */
+  def expireVersions(dir: String, keepLast: Int): (Int, Int) = {
+    require(keepLast >= 1, "must keep at least the latest snapshot")
+    val versions = listVersions(dir)
+    val (old, kept) = versions.splitAt(math.max(versions.length - keepLast, 0))
+    val retained = kept.flatMap(filesOf(dir, _)).map(_.name).toSet
+    val doomed = old.flatMap(filesOf(dir, _)).map(_.name).toSet -- retained
+    doomed.foreach(n => Files.deleteIfExists(Paths.get(dir, n)))
+    old.foreach(v => Files.deleteIfExists(logDir(dir).resolve(vFileName(v))))
+    (old.length, doomed.size)
   }
 
   private[sources] def jsonCell(dt: DataType, row: InternalRow,
@@ -144,21 +260,22 @@ private class ManifestTable(schema0: StructType, path: String)
     java.util.EnumSet.of(TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE)
 
-  /** Every commit REPLACES the visible snapshot (the manifest lists
-    * only the committing job's files), so `append` and `overwrite`
-    * land on the same write: truncate is a no-op — there is nothing to
-    * clear that the commit's manifest swap doesn't already supersede.
-    * Implementing [[SupportsTruncate]] is still required: the
-    * advertised TRUNCATE capability only passes the analyzer's check;
-    * V2 write PLANNING then demands the trait, and `mode("overwrite")`
-    * would otherwise fail after passing analysis.
+  /** `append` extends the current snapshot; `overwrite` routes through
+    * [[SupportsTruncate]] (the advertised TRUNCATE capability only
+    * passes the analyzer's check; V2 write PLANNING then demands the
+    * trait) and commits a truncating snapshot — this job's files
+    * alone.
     */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
-      override def truncate(): WriteBuilder = this
-      override def build(): Write = new Write {
-        override def toBatch: BatchWrite =
-          new ManifestBatchWrite(info.schema(), path)
+      private var trunc = false
+      override def truncate(): WriteBuilder = { trunc = true; this }
+      override def build(): Write = {
+        val t = trunc
+        new Write {
+          override def toBatch: BatchWrite =
+            new ManifestBatchWrite(info.schema(), path, t)
+        }
       }
     }
 }
@@ -166,31 +283,29 @@ private class ManifestTable(schema0: StructType, path: String)
 private case class FileCommit(name: String, rows: Long, bytes: Long)
     extends WriterCommitMessage
 
-private class ManifestBatchWrite(schema: StructType, path: String)
-    extends BatchWrite {
+private class ManifestBatchWrite(schema: StructType, path: String,
+    truncate: Boolean) extends BatchWrite {
+
+  // per-JOB discriminator in data-file names: task ids are unique
+  // within one SparkContext, but append now RETAINS files across
+  // jobs — two applications writing the same table must not collide
+  private val writeId = java.util.UUID.randomUUID.toString.take(8)
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory = {
     new File(path).mkdirs()
-    new ManifestWriterFactory(schema, path)
+    new ManifestWriterFactory(schema, path, writeId)
   }
 
-  /** Phase 2: all tasks succeeded — publish their files atomically by
-    * writing the manifest (tmp + rename). Until this line runs, a
-    * reader sees the PREVIOUS manifest (or none): task files alone
-    * grant no visibility.
+  /** Phase 2: all tasks succeeded — publish their files atomically as
+    * the next snapshot version. Until this line runs, a reader sees
+    * the PREVIOUS snapshot (or none): task files alone grant no
+    * visibility.
     */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val commits = messages.collect { case f: FileCommit => f }.sortBy(_.name)
-    val files = commits.map(c =>
-      s"""{"name":"${c.name}","rows":${c.rows},"bytes":${c.bytes}}""")
-      .mkString("[", ",", "]")
-    val body = s"""{"files":$files,"n_files":${commits.length},""" +
-      s""""n_rows":${commits.map(_.rows).sum}}"""
-    val tmp = Paths.get(path, ManifestSink.ManifestName + ".tmp")
-    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, Paths.get(path, ManifestSink.ManifestName),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    ManifestSink.commitSnapshot(path, commits, truncate)
+    ()
   }
 
   /** Job-level abort: best-effort cleanup of files whose tasks DID
@@ -203,19 +318,21 @@ private class ManifestBatchWrite(schema: StructType, path: String)
     }
 }
 
-private class ManifestWriterFactory(schema: StructType, path: String)
-    extends DataWriterFactory {
+private class ManifestWriterFactory(schema: StructType, path: String,
+    writeId: String) extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
-    new ManifestDataWriter(schema, path, partitionId, taskId)
+    new ManifestDataWriter(schema, path, writeId, partitionId, taskId)
 }
 
 private class ManifestDataWriter(schema: StructType, path: String,
-    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+    writeId: String, partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
 
   // unique per ATTEMPT: a retried/speculative task has a new taskId,
-  // so two attempts of one partition never write the same file
-  private val fileName = f"part-$partitionId%05d-$taskId.jsonl"
+  // so two attempts of one partition never write the same file; the
+  // writeId keeps files from different jobs distinct too
+  private val fileName = f"part-$writeId-$partitionId%05d-$taskId.jsonl"
   private val file = new File(path, fileName)
   private var out: BufferedWriter = _
   private var rows = 0L

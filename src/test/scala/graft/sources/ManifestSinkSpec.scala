@@ -1,5 +1,6 @@
 package graft.sources
 
+import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.functions._
@@ -8,8 +9,9 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
 import graft.SparkSpec
 
 /** The graft-manifest DSv2 batch write: round-trip fidelity, manifest
-  * accounting, orphan invisibility (the exactly-once contract), and
-  * overwrite-by-commit semantics.
+  * accounting, orphan invisibility (the exactly-once contract),
+  * append-extends / overwrite-truncates snapshot semantics, time
+  * travel, the optimistic version-claim re-base, and vacuum retention.
   */
 class ManifestSinkSpec extends SparkSpec {
   import spark.implicits._
@@ -17,18 +19,22 @@ class ManifestSinkSpec extends SparkSpec {
   private val schema = StructType(Seq(
     StructField("id", LongType), StructField("name", StringType)))
 
-  private def writeRows(dir: String, rows: Seq[(Long, String)]): Unit =
+  private def writeRows(dir: String, rows: Seq[(Long, String)],
+      mode: String = "append"): Unit =
     rows.toDF("id", "name").repartition(3)
       .write.format("graft-manifest").option("path", dir)
-      .mode("append").save()
+      .mode(mode).save()
+
+  private def readBack(dir: String,
+      version: Option[Long] = None): Set[(Long, String)] =
+    ManifestSink.readData(spark, dir, schema, version)
+      .as[(Long, String)].collect().toSet
 
   test("round-trip: rows written through the sink read back exactly") {
     withTempDir { dir =>
       val rows = (1L to 100L).map(i => (i, s"row-$i\twith\"specials\""))
       writeRows(dir, rows)
-      val back = ManifestSink.readData(spark, dir, schema)
-        .as[(Long, String)].collect().toSet
-      back shouldBe rows.toSet
+      readBack(dir) shouldBe rows.toSet
       // manifest accounting: per-file rows sum to the total
       val m = ManifestSink.readManifest(spark, dir)
         .as[(String, Long, Long)].collect()
@@ -42,25 +48,83 @@ class ManifestSinkSpec extends SparkSpec {
       // \b and \f are NOT in the \n\r\t shortcut set — they must escape
       // as \u00XX or the reader silently nulls the row; é/∑ pin UTF-8
       val rows = Seq(
-        (1L, "bell back\b feed\f"),
+        (1L, "bell back\b feed\f"),
         (2L, "café ∑ mixed\t\nline"),
-        (3L, "nul-adjacent"))
+        (3L, "nul-adjacent"))
       writeRows(dir, rows)
-      val back = ManifestSink.readData(spark, dir, schema)
-        .as[(Long, String)].collect().toSet
-      back shouldBe rows.toSet
+      readBack(dir) shouldBe rows.toSet
+    }
+  }
+
+  test("append extends the snapshot; every version stays readable") {
+    withTempDir { dir =>
+      writeRows(dir, Seq((1L, "first")))
+      writeRows(dir, Seq((2L, "second")))
+      ManifestSink.listVersions(dir) shouldBe Seq(1L, 2L)
+      // latest = union of both jobs' rows (append SEMANTICS, not
+      // replace); v1 is the time-travel view of the first job alone
+      readBack(dir) shouldBe Set((1L, "first"), (2L, "second"))
+      readBack(dir, Some(1L)) shouldBe Set((1L, "first"))
+      readBack(dir, Some(2L)) shouldBe Set((1L, "first"), (2L, "second"))
     }
   }
 
   test("mode(overwrite) routes through truncate and replaces the snapshot") {
     withTempDir { dir =>
       writeRows(dir, Seq((1L, "old")))
-      Seq((2L, "new")).toDF("id", "name")
-        .write.format("graft-manifest").option("path", dir)
-        .mode("overwrite").save()
-      val back = ManifestSink.readData(spark, dir, schema)
-        .as[(Long, String)].collect().toSet
-      back shouldBe Set((2L, "new"))
+      writeRows(dir, Seq((2L, "new")), mode = "overwrite")
+      readBack(dir) shouldBe Set((2L, "new"))
+      // the pre-overwrite snapshot is still time-travel readable
+      readBack(dir, Some(1L)) shouldBe Set((1L, "old"))
+      // and a later append bases on the truncated snapshot, not v1
+      writeRows(dir, Seq((3L, "post")))
+      readBack(dir) shouldBe Set((2L, "new"), (3L, "post"))
+    }
+  }
+
+  test("losing the version-claim race re-bases onto the interloper") {
+    withTempDir { dir =>
+      writeRows(dir, Seq((1L, "mine")))
+      // an "interloper" claims v2 directly (as a concurrent committer
+      // would): one data file + a hand-written manifest listing v1's
+      // files plus its own — exactly what a racing append publishes
+      Files.write(Paths.get(dir, "part-racer-00000-1.jsonl"),
+        "{\"id\":50,\"name\":\"racer\"}\n".getBytes(StandardCharsets.UTF_8))
+      val v1Files = ManifestSink.readManifest(spark, dir, Some(1L))
+        .as[(String, Long, Long)].collect()
+      val entries = (v1Files.toSeq :+ (("part-racer-00000-1.jsonl", 1L, 26L)))
+        .sortBy(_._1)
+        .map { case (n, r, b) => s"""{"name":"$n","rows":$r,"bytes":$b}""" }
+        .mkString("[", ",", "]")
+      Files.write(
+        Paths.get(dir, ManifestSink.LogDirName, "v0000000002.json"),
+        s"""{"version":2,"files":$entries,"n_files":4,"n_rows":2}"""
+          .getBytes(StandardCharsets.UTF_8))
+      // this append's first claim of v2 MUST fail (the file exists);
+      // the committer re-bases on v2 and lands as v3 with the union
+      writeRows(dir, Seq((9L, "late")))
+      ManifestSink.listVersions(dir) shouldBe Seq(1L, 2L, 3L)
+      readBack(dir) shouldBe
+        Set((1L, "mine"), (50L, "racer"), (9L, "late"))
+    }
+  }
+
+  test("expireVersions vacuums only files unreachable from survivors") {
+    withTempDir { dir =>
+      writeRows(dir, Seq((1L, "a")))                     // v1: files A
+      writeRows(dir, Seq((2L, "b")))                     // v2: A + B
+      writeRows(dir, Seq((3L, "c")), mode = "overwrite") // v3: C only
+      writeRows(dir, Seq((4L, "d")))                     // v4: C + D
+      val (expired, deleted) = ManifestSink.expireVersions(dir, keepLast = 2)
+      expired shouldBe 2 // v1, v2 gone
+      deleted should be > 0 // A and B files referenced by nothing kept
+      ManifestSink.listVersions(dir) shouldBe Seq(3L, 4L)
+      // survivors read exactly as before the vacuum
+      readBack(dir, Some(3L)) shouldBe Set((3L, "c"))
+      readBack(dir) shouldBe Set((3L, "c"), (4L, "d"))
+      // expired versions are genuinely gone
+      intercept[Exception] { readBack(dir, Some(1L)) }
+      ()
     }
   }
 
@@ -69,23 +133,9 @@ class ManifestSinkSpec extends SparkSpec {
       writeRows(dir, Seq((1L, "a"), (2L, "b")))
       // simulate a speculative attempt whose task never committed:
       // its file exists in the directory but not in the manifest
-      Files.write(Paths.get(dir, "part-00099-12345.jsonl"),
+      Files.write(Paths.get(dir, "part-deadbeef-00099-12345.jsonl"),
         "{\"id\":999,\"name\":\"ghost\"}\n".getBytes)
-      val back = ManifestSink.readData(spark, dir, schema)
-        .as[(Long, String)].collect().toSet
-      back shouldBe Set((1L, "a"), (2L, "b")) // visibility IS the manifest
-    }
-  }
-
-  test("a second commit atomically replaces visibility") {
-    withTempDir { dir =>
-      writeRows(dir, Seq((1L, "old")))
-      writeRows(dir, Seq((2L, "new"), (3L, "newer")))
-      // the manifest now lists only the second job's files (same
-      // partition ids, new task ids); readers see exactly the new set
-      val back = ManifestSink.readData(spark, dir, schema)
-        .as[(Long, String)].collect().toSet
-      back shouldBe Set((2L, "new"), (3L, "newer"))
+      readBack(dir) shouldBe Set((1L, "a"), (2L, "b")) // visibility IS the manifest
     }
   }
 
