@@ -565,11 +565,12 @@ object TextQueries {
     * expressions referenced twice).
     *
     * `dropNullText = true` filters NULL-text docs at the SCAN (a
-    * parquet-pushable `text IS NOT NULL`, q67's contract); `false` keeps
-    * them, with NULL metric columns (q72 counts them in its funnel top
-    * line). Filtering later on a derived column would re-tokenize every
-    * row inside the pushed-down Filter — per-operator subexpression
-    * elimination doesn't reach across the Filter/Project boundary.
+    * parquet-pushable `text IS NOT NULL`); `false` keeps them, with
+    * NULL metric columns. Production consumers go through the landed
+    * [[repetitionTable]] (always the `false` variant — q67 filters the
+    * NULL-metric rows off the materialized counters); the direct form
+    * stays as the from-scratch definition the landing spec compares
+    * against.
     */
   private[queries] def repetitionPerDoc(s: SparkSession, dir: String,
       dropNullText: Boolean): DataFrame = {
@@ -585,6 +586,32 @@ object TextQueries {
         graft.functions.GraftFunctions.arrayModeCount(col("bgs")).as("top_c"),
         size(col("bgs")).as("n_bg"))
   }
+
+  /** Number of from-scratch repetition-table computations this JVM has
+    * run (spec hook, mirrors the shingle tables' counters).
+    */
+  private[graft] val repetitionComputeCount =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** [[repetitionPerDoc]] landed once per (JVM, dir) — the repetition
+    * counters are a pure per-doc projection consumed by two queries
+    * (q67's filter report, q72's funnel gate) and re-tokenizing the
+    * corpus per consumer per run was the whole cost of both (q67 was
+    * ~4.3 s warm at sf0.1, all of it tokenize+shingle CPU). Landed with
+    * NULL-text docs INCLUDED (their metric columns are NULL): q72 needs
+    * them for its funnel top line, and q67 recovers its text IS NOT
+    * NULL contract by filtering `n_toks IS NOT NULL` on the landed
+    * table — equivalent (size() is NULL exactly when text is), and
+    * against materialized counters the filter no longer re-tokenizes
+    * anything.
+    */
+  private[queries] def repetitionTable(s: SparkSession,
+      dir: String): DataFrame =
+    Tables.landed(s,
+      s"repetition:$dir@${Tables.fileSignature(dir, "documents")}",
+      repetitionComputeCount) {
+      repetitionPerDoc(s, dir, dropNullText = false)
+    }
 
   /** The q67 flag over [[repetitionPerDoc]]'s columns. Both operands cast
     * to double BEFORE the division: ANSI Spark 4 throws on int division,
@@ -630,9 +657,10 @@ object TextQueries {
   val q67Repetition: Q = Q(
     "q67_repetition",
     (s, dir) =>
-      // NULL-text docs have no tokens to judge: dropped at the scan
-      // (the oracle's unnest drops them identically)
-      repetitionPerDoc(s, dir, dropNullText = true)
+      // NULL-text docs have no tokens to judge: dropped via the landed
+      // table's NULL metrics (the oracle's unnest drops them
+      // identically; see [[repetitionTable]] for the equivalence)
+      repetitionTable(s, dir).filter(col("n_toks").isNotNull)
         .select(col("doc_id"), col("n_toks").cast("long").as("n_toks"),
           ((col("n_toks") - col("n_uniq")).cast("double")
             / col("n_toks").cast("double")).as("dup_uni_frac"),
@@ -791,8 +819,7 @@ object TextQueries {
       // rather than vanish from the funnel's top line
       val staged = docs
         .select(col("doc_id"), col("lang"), splitCol.as("split"))
-        .join(repetitionPerDoc(s, dir, dropNullText = false),
-          Seq("doc_id"), "left")
+        .join(repetitionTable(s, dir), Seq("doc_id"), "left")
         .join(DedupQueries.componentLabelTable(s, dir), Seq("doc_id"), "left")
         .select(col("lang"), col("split"),
           (col("n_toks") >= MinDocTokens).as("len_ok"),

@@ -358,6 +358,29 @@ class NewOpsSpec extends SparkSpec {
     mat shouldBe direct
   }
 
+  test("repetition table materializes once and serves q67 and q72") {
+    val dir = "/root/testdata/sf0.001"
+    val before = TextQueries.repetitionComputeCount.get
+    val table = TextQueries.repetitionTable(spark, dir)
+    val mid = TextQueries.repetitionComputeCount.get
+    (mid - before) should be <= 1
+    // BOTH production consumers run without another tokenize pass
+    TextQueries.q67Repetition.fn(spark, dir).collect()
+    TextQueries.q72CorpusFunnel.fn(spark, dir).collect()
+    TextQueries.repetitionComputeCount.get shouldBe mid
+    // the landed table IS the from-scratch projection (NULL-text rows
+    // included, metrics NULL), and q67's n_toks filter is exactly the
+    // dropNullText=true scan contract
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0),
+        Option(r.get(1)), Option(r.get(2)), Option(r.get(3)),
+        Option(r.get(4)))).toSet
+    rows(table) shouldBe
+      rows(TextQueries.repetitionPerDoc(spark, dir, dropNullText = false))
+    rows(table.filter(col("n_toks").isNotNull)) shouldBe
+      rows(TextQueries.repetitionPerDoc(spark, dir, dropNullText = true))
+  }
+
   test("single-data-file precondition trips on a multi-file staging") {
     withTempDir { dir =>
       java.nio.file.Files.createFile(
