@@ -44,23 +44,23 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *     optional version — time travel) until
   *     [[ManifestSink.expireVersions]] vacuums them;
   *  6. the version number is claimed OPTIMISTICALLY: the commit
-  *     renames its tmp manifest to `v{latest+1}` with
-  *     fail-if-exists semantics; losing a race throws
+  *     hard-links its tmp manifest to `v{latest+1}` — link(2) is an
+  *     atomic fail-if-exists on POSIX, the genuine filesystem
+  *     compare-and-set; losing the race throws
   *     [[FileAlreadyExistsException]] on the claim, and the committer
-  *     re-reads the new latest, re-bases its file union, and retries
+  *     re-reads the new latest, RE-BASES its file union, and retries
   *     (bounded) — a blind append composes with any concurrent commit,
   *     which is exactly the optimistic-concurrency rule the table
-  *     formats apply to append transactions.
+  *     formats apply to append transactions. The concurrent-committers
+  *     spec races 8 real threads through this loop.
   * This is the snapshot-log protocol the table formats implement over
   * a cloud LogStore; here it is small enough to read and to test
   * (ManifestSinkSpec drives the success, duplicate-attempt, abort,
-  * append/overwrite, time-travel, conflict-re-base and vacuum paths
-  * explicitly). One honesty note: `Files.move` without
-  * REPLACE_EXISTING checks-then-renames, so the claim is atomic
-  * against project-internal committers but not against an adversarial
-  * same-instant external rename — a real deployment backs the claim
-  * with a CAS primitive (object-store conditional put / metastore
-  * lock), which is precisely what lake formats' LogStore abstracts.
+  * append/overwrite, time-travel, conflict-re-base, concurrent-race
+  * and vacuum paths explicitly). Portability note: on a store without
+  * atomic link-if-absent (most object stores), the claim needs the
+  * store's own conditional-put — exactly what lake formats' LogStore
+  * abstraction supplies.
   *
   * Rows are serialized as JSON lines; supported field types are the
   * primitive surface (long/int/double/string/boolean — documented
@@ -103,6 +103,7 @@ object ManifestSink {
   private val VFile = """v(\d{10})\.json""".r
   private val FileEntry =
     """\{"name":"([^"]+)","rows":(\d+),"bytes":(\d+)\}""".r
+  private val SchemaEntry = """"schema":"([^"]*)"""".r
 
   /** All committed snapshot versions, ascending; empty for a dir the
     * sink never committed to.
@@ -137,6 +138,25 @@ object ManifestSink {
       .map(m => FileCommit(m.group(1), m.group(2).toLong, m.group(3).toLong))
       .toSeq
 
+  /** The schema the requested — or latest — snapshot was committed
+    * with (each manifest records its job's schema as DDL, so a reader
+    * needs no out-of-band schema and each version reads with the shape
+    * it was WRITTEN with — per-snapshot schema, the lake-format
+    * posture for schema evolution).
+    */
+  def schemaOf(dir: String, version: Option[Long] = None): StructType =
+    SchemaEntry.findFirstMatchIn(manifestBody(dir, resolve(dir, version)))
+      .map(m => StructType.fromDDL(m.group(1)))
+      .getOrElse(throw new IllegalStateException(
+        s"manifest ${resolve(dir, version)} in $dir records no schema"))
+
+  /** Read a snapshot using its own recorded schema — [[readData]]
+    * without the caller-supplied StructType.
+    */
+  def read(spark: SparkSession, dir: String,
+      version: Option[Long] = None): DataFrame =
+    readData(spark, dir, schemaOf(dir, version), version)
+
   /** The committed file list (name, rows, bytes) of the requested — or
     * latest — snapshot: the only source of visibility a reader may
     * trust.
@@ -169,7 +189,8 @@ object ManifestSink {
     * retry. Returns the committed version.
     */
   private[sources] def commitSnapshot(dir: String,
-      newFiles: Seq[FileCommit], truncate: Boolean): Long = {
+      newFiles: Seq[FileCommit], truncate: Boolean,
+      schemaDdl: Option[String] = None): Long = {
     val log = logDir(dir)
     Files.createDirectories(log)
     var attempt = 0
@@ -184,13 +205,25 @@ object ManifestSink {
       val files = all.map(c =>
         s"""{"name":"${c.name}","rows":${c.rows},"bytes":${c.bytes}}""")
         .mkString("[", ",", "]")
-      val body = s"""{"version":$next,"files":$files,""" +
+      // DDL strings for the primitive surface contain no quote or
+      // backslash, but assert rather than silently emit invalid JSON
+      schemaDdl.foreach(d => require(!d.exists(c => c == '"' || c == '\\'),
+        s"schema DDL not JSON-safe: $d"))
+      val schemaPart = schemaDdl.map(d => s""""schema":"$d",""").getOrElse("")
+      val body = s"""{"version":$next,$schemaPart"files":$files,""" +
         s""""n_files":${all.length},"n_rows":${all.map(_.rows).sum}}"""
       val tmp = log.resolve(vFileName(next) + ".tmp." +
         java.util.UUID.randomUUID.toString.take(8))
       Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
       try {
-        Files.move(tmp, log.resolve(vFileName(next))) // fails if claimed
+        // the CLAIM: link(2) is the POSIX compare-and-set — it creates
+        // the target atomically and fails with EEXIST if any concurrent
+        // committer got there first. (Files.move without
+        // REPLACE_EXISTING is NOT safe here: its exists-check races
+        // with the rename, and POSIX rename then silently overwrites —
+        // the concurrent-committers spec catches exactly that.)
+        Files.createLink(log.resolve(vFileName(next)), tmp)
+        Files.delete(tmp)
         return next
       } catch {
         case _: FileAlreadyExistsException =>
@@ -304,7 +337,8 @@ private class ManifestBatchWrite(schema: StructType, path: String,
     */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val commits = messages.collect { case f: FileCommit => f }.sortBy(_.name)
-    ManifestSink.commitSnapshot(path, commits, truncate)
+    ManifestSink.commitSnapshot(path, commits, truncate,
+      Some(schema.toDDL))
     ()
   }
 

@@ -128,6 +128,62 @@ class ManifestSinkSpec extends SparkSpec {
     }
   }
 
+  test("each snapshot records its own schema; read() needs no schema") {
+    withTempDir { dir =>
+      writeRows(dir, Seq((1L, "a")))
+      // schema-less read resolves the recorded DDL
+      ManifestSink.read(spark, dir).as[(Long, String)].collect().toSet shouldBe
+        Set((1L, "a"))
+      // an overwrite with a DIFFERENT shape: each version keeps the
+      // schema it was written with (per-snapshot schema evolution)
+      Seq((2L, 0.5)).toDF("id", "score")
+        .write.format("graft-manifest").option("path", dir)
+        .mode("overwrite").save()
+      ManifestSink.schemaOf(dir, Some(1L)).fieldNames.toSeq shouldBe
+        Seq("id", "name")
+      ManifestSink.schemaOf(dir).fieldNames.toSeq shouldBe Seq("id", "score")
+      ManifestSink.read(spark, dir).as[(Long, Double)].collect().toSet shouldBe
+        Set((2L, 0.5))
+      ManifestSink.read(spark, dir, Some(1L))
+        .as[(Long, String)].collect().toSet shouldBe Set((1L, "a"))
+    }
+  }
+
+  test("concurrent committers all land: the claim-retry loop is safe") {
+    withTempDir { dir =>
+      // 8 threads race commitSnapshot directly — every one must end up
+      // in the final snapshot (appends compose), versions contiguous
+      val n = 8
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+      val barrier = new java.util.concurrent.CyclicBarrier(n)
+      val results = (0 until n).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          override def call(): Long = {
+            val f = java.nio.file.Paths.get(dir, s"part-race$i-00000-$i.jsonl")
+            Files.write(f, s"""{"id":$i,"name":"t$i"}\n"""
+              .getBytes(StandardCharsets.UTF_8))
+            barrier.await()
+            ManifestSink.commitSnapshot(dir,
+              Seq(FileCommit(f.getFileName.toString, 1L, Files.size(f))),
+              truncate = false, Some("id BIGINT,name STRING"))
+          }
+        })
+      }
+      val versions = results.map(_.get(60, java.util.concurrent.TimeUnit.SECONDS))
+      pool.shutdown()
+      // every commit claimed a DISTINCT version, contiguously from 1
+      versions.sorted shouldBe (1L to n.toLong)
+      ManifestSink.listVersions(dir) shouldBe (1L to n.toLong)
+      // the final snapshot is the union of all 8 appends
+      ManifestSink.read(spark, dir).as[(Long, String)].collect().toSet shouldBe
+        (0 until n).map(i => (i.toLong, s"t$i")).toSet
+      // and each intermediate version has exactly v files (append chain)
+      (1L to n.toLong).foreach { v =>
+        ManifestSink.readManifest(spark, dir, Some(v)).count() shouldBe v
+      }
+    }
+  }
+
   test("orphan files from lost attempts are invisible to readers") {
     withTempDir { dir =>
       writeRows(dir, Seq((1L, "a"), (2L, "b")))
