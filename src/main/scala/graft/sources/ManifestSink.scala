@@ -79,15 +79,25 @@ class ManifestSink extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-manifest"
   override def supportsExternalMetadata(): Boolean = true
 
+  private def pathOf(m: JMap[String, String]): String =
+    Option(m.get("path")).getOrElse(throw new
+      IllegalArgumentException("graft-manifest requires option 'path'"))
+
+  private def versionOf(m: JMap[String, String]): Option[Long] =
+    Option(m.get("versionAsOf")).map(_.toLong)
+
+  /** Read-side schema inference: the manifest RECORDS each snapshot's
+    * schema, so `spark.read.format("graft-manifest")` needs no
+    * user-supplied StructType — the time-travel option `versionAsOf`
+    * resolves that snapshot's own shape.
+    */
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    throw new UnsupportedOperationException(
-      "graft-manifest is write-only; read back via ManifestSink.readData")
+    ManifestSink.schemaOf(pathOf(options.asCaseSensitiveMap),
+      versionOf(options.asCaseSensitiveMap))
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
-    new ManifestTable(schema,
-      Option(properties.get("path")).getOrElse(throw new
-          IllegalArgumentException("graft-manifest requires option 'path'")))
+    new ManifestTable(schema, pathOf(properties), versionOf(properties))
 }
 
 object ManifestSink {
@@ -128,9 +138,13 @@ object ManifestSink {
     new String(Files.readAllBytes(logDir(dir).resolve(vFileName(version))),
       StandardCharsets.UTF_8)
 
-  private def resolve(dir: String, version: Option[Long]): Long =
+  private[sources] def resolveVersion(dir: String,
+      version: Option[Long]): Long =
     version.getOrElse(latestVersion(dir).getOrElse(throw new
       IllegalStateException(s"no committed graft-manifest snapshot in $dir")))
+
+  private def resolve(dir: String, version: Option[Long]): Long =
+    resolveVersion(dir, version)
 
   private[sources] def filesOf(dir: String,
       version: Long): Seq[FileCommit] =
@@ -285,13 +299,28 @@ object ManifestSink {
     }
 }
 
-private class ManifestTable(schema0: StructType, path: String)
-    extends Table with SupportsWrite {
+private class ManifestTable(schema0: StructType, path: String,
+    versionAsOf: Option[Long] = None)
+    extends Table with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsRead {
   override def name(): String = s"graft-manifest($path)"
   override def schema(): StructType = schema0
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+
+  /** Partition-per-committed-file batch scan of the resolved snapshot,
+    * with column pruning: only the columns Spark asks for are decoded
+    * ([[ManifestPartitionReader]] skips the rest of each JSON object),
+    * and the file list is fixed AT PLANNING from the snapshot manifest
+    * — a concurrent commit during the scan cannot change what this
+    * query reads (snapshot isolation, the read-side half of the
+    * manifest contract).
+    */
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder =
+    new ManifestScanBuilder(schema0, path,
+      ManifestSink.resolveVersion(path, versionAsOf))
 
   /** `append` extends the current snapshot; `overwrite` routes through
     * [[SupportsTruncate]] (the advertised TRUNCATE capability only
@@ -403,4 +432,105 @@ private class ManifestDataWriter(schema: StructType, path: String,
   }
 
   override def close(): Unit = if (out != null) { out.close(); out = null }
+}
+
+/** Read-side planning: prune to the columns Spark requires, then plan
+  * one [[ManifestInputPartition]] per file committed in the resolved
+  * snapshot. The file list is captured HERE, at planning — later
+  * commits are invisible to a running scan.
+  */
+private class ManifestScanBuilder(full: StructType, path: String,
+    version: Long)
+    extends org.apache.spark.sql.connector.read.ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+
+  private var required: StructType = full
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): org.apache.spark.sql.connector.read.Scan =
+    new org.apache.spark.sql.connector.read.Scan
+      with org.apache.spark.sql.connector.read.Batch {
+      override def readSchema(): StructType = required
+      override def toBatch: org.apache.spark.sql.connector.read.Batch = this
+      override def description(): String =
+        s"graft-manifest($path) v$version cols=${required.fieldNames.mkString(",")}"
+
+      override def planInputPartitions()
+          : Array[org.apache.spark.sql.connector.read.InputPartition] =
+        ManifestSink.filesOf(path, version).map(f =>
+          ManifestInputPartition(
+            Paths.get(path, f.name).toString): org.apache.spark.sql
+              .connector.read.InputPartition).toArray
+
+      override def createReaderFactory()
+          : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+        new ManifestReaderFactory(required)
+    }
+}
+
+private case class ManifestInputPartition(file: String)
+    extends org.apache.spark.sql.connector.read.InputPartition
+
+private class ManifestReaderFactory(required: StructType)
+    extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+  override def createReader(
+      partition: org.apache.spark.sql.connector.read.InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] =
+    new ManifestPartitionReader(
+      partition.asInstanceOf[ManifestInputPartition].file, required)
+}
+
+/** Executor-side reader for one committed JSON-lines file: Jackson
+  * (bundled with Spark) parses each line; only the REQUIRED columns
+  * are materialized into the row — the pruning contract the scan
+  * builder negotiated. Missing fields and JSON nulls both surface as
+  * SQL NULL.
+  */
+private class ManifestPartitionReader(file: String, required: StructType)
+    extends org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
+  import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val mapper = new ObjectMapper()
+  private val lines = Files.lines(Paths.get(file), StandardCharsets.UTF_8)
+  private val it = lines.iterator()
+  private var current: InternalRow = _
+
+  private def cell(node: JsonNode, dt: DataType): Any =
+    if (node == null || node.isNull) null
+    else dt match {
+      case LongType => node.asLong()
+      case IntegerType => node.asInt()
+      case DoubleType => node.asDouble()
+      case BooleanType => node.asBoolean()
+      case StringType => UTF8String.fromString(node.asText())
+      case other => throw new UnsupportedOperationException(
+        s"graft-manifest supports primitive columns only, got $other")
+    }
+
+  override def next(): Boolean = {
+    var advanced = false
+    while (!advanced && it.hasNext) {
+      val line = it.next()
+      if (line.nonEmpty) {
+        val root = mapper.readTree(line)
+        val row = new GenericInternalRow(required.length)
+        var i = 0
+        while (i < required.length) {
+          val f = required(i)
+          row.update(i, cell(root.get(f.name), f.dataType))
+          i += 1
+        }
+        current = row
+        advanced = true
+      }
+    }
+    advanced
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = lines.close()
 }

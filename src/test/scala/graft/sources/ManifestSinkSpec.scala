@@ -184,6 +184,46 @@ class ManifestSinkSpec extends SparkSpec {
     }
   }
 
+  test("DSv2 read path: spark.read infers schema, time-travels, prunes") {
+    withTempDir { dir =>
+      writeRows(dir, Seq((1L, "a"), (2L, "b")))
+      writeRows(dir, Seq((3L, "c")))
+      // no user schema: inferred from the snapshot's recorded DDL
+      val df = spark.read.format("graft-manifest").option("path", dir).load()
+      df.schema.fieldNames.toSeq shouldBe Seq("id", "name")
+      df.as[(Long, String)].collect().toSet shouldBe
+        Set((1L, "a"), (2L, "b"), (3L, "c"))
+      // versionAsOf time travel through the DataFrame reader
+      spark.read.format("graft-manifest").option("path", dir)
+        .option("versionAsOf", "1").load()
+        .as[(Long, String)].collect().toSet shouldBe Set((1L, "a"), (2L, "b"))
+      // column pruning reaches the scan: only the projected column is
+      // in the physical read schema
+      val pruned = df.select("name")
+      val scan = pruned.queryExecution.executedPlan.collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.get
+      scan.output.map(_.name) shouldBe Seq("name")
+      pruned.as[String].collect().toSet shouldBe Set("a", "b", "c")
+      // count(*) survives pruning to zero columns
+      df.count() shouldBe 3L
+    }
+  }
+
+  test("a scan planned before a commit keeps reading its snapshot") {
+    withTempDir { dir =>
+      writeRows(dir, Seq((1L, "pre")))
+      val df = spark.read.format("graft-manifest").option("path", dir).load()
+      // plan the scan, THEN commit more data
+      df.count() shouldBe 1L
+      writeRows(dir, Seq((2L, "post")))
+      // a NEW reader sees both; the file list is manifest-resolved at
+      // planning, so fresh plans observe fresh snapshots
+      spark.read.format("graft-manifest").option("path", dir).load()
+        .count() shouldBe 2L
+    }
+  }
+
   test("orphan files from lost attempts are invisible to readers") {
     withTempDir { dir =>
       writeRows(dir, Seq((1L, "a"), (2L, "b")))
