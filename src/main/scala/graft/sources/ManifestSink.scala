@@ -152,6 +152,22 @@ object ManifestSink {
       .map(m => FileCommit(m.group(1), m.group(2).toLong, m.group(3).toLong))
       .toSeq
 
+  /** The files version `v` ADDED over `v-1` — the change-data-feed
+    * delta the streaming tail emits per micro-batch. Falls back to the
+    * full file list when the predecessor manifest was already vacuumed
+    * (re-emission, never loss; see the retention contract on
+    * ManifestMicroBatchStream).
+    */
+  private[sources] def deltaFiles(dir: String, v: Long): Seq[FileCommit] = {
+    val cur = filesOf(dir, v)
+    if (v <= 1) cur
+    else if (!Files.exists(logDir(dir).resolve(vFileName(v - 1)))) cur
+    else {
+      val prev = filesOf(dir, v - 1).map(_.name).toSet
+      cur.filterNot(f => prev.contains(f.name))
+    }
+  }
+
   /** The schema the requested — or latest — snapshot was committed
     * with (each manifest records its job's schema as DDL, so a reader
     * needs no out-of-band schema and each version reads with the shape
@@ -307,6 +323,7 @@ private class ManifestTable(schema0: StructType, path: String,
   override def schema(): StructType = schema0
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
   /** Partition-per-committed-file batch scan of the resolved snapshot,
@@ -320,7 +337,9 @@ private class ManifestTable(schema0: StructType, path: String,
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : org.apache.spark.sql.connector.read.ScanBuilder =
     new ManifestScanBuilder(schema0, path,
-      ManifestSink.resolveVersion(path, versionAsOf))
+      ManifestSink.resolveVersion(path, versionAsOf),
+      Option(options.get("max_versions_per_trigger"))
+        .map(_.toInt).getOrElse(0))
 
   /** `append` extends the current snapshot; `overwrite` routes through
     * [[SupportsTruncate]] (the advertised TRUNCATE capability only
@@ -440,7 +459,7 @@ private class ManifestDataWriter(schema: StructType, path: String,
   * commits are invisible to a running scan.
   */
 private class ManifestScanBuilder(full: StructType, path: String,
-    version: Long)
+    version: Long, maxVersionsPerTrigger: Int)
     extends org.apache.spark.sql.connector.read.ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
 
@@ -467,7 +486,85 @@ private class ManifestScanBuilder(full: StructType, path: String,
       override def createReaderFactory()
           : org.apache.spark.sql.connector.read.PartitionReaderFactory =
         new ManifestReaderFactory(required)
+
+      override def toMicroBatchStream(checkpointLocation: String)
+          : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+        new ManifestMicroBatchStream(path, required, maxVersionsPerTrigger)
     }
+}
+
+/** Streaming tail of the snapshot log — the change-data-feed reading
+  * of the manifest table: the stream OFFSET is "versions processed so
+  * far", and each micro-batch plans the files a version ADDED over its
+  * predecessor (an append's delta is exactly the job's new files; a
+  * truncating overwrite contributes its files as adds — removed files
+  * are not retracted, the append-only simplification the lake formats'
+  * change feeds also default to). Offsets are checkpointed by the
+  * engine, so the tail resumes exactly where it stopped; under
+  * `Trigger.AvailableNow` the endpoint is FROZEN at start
+  * ([[prepareForTriggerAvailableNow]]), so the run drains a fixed
+  * version range and stops even while writers keep committing.
+  * `max_versions_per_trigger` (0 = all available) is admission
+  * control, the log-level analog of the file source's
+  * maxFilesPerTrigger.
+  *
+  * Retention contract: a delta needs version v AND v-1's manifests; if
+  * vacuum already expired v-1, the batch falls back to v's FULL file
+  * list (re-emission rather than data loss — run vacuum with retention
+  * covering reader lag, the same rule real table formats impose).
+  */
+private class ManifestMicroBatchStream(path: String, required: StructType,
+    maxVersionsPerTrigger: Int)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  private def v(o: Offset): Long = o.asInstanceOf[ManifestVersionOffset].v
+  private var availableNowEnd: Option[Long] = None
+
+  override def initialOffset(): Offset = ManifestVersionOffset(0L)
+  override def deserializeOffset(json: String): Offset =
+    ManifestVersionOffset(json.trim.toLong)
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(ManifestSink.latestVersion(path).getOrElse(0L))
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) is the admission-control path")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val ceiling = availableNowEnd
+      .getOrElse(ManifestSink.latestVersion(path).getOrElse(0L))
+    val s = v(start)
+    val cap = if (maxVersionsPerTrigger > 0) maxVersionsPerTrigger.toLong
+              else Long.MaxValue - s
+    ManifestVersionOffset(math.min(ceiling, s + cap))
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[org.apache.spark.sql.connector.read.InputPartition] =
+    ((v(start) + 1) to v(end)).flatMap { ver =>
+      ManifestSink.deltaFiles(path, ver).map(f =>
+        ManifestInputPartition(
+          Paths.get(path, f.name).toString): org.apache.spark.sql
+            .connector.read.InputPartition)
+    }.toArray
+
+  override def createReaderFactory()
+      : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    new ManifestReaderFactory(required)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** Stream offset: committed snapshot versions processed so far
+  * (monotone, serializable, replayable from any committed point).
+  */
+private case class ManifestVersionOffset(v: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = v.toString
 }
 
 private case class ManifestInputPartition(file: String)

@@ -224,6 +224,66 @@ class ManifestSinkSpec extends SparkSpec {
     }
   }
 
+  test("streaming tail: each version's delta is one micro-batch") {
+    withTempDir { dir =>
+      writeRows(dir, Seq((1L, "a")))
+      writeRows(dir, Seq((2L, "b")))
+      writeRows(dir, Seq((3L, "c")), mode = "overwrite")
+      // v2's delta over v1 is exactly job 2's files, not the union
+      ManifestSink.deltaFiles(dir, 2L).map(_.rows).sum shouldBe 1L
+      val sdf = spark.readStream.format("graft-manifest")
+        .option("path", dir).option("max_versions_per_trigger", "1").load()
+      val q = sdf.writeStream.format("memory").queryName("mtail")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      // adds from all three commits arrive exactly once (the overwrite
+      // contributes its own files; no retraction, no re-emission)
+      spark.table("mtail").as[(Long, String)].collect().toSet shouldBe
+        Set((1L, "a"), (2L, "b"), (3L, "c"))
+      // admission control: one version per trigger -> three data batches
+      q.recentProgress.count(_.numInputRows > 0) shouldBe 3
+      spark.catalog.dropTempView("mtail")
+      ()
+    }
+  }
+
+  test("streaming tail resumes from its checkpointed version") {
+    withTempDir { dir =>
+      withTempDir { cp =>
+        val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+        def drain(): Unit = {
+          val q = spark.readStream.format("graft-manifest")
+            .option("path", dir).load()
+            .writeStream
+            .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+              seen.synchronized {
+                seen ++= df.as[(Long, String)](
+                  org.apache.spark.sql.Encoders.tuple(
+                    org.apache.spark.sql.Encoders.scalaLong,
+                    org.apache.spark.sql.Encoders.STRING)).collect()
+              }
+              ()
+            }
+            .option("checkpointLocation", cp)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination(60000)
+          ()
+        }
+        writeRows(dir, Seq((1L, "one")))
+        drain()
+        seen.toSet shouldBe Set((1L, "one"))
+        // commit more AFTER the first drain; the second run starts from
+        // the checkpointed offset and emits ONLY the new version's delta
+        writeRows(dir, Seq((2L, "two")))
+        drain()
+        seen.toSet shouldBe Set((1L, "one"), (2L, "two"))
+        seen.size shouldBe 2 // nothing re-emitted
+      }
+    }
+  }
+
   test("orphan files from lost attempts are invisible to readers") {
     withTempDir { dir =>
       writeRows(dir, Seq((1L, "a"), (2L, "b")))
