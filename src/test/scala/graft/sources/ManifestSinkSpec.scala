@@ -124,6 +124,12 @@ class ManifestSinkSpec extends SparkSpec {
       readBack(dir) shouldBe Set((3L, "c"), (4L, "d"))
       // expired versions are genuinely gone
       intercept[Exception] { readBack(dir, Some(1L)) }
+      // the streaming delta of the OLDEST survivor falls back to its
+      // full file list (its predecessor manifest was vacuumed):
+      // re-emission, never loss
+      ManifestSink.deltaFiles(dir, 3L).map(_.name).toSet shouldBe
+        ManifestSink.readManifest(spark, dir, Some(3L))
+          .as[(String, Long, Long)].collect().map(_._1).toSet
       ()
     }
   }
