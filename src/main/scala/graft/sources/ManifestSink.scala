@@ -265,6 +265,83 @@ object ManifestSink {
     -1L // unreachable
   }
 
+  /** Compaction (the table-format OPTIMIZE): rewrite the CURRENT
+    * snapshot's rows into `numFiles` files and commit the rewritten
+    * file list as a new version — content-identical, so readers see no
+    * data change, only fewer/larger files (the small-file problem is
+    * the perennial cost of streaming appends; q284-style per-batch
+    * publishes are exactly what accumulates them). The commit is
+    * CONDITIONAL on the snapshot it rewrote still being latest: if any
+    * commit landed meanwhile, the compaction DELETES its staged files
+    * and throws instead of silently discarding the interloper's rows —
+    * rewrite transactions don't get the blind-append auto-re-base,
+    * which is precisely the lake formats' conflict matrix. The old
+    * files stay until [[expireVersions]]; time travel to pre-compaction
+    * versions keeps working.
+    */
+  def compact(spark: SparkSession, dir: String, numFiles: Int): Long =
+    compactFrom(spark, dir, numFiles, resolveVersion(dir, None))
+
+  /** [[compact]] with the base version pinned — the seam the conflict
+    * spec uses to land an interloping commit inside the race window
+    * (after the base read, before the conditional claim).
+    */
+  private[sources] def compactFrom(spark: SparkSession, dir: String,
+      numFiles: Int, base: Long): Long = {
+    require(numFiles >= 1, "numFiles must be >= 1")
+    // stage the rewrite through the sink itself, in a scratch table —
+    // same writer, same escaping, same per-file accounting
+    val scratch = Files.createTempDirectory("graft_compact_").toString
+    readData(spark, dir, schemaOf(dir, Some(base)), Some(base))
+      .repartition(numFiles)
+      .write.format("graft-manifest").option("path", scratch)
+      .mode("append").save()
+    val staged = filesOf(scratch, 1L)
+    staged.foreach(f =>
+      Files.move(Paths.get(scratch, f.name), Paths.get(dir, f.name)))
+    val next = base + 1
+    val claimed =
+      try {
+        if (latestVersion(dir).contains(base)) {
+          // truncating snapshot listing ONLY the compacted files,
+          // claimed with the same link(2) CAS — but NO retry: if the
+          // claim fails, someone committed over our base and the
+          // rewrite is stale
+          commitExact(dir, next, staged, schemaOf(dir, Some(base)))
+        } else false
+      } catch { case _: FileAlreadyExistsException => false }
+    if (!claimed) {
+      staged.foreach(f => Files.deleteIfExists(Paths.get(dir, f.name)))
+      throw new java.util.ConcurrentModificationException(
+        s"graft-manifest: snapshot $base was superseded during compaction" +
+          s" of $dir; staged files removed, re-run against the new latest")
+    }
+    next
+  }
+
+  /** Single-attempt claim of exactly version `next` (compaction's
+    * conditional commit). Returns false without side effects if the
+    * version was already taken.
+    */
+  private def commitExact(dir: String, next: Long,
+      files: Seq[FileCommit], schema: StructType): Boolean = {
+    val log = logDir(dir)
+    Files.createDirectories(log)
+    val sorted = files.sortBy(_.name)
+    val list = sorted.map(c =>
+      s"""{"name":"${c.name}","rows":${c.rows},"bytes":${c.bytes}}""")
+      .mkString("[", ",", "]")
+    val body = s"""{"version":$next,"schema":"${schema.toDDL}",""" +
+      s""""files":$list,"n_files":${sorted.length},""" +
+      s""""n_rows":${sorted.map(_.rows).sum}}"""
+    val tmp = log.resolve(vFileName(next) + ".tmp." +
+      java.util.UUID.randomUUID.toString.take(8))
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    try { Files.createLink(log.resolve(vFileName(next)), tmp); true }
+    catch { case _: FileAlreadyExistsException => false }
+    finally Files.deleteIfExists(tmp)
+  }
+
   /** Vacuum: keep the newest `keepLast` snapshots, delete older
     * manifests plus every data file REFERENCED ONLY BY the expired
     * ones (a file still listed by any surviving snapshot is retained —

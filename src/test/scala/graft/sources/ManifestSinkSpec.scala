@@ -290,6 +290,48 @@ class ManifestSinkSpec extends SparkSpec {
     }
   }
 
+  test("compact rewrites the snapshot smaller, content-identical") {
+    withTempDir { dir =>
+      writeRows(dir, Seq((1L, "a")))
+      writeRows(dir, Seq((2L, "b")))
+      writeRows(dir, Seq((3L, "c"))) // v3: 9 files (3 jobs x 3 partitions)
+      ManifestSink.readManifest(spark, dir).count() shouldBe 9L
+      val v = ManifestSink.compact(spark, dir, numFiles = 1)
+      v shouldBe 4L
+      // one file now carries all rows; content unchanged
+      ManifestSink.readManifest(spark, dir).count() shouldBe 1L
+      readBack(dir) shouldBe Set((1L, "a"), (2L, "b"), (3L, "c"))
+      // pre-compaction versions still time-travel (old files retained)
+      readBack(dir, Some(3L)) shouldBe Set((1L, "a"), (2L, "b"), (3L, "c"))
+      readBack(dir, Some(1L)) shouldBe Set((1L, "a"))
+      // and a vacuum afterwards drops the 9 small files
+      val (_, deleted) = ManifestSink.expireVersions(dir, keepLast = 1)
+      deleted shouldBe 9
+      readBack(dir) shouldBe Set((1L, "a"), (2L, "b"), (3L, "c"))
+    }
+  }
+
+  test("compact aborts cleanly when a commit lands on its base") {
+    withTempDir { dir =>
+      writeRows(dir, Seq((1L, "a")))
+      // an interloper claims v2 INSIDE the race window: the compaction
+      // below is pinned to base=1 (as if it read latest just before)
+      Files.write(
+        Paths.get(dir, ManifestSink.LogDirName, "v0000000002.json"),
+        ("""{"version":2,"schema":"id BIGINT,name STRING","files":[],""" +
+          """"n_files":0,"n_rows":0}""").getBytes(StandardCharsets.UTF_8))
+      val before = new java.io.File(dir).listFiles()
+        .map(_.getName).filter(_.endsWith(".jsonl")).toSet
+      intercept[java.util.ConcurrentModificationException] {
+        ManifestSink.compactFrom(spark, dir, numFiles = 1, base = 1L)
+      }
+      // no staged garbage left behind; the interloper's snapshot wins
+      new java.io.File(dir).listFiles()
+        .map(_.getName).filter(_.endsWith(".jsonl")).toSet shouldBe before
+      ManifestSink.listVersions(dir) shouldBe Seq(1L, 2L)
+    }
+  }
+
   test("orphan files from lost attempts are invisible to readers") {
     withTempDir { dir =>
       writeRows(dir, Seq((1L, "a"), (2L, "b")))
