@@ -111,9 +111,11 @@ object ManifestSink {
   private def logDir(dir: String): Path = Paths.get(dir, LogDirName)
   private def vFileName(v: Long): String = f"v$v%010d.json"
   private val VFile = """v(\d{10})\.json""".r
-  private val FileEntry =
-    """\{"name":"([^"]+)","rows":(\d+),"bytes":(\d+)\}""".r
-  private val SchemaEntry = """"schema":"([^"]*)"""".r
+  // manifests are PARSED with Jackson (bundled with Spark) — the
+  // format carries nested per-file stats, beyond what a regex should
+  // be trusted with; they are still WRITTEN by hand so the byte layout
+  // stays deliberate and diffable
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
   /** All committed snapshot versions, ascending; empty for a dir the
     * sink never committed to.
@@ -147,10 +149,35 @@ object ManifestSink {
     resolveVersion(dir, version)
 
   private[sources] def filesOf(dir: String,
-      version: Long): Seq[FileCommit] =
-    FileEntry.findAllMatchIn(manifestBody(dir, version))
-      .map(m => FileCommit(m.group(1), m.group(2).toLong, m.group(3).toLong))
-      .toSeq
+      version: Long): Seq[FileCommit] = {
+    val root = mapper.readTree(manifestBody(dir, version))
+    val files = root.get("files")
+    (0 until files.size).map { i =>
+      val f = files.get(i)
+      val stats = Option(f.get("stats")).map { st =>
+        st.fields().asScala.map { e =>
+          e.getKey -> ColStat(e.getValue.get("min").toString,
+            e.getValue.get("max").toString)
+        }.toMap
+      }.getOrElse(Map.empty[String, ColStat])
+      FileCommit(f.get("name").asText, f.get("rows").asLong,
+        f.get("bytes").asLong, stats)
+    }
+  }
+
+  /** JSON file-entry list for a manifest body; stats keys sorted so
+    * the byte layout is deterministic.
+    */
+  private def renderFiles(files: Seq[FileCommit]): String =
+    files.map { c =>
+      val statsPart =
+        if (c.stats.isEmpty) ""
+        else c.stats.toSeq.sortBy(_._1)
+          .map { case (col, st) =>
+            s""""$col":{"min":${st.minJson},"max":${st.maxJson}}""" }
+          .mkString(""","stats":{""", ",", "}")
+      s"""{"name":"${c.name}","rows":${c.rows},"bytes":${c.bytes}$statsPart}"""
+    }.mkString("[", ",", "]")
 
   /** The files version `v` ADDED over `v-1` — the change-data-feed
     * delta the streaming tail emits per micro-batch. Falls back to the
@@ -175,8 +202,9 @@ object ManifestSink {
     * posture for schema evolution).
     */
   def schemaOf(dir: String, version: Option[Long] = None): StructType =
-    SchemaEntry.findFirstMatchIn(manifestBody(dir, resolve(dir, version)))
-      .map(m => StructType.fromDDL(m.group(1)))
+    Option(mapper.readTree(manifestBody(dir, resolve(dir, version)))
+        .get("schema"))
+      .map(n => StructType.fromDDL(n.asText))
       .getOrElse(throw new IllegalStateException(
         s"manifest ${resolve(dir, version)} in $dir records no schema"))
 
@@ -232,9 +260,7 @@ object ManifestSink {
         else base.map(filesOf(dir, _)).getOrElse(Seq.empty)
       val all = (prev ++ newFiles).sortBy(_.name)
       val next = base.getOrElse(0L) + 1
-      val files = all.map(c =>
-        s"""{"name":"${c.name}","rows":${c.rows},"bytes":${c.bytes}}""")
-        .mkString("[", ",", "]")
+      val files = renderFiles(all)
       // DDL strings for the primitive surface contain no quote or
       // backslash, but assert rather than silently emit invalid JSON
       schemaDdl.foreach(d => require(!d.exists(c => c == '"' || c == '\\'),
@@ -328,9 +354,7 @@ object ManifestSink {
     val log = logDir(dir)
     Files.createDirectories(log)
     val sorted = files.sortBy(_.name)
-    val list = sorted.map(c =>
-      s"""{"name":"${c.name}","rows":${c.rows},"bytes":${c.bytes}}""")
-      .mkString("[", ",", "]")
+    val list = renderFiles(sorted)
     val body = s"""{"version":$next,"schema":"${schema.toDDL}",""" +
       s""""files":$list,"n_files":${sorted.length},""" +
       s""""n_rows":${sorted.map(_.rows).sum}}"""
@@ -370,26 +394,120 @@ object ManifestSink {
       case DoubleType => row.getDouble(i).toString
       case BooleanType => row.getBoolean(i).toString
       case StringType =>
-        // RFC 8259 string escaping: backslash, quote, and EVERY control
-        // char < 0x20 (\b, \f, U+0000… — not just \n\r\t; a raw control
-        // char emits invalid JSON that the permissive reader on the
-        // read path would silently null the whole row for)
-        val s = row.getUTF8String(i).toString
-        val b = new java.lang.StringBuilder(s.length + 2)
-        b.append('"')
-        s.foreach {
-          case '\\' => b.append("\\\\")
-          case '"' => b.append("\\\"")
-          case '\n' => b.append("\\n")
-          case '\r' => b.append("\\r")
-          case '\t' => b.append("\\t")
-          case c if c < 0x20 => b.append(f"\\u${c.toInt}%04x")
-          case c => b.append(c)
-        }
-        b.append('"').toString
+        "\"" + escapeJson(row.getUTF8String(i).toString) + "\""
       case other => throw new UnsupportedOperationException(
         s"graft-manifest supports primitive columns only, got $other")
     }
+
+  /** RFC 8259 string escaping: backslash, quote, and EVERY control
+    * char < 0x20 (\b, \f, U+0000… — not just \n\r\t; a raw control
+    * char emits invalid JSON that the permissive reader on the read
+    * path would silently null the whole row for).
+    */
+  private[sources] def escapeJson(s: String): String = {
+    val b = new java.lang.StringBuilder(s.length + 2)
+    s.foreach {
+      case '\\' => b.append("\\\\")
+      case '"' => b.append("\\\"")
+      case '\n' => b.append("\\n")
+      case '\r' => b.append("\\r")
+      case '\t' => b.append("\\t")
+      case c if c < 0x20 => b.append(f"\\u${c.toInt}%04x")
+      case c => b.append(c)
+    }
+    b.toString
+  }
+
+  /** Types that get zone-map stats. */
+  private[sources] def statSupported(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | DoubleType | BooleanType | StringType =>
+      true
+    case _ => false
+  }
+
+  /** Total order used for BOTH writer-side stat tracking and read-side
+    * pruning — one comparator, so the bounds mean what the pruner
+    * assumes.
+    */
+  private[sources] def statCmp(dt: DataType, a: Any, b: Any): Int =
+    dt match {
+      case LongType | IntegerType => java.lang.Long.compare(
+        a.asInstanceOf[Number].longValue, b.asInstanceOf[Number].longValue)
+      case DoubleType => java.lang.Double.compare(
+        a.asInstanceOf[Number].doubleValue, b.asInstanceOf[Number].doubleValue)
+      case BooleanType => java.lang.Boolean.compare(
+        a.asInstanceOf[Boolean], b.asInstanceOf[Boolean])
+      case StringType => a.toString.compareTo(b.toString)
+      case other => throw new UnsupportedOperationException(other.toString)
+    }
+
+  private[sources] def renderStat(dt: DataType, v: Any): String = dt match {
+    case StringType => "\"" + escapeJson(v.toString) + "\""
+    case _ => v.toString
+  }
+
+  private def parseStat(dt: DataType, json: String): Any = dt match {
+    case StringType => mapper.readTree(json).asText
+    case LongType => json.toLong
+    case IntegerType => json.toInt
+    case DoubleType => json.toDouble
+    case BooleanType => json.toBoolean
+    case other => throw new UnsupportedOperationException(other.toString)
+  }
+
+  /** Can this filter shape drive file skipping (given stats exist)? */
+  private[sources] def prunable(f: org.apache.spark.sql.sources.Filter,
+      schema: StructType): Boolean = {
+    import org.apache.spark.sql.sources._
+    def ok(col: String) =
+      schema.find(_.name == col).exists(sf => statSupported(sf.dataType))
+    f match {
+      case EqualTo(c, v) if v != null => ok(c)
+      case GreaterThan(c, v) if v != null => ok(c)
+      case GreaterThanOrEqual(c, v) if v != null => ok(c)
+      case LessThan(c, v) if v != null => ok(c)
+      case LessThanOrEqual(c, v) if v != null => ok(c)
+      case _ => false
+    }
+  }
+
+  /** Conservative zone-map check: false ONLY when the file's recorded
+    * [min, max] for the column PROVES no row can satisfy the filter.
+    * Missing stats (all-null column, empty file, pre-stats manifest)
+    * keep the file — pruning can only ever remove provably-dead IO.
+    * NULL rows never satisfy these five comparison shapes, so range
+    * evidence over the non-null values is sufficient.
+    */
+  private[sources] def mayContain(fc: FileCommit,
+      filters: Seq[org.apache.spark.sql.sources.Filter],
+      schema: StructType): Boolean = {
+    import org.apache.spark.sql.sources._
+    def bounds(col: String): Option[(DataType, Any, Any)] = for {
+      sf <- schema.find(_.name == col)
+      if statSupported(sf.dataType)
+      st <- fc.stats.get(col)
+    } yield (sf.dataType, parseStat(sf.dataType, st.minJson),
+      parseStat(sf.dataType, st.maxJson))
+    filters.forall {
+      case EqualTo(c, v) => bounds(c).forall { case (dt, mn, mx) =>
+        statCmp(dt, v, mn) >= 0 && statCmp(dt, v, mx) <= 0 }
+      case GreaterThan(c, v) => bounds(c).forall { case (dt, _, mx) =>
+        statCmp(dt, mx, v) > 0 }
+      case GreaterThanOrEqual(c, v) => bounds(c).forall { case (dt, _, mx) =>
+        statCmp(dt, mx, v) >= 0 }
+      case LessThan(c, v) => bounds(c).forall { case (dt, mn, _) =>
+        statCmp(dt, mn, v) < 0 }
+      case LessThanOrEqual(c, v) => bounds(c).forall { case (dt, mn, _) =>
+        statCmp(dt, mn, v) <= 0 }
+      case _ => true
+    }
+  }
+
+  /** Files planned by the most recent batch scan (spec hook for the
+    * file-skipping assertions).
+    */
+  private[sources] val lastPlannedFiles =
+    new java.util.concurrent.atomic.AtomicInteger(-1)
 }
 
 private class ManifestTable(schema0: StructType, path: String,
@@ -438,7 +556,14 @@ private class ManifestTable(schema0: StructType, path: String,
     }
 }
 
-private case class FileCommit(name: String, rows: Long, bytes: Long)
+/** Per-file, per-column min/max, carried as the JSON rendering of the
+  * scalar (strings keep their quotes/escapes) — the zone-map entry the
+  * read side prunes files with.
+  */
+private case class ColStat(minJson: String, maxJson: String)
+
+private case class FileCommit(name: String, rows: Long, bytes: Long,
+    stats: Map[String, ColStat] = Map.empty)
     extends WriterCommitMessage
 
 private class ManifestBatchWrite(schema: StructType, path: String,
@@ -496,6 +621,44 @@ private class ManifestDataWriter(schema: StructType, path: String,
   private var out: BufferedWriter = _
   private var rows = 0L
 
+  // per-column zone-map bounds over the NON-NULL values this task
+  // writes; a column that ever sees NaN/Infinity is disqualified (no
+  // valid JSON rendering, and Spark's NaN ordering would poison the
+  // range) — a dropped stat only costs pruning, never correctness
+  private val mins = new Array[Any](schema.length)
+  private val maxs = new Array[Any](schema.length)
+  private val statDead = new Array[Boolean](schema.length)
+
+  private def trackStats(row: InternalRow): Unit = {
+    var i = 0
+    while (i < schema.length) {
+      val dt = schema.fields(i).dataType
+      if (!statDead(i) && ManifestSink.statSupported(dt)
+          && !row.isNullAt(i)) {
+        val v: Any = dt match {
+          case LongType => row.getLong(i)
+          case IntegerType => row.getInt(i)
+          case DoubleType => row.getDouble(i)
+          case BooleanType => row.getBoolean(i)
+          case StringType => row.getUTF8String(i).toString
+          case _ => null
+        }
+        val bad = dt == DoubleType && {
+          val d = v.asInstanceOf[Double]
+          d.isNaN || d.isInfinite
+        }
+        if (bad) { statDead(i) = true; mins(i) = null; maxs(i) = null }
+        else {
+          if (mins(i) == null || ManifestSink.statCmp(dt, v, mins(i)) < 0)
+            mins(i) = v
+          if (maxs(i) == null || ManifestSink.statCmp(dt, v, maxs(i)) > 0)
+            maxs(i) = v
+        }
+      }
+      i += 1
+    }
+  }
+
   // explicit UTF-8: readData/readManifest decode UTF-8, so the writer
   // must not depend on the platform default charset (a latin-1 JVM
   // would mojibake every non-ASCII string on the round trip)
@@ -510,13 +673,19 @@ private class ManifestDataWriter(schema: StructType, path: String,
     }
     out.write(cells.mkString("{", ",", "}"))
     out.write("\n")
+    trackStats(row)
     rows += 1
   }
 
   override def commit(): WriterCommitMessage = {
     ensureOpen() // an empty partition still commits an (empty) file
     out.flush(); out.close(); out = null
-    FileCommit(fileName, rows, file.length())
+    val stats = schema.fields.zipWithIndex.collect {
+      case (f, i) if mins(i) != null =>
+        f.name -> ColStat(ManifestSink.renderStat(f.dataType, mins(i)),
+          ManifestSink.renderStat(f.dataType, maxs(i)))
+    }.toMap
+    FileCommit(fileName, rows, file.length(), stats)
   }
 
   /** Task-level abort: this attempt's file disappears; the attempt
@@ -538,12 +707,31 @@ private class ManifestDataWriter(schema: StructType, path: String,
 private class ManifestScanBuilder(full: StructType, path: String,
     version: Long, maxVersionsPerTrigger: Int)
     extends org.apache.spark.sql.connector.read.ScanBuilder
-    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
 
   private var required: StructType = full
+  private var pruning: Array[org.apache.spark.sql.sources.Filter] =
+    Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** Zone-map pruning only: the prunable comparisons drive FILE
+    * SKIPPING against the manifest's per-file min/max, but every
+    * filter is returned as residual — Spark re-evaluates them all
+    * row-by-row, so skipping can only remove provably-dead IO, never
+    * change results.
+    */
+  override def pushFilters(
+      filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    pruning = filters.filter(ManifestSink.prunable(_, full))
+    filters
+  }
+
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+    pruning
 
   override def build(): org.apache.spark.sql.connector.read.Scan =
     new org.apache.spark.sql.connector.read.Scan
@@ -551,14 +739,19 @@ private class ManifestScanBuilder(full: StructType, path: String,
       override def readSchema(): StructType = required
       override def toBatch: org.apache.spark.sql.connector.read.Batch = this
       override def description(): String =
-        s"graft-manifest($path) v$version cols=${required.fieldNames.mkString(",")}"
+        s"graft-manifest($path) v$version cols=${required.fieldNames.mkString(",")}" +
+          s" pruneFilters=[${pruning.mkString(",")}]"
 
       override def planInputPartitions()
-          : Array[org.apache.spark.sql.connector.read.InputPartition] =
-        ManifestSink.filesOf(path, version).map(f =>
+          : Array[org.apache.spark.sql.connector.read.InputPartition] = {
+        val planned = ManifestSink.filesOf(path, version)
+          .filter(f => ManifestSink.mayContain(f, pruning.toSeq, full))
+        ManifestSink.lastPlannedFiles.set(planned.length)
+        planned.map(f =>
           ManifestInputPartition(
             Paths.get(path, f.name).toString): org.apache.spark.sql
               .connector.read.InputPartition).toArray
+      }
 
       override def createReaderFactory()
           : org.apache.spark.sql.connector.read.PartitionReaderFactory =

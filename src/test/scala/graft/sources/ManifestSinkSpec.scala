@@ -332,6 +332,60 @@ class ManifestSinkSpec extends SparkSpec {
     }
   }
 
+  test("zone-map stats prune files a filter provably cannot match") {
+    withTempDir { dir =>
+      // three append jobs with KNOWN disjoint id ranges -> 3 files
+      // whose zone-map bounds are fully determined
+      Seq(1L to 30L, 31L to 60L, 61L to 90L).foreach { r =>
+        r.map(i => (i, s"n$i")).toDF("id", "name").repartition(1)
+          .write.format("graft-manifest").option("path", dir)
+          .mode("append").save()
+      }
+      val df = spark.read.format("graft-manifest").option("path", dir).load()
+      // full scan plans all 3 files
+      df.count() shouldBe 90L
+      ManifestSink.lastPlannedFiles.get shouldBe 3
+      // a selective range filter plans ONLY the file whose [min,max]
+      // overlaps — and the result is exactly right (filters are also
+      // applied row-by-row as residuals)
+      val hi = df.filter(col("id") > 85L)
+      hi.as[(Long, String)].collect().toSet shouldBe
+        (86L to 90L).map(i => (i, s"n$i")).toSet
+      ManifestSink.lastPlannedFiles.get shouldBe 1
+      // equality prunes to the single file whose range covers the key
+      df.filter(col("id") === 1L).count() shouldBe 1L
+      ManifestSink.lastPlannedFiles.get shouldBe 1
+      // string-column range evidence prunes too (lexicographic bounds:
+      // only file 1 holds names <= "n2"-ish territory... n1/n10..n30)
+      df.filter(col("name") === "n1").count() shouldBe 1L
+      ManifestSink.lastPlannedFiles.get shouldBe 1
+      // a filter matching nothing plans zero files
+      df.filter(col("id") > 1000L).count() shouldBe 0L
+      ManifestSink.lastPlannedFiles.get shouldBe 0
+    }
+  }
+
+  test("files without stats are never pruned (conservative skipping)") {
+    withTempDir { dir =>
+      writeRows(dir, Seq((1L, "a"), (2L, "b")))
+      // strip the stats from the committed manifest, as a pre-stats
+      // manifest (or an all-null column) would look
+      val log = Paths.get(dir, ManifestSink.LogDirName, "v0000000001.json")
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = om.readTree(log.toFile)
+      root.get("files").forEach {
+        case o: com.fasterxml.jackson.databind.node.ObjectNode =>
+          o.remove("stats"); ()
+        case _ => ()
+      }
+      Files.write(log, om.writeValueAsBytes(root))
+      val df = spark.read.format("graft-manifest").option("path", dir).load()
+      df.filter(col("id") > 1000L).count() shouldBe 0L
+      // nothing provable -> every committed file still scanned
+      ManifestSink.lastPlannedFiles.get shouldBe 3
+    }
+  }
+
   test("orphan files from lost attempts are invisible to readers") {
     withTempDir { dir =>
       writeRows(dir, Seq((1L, "a"), (2L, "b")))
