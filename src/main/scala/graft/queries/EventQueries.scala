@@ -2090,6 +2090,14 @@ object EventQueries {
       val query = src.writeStream
         .option("checkpointLocation", root.resolve("ckpt").toString)
         .foreachBatch { (batch: DataFrame, _: Long) =>
+          // crash recovery BEFORE touching prev: a failure between the
+          // two publish renames below leaves goldDir absent with prev
+          // holding the only full snapshot — restoring it here (instead
+          // of letting rm(prev) delete it) is what makes the two-rename
+          // publish actually crash-safe rather than merely gap-free
+          val prev = root.resolve("gold_prev")
+          if (!Files.exists(goldDir) && Files.exists(prev))
+            Files.move(prev, goldDir)
           val delta = batch.groupBy(col("user_id"))
             .agg(count(lit(1)).as("n_events"),
               sum(col("cents")).as("total_cents"))
@@ -2105,7 +2113,6 @@ object EventQueries {
           // ASIDE (a directory rename, not a recursive delete), move
           // tmp into place, THEN delete the old one — a concurrent
           // reader sees batch N or N+1, never a missing gold dir
-          val prev = root.resolve("gold_prev")
           rm(prev)
           if (Files.exists(goldDir)) Files.move(goldDir, prev)
           Files.move(tmp, goldDir)
@@ -2120,6 +2127,62 @@ object EventQueries {
               CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
                 AS total_cents
             FROM events GROUP BY 1 ORDER BY user_id"""))
+
+  /** Manifest table format, END-TO-END through the driver's oracle:
+    * writes the `part` table through `graft-manifest` (v1 = the full
+    * table, range-partitioned on p_size so each committed file's zone
+    * map covers a narrow slice; v2 = a truncating-overwrite DECOY
+    * subset), then reads back `versionAsOf = 1` with a pushed p_size
+    * filter and aggregates. Reading LATEST would return the decoy —
+    * only correct time travel reproduces the oracle, and the pushed
+    * range filter drives zone-map FILE SKIPPING inside the timed,
+    * hash-checked path (the range layout makes most files provably
+    * dead for `p_size >= 40`). This promotes the format's unit specs
+    * (ManifestSinkSpec: commit protocol, CAS races, vacuum, stats)
+    * to a driver-verified correctness row, the same promotion q77
+    * gave the decode stub. The oracle reads the SAME rows straight
+    * from the original parquet — the manifest roundtrip must be
+    * byte-faithful for the hashes to meet.
+    *
+    * ## 100 TB notes
+    * Write path is one range-shuffle + embarrassingly-parallel file
+    * writes + an O(#files) driver commit; read path plans from
+    * manifest metadata only (no directory listing) and skips files on
+    * zone maps before any IO — the Iceberg/Delta read posture. The
+    * aggregate is partitioning-invariant (count + exact BIGINT cents),
+    * so the result is identical at any parallelism.
+    */
+  val q283ManifestTimeTravel: Q = Q(
+    "q283_manifest_timetravel",
+    (s, dir) => {
+      import java.nio.file.Files
+      val root = Files.createTempDirectory("graft_q283")
+        .resolve("tbl").toString
+      val part = Tables.load(s, dir, "part")
+        .withColumn("price_cents",
+          floor(col("p_retailprice") * 100).cast("long"))
+        .select("p_partkey", "p_brand", "p_size", "price_cents")
+      part.repartitionByRange(8, col("p_size"))
+        .write.format("graft-manifest").option("path", root)
+        .mode("append").save()
+      part.filter(col("p_size") <= lit(3))
+        .write.format("graft-manifest").option("path", root)
+        .mode("overwrite").save()
+      s.read.format("graft-manifest")
+        .option("path", root).option("versionAsOf", "1").load()
+        .filter(col("p_size") >= lit(40))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_parts"),
+          sum(col("price_cents")).as("sum_price_cents"),
+          max(col("p_size")).as("max_size"))
+        .orderBy(col("p_brand"))
+    },
+    Some("""SELECT p_brand, count(*) AS n_parts,
+              CAST(sum(CAST(floor(p_retailprice * 100) AS BIGINT)) AS BIGINT)
+                AS sum_price_cents,
+              max(p_size) AS max_size
+            FROM part WHERE p_size >= 40
+            GROUP BY 1 ORDER BY p_brand"""))
 
   /** Shuffle-partition balance planner — pick
     * `spark.sql.shuffle.partitions` from DATA, not folklore: for each
@@ -5531,7 +5594,8 @@ object EventQueries {
       q264RecordHighs, q265StreamTwsTotals, q266StreamTwsSessions,
       q267LayoutPruning, q275StreamTwsTopk, q276StreamTwsTypeCounts,
       q277IncrementalGold, q278RetractableAgg, q279RestatementScope,
-      q280WatermarkCurve, q282RleProfile, q284StreamIncrementalGold,
+      q280WatermarkCurve, q282RleProfile, q283ManifestTimeTravel,
+      q284StreamIncrementalGold,
       q286MetronomeRank, q287PartitionBalance, q288QteDeciles,
       q289SaltingBalance)
       .map(q => q.copy(streaming = streamingNames(q.name)))

@@ -79,11 +79,15 @@ class ManifestSink extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-manifest"
   override def supportsExternalMetadata(): Boolean = true
 
-  private def pathOf(m: JMap[String, String]): String =
+  // options are looked up through CaseInsensitiveStringMap — Spark
+  // datasource options are conventionally case-insensitive, so
+  // .option("versionasof", ...) must resolve the same snapshot as
+  // .option("versionAsOf", ...), not silently fall through to latest
+  private def pathOf(m: CaseInsensitiveStringMap): String =
     Option(m.get("path")).getOrElse(throw new
       IllegalArgumentException("graft-manifest requires option 'path'"))
 
-  private def versionOf(m: JMap[String, String]): Option[Long] =
+  private def versionOf(m: CaseInsensitiveStringMap): Option[Long] =
     Option(m.get("versionAsOf")).map(_.toLong)
 
   /** Read-side schema inference: the manifest RECORDS each snapshot's
@@ -92,12 +96,13 @@ class ManifestSink extends TableProvider with DataSourceRegister {
     * resolves that snapshot's own shape.
     */
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    ManifestSink.schemaOf(pathOf(options.asCaseSensitiveMap),
-      versionOf(options.asCaseSensitiveMap))
+    ManifestSink.schemaOf(pathOf(options), versionOf(options))
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: JMap[String, String]): Table =
-    new ManifestTable(schema, pathOf(properties), versionOf(properties))
+      properties: JMap[String, String]): Table = {
+    val ci = new CaseInsensitiveStringMap(properties)
+    new ManifestTable(schema, pathOf(ci), versionOf(ci))
+  }
 }
 
 object ManifestSink {
@@ -178,6 +183,12 @@ object ManifestSink {
           .mkString(""","stats":{""", ",", "}")
       s"""{"name":"${c.name}","rows":${c.rows},"bytes":${c.bytes}$statsPart}"""
     }.mkString("[", ",", "]")
+
+  /** True iff version `v`'s manifest is still on disk (not yet
+    * vacuumed by [[expireVersions]]).
+    */
+  private[sources] def versionExists(dir: String, v: Long): Boolean =
+    Files.exists(logDir(dir).resolve(vFileName(v)))
 
   /** The files version `v` ADDED over `v-1` — the change-data-feed
     * delta the streaming tail emits per micro-batch. Falls back to the
@@ -426,18 +437,35 @@ object ManifestSink {
   }
 
   /** Total order used for BOTH writer-side stat tracking and read-side
-    * pruning — one comparator, so the bounds mean what the pruner
-    * assumes.
+    * pruning — one comparator, AND the same order Spark's row-level
+    * evaluation uses, so the bounds mean what the pruner assumes:
+    *  - strings compare in UTF-8 BINARY order (UTF8String.compareTo),
+    *    not Java's UTF-16 code-unit order — the two disagree for
+    *    supplementary characters (U+10000+, e.g. emoji) vs the
+    *    [U+E000, U+FFFF] range, and a comparator mismatched with the
+    *    engine's would let mayContain prune a file whose rows DO
+    *    satisfy the residual filter (silently wrong results);
+    *  - -0.0 is normalized to 0.0 before comparing, matching Spark's
+    *    primitive `==` where -0.0 == 0.0 (java.lang.Double.compare
+    *    alone orders -0.0 < 0.0, which would prune a file whose only
+    *    value is -0.0 for filter === 0.0).
     */
   private[sources] def statCmp(dt: DataType, a: Any, b: Any): Int =
     dt match {
       case LongType | IntegerType => java.lang.Long.compare(
         a.asInstanceOf[Number].longValue, b.asInstanceOf[Number].longValue)
-      case DoubleType => java.lang.Double.compare(
-        a.asInstanceOf[Number].doubleValue, b.asInstanceOf[Number].doubleValue)
+      case DoubleType =>
+        def norm(x: Any): Double = {
+          val d = x.asInstanceOf[Number].doubleValue
+          if (d == 0.0d) 0.0d else d
+        }
+        java.lang.Double.compare(norm(a), norm(b))
       case BooleanType => java.lang.Boolean.compare(
         a.asInstanceOf[Boolean], b.asInstanceOf[Boolean])
-      case StringType => a.toString.compareTo(b.toString)
+      case StringType =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(a.toString)
+          .compareTo(
+            org.apache.spark.unsafe.types.UTF8String.fromString(b.toString))
       case other => throw new UnsupportedOperationException(other.toString)
     }
 
@@ -812,14 +840,24 @@ private class ManifestMicroBatchStream(path: String, required: StructType,
     ManifestVersionOffset(math.min(ceiling, s + cap))
   }
 
+  /** Versions whose manifest was already vacuumed are SKIPPED, not
+    * crashed on: a FRESH stream over a table whose early versions were
+    * expired starts at offset 0 and walks 1..end — the expired prefix
+    * contributes nothing (its surviving files are re-listed by the
+    * oldest retained version, whose delta falls back to the full file
+    * list because ITS predecessor is missing too), so the skip loses
+    * no data, exactly the retention contract above.
+    */
   override def planInputPartitions(start: Offset, end: Offset)
       : Array[org.apache.spark.sql.connector.read.InputPartition] =
-    ((v(start) + 1) to v(end)).flatMap { ver =>
-      ManifestSink.deltaFiles(path, ver).map(f =>
-        ManifestInputPartition(
-          Paths.get(path, f.name).toString): org.apache.spark.sql
-            .connector.read.InputPartition)
-    }.toArray
+    ((v(start) + 1) to v(end))
+      .filter(ManifestSink.versionExists(path, _))
+      .flatMap { ver =>
+        ManifestSink.deltaFiles(path, ver).map(f =>
+          ManifestInputPartition(
+            Paths.get(path, f.name).toString): org.apache.spark.sql
+              .connector.read.InputPartition)
+      }.toArray
 
   override def createReaderFactory()
       : org.apache.spark.sql.connector.read.PartitionReaderFactory =

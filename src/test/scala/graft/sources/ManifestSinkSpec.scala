@@ -365,6 +365,101 @@ class ManifestSinkSpec extends SparkSpec {
     }
   }
 
+  test("string stats order in UTF-8 binary, matching Spark's comparisons") {
+    // Java String.compareTo orders UTF-16 code units, where the
+    // surrogate range (supplementary chars, e.g. emoji U+1F600) sorts
+    // BELOW [U+E000, U+FFFF]; Spark's UTF8String orders UTF-8 bytes,
+    // where it sorts ABOVE. A comparator mismatched with the engine
+    // would prune the emoji file for `name > ""` — silently
+    // dropping rows that DO satisfy the filter.
+    import org.apache.spark.sql.types.StringType
+    ManifestSink.statCmp(StringType, "😀", "") should be > 0
+    withTempDir { dir =>
+      writeRows(dir, Seq((1L, "😀")))
+      val df = spark.read.format("graft-manifest").option("path", dir).load()
+      df.filter(col("name") > "").count() shouldBe 1L
+      ManifestSink.lastPlannedFiles.get should be >= 1
+    }
+  }
+
+  test("double stats treat -0.0 as 0.0, matching Spark's primitive ==") {
+    import org.apache.spark.sql.types.DoubleType
+    ManifestSink.statCmp(DoubleType, -0.0d, 0.0d) shouldBe 0
+    withTempDir { dir =>
+      // a file whose ONLY value is -0.0 must not be pruned for === 0.0
+      Seq((1L, -0.0d)).toDF("id", "x").repartition(1)
+        .write.format("graft-manifest").option("path", dir)
+        .mode("append").save()
+      val df = spark.read.format("graft-manifest").option("path", dir).load()
+      df.filter(col("x") === 0.0d).count() shouldBe 1L
+    }
+  }
+
+  test("datasource options resolve case-insensitively (versionasof)") {
+    withTempDir { dir =>
+      writeRows(dir, Seq((1L, "a")))
+      writeRows(dir, Seq((2L, "b")))
+      // all-lowercase spelling must time-travel to v1, not silently
+      // fall through to latest — Spark options are case-insensitive
+      spark.read.format("graft-manifest").option("path", dir)
+        .option("versionasof", "1").load()
+        .as[(Long, String)].collect().toSet shouldBe Set((1L, "a"))
+    }
+  }
+
+  test("a fresh stream over a vacuumed-prefix table drains without loss") {
+    withTempDir { dir =>
+      withTempDir { cp =>
+        writeRows(dir, Seq((1L, "a")))
+        writeRows(dir, Seq((2L, "b")))
+        writeRows(dir, Seq((3L, "c")))
+        ManifestSink.expireVersions(dir, keepLast = 1)
+        ManifestSink.listVersions(dir) shouldBe Seq(3L)
+        // a BRAND-NEW stream starts at offset 0 and walks 1..3; the
+        // expired 1..2 must be skipped (not crash on their missing
+        // manifests), and v3 — whose predecessor is also gone — falls
+        // back to its full file list, so nothing is lost
+        val q = spark.readStream.format("graft-manifest")
+          .option("path", dir).load()
+          .writeStream.format("memory").queryName("mvac")
+          .option("checkpointLocation", cp)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(60000)
+        spark.table("mvac").as[(Long, String)].collect().toSet shouldBe
+          Set((1L, "a"), (2L, "b"), (3L, "c"))
+        spark.catalog.dropTempView("mvac")
+        ()
+      }
+    }
+  }
+
+  test("zone-map planning stays O(matching files) at 100-file scale") {
+    withTempDir { dir =>
+      // one job, 100 range-partitioned files over ids 0..999 — each
+      // file's zone map covers a narrow contiguous slice
+      (0L until 1000L).map(i => (i, s"n$i")).toDF("id", "name")
+        .repartitionByRange(100, col("id"))
+        .write.format("graft-manifest").option("path", dir)
+        .mode("append").save()
+      val manifest = ManifestSink.readManifest(spark, dir)
+        .as[(String, Long, Long)].collect()
+      manifest.length shouldBe 100
+      val df = spark.read.format("graft-manifest").option("path", dir).load()
+      // a point lookup plans exactly the files whose [min,max] cover
+      // the key (one, by range disjointness) plus any stat-less empty
+      // files (conservatively kept) — the negative control for the
+      // O(#files-planned) claim: 100 committed, ~1 scanned
+      val emptyFiles = manifest.count(_._2 == 0L)
+      df.filter(col("id") === 999L).count() shouldBe 1L
+      ManifestSink.lastPlannedFiles.get shouldBe (1 + emptyFiles)
+      ManifestSink.lastPlannedFiles.get should be <= 3
+      // and a no-match filter plans only the stat-less residue
+      df.filter(col("id") > 100000L).count() shouldBe 0L
+      ManifestSink.lastPlannedFiles.get shouldBe emptyFiles
+    }
+  }
+
   test("files without stats are never pruned (conservative skipping)") {
     withTempDir { dir =>
       writeRows(dir, Seq((1L, "a"), (2L, "b")))
