@@ -121,6 +121,36 @@ object GraphQueries {
           when(lowFirst, col("v")).otherwise(col("u")).as("t"))
     }
 
+  /** TIMED co-occurrence edges (u, v, h), u < v, keeping the 10-minute
+    * bucket index that [[cooccurrenceEdges]] drops — landed once per
+    * (JVM, events-fixture signature) like the untimed list. q176's
+    * label-correcting loop previously re-derived this relation (events
+    * scan + bucket window + pair join + distinct) on EVERY run; the
+    * temporal kernel's edge list is as much a landed silver table as
+    * the static one, and at 100 TB re-deriving it per traversal would
+    * be the pipeline bug.
+    */
+  private[queries] def timedEdges(s: SparkSession, dir: String): DataFrame =
+    Tables.landed(s,
+      s"gtedges:$dir@${Tables.fileSignature(dir, "events")}") {
+      val ev = Tables.load(s, dir, "events")
+      val b = ev.select(col("event_type"),
+          expr("(ts div 1000) div 600000000").as("h"), col("user_id"))
+        .distinct()
+      val nu = b.withColumn("nu",
+        count(lit(1)).over(Window.partitionBy(col("event_type"), col("h"))))
+        .filter(col("nu").between(2, MaxBucket))
+        .select(col("event_type"), col("h"), col("user_id"))
+      nu.as("x")
+        .join(nu.as("y"),
+          col("x.event_type") === col("y.event_type") &&
+            col("x.h") === col("y.h") &&
+            col("x.user_id") < col("y.user_id"))
+        .select(col("x.user_id").as("u"), col("y.user_id").as("v"),
+          col("x.h").as("h"))
+        .distinct()
+    }
+
   private def computeCooccurrenceEdges(s: SparkSession,
                                        dir: String): DataFrame = {
     val ev = Tables.load(s, dir, "events")
@@ -375,24 +405,13 @@ object GraphQueries {
   val q176TimeReach: Q = Q(
     "q176_time_reach",
     (s, dir) => {
-      // co-occurrence edges KEEPING the bucket time (cooccurrenceEdges
-      // drops it): same distinct/bucket-cap discipline, h in the output
-      val ev = Tables.load(s, dir, "events")
-      val b = ev.select(col("event_type"),
-          expr("(ts div 1000) div 600000000").as("h"), col("user_id"))
-        .distinct()
-      val nu = b.withColumn("nu",
-        count(lit(1)).over(Window.partitionBy(col("event_type"), col("h"))))
-        .filter(col("nu").between(2, MaxBucket))
-        .select(col("event_type"), col("h"), col("user_id"))
-      val te = Tables.eager(nu.as("x")
-        .join(nu.as("y"),
-          col("x.event_type") === col("y.event_type") &&
-            col("x.h") === col("y.h") &&
-            col("x.user_id") =!= col("y.user_id"))
-        .select(col("x.user_id").as("u"), col("y.user_id").as("v"),
-          col("x.h").as("h"))
-        .distinct())
+      // directed closure of the LANDED timed edge table (u < v, h):
+      // both orientations are traversable, and expanding the landed
+      // relation is a scan + union — the pair join + distinct run once
+      // per (JVM, fixture), not once per query execution
+      val und = timedEdges(s, dir)
+      val te = Tables.eager(und.unionByName(
+        und.select(col("v").as("u"), col("u").as("v"), col("h"))))
       var dist = te.agg(min(col("u")).as("node"))
         .withColumn("arrival", lit(-1L)).localCheckpoint(true)
       var frontier = dist
@@ -403,8 +422,16 @@ object GraphQueries {
         require(round <= MaxWaveRounds,
           s"time-reach exceeded $MaxWaveRounds rounds; label-correcting " +
             "loop did not converge")
-        val proposals = frontier.as("f")
-          .join(te.as("e"),
+        // the frontier (this round's improved nodes) starts at one
+        // node and stays a small fraction of the vertex set — BROADCAST
+        // it so the persisted edge table is scanned in place instead of
+        // being shuffled every round (a label-correcting loop's edge
+        // relation is loop-invariant; re-shuffling it per round was the
+        // dominant per-round cost). A deployment whose frontier
+        // outgrows the broadcast threshold would flip this hint off and
+        // let AQE pick the shuffled join — same plan shape as BFS.
+        val proposals = te.as("e")
+          .join(broadcast(frontier.as("f")),
             col("f.node") === col("e.u") && col("e.h") >= col("f.arrival"))
           .groupBy(col("e.v").as("node"))
           .agg(min(col("e.h")).as("cand"))
@@ -414,7 +441,10 @@ object GraphQueries {
           .localCheckpoint(true)
         if (improved.isEmpty) done = true
         else {
-          dist = dist.join(improved.select(col("node").as("n2")),
+          // the retraction set is the same small frontier — broadcast
+          // the anti-join too, so dist is rewritten without a shuffle
+          dist = dist.join(
+              broadcast(improved.select(col("node").as("n2"))),
               col("node") === col("n2"), "left_anti")
             .unionByName(improved).localCheckpoint(true)
           frontier = improved
