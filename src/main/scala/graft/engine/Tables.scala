@@ -73,6 +73,22 @@ object Tables {
     p
   }
 
+  /** Widen an UNDER-PARTITIONED input to the cluster's parallelism
+    * before compute-heavy per-row work (decimal moment sums, hashing).
+    * The fixture tables are single-row-group parquet files, so their
+    * scans yield one non-empty partition and per-row-expensive
+    * aggregation runs on one thread (q114's 15 decimal sums: 5.4 s on
+    * 1 thread, 1.6 s repartitioned). The repartition is CONDITIONAL on
+    * the scan being narrower than the cluster: a 100 TB scan is
+    * already wider than any executor pool, so this adds NO shuffle at
+    * scale — it only repairs small-file parallelism, the same job
+    * AQE's coalesce does in the opposite direction.
+    */
+  def widen(s: SparkSession, df: DataFrame): DataFrame = {
+    val target = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   private lazy val landedRoot: java.nio.file.Path =
     java.nio.file.Files.createTempDirectory("graft_landed_")
   private val landedPaths =

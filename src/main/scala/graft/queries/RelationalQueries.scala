@@ -885,10 +885,14 @@ object RelationalQueries {
     "q114_corr_matrix",
     (s, dir) => {
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-      val li = Tables.load(s, dir, "lineitem")
+      // widen: 15 decimal sums per row are compute-bound, and the
+      // single-row-group fixture scan would run them on ONE thread
+      // (order-independent exact sums, so the shuffle cannot change
+      // the result; no-op at scale — see Tables.widen)
+      val li = Tables.widen(s, Tables.load(s, dir, "lineitem")
         .select(col("l_quantity"),
           (col("l_extendedprice") * lit(0.001)).as("l_extendedprice"),
-          col("l_discount"), col("l_tax"))
+          col("l_discount"), col("l_tax")))
       def dsum(e: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
         round(sum(e.cast("decimal(30,10)")), 2).cast("double")
       // materialize the 1-row moment table: the six union branches below
