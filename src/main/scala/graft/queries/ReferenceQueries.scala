@@ -113,6 +113,60 @@ object ReferenceQueries {
                   FROM orders)
             WHERE rn = 1 ORDER BY o_custkey"""))
 
+  /** S1 promoted to DRIVER-VERIFIED (the q283 promotion, applied to the
+    * paged-API source): a `paged-api` DSv2 scan (4 pages x 50, short
+    * last page -> 175 rows, one InputPartition per page, executor-side
+    * fetch) is aggregated per brewery_type — row count, parse-ok
+    * longitude count (the bronze `try_cast` rule over the planted
+    * `not-a-number` rows), distinct states, and an exact decimal-summed
+    * latitude. The page payload is the source's deterministic synthetic
+    * contract (`PagedSource.fetchPage` — pure arithmetic on the row
+    * ordinal), so the oracle REBUILDS the identical rows in DuckDB from
+    * `range(0, 175)` and must agree on every aggregate: a lost,
+    * duplicated, or torn page, a wrong short-last-page stop, or a
+    * mis-pruned column all break the hash. The one §2 source mechanism
+    * that was spec-only is now on the driver's correctness gate.
+    *
+    * ## 100 TB notes
+    * The scan is the production shape for API backfill: page-per-
+    * partition, executor-side retry, no driver accumulation (the
+    * reference's driver loop is the anti-pattern, SURVEY §2.1); the
+    * aggregate is one map-side-combined shuffle over 5 keys.
+    */
+  val q292PagedIngest: Q = Q(
+    "q292_paged_ingest",
+    (s, _) => {
+      val bronze = s.read.format("paged-api")
+        .option("pages", 4).option("per_page", 50).load()
+      bronze
+        .select(col("brewery_type"), col("state_province"),
+          Silver.castDoubleLenient(col("longitude")).as("lon"),
+          col("latitude").cast("double").as("lat"))
+        .groupBy(col("brewery_type"))
+        .agg(count(lit(1)).as("n"),
+          count(col("lon")).as("n_lon_ok"),
+          count_distinct(col("state_province")).as("n_states"),
+          round(sum(col("lat").cast("decimal(30,10)")), 6)
+            .cast("double").as("sum_lat"))
+        .orderBy("brewery_type")
+    },
+    Some("""WITH ks AS (SELECT unnest(range(0, 175)) AS k),
+            rws AS (SELECT
+                (['micro','brewpub','regional','nano','planning'])[(k % 5) + 1]
+                  AS brewery_type,
+                'S' || CAST(k % 10 AS VARCHAR) AS state_province,
+                CASE WHEN k % 13 = 0 THEN NULL ELSE 1 END AS lon_ok,
+                CAST(CAST(30 + (k % 20) AS VARCHAR) || '.' ||
+                     CAST(k % 100 AS VARCHAR) AS DOUBLE) AS lat
+              FROM ks)
+            SELECT brewery_type, count(*) AS n,
+              count(lon_ok) AS n_lon_ok,
+              count(DISTINCT state_province) AS n_states,
+              CAST(round(sum(CAST(lat AS DECIMAL(30,10))), 6) AS DOUBLE)
+                AS sum_lat
+            FROM rws GROUP BY 1 ORDER BY brewery_type"""))
+
   val all: Seq[Q] =
-    Seq(q01GoldCount, q02Silver, q03DqReport, q04DqMinCount, q05LatestSnapshot)
+    Seq(q01GoldCount, q02Silver, q03DqReport, q04DqMinCount,
+      q05LatestSnapshot, q292PagedIngest)
 }
