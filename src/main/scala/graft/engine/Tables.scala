@@ -83,6 +83,15 @@ object Tables {
     * already wider than any executor pool, so this adds NO shuffle at
     * scale — it only repairs small-file parallelism, the same job
     * AQE's coalesce does in the opposite direction.
+    *
+    * `df.rdd.getNumPartitions` here is DRIVER-SIDE PLAN INTROSPECTION
+    * only: it plans the scan (file listing Spark does anyway) and reads
+    * the partition count off the planned RDD — no job runs, no row is
+    * ever computed through the RDD path, and the returned DataFrame is
+    * built from `df` itself, not from the introspected RDD. It is the
+    * narrowest public API that answers "how many splits will this scan
+    * produce" (`inputFiles` would ship every file PATH to the driver —
+    * millions of strings at 100 TB — and still miss row-group splits).
     */
   def widen(s: SparkSession, df: DataFrame): DataFrame = {
     val target = s.sparkContext.defaultParallelism

@@ -65,7 +65,10 @@ object DedupQueries {
     Tables.landed(s,
       s"shingles:$dir@${Tables.fileSignature(dir, "documents")}",
       shingleComputeCount) {
-      Tables.load(s, dir, "documents")
+      // widen: tokenize+shingle is per-row compute-bound, and the
+      // single-row-group fixture scan would run it on one thread
+      // (no-op at scale — see Tables.widen)
+      Tables.widen(s, Tables.load(s, dir, "documents"))
         .select(col("doc_id"), col("source"),
           array_distinct(Text.shingles(Text.tokens(col("text")), K))
             .as("sh"))
@@ -848,7 +851,8 @@ object DedupQueries {
     Tables.landed(s,
       s"shingles$PrefixK:$dir@${Tables.fileSignature(dir, "documents")}",
       prefixShingleComputeCount) {
-      Tables.load(s, dir, "documents")
+      // widen: same single-thread-scan repair as docShingleTable
+      Tables.widen(s, Tables.load(s, dir, "documents"))
         .select(col("doc_id"),
           array_distinct(
             Text.shingles(Text.tokens(col("text")), PrefixK)).as("sh"))

@@ -230,7 +230,11 @@ object TextQueries {
   val q39WinnowFp: Q = Q(
     "q39_winnow_fp",
     (s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
+      // widen: the per-gram hashing of the whole corpus happens BEFORE
+      // the doc_id window shuffle, and the single-row-group fixture
+      // scan would run it on one thread (q114's pattern; no-op at
+      // scale, result unchanged — the window re-shuffles on doc_id)
+      val docs = Tables.widen(s, Tables.load(s, dir, "documents"))
       Text.winnowFingerprints(docs, "doc_id", "text", k = 4, w = 4)
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_windows"),
@@ -574,7 +578,9 @@ object TextQueries {
     */
   private[queries] def repetitionPerDoc(s: SparkSession, dir: String,
       dropNullText: Boolean): DataFrame = {
-    val docs = Tables.load(s, dir, "documents")
+    // widen: the tokenize + bigram-mode pass is per-row compute-bound
+    // on a single-row-group fixture scan (no-op at scale)
+    val docs = Tables.widen(s, Tables.load(s, dir, "documents"))
     val base = if (dropNullText) docs.filter(col("text").isNotNull) else docs
     val toks = Text.tokens(col("text"))
     base
