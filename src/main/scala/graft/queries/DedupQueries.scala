@@ -1396,20 +1396,12 @@ object DedupQueries {
       val deg = e.select(col("u").as("node"))
         .unionAll(e.select(col("v").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("d"))
-      val da = deg.select(col("node").as("u"), col("d").as("du"))
-      val db = deg.select(col("node").as("v"), col("d").as("dv"))
-      val lowFirst = col("du") < col("dv") ||
-        (col("du") === col("dv") && col("u") < col("v"))
-      val oe = e.join(da, "u").join(db, "v")
-        .select(when(lowFirst, col("u")).otherwise(col("v")).as("s"),
-          when(lowFirst, col("v")).otherwise(col("u")).as("t"))
-      val e1 = oe.select(col("s").as("a"), col("t").as("b"))
-      val e2 = oe.select(col("s").as("b2"), col("t").as("c"))
-      val closing = e.select(col("u").as("x"), col("v").as("y"))
-      val tri = e1.join(e2, col("b") === col("b2"))
-        .join(closing,
-          least(col("a"), col("c")) === col("x") &&
-            greatest(col("a"), col("c")) === col("y"))
+      // the one shared copy of the degree-oriented triangle kernel
+      // (orientation tiebreak + wedge/closing joins) — same code path
+      // as the co-occurrence graph's triangleTable, applied to the
+      // verified-duplicate pair graph
+      val tri = GraphQueries
+        .wedgeTriangles(GraphQueries.orientEdges(e, deg), e)
         .agg(count(lit(1)).as("n_tri"))
       val nPairs = e.agg(count(lit(1)).as("n_pairs"))
       val nWedges = deg.agg(

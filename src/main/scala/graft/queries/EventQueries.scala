@@ -2064,7 +2064,11 @@ object EventQueries {
     * so a reader sees batch N or N+1 — never a torn merge, and never
     * the no-snapshot window a delete-then-move would open (only the
     * instant between the two renames remains; a real deployment swaps
-    * a symlink or a metastore pointer for true atomicity).
+    * a symlink or a metastore pointer for true atomicity). The
+    * snapshot embeds the last-applied batchId, so a batch REPLAYED
+    * after a crash past the publish (but before the checkpoint commit)
+    * is recognized and skipped — the additive merge is guarded into
+    * exactly-once, not just at-least-once.
     */
   val q284StreamIncrementalGold: Q = Q(
     "q284_stream_incremental_gold",
@@ -2089,34 +2093,53 @@ object EventQueries {
           floor(col("value") * 100).cast("long").as("cents"))
       val query = src.writeStream
         .option("checkpointLocation", root.resolve("ckpt").toString)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
           // crash recovery BEFORE touching prev: a failure between the
           // two publish renames below leaves goldDir absent with prev
           // holding the only full snapshot — restoring it here (instead
           // of letting rm(prev) delete it) is what makes the two-rename
-          // publish actually crash-safe rather than merely gap-free
+          // publish crash-safe rather than merely gap-free
           val prev = root.resolve("gold_prev")
           if (!Files.exists(goldDir) && Files.exists(prev))
             Files.move(prev, goldDir)
-          val delta = batch.groupBy(col("user_id"))
-            .agg(count(lit(1)).as("n_events"),
-              sum(col("cents")).as("total_cents"))
-          val merged =
-            if (Files.exists(goldDir))
-              graft.engine.Incremental.mergeAdditive(
-                s.read.parquet(goldDir.toString), delta,
-                Seq("user_id"), Seq("n_events", "total_cents"))
-            else delta
-          val tmp = root.resolve("gold_tmp")
-          merged.write.mode("overwrite").parquet(tmp.toString)
-          // publish without a visibility gap: rename the old snapshot
-          // ASIDE (a directory rename, not a recursive delete), move
-          // tmp into place, THEN delete the old one — a concurrent
-          // reader sees batch N or N+1, never a missing gold dir
-          rm(prev)
-          if (Files.exists(goldDir)) Files.move(goldDir, prev)
-          Files.move(tmp, goldDir)
-          rm(prev)
+          // replay idempotence: the snapshot carries the id of the last
+          // batch folded into it (`_`-prefixed, so parquet readers skip
+          // it; it rides INSIDE the directory swap, so marker and data
+          // publish atomically together). A crash AFTER the publish but
+          // BEFORE the engine commits the checkpoint replays this
+          // batchId — without the guard, mergeAdditive would fold the
+          // same delta in twice (counts and cents are additive, not
+          // idempotent)
+          val marker = goldDir.resolve("_applied_batch")
+          val applied =
+            if (Files.exists(marker))
+              new String(Files.readAllBytes(marker),
+                java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+            else -1L
+          if (batchId > applied) {
+            val delta = batch.groupBy(col("user_id"))
+              .agg(count(lit(1)).as("n_events"),
+                sum(col("cents")).as("total_cents"))
+            val merged =
+              if (Files.exists(goldDir))
+                graft.engine.Incremental.mergeAdditive(
+                  s.read.parquet(goldDir.toString), delta,
+                  Seq("user_id"), Seq("n_events", "total_cents"))
+              else delta
+            val tmp = root.resolve("gold_tmp")
+            merged.write.mode("overwrite").parquet(tmp.toString)
+            Files.write(tmp.resolve("_applied_batch"),
+              batchId.toString.getBytes(
+                java.nio.charset.StandardCharsets.UTF_8))
+            // publish without a visibility gap: rename the old snapshot
+            // ASIDE (a directory rename, not a recursive delete), move
+            // tmp into place, THEN delete the old one — a concurrent
+            // reader sees batch N or N+1, never a missing gold dir
+            rm(prev)
+            if (Files.exists(goldDir)) Files.move(goldDir, prev)
+            Files.move(tmp, goldDir)
+            rm(prev)
+          }
           ()
         }
         .trigger(Trigger.AvailableNow()).start()
@@ -2152,22 +2175,39 @@ object EventQueries {
     * aggregate is partitioning-invariant (count + exact BIGINT cents),
     * so the result is identical at any parallelism.
     */
+  /** q283's two-version manifest table, keyed by fixture signature so
+    * a rewritten fixture rebuilds — the same once-per-JVM discipline
+    * as [[graft.engine.Tables.landed]].
+    */
+  private val q283Tables =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   val q283ManifestTimeTravel: Q = Q(
     "q283_manifest_timetravel",
     (s, dir) => {
       import java.nio.file.Files
-      val root = Files.createTempDirectory("graft_q283")
-        .resolve("tbl").toString
-      val part = Tables.load(s, dir, "part")
-        .withColumn("price_cents",
-          floor(col("p_retailprice") * 100).cast("long"))
-        .select("p_partkey", "p_brand", "p_size", "price_cents")
-      part.repartitionByRange(8, col("p_size"))
-        .write.format("graft-manifest").option("path", root)
-        .mode("append").save()
-      part.filter(col("p_size") <= lit(3))
-        .write.format("graft-manifest").option("path", root)
-        .mode("overwrite").save()
+      // the two-version table is BUILT once per (JVM, fixture): building
+      // it inside DataFrame construction would re-run both write jobs
+      // (and leak a temp dir) on every plan-only consumer — PlanAudit,
+      // the warm bench pass, repeated Verify calls. Memoized, the writes
+      // run once and every later call exercises exactly the READ path
+      // (time travel + zone-map skipping) this query certifies.
+      val root = q283Tables.getOrElseUpdate(
+        s"$dir@${Tables.fileSignature(dir, "part")}", {
+          val r = Files.createTempDirectory("graft_q283")
+            .resolve("tbl").toString
+          val part = Tables.load(s, dir, "part")
+            .withColumn("price_cents",
+              floor(col("p_retailprice") * 100).cast("long"))
+            .select("p_partkey", "p_brand", "p_size", "price_cents")
+          part.repartitionByRange(8, col("p_size"))
+            .write.format("graft-manifest").option("path", r)
+            .mode("append").save()
+          part.filter(col("p_size") <= lit(3))
+            .write.format("graft-manifest").option("path", r)
+            .mode("overwrite").save()
+          r
+        })
       s.read.format("graft-manifest")
         .option("path", root).option("versionAsOf", "1").load()
         .filter(col("p_size") >= lit(40))

@@ -98,27 +98,52 @@ object GraphQueries {
         .groupBy(col("node")).agg(count(lit(1)).as("d"))
     }
 
-  /** Degree-oriented edge list (s, t): each undirected edge points
-    * low-degree -> high-degree, ties by vertex id — a total order, so
-    * each triangle has exactly one wedge s->t1, t1->t2 and every
-    * vertex's out-degree is O(sqrt(m)). The shared first stage of the
+  /** Degree-orient an ARBITRARY undirected edge list `e` (u, v) given
+    * its degrees `deg` (node, d): each edge points low-degree ->
+    * high-degree, ties by vertex id — a total order, so each triangle
+    * has exactly one wedge s->t1, t1->t2 and every vertex's out-degree
+    * is O(sqrt(m)). The one copy of the orientation tiebreak, shared
+    * by the co-occurrence graph ([[orientedEdges]]) and any derived
+    * graph (q234's verified-duplicate pairs).
+    */
+  private[queries] def orientEdges(e: DataFrame,
+                                   deg: DataFrame): DataFrame = {
+    val da = deg.select(col("node").as("u"), col("d").as("du"))
+    val db = deg.select(col("node").as("v"), col("d").as("dv"))
+    val lowFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    e.join(da, "u").join(db, "v")
+      .select(when(lowFirst, col("u")).otherwise(col("v")).as("s"),
+        when(lowFirst, col("v")).otherwise(col("u")).as("t"))
+  }
+
+  /** The wedge self-join + closing join over oriented edges `oe`
+    * (s, t), closing against the undirected list `e` (u, v), u < v —
+    * the second half of the O(m^1.5) kernel, one copy for every
+    * triangle consumer. Returns one row (a, b, c) per triangle.
+    */
+  private[queries] def wedgeTriangles(oe: DataFrame,
+                                      e: DataFrame): DataFrame = {
+    val e1 = oe.select(col("s").as("a"), col("t").as("b"))
+    val e2 = oe.select(col("s").as("b2"), col("t").as("c"))
+    val closing = e.select(col("u").as("x"), col("v").as("y"))
+    e1.join(e2, col("b") === col("b2"))
+      .join(closing,
+        least(col("a"), col("c")) === col("x") &&
+          greatest(col("a"), col("c")) === col("y"))
+      .select(col("a"), col("b"), col("c"))
+  }
+
+  /** [[orientEdges]] applied to the co-occurrence graph, landed once
+    * per (JVM, events signature) — the shared first stage of the
     * wedge-join kernels (q110 triangles, q184 truss, q206 local
-    * clustering), landed once per (JVM, events signature) instead of
-    * re-deriving degrees + orientation per query.
+    * clustering).
     */
   private[queries] def orientedEdges(s: SparkSession,
                                      dir: String): DataFrame =
     Tables.landed(s,
       s"goedges:$dir@${Tables.fileSignature(dir, "events")}") {
-      val e = cooccurrenceEdges(s, dir)
-      val deg = graphDegrees(s, dir)
-      val da = deg.select(col("node").as("u"), col("d").as("du"))
-      val db = deg.select(col("node").as("v"), col("d").as("dv"))
-      val lowFirst = col("du") < col("dv") ||
-        (col("du") === col("dv") && col("u") < col("v"))
-      e.join(da, "u").join(db, "v")
-        .select(when(lowFirst, col("u")).otherwise(col("v")).as("s"),
-          when(lowFirst, col("v")).otherwise(col("u")).as("t"))
+      orientEdges(cooccurrenceEdges(s, dir), graphDegrees(s, dir))
     }
 
   /** The degree-oriented triangle enumeration (a, b, c) — the closing
@@ -135,16 +160,7 @@ object GraphQueries {
   private[queries] def triangleTable(s: SparkSession, dir: String): DataFrame =
     Tables.landed(s,
       s"gtri:$dir@${Tables.fileSignature(dir, "events")}") {
-      val e = cooccurrenceEdges(s, dir)
-      val oe = orientedEdges(s, dir)
-      val e1 = oe.select(col("s").as("a"), col("t").as("b"))
-      val e2 = oe.select(col("s").as("b2"), col("t").as("c"))
-      val closing = e.select(col("u").as("x"), col("v").as("y"))
-      e1.join(e2, col("b") === col("b2"))
-        .join(closing,
-          least(col("a"), col("c")) === col("x") &&
-            greatest(col("a"), col("c")) === col("y"))
-        .select(col("a"), col("b"), col("c"))
+      wedgeTriangles(orientedEdges(s, dir), cooccurrenceEdges(s, dir))
     }
 
   /** TIMED co-occurrence edges (u, v, h), u < v, keeping the 10-minute

@@ -141,6 +141,13 @@ object ManifestSink {
 
   def latestVersion(dir: String): Option[Long] = listVersions(dir).lastOption
 
+  /** The oldest snapshot version whose manifest survived vacuum —
+    * where a FRESH streaming tail must begin (its first batch is then
+    * this version's full snapshot, the initial-state batch).
+    */
+  def oldestRetainedVersion(dir: String): Option[Long] =
+    listVersions(dir).headOption
+
   private def manifestBody(dir: String, version: Long): String =
     new String(Files.readAllBytes(logDir(dir).resolve(vFileName(version))),
       StandardCharsets.UTF_8)
@@ -191,16 +198,33 @@ object ManifestSink {
     Files.exists(logDir(dir).resolve(vFileName(v)))
 
   /** The files version `v` ADDED over `v-1` — the change-data-feed
-    * delta the streaming tail emits per micro-batch. Falls back to the
-    * full file list when the predecessor manifest was already vacuumed
-    * (re-emission, never loss; see the retention contract on
-    * ManifestMicroBatchStream).
+    * delta the streaming tail emits per micro-batch.
+    *
+    * When the predecessor manifest was already vacuumed the delta is
+    * undefined; the caller chooses the posture via
+    * `allowSnapshotFallback`:
+    *  - `true` (the stream's FIRST batch after its start offset): fall
+    *    back to `v`'s FULL file list — the initial-snapshot batch of a
+    *    fresh tail, or re-emission (never loss) when vacuum overran a
+    *    checkpoint right at the boundary.
+    *  - `false` (any later batch): throw loudly — a mid-stream hole in
+    *    the retained log means the change feed CANNOT be reconstructed,
+    *    and silently skipping or re-emitting would diverge from what a
+    *    live stream delivered.
     */
-  private[sources] def deltaFiles(dir: String, v: Long): Seq[FileCommit] = {
+  private[sources] def deltaFiles(dir: String, v: Long,
+      allowSnapshotFallback: Boolean = true): Seq[FileCommit] = {
     val cur = filesOf(dir, v)
     if (v <= 1) cur
-    else if (!Files.exists(logDir(dir).resolve(vFileName(v - 1)))) cur
-    else {
+    else if (!Files.exists(logDir(dir).resolve(vFileName(v - 1)))) {
+      if (allowSnapshotFallback) cur
+      else throw new IllegalStateException(
+        s"graft-manifest change feed in $dir needs version ${v - 1}'s " +
+        s"manifest to compute version $v's delta, but it was vacuumed; " +
+        "lengthen vacuum retention to cover reader lag, or restart the " +
+        "stream fresh (a fresh tail begins at the oldest retained " +
+        "snapshot)")
+    } else {
       val prev = filesOf(dir, v - 1).map(_.name).toSet
       cur.filterNot(f => prev.contains(f.name))
     }
@@ -806,10 +830,16 @@ private class ManifestScanBuilder(full: StructType, path: String,
   * control, the log-level analog of the file source's
   * maxFilesPerTrigger.
   *
-  * Retention contract: a delta needs version v AND v-1's manifests; if
-  * vacuum already expired v-1, the batch falls back to v's FULL file
-  * list (re-emission rather than data loss — run vacuum with retention
-  * covering reader lag, the same rule real table formats impose).
+  * Retention contract: a delta needs version v AND v-1's manifests.
+  * A FRESH stream starts at the oldest retained version (its first
+  * batch is that snapshot's full file list — the initial-state batch).
+  * A RESUMED stream whose checkpointed range was since vacuumed fails
+  * LOUDLY instead of silently skipping (loss) or re-emitting
+  * (duplication) — run vacuum with retention covering reader lag, the
+  * same rule real table formats impose. The one sanctioned fallback:
+  * the first batch after the start offset may re-emit a full snapshot
+  * when its predecessor is gone (fresh start, or vacuum overrunning a
+  * checkpoint at exactly the boundary — re-emission, never loss).
   */
 private class ManifestMicroBatchStream(path: String, required: StructType,
     maxVersionsPerTrigger: Int)
@@ -820,7 +850,14 @@ private class ManifestMicroBatchStream(path: String, required: StructType,
   private def v(o: Offset): Long = o.asInstanceOf[ManifestVersionOffset].v
   private var availableNowEnd: Option[Long] = None
 
-  override def initialOffset(): Offset = ManifestVersionOffset(0L)
+  /** A fresh tail starts just below the OLDEST RETAINED version, not
+    * at 0: its first batch is then that version's full snapshot (the
+    * initial-state batch), and the stream never plans versions whose
+    * manifests vacuum already expired. An un-vacuumed table keeps the
+    * original semantics (oldest retained = 1, start offset 0).
+    */
+  override def initialOffset(): Offset = ManifestVersionOffset(
+    ManifestSink.oldestRetainedVersion(path).getOrElse(1L) - 1L)
   override def deserializeOffset(json: String): Offset =
     ManifestVersionOffset(json.trim.toLong)
 
@@ -840,24 +877,39 @@ private class ManifestMicroBatchStream(path: String, required: StructType,
     ManifestVersionOffset(math.min(ceiling, s + cap))
   }
 
-  /** Versions whose manifest was already vacuumed are SKIPPED, not
-    * crashed on: a FRESH stream over a table whose early versions were
-    * expired starts at offset 0 and walks 1..end — the expired prefix
-    * contributes nothing (its surviving files are re-listed by the
-    * oldest retained version, whose delta falls back to the full file
-    * list because ITS predecessor is missing too), so the skip loses
-    * no data, exactly the retention contract above.
+  /** Every version in (start, end] must still have its manifest: a
+    * vacuumed version inside the range means the change feed can no
+    * longer be reconstructed, and that FAILS LOUDLY (skipping it would
+    * silently lose the rows a live stream delivered). Only the FIRST
+    * batch after `start` may fall back to a full snapshot when its
+    * predecessor is gone — that is the initial-state batch of a fresh
+    * tail (initialOffset starts at the oldest retained version), or
+    * documented re-emission-never-loss when vacuum overran a
+    * checkpoint at exactly the boundary. The missing-manifest check is
+    * the READ itself (not a pre-check), so a vacuum racing this
+    * planning still surfaces as the same descriptive error.
     */
   override def planInputPartitions(start: Offset, end: Offset)
-      : Array[org.apache.spark.sql.connector.read.InputPartition] =
-    ((v(start) + 1) to v(end))
-      .filter(ManifestSink.versionExists(path, _))
-      .flatMap { ver =>
-        ManifestSink.deltaFiles(path, ver).map(f =>
-          ManifestInputPartition(
-            Paths.get(path, f.name).toString): org.apache.spark.sql
-              .connector.read.InputPartition)
-      }.toArray
+      : Array[org.apache.spark.sql.connector.read.InputPartition] = {
+    val s = v(start)
+    ((s + 1) to v(end)).flatMap { ver =>
+      val delta =
+        try ManifestSink.deltaFiles(path, ver,
+          allowSnapshotFallback = ver == s + 1)
+        catch {
+          case e: java.nio.file.NoSuchFileException =>
+            throw new IllegalStateException(
+              s"graft-manifest change feed in $path: version $ver was " +
+              "vacuumed after this stream checkpointed below it; " +
+              "lengthen vacuum retention to cover reader lag, or " +
+              "restart the stream fresh", e)
+        }
+      delta.map(f =>
+        ManifestInputPartition(
+          Paths.get(path, f.name).toString): org.apache.spark.sql
+            .connector.read.InputPartition)
+    }.toArray
+  }
 
   override def createReaderFactory()
       : org.apache.spark.sql.connector.read.PartitionReaderFactory =

@@ -27,6 +27,9 @@ class WidenSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     withTempDir { dir =>
       import spark.implicits._
       val target = spark.sparkContext.defaultParallelism
+      // on a 1-core session (SPARK_GRAFT_CPUS=1) a one-split scan IS
+      // cluster-wide and widen correctly no-ops — nothing to repair
+      assume(target > 1, "needs a multi-core session to show the repair")
       // one tiny file -> one scan split, well under any real parallelism
       (1 to 100).toDF("id").coalesce(1).write.parquet(s"$dir/t")
       val scan = spark.read.parquet(s"$dir/t")

@@ -415,10 +415,10 @@ class ManifestSinkSpec extends SparkSpec {
         writeRows(dir, Seq((3L, "c")))
         ManifestSink.expireVersions(dir, keepLast = 1)
         ManifestSink.listVersions(dir) shouldBe Seq(3L)
-        // a BRAND-NEW stream starts at offset 0 and walks 1..3; the
-        // expired 1..2 must be skipped (not crash on their missing
-        // manifests), and v3 — whose predecessor is also gone — falls
-        // back to its full file list, so nothing is lost
+        // a BRAND-NEW stream clamps its start to the oldest retained
+        // version (initialOffset = 2), so its FIRST batch is v3's full
+        // snapshot — the expired prefix is never planned, and nothing
+        // is lost
         val q = spark.readStream.format("graft-manifest")
           .option("path", dir).load()
           .writeStream.format("memory").queryName("mvac")
@@ -430,6 +430,40 @@ class ManifestSinkSpec extends SparkSpec {
           Set((1L, "a"), (2L, "b"), (3L, "c"))
         spark.catalog.dropTempView("mvac")
         ()
+      }
+    }
+  }
+
+  test("a RESUMED stream whose range was vacuumed fails loudly, not " +
+      "silently") {
+    withTempDir { dir =>
+      withTempDir { cp =>
+        def drain(): Unit = {
+          val q = spark.readStream.format("graft-manifest")
+            .option("path", dir).load()
+            .writeStream.format("noop")
+            .option("checkpointLocation", cp)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination(60000)
+          ()
+        }
+        writeRows(dir, Seq((1L, "a")))
+        drain() // checkpoint now at version 1
+        writeRows(dir, Seq((2L, "b")))
+        writeRows(dir, Seq((3L, "c")))
+        ManifestSink.expireVersions(dir, keepLast = 1) // drops v1, v2
+        ManifestSink.listVersions(dir) shouldBe Seq(3L)
+        // the resumed stream needs v2's delta (its checkpoint is below
+        // it) but v2's manifest is gone: a live stream would have
+        // delivered v2's rows, so skipping would be silent loss and
+        // re-emitting v3's snapshot silent duplication — the ONLY
+        // honest outcome is a descriptive failure
+        val ex = intercept[org.apache.spark.sql.streaming
+            .StreamingQueryException] { drain() }
+        val msgs = Iterator.iterate(ex: Throwable)(_.getCause)
+          .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+        msgs should include("vacuum")
       }
     }
   }
