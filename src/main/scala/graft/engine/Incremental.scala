@@ -51,4 +51,67 @@ object Incremental {
     g.join(d, cond, "full_outer")
       .select(keyCols ++ sumCols ++ maxCols: _*)
   }
+
+  /** Fold one micro-batch's pre-aggregated `delta` into the standing
+    * parquet snapshot under `root/gold`, EXACTLY ONCE, surviving a
+    * crash at any point (the q284 publish discipline, extracted so the
+    * replay and crash-window paths are unit-testable):
+    *
+    *  - *recovery*: a crash between the two publish renames leaves
+    *    `gold` absent with `gold_prev` holding the only full snapshot;
+    *    it is restored before anything else (and before any rm).
+    *  - *replay idempotence*: the snapshot embeds the id of the last
+    *    batch folded into it (`_applied_batch`, `_`-prefixed so parquet
+    *    readers skip it; it rides INSIDE the directory swap, so marker
+    *    and data publish atomically together). A batch replayed after a
+    *    crash past the publish but before the engine committed its
+    *    checkpoint is recognized and SKIPPED — the additive merge is
+    *    not idempotent on its own.
+    *  - *gap-free publish*: rename the old snapshot aside, move tmp in,
+    *    then delete — a reader sees batch N or N+1, never a missing or
+    *    torn snapshot.
+    *
+    * Returns true when the batch was applied, false when it was a
+    * recognized replay.
+    */
+  def publishAdditiveBatch(spark: org.apache.spark.sql.SparkSession,
+      root: java.nio.file.Path, delta: DataFrame, batchId: Long,
+      keys: Seq[String], sums: Seq[String]): Boolean = {
+    import java.nio.file.{Files, Path}
+    val goldDir = root.resolve("gold")
+    val prev = root.resolve("gold_prev")
+    def rm(p: Path): Unit = if (Files.exists(p)) {
+      if (Files.isDirectory(p)) {
+        val l = Files.list(p)
+        try l.forEach(rm(_)) finally l.close()
+      }
+      Files.deleteIfExists(p); ()
+    }
+    if (!Files.exists(goldDir) && Files.exists(prev))
+      Files.move(prev, goldDir)
+    val marker = goldDir.resolve("_applied_batch")
+    val applied =
+      if (Files.exists(marker))
+        new String(Files.readAllBytes(marker),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      else -1L
+    if (batchId <= applied) false
+    else {
+      val merged =
+        if (Files.exists(goldDir))
+          mergeAdditive(spark.read.parquet(goldDir.toString), delta,
+            keys, sums)
+        else delta
+      val tmp = root.resolve("gold_tmp")
+      merged.write.mode("overwrite").parquet(tmp.toString)
+      Files.write(tmp.resolve("_applied_batch"),
+        batchId.toString.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+      rm(prev)
+      if (Files.exists(goldDir)) Files.move(goldDir, prev)
+      Files.move(tmp, goldDir)
+      rm(prev)
+      true
+    }
+  }
 }

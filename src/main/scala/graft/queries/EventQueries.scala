@@ -2074,17 +2074,10 @@ object EventQueries {
     "q284_stream_incremental_gold",
     (s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
-      import java.nio.file.{Files, Path}
+      import java.nio.file.Files
       val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
       val root = Files.createTempDirectory("graft_q284")
       val goldDir = root.resolve("gold")
-      def rm(p: Path): Unit = if (Files.exists(p)) {
-        if (Files.isDirectory(p)) {
-          val l = Files.list(p)
-          try l.forEach(rm(_)) finally l.close()
-        }
-        Files.deleteIfExists(p); ()
-      }
       val src = s.readStream.schema(batchSchema)
         .option("maxFilesPerTrigger", 1)
         .parquet(eventsOooStreamDir(s, dir))
@@ -2094,52 +2087,15 @@ object EventQueries {
       val query = src.writeStream
         .option("checkpointLocation", root.resolve("ckpt").toString)
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          // crash recovery BEFORE touching prev: a failure between the
-          // two publish renames below leaves goldDir absent with prev
-          // holding the only full snapshot — restoring it here (instead
-          // of letting rm(prev) delete it) is what makes the two-rename
-          // publish crash-safe rather than merely gap-free
-          val prev = root.resolve("gold_prev")
-          if (!Files.exists(goldDir) && Files.exists(prev))
-            Files.move(prev, goldDir)
-          // replay idempotence: the snapshot carries the id of the last
-          // batch folded into it (`_`-prefixed, so parquet readers skip
-          // it; it rides INSIDE the directory swap, so marker and data
-          // publish atomically together). A crash AFTER the publish but
-          // BEFORE the engine commits the checkpoint replays this
-          // batchId — without the guard, mergeAdditive would fold the
-          // same delta in twice (counts and cents are additive, not
-          // idempotent)
-          val marker = goldDir.resolve("_applied_batch")
-          val applied =
-            if (Files.exists(marker))
-              new String(Files.readAllBytes(marker),
-                java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-            else -1L
-          if (batchId > applied) {
-            val delta = batch.groupBy(col("user_id"))
-              .agg(count(lit(1)).as("n_events"),
-                sum(col("cents")).as("total_cents"))
-            val merged =
-              if (Files.exists(goldDir))
-                graft.engine.Incremental.mergeAdditive(
-                  s.read.parquet(goldDir.toString), delta,
-                  Seq("user_id"), Seq("n_events", "total_cents"))
-              else delta
-            val tmp = root.resolve("gold_tmp")
-            merged.write.mode("overwrite").parquet(tmp.toString)
-            Files.write(tmp.resolve("_applied_batch"),
-              batchId.toString.getBytes(
-                java.nio.charset.StandardCharsets.UTF_8))
-            // publish without a visibility gap: rename the old snapshot
-            // ASIDE (a directory rename, not a recursive delete), move
-            // tmp into place, THEN delete the old one — a concurrent
-            // reader sees batch N or N+1, never a missing gold dir
-            rm(prev)
-            if (Files.exists(goldDir)) Files.move(goldDir, prev)
-            Files.move(tmp, goldDir)
-            rm(prev)
-          }
+          // delta aggregation here; recovery, replay-idempotence (the
+          // _applied_batch marker) and the gap-free two-rename publish
+          // live in the unit-tested Incremental.publishAdditiveBatch
+          val delta = batch.groupBy(col("user_id"))
+            .agg(count(lit(1)).as("n_events"),
+              sum(col("cents")).as("total_cents"))
+          graft.engine.Incremental.publishAdditiveBatch(
+            s, root, delta, batchId,
+            Seq("user_id"), Seq("n_events", "total_cents"))
           ()
         }
         .trigger(Trigger.AvailableNow()).start()

@@ -69,4 +69,66 @@ class IncrementalSpec extends SparkSpec {
       (None, 2L, 12L, 7L), // the two NULL-key rows combined once
       (Some(1L), 1L, 2L, 2L))
   }
+
+  private def deltaOf(rows: Seq[(Long, Long)]) =
+    rows.toDF("k", "v").groupBy("k")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+
+  private def goldOf(root: java.nio.file.Path): Set[(Long, Long, Long)] =
+    spark.read.parquet(root.resolve("gold").toString)
+      .as[(Long, Long, Long)].collect().toSet
+
+  test("publishAdditiveBatch: a replayed batchId is skipped, not " +
+      "double-merged") {
+    withTempDir { d =>
+      val root = java.nio.file.Paths.get(d)
+      Incremental.publishAdditiveBatch(spark, root,
+        deltaOf(Seq(1L -> 10L, 2L -> 5L)), 0L,
+        Seq("k"), Seq("n", "s")) shouldBe true
+      Incremental.publishAdditiveBatch(spark, root,
+        deltaOf(Seq(3L -> 7L)), 1L, Seq("k"), Seq("n", "s")) shouldBe true
+      val afterTwo = goldOf(root)
+      // the engine replays batch 1 after a crash past the publish:
+      // the marker inside the snapshot recognizes it — no double count
+      Incremental.publishAdditiveBatch(spark, root,
+        deltaOf(Seq(3L -> 7L)), 1L, Seq("k"), Seq("n", "s")) shouldBe false
+      goldOf(root) shouldBe afterTwo
+      afterTwo shouldBe Set((1L, 1L, 10L), (2L, 1L, 5L), (3L, 1L, 7L))
+    }
+  }
+
+  test("publishAdditiveBatch: recovery restores the set-aside snapshot " +
+      "after a crash between the two publish renames") {
+    withTempDir { d =>
+      import java.nio.file.Files
+      val root = java.nio.file.Paths.get(d)
+      Incremental.publishAdditiveBatch(spark, root,
+        deltaOf(Seq(1L -> 10L)), 0L, Seq("k"), Seq("n", "s"))
+      // simulate the crash window: gold was renamed aside to gold_prev
+      // and the process died before tmp moved in
+      Files.move(root.resolve("gold"), root.resolve("gold_prev"))
+      // next batch must restore prev -> gold FIRST (not delete it) and
+      // then fold its delta on top of the recovered snapshot
+      Incremental.publishAdditiveBatch(spark, root,
+        deltaOf(Seq(1L -> 2L)), 1L, Seq("k"), Seq("n", "s")) shouldBe true
+      goldOf(root) shouldBe Set((1L, 2L, 12L))
+      Files.exists(root.resolve("gold_prev")) shouldBe false
+    }
+  }
+
+  test("publishAdditiveBatch: sequence of batches equals the one-shot " +
+      "aggregate and the marker never leaks into the read") {
+    withTempDir { d =>
+      val root = java.nio.file.Paths.get(d)
+      val batches = Seq(
+        Seq(1L -> 1L, 2L -> 2L), Seq(2L -> 3L), Seq(1L -> -1L, 3L -> 9L))
+      batches.zipWithIndex.foreach { case (rows, i) =>
+        Incremental.publishAdditiveBatch(spark, root, deltaOf(rows),
+          i.toLong, Seq("k"), Seq("n", "s"))
+      }
+      val oneShot = deltaOf(batches.flatten)
+        .as[(Long, Long, Long)].collect().toSet
+      goldOf(root) shouldBe oneShot
+    }
+  }
 }
