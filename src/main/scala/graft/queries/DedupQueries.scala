@@ -387,25 +387,58 @@ object DedupQueries {
     * corpus ever produced chain-shaped near-dup graphs (e.g. drifting
     * boilerplate).
     */
-  /** The duplicate-pair edge set: exact-fingerprint pairs union the
-    * prefix-blocked Levenshtein near-dup relation. Built per query
-    * invocation (q43/q59/q69/q70 run as independent harness entries) and
-    * eager'd so the one invocation's multiple consumers — the undirected
-    * union, the per-round joins — don't recompute the Levenshtein
-    * relation.
+  /** From-scratch Levenshtein-pair computations this JVM has run
+    * (spec hook, mirrors [[shingleComputeCount]]).
     */
-  private[queries] def dupEdges(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(s, dir, "documents")
-    val fp = docs.select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
-    val exactPairs = fp.as("x")
-      .join(fp.as("y"),
-        col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-    val levPairs = Text
-      .levNearDupPairs(docs, "doc_id", "text", blockTokens = 3, maxDist = 40)
-      .select(col("d1").as("a"), col("d2").as("b"))
-    eager(exactPairs.union(levPairs).distinct())
-  }
+  private[graft] val levPairComputeCount =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** The prefix-blocked Levenshtein near-dup relation (d1, d2, dist) —
+    * the suite's most expensive text kernel (blocked self-join + banded
+    * edit-distance DP over full document texts), previously recomputed
+    * by FIVE independent harness entries (q42 directly, q43/q59/q69/q70
+    * through the duplicate edge set, q60's admission pass). Landed once
+    * per (JVM, documents signature) like the shingle and graph edge
+    * tables; its content is itself hash-certified — q42's output IS
+    * this table, checked row-for-row against DuckDB's levenshtein().
+    */
+  private[queries] def levPairTable(s: SparkSession, dir: String): DataFrame =
+    Tables.landed(s,
+      s"levpairs:$dir@${Tables.fileSignature(dir, "documents")}",
+      levPairComputeCount) {
+      Text.levNearDupPairs(Tables.load(s, dir, "documents"),
+        "doc_id", "text", blockTokens = 3, maxDist = 40)
+    }
+
+  /** From-scratch duplicate-edge-set computations this JVM has run
+    * (spec hook).
+    */
+  private[graft] val dupEdgeComputeCount =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** The duplicate-pair edge set: exact-fingerprint pairs union the
+    * prefix-blocked Levenshtein near-dup relation ([[levPairTable]]).
+    * Landed once per (JVM, documents signature) — q43, q59 (through
+    * [[componentLabels]]), q69 and q70 all cluster exactly this
+    * relation, and each previously rebuilt it per invocation. The
+    * clustering ITERATIONS still run from scratch where the oracle
+    * demands it (q43/q69); only the input silver relation is landed.
+    */
+  private[queries] def dupEdges(s: SparkSession, dir: String): DataFrame =
+    Tables.landed(s,
+      s"dupedges:$dir@${Tables.fileSignature(dir, "documents")}",
+      dupEdgeComputeCount) {
+      val docs = Tables.load(s, dir, "documents")
+      val fp = docs.select(col("doc_id"),
+        Text.fingerprint(col("text")).as("fp"))
+      val exactPairs = fp.as("x")
+        .join(fp.as("y"),
+          col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      val levPairs = levPairTable(s, dir)
+        .select(col("d1").as("a"), col("d2").as("b"))
+      exactPairs.union(levPairs).distinct()
+    }
 
   /** Converged (doc_id, component) labels over [[dupEdges]] — the
     * iterative body described above, shared by q43 (label output) and
@@ -617,8 +650,7 @@ object DedupQueries {
     (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       def isBatch(c: Column): Column = c % 3 === 0
-      val pairs = Text
-        .levNearDupPairs(docs, "doc_id", "text", blockTokens = 3, maxDist = 40)
+      val pairs = levPairTable(s, dir)
       // batch doc -> each near-dup partner, both directions
       val partners = pairs.select(col("d1").as("doc"), col("d2").as("other"))
         .union(pairs.select(col("d2").as("doc"), col("d1").as("other")))

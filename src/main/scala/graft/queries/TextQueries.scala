@@ -269,15 +269,15 @@ object TextQueries {
     * Integer DP — bit-identical across engines. Prefix blocking is the
     * scale story: candidates meet only inside a block (equi-join on the
     * block key), never all-pairs; a df-style cap on block size (as in
-    * q25) bounds skew at 100 TB.
+    * q25) bounds skew at 100 TB. The relation is the landed
+    * [[DedupQueries.levPairTable]] shared with q43/q59/q60/q69/q70 —
+    * this query's DuckDB hash-check is what certifies that landed
+    * table's content for every other consumer.
     */
   val q42EditDistance: Q = Q(
     "q42_edit_distance",
-    (s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      Text.levNearDupPairs(docs, "doc_id", "text", blockTokens = 3, maxDist = 40)
-        .orderBy("d1", "d2")
-    },
+    (s, dir) =>
+      DedupQueries.levPairTable(s, dir).orderBy("d1", "d2"),
     Some(s"""WITH $duckLevPairCtes
              SELECT d1, d2, dist FROM lev_pairs ORDER BY d1, d2"""))
 

@@ -337,6 +337,30 @@ class NewOpsSpec extends SparkSpec {
     mat shouldBe direct
   }
 
+  test("Levenshtein pair table materializes once and serves the " +
+      "edit-distance family") {
+    val dir = "/root/testdata/sf0.001"
+    val before = DedupQueries.levPairComputeCount.get
+    val table = DedupQueries.levPairTable(spark, dir)
+    val mid = DedupQueries.levPairComputeCount.get
+    (mid - before) should be <= 1
+    // q42 (the relation itself), q60 (admission), q69 (star clustering
+    // over the dup edge set) all consume the landed table — no second
+    // blocked Levenshtein join runs
+    TextQueries.q42EditDistance.fn(spark, dir).collect()
+    DedupQueries.q60IncrementalDedup.fn(spark, dir).collect()
+    DedupQueries.q69ComponentsStar.fn(spark, dir).collect()
+    DedupQueries.levPairComputeCount.get shouldBe mid
+    // and the landed relation IS the from-scratch blocked join
+    val mat = table.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val direct = graft.engine.ext.Text.levNearDupPairs(
+        graft.engine.Tables.load(spark, dir, "documents"),
+        "doc_id", "text", blockTokens = 3, maxDist = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    mat shouldBe direct
+  }
+
   test("prefix shingle table (K=5) materializes once and serves q102") {
     val dir = "/root/testdata/sf0.001"
     val before = DedupQueries.prefixShingleComputeCount.get
