@@ -116,6 +116,34 @@ class IncrementalSpec extends SparkSpec {
     }
   }
 
+  test("publishAdditiveBatch: a crash after the publish leaves a stale " +
+      "prev that a replay skips and the next batch cleans up") {
+    withTempDir { d =>
+      import java.nio.file.Files
+      val root = java.nio.file.Paths.get(d)
+      Incremental.publishAdditiveBatch(spark, root,
+        deltaOf(Seq(1L -> 10L)), 0L, Seq("k"), Seq("n", "s"))
+      Incremental.publishAdditiveBatch(spark, root,
+        deltaOf(Seq(1L -> 5L)), 1L, Seq("k"), Seq("n", "s"))
+      // simulate dying between move(tmp, gold) and the final rm(prev):
+      // batch 1 is fully published but its set-aside predecessor (the
+      // batch-0 snapshot) is still on disk, and the engine replays 1
+      val stale = root.resolve("gold_prev")
+      spark.read.parquet(root.resolve("gold").toString)
+        .write.parquet(stale.toString) // any stale content
+      Incremental.publishAdditiveBatch(spark, root,
+        deltaOf(Seq(1L -> 5L)), 1L, Seq("k"), Seq("n", "s")) shouldBe false
+      // gold exists, so the stale prev must NOT be restored over it,
+      // and the replayed batch must not double-merge
+      goldOf(root) shouldBe Set((1L, 2L, 15L))
+      // the next real batch clears the leftover and lands on top
+      Incremental.publishAdditiveBatch(spark, root,
+        deltaOf(Seq(2L -> 1L)), 2L, Seq("k"), Seq("n", "s")) shouldBe true
+      goldOf(root) shouldBe Set((1L, 2L, 15L), (2L, 1L, 1L))
+      Files.exists(stale) shouldBe false
+    }
+  }
+
   test("publishAdditiveBatch: sequence of batches equals the one-shot " +
       "aggregate and the marker never leaks into the read") {
     withTempDir { d =>
