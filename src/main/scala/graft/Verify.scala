@@ -48,7 +48,7 @@ object Verify {
         // prior run left for this query, and remember it for the exit
         // code — a zero exit with old parquet in place would read as
         // green driver-side
-        deleteRecursively(Paths.get(s"$outDir/$name"))
+        engine.Fs.deleteRecursively(Paths.get(s"$outDir/$name"))
         failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
@@ -62,13 +62,4 @@ object Verify {
     }
   }
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit =
-    if (Files.exists(p)) {
-      if (Files.isDirectory(p)) {
-        val s = Files.list(p)
-        try s.forEach(deleteRecursively(_)) finally s.close()
-      }
-      Files.deleteIfExists(p)
-      ()
-    }
 }

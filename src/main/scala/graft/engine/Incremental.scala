@@ -67,9 +67,12 @@ object Incremental {
     *    crash past the publish but before the engine committed its
     *    checkpoint is recognized and SKIPPED — the additive merge is
     *    not idempotent on its own.
-    *  - *gap-free publish*: rename the old snapshot aside, move tmp in,
-    *    then delete — a reader sees batch N or N+1, never a missing or
-    *    torn snapshot.
+    *  - *publish by rename*: rename the old snapshot aside, move tmp
+    *    in, then delete — a reader sees batch N or N+1 and never a TORN
+    *    snapshot; the only exposure is the instant between the two
+    *    renames, when the directory is briefly absent (a real
+    *    deployment swaps a symlink or metastore pointer for true
+    *    atomicity — this helper's callers are single-reader pipelines).
     *
     * Returns true when the batch was applied, false when it was a
     * recognized replay.
@@ -77,16 +80,10 @@ object Incremental {
   def publishAdditiveBatch(spark: org.apache.spark.sql.SparkSession,
       root: java.nio.file.Path, delta: DataFrame, batchId: Long,
       keys: Seq[String], sums: Seq[String]): Boolean = {
-    import java.nio.file.{Files, Path}
+    import java.nio.file.Files
     val goldDir = root.resolve("gold")
     val prev = root.resolve("gold_prev")
-    def rm(p: Path): Unit = if (Files.exists(p)) {
-      if (Files.isDirectory(p)) {
-        val l = Files.list(p)
-        try l.forEach(rm(_)) finally l.close()
-      }
-      Files.deleteIfExists(p); ()
-    }
+    def rm(p: java.nio.file.Path): Unit = Fs.deleteRecursively(p)
     if (!Files.exists(goldDir) && Files.exists(prev))
       Files.move(prev, goldDir)
     val marker = goldDir.resolve("_applied_batch")

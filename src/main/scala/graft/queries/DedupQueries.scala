@@ -360,33 +360,6 @@ object DedupQueries {
             FROM pairs WHERE bit_count(xor(h1, h2)) <= 4
             ORDER BY d1, d2"""))
 
-  /** Dedup-cluster connected components: union the exact-fingerprint
-    * duplicate pairs with the prefix-blocked Levenshtein near-dup pairs
-    * into an edge set, then resolve each doc to the minimum doc_id
-    * reachable from it (its component id) — the step every dedup
-    * pipeline needs between "pairs found" and "keep one per cluster".
-    *
-    * Spark side is iterative min-label propagation: each round joins the
-    * label table to the (undirected) edges, takes the per-vertex min of
-    * self and neighbor labels, and stops when a round changes nothing.
-    * Rounds needed = component diameter; dup clusters are near-cliques,
-    * so 2-3 in practice. Each round is one equi-join shuffle on a table
-    * bounded by |V| — the standard scale-out CC shape (label propagation
-    * a la large-star/small-star), no driver-side graph. The convergence
-    * probe is an aggregate count, not a collect. The oracle computes the
-    * same fixpoint declaratively with a recursive CTE.
-    *
-    * Design note — plain propagation vs large-star/small-star: the
-    * Kiveris et al. alternating large-star/small-star rounds REWRITE the
-    * edge set each round and converge in O(log^2 n) rounds on
-    * pathological long chains. Dedup graphs are the opposite shape
-    * (near-cliques of duplicates, diameter 2-3), where plain label
-    * propagation converges in as many rounds WITHOUT the edge-rewrite
-    * shuffle each round — so plain propagation is the deliberate choice
-    * here, and star-contraction is the documented upgrade path if a
-    * corpus ever produced chain-shaped near-dup graphs (e.g. drifting
-    * boilerplate).
-    */
   /** From-scratch Levenshtein-pair computations this JVM has run
     * (spec hook, mirrors [[shingleComputeCount]]).
     */
@@ -396,7 +369,7 @@ object DedupQueries {
   /** The prefix-blocked Levenshtein near-dup relation (d1, d2, dist) —
     * the suite's most expensive text kernel (blocked self-join + banded
     * edit-distance DP over full document texts), previously recomputed
-    * by FIVE independent harness entries (q42 directly, q43/q59/q69/q70
+    * by SIX independent harness entries (q42 directly, q43/q59/q69/q70
     * through the duplicate edge set, q60's admission pass). Landed once
     * per (JVM, documents signature) like the shingle and graph edge
     * tables; its content is itself hash-certified — q42's output IS
@@ -440,12 +413,35 @@ object DedupQueries {
       exactPairs.union(levPairs).distinct()
     }
 
-  /** Converged (doc_id, component) labels over [[dupEdges]] — the
-    * iterative body described above, shared by q43 (label output) and
-    * q59 (corpus materialization) so the clustering can never silently
+  /** Dedup-cluster connected components over [[dupEdges]]: resolve each
+    * doc to the minimum doc_id reachable from it (its component id) —
+    * the step every dedup pipeline needs between "pairs found" and
+    * "keep one per cluster". Shared by q43 (label output) and q59
+    * (corpus materialization) so the clustering can never silently
     * diverge between them. The returned table is bounded by |V(edges)| —
     * only docs that appear in some duplicate pair — which is tiny
     * relative to the corpus.
+    *
+    * Spark side is iterative min-label propagation: each round joins the
+    * label table to the (undirected) edges, takes the per-vertex min of
+    * self and neighbor labels, and stops when a round changes nothing.
+    * Rounds needed = component diameter; dup clusters are near-cliques,
+    * so 2-3 in practice. Each round is one equi-join shuffle on a table
+    * bounded by |V| — the standard scale-out CC shape, no driver-side
+    * graph. The convergence probe is an aggregate count, not a collect.
+    * The oracle computes the same fixpoint declaratively with a
+    * recursive CTE.
+    *
+    * Design note — plain propagation vs large-star/small-star: the
+    * Kiveris et al. alternating large-star/small-star rounds REWRITE the
+    * edge set each round and converge in O(log^2 n) rounds on
+    * pathological long chains. Dedup graphs are the opposite shape
+    * (near-cliques of duplicates, diameter 2-3), where plain label
+    * propagation converges in as many rounds WITHOUT the edge-rewrite
+    * shuffle each round — so plain propagation is the deliberate choice
+    * here, and star-contraction is the documented upgrade path if a
+    * corpus ever produced chain-shaped near-dup graphs (e.g. drifting
+    * boilerplate).
     */
   private[queries] def componentLabels(s: SparkSession, dir: String): DataFrame = {
     val edges = dupEdges(s, dir)

@@ -396,14 +396,7 @@ object EventQueries {
     val marker = staging.resolve("_STAGED")
     val fresh = Files.exists(marker) && Files.readString(marker) == stamp
     if (!fresh) {
-      def rm(p: Path): Unit = if (Files.exists(p)) {
-        if (Files.isDirectory(p)) {
-          val l = Files.list(p)
-          try l.forEach(rm(_)) finally l.close()
-        }
-        Files.deleteIfExists(p); ()
-      }
-      rm(staging)
+      graft.engine.Fs.deleteRecursively(staging)
       Files.createDirectories(staging)
       val ev = s.read.parquet(src.toString)
       def stageOne(df: DataFrame, name: String, mtimeMs: Long): Unit = {
@@ -417,7 +410,7 @@ object EventQueries {
               s"no part file written under $tmp"))
           finally l.close()
         Files.move(part, staging.resolve(name))
-        rm(tmp)
+        graft.engine.Fs.deleteRecursively(tmp)
         Files.setLastModifiedTime(staging.resolve(name),
           java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
       }
@@ -994,13 +987,6 @@ object EventQueries {
           "cross-batch merge arrival-order-dependent")
       val root = Files.createTempDirectory("graft_q84")
       val stateDir = root.resolve("state")
-      def rm(p: Path): Unit = if (Files.exists(p)) {
-        if (Files.isDirectory(p)) {
-          val l = Files.list(p)
-          try l.forEach(rm(_)) finally l.close()
-        }
-        Files.deleteIfExists(p); ()
-      }
       val src = s.readStream.schema(batchSchema)
         .option("maxFilesPerTrigger", 1)
         .parquet(eventsOooStreamDir(s, dir))
@@ -1017,7 +1003,7 @@ object EventQueries {
             base, batch, keyCols = Seq("user_id"), versionCol = "ts_us")
           val tmp = root.resolve("state_tmp")
           merged.write.mode("overwrite").parquet(tmp.toString)
-          rm(stateDir)
+          graft.engine.Fs.deleteRecursively(stateDir)
           Files.move(tmp, stateDir)
           ()
         }
