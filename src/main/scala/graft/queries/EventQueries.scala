@@ -2166,6 +2166,78 @@ object EventQueries {
             FROM part WHERE p_size >= 40
             GROUP BY 1 ORDER BY p_brand"""))
 
+  /** q293's three-version manifest table, keyed by fixture signature —
+    * the same once-per-JVM build discipline as [[q283Tables]].
+    */
+  private val q293Tables =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Manifest CHANGE FEED, end-to-end through the driver's oracle —
+    * the streaming counterpart of q283's batch promotion. The customer
+    * table is committed in three versions (append custkey%3=0, append
+    * %3=1, truncating OVERWRITE with %3=2), then the `graft-manifest`
+    * streaming tail drains the change feed under Trigger.AvailableNow
+    * with `max_versions_per_trigger=1` (one version per micro-batch,
+    * the admission-control path) into a parquet sink, and the drained
+    * rows are aggregated per market segment. The three slices
+    * partition the table, so the feed must deliver EXACTLY the whole
+    * customer table: a duplicated append delta, an overwrite delta
+    * computed as a union instead of the version's own files, a lost or
+    * re-emitted version — each breaks the count and the exact cents
+    * hash against DuckDB reading the original parquet.
+    *
+    * ## 100 TB notes
+    * The feed plans one micro-batch per committed version from
+    * manifest metadata only — no directory listing, no full-table
+    * rescan per batch; per-batch work is bounded by the version's own
+    * delta. This is the CDC posture of real lake formats (Delta CDF /
+    * Iceberg incremental scan): gold maintenance tails the log instead
+    * of diffing snapshots.
+    */
+  val q293ManifestChangeFeed: Q = Q(
+    "q293_manifest_changefeed",
+    (s, dir) => {
+      import java.nio.file.Files
+      import org.apache.spark.sql.streaming.Trigger
+      val root = q293Tables.getOrElseUpdate(
+        s"$dir@${Tables.fileSignature(dir, "customer")}", {
+          val r = Files.createTempDirectory("graft_q293")
+            .resolve("tbl").toString
+          val cust = Tables.load(s, dir, "customer")
+            .withColumn("bal_cents",
+              round(col("c_acctbal") * 100).cast("long"))
+            .select("c_custkey", "c_mktsegment", "bal_cents")
+          cust.filter(col("c_custkey") % 3 === 0)
+            .write.format("graft-manifest").option("path", r)
+            .mode("append").save()
+          cust.filter(col("c_custkey") % 3 === 1)
+            .write.format("graft-manifest").option("path", r)
+            .mode("append").save()
+          cust.filter(col("c_custkey") % 3 === 2)
+            .write.format("graft-manifest").option("path", r)
+            .mode("overwrite").save()
+          r
+        })
+      val out = Files.createTempDirectory("graft_q293_out")
+      val q = s.readStream.format("graft-manifest")
+        .option("path", root)
+        .option("max_versions_per_trigger", "1").load()
+        .writeStream.format("parquet")
+        .option("path", out.resolve("data").toString)
+        .option("checkpointLocation", out.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(out.resolve("data").toString)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("bal_cents")).as("sum_bal_cents"))
+        .orderBy(col("c_mktsegment"))
+    },
+    Some("""SELECT c_mktsegment, count(*) AS n_cust,
+              CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                AS sum_bal_cents
+            FROM customer GROUP BY 1 ORDER BY c_mktsegment"""))
+
   /** Shuffle-partition balance planner — pick
     * `spark.sql.shuffle.partitions` from DATA, not folklore: for each
     * candidate partition count p ∈ {8, 32, 128}, hash every event's
@@ -4702,7 +4774,7 @@ object EventQueries {
     "q107_stream_outer_join", "q119_stream_running_totals",
     "q265_stream_tws_totals", "q266_stream_tws_sessions",
     "q275_stream_tws_topk", "q276_stream_tws_typecounts",
-    "q284_stream_incremental_gold")
+    "q284_stream_incremental_gold", "q293_manifest_changefeed")
 
   /** Session entry/exit/bounce profile — the landing-page report: for
     * each event type, how many sessions START there, END there, and
@@ -5577,7 +5649,7 @@ object EventQueries {
       q267LayoutPruning, q275StreamTwsTopk, q276StreamTwsTypeCounts,
       q277IncrementalGold, q278RetractableAgg, q279RestatementScope,
       q280WatermarkCurve, q282RleProfile, q283ManifestTimeTravel,
-      q284StreamIncrementalGold,
+      q284StreamIncrementalGold, q293ManifestChangeFeed,
       q286MetronomeRank, q287PartitionBalance, q288QteDeciles,
       q289SaltingBalance)
       .map(q => q.copy(streaming = streamingNames(q.name)))
