@@ -197,6 +197,14 @@ object ManifestSink {
   private[sources] def versionExists(dir: String, v: Long): Boolean =
     Files.exists(logDir(dir).resolve(vFileName(v)))
 
+  /** Whether version `v` changed DATA (append/overwrite) or only
+    * rewrote files (compaction, `"data_change":false`). Absent field —
+    * every pre-flag manifest — reads as true.
+    */
+  private[sources] def dataChangeOf(dir: String, v: Long): Boolean =
+    Option(mapper.readTree(manifestBody(dir, v)).get("data_change"))
+      .forall(_.asBoolean(true))
+
   /** The files version `v` ADDED over `v-1` — the change-data-feed
     * delta the streaming tail emits per micro-batch.
     *
@@ -224,6 +232,11 @@ object ManifestSink {
         "lengthen vacuum retention to cover reader lag, or restart the " +
         "stream fresh (a fresh tail begins at the oldest retained " +
         "snapshot)")
+    } else if (!dataChangeOf(dir, v)) {
+      // a rewrite-only version (compaction): the file names are all new
+      // but the ROWS are the predecessor's — a name-diff would re-emit
+      // the entire table into the change feed as if it were appended
+      Seq.empty
     } else {
       val prev = filesOf(dir, v - 1).map(_.name).toSet
       cur.filterNot(f => prev.contains(f.name))
@@ -368,7 +381,8 @@ object ManifestSink {
           // claimed with the same link(2) CAS — but NO retry: if the
           // claim fails, someone committed over our base and the
           // rewrite is stale
-          commitExact(dir, next, staged, schemaOf(dir, Some(base)))
+          commitExact(dir, next, staged, schemaOf(dir, Some(base)),
+            dataChange = false)
         } else false
       } catch { case _: FileAlreadyExistsException => false }
     if (!claimed) {
@@ -385,12 +399,20 @@ object ManifestSink {
     * version was already taken.
     */
   private def commitExact(dir: String, next: Long,
-      files: Seq[FileCommit], schema: StructType): Boolean = {
+      files: Seq[FileCommit], schema: StructType,
+      dataChange: Boolean): Boolean = {
     val log = logDir(dir)
     Files.createDirectories(log)
     val sorted = files.sortBy(_.name)
     val list = renderFiles(sorted)
+    // "data_change":false marks a REWRITE (compaction): same rows, new
+    // files. Snapshot readers don't care; the CHANGE FEED must — it
+    // skips such versions instead of re-emitting the whole table as if
+    // appended (Delta's dataChange=false / Iceberg's replace snapshots).
+    // Absent field = true, so pre-flag manifests keep their semantics.
+    val changePart = if (dataChange) "" else s""""data_change":false,"""
     val body = s"""{"version":$next,"schema":"${schema.toDDL}",""" +
+      changePart +
       s""""files":$list,"n_files":${sorted.length},""" +
       s""""n_rows":${sorted.map(_.rows).sum}}"""
     val tmp = log.resolve(vFileName(next) + ".tmp." +

@@ -434,6 +434,53 @@ class ManifestSinkSpec extends SparkSpec {
     }
   }
 
+  test("compaction is data_change=false: the change feed skips it " +
+      "instead of re-emitting the table") {
+    withTempDir { dir =>
+      withTempDir { cp =>
+        val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+        def drain(): Unit = {
+          val q = spark.readStream.format("graft-manifest")
+            .option("path", dir).load()
+            .writeStream
+            .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+              seen.synchronized {
+                seen ++= df.as[(Long, String)](
+                  org.apache.spark.sql.Encoders.tuple(
+                    org.apache.spark.sql.Encoders.scalaLong,
+                    org.apache.spark.sql.Encoders.STRING)).collect()
+              }
+              ()
+            }
+            .option("checkpointLocation", cp)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination(60000)
+          ()
+        }
+        writeRows(dir, Seq((1L, "a")))
+        writeRows(dir, Seq((2L, "b")))
+        drain()
+        seen.size shouldBe 2
+        // compaction rewrites both rows into one file — same content,
+        // all-new file NAMES: a naive name-diff would re-emit the
+        // whole table into the feed as freshly-appended rows
+        ManifestSink.compact(spark, dir, numFiles = 1)
+        ManifestSink.deltaFiles(dir, 3L) shouldBe empty
+        drain()
+        seen.size shouldBe 2 // nothing re-emitted
+        // and the feed keeps working past the compaction: the next
+        // append's delta is exactly its own rows
+        writeRows(dir, Seq((3L, "c")))
+        drain()
+        seen.size shouldBe 3
+        seen.toSet shouldBe Set((1L, "a"), (2L, "b"), (3L, "c"))
+        // snapshot readers are unaffected by the flag
+        readBack(dir) shouldBe Set((1L, "a"), (2L, "b"), (3L, "c"))
+      }
+    }
+  }
+
   test("a RESUMED stream whose range was vacuumed fails loudly, not " +
       "silently") {
     withTempDir { dir =>
