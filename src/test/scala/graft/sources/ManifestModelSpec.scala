@@ -43,6 +43,10 @@ class ManifestModelSpec extends SparkSpec {
       }
     // version -> expected multiset (sorted canonical form)
     var model = Map.empty[Long, Seq[(Long, String)]]
+    // version -> what the CHANGE FEED owes for that version: an
+    // append's fresh rows, an overwrite's own rows, NOTHING for a
+    // compaction (data_change=false)
+    var feedDelta = Map.empty[Long, Seq[(Long, String)]]
     var latest = 0L
 
     def checkAll(): Unit = {
@@ -66,6 +70,7 @@ class ManifestModelSpec extends SparkSpec {
         latest += 1
         model += latest -> sortedRows(model.getOrElse(latest - 1,
           Seq.empty) ++ rows)
+        feedDelta += latest -> rows
       } else if (op <= 6) { // overwrite
         val rows = freshRows(1 + rnd.nextInt(4))
         rows.toDF("id", "name").repartition(1 + rnd.nextInt(3))
@@ -73,11 +78,13 @@ class ManifestModelSpec extends SparkSpec {
           .mode("overwrite").save()
         latest += 1
         model += latest -> sortedRows(rows)
+        feedDelta += latest -> rows
       } else if (op == 7) { // compact: content-identical new version
         val v = ManifestSink.compact(spark, dir, 1 + rnd.nextInt(2))
         v shouldBe latest + 1
         latest += 1
         model += latest -> model(latest - 1)
+        feedDelta += latest -> Seq.empty // rewrite, not a data change
       } else if (op == 8) { // vacuum: keep a random suffix
         val keep = 1 + rnd.nextInt(math.max(model.size, 1))
         ManifestSink.expireVersions(dir, keepLast = keep)
@@ -96,6 +103,39 @@ class ManifestModelSpec extends SparkSpec {
       }
       // full cross-check every few ops (every op would be O(n^2) reads)
       if (i % 5 == 4 || i == nOps - 1) checkAll()
+    }
+
+    // END-OF-SEQUENCE FEED CHECK: a fresh stream over the final log
+    // must deliver the oldest retained snapshot (its initial-state
+    // batch) plus every later version's data-change delta — appends'
+    // and overwrites' own rows, NOTHING for compactions — exactly
+    // once, whatever cross-path history the random walk produced.
+    if (model.nonEmpty) {
+      val retained = model.keys.toSeq.sorted
+      val expected = sortedRows(model(retained.head) ++
+        retained.tail.flatMap(feedDelta))
+      val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+      withTempDir { cp =>
+        val q = spark.readStream.format("graft-manifest")
+          .option("path", dir).load()
+          .writeStream
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            seen.synchronized {
+              seen ++= df.as[(Long, String)](
+                org.apache.spark.sql.Encoders.tuple(
+                  org.apache.spark.sql.Encoders.scalaLong,
+                  org.apache.spark.sql.Encoders.STRING)).collect()
+            }
+            ()
+          }
+          .option("checkpointLocation", cp)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(120000)
+      }
+      withClue(s"seed=$seed change feed over the final log: ") {
+        sortedRows(seen.toSeq) shouldBe expected
+      }
     }
   }
 
