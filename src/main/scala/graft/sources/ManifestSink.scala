@@ -248,11 +248,19 @@ object ManifestSink {
     * needs no out-of-band schema and each version reads with the shape
     * it was WRITTEN with — per-snapshot schema, the lake-format
     * posture for schema evolution).
+    *
+    * Read as NULLABLE regardless of the recorded constraints: a
+    * snapshot's files can include PRE-WIDENING files that lack a
+    * column the writing job declared NOT NULL, and an honest reader
+    * must surface those as NULL. Trusting the constraint is not a
+    * crash but SILENT CORRUPTION — codegen reads the primitive slot
+    * without the null check and a missing BIGINT unboxes to 0.
     */
   def schemaOf(dir: String, version: Option[Long] = None): StructType =
     Option(mapper.readTree(manifestBody(dir, resolve(dir, version)))
         .get("schema"))
-      .map(n => StructType.fromDDL(n.asText))
+      .map(n => StructType(StructType.fromDDL(n.asText)
+        .map(_.copy(nullable = true))))
       .getOrElse(throw new IllegalStateException(
         s"manifest ${resolve(dir, version)} in $dir records no schema"))
 
@@ -862,6 +870,13 @@ private class ManifestScanBuilder(full: StructType, path: String,
   * the first batch after the start offset may re-emit a full snapshot
   * when its predecessor is gone (fresh start, or vacuum overrunning a
   * checkpoint at exactly the boundary — re-emission, never loss).
+  *
+  * Schema across the feed: the stream PINS the schema resolved at
+  * start. Files committed under an older, narrower schema read with
+  * the pinned one's missing columns as NULL (the JSON-lines layout
+  * makes this well-defined); columns a later version added that the
+  * pinned schema lacks are simply not projected. Restart the stream
+  * to pick up a widened schema — the per-snapshot-schema posture.
   */
 private class ManifestMicroBatchStream(path: String, required: StructType,
     maxVersionsPerTrigger: Int)

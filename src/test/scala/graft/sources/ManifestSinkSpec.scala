@@ -434,6 +434,35 @@ class ManifestSinkSpec extends SparkSpec {
     }
   }
 
+  test("a widened schema reads old files with NULLs; the feed pins " +
+      "the schema it started with") {
+    withTempDir { dir =>
+      writeRows(dir, Seq((1L, "a"))) // v1: (id, name)
+      Seq((2L, "b", 7L)).toDF("id", "name", "extra") // v2 widens
+        .write.format("graft-manifest").option("path", dir)
+        .mode("append").save()
+      // snapshot read of LATEST uses v2's recorded schema: v1's file
+      // lacks `extra`, which must surface as NULL, not a crash
+      val latest = ManifestSink.read(spark, dir)
+        .as[(Long, String, Option[Long])].collect().toSet
+      latest shouldBe Set((1L, "a", None), (2L, "b", Some(7L)))
+      // a fresh feed resolves the widened schema and applies the same
+      // missing-column-is-NULL rule to the old version's delta
+      val sdf = spark.readStream.format("graft-manifest")
+        .option("path", dir).load()
+      sdf.schema.fieldNames.toSeq shouldBe Seq("id", "name", "extra")
+      val q = sdf.writeStream.format("memory").queryName("mschema")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      spark.table("mschema").as[(Long, String, Option[Long])]
+        .collect().toSet shouldBe
+        Set((1L, "a", None), (2L, "b", Some(7L)))
+      spark.catalog.dropTempView("mschema")
+      ()
+    }
+  }
+
   test("compaction is data_change=false: the change feed skips it " +
       "instead of re-emitting the table") {
     withTempDir { dir =>
