@@ -55,7 +55,7 @@ object Sinks {
     // would otherwise be resolved by partition-internal order — the
     // surviving payload must not depend on the shuffle
     val payload = struct(tagged.columns.filterNot(c =>
-      keyCols.contains(c) || c == "__src").map(col): _*)
+      keyCols.contains(c) || c == "__src").map(col).toSeq: _*)
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(versionCol).desc, col("__src").desc, payload.desc)
     tagged.withColumn("__rn", row_number().over(w))

@@ -422,7 +422,7 @@ object EventQueries {
       val rawUs = Tables.rawTsUs(ev.schema("ts").dataType)
       val evens = ev.filter(col("event_id") % 2 === 0)
       val odds = ev.filter(col("event_id") % 2 =!= 0)
-      val maxEvenUs = evens.agg(max(rawUs)).head.getLong(0)
+      val maxEvenUs = evens.agg(max(rawUs)).head().getLong(0)
       stageOne(evens, "a.parquet", now - 90000)
       stageOne(odds.filter(rawUs > maxEvenUs), "b.parquet", now - 60000)
       stageOne(odds.filter(rawUs <= maxEvenUs), "c.parquet", now - 30000)

@@ -167,7 +167,7 @@ object ManifestSink {
     (0 until files.size).map { i =>
       val f = files.get(i)
       val stats = Option(f.get("stats")).map { st =>
-        st.fields().asScala.map { e =>
+        st.properties().asScala.map { e =>
           e.getKey -> ColStat(e.getValue.get("min").toString,
             e.getValue.get("max").toString)
         }.toMap
@@ -668,7 +668,8 @@ private class ManifestBatchWrite(schema: StructType, path: String,
     * visibility.
     */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val commits = messages.collect { case f: FileCommit => f }.sortBy(_.name)
+    val commits = messages.collect { case f: FileCommit => f }
+      .sortBy(_.name).toSeq
     ManifestSink.commitSnapshot(path, commits, truncate,
       Some(schema.toDDL))
     ()
