@@ -83,7 +83,6 @@ object Incremental {
     import java.nio.file.Files
     val goldDir = root.resolve("gold")
     val prev = root.resolve("gold_prev")
-    def rm(p: java.nio.file.Path): Unit = Fs.deleteRecursively(p)
     if (!Files.exists(goldDir) && Files.exists(prev))
       Files.move(prev, goldDir)
     val marker = goldDir.resolve("_applied_batch")
@@ -104,10 +103,10 @@ object Incremental {
       Files.write(tmp.resolve("_applied_batch"),
         batchId.toString.getBytes(
           java.nio.charset.StandardCharsets.UTF_8))
-      rm(prev)
+      Fs.deleteRecursively(prev)
       if (Files.exists(goldDir)) Files.move(goldDir, prev)
       Files.move(tmp, goldDir)
-      rm(prev)
+      Fs.deleteRecursively(prev)
       true
     }
   }

@@ -387,7 +387,7 @@ object EventQueries {
     * run reuses it.
     */
   private def eventsOooStreamDir(s: SparkSession, dir: String): String = {
-    import java.nio.file.{Files, Paths, Path}
+    import java.nio.file.{Files, Paths}
     val staging = Paths.get(System.getProperty("java.io.tmpdir"),
       "graft_stream_events_ooo_" + dir.replaceAll("[^A-Za-z0-9._-]", "_"))
     val src = Paths.get(s"$dir/events.parquet")
@@ -977,7 +977,7 @@ object EventQueries {
     */
   private[graft] def runQ84(s: SparkSession, dir: String): (DataFrame, Long) = {
       import org.apache.spark.sql.streaming.Trigger
-      import java.nio.file.{Files, Path}
+      import java.nio.file.Files
       val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
       val ties = Tables.load(s, dir, "events")
         .groupBy(col("user_id"), tsUs.as("ts_us"))

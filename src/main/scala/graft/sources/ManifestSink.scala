@@ -96,7 +96,7 @@ class ManifestSink extends TableProvider with DataSourceRegister {
     * resolves that snapshot's own shape.
     */
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    ManifestSink.schemaOf(pathOf(options), versionOf(options))
+    ManifestSink.readSchemaOf(pathOf(options), versionOf(options))
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table = {
@@ -161,8 +161,11 @@ object ManifestSink {
     resolveVersion(dir, version)
 
   private[sources] def filesOf(dir: String,
-      version: Long): Seq[FileCommit] = {
-    val root = mapper.readTree(manifestBody(dir, version))
+      version: Long): Seq[FileCommit] =
+    filesFromNode(mapper.readTree(manifestBody(dir, version)))
+
+  private def filesFromNode(
+      root: com.fasterxml.jackson.databind.JsonNode): Seq[FileCommit] = {
     val files = root.get("files")
     (0 until files.size).map { i =>
       val f = files.get(i)
@@ -222,24 +225,27 @@ object ManifestSink {
     */
   private[sources] def deltaFiles(dir: String, v: Long,
       allowSnapshotFallback: Boolean = true): Seq[FileCommit] = {
-    val cur = filesOf(dir, v)
-    if (v <= 1) cur
-    else if (!Files.exists(logDir(dir).resolve(vFileName(v - 1)))) {
-      if (allowSnapshotFallback) cur
+    // parse v's manifest ONCE: files and data_change come off the same
+    // node (the feed plans one version per micro-batch under admission
+    // control, so per-version manifest I/O is the planning hot path)
+    val root = mapper.readTree(manifestBody(dir, v))
+    if (v <= 1) filesFromNode(root)
+    else if (!versionExists(dir, v - 1)) {
+      if (allowSnapshotFallback) filesFromNode(root)
       else throw new IllegalStateException(
         s"graft-manifest change feed in $dir needs version ${v - 1}'s " +
         s"manifest to compute version $v's delta, but it was vacuumed; " +
         "lengthen vacuum retention to cover reader lag, or restart the " +
         "stream fresh (a fresh tail begins at the oldest retained " +
         "snapshot)")
-    } else if (!dataChangeOf(dir, v)) {
+    } else if (!Option(root.get("data_change")).forall(_.asBoolean(true))) {
       // a rewrite-only version (compaction): the file names are all new
       // but the ROWS are the predecessor's — a name-diff would re-emit
       // the entire table into the change feed as if it were appended
       Seq.empty
     } else {
       val prev = filesOf(dir, v - 1).map(_.name).toSet
-      cur.filterNot(f => prev.contains(f.name))
+      filesFromNode(root).filterNot(f => prev.contains(f.name))
     }
   }
 
@@ -249,27 +255,35 @@ object ManifestSink {
     * it was WRITTEN with — per-snapshot schema, the lake-format
     * posture for schema evolution).
     *
-    * Read as NULLABLE regardless of the recorded constraints: a
-    * snapshot's files can include PRE-WIDENING files that lack a
-    * column the writing job declared NOT NULL, and an honest reader
-    * must surface those as NULL. Trusting the constraint is not a
-    * crash but SILENT CORRUPTION — codegen reads the primitive slot
-    * without the null check and a missing BIGINT unboxes to 0.
+    * This is the FAITHFUL recorded schema, constraints included —
+    * what compaction re-persists. Readers must go through
+    * [[readSchemaOf]] instead.
     */
   def schemaOf(dir: String, version: Option[Long] = None): StructType =
     Option(mapper.readTree(manifestBody(dir, resolve(dir, version)))
         .get("schema"))
-      .map(n => StructType(StructType.fromDDL(n.asText)
-        .map(_.copy(nullable = true))))
+      .map(n => StructType.fromDDL(n.asText))
       .getOrElse(throw new IllegalStateException(
         s"manifest ${resolve(dir, version)} in $dir records no schema"))
+
+  /** [[schemaOf]] with every column NULLABLE — what every READ path
+    * must use: a snapshot's files can include PRE-WIDENING files that
+    * lack a column the writing job declared NOT NULL, and an honest
+    * reader must surface those as NULL. Trusting the constraint is
+    * not a crash but SILENT CORRUPTION — codegen reads the primitive
+    * slot without the null check and a missing BIGINT unboxes to 0.
+    * Kept separate from [[schemaOf]] so compaction re-persists the
+    * FAITHFUL recorded DDL, constraints and all.
+    */
+  def readSchemaOf(dir: String, version: Option[Long] = None): StructType =
+    StructType(schemaOf(dir, version).map(_.copy(nullable = true)))
 
   /** Read a snapshot using its own recorded schema — [[readData]]
     * without the caller-supplied StructType.
     */
   def read(spark: SparkSession, dir: String,
       version: Option[Long] = None): DataFrame =
-    readData(spark, dir, schemaOf(dir, version), version)
+    readData(spark, dir, readSchemaOf(dir, version), version)
 
   /** The committed file list (name, rows, bytes) of the requested — or
     * latest — snapshot: the only source of visibility a reader may
@@ -374,7 +388,7 @@ object ManifestSink {
     // stage the rewrite through the sink itself, in a scratch table —
     // same writer, same escaping, same per-file accounting
     val scratch = Files.createTempDirectory("graft_compact_").toString
-    readData(spark, dir, schemaOf(dir, Some(base)), Some(base))
+    readData(spark, dir, readSchemaOf(dir, Some(base)), Some(base))
       .repartition(numFiles)
       .write.format("graft-manifest").option("path", scratch)
       .mode("append").save()

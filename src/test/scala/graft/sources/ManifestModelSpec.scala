@@ -114,27 +114,10 @@ class ManifestModelSpec extends SparkSpec {
       val retained = model.keys.toSeq.sorted
       val expected = sortedRows(model(retained.head) ++
         retained.tail.flatMap(feedDelta))
-      val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
-      withTempDir { cp =>
-        val q = spark.readStream.format("graft-manifest")
-          .option("path", dir).load()
-          .writeStream
-          .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
-            seen.synchronized {
-              seen ++= df.as[(Long, String)](
-                org.apache.spark.sql.Encoders.tuple(
-                  org.apache.spark.sql.Encoders.scalaLong,
-                  org.apache.spark.sql.Encoders.STRING)).collect()
-            }
-            ()
-          }
-          .option("checkpointLocation", cp)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination(120000)
-      }
+      val seen =
+        withTempDir { cp => ManifestFeedHarness.drain(spark, dir, cp) }
       withClue(s"seed=$seed change feed over the final log: ") {
-        sortedRows(seen.toSeq) shouldBe expected
+        sortedRows(seen) shouldBe expected
       }
     }
   }

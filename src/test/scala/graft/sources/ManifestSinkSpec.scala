@@ -8,6 +8,35 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
 
 import graft.SparkSpec
 
+/** Shared change-feed drain for the manifest specs: run the streaming
+  * tail to completion under AvailableNow against the given checkpoint
+  * and return the rows THIS drain delivered (a reused checkpoint
+  * resumes, so repeated drains return only the new deltas).
+  */
+private[sources] object ManifestFeedHarness {
+  def drain(spark: org.apache.spark.sql.SparkSession, dir: String,
+      cp: String): Seq[(Long, String)] = {
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val q = spark.readStream.format("graft-manifest")
+      .option("path", dir).load()
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized {
+          got ++= df.as[(Long, String)](
+            org.apache.spark.sql.Encoders.tuple(
+              org.apache.spark.sql.Encoders.scalaLong,
+              org.apache.spark.sql.Encoders.STRING)).collect()
+        }
+        ()
+      }
+      .option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "feed drain timed out")
+    got.toSeq
+  }
+}
+
 /** The graft-manifest DSv2 batch write: round-trip fidelity, manifest
   * accounting, orphan invisibility (the exactly-once contract),
   * append-extends / overwrite-truncates snapshot semantics, time
@@ -468,44 +497,30 @@ class ManifestSinkSpec extends SparkSpec {
     withTempDir { dir =>
       withTempDir { cp =>
         val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
-        def drain(): Unit = {
-          val q = spark.readStream.format("graft-manifest")
-            .option("path", dir).load()
-            .writeStream
-            .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
-              seen.synchronized {
-                seen ++= df.as[(Long, String)](
-                  org.apache.spark.sql.Encoders.tuple(
-                    org.apache.spark.sql.Encoders.scalaLong,
-                    org.apache.spark.sql.Encoders.STRING)).collect()
-              }
-              ()
-            }
-            .option("checkpointLocation", cp)
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .start()
-          q.awaitTermination(60000)
-          ()
-        }
         writeRows(dir, Seq((1L, "a")))
         writeRows(dir, Seq((2L, "b")))
-        drain()
+        seen ++= ManifestFeedHarness.drain(spark, dir, cp)
         seen.size shouldBe 2
         // compaction rewrites both rows into one file — same content,
         // all-new file NAMES: a naive name-diff would re-emit the
         // whole table into the feed as freshly-appended rows
         ManifestSink.compact(spark, dir, numFiles = 1)
+        ManifestSink.dataChangeOf(dir, 3L) shouldBe false
+        ManifestSink.dataChangeOf(dir, 2L) shouldBe true
         ManifestSink.deltaFiles(dir, 3L) shouldBe empty
-        drain()
+        seen ++= ManifestFeedHarness.drain(spark, dir, cp)
         seen.size shouldBe 2 // nothing re-emitted
         // and the feed keeps working past the compaction: the next
         // append's delta is exactly its own rows
         writeRows(dir, Seq((3L, "c")))
-        drain()
+        seen ++= ManifestFeedHarness.drain(spark, dir, cp)
         seen.size shouldBe 3
         seen.toSet shouldBe Set((1L, "a"), (2L, "b"), (3L, "c"))
-        // snapshot readers are unaffected by the flag
+        // snapshot readers are unaffected by the flag, and the
+        // compaction re-persists the base's FAITHFUL recorded DDL
         readBack(dir) shouldBe Set((1L, "a"), (2L, "b"), (3L, "c"))
+        ManifestSink.schemaOf(dir, Some(3L)).toDDL shouldBe
+          ManifestSink.schemaOf(dir, Some(2L)).toDDL
       }
     }
   }
