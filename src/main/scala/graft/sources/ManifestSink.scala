@@ -205,8 +205,14 @@ object ManifestSink {
     * every pre-flag manifest — reads as true.
     */
   private[sources] def dataChangeOf(dir: String, v: Long): Boolean =
-    Option(mapper.readTree(manifestBody(dir, v)).get("data_change"))
-      .forall(_.asBoolean(true))
+    dataChangeFromNode(mapper.readTree(manifestBody(dir, v)))
+
+  /** One copy of the "absent field = true" rule, shared by the feed's
+    * planning path and the inspection API.
+    */
+  private def dataChangeFromNode(
+      root: com.fasterxml.jackson.databind.JsonNode): Boolean =
+    Option(root.get("data_change")).forall(_.asBoolean(true))
 
   /** The files version `v` ADDED over `v-1` — the change-data-feed
     * delta the streaming tail emits per micro-batch.
@@ -238,7 +244,7 @@ object ManifestSink {
         "lengthen vacuum retention to cover reader lag, or restart the " +
         "stream fresh (a fresh tail begins at the oldest retained " +
         "snapshot)")
-    } else if (!Option(root.get("data_change")).forall(_.asBoolean(true))) {
+    } else if (!dataChangeFromNode(root)) {
       // a rewrite-only version (compaction): the file names are all new
       // but the ROWS are the predecessor's — a name-diff would re-emit
       // the entire table into the change feed as if it were appended
@@ -331,11 +337,38 @@ object ManifestSink {
       val all = (prev ++ newFiles).sortBy(_.name)
       val next = base.getOrElse(0L) + 1
       val files = renderFiles(all)
+      // SOUND CONSTRAINTS BY INDUCTION: an APPEND's snapshot unions the
+      // base's files, so a column the writer declares NOT NULL but the
+      // base lacks (or had nullable) would record a constraint the
+      // snapshot's own files violate — pre-widening rows are NULL
+      // there. Relax such columns to nullable in the RECORDED DDL:
+      // base files satisfy base's (sound) schema, new files satisfy
+      // the writer's, so the merged DDL is an invariant over every
+      // file the snapshot lists. Truncate keeps the writer DDL
+      // verbatim (only its own files); compaction re-persists the
+      // base DDL, sound by this induction.
+      val recordedDdl = schemaDdl.map { d =>
+        if (truncate || base.isEmpty) d
+        else {
+          // a base that recorded no schema tells us nothing about its
+          // files — conservatively relax everything (sound, only less
+          // precise)
+          val baseFields = scala.util.Try(schemaOf(dir, base)).toOption
+            .map(_.map(f => f.name -> f.nullable).toMap)
+            .getOrElse(Map.empty[String, Boolean]) // empty => relax all
+          StructType(StructType.fromDDL(d).map { f =>
+            if (baseFields.get(f.name).forall(_ == true))
+              f.copy(nullable = true)
+            else f
+          }).toDDL
+        }
+      }
       // DDL strings for the primitive surface contain no quote or
       // backslash, but assert rather than silently emit invalid JSON
-      schemaDdl.foreach(d => require(!d.exists(c => c == '"' || c == '\\'),
+      recordedDdl.foreach(d => require(!d.exists(c => c == '"' || c == '\\'),
         s"schema DDL not JSON-safe: $d"))
-      val schemaPart = schemaDdl.map(d => s""""schema":"$d",""").getOrElse("")
+      val schemaPart =
+        recordedDdl.map(d => s""""schema":"$d",""").getOrElse("")
       val body = s"""{"version":$next,$schemaPart"files":$files,""" +
         s""""n_files":${all.length},"n_rows":${all.map(_.rows).sum}}"""
       val tmp = log.resolve(vFileName(next) + ".tmp." +

@@ -32,7 +32,12 @@ private[sources] object ManifestFeedHarness {
       .option("checkpointLocation", cp)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    assert(q.awaitTermination(120000), "feed drain timed out")
+    // stop the query BEFORE failing on timeout: leaking a live stream
+    // whose checkpoint dir the caller is about to delete buries the
+    // real failure under cascading session noise
+    val done = q.awaitTermination(120000)
+    if (!done) q.stop()
+    assert(done, "feed drain timed out")
     got.toSeq
   }
 }
@@ -470,6 +475,14 @@ class ManifestSinkSpec extends SparkSpec {
       Seq((2L, "b", 7L)).toDF("id", "name", "extra") // v2 widens
         .write.format("graft-manifest").option("path", dir)
         .mode("append").save()
+      // SOUND RECORDED CONSTRAINTS: the widening APPEND unions v1's
+      // file, whose rows have no `extra` — the committed DDL must
+      // relax `extra` to nullable (the writer's NOT NULL would be
+      // violated by the snapshot's own files), while `id`, NOT NULL
+      // in BOTH the base and the writer schema, keeps its constraint
+      val v2 = ManifestSink.schemaOf(dir, Some(2L))
+      v2("extra").nullable shouldBe true
+      v2("id").nullable shouldBe false
       // snapshot read of LATEST uses v2's recorded schema: v1's file
       // lacks `extra`, which must surface as NULL, not a crash
       val latest = ManifestSink.read(spark, dir)
