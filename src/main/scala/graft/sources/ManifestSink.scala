@@ -217,38 +217,42 @@ object ManifestSink {
   /** The files version `v` ADDED over `v-1` — the change-data-feed
     * delta the streaming tail emits per micro-batch.
     *
-    * When the predecessor manifest was already vacuumed the delta is
-    * undefined; the caller chooses the posture via
-    * `allowSnapshotFallback`:
-    *  - `true` (the stream's FIRST batch after its start offset): fall
-    *    back to `v`'s FULL file list — the initial-snapshot batch of a
-    *    fresh tail, or re-emission (never loss) when vacuum overran a
-    *    checkpoint right at the boundary.
-    *  - `false` (any later batch): throw loudly — a mid-stream hole in
-    *    the retained log means the change feed CANNOT be reconstructed,
-    *    and silently skipping or re-emitting would diverge from what a
-    *    live stream delivered.
+    * `initialSnapshotBatch = true` is the stream's TRUE first planned
+    * version on a fresh tail (the start offset came from this
+    * instance's own `initialOffset()`, clamped to the oldest retained
+    * version): `v`'s FULL file list IS the initial-state batch, and
+    * `data_change` is irrelevant — however the files got arranged,
+    * their rows are the table's state at `v`.
+    *
+    * Every other call is a RESUMED / mid-stream delta, where:
+    *  - a rewrite-only version (`data_change:false`, compaction) has a
+    *    KNOWABLY EMPTY delta — even when `v-1`'s manifest was already
+    *    vacuumed, because a rewrite carries the predecessor's rows
+    *    under new file names (a name-diff or snapshot fallback would
+    *    re-emit the entire table as if appended);
+    *  - a data-changing version whose predecessor manifest was
+    *    vacuumed throws loudly: the delta cannot be reconstructed, and
+    *    both silent skipping (loss) and snapshot re-emission
+    *    (duplication) would diverge from what a live stream delivered.
     */
   private[sources] def deltaFiles(dir: String, v: Long,
-      allowSnapshotFallback: Boolean = true): Seq[FileCommit] = {
+      initialSnapshotBatch: Boolean = false): Seq[FileCommit] = {
     // parse v's manifest ONCE: files and data_change come off the same
     // node (the feed plans one version per micro-batch under admission
     // control, so per-version manifest I/O is the planning hot path)
     val root = mapper.readTree(manifestBody(dir, v))
-    if (v <= 1) filesFromNode(root)
-    else if (!versionExists(dir, v - 1)) {
-      if (allowSnapshotFallback) filesFromNode(root)
-      else throw new IllegalStateException(
+    if (initialSnapshotBatch || v <= 1) filesFromNode(root)
+    else if (!dataChangeFromNode(root)) {
+      // rewrite-only (compaction): checked BEFORE the predecessor
+      // probe so the empty delta survives a vacuum that removed v-1
+      Seq.empty
+    } else if (!versionExists(dir, v - 1)) {
+      throw new IllegalStateException(
         s"graft-manifest change feed in $dir needs version ${v - 1}'s " +
         s"manifest to compute version $v's delta, but it was vacuumed; " +
         "lengthen vacuum retention to cover reader lag, or restart the " +
         "stream fresh (a fresh tail begins at the oldest retained " +
         "snapshot)")
-    } else if (!dataChangeFromNode(root)) {
-      // a rewrite-only version (compaction): the file names are all new
-      // but the ROWS are the predecessor's — a name-diff would re-emit
-      // the entire table into the change feed as if it were appended
-      Seq.empty
     } else {
       val prev = filesOf(dir, v - 1).map(_.name).toSet
       filesFromNode(root).filterNot(f => prev.contains(f.name))
@@ -908,16 +912,19 @@ private class ManifestScanBuilder(full: StructType, path: String,
   * control, the log-level analog of the file source's
   * maxFilesPerTrigger.
   *
-  * Retention contract: a delta needs version v AND v-1's manifests.
-  * A FRESH stream starts at the oldest retained version (its first
-  * batch is that snapshot's full file list — the initial-state batch).
+  * Retention contract: a data-changing delta needs version v AND
+  * v-1's manifests. A FRESH stream starts at the oldest retained
+  * version (its first batch is that snapshot's full file list — the
+  * initial-state batch, and the ONLY snapshot-shaped batch the feed
+  * ever emits; the grant is keyed to the offset this instance's own
+  * `initialOffset()` returned, never to an ordinary batch boundary).
   * A RESUMED stream whose checkpointed range was since vacuumed fails
-  * LOUDLY instead of silently skipping (loss) or re-emitting
-  * (duplication) — run vacuum with retention covering reader lag, the
-  * same rule real table formats impose. The one sanctioned fallback:
-  * the first batch after the start offset may re-emit a full snapshot
-  * when its predecessor is gone (fresh start, or vacuum overrunning a
-  * checkpoint at exactly the boundary — re-emission, never loss).
+  * LOUDLY instead of silently skipping (loss) or re-emitting a
+  * snapshot (duplication) — even when vacuum overran the checkpoint
+  * by exactly one version — so run vacuum with retention covering
+  * reader lag, the same rule real table formats impose. Exception: a
+  * rewrite-only version (compaction) has a KNOWABLY empty delta, so
+  * it passes through a vacuumed predecessor without error.
   *
   * Schema across the feed: the stream PINS the schema resolved at
   * start. Files committed under an older, narrower schema read with
@@ -940,9 +947,22 @@ private class ManifestMicroBatchStream(path: String, required: StructType,
     * initial-state batch), and the stream never plans versions whose
     * manifests vacuum already expired. An un-vacuumed table keeps the
     * original semantics (oldest retained = 1, start offset 0).
+    *
+    * The returned offset is RECORDED on this instance: it is the only
+    * start offset whose first planned version may read as a full
+    * snapshot. A RESUMED stream (offset from the checkpoint via
+    * [[deserializeOffset]]) never calls this, so `freshStartOffset`
+    * stays None and every version it plans is held to strict delta
+    * semantics — a mid-stream vacuum hole fails loudly instead of
+    * silently re-emitting a snapshot.
     */
-  override def initialOffset(): Offset = ManifestVersionOffset(
-    ManifestSink.oldestRetainedVersion(path).getOrElse(1L) - 1L)
+  private var freshStartOffset: Option[Long] = None
+  override def initialOffset(): Offset = {
+    val o = ManifestVersionOffset(
+      ManifestSink.oldestRetainedVersion(path).getOrElse(1L) - 1L)
+    freshStartOffset = Some(o.v)
+    o
+  }
   override def deserializeOffset(json: String): Offset =
     ManifestVersionOffset(json.trim.toLong)
 
@@ -962,17 +982,18 @@ private class ManifestMicroBatchStream(path: String, required: StructType,
     ManifestVersionOffset(math.min(ceiling, s + cap))
   }
 
-  /** Every version in (start, end] must still have its manifest: a
-    * vacuumed version inside the range means the change feed can no
-    * longer be reconstructed, and that FAILS LOUDLY (skipping it would
-    * silently lose the rows a live stream delivered). Only the FIRST
-    * batch after `start` may fall back to a full snapshot when its
-    * predecessor is gone — that is the initial-state batch of a fresh
-    * tail (initialOffset starts at the oldest retained version), or
-    * documented re-emission-never-loss when vacuum overran a
-    * checkpoint at exactly the boundary. The missing-manifest check is
-    * the READ itself (not a pre-check), so a vacuum racing this
-    * planning still surfaces as the same descriptive error.
+  /** Every data-changing version in (start, end] must still have its
+    * predecessor's manifest: a vacuumed hole there means the change
+    * feed can no longer be reconstructed, and that FAILS LOUDLY
+    * (skipping would silently lose rows a live stream delivered;
+    * snapshot re-emission would silently duplicate them). The ONE
+    * version exempt is the first planned version of a FRESH tail —
+    * `start` equals the offset this instance's own `initialOffset()`
+    * returned — whose full snapshot is the initial-state batch. A
+    * rewrite-only version (compaction) always has an empty delta,
+    * vacuumed predecessor or not. The missing-manifest check is the
+    * READ itself (not a pre-check), so a vacuum racing this planning
+    * still surfaces as the same descriptive error.
     */
   override def planInputPartitions(start: Offset, end: Offset)
       : Array[org.apache.spark.sql.connector.read.InputPartition] = {
@@ -980,7 +1001,8 @@ private class ManifestMicroBatchStream(path: String, required: StructType,
     ((s + 1) to v(end)).flatMap { ver =>
       val delta =
         try ManifestSink.deltaFiles(path, ver,
-          allowSnapshotFallback = ver == s + 1)
+          initialSnapshotBatch =
+            freshStartOffset.contains(s) && ver == s + 1)
         catch {
           case e: java.nio.file.NoSuchFileException =>
             throw new IllegalStateException(

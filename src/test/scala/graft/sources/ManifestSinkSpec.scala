@@ -158,12 +158,19 @@ class ManifestSinkSpec extends SparkSpec {
       readBack(dir) shouldBe Set((3L, "c"), (4L, "d"))
       // expired versions are genuinely gone
       intercept[Exception] { readBack(dir, Some(1L)) }
-      // the streaming delta of the OLDEST survivor falls back to its
-      // full file list (its predecessor manifest was vacuumed):
-      // re-emission, never loss
-      ManifestSink.deltaFiles(dir, 3L).map(_.name).toSet shouldBe
+      // the OLDEST survivor as a fresh tail's FIRST batch reads as its
+      // full file list (the initial-state snapshot) ...
+      ManifestSink.deltaFiles(dir, 3L, initialSnapshotBatch = true)
+        .map(_.name).toSet shouldBe
         ManifestSink.readManifest(spark, dir, Some(3L))
           .as[(String, Long, Long)].collect().map(_._1).toSet
+      // ... but as a RESUMED delta (predecessor vacuumed, data-
+      // changing version) it fails loudly — snapshot re-emission at an
+      // ordinary batch boundary would be silent duplication
+      val ex = intercept[IllegalStateException] {
+        ManifestSink.deltaFiles(dir, 3L)
+      }
+      ex.getMessage should include("vacuumed")
       ()
     }
   }
