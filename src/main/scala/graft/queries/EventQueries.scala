@@ -2174,17 +2174,23 @@ object EventQueries {
 
   /** Manifest CHANGE FEED, end-to-end through the driver's oracle —
     * the streaming counterpart of q283's batch promotion. The customer
-    * table is committed in three versions (append custkey%3=0, append
-    * %3=1, truncating OVERWRITE with %3=2), then the `graft-manifest`
-    * streaming tail drains the change feed under Trigger.AvailableNow
-    * with `max_versions_per_trigger=1` (one version per micro-batch,
-    * the admission-control path) into a parquet sink, and the drained
-    * rows are aggregated per market segment. The three slices
-    * partition the table, so the feed must deliver EXACTLY the whole
-    * customer table: a duplicated append delta, an overwrite delta
-    * computed as a union instead of the version's own files, a lost or
-    * re-emitted version — each breaks the count and the exact cents
-    * hash against DuckDB reading the original parquet.
+    * table is committed in FOUR versions (append custkey%3=0, append
+    * %3=1, a COMPACTION rewriting those two appends' files, then a
+    * truncating OVERWRITE with %3=2); the `graft-manifest` streaming
+    * tail drains the change feed under Trigger.AvailableNow with
+    * `max_versions_per_trigger=1` (one version per micro-batch, the
+    * admission-control path) into a parquet sink, and the drained rows
+    * are aggregated per market segment. The three slices partition the
+    * table, so the feed must deliver EXACTLY the whole customer table:
+    * a duplicated append delta, an overwrite delta computed as a union
+    * instead of the version's own files, a lost or re-emitted version
+    * — each breaks the count and the exact cents hash against DuckDB
+    * reading the original parquet. The compaction version (round-12
+    * ask #4) puts the rewrite-is-invisible rule on the driver's gate:
+    * its micro-batch must contribute ZERO rows — a regression to
+    * name-diff re-emission would re-deliver every %3∈{0,1} customer
+    * and double those segments' counts (previously this rule was
+    * spec+model-tested only, never inside the hash-checked path).
     *
     * ## 100 TB notes
     * The feed plans one micro-batch per committed version from
@@ -2213,6 +2219,9 @@ object EventQueries {
           cust.filter(col("c_custkey") % 3 === 1)
             .write.format("graft-manifest").option("path", r)
             .mode("append").save()
+          // rewrite-only version between the appends and the overwrite:
+          // the drained feed must skip it (see Scaladoc above)
+          graft.sources.ManifestSink.compact(s, r, numFiles = 1)
           cust.filter(col("c_custkey") % 3 === 2)
             .write.format("graft-manifest").option("path", r)
             .mode("overwrite").save()

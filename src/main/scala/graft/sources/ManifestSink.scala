@@ -955,8 +955,14 @@ private class ManifestMicroBatchStream(path: String, required: StructType,
     * stays None and every version it plans is held to strict delta
     * semantics — a mid-stream vacuum hole fails loudly instead of
     * silently re-emitting a snapshot.
+    *
+    * Thread-safety: Spark's MicroBatchExecution drives
+    * `initialOffset`/`latestOffset`/`planInputPartitions` from the
+    * single stream-execution thread, so a plain var would be correct
+    * today; `@volatile` removes the dependence on that undocumented
+    * scheduling contract at zero cost on this cold path.
     */
-  private var freshStartOffset: Option[Long] = None
+  @volatile private var freshStartOffset: Option[Long] = None
   override def initialOffset(): Offset = {
     val o = ManifestVersionOffset(
       ManifestSink.oldestRetainedVersion(path).getOrElse(1L) - 1L)
@@ -1005,11 +1011,19 @@ private class ManifestMicroBatchStream(path: String, required: StructType,
             freshStartOffset.contains(s) && ver == s + 1)
         catch {
           case e: java.nio.file.NoSuchFileException =>
+            // the same missing-manifest read fires for two distinct
+            // operator mistakes — name the one that actually happened
             throw new IllegalStateException(
-              s"graft-manifest change feed in $path: version $ver was " +
-              "vacuumed after this stream checkpointed below it; " +
-              "lengthen vacuum retention to cover reader lag, or " +
-              "restart the stream fresh", e)
+              if (freshStartOffset.contains(s))
+                s"graft-manifest change feed in $path: version $ver was " +
+                "vacuumed between stream start and first-batch " +
+                "planning; restart the stream fresh (it will tail from " +
+                "the new oldest retained version)"
+              else
+                s"graft-manifest change feed in $path: version $ver was " +
+                "vacuumed after this stream checkpointed below it; " +
+                "lengthen vacuum retention to cover reader lag, or " +
+                "restart the stream fresh", e)
         }
       delta.map(f =>
         ManifestInputPartition(

@@ -579,6 +579,57 @@ class ManifestSinkSpec extends SparkSpec {
     }
   }
 
+  test("a planned-but-uncommitted FIRST batch replays the initial " +
+      "snapshot exactly once on restart") {
+    // The snapshot grant is keyed to the stream instance's own
+    // initialOffset() (ManifestMicroBatchStream.freshStartOffset). That
+    // leans on an implicit MicroBatchExecution contract: when batch 0
+    // was planned (offset log written) but never committed, the restart
+    // resolves the batch's START as committedOffsets.getOrElse(
+    // initialOffset()) — i.e. Spark re-calls initialOffset() on the NEW
+    // instance, which re-grants the snapshot exemption. This pins that
+    // contract end-to-end: if Spark ever resolved the start another
+    // way, the replay over a vacuumed prefix would throw the loud
+    // vacuum error (still no data loss) and this test would catch the
+    // behavior change.
+    withTempDir { dir =>
+      withTempDir { cp =>
+        writeRows(dir, Seq((1L, "a")))
+        writeRows(dir, Seq((2L, "b")))
+        ManifestSink.expireVersions(dir, keepLast = 1)
+        ManifestSink.listVersions(dir) shouldBe Seq(2L)
+        // run once to completion so Spark writes a real offsets/0 for
+        // the snapshot batch (start = initialOffset = 1, end = 2)
+        ManifestFeedHarness.drain(spark, dir, cp)
+          .toSet shouldBe Set((1L, "a"), (2L, "b"))
+        // crash simulation — keep offsets/0, drop every commit and any
+        // later offset entry: the exact on-disk state of a stream that
+        // died after durably planning its first batch but before
+        // committing it. The local checksum FS keeps `.N.crc` sidecars
+        // next to each log entry; those must go with their entries or
+        // the replayed commit's rename collides on the stale sidecar.
+        def batchNum(f: java.io.File): Option[Long] = {
+          val n = f.getName
+          val core = if (n.startsWith(".") && n.endsWith(".crc"))
+            n.stripPrefix(".").stripSuffix(".crc") else n
+          if (core.nonEmpty && core.forall(_.isDigit)) Some(core.toLong)
+          else None
+        }
+        Option(new java.io.File(cp, "commits").listFiles())
+          .foreach(_.foreach(f => batchNum(f).foreach(_ => f.delete())))
+        Option(new java.io.File(cp, "offsets").listFiles())
+          .foreach(_.foreach(f =>
+            batchNum(f).foreach(b => if (b > 0L) f.delete())))
+        // restart on the same checkpoint: batch 0 replays, the fresh
+        // instance re-grants the snapshot, rows arrive EXACTLY once
+        val replay = ManifestFeedHarness.drain(spark, dir, cp)
+        replay.sorted shouldBe Seq((1L, "a"), (2L, "b"))
+        // and the now-committed checkpoint replays nothing further
+        ManifestFeedHarness.drain(spark, dir, cp) shouldBe empty
+      }
+    }
+  }
+
   test("zone-map planning stays O(matching files) at 100-file scale") {
     withTempDir { dir =>
       // one job, 100 range-partitioned files over ids 0..999 — each
