@@ -1,0 +1,1333 @@
+package graft.queries
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+import graft.Catalog.Q
+import graft.engine.Tables
+
+/** Structured-Streaming + lake-certification family (see
+  * [[EventQueries]] for the suite doc): real `readStream` runs (file
+  * source over staged fixture copies, memory/foreachBatch sinks,
+  * watermarks, transformWithState), the incremental-gold maintenance
+  * queries, and the graft-manifest certifying queries (q283 time travel,
+  * q293 change feed) whose table builds exercise append / compaction /
+  * overwrite before the driver's oracle hashes the result.
+  */
+private[queries] trait EventStreamingQueries extends EventQueriesBase {
+  /** Run a streaming DataFrame to completion through a memory sink
+    * (append mode, AvailableNow) and return the drained table — the
+    * bounded-stream harness shared by q64/q66/q75. Drops any stale view
+    * from a prior run in the same session first.
+    */
+  private def runToMemorySink(s: SparkSession, df: DataFrame,
+      name: String, outputMode: String = "append"): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    s.catalog.dropTempView(name)
+    // the memory sink APPENDS each batch's rows in update mode too, so
+    // an update-mode run materializes the full per-batch emission log —
+    // exactly what q119's oracle models
+    val query = df.writeStream.format("memory").queryName(name)
+      .outputMode(outputMode).trigger(Trigger.AvailableNow()).start()
+    query.awaitTermination()
+    s.table(name)
+  }
+
+  /** Staging dir for the streaming queries: the file source requires a
+    * DIRECTORY, and the fixture is one file in a dir shared with other
+    * tables, so expose it alone via a symlink (read-only fixtures stay
+    * untouched). The staging name embeds the sanitized source path
+    * (collision-free, unlike a hash), the link is validated against its
+    * expected target (a stale/dangling link from a moved fixture is
+    * recreated, never silently streamed), and a concurrent creator
+    * winning the race is fine because the name pins the target.
+    */
+  private def eventsStreamDir(dir: String): String = {
+    val streamDir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_stream_events_" + dir.replaceAll("[^A-Za-z0-9._-]", "_"))
+    java.nio.file.Files.createDirectories(streamDir)
+    val target = java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath
+    val link = streamDir.resolve("events.parquet")
+    val linkOk = java.nio.file.Files.isSymbolicLink(link) &&
+      java.nio.file.Files.readSymbolicLink(link) == target &&
+      java.nio.file.Files.exists(link) // target still resolves
+    if (!linkOk) {
+      java.nio.file.Files.deleteIfExists(link)
+      try java.nio.file.Files.createSymbolicLink(link, target)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    }
+    streamDir.toString
+  }
+
+  /** Three-file OUT-OF-ORDER staging for the late-data oracle (q76),
+    * admitted oldest-mtime-first as one micro-batch each
+    * (`maxFilesPerTrigger=1`):
+    *   - `a.parquet`: the even event_ids (full time span) — batch 0
+    *     advances the watermark to max(a) − delay;
+    *   - `b.parquet`: the odd ids BEYOND max(a) (may be empty) — batch 1
+    *     exists because Spark's late filter LAGS eviction by one batch
+    *     (SPARK-40925: late events are filtered with the PREVIOUS
+    *     batch's watermark, state is evicted with the current one), so
+    *     rows dropped in batch k must be late against the watermark that
+    *     batch k−1 already started with;
+    *   - `c.parquet`: the odd ids at or before max(a) — batch 2, where
+    *     every row whose hour window closed at or before max(a) − delay
+    *     is DROPPED. The dropping half of the watermark contract, which
+    *     the in-arrival-order staging ([[eventsStreamDir]]) can never
+    *     exercise.
+    * Rebuilt whenever the marker's recorded source (size, mtime) stops
+    * matching: a regenerated fixture invalidates the staging, a repeated
+    * run reuses it.
+    */
+  private def eventsOooStreamDir(s: SparkSession, dir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val staging = Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_stream_events_ooo_" + dir.replaceAll("[^A-Za-z0-9._-]", "_"))
+    val src = Paths.get(s"$dir/events.parquet")
+    val stamp =
+      s"${Files.size(src)}:${Files.getLastModifiedTime(src).toMillis}"
+    val marker = staging.resolve("_STAGED")
+    val fresh = Files.exists(marker) && Files.readString(marker) == stamp
+    if (!fresh) {
+      graft.engine.Fs.deleteRecursively(staging)
+      Files.createDirectories(staging)
+      val ev = s.read.parquet(src.toString)
+      def stageOne(df: DataFrame, name: String, mtimeMs: Long): Unit = {
+        val tmp = staging.resolve(name + ".tmp")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val l = Files.list(tmp)
+        val part =
+          try l.iterator().asScala
+            .find(_.getFileName.toString.endsWith(".parquet"))
+            .getOrElse(throw new IllegalStateException(
+              s"no part file written under $tmp"))
+          finally l.close()
+        Files.move(part, staging.resolve(name))
+        graft.engine.Fs.deleteRecursively(tmp)
+        Files.setLastModifiedTime(staging.resolve(name),
+          java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+      }
+      // 30 s apart: unambiguous ordering even on coarse-mtime filesystems
+      val now = System.currentTimeMillis()
+      // staged files must keep the fixture's PHYSICAL ts encoding (the
+      // consumer reads them with schema(batchSchema)), so the µs
+      // arithmetic dispatches on the raw type instead of normalizing
+      val rawUs = Tables.rawTsUs(ev.schema("ts").dataType)
+      val evens = ev.filter(col("event_id") % 2 === 0)
+      val odds = ev.filter(col("event_id") % 2 =!= 0)
+      val maxEvenUs = evens.agg(max(rawUs)).head().getLong(0)
+      stageOne(evens, "a.parquet", now - 90000)
+      stageOne(odds.filter(rawUs > maxEvenUs), "b.parquet", now - 60000)
+      stageOne(odds.filter(rawUs <= maxEvenUs), "c.parquet", now - 30000)
+      Files.writeString(marker, stamp)
+    }
+    staging.toString
+  }
+
+  /** Build (or validate) both streaming staging dirs ahead of time, so a
+    * timed bench pass measures the streaming data path, not one-time
+    * symlink/file staging. Both stagings are content-stamped and reused
+    * across runs, so this is idempotent and cheap when already built.
+    */
+  def prestage(s: SparkSession, dir: String): Unit = {
+    eventsStreamDir(dir)
+    eventsOooStreamDir(s, dir)
+    ()
+  }
+
+  /** The q66 and q78 oracles are valid only while the bounded stream
+    * drains in ONE micro-batch: across batches,
+    * `dropDuplicatesWithinWatermark` may legitimately re-emit a key that
+    * recurs more than the delay apart once the first occurrence's state
+    * is evicted (q66), and a stream-stream join may drop cross-batch
+    * pairs once the watermark passes one side's buffered rows (q78).
+    * That precondition is enforced HERE, in code — a regenerated
+    * multi-file staging dir fails at this check, never as an opaque
+    * driver-side VALUES diff.
+    */
+  private[queries] def requireSingleDataFile(stagingDir: String): Unit = {
+    val s = java.nio.file.Files.list(java.nio.file.Paths.get(stagingDir))
+    val n =
+      try {
+        val it = s.iterator()
+        var c = 0
+        while (it.hasNext) {
+          if (it.next().getFileName.toString.endsWith(".parquet")) c += 1
+        }
+        c
+      } finally s.close()
+    if (n != 1) throw new IllegalStateException(
+      s"single-micro-batch oracle precondition: expected exactly 1 data " +
+        s"file in $stagingDir, found $n")
+  }
+
+  /** An ACTUAL Structured Streaming run, hash-checked by the oracle —
+    * closing the "streaming is not oracle-able" gap: a bounded file
+    * stream over the same events parquet, `AvailableNow` trigger,
+    * 10-minute watermark, append-mode tumbling hourly counts into a
+    * memory sink; the materialized sink table is the query result.
+    *
+    * The oracle mirrors the APPEND-MODE EMISSION RULE, not just the
+    * aggregate: only windows whose end is at or before
+    * `max(event time) - watermark delay` have been finalized when the
+    * bounded stream drains (the trailing window is deliberately absent
+    * on both sides — 719 of 720 at sf0.01/0.1). Equality at the
+    * boundary cannot occur on this data (watermarks carry sub-second
+    * precision, window ends are exact hours), so the <= mirror is exact.
+    *
+    * ## 100 TB notes
+    * This is the replayable-backfill path of the lambda-free design: the
+    * SAME windowed aggregation runs unbounded with watermark-bounded
+    * state (see graft.streaming for the state-size story); `AvailableNow`
+    * over a file listing is how a 100 TB backlog is drained in bounded
+    * batches with streaming semantics preserved.
+    */
+  val q64StreamHourly: Q = Q(
+    "q64_stream_hourly",
+    (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val agg = s.readStream.schema(batchSchema)
+        .parquet(eventsStreamDir(dir))
+        .transform(Tables.normalizeEventTs)
+        .select(tsStamp.as("tss"), col("event_type"))
+        .withWatermark("tss", "10 minutes")
+        .groupBy(window(col("tss"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(us(col("w.start")).as("window_start_us"), col("event_type"),
+          col("n_events"))
+      runToMemorySink(s, agg, "q64_stream_hourly_mem")
+        .orderBy("window_start_us", "event_type")
+    },
+    Some(s"""WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS t, event_type
+              FROM events),
+            mx AS (SELECT max(t) AS mt FROM e)
+            SELECT epoch_us(date_trunc('hour', t)) AS window_start_us,
+              event_type, count(*) AS n_events
+            FROM e, mx
+            WHERE date_trunc('hour', t) + INTERVAL 1 HOUR
+              <= mt - INTERVAL 10 MINUTE
+            GROUP BY 1, 2 ORDER BY window_start_us, event_type"""))
+
+  /** Streaming dedup through the REAL state-store path
+    * (`StreamingDeduplicateWithinWatermarkExec`):
+    * `dropDuplicatesWithinWatermark` on (user_id, hour) over the bounded
+    * file stream, emitting each kept key once. Within-watermark is the
+    * form whose state the watermark actually EVICTS (a plain
+    * `dropDuplicates` on non-event-time keys never drops state — its
+    * eviction predicate requires the watermark-tagged column in the key
+    * set); the trade, by design, is that at scale a key recurring more
+    * than the delay apart may re-emit. Only the KEY columns are output,
+    * so on the drained bounded stream (one batch, nothing evicted
+    * mid-run) the result is the deterministic distinct-key set and the
+    * oracle is the plain DISTINCT.
+    */
+  val q66StreamDedup: Q = Q(
+    "q66_stream_dedup",
+    (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val stagingDir = eventsStreamDir(dir)
+      requireSingleDataFile(stagingDir)
+      val dedup = s.readStream.schema(batchSchema)
+        .parquet(stagingDir)
+        .transform(Tables.normalizeEventTs)
+        .select(tsStamp.as("tss"), col("user_id"))
+        .withColumn("hour_us", us(date_trunc("hour", col("tss"))))
+        .withWatermark("tss", "10 minutes")
+        .dropDuplicatesWithinWatermark("user_id", "hour_us")
+        .select(col("user_id"), col("hour_us"))
+      runToMemorySink(s, dedup, "q66_stream_dedup_mem")
+        .orderBy("user_id", "hour_us")
+    },
+    Some(s"""SELECT DISTINCT user_id,
+              ${duckUs("date_trunc('hour', CAST(ts AS TIMESTAMP))")} AS hour_us
+            FROM events ORDER BY user_id, hour_us"""))
+
+  /** STATEFUL streaming under oracle hash check — the third and hardest
+    * real-streaming oracle after q64 (windowed agg) and q66 (state-store
+    * dedup): `flatMapGroupsWithState` sessionization
+    * ([[graft.streaming.EventStreams.sessionize]]) over the bounded file
+    * stream. The oracle mirrors the append-mode emission rule exactly:
+    *  - a session CLOSED by a later same-user event emits from the data
+    *    batch — every session except each user's last;
+    *  - each user's LAST (still-open) session emits only if its
+    *    event-time timeout fires in the no-data final micro-batch, i.e.
+    *    `floor((end+gap)/1000) < floor(max_ts/1000) − delay_ms` (Spark
+    *    tracks watermarks in ms and fires on STRICT less-than; both
+    *    floors mirrored in the SQL); otherwise it is held in state and
+    *    is verified ABSENT on both sides.
+    * Only the integer columns are emitted: the per-session value total
+    * is accumulated in ts-sort order inside the state function, and
+    * equal-µs ties would make a double sum order-ambiguous (q33 checks
+    * the session totals with exact decimals on the batch path).
+    */
+  val q75StreamSessions: Q = Q(
+    "q75_stream_sessions",
+    (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val evs = s.readStream.schema(batchSchema)
+        .parquet(eventsStreamDir(dir))
+        .transform(Tables.normalizeEventTs)
+        .select(col("user_id"), tsUs.as("ts_us"), col("value"))
+        .as[graft.streaming.EventStreams.Ev]
+      val out = graft.streaming.EventStreams.sessionize(evs)
+        .select(col("user_id"), col("start_us"), col("end_us"),
+          col("n_events"))
+      runToMemorySink(s, out, "q75_stream_sessions_mem")
+        .orderBy("user_id", "start_us")
+    },
+    Some(duckStreamSessionsOracle))
+
+  /** Oracle for the append-mode sessionization emissions — shared
+    * verbatim by q75 (flatMapGroupsWithState + EventTimeTimeout) and
+    * q266 (transformWithState + explicit event-time timers): one SQL
+    * matching BOTH runs proves the two timeout mechanisms fire on the
+    * same boundaries.
+    */
+  private lazy val duckStreamSessionsOracle: String =
+    s"""WITH $duckSessionCtes,
+            mx AS (SELECT max(ts_us) AS max_us FROM e),
+            agg AS (SELECT user_id, session_seq, min(ts_us) AS start_us,
+                max(ts_us) AS end_us, count(*) AS n_events
+              FROM sess GROUP BY user_id, session_seq),
+            last AS (SELECT user_id, max(session_seq) AS last_seq
+                     FROM agg GROUP BY user_id)
+            SELECT a.user_id, a.start_us, a.end_us,
+              CAST(a.n_events AS BIGINT) AS n_events
+            FROM agg a JOIN last l ON a.user_id = l.user_id CROSS JOIN mx
+            WHERE a.session_seq <> l.last_seq
+               OR (a.end_us + $GapUs) // 1000
+                  < max_us // 1000 - ${GapUs / 1000}
+            ORDER BY a.user_id, a.start_us"""
+
+  /** q75's stateful sessionization through Spark 4's
+    * `transformWithState` with EXPLICIT event-time timers
+    * ([[graft.streaming.EventStreams.SessionProcessor]]): identical
+    * staging and the SAME oracle SQL, so the hash match of both
+    * sessionizers against one oracle proves
+    * flatMapGroupsWithState's EventTimeTimeout and the successor API's
+    * registered timers fire on the same boundaries — q265's
+    * API-equivalence pattern extended to the timer half of the state
+    * surface. Pinned to the RocksDB provider like q265.
+    */
+  val q266StreamTwsSessions: Q = Q(
+    "q266_stream_tws_sessions",
+    (s, dir) => {
+      import s.implicits._
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prior = s.conf.getOption(key)
+      s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider")
+      try {
+        val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+        val evs = s.readStream.schema(batchSchema)
+          .parquet(eventsStreamDir(dir))
+          .transform(Tables.normalizeEventTs)
+          .select(col("user_id"), tsUs.as("ts_us"), col("value"))
+          .as[graft.streaming.EventStreams.Ev]
+        val out = graft.streaming.EventStreams.sessionizeTws(evs)
+          .select(col("user_id"), col("start_us"), col("end_us"),
+            col("n_events"))
+        runToMemorySink(s, out, "q266_stream_tws_sessions_mem")
+          .orderBy("user_id", "start_us")
+      } finally prior match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    },
+    Some(duckStreamSessionsOracle))
+
+  /** Run q76's two-batch late-data stream and surface the state
+    * operator's `numRowsDroppedByWatermark` alongside the drained result
+    * — the spec asserts the drop count is REALLY nonzero, so a future
+    * fixture/split change can't silently degenerate this back into the
+    * in-order (nothing-late) case while the oracle still matches.
+    */
+  private[graft] def runQ76(s: SparkSession, dir: String): (DataFrame, Long) = {
+    import org.apache.spark.sql.streaming.Trigger
+    val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+    val agg = s.readStream.schema(batchSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(eventsOooStreamDir(s, dir))
+      .transform(Tables.normalizeEventTs)
+      .select(tsStamp.as("tss"), col("event_type"))
+      .withWatermark("tss", "10 minutes")
+      .groupBy(window(col("tss"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(us(col("w.start")).as("window_start_us"), col("event_type"),
+        col("n_events"))
+    val name = "q76_stream_late_mem"
+    s.catalog.dropTempView(name)
+    val query = agg.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    query.awaitTermination()
+    val dropped = query.recentProgress.toSeq
+      .flatMap(_.stateOperators.toSeq.map(_.numRowsDroppedByWatermark)).sum
+    (s.table(name).orderBy("window_start_us", "event_type"), dropped)
+  }
+
+  /** The DROPPING half of the watermark contract under oracle hash check
+    * — the complement of q64, whose in-arrival-order fixture never drops
+    * a row: the same hourly aggregation drains the three-file
+    * out-of-order staging ([[eventsOooStreamDir]]) in three
+    * micro-batches. Batch 0 (file `a`: even event_ids, full time span)
+    * advances the watermark to wm0 = max(a) − 10 min; batch 1 (file `b`:
+    * the trailing odds) cements wm0 as the PREVIOUS-batch watermark the
+    * late filter lags on; batch 2 (file `c`: the remaining odds) then
+    * finds most of its rows late — every row whose hour window closed at
+    * or before wm0 is dropped before the aggregation and must be absent
+    * from its window's count on BOTH engines.
+    *
+    * The oracle mirrors the full contract in milliseconds (Spark tracks
+    * watermarks as floor-ms of the max event time):
+    *   - acceptance: batches 0/1 are filtered against watermark 0
+    *     (nothing drops); a batch-2 row survives iff its window's end is
+    *     strictly after wm0 = floor(max_a_us / 1000) − 600000;
+    *   - no double emission: state evicted before batch 2 covers exactly
+    *     the windows at or before wm0 — the same bound the late filter
+    *     applies to batch 2 — so an accepted row can never re-open an
+    *     already-emitted window;
+    *   - emission: a window is final iff its end is at or before
+    *     wm_final = floor(max_all_us / 1000) − 600000 — q64's append
+    *     rule. Boundary ties cannot occur: window ends are whole hours,
+    *     watermarks carry the fixture's sub-second precision.
+    */
+  val q76StreamLateDrop: Q = Q(
+    "q76_stream_late_drop",
+    (s, dir) => runQ76(s, dir)._1,
+    Some(s"""WITH e AS (SELECT event_id, event_type,
+                   CAST(ts AS TIMESTAMP) AS t, ${duckUs("ts")} AS us
+                 FROM events),
+            m0 AS (SELECT max(us) AS us FROM e WHERE event_id % 2 = 0),
+            wm0 AS (SELECT us // 1000 - 600000 AS ms FROM m0),
+            wmf AS (SELECT max(us) // 1000 - 600000 AS ms FROM e),
+            acc AS (SELECT t, event_type FROM e WHERE event_id % 2 = 0
+                    UNION ALL
+                    SELECT e.t, e.event_type FROM e, m0
+                    WHERE e.event_id % 2 = 1 AND e.us > m0.us
+                    UNION ALL
+                    SELECT e.t, e.event_type FROM e, m0, wm0
+                    WHERE e.event_id % 2 = 1 AND e.us <= m0.us
+                      AND epoch_ms(date_trunc('hour', e.t)
+                                   + INTERVAL 1 HOUR) > wm0.ms)
+            SELECT epoch_us(date_trunc('hour', t)) AS window_start_us,
+              event_type, count(*) AS n_events
+            FROM acc, wmf
+            WHERE epoch_ms(date_trunc('hour', t) + INTERVAL 1 HOUR)
+              <= wmf.ms
+            GROUP BY 1, 2 ORDER BY window_start_us, event_type"""))
+
+  /** STREAM-STREAM interval join under oracle hash check — the fourth
+    * real-streaming oracle (after q64 windowed agg, q66 state-store
+    * dedup, q75 stateful sessions) and the last streaming operator that
+    * was only unit-tested: [[graft.streaming.EventStreams.intervalJoin]]
+    * with both sides reading the SAME bounded file stream, each-side
+    * watermarks, and a two-sided time-bound join condition — the only
+    * shape Spark admits for an append-mode stream-stream inner join.
+    *
+    * On the single-file staging both sides drain in one micro-batch with
+    * watermark 0, so no buffered row is ever evicted before its partner
+    * arrives and the result is exactly the batch interval join — which
+    * is what the oracle asserts (same relation as q38, keyed by types
+    * instead of ids). [[requireSingleDataFile]] enforces that
+    * precondition in code; cross-batch eviction semantics are exercised
+    * separately by q76's late-drop path.
+    *
+    * ## 100 TB notes
+    * Each side buffers only watermark + window of rows per key — the
+    * join never holds history. The equi-key (`user_id`) carries the
+    * shuffle; the time bound is evaluated within the key's buffered
+    * rows. This is the unbounded form of the batch time-cell bucketed
+    * range join (q38): same join surface, state bounded by the
+    * watermark instead of the bucket width.
+    */
+  val q78StreamIntervalJoin: Q = Q(
+    "q78_stream_interval_join",
+    (s, dir) => {
+      val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val stagingDir = eventsStreamDir(dir)
+      requireSingleDataFile(stagingDir)
+      def side(): DataFrame = s.readStream.schema(batchSchema)
+        .parquet(stagingDir)
+        .transform(Tables.normalizeEventTs)
+        .select(col("user_id"), tsUs.as("ts_us"), col("event_type"))
+      val joined = graft.streaming.EventStreams.intervalJoin(
+        side(), side(), "user_id", windowUs = 600L * 1000000)
+      runToMemorySink(s, joined, "q78_stream_interval_mem")
+        .orderBy("user_id", "l_ts_us", "r_ts_us", "l_type", "r_type")
+    },
+    Some(s"""WITH ev AS (SELECT user_id, ${duckUs("ts")} AS us, event_type
+                         FROM events)
+            SELECT a.user_id, a.us AS l_ts_us, a.event_type AS l_type,
+              b.us AS r_ts_us, b.event_type AS r_type
+            FROM ev a JOIN ev b ON a.user_id = b.user_id
+              AND b.us > a.us AND b.us - a.us <= 600000000
+            ORDER BY a.user_id, l_ts_us, r_ts_us, l_type, r_type"""))
+
+  /** Stream-STATIC broadcast enrichment — the remaining streaming join
+    * shape (q78 covers stream-stream): the unbounded event stream joins
+    * a bounded dimension (`customer`) that Spark re-broadcasts per
+    * micro-batch, no state store involved (the static side is not
+    * buffered, so no watermark is needed and the join is stateless).
+    * The streamed surface is the JOIN; the drained sink is then
+    * aggregated in batch per (segment, event_type) so the oracle is the
+    * plain relational join+agg — on an inner join with a static side,
+    * batch and streaming semantics coincide row-for-row.
+    *
+    * ## 100 TB notes
+    * This is the canonical streaming enrich: dimension small enough to
+    * broadcast → zero shuffle of the stream, map-side hash join per
+    * batch. A dimension too big to broadcast flips to the state-store
+    * stream-stream join (q78's shape) or a pre-bucketed side input;
+    * nothing in between survives at scale.
+    */
+  val q83StreamStaticEnrich: Q = Q(
+    "q83_stream_static_enrich",
+    (s, dir) => {
+      val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val enriched = s.readStream.schema(batchSchema)
+        .parquet(eventsStreamDir(dir))
+        .transform(Tables.normalizeEventTs)
+        .select(col("user_id"), col("event_type"), col("value"))
+        .join(broadcast(cust), col("user_id") === col("c_custkey"))
+        .select(col("c_mktsegment"), col("event_type"), col("value"))
+      runToMemorySink(s, enriched, "q83_stream_static_mem")
+        .groupBy(col("c_mktsegment"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value").cast("decimal(30,10)")), 2).cast("double")
+            .as("total_value"))
+        .orderBy("c_mktsegment", "event_type")
+    },
+    Some("""SELECT c_mktsegment, event_type, count(*) AS n_events,
+              CAST(round(sum(CAST(value AS DECIMAL(30,10))), 2) AS DOUBLE)
+                AS total_value
+            FROM events e JOIN customer c ON e.user_id = c.c_custkey
+            GROUP BY 1, 2 ORDER BY c_mktsegment, event_type"""))
+
+  /** foreachBatch + latest-wins MERGE — the streaming WRITE surface the
+    * sink-format queries don't cover: each micro-batch upserts into a
+    * keyed parquet state table through [[graft.engine.Sinks.upsertLatestWins]]
+    * (the engine's MERGE stand-in), landing via write-new-then-swap so
+    * the table being read is never the table being overwritten. Driven
+    * over the THREE-batch out-of-order staging ([[eventsOooStreamDir]]),
+    * so merges genuinely cross batch boundaries and late arrivals lose
+    * to the newer version already in state — the final table is each
+    * user's globally-latest event regardless of arrival order, which is
+    * exactly what the oracle asserts.
+    *
+    * Determinism precondition, enforced in code: no two events share
+    * (user_id, ts_us). A cross-batch tie would otherwise be resolved by
+    * ARRIVAL order (updates-beat-base), which the relational oracle
+    * cannot see. foreachBatch is at-least-once, and that is the point:
+    * latest-wins is idempotent, so a replayed batch re-merges to the
+    * same state.
+    *
+    * ## 100 TB notes
+    * This is the streaming-ingest-to-serving-table pattern: merge cost
+    * per batch is one shuffle of batch+state on the key; at scale the
+    * swap becomes a transactional table commit (Delta/Iceberg MERGE)
+    * and state stays partitioned by the key so only touched partitions
+    * rewrite (Sinks' dynamic-overwrite posture). The idempotent merge is
+    * what makes at-least-once delivery exactly-once at the table.
+    */
+  /** Run q84's merge stream; returns the final state table plus how many
+    * micro-batches carried data — the spec pins >= 2 so a staging change
+    * can't quietly collapse the cross-batch merge into one batch.
+    */
+  private[graft] def runQ84(s: SparkSession, dir: String): (DataFrame, Long) = {
+      import org.apache.spark.sql.streaming.Trigger
+      import java.nio.file.Files
+      val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val ties = Tables.load(s, dir, "events")
+        .groupBy(col("user_id"), tsUs.as("ts_us"))
+        .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1).count()
+      if (ties > 0) throw new IllegalStateException(
+        "q84 precondition: duplicate (user_id, ts_us) would make the " +
+          "cross-batch merge arrival-order-dependent")
+      val root = Files.createTempDirectory("graft_q84")
+      val stateDir = root.resolve("state")
+      val src = s.readStream.schema(batchSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(eventsOooStreamDir(s, dir))
+        .transform(Tables.normalizeEventTs)
+        .select(col("user_id"), tsUs.as("ts_us"), col("event_type"),
+          col("value"))
+      val query = src.writeStream
+        .option("checkpointLocation", root.resolve("ckpt").toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val base =
+            if (Files.exists(stateDir)) s.read.parquet(stateDir.toString)
+            else batch.limit(0)
+          val merged = graft.engine.Sinks.upsertLatestWins(
+            base, batch, keyCols = Seq("user_id"), versionCol = "ts_us")
+          val tmp = root.resolve("state_tmp")
+          merged.write.mode("overwrite").parquet(tmp.toString)
+          graft.engine.Fs.deleteRecursively(stateDir)
+          Files.move(tmp, stateDir)
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+      val dataBatches =
+        query.recentProgress.toSeq.count(_.numInputRows > 0).toLong
+      // one row per user after the merge, so user_id is a total order
+      (s.read.parquet(stateDir.toString).orderBy("user_id"), dataBatches)
+  }
+
+  val q84ForeachBatchUpsert: Q = Q(
+    "q84_foreachbatch_upsert",
+    (s, dir) => runQ84(s, dir)._1,
+    Some(s"""SELECT user_id, ts_us, event_type, value FROM (
+              SELECT user_id, ${duckUs("ts")} AS ts_us, event_type, value,
+                row_number() OVER (PARTITION BY user_id
+                  ORDER BY ${duckUs("ts")} DESC) AS rn
+              FROM events) WHERE rn = 1 ORDER BY user_id"""))
+
+  /** Stream-stream LEFT OUTER interval join — the null-completion half
+    * of the q78 join surface, and the subtlest append-mode semantics in
+    * the engine: matched pairs emit from the data batch (single-file
+    * staging, watermark 0, nothing evicted early — q78's precondition),
+    * while a left event that never matched emits `(left, NULL)` only at
+    * STATE EVICTION, i.e. in the final AvailableNow batch once the
+    * advanced watermark proves no future right row can complete it:
+    * `l_us + window < watermark_ms * 1000` with
+    * `watermark_ms = floor(max_us/1000) - delay_ms` (Spark tracks
+    * watermarks in ms; strict less-than). Unmatched rows INSIDE the
+    * final horizon stay in state unemitted — the oracle mirrors the
+    * cutoff exactly, making the eviction rule itself hash-checked.
+    *
+    * ## 100 TB notes
+    * Same bounded state as the inner form (watermark + window per side);
+    * the outer semantics add no state — only the emission of evicted
+    * never-matched rows. Result completeness is traded against state
+    * retention via the watermark delay, which is THE knob at scale.
+    */
+  val q107StreamOuterJoin: Q = Q(
+    "q107_stream_outer_join",
+    (s, dir) => {
+      val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val stagingDir = eventsStreamDir(dir)
+      requireSingleDataFile(stagingDir)
+      def side(): DataFrame = s.readStream.schema(batchSchema)
+        .parquet(stagingDir)
+        .transform(Tables.normalizeEventTs)
+        .select(col("user_id"), tsUs.as("ts_us"), col("event_type"))
+      val joined = graft.streaming.EventStreams.intervalJoin(
+        side(), side(), "user_id", windowUs = 600L * 1000000,
+        watermark = "10 minutes", joinType = "leftOuter")
+      runToMemorySink(s, joined, "q107_stream_outer_mem")
+        .orderBy(col("user_id"), col("l_ts_us"), col("l_type"),
+          col("r_ts_us").asc_nulls_last, col("r_type").asc_nulls_last)
+    },
+    Some(s"""WITH ev AS (SELECT user_id, ${duckUs("ts")} AS us, event_type
+                         FROM events),
+            m AS (SELECT a.user_id, a.us AS l_ts_us, a.event_type AS l_type,
+                    b.us AS r_ts_us, b.event_type AS r_type
+                  FROM ev a JOIN ev b ON a.user_id = b.user_id
+                    AND b.us > a.us AND b.us - a.us <= 600000000),
+            wm AS (SELECT max(us) // 1000 - 600000 AS ms FROM ev),
+            um AS (SELECT a.user_id, a.us, a.event_type
+                   FROM ev a, wm
+                   WHERE NOT EXISTS (
+                       SELECT 1 FROM ev b
+                       WHERE b.user_id = a.user_id AND b.us > a.us
+                         AND b.us - a.us <= 600000000)
+                     AND a.us + 600000000 < wm.ms * 1000)
+            SELECT * FROM (
+              SELECT * FROM m
+              UNION ALL
+              SELECT user_id, us, event_type, NULL, NULL FROM um)
+            ORDER BY user_id, l_ts_us, l_type,
+              r_ts_us NULLS LAST, r_type NULLS LAST"""))
+
+  /** Update-mode `mapGroupsWithState` under oracle check — the
+    * one-emission-per-touched-key-per-batch stateful API the suite
+    * lacked (q75's flatMapGroupsWithState is the zero-or-many append
+    * form). Per-user running (count, exact-cent total, max event time)
+    * counters fold across the THREE-batch out-of-order staging
+    * ([[eventsOooStreamDir]], `maxFilesPerTrigger=1`), so state
+    * genuinely carries between micro-batches; the update-mode memory
+    * sink appends each batch's emissions, so the materialized table is
+    * the full emission LOG — one row per (user, batch-that-touched-it)
+    * with the cumulative totals as of that batch.
+    *
+    * The oracle reconstructs the same log relationally: the staging's
+    * batch assignment is a deterministic function of (event_id parity,
+    * event time vs the even side's max), so "user's cumulative totals
+    * over batches 1..k, for each batch k that touched the user" is a
+    * self-join aggregate. Cumulative n_events strictly increases per
+    * touched batch, so (user_id, n_events) is a total order.
+    *
+    * Cents are computed IN THE PLAN (`floor(value*100)`, the q103
+    * idiom) and folded as longs in state — no double crosses a batch
+    * boundary, so the cross-batch sum is exact on any arrival order.
+    */
+  val q119StreamRunningTotals: Q = Q(
+    "q119_stream_running_totals",
+    (s, dir) => {
+      import s.implicits._
+      val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val src = s.readStream.schema(batchSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(eventsOooStreamDir(s, dir))
+        .transform(Tables.normalizeEventTs)
+        .select(col("user_id"),
+          floor(col("value") * 100).cast("long").as("cents"),
+          tsUs.as("us"))
+        .as[graft.streaming.EventStreams.Counted]
+      graft.streaming.EventStreams.runningTotals(src).toDF()
+        .transform(df => runToMemorySink(s, df,
+          "q119_stream_running_totals_mem", outputMode = "update"))
+        .orderBy("user_id", "n_events")
+    },
+    Some(duckRunningTotalsOracle))
+
+  /** Oracle for the update-mode running-totals emission log — shared
+    * verbatim by q119 (mapGroupsWithState) and q265 (transformWithState):
+    * the same SQL matching BOTH runs is the engine-side proof the two
+    * state APIs are semantically identical.
+    */
+  private lazy val duckRunningTotalsOracle: String =
+    s"""WITH e AS (SELECT user_id, event_id,
+                   CAST(floor(value * 100) AS BIGINT) AS cents,
+                   ${duckUs("ts")} AS us
+                 FROM events),
+            mx AS (SELECT max(us) AS m FROM e WHERE event_id % 2 = 0),
+            b AS (SELECT e.*, CASE WHEN event_id % 2 = 0 THEN 1
+                                   WHEN us > mx.m THEN 2 ELSE 3 END AS batch
+                  FROM e, mx),
+            touched AS (SELECT DISTINCT user_id, batch FROM b),
+            cum AS (SELECT t.user_id,
+                      count(*) AS n_events,
+                      CAST(sum(x.cents) AS BIGINT) AS total_cents,
+                      max(x.us) AS max_us
+                    FROM touched t JOIN b x
+                      ON x.user_id = t.user_id AND x.batch <= t.batch
+                    GROUP BY t.user_id, t.batch)
+            SELECT user_id, n_events, total_cents, max_us
+            FROM cum ORDER BY user_id, n_events"""
+
+  /** q119's running per-user totals through Spark 4's
+    * `transformWithState` (typed named-state handles + per-state TTL —
+    * the successor stateful API; see
+    * [[graft.streaming.EventStreams.RunningTotalProcessor]]): identical
+    * staging, identical emissions, SAME oracle SQL — the hash match of
+    * both queries against one oracle proves the two state APIs fold
+    * identically, the q24/q153 relational-vs-native pattern applied to
+    * streaming state. transformWithState only runs on the RocksDB state
+    * store provider, so the runner pins the provider for this query and
+    * restores the session conf after — which also makes this a real
+    * RocksDB-backed run in every verify pass, not just in
+    * RocksDbStateSpec.
+    */
+  val q265StreamTwsTotals: Q = Q(
+    "q265_stream_tws_totals",
+    (s, dir) => {
+      import s.implicits._
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prior = s.conf.getOption(key)
+      s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider")
+      try {
+        val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+        val src = s.readStream.schema(batchSchema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(eventsOooStreamDir(s, dir))
+          .transform(Tables.normalizeEventTs)
+          .select(col("user_id"),
+            floor(col("value") * 100).cast("long").as("cents"),
+            tsUs.as("us"))
+          .as[graft.streaming.EventStreams.Counted]
+        graft.streaming.EventStreams.runningTotalsTws(src).toDF()
+          .transform(df => runToMemorySink(s, df,
+            "q265_stream_tws_totals_mem", outputMode = "update"))
+          .orderBy("user_id", "n_events")
+      } finally prior match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    },
+    Some(duckRunningTotalsOracle))
+
+  /** Pin the RocksDB state store provider for the duration of `body`
+    * and restore the prior session conf after — transformWithState
+    * only runs on RocksDB, and pinning per-query keeps every verify
+    * pass a real RocksDB-backed run (q265's posture, shared by the
+    * list/map-state queries).
+    */
+  private def withRocksDb[A](s: SparkSession)(body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = s.conf.getOption(key)
+    s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try body finally prior match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
+  /** Streaming per-user top-3 amounts via `transformWithState` LIST
+    * state (see [[graft.streaming.EventStreams.TopkProcessor]]: a
+    * bounded `ListState[Long]` leaderboard plus a `ValueState[Long]`
+    * counter — two named state handles in one processor, the state
+    * shape q265/q266 didn't cover). Same three-batch out-of-order
+    * staging as q119; the emission log is one row per
+    * (user, touched batch) carrying the cumulative event count and the
+    * 3 largest cents so far. Top-k is a commutative fold, so the log
+    * is deterministic under any partitioning; `(user_id, n_events)` is
+    * a total order because every touched batch adds at least one
+    * event. The oracle reconstructs the log relationally with a ranked
+    * self-join over the deterministic batch assignment.
+    */
+  val q275StreamTwsTopk: Q = Q(
+    "q275_stream_tws_topk",
+    (s, dir) => {
+      import s.implicits._
+      withRocksDb(s) {
+        val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+        val src = s.readStream.schema(batchSchema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(eventsOooStreamDir(s, dir))
+          .transform(Tables.normalizeEventTs)
+          .select(col("user_id"),
+            floor(col("value") * 100).cast("long").as("cents"),
+            tsUs.as("us"))
+          .as[graft.streaming.EventStreams.Counted]
+        graft.streaming.EventStreams.topkTws(src).toDF()
+          .transform(df => runToMemorySink(s, df,
+            "q275_stream_tws_topk_mem", outputMode = "update"))
+          .orderBy("user_id", "n_events")
+      }
+    },
+    Some(s"""WITH e AS (SELECT user_id, event_id,
+                   CAST(floor(value * 100) AS BIGINT) AS cents,
+                   ${duckUs("ts")} AS us
+                 FROM events),
+            mx AS (SELECT max(us) AS m FROM e WHERE event_id % 2 = 0),
+            b AS (SELECT e.*, CASE WHEN event_id % 2 = 0 THEN 1
+                                   WHEN us > mx.m THEN 2 ELSE 3 END AS batch
+                  FROM e, mx),
+            touched AS (SELECT DISTINCT user_id, batch FROM b),
+            j AS (SELECT t.user_id, t.batch, x.cents
+                  FROM touched t JOIN b x
+                    ON x.user_id = t.user_id AND x.batch <= t.batch),
+            r AS (SELECT user_id, batch, cents,
+                    row_number() OVER (PARTITION BY user_id, batch
+                      ORDER BY cents DESC) AS rn,
+                    count(*) OVER (PARTITION BY user_id, batch)
+                      AS n_events
+                  FROM j)
+            SELECT user_id, n_events,
+              max(CASE WHEN rn = 1 THEN cents END) AS top1,
+              max(CASE WHEN rn = 2 THEN cents END) AS top2,
+              max(CASE WHEN rn = 3 THEN cents END) AS top3
+            FROM r GROUP BY user_id, batch, n_events
+            ORDER BY user_id, n_events"""))
+
+  /** Streaming per-(user, type) counters via `transformWithState` MAP
+    * state (see [[graft.streaming.EventStreams.TypeCountProcessor]]:
+    * one `MapState[String, Long]` per user — the per-type sub-key
+    * lives in the state-store key, so a batch touches only the
+    * entries it changes instead of rewriting a serialized map). Each
+    * batch emits one row per type it touched with the type's new
+    * cumulative count, so the log never repeats a row and
+    * `(user_id, event_type, n)` is a total order. Counting is
+    * commutative — partitioning-invariant by construction.
+    */
+  val q276StreamTwsTypeCounts: Q = Q(
+    "q276_stream_tws_typecounts",
+    (s, dir) => {
+      import s.implicits._
+      withRocksDb(s) {
+        val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+        val src = s.readStream.schema(batchSchema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(eventsOooStreamDir(s, dir))
+          .transform(Tables.normalizeEventTs)
+          .select(col("user_id"), col("event_type"), lit(1L).as("n"))
+          .as[graft.streaming.EventStreams.TypeCount]
+        graft.streaming.EventStreams.typeCountsTws(src).toDF()
+          .transform(df => runToMemorySink(s, df,
+            "q276_stream_tws_typecounts_mem", outputMode = "update"))
+          .orderBy("user_id", "event_type", "n")
+      }
+    },
+    Some(s"""WITH e AS (SELECT user_id, event_id, event_type,
+                   ${duckUs("ts")} AS us
+                 FROM events),
+            mx AS (SELECT max(us) AS m FROM e WHERE event_id % 2 = 0),
+            b AS (SELECT e.*, CASE WHEN event_id % 2 = 0 THEN 1
+                                   WHEN us > mx.m THEN 2 ELSE 3 END AS batch
+                  FROM e, mx),
+            touched AS (SELECT DISTINCT user_id, event_type, batch
+                        FROM b),
+            cum AS (SELECT t.user_id, t.event_type, count(*) AS n
+                    FROM touched t JOIN b x
+                      ON x.user_id = t.user_id
+                         AND x.event_type = t.event_type
+                         AND x.batch <= t.batch
+                    GROUP BY t.user_id, t.event_type, t.batch)
+            SELECT user_id, event_type, n FROM cum
+            ORDER BY user_id, event_type, n"""))
+
+  /** Incremental gold maintenance under oracle check: the per-user
+    * totals table built by folding THREE per-batch aggregates through
+    * [[graft.engine.Incremental.mergeAdditive]] (full-outer join +
+    * monoid combine: counts/sums add, max takes greatest) must equal
+    * the one-shot aggregation over all events — `agg(A ∪ B) =
+    * merge(agg(A), agg(B))`, the identity every "process only today's
+    * partition" pipeline silently relies on. The oracle IS the
+    * one-shot aggregation, so the hash match proves the incremental
+    * path exactly, not approximately; the batch split reuses q119's
+    * deterministic assignment (event-id parity + event time vs the
+    * even side's max) so the same three deltas exist on both engines.
+    *
+    * ## 100 TB notes
+    * Each delta aggregation is one map-side-combined shuffle over ITS
+    * batch only; each merge joins key-space-sized aggregates (gold
+    * bucketed on the key at scale → co-located join; AQE broadcasts
+    * small deltas). History is never re-read — that is the point.
+    */
+  val q277IncrementalGold: Q = Q(
+    "q277_incremental_gold",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          floor(col("value") * 100).cast("long").as("cents"),
+          tsUs.as("us"))
+      val mx = ev.filter(col("event_id") % 2 === 0)
+        .agg(max(col("us")).as("m")) // 1 row
+      val batched = ev.crossJoin(broadcast(mx))
+        .withColumn("batch", when(col("event_id") % 2 === 0, 1)
+          .when(col("us") > col("m"), 2).otherwise(3))
+      def aggBatch(b: Int) = batched.filter(col("batch") === b)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("cents")).as("total_cents"),
+          max(col("us")).as("max_us"))
+      Seq(2, 3).foldLeft(aggBatch(1)) { (gold, b) =>
+        graft.engine.Incremental.mergeAdditive(gold, aggBatch(b),
+          Seq("user_id"), Seq("n_events", "total_cents"), Seq("max_us"))
+      }.orderBy("user_id")
+    },
+    Some(s"""SELECT user_id, count(*) AS n_events,
+              CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                AS total_cents,
+              max(${duckUs("ts")}) AS max_us
+            FROM events GROUP BY 1 ORDER BY user_id"""))
+
+  /** Retractable aggregates — incremental maintenance under DELETES
+    * (the Z-set / differential-dataflow move): a retraction is just a
+    * delta with NEGATED measures, so the same
+    * [[graft.engine.Incremental.mergeAdditive]] that applies inserts
+    * applies erasures, followed by zero-weight elimination
+    * (`n > 0` — a key whose every row was retracted must vanish, not
+    * linger at zero). The demo erases the deterministic
+    * `event_id % 7 = 0` cohort from the standing per-user totals; the
+    * oracle aggregates the SURVIVORS directly, so the hash match
+    * proves subtract-then-eliminate equals never-having-seen-them.
+    * Only SUBTRACTABLE measures qualify (count/sum form a group;
+    * max does not — q277 carries max through insert-only merges, this
+    * query deliberately excludes it: after a delete, a max must be
+    * recomputed from survivors or kept in a sketch).
+    *
+    * ## 100 TB notes
+    * An RTBF purge (q213's blast radius) becomes one key-space-sized
+    * merge of the negated erasure cohort — no fact-table recompute.
+    * The retraction delta aggregates map-side like any other batch.
+    */
+  val q278RetractableAgg: Q = Q(
+    "q278_retractable_agg",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          floor(col("value") * 100).cast("long").as("cents"))
+      def totals(df: DataFrame) = df.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      val gold = totals(ev)
+      val retraction = totals(ev.filter(col("event_id") % 7 === 0))
+        .select(col("user_id"), (-col("n")).as("n"),
+          (-col("cents")).as("cents"))
+      graft.engine.Incremental
+        .mergeAdditive(gold, retraction, Seq("user_id"),
+          Seq("n", "cents"))
+        .filter(col("n") > 0) // Z-set zero-weight elimination
+        .orderBy("user_id")
+    },
+    Some("""SELECT user_id, count(*) AS n,
+              CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                AS cents
+            FROM events WHERE event_id % 7 <> 0
+            GROUP BY 1 ORDER BY user_id"""))
+
+  /** Watermark restatement scope — how much already-finalized output
+    * does the lateness profile force an incremental pipeline to
+    * restate? Using q119's deterministic three-batch arrival order,
+    * batch 1's completion sets the watermark (max event time seen
+    * minus a 1-hour allowed delay); an hourly (user, hour) cell is
+    * FINALIZED once its end sits at or below that watermark. Every
+    * later-arriving row landing in a finalized cell is a restatement:
+    * per subsequent batch the audit counts rows, restating rows, the
+    * distinct finalized cells they reopen, and the exact-ppm
+    * restatement rate. Batch 2 (the genuinely-new rows) restates
+    * nothing by construction; batch 3 (the stragglers) is the
+    * correction load — the number that decides between "reprocess the
+    * partition" and "serve approximate until compaction".
+    *
+    * ## 100 TB notes
+    * One broadcast scalar (the watermark), one two-level group-by
+    * ((batch, user, hour) cells with map-side partials, then per
+    * batch). The cell relation is the same size as the streaming
+    * state the watermark would have bounded — this is the BATCH
+    * measurement of that streaming contract.
+    */
+  val q279RestatementScope: Q = Q(
+    "q279_restatement_scope",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), tsUs.as("us"))
+      val mx = ev.filter(col("event_id") % 2 === 0)
+        .agg(max(col("us")).as("m")) // 1 row: batch-1 max event time
+      val cells = ev.crossJoin(broadcast(mx))
+        .withColumn("batch", when(col("event_id") % 2 === 0, 1L)
+          .when(col("us") > col("m"), 2L).otherwise(3L))
+        .filter(col("batch") =!= 1)
+        .withColumn("hr", expr("us div 3600000000"))
+        .withColumn("restates",
+          (col("hr") + 1) * 3600000000L <= col("m") - 3600000000L)
+      cells.groupBy(col("batch"), col("user_id"), col("hr"),
+          col("restates"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("batch"))
+        .agg(sum(col("cnt")).as("n_rows"),
+          sum(when(col("restates"), col("cnt")).otherwise(0L))
+            .as("n_restating"),
+          count(when(col("restates"), 1)).as("n_cells_reopened"))
+        .select(col("batch"), col("n_rows"), col("n_restating"),
+          col("n_cells_reopened"),
+          expr("n_restating * 1000000 div n_rows").as("restate_ppm"))
+        .orderBy("batch")
+    },
+    Some(s"""WITH e AS (SELECT user_id, event_id, ${duckUs("ts")} AS us
+                 FROM events),
+            mx AS (SELECT max(us) AS m FROM e WHERE event_id % 2 = 0),
+            c AS (SELECT CASE WHEN event_id % 2 = 0 THEN 1
+                              WHEN us > m THEN 2 ELSE 3 END AS batch,
+                    user_id, us // 3600000000 AS hr,
+                    (us // 3600000000 + 1) * 3600000000
+                      <= m - 3600000000 AS restates
+                  FROM e, mx),
+            g AS (SELECT batch, user_id, hr, restates, count(*) AS cnt
+                  FROM c WHERE batch <> 1 GROUP BY 1, 2, 3, 4),
+            a AS (SELECT batch, CAST(sum(cnt) AS BIGINT) AS n_rows,
+                    CAST(sum(CASE WHEN restates THEN cnt ELSE 0 END)
+                      AS BIGINT) AS n_restating,
+                    count(CASE WHEN restates THEN 1 END)
+                      AS n_cells_reopened
+                  FROM g GROUP BY 1)
+            SELECT batch, n_rows, n_restating, n_cells_reopened,
+              n_restating * 1000000 // n_rows AS restate_ppm
+            FROM a ORDER BY batch"""))
+
+  /** Watermark tuning curve — the state-vs-restatement tradeoff that
+    * picks an allowed-delay, computed exactly per candidate delay
+    * (0/1/2/4/8/16 hours): a larger delay keeps more (user, hour)
+    * cells OPEN at batch-1 close (streaming state the store must
+    * hold), but fewer straggler rows land in already-FINALIZED cells
+    * (restatements the serving layer must correct). q279 reads one
+    * point off this curve; this emits the whole decision table —
+    * `open_cells` rises and `restating_rows` falls monotonically in
+    * the delay, and the knee is the watermark you deploy.
+    *
+    * ## 100 TB notes
+    * The cell relation (distinct user-hours) is computed ONCE with
+    * map-side partials, then crossed with the 6-row delay dimension —
+    * broadcast, no re-scan per delay. Exact integer µs arithmetic
+    * throughout; the curve is 6 rows at any scale.
+    */
+  val q280WatermarkCurve: Q = Q(
+    "q280_watermark_curve",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), tsUs.as("us"))
+      val mx = ev.filter(col("event_id") % 2 === 0)
+        .agg(max(col("us")).as("m")) // 1 row
+      val tagged = ev.crossJoin(broadcast(mx))
+        .withColumn("batch", when(col("event_id") % 2 === 0, 1L)
+          .when(col("us") > col("m"), 2L).otherwise(3L))
+        .withColumn("hr", expr("us div 3600000000"))
+      // one pass to cells: batch-1 cells (candidate state) and
+      // straggler rows per cell (candidate restatements)
+      val cells = tagged.groupBy(col("user_id"), col("hr"), col("m"))
+        .agg(count(when(col("batch") === 1, 1)).as("b1_rows"),
+          count(when(col("batch") === 3, 1)).as("late_rows"))
+      val delays = s.range(0, 1).select(
+        explode(array(Seq(0L, 1L, 2L, 4L, 8L, 16L).map(lit): _*))
+          .as("delay_h"))
+      cells.crossJoin(broadcast(delays))
+        .withColumn("finalized",
+          (col("hr") + 1) * 3600000000L <=
+            col("m") - col("delay_h") * 3600000000L)
+        .groupBy(col("delay_h"))
+        .agg(count(when(!col("finalized") && col("b1_rows") > 0, 1))
+            .as("open_cells"),
+          sum(when(col("finalized"), col("late_rows")).otherwise(0L))
+            .as("restating_rows"),
+          count(when(col("finalized") && col("late_rows") > 0, 1))
+            .as("reopened_cells"))
+        .orderBy("delay_h")
+    },
+    Some(s"""WITH e AS (SELECT user_id, event_id, ${duckUs("ts")} AS us
+                 FROM events),
+            mx AS (SELECT max(us) AS m FROM e WHERE event_id % 2 = 0),
+            t AS (SELECT user_id, us // 3600000000 AS hr, m,
+                    CASE WHEN event_id % 2 = 0 THEN 1
+                         WHEN us > m THEN 2 ELSE 3 END AS batch
+                  FROM e, mx),
+            c AS (SELECT user_id, hr, m,
+                    count(CASE WHEN batch = 1 THEN 1 END) AS b1_rows,
+                    count(CASE WHEN batch = 3 THEN 1 END) AS late_rows
+                  FROM t GROUP BY 1, 2, 3),
+            d AS (SELECT unnest([0, 1, 2, 4, 8, 16]) AS delay_h),
+            j AS (SELECT c.*, d.delay_h,
+                    (hr + 1) * 3600000000
+                      <= m - delay_h * 3600000000 AS finalized
+                  FROM c CROSS JOIN d)
+            SELECT CAST(delay_h AS BIGINT) AS delay_h,
+              count(CASE WHEN NOT finalized AND b1_rows > 0 THEN 1 END)
+                AS open_cells,
+              CAST(sum(CASE WHEN finalized THEN late_rows ELSE 0 END)
+                AS BIGINT) AS restating_rows,
+              count(CASE WHEN finalized AND late_rows > 0 THEN 1 END)
+                AS reopened_cells
+            FROM j GROUP BY 1 ORDER BY delay_h"""))
+
+  /** The incremental-gold identity (q277) run END-TO-END through
+    * Structured Streaming: `foreachBatch` aggregates each micro-batch
+    * to a per-user delta and folds it into a parquet-landed gold
+    * snapshot via [[graft.engine.Incremental.mergeAdditive]]
+    * (tmp-write + directory swap per batch — q84's sink discipline,
+    * additive instead of latest-wins). After the three staged batches
+    * drain, the landed snapshot must equal the one-shot aggregation
+    * over all events — the oracle — proving the streaming incremental
+    * path exact, not just the relational identity q277 already
+    * pinned. Counts and exact-cent sums are commutative, so the
+    * result is arrival-order- and partitioning-invariant.
+    *
+    * ## 100 TB/day notes
+    * This is the production shape for continuous gold maintenance
+    * when the serving store is a table, not a state store: per-batch
+    * work is one map-side-combined delta aggregation + one
+    * key-space-sized merge join; nothing re-reads history. The
+    * per-batch publish is two directory renames (old aside, tmp in),
+    * so a reader sees batch N or N+1 — never a torn merge, and never
+    * the no-snapshot window a delete-then-move would open (only the
+    * instant between the two renames remains; a real deployment swaps
+    * a symlink or a metastore pointer for true atomicity). The
+    * snapshot embeds the last-applied batchId, so a batch REPLAYED
+    * after a crash past the publish (but before the checkpoint commit)
+    * is recognized and skipped — the additive merge is guarded into
+    * exactly-once, not just at-least-once.
+    */
+  val q284StreamIncrementalGold: Q = Q(
+    "q284_stream_incremental_gold",
+    (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import java.nio.file.Files
+      val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val root = Files.createTempDirectory("graft_q284")
+      val goldDir = root.resolve("gold")
+      val src = s.readStream.schema(batchSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(eventsOooStreamDir(s, dir))
+        .transform(Tables.normalizeEventTs)
+        .select(col("user_id"),
+          floor(col("value") * 100).cast("long").as("cents"))
+      val query = src.writeStream
+        .option("checkpointLocation", root.resolve("ckpt").toString)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // delta aggregation here; recovery, replay-idempotence (the
+          // _applied_batch marker) and the gap-free two-rename publish
+          // live in the unit-tested Incremental.publishAdditiveBatch
+          val delta = batch.groupBy(col("user_id"))
+            .agg(count(lit(1)).as("n_events"),
+              sum(col("cents")).as("total_cents"))
+          graft.engine.Incremental.publishAdditiveBatch(
+            s, root, delta, batchId,
+            Seq("user_id"), Seq("n_events", "total_cents"))
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+      s.read.parquet(goldDir.toString).orderBy("user_id")
+    },
+    Some("""SELECT user_id, count(*) AS n_events,
+              CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                AS total_cents
+            FROM events GROUP BY 1 ORDER BY user_id"""))
+
+  /** Manifest table format, END-TO-END through the driver's oracle:
+    * writes the `part` table through `graft-manifest` (v1 = the full
+    * table, range-partitioned on p_size so each committed file's zone
+    * map covers a narrow slice; v2 = a truncating-overwrite DECOY
+    * subset), then reads back `versionAsOf = 1` with a pushed p_size
+    * filter and aggregates. Reading LATEST would return the decoy —
+    * only correct time travel reproduces the oracle, and the pushed
+    * range filter drives zone-map FILE SKIPPING inside the timed,
+    * hash-checked path (the range layout makes most files provably
+    * dead for `p_size >= 40`). This promotes the format's unit specs
+    * (ManifestSinkSpec: commit protocol, CAS races, vacuum, stats)
+    * to a driver-verified correctness row, the same promotion q77
+    * gave the decode stub. The oracle reads the SAME rows straight
+    * from the original parquet — the manifest roundtrip must be
+    * byte-faithful for the hashes to meet.
+    *
+    * ## 100 TB notes
+    * Write path is one range-shuffle + embarrassingly-parallel file
+    * writes + an O(#files) driver commit; read path plans from
+    * manifest metadata only (no directory listing) and skips files on
+    * zone maps before any IO — the Iceberg/Delta read posture. The
+    * aggregate is partitioning-invariant (count + exact BIGINT cents),
+    * so the result is identical at any parallelism.
+    */
+
+  /** q283's two-version manifest table, keyed by fixture signature so
+    * a rewritten fixture rebuilds — the same once-per-JVM discipline
+    * as [[graft.engine.Tables.landed]].
+    */
+  private val q283Tables =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  val q283ManifestTimeTravel: Q = Q(
+    "q283_manifest_timetravel",
+    (s, dir) => {
+      import java.nio.file.Files
+      // the two-version table is BUILT once per (JVM, fixture): building
+      // it inside DataFrame construction would re-run both write jobs
+      // (and leak a temp dir) on every plan-only consumer — PlanAudit,
+      // the warm bench pass, repeated Verify calls. Memoized, the writes
+      // run once and every later call exercises exactly the READ path
+      // (time travel + zone-map skipping) this query certifies.
+      val root = q283Tables.getOrElseUpdate(
+        s"$dir@${Tables.fileSignature(dir, "part")}", {
+          val r = Files.createTempDirectory("graft_q283")
+            .resolve("tbl").toString
+          val part = Tables.load(s, dir, "part")
+            .withColumn("price_cents",
+              floor(col("p_retailprice") * 100).cast("long"))
+            .select("p_partkey", "p_brand", "p_size", "price_cents")
+          part.repartitionByRange(8, col("p_size"))
+            .write.format("graft-manifest").option("path", r)
+            .mode("append").save()
+          part.filter(col("p_size") <= lit(3))
+            .write.format("graft-manifest").option("path", r)
+            .mode("overwrite").save()
+          r
+        })
+      s.read.format("graft-manifest")
+        .option("path", root).option("versionAsOf", "1").load()
+        .filter(col("p_size") >= lit(40))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_parts"),
+          sum(col("price_cents")).as("sum_price_cents"),
+          max(col("p_size")).as("max_size"))
+        .orderBy(col("p_brand"))
+    },
+    Some("""SELECT p_brand, count(*) AS n_parts,
+              CAST(sum(CAST(floor(p_retailprice * 100) AS BIGINT)) AS BIGINT)
+                AS sum_price_cents,
+              max(p_size) AS max_size
+            FROM part WHERE p_size >= 40
+            GROUP BY 1 ORDER BY p_brand"""))
+
+  /** q293's three-version manifest table, keyed by fixture signature —
+    * the same once-per-JVM build discipline as [[q283Tables]].
+    */
+  private val q293Tables =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Manifest CHANGE FEED, end-to-end through the driver's oracle —
+    * the streaming counterpart of q283's batch promotion. The customer
+    * table is committed in FOUR versions (append custkey%3=0, append
+    * %3=1, a COMPACTION rewriting those two appends' files, then a
+    * truncating OVERWRITE with %3=2); the `graft-manifest` streaming
+    * tail drains the change feed under Trigger.AvailableNow with
+    * `max_versions_per_trigger=1` (one version per micro-batch, the
+    * admission-control path) into a parquet sink, and the drained rows
+    * are aggregated per market segment. The three slices partition the
+    * table, so the feed must deliver EXACTLY the whole customer table:
+    * a duplicated append delta, an overwrite delta computed as a union
+    * instead of the version's own files, a lost or re-emitted version
+    * — each breaks the count and the exact cents hash against DuckDB
+    * reading the original parquet. The compaction version (round-12
+    * ask #4) puts the rewrite-is-invisible rule on the driver's gate:
+    * its micro-batch must contribute ZERO rows — a regression to
+    * name-diff re-emission would re-deliver every %3∈{0,1} customer
+    * and double those segments' counts (previously this rule was
+    * spec+model-tested only, never inside the hash-checked path).
+    *
+    * ## 100 TB notes
+    * The feed plans one micro-batch per committed version from
+    * manifest metadata only — no directory listing, no full-table
+    * rescan per batch; per-batch work is bounded by the version's own
+    * delta. This is the CDC posture of real lake formats (Delta CDF /
+    * Iceberg incremental scan): gold maintenance tails the log instead
+    * of diffing snapshots.
+    */
+  val q293ManifestChangeFeed: Q = Q(
+    "q293_manifest_changefeed",
+    (s, dir) => {
+      import java.nio.file.Files
+      import org.apache.spark.sql.streaming.Trigger
+      val root = q293Tables.getOrElseUpdate(
+        s"$dir@${Tables.fileSignature(dir, "customer")}", {
+          val r = Files.createTempDirectory("graft_q293")
+            .resolve("tbl").toString
+          val cust = Tables.load(s, dir, "customer")
+            .withColumn("bal_cents",
+              round(col("c_acctbal") * 100).cast("long"))
+            .select("c_custkey", "c_mktsegment", "bal_cents")
+          cust.filter(col("c_custkey") % 3 === 0)
+            .write.format("graft-manifest").option("path", r)
+            .mode("append").save()
+          cust.filter(col("c_custkey") % 3 === 1)
+            .write.format("graft-manifest").option("path", r)
+            .mode("append").save()
+          // rewrite-only version between the appends and the overwrite:
+          // the drained feed must skip it (see Scaladoc above)
+          graft.sources.ManifestSink.compact(s, r, numFiles = 1)
+          cust.filter(col("c_custkey") % 3 === 2)
+            .write.format("graft-manifest").option("path", r)
+            .mode("overwrite").save()
+          r
+        })
+      val out = Files.createTempDirectory("graft_q293_out")
+      val q = s.readStream.format("graft-manifest")
+        .option("path", root)
+        .option("max_versions_per_trigger", "1").load()
+        .writeStream.format("parquet")
+        .option("path", out.resolve("data").toString)
+        .option("checkpointLocation", out.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(out.resolve("data").toString)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("bal_cents")).as("sum_bal_cents"))
+        .orderBy(col("c_mktsegment"))
+    },
+    Some("""SELECT c_mktsegment, count(*) AS n_cust,
+              CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                AS sum_bal_cents
+            FROM customer GROUP BY 1 ORDER BY c_mktsegment"""))
+}
