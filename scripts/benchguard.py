@@ -196,10 +196,13 @@ def staleness_error(capture_path, fixtures_dir):
 
 def check(lines, budget_s, label):
     cold, warm = parse_capture(lines)
+    # canary verdict first: it must print even for a tail-only capture
+    # (driver kept just the compact summary line, no per-query timings)
+    # — that truncated case is exactly what the summary echo exists for
+    annotate_canary(lines)
     if not cold:
         print(f"benchguard: no per-query timings found in {label}")
         return 2
-    annotate_canary(lines)
     est = estimate_s(cold, warm)
     verdict = "OK" if est <= budget_s else "OVER BUDGET"
     print(f"benchguard: {len(cold)} queries, measured "
@@ -285,6 +288,9 @@ def selftest():
          "n_errors": 0, "canary_spins": [0.47, 1.9, 0.52],
          "canary_load1": [0.9, 44.0, 3.1]})]
     assert annotate_canary(tail_only) == "NOISY"
+    # the CLI path must reach the canary verdict BEFORE bailing on the
+    # missing per-query timings (tail-only still exits 2, but annotated)
+    assert check(tail_only, DEFAULT_BUDGET_S, "selftest-tail-cli") == 2
     print("benchguard selftest: PASS")
     return 0
 

@@ -229,9 +229,14 @@ object Bench {
     // canary echo stays COMPACT (3 spins + 3 one-minute loads, ~60
     // chars): the driver's ~2,000-char stdout tail must carry the
     // noise evidence even if the per-line canary records scroll out.
-    val canarySpins = canaries.map { case (s, _) => f"$s%.3f" }.mkString(",")
+    // Locale.ROOT: the default-locale f-interpolator renders comma
+    // decimals on e.g. de_DE JVMs, corrupting the JSON array
+    def num(v: Double, fmt: String): String =
+      String.format(java.util.Locale.ROOT, fmt, Double.box(v))
+    val canarySpins =
+      canaries.map { case (s, _) => num(s, "%.3f") }.mkString(",")
     val canaryLoads = canaries
-      .map { case (_, l) => l.headOption.fold("null")(v => f"$v%.2f") }
+      .map { case (_, l) => l.headOption.fold("null")(num(_, "%.2f")) }
       .mkString(",")
     val summary =
       s"""{"metric":"total","value":$total,"unit":"sec","total_warm":$totalWarm,"n_warm":${warmRs.size},"n_queries":${results.size},"n_errors":$errs,"canary_spins":[$canarySpins],"canary_load1":[$canaryLoads],"sf":${Jsons.quote(sfDir)}}"""

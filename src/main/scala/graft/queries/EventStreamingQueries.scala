@@ -1250,7 +1250,7 @@ private[queries] trait EventStreamingQueries extends EventQueriesBase {
             FROM part WHERE p_size >= 40
             GROUP BY 1 ORDER BY p_brand"""))
 
-  /** q293's three-version manifest table, keyed by fixture signature —
+  /** q293's four-version manifest table, keyed by fixture signature —
     * the same once-per-JVM build discipline as [[q283Tables]].
     */
   private val q293Tables =
