@@ -22,6 +22,18 @@ import graft.SparkSpec
   * snapshot shares files with three expired predecessors. 60 random
   * operations x 3 seeds ~ a few hundred cross-path transitions, all
   * checked exactly. Seeded, so a failure replays deterministically.
+  *
+  * `tailer = true` walks additionally weave a PERSISTENT TAILING
+  * CONSUMER through the history: one change-feed checkpoint for the
+  * whole walk, drained at random points. This models the live CDC
+  * subscriber the end-of-sequence fresh drain cannot — resume-after-
+  * vacuum is where round 13's silent snapshot re-emission bug lived —
+  * and the model predicts exactly when a resume must SUCCEED (every
+  * needed manifest still retained: the version's own, plus its
+  * predecessor's for data-changing versions; compactions need no
+  * predecessor) vs FAIL LOUDLY (reader lag overran vacuum retention),
+  * after which the documented remedy — restart fresh — must deliver
+  * the retained snapshot plus later deltas exactly once.
   */
 class ManifestModelSpec extends SparkSpec {
   import spark.implicits._
@@ -33,7 +45,8 @@ class ManifestModelSpec extends SparkSpec {
   private def sortedRows(rows: Seq[(Long, String)]): Seq[(Long, String)] =
     rows.sortBy(r => (r._1, r._2))
 
-  private def runModel(seed: Int, nOps: Int): Unit = withTempDir { dir =>
+  private def runModel(seed: Int, nOps: Int, tailer: Boolean = false)
+      : Unit = withTempDir { dir => withTempDir { tailCp =>
     val rnd = new Random(seed)
     var nextId = 0L
     def freshRows(n: Int): Seq[(Long, String)] =
@@ -60,8 +73,63 @@ class ManifestModelSpec extends SparkSpec {
         sortedRows(readRows(dir, None)) shouldBe model(latest)
     }
 
+    // Persistent tailing consumer (tailer walks only): the version the
+    // stream has committed through, or None before the first drain /
+    // after a fresh restart. See the class doc for the model's
+    // success/fail prediction rules.
+    var tailOffset: Option[Long] = None
+    def drainTailer(): Unit = {
+      // a version's delta is reconstructible iff its own manifest is
+      // retained AND (v=1 full-files short-circuit, or rewrite-only
+      // compaction, or the predecessor's manifest is retained too)
+      def deltaReconstructible(v: Long): Boolean =
+        model.contains(v) &&
+          (v <= 1 || feedDelta(v).isEmpty || model.contains(v - 1))
+      val expected: Option[Seq[(Long, String)]] = tailOffset match {
+        case None => // fresh start: oldest retained snapshot + deltas
+          val retained = model.keys.toSeq.sorted
+          Some(sortedRows(model(retained.head) ++
+            retained.tail.flatMap(feedDelta)))
+        case Some(s) =>
+          val range = (s + 1) to latest
+          if (range.forall(deltaReconstructible))
+            Some(sortedRows(range.flatMap(feedDelta)))
+          else None
+      }
+      expected match {
+        case Some(rows) =>
+          val seen = ManifestFeedHarness.drain(spark, dir, tailCp)
+          withClue(s"seed=$seed tail drain from $tailOffset at " +
+              s"latest=$latest: ") {
+            sortedRows(seen) shouldBe rows
+          }
+          tailOffset = Some(latest)
+        case None =>
+          // reader lag overran vacuum retention: the ONLY honest
+          // outcome is a loud failure (silent loss or snapshot
+          // re-emission is the round-13 bug class)
+          val ex = intercept[org.apache.spark.sql.streaming
+              .StreamingQueryException] {
+            ManifestFeedHarness.drain(spark, dir, tailCp)
+          }
+          val msgs = Iterator.iterate(ex: Throwable)(_.getCause)
+            .takeWhile(_ != null)
+            .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+          withClue(s"seed=$seed failed-resume diagnostics: ") {
+            msgs should include("vacuum")
+          }
+          // the documented remedy: restart the stream fresh
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          Option(new java.io.File(tailCp).listFiles)
+            .foreach(_.foreach(rm))
+          tailOffset = None
+      }
+    }
+
     (0 until nOps).foreach { i =>
-      val op = rnd.nextInt(10)
+      val op = rnd.nextInt(if (tailer) 12 else 10)
       if (model.isEmpty || op <= 3) { // append (always legal)
         val rows = freshRows(1 + rnd.nextInt(5))
         rows.toDF("id", "name").repartition(1 + rnd.nextInt(3))
@@ -95,11 +163,13 @@ class ManifestModelSpec extends SparkSpec {
         dropped.foreach { v =>
           intercept[Exception] { readRows(dir, Some(v)) }
         }
-      } else { // time-travel read of a random retained version
+      } else if (op == 9) { // time-travel read of a random retained version
         if (model.nonEmpty) {
           val v = model.keys.toSeq(rnd.nextInt(model.size))
           sortedRows(readRows(dir, Some(v))) shouldBe model(v)
         }
+      } else { // op 10-11 (tailer walks only): incremental feed drain
+        drainTailer()
       }
       // full cross-check every few ops (every op would be O(n^2) reads)
       if (i % 5 == 4 || i == nOps - 1) checkAll()
@@ -120,7 +190,7 @@ class ManifestModelSpec extends SparkSpec {
         sortedRows(seen) shouldBe expected
       }
     }
-  }
+  } }
 
   test("random op sequences agree with the reference model (seed 1)") {
     runModel(seed = 1, nOps = 60)
@@ -132,5 +202,32 @@ class ManifestModelSpec extends SparkSpec {
 
   test("random op sequences agree with the reference model (seed 3)") {
     runModel(seed = 3, nOps = 60)
+  }
+
+  // Tailing-consumer walks: the same five ops PLUS a persistent
+  // change-feed subscriber drained at random points (see class doc).
+  // Seeds 1-3 keep their original op distribution so their replay
+  // history stays byte-stable; these walks draw from the wider range.
+  test("random op sequences with a persistent tailing consumer (seed 4)") {
+    runModel(seed = 4, nOps = 60, tailer = true)
+  }
+
+  test("random op sequences with a persistent tailing consumer (seed 5)") {
+    runModel(seed = 5, nOps = 60, tailer = true)
+  }
+
+  test("random op sequences with a persistent tailing consumer (seed 6)") {
+    runModel(seed = 6, nOps = 60, tailer = true)
+  }
+
+  test("extended soak: GRAFT_MODEL_SOAK_SEEDS extra tailing walks") {
+    // opt-in deep soak for bug hunts (not part of the default suite's
+    // time budget): GRAFT_MODEL_SOAK_SEEDS=N runs N more 100-op
+    // tailing walks on seeds 7..6+N; any failure replays by seed
+    val n = sys.env.get("GRAFT_MODEL_SOAK_SEEDS")
+      .map(_.trim.toInt).getOrElse(0)
+    assume(n > 0, "set GRAFT_MODEL_SOAK_SEEDS=N to enable")
+    (7 until 7 + n).foreach(s => runModel(seed = s, nOps = 100,
+      tailer = true))
   }
 }
