@@ -630,6 +630,30 @@ class ManifestSinkSpec extends SparkSpec {
     }
   }
 
+  test("a fresh stream racing vacuum gets the stream-start diagnostic, " +
+      "not the checkpointed-below-it one") {
+    // Unit-drives the package-private stream to make the race
+    // deterministic: vacuum advances past the planned snapshot version
+    // BETWEEN initialOffset() and first-batch planning. No checkpoint
+    // exists, so the error must say so (the checkpointed-below-it text
+    // would send the operator hunting a checkpoint that isn't there).
+    withTempDir { dir =>
+      writeRows(dir, Seq((1L, "a")))
+      writeRows(dir, Seq((2L, "b")))
+      writeRows(dir, Seq((3L, "c")))
+      ManifestSink.expireVersions(dir, keepLast = 2) // oldest retained = 2
+      val stream = new ManifestMicroBatchStream(dir,
+        ManifestSink.readSchemaOf(dir), maxVersionsPerTrigger = 0)
+      val start = stream.initialOffset() // fresh tail from below v2
+      ManifestSink.expireVersions(dir, keepLast = 1) // the race: drops v2
+      val ex = intercept[IllegalStateException] {
+        stream.planInputPartitions(start, ManifestVersionOffset(3L))
+      }
+      ex.getMessage should include(
+        "between stream start and first-batch planning")
+    }
+  }
+
   test("zone-map planning stays O(matching files) at 100-file scale") {
     withTempDir { dir =>
       // one job, 100 range-partitioned files over ids 0..999 — each
