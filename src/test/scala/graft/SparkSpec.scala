@@ -21,12 +21,12 @@ trait SparkSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
   def withTempDir[T](f: String => T): T = {
     val dir = Files.createTempDirectory("graft-test").toFile
     try f(dir.getAbsolutePath)
-    finally {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm))
-        f.delete(); ()
-      }
-      rm(dir)
-    }
+    finally deleteRecursively(dir)
+  }
+
+  /** The one test-side recursive delete (checkpoint wipes, temp dirs). */
+  def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles).foreach(_.foreach(deleteRecursively))
+    f.delete(); ()
   }
 }

@@ -78,6 +78,13 @@ class ManifestModelSpec extends SparkSpec {
     // after a fresh restart. See the class doc for the model's
     // success/fail prediction rules.
     var tailOffset: Option[Long] = None
+    // the fresh-tail contract, stated ONCE (used by both the mid-walk
+    // fresh drains and the end-of-sequence check): the oldest retained
+    // snapshot plus every later version's data-change delta
+    def freshFeedExpectation(): Seq[(Long, String)] = {
+      val retained = model.keys.toSeq.sorted
+      sortedRows(model(retained.head) ++ retained.tail.flatMap(feedDelta))
+    }
     def drainTailer(): Unit = {
       // a version's delta is reconstructible iff its own manifest is
       // retained AND (v=1 full-files short-circuit, or rewrite-only
@@ -86,10 +93,7 @@ class ManifestModelSpec extends SparkSpec {
         model.contains(v) &&
           (v <= 1 || feedDelta(v).isEmpty || model.contains(v - 1))
       val expected: Option[Seq[(Long, String)]] = tailOffset match {
-        case None => // fresh start: oldest retained snapshot + deltas
-          val retained = model.keys.toSeq.sorted
-          Some(sortedRows(model(retained.head) ++
-            retained.tail.flatMap(feedDelta)))
+        case None => Some(freshFeedExpectation())
         case Some(s) =>
           val range = (s + 1) to latest
           if (range.forall(deltaReconstructible))
@@ -119,11 +123,8 @@ class ManifestModelSpec extends SparkSpec {
             msgs should include("vacuum")
           }
           // the documented remedy: restart the stream fresh
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-          }
           Option(new java.io.File(tailCp).listFiles)
-            .foreach(_.foreach(rm))
+            .foreach(_.foreach(deleteRecursively))
           tailOffset = None
       }
     }
@@ -181,9 +182,7 @@ class ManifestModelSpec extends SparkSpec {
     // and overwrites' own rows, NOTHING for compactions — exactly
     // once, whatever cross-path history the random walk produced.
     if (model.nonEmpty) {
-      val retained = model.keys.toSeq.sorted
-      val expected = sortedRows(model(retained.head) ++
-        retained.tail.flatMap(feedDelta))
+      val expected = freshFeedExpectation()
       val seen =
         withTempDir { cp => ManifestFeedHarness.drain(spark, dir, cp) }
       withClue(s"seed=$seed change feed over the final log: ") {
