@@ -62,6 +62,20 @@ DEFAULT_FIXTURES = "/root/testdata"
 CANARY_NOMINAL_S = 0.50
 CANARY_NOISY_FACTOR = 2.0
 
+# IO-noise annotation from the write-path rows the bench already
+# emits: the CPU spin cannot see disk contention, but r12's second
+# noise signature was exactly that — the pure-IO
+# write_s5_silver_partitioned row swinging 1.4 -> 12.2 s (8.7x) while
+# plans were unchanged. Nominals are clean-host captures (driver r13 /
+# local r14 agree within noise); 3x headroom because small absolute
+# numbers jitter more than the spin does.
+WRITE_NOMINAL_S = {
+    "write_s5_silver_partitioned": 1.4,
+    "write_s5b_dynamic_overwrite": 0.8,
+    "write_s7_gold": 0.45,
+}
+WRITE_NOISY_FACTOR = 3.0
+
 
 def parse_capture(lines):
     """Per-query (cold, warm) seconds from a bench stdout capture.
@@ -160,6 +174,43 @@ def annotate_canary(lines):
     return verdict
 
 
+def annotate_io(lines):
+    """Print the [IO-NOISY]/[IO-CLEAN]/[NO IO ROWS] annotation from the
+    bench's write-path rows. Separate from the CPU canary: a clean spin
+    with an inflated pure-IO write is disk/page-cache contention (the
+    r12 signature), which still invalidates sink-row comparisons while
+    leaving compute-bound query rows mostly credible. Returns the
+    verdict string."""
+    obs = []
+    for line in lines:
+        line = line.strip()
+        if not line.startswith("{"):
+            continue
+        try:
+            d = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if d.get("progress") == "write" and d.get("name") in WRITE_NOMINAL_S \
+                and "sec" in d and "err" not in d:
+            obs.append((d["name"], float(d["sec"])))
+    if not obs:
+        print("benchguard: io [NO IO ROWS] — capture has no write-path "
+              "rows (filtered run or pre-round-7 capture)")
+        return "NO IO ROWS"
+    worst_name, worst_ratio = max(
+        ((n, s / WRITE_NOMINAL_S[n]) for n, s in obs), key=lambda t: t[1])
+    noisy = worst_ratio > WRITE_NOISY_FACTOR
+    detail = ", ".join(f"{n}={s:.2f}s ({s / WRITE_NOMINAL_S[n]:.1f}x)"
+                       for n, s in obs)
+    verdict = "IO-NOISY" if noisy else "IO-CLEAN"
+    print(f"benchguard: io [{verdict}] — {detail}; threshold "
+          f"{WRITE_NOISY_FACTOR:.0f}x nominal"
+          + (f"; {worst_name} at {worst_ratio:.1f}x means disk contention "
+               "during the capture — sink rows are not comparable this "
+               "round" if noisy else ""))
+    return verdict
+
+
 def newest_fixture_mtime(fixtures_dir):
     """Max mtime over every file under the fixtures root (parquet files
     sit in sf*/ subdirs); None when the root is absent (non-sandbox
@@ -196,10 +247,11 @@ def staleness_error(capture_path, fixtures_dir):
 
 def check(lines, budget_s, label):
     cold, warm = parse_capture(lines)
-    # canary verdict first: it must print even for a tail-only capture
-    # (driver kept just the compact summary line, no per-query timings)
-    # — that truncated case is exactly what the summary echo exists for
+    # canary verdicts first: they must print even for a tail-only
+    # capture (driver kept just the compact summary line, no per-query
+    # timings) — that truncated case is what the summary echo exists for
     annotate_canary(lines)
+    annotate_io(lines)
     if not cold:
         print(f"benchguard: no per-query timings found in {label}")
         return 2
@@ -291,6 +343,23 @@ def selftest():
     # the CLI path must reach the canary verdict BEFORE bailing on the
     # missing per-query timings (tail-only still exits 2, but annotated)
     assert check(tail_only, DEFAULT_BUDGET_S, "selftest-tail-cli") == 2
+    # io annotation: clean write rows, the r12 8.7x signature, a
+    # filtered capture with no write rows, and an errored write row
+    # (time-to-failure, never fed into the ratio)
+    io_clean = [json.dumps({"progress": "write", "name": n, "sec": s})
+                for n, s in [("write_s5_silver_partitioned", 1.35),
+                             ("write_s5b_dynamic_overwrite", 0.79),
+                             ("write_s7_gold", 0.33)]]
+    assert annotate_io(io_clean) == "IO-CLEAN"
+    io_noisy = io_clean[1:] + [json.dumps(
+        {"progress": "write", "name": "write_s5_silver_partitioned",
+         "sec": 12.2})]
+    assert annotate_io(io_noisy) == "IO-NOISY"
+    assert annotate_io([]) == "NO IO ROWS"
+    io_err = [json.dumps({"progress": "write",
+                          "name": "write_s5_silver_partitioned",
+                          "sec": 0.01, "err": "IOException: disk full"})]
+    assert annotate_io(io_err) == "NO IO ROWS"
     print("benchguard selftest: PASS")
     return 0
 
