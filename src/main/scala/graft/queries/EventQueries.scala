@@ -32,7 +32,8 @@ object EventQueries extends EventWindowQueries
     "q107_stream_outer_join", "q119_stream_running_totals",
     "q265_stream_tws_totals", "q266_stream_tws_sessions",
     "q275_stream_tws_topk", "q276_stream_tws_typecounts",
-    "q284_stream_incremental_gold", "q293_manifest_changefeed")
+    "q284_stream_incremental_gold", "q293_manifest_changefeed",
+    "q294_manifest_feed_resume")
 
   val all: Seq[Q] =
     Seq(q31HourlyFromJson, q32SlidingWindow, q33Sessionize, q34SessionWindow,
@@ -61,6 +62,7 @@ object EventQueries extends EventWindowQueries
       q277IncrementalGold, q278RetractableAgg, q279RestatementScope,
       q280WatermarkCurve, q282RleProfile, q283ManifestTimeTravel,
       q284StreamIncrementalGold, q293ManifestChangeFeed,
+      q294ManifestFeedResume,
       q286MetronomeRank, q287PartitionBalance, q288QteDeciles,
       q289SaltingBalance)
       .map(q => q.copy(streaming = streamingNames(q.name)))

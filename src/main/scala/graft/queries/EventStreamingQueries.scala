@@ -1330,4 +1330,93 @@ private[queries] trait EventStreamingQueries extends EventQueriesBase {
               CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
                 AS sum_bal_cents
             FROM customer GROUP BY 1 ORDER BY c_mktsegment"""))
+
+  /** q294's two-version base table (bal-cents customer slices %3=0 and
+    * %3=1 as two appends), built once per JVM like [[q293Tables]]. The
+    * query COPIES it per invocation: the resume test appends a third
+    * version to its copy, which must never leak into the shared base
+    * (bench invokes the same query more than once per JVM).
+    */
+  private val q294Tables =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Manifest change-feed RESUME, end-to-end through the driver's
+    * oracle — q293 certifies the FRESH drain (snapshot + deltas +
+    * compaction skipping); this certifies the RESUMED one, the
+    * semantics round 13's silent-snapshot-re-emission bug lived in,
+    * previously pinned only by specs and model walks, never inside the
+    * hash-checked path. Per invocation: copy the cached two-append
+    * base table, drain the feed once (fresh: the %3∈{0,1} customers),
+    * commit a THIRD append (%3=2), then drain AGAIN on the SAME
+    * checkpoint and sink. The resumed batch must deliver EXACTLY the
+    * new version's delta: re-emitting the snapshot on resume doubles
+    * two thirds of the table, losing the resume drops the last third —
+    * either breaks the count and exact cents hash against DuckDB
+    * reading the original parquet.
+    *
+    * ## 100 TB notes
+    * Resume is metadata-only planning from the checkpointed version
+    * offset: the second drain reads ONE version's manifest and scans
+    * ONE version's files, however large the table already is — the
+    * Delta-CDF/Iceberg-incremental posture where gold maintenance cost
+    * tracks the delta, not the table.
+    */
+  val q294ManifestFeedResume: Q = Q(
+    "q294_manifest_feed_resume",
+    (s, dir) => {
+      import java.nio.file.{Files, Path, Paths}
+      import org.apache.spark.sql.streaming.Trigger
+      val cust = Tables.load(s, dir, "customer")
+        .withColumn("bal_cents",
+          round(col("c_acctbal") * 100).cast("long"))
+        .select("c_custkey", "c_mktsegment", "bal_cents")
+      val base = q294Tables.getOrElseUpdate(
+        s"$dir@${Tables.fileSignature(dir, "customer")}", {
+          val r = Files.createTempDirectory("graft_q294_base")
+            .resolve("tbl").toString
+          cust.filter(col("c_custkey") % 3 === 0)
+            .write.format("graft-manifest").option("path", r)
+            .mode("append").save()
+          cust.filter(col("c_custkey") % 3 === 1)
+            .write.format("graft-manifest").option("path", r)
+            .mode("append").save()
+          r
+        })
+      val work = Files.createTempDirectory("graft_q294")
+        .resolve("tbl")
+      val walk = Files.walk(Paths.get(base))
+      try walk.forEach { p: Path =>
+        val t = work.resolve(Paths.get(base).relativize(p).toString)
+        if (Files.isDirectory(p)) Files.createDirectories(t)
+        else {
+          Files.createDirectories(t.getParent)
+          Files.copy(p, t)
+          ()
+        }
+      } finally walk.close()
+      val out = Files.createTempDirectory("graft_q294_out")
+      def drain(): Unit = {
+        val q = s.readStream.format("graft-manifest")
+          .option("path", work.toString).load()
+          .writeStream.format("parquet")
+          .option("path", out.resolve("data").toString)
+          .option("checkpointLocation", out.resolve("ckpt").toString)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      drain() // fresh: versions 1-2 (custkey%3 ∈ {0,1})
+      cust.filter(col("c_custkey") % 3 === 2)
+        .write.format("graft-manifest").option("path", work.toString)
+        .mode("append").save()
+      drain() // RESUME on the same checkpoint: exactly v3's delta
+      s.read.parquet(out.resolve("data").toString)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("bal_cents")).as("sum_bal_cents"))
+        .orderBy(col("c_mktsegment"))
+    },
+    Some("""SELECT c_mktsegment, count(*) AS n_cust,
+              CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                AS sum_bal_cents
+            FROM customer GROUP BY 1 ORDER BY c_mktsegment"""))
 }

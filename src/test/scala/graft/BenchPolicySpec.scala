@@ -25,7 +25,8 @@ class BenchPolicySpec extends AnyFunSuite with Matchers {
     "q107_stream_outer_join", "q119_stream_running_totals",
     "q265_stream_tws_totals", "q266_stream_tws_sessions",
     "q275_stream_tws_topk", "q276_stream_tws_typecounts",
-    "q284_stream_incremental_gold", "q293_manifest_changefeed")
+    "q284_stream_incremental_gold", "q293_manifest_changefeed",
+    "q294_manifest_feed_resume")
 
   test("streaming-tagged queries are exactly the Structured Streaming runs") {
     val tagged = Catalog.all.filter(_.streaming).map(_.name).toSet
