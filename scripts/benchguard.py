@@ -75,6 +75,10 @@ WRITE_NOMINAL_S = {
     "write_s7_gold": 0.45,
 }
 WRITE_NOISY_FACTOR = 3.0
+# positional order of the summary line's compact `write_secs` echo
+# (kept in Bench.scala's write-bench emission order)
+WRITE_SUMMARY_ORDER = ["write_s5_silver_partitioned",
+                       "write_s5b_dynamic_overwrite", "write_s7_gold"]
 
 
 def parse_capture(lines):
@@ -181,7 +185,7 @@ def annotate_io(lines):
     r12 signature), which still invalidates sink-row comparisons while
     leaving compute-bound query rows mostly credible. Returns the
     verdict string."""
-    obs = []
+    per_line, summary = [], []
     for line in lines:
         line = line.strip()
         if not line.startswith("{"):
@@ -192,10 +196,17 @@ def annotate_io(lines):
             continue
         if d.get("progress") == "write" and d.get("name") in WRITE_NOMINAL_S \
                 and "sec" in d and "err" not in d:
-            obs.append((d["name"], float(d["sec"])))
+            per_line.append((d["name"], float(d["sec"])))
+        elif d.get("metric") == "total" and d.get("write_secs"):
+            # tail-only fallback: positional echo, null = errored write
+            summary = [(WRITE_SUMMARY_ORDER[i], float(s))
+                       for i, s in enumerate(d["write_secs"])
+                       if s is not None and i < len(WRITE_SUMMARY_ORDER)]
+    obs = per_line or summary
     if not obs:
-        print("benchguard: io [NO IO ROWS] — capture has no write-path "
-              "rows (filtered run or pre-round-7 capture)")
+        print("benchguard: io [NO IO ROWS] — no usable write-path "
+              "timings (filtered run, pre-round-14 summary with the "
+              "per-line rows truncated away, or every write errored)")
         return "NO IO ROWS"
     worst_name, worst_ratio = max(
         ((n, s / WRITE_NOMINAL_S[n]) for n, s in obs), key=lambda t: t[1])
@@ -360,6 +371,17 @@ def selftest():
                           "name": "write_s5_silver_partitioned",
                           "sec": 0.01, "err": "IOException: disk full"})]
     assert annotate_io(io_err) == "NO IO ROWS"
+    # tail-only fallback: the compact write_secs echo alone must still
+    # resolve an IO verdict (r12's scenario WAS a driver tail capture),
+    # with null slots (errored writes) skipped
+    io_tail = [json.dumps(
+        {"metric": "total", "value": 300.0, "write_secs": [12.2, None, 0.4],
+         "canary_spins": [0.5, 0.5, 0.5]})]
+    assert annotate_io(io_tail) == "IO-NOISY"
+    io_tail_clean = [json.dumps(
+        {"metric": "total", "value": 300.0,
+         "write_secs": [1.3, 0.8, 0.4]})]
+    assert annotate_io(io_tail_clean) == "IO-CLEAN"
     print("benchguard selftest: PASS")
     return 0
 

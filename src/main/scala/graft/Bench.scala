@@ -179,6 +179,10 @@ object Bench {
     // overwrite): timed into flushed progress lines so sink regressions
     // are visible; a throw is reported, never silently fast. Skipped when
     // iterating on a query filter.
+    // successful write secs in emission order, echoed in the summary
+    // (like canary_spins) so a tail-only driver capture still carries
+    // the IO-noise evidence benchguard's [IO-NOISY] verdict needs
+    val writeSecs = scala.collection.mutable.ArrayBuffer.empty[Option[Double]]
     if (only.isEmpty) {
       val tmp = java.nio.file.Files.createTempDirectory("graft-writebench")
       def timedWrite(name: String)(body: => Unit): Unit = {
@@ -188,6 +192,8 @@ object Bench {
             Option(e.getMessage).getOrElse("").take(200))
         }
         val sec = (System.nanoTime() - t0) / 1e9
+        // an errored write measured time-to-failure, not IO: null slot
+        writeSecs += (if (err.isEmpty) Some(sec) else None)
         println(s"""{"progress":"write","name":${Jsons.quote(name)},"sec":$sec${
           err.fold("")(e => s""","err":${Jsons.quote(e)}""")}}""")
         System.out.flush()
@@ -238,8 +244,13 @@ object Bench {
     val canaryLoads = canaries
       .map { case (_, l) => l.headOption.fold("null")(num(_, "%.2f")) }
       .mkString(",")
+    // positional: [s5_silver_partitioned, s5b_dynamic_overwrite,
+    // s7_gold] — benchguard maps the slots back to names; null = the
+    // write threw (time-to-failure, not an IO measurement)
+    val writeEcho =
+      writeSecs.map(_.fold("null")(num(_, "%.2f"))).mkString(",")
     val summary =
-      s"""{"metric":"total","value":$total,"unit":"sec","total_warm":$totalWarm,"n_warm":${warmRs.size},"n_queries":${results.size},"n_errors":$errs,"canary_spins":[$canarySpins],"canary_load1":[$canaryLoads],"sf":${Jsons.quote(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","total_warm":$totalWarm,"n_warm":${warmRs.size},"n_queries":${results.size},"n_errors":$errs,"canary_spins":[$canarySpins],"canary_load1":[$canaryLoads],"write_secs":[$writeEcho],"sf":${Jsons.quote(sfDir)}}"""
     println(summary)
     System.out.flush()
     spark.stop()

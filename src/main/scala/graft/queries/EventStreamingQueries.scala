@@ -1409,6 +1409,14 @@ private[queries] trait EventStreamingQueries extends EventQueriesBase {
         .write.format("graft-manifest").option("path", work.toString)
         .mode("append").save()
       drain() // RESUME on the same checkpoint: exactly v3's delta
+      // the table copy served only the two drains, which ran EAGERLY
+      // above; the returned aggregate reads the drained parquet, so
+      // the copy can go now — each invocation leaves behind only the
+      // small sink dir (the q293 precedent), not a whole table copy
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(work.getParent.toFile)
       s.read.parquet(out.resolve("data").toString)
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_cust"),
