@@ -119,12 +119,16 @@ def estimate_s(cold, warm):
 def parse_canary(lines):
     """Canary observations from a capture: list of (phase, spin_s, load1).
 
-    Prefers the per-line `{"progress":"canary",...}` records; falls back
-    to the summary line's compact `canary_spins`/`canary_load1` echo
-    (the only part guaranteed to survive the driver's ~2,000-char
-    stdout tail). Returns [] for a pre-round-14 capture.
+    MERGES the two sources instead of either/or (r14 lesson: the
+    driver's ~2,000-char stdout tail kept only the `end` per-line, and
+    preferring per-lines dropped the summary echo's start/mid spins):
+    per-line `{"progress":"canary",...}` records win for the phases
+    they cover (they carry full-precision spin + 3-slot loadavg), and
+    the summary line's compact `canary_spins`/`canary_load1` echo
+    fills any phase whose per-line was truncated away. Returns [] for
+    a pre-round-14 capture.
     """
-    per_line, summary = [], []
+    per_line, summary = {}, {}
     for line in lines:
         line = line.strip()
         if not line.startswith("{"):
@@ -135,15 +139,19 @@ def parse_canary(lines):
             continue
         if d.get("progress") == "canary" and "spin_sec" in d:
             load = d.get("loadavg") or [None]
-            per_line.append((d.get("phase", "?"), float(d["spin_sec"]),
-                             load[0]))
+            p = d.get("phase", "?")
+            per_line[p] = (p, float(d["spin_sec"]), load[0])
         elif d.get("metric") == "total" and d.get("canary_spins"):
             phases = ["start", "mid", "end"]
             loads = d.get("canary_load1") or []
-            summary = [(phases[i] if i < 3 else f"p{i}", float(s),
-                        loads[i] if i < len(loads) else None)
-                       for i, s in enumerate(d["canary_spins"])]
-    return per_line or summary
+            for i, s in enumerate(d["canary_spins"]):
+                p = phases[i] if i < 3 else f"p{i}"
+                summary[p] = (p, float(s),
+                              loads[i] if i < len(loads) else None)
+    merged = dict(summary)
+    merged.update(per_line)
+    rank = {"start": 0, "mid": 1, "end": 2}
+    return sorted(merged.values(), key=lambda t: (rank.get(t[0], 99), t[0]))
 
 
 def annotate_canary(lines):
@@ -178,14 +186,22 @@ def annotate_canary(lines):
     return verdict
 
 
-def annotate_io(lines):
+def annotate_io(lines, nominals=None):
     """Print the [IO-NOISY]/[IO-CLEAN]/[NO IO ROWS] annotation from the
     bench's write-path rows. Separate from the CPU canary: a clean spin
     with an inflated pure-IO write is disk/page-cache contention (the
     r12 signature), which still invalidates sink-row comparisons while
-    leaving compute-bound query rows mostly credible. Returns the
-    verdict string."""
-    per_line, summary = [], []
+    leaving compute-bound query rows mostly credible.
+
+    Per-line rows win per write name; the summary echo fills names
+    whose per-lines were truncated away (same merge rule as the
+    canary). The summary echo is decoded via its own `write_names`
+    array when present (round-15+ Bench emits it); positional
+    WRITE_SUMMARY_ORDER is only the legacy fallback and prints a
+    warning when the slot count disagrees with the convention instead
+    of silently dropping extras. Returns the verdict string."""
+    nominals = WRITE_NOMINAL_S if nominals is None else nominals
+    per_line, summary = {}, {}
     for line in lines:
         line = line.strip()
         if not line.startswith("{"):
@@ -194,25 +210,39 @@ def annotate_io(lines):
             d = json.loads(line)
         except json.JSONDecodeError:
             continue
-        if d.get("progress") == "write" and d.get("name") in WRITE_NOMINAL_S \
+        if d.get("progress") == "write" and d.get("name") in nominals \
                 and "sec" in d and "err" not in d:
-            per_line.append((d["name"], float(d["sec"])))
+            per_line[d["name"]] = float(d["sec"])
         elif d.get("metric") == "total" and d.get("write_secs"):
-            # tail-only fallback: positional echo, null = errored write
-            summary = [(WRITE_SUMMARY_ORDER[i], float(s))
-                       for i, s in enumerate(d["write_secs"])
-                       if s is not None and i < len(WRITE_SUMMARY_ORDER)]
-    obs = per_line or summary
+            secs = d["write_secs"]
+            names = d.get("write_names")
+            if names is None:
+                # legacy capture: only the positional convention is
+                # available — say so when the shape disagrees with it
+                if len(secs) != len(WRITE_SUMMARY_ORDER):
+                    print(f"benchguard: io WARNING — legacy write_secs "
+                          f"echo has {len(secs)} slots but the positional "
+                          f"convention names {len(WRITE_SUMMARY_ORDER)}; "
+                          f"slots beyond the convention are ignored and "
+                          f"may be misattributed")
+                names = WRITE_SUMMARY_ORDER
+            summary = {names[i]: float(s) for i, s in enumerate(secs)
+                       if s is not None and i < len(names)}
+    merged = dict(summary)
+    merged.update(per_line)
+    obs = [(n, s) for n, s in merged.items() if n in nominals]
+    obs.sort(key=lambda t: (WRITE_SUMMARY_ORDER.index(t[0])
+                            if t[0] in WRITE_SUMMARY_ORDER else 99, t[0]))
     if not obs:
         print("benchguard: io [NO IO ROWS] — no usable write-path "
               "timings (filtered run, pre-round-14 summary with the "
               "per-line rows truncated away, or every write errored)")
         return "NO IO ROWS"
     worst_name, worst_ratio = max(
-        ((n, s / WRITE_NOMINAL_S[n]) for n, s in obs), key=lambda t: t[1])
+        ((n, s / nominals[n]) for n, s in obs), key=lambda t: t[1])
     noisy = worst_ratio > WRITE_NOISY_FACTOR
-    detail = ", ".join(f"{n}={s:.2f}s ({s / WRITE_NOMINAL_S[n]:.1f}x)"
-                       for n, s in obs)
+    detail = ", ".join(f"{n}={s:.2f}s ({s / nominals[n]:.1f}x of "
+                       f"{nominals[n]:.2f}s)" for n, s in obs)
     verdict = "IO-NOISY" if noisy else "IO-CLEAN"
     print(f"benchguard: io [{verdict}] — {detail}; threshold "
           f"{WRITE_NOISY_FACTOR:.0f}x nominal"

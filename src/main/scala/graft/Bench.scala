@@ -182,7 +182,8 @@ object Bench {
     // successful write secs in emission order, echoed in the summary
     // (like canary_spins) so a tail-only driver capture still carries
     // the IO-noise evidence benchguard's [IO-NOISY] verdict needs
-    val writeSecs = scala.collection.mutable.ArrayBuffer.empty[Option[Double]]
+    val writeSecs =
+      scala.collection.mutable.ArrayBuffer.empty[(String, Option[Double])]
     if (only.isEmpty) {
       val tmp = java.nio.file.Files.createTempDirectory("graft-writebench")
       def timedWrite(name: String)(body: => Unit): Unit = {
@@ -193,7 +194,7 @@ object Bench {
         }
         val sec = (System.nanoTime() - t0) / 1e9
         // an errored write measured time-to-failure, not IO: null slot
-        writeSecs += (if (err.isEmpty) Some(sec) else None)
+        writeSecs += (name -> (if (err.isEmpty) Some(sec) else None))
         println(s"""{"progress":"write","name":${Jsons.quote(name)},"sec":$sec${
           err.fold("")(e => s""","err":${Jsons.quote(e)}""")}}""")
         System.out.flush()
@@ -244,13 +245,16 @@ object Bench {
     val canaryLoads = canaries
       .map { case (_, l) => l.headOption.fold("null")(num(_, "%.2f")) }
       .mkString(",")
-    // positional: [s5_silver_partitioned, s5b_dynamic_overwrite,
-    // s7_gold] — benchguard maps the slots back to names; null = the
-    // write threw (time-to-failure, not an IO measurement)
+    // write_names travels WITH write_secs so benchguard never has to
+    // trust a positional convention (adding/reordering a timedWrite here
+    // previously silently misattributed slots); null sec = the write
+    // threw (time-to-failure, not an IO measurement)
+    val writeNames =
+      writeSecs.map { case (n, _) => Jsons.quote(n) }.mkString(",")
     val writeEcho =
-      writeSecs.map(_.fold("null")(num(_, "%.2f"))).mkString(",")
+      writeSecs.map(_._2.fold("null")(num(_, "%.2f"))).mkString(",")
     val summary =
-      s"""{"metric":"total","value":$total,"unit":"sec","total_warm":$totalWarm,"n_warm":${warmRs.size},"n_queries":${results.size},"n_errors":$errs,"canary_spins":[$canarySpins],"canary_load1":[$canaryLoads],"write_secs":[$writeEcho],"sf":${Jsons.quote(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","total_warm":$totalWarm,"n_warm":${warmRs.size},"n_queries":${results.size},"n_errors":$errs,"canary_spins":[$canarySpins],"canary_load1":[$canaryLoads],"write_names":[$writeNames],"write_secs":[$writeEcho],"sf":${Jsons.quote(sfDir)}}"""
     println(summary)
     System.out.flush()
     spark.stop()
