@@ -115,11 +115,12 @@ object Bench {
     // Canary JIT warm-up (un-timed, ~10% of one spin): the first timed
     // spin must measure the host, not C2 compilation of the spin loop.
     canarySpin(CanaryIters / 10); canarySpin(CanaryIters / 10)
-    val canaries = scala.collection.mutable.ArrayBuffer.empty[(Double, Seq[Double])]
+    val canaries =
+      scala.collection.mutable.ArrayBuffer.empty[(String, Double, Seq[Double])]
     def canary(phase: String): Unit = {
       val spin = canarySpin(CanaryIters)
       val load = loadAvg()
-      canaries += ((spin, load))
+      canaries += ((phase, spin, load))
       println(s"""{"progress":"canary","phase":${Jsons.quote(phase)},"spin_sec":$spin,"loadavg":[${load.mkString(",")}],"cpus":${Runtime.getRuntime.availableProcessors()}}""")
       System.out.flush()
     }
@@ -240,10 +241,16 @@ object Bench {
     // decimals on e.g. de_DE JVMs, corrupting the JSON array
     def num(v: Double, fmt: String): String =
       String.format(java.util.Locale.ROOT, fmt, Double.box(v))
+    // canary_phases travels WITH canary_spins for the same reason as
+    // write_names below: the guard must never decode the echo by a
+    // positional start/mid/end convention (a 4th phase added here would
+    // otherwise be double-counted under a synthetic name by the merge)
+    val canaryPhases =
+      canaries.map { case (p, _, _) => Jsons.quote(p) }.mkString(",")
     val canarySpins =
-      canaries.map { case (s, _) => num(s, "%.3f") }.mkString(",")
+      canaries.map { case (_, s, _) => num(s, "%.3f") }.mkString(",")
     val canaryLoads = canaries
-      .map { case (_, l) => l.headOption.fold("null")(num(_, "%.2f")) }
+      .map { case (_, _, l) => l.headOption.fold("null")(num(_, "%.2f")) }
       .mkString(",")
     // write_names travels WITH write_secs so benchguard never has to
     // trust a positional convention (adding/reordering a timedWrite here
@@ -254,7 +261,7 @@ object Bench {
     val writeEcho =
       writeSecs.map(_._2.fold("null")(num(_, "%.2f"))).mkString(",")
     val summary =
-      s"""{"metric":"total","value":$total,"unit":"sec","total_warm":$totalWarm,"n_warm":${warmRs.size},"n_queries":${results.size},"n_errors":$errs,"canary_spins":[$canarySpins],"canary_load1":[$canaryLoads],"write_names":[$writeNames],"write_secs":[$writeEcho],"sf":${Jsons.quote(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","total_warm":$totalWarm,"n_warm":${warmRs.size},"n_queries":${results.size},"n_errors":$errs,"canary_phases":[$canaryPhases],"canary_spins":[$canarySpins],"canary_load1":[$canaryLoads],"write_names":[$writeNames],"write_secs":[$writeEcho],"sf":${Jsons.quote(sfDir)}}"""
     println(summary)
     System.out.flush()
     spark.stop()
