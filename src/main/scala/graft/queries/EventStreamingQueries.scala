@@ -19,6 +19,27 @@ import graft.engine.Tables
   * overwrite before the driver's oracle hashes the result.
   */
 private[queries] trait EventStreamingQueries extends EventQueriesBase {
+  /** Temp dir for this file's per-JVM staged tables and stream sinks,
+    * deleted at JVM EXIT: the drained results are read lazily from
+    * these dirs, so the in-JVM lifetime must span the session (eager
+    * deletion is only safe for q294's per-invocation work copy, which
+    * has its own try/finally) — but across JVMs they accumulated one
+    * full staged-table copy per sweep/bench run in tmp (the q294
+    * lifecycle spec found 20 stale bases from prior rounds) until this
+    * hook. Hook failure is irrelevant: worst case is the old behavior.
+    */
+  private[queries] def tempDirCleanedAtExit(prefix: String)
+      : java.nio.file.Path = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(d.toFile)
+    }))
+    d
+  }
+
   /** Run a streaming DataFrame to completion through a memory sink
     * (append mode, AvailableNow) and return the drained table — the
     * bounded-stream harness shared by q64/q66/q75. Drops any stale view
@@ -554,7 +575,7 @@ private[queries] trait EventStreamingQueries extends EventQueriesBase {
       if (ties > 0) throw new IllegalStateException(
         "q84 precondition: duplicate (user_id, ts_us) would make the " +
           "cross-batch merge arrival-order-dependent")
-      val root = Files.createTempDirectory("graft_q84")
+      val root = tempDirCleanedAtExit("graft_q84")
       val stateDir = root.resolve("state")
       val src = s.readStream.schema(batchSchema)
         .option("maxFilesPerTrigger", 1)
@@ -1145,7 +1166,7 @@ private[queries] trait EventStreamingQueries extends EventQueriesBase {
       import org.apache.spark.sql.streaming.Trigger
       import java.nio.file.Files
       val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
-      val root = Files.createTempDirectory("graft_q284")
+      val root = tempDirCleanedAtExit("graft_q284")
       val goldDir = root.resolve("gold")
       val src = s.readStream.schema(batchSchema)
         .option("maxFilesPerTrigger", 1)
@@ -1220,7 +1241,7 @@ private[queries] trait EventStreamingQueries extends EventQueriesBase {
       // (time travel + zone-map skipping) this query certifies.
       val root = q283Tables.getOrElseUpdate(
         s"$dir@${Tables.fileSignature(dir, "part")}", {
-          val r = Files.createTempDirectory("graft_q283")
+          val r = tempDirCleanedAtExit("graft_q283")
             .resolve("tbl").toString
           val part = Tables.load(s, dir, "part")
             .withColumn("price_cents",
@@ -1291,7 +1312,7 @@ private[queries] trait EventStreamingQueries extends EventQueriesBase {
       import org.apache.spark.sql.streaming.Trigger
       val root = q293Tables.getOrElseUpdate(
         s"$dir@${Tables.fileSignature(dir, "customer")}", {
-          val r = Files.createTempDirectory("graft_q293")
+          val r = tempDirCleanedAtExit("graft_q293")
             .resolve("tbl").toString
           val cust = Tables.load(s, dir, "customer")
             .withColumn("bal_cents",
@@ -1311,7 +1332,7 @@ private[queries] trait EventStreamingQueries extends EventQueriesBase {
             .mode("overwrite").save()
           r
         })
-      val out = Files.createTempDirectory("graft_q293_out")
+      val out = tempDirCleanedAtExit("graft_q293_out")
       val q = s.readStream.format("graft-manifest")
         .option("path", root)
         .option("max_versions_per_trigger", "1").load()
@@ -1372,7 +1393,7 @@ private[queries] trait EventStreamingQueries extends EventQueriesBase {
         .select("c_custkey", "c_mktsegment", "bal_cents")
       val base = q294Tables.getOrElseUpdate(
         s"$dir@${Tables.fileSignature(dir, "customer")}", {
-          val r = Files.createTempDirectory("graft_q294_base")
+          val r = tempDirCleanedAtExit("graft_q294_base")
             .resolve("tbl").toString
           cust.filter(col("c_custkey") % 3 === 0)
             .write.format("graft-manifest").option("path", r)
@@ -1394,7 +1415,7 @@ private[queries] trait EventStreamingQueries extends EventQueriesBase {
           ()
         }
       } finally walk.close()
-      val out = Files.createTempDirectory("graft_q294_out")
+      val out = tempDirCleanedAtExit("graft_q294_out")
       def drain(): Unit = {
         val q = s.readStream.format("graft-manifest")
           .option("path", work.toString).load()
@@ -1404,19 +1425,24 @@ private[queries] trait EventStreamingQueries extends EventQueriesBase {
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
       }
-      drain() // fresh: versions 1-2 (custkey%3 ∈ {0,1})
-      cust.filter(col("c_custkey") % 3 === 2)
-        .write.format("graft-manifest").option("path", work.toString)
-        .mode("append").save()
-      drain() // RESUME on the same checkpoint: exactly v3's delta
-      // the table copy served only the two drains, which ran EAGERLY
-      // above; the returned aggregate reads the drained parquet, so
-      // the copy can go now — each invocation leaves behind only the
-      // small sink dir (the q293 precedent), not a whole table copy
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      // the table copy serves only the two EAGER drains below; the
+      // returned aggregate reads the drained parquet. Deleting it in
+      // a finally means a THROWING drain also releases the full-table
+      // copy (previously it leaked in tmp for the JVM's lifetime) —
+      // each invocation leaves behind only the small sink dir (the
+      // q293 precedent), never a whole table copy
+      try {
+        drain() // fresh: versions 1-2 (custkey%3 ∈ {0,1})
+        cust.filter(col("c_custkey") % 3 === 2)
+          .write.format("graft-manifest").option("path", work.toString)
+          .mode("append").save()
+        drain() // RESUME on the same checkpoint: exactly v3's delta
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(work.getParent.toFile)
       }
-      rm(work.getParent.toFile)
       s.read.parquet(out.resolve("data").toString)
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_cust"),

@@ -1017,8 +1017,12 @@ private class ManifestMicroBatchStream(path: String, required: StructType,
               if (freshStartOffset.contains(s))
                 s"graft-manifest change feed in $path: version $ver was " +
                 "vacuumed between stream start and first-batch " +
-                "planning; restart the stream fresh (it will tail from " +
-                "the new oldest retained version)"
+                "planning (this branch also covers a restart replaying " +
+                "an uncommitted batch 0 — a checkpoint exists there, " +
+                "but the batch being replayed was planned from a fresh " +
+                "initialOffset()); restart the stream with a NEW " +
+                "checkpoint location (it will tail from the new oldest " +
+                "retained version)"
               else
                 s"graft-manifest change feed in $path: version $ver was " +
                 "vacuumed after this stream checkpointed below it; " +

@@ -1,0 +1,84 @@
+package graft.queries
+
+import java.nio.file.{Files, Path}
+
+import scala.jdk.CollectionConverters._
+
+import graft.SparkSpec
+import graft.sources.ManifestSink
+
+/** q294's base-table lifecycle contract (r14 verdict ask #6, paired
+  * with the try/finally around its drains): the query caches ONE
+  * two-version base table per JVM and works on a per-invocation COPY,
+  * so however many times the bench or sweep invokes it,
+  *
+  *  - the cached base must still hold EXACTLY its two build versions
+  *    afterwards — the resume test's third append must land on the
+  *    copy, never leak into the shared base (a leak would make every
+  *    later invocation in the JVM drain a three-version "base" and
+  *    poison the DuckDB hash non-deterministically by invocation
+  *    order);
+  *  - the full-table work copy must be gone when the invocation
+  *    returns — it serves only the two eager drains, and the finally
+  *    releases it even when a drain throws (only the small sink dir
+  *    may persist, the q293 precedent).
+  */
+class Q294LifecycleSpec extends SparkSpec {
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def tmpRoot: Path =
+    java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+
+  private def tmpEntries(pred: String => Boolean): Seq[Path] = {
+    val s = Files.list(tmpRoot)
+    try s.iterator.asScala
+      .filter(p => pred(p.getFileName.toString)).toSeq
+    finally s.close()
+  }
+
+  private def baseDirs: Seq[Path] =
+    tmpEntries(_.startsWith("graft_q294_base"))
+
+  // the per-invocation work copies: prefix graft_q294 but neither the
+  // shared base nor the per-invocation sink dirs
+  private def workDirs: Seq[Path] =
+    tmpEntries(n => n.startsWith("graft_q294")
+      && !n.startsWith("graft_q294_base")
+      && !n.startsWith("graft_q294_out"))
+
+  test("q294 leaves the cached base at its two build versions and " +
+      "releases the work copy, across repeated invocations") {
+    // delta-based against pre-existing tmp content: bases from OTHER
+    // JVMs are removed by their own exit hooks, but a crashed JVM's
+    // litter (or pre-hook rounds') must not fail this spec
+    val preBases = baseDirs.toSet
+    val preWork = workDirs.toSet
+    val q = graft.SparkEntry.queries("q294_manifest_feed_resume")
+    assert(q(spark, sfDir).count() > 0)
+
+    // exactly one NEW base for this JVM (keyed by dir + fixture
+    // signature; one fixture dir in play here), holding exactly the
+    // two build appends
+    val afterFirst = baseDirs.filterNot(preBases)
+    assert(afterFirst.size == 1,
+      s"expected one cached q294 base, found: $afterFirst")
+    val baseTbl = afterFirst.head.resolve("tbl").toString
+    val v1 = ManifestSink.listVersions(baseTbl)
+    assert(v1.size == 2,
+      s"base table must hold exactly its 2 build versions, got $v1")
+
+    // second invocation in the same JVM: reuses the cache, appends to
+    // its own copy only
+    assert(q(spark, sfDir).count() > 0)
+    assert(baseDirs.filterNot(preBases) == afterFirst,
+      "a second invocation must not create another base copy")
+    assert(ManifestSink.listVersions(baseTbl) == v1,
+      "the resume append leaked into the shared base table")
+
+    // the full-table work copies are released by the invocation itself
+    // (not test cleanup): nothing NEW matching the work prefix survives
+    val leaked = workDirs.filterNot(preWork)
+    assert(leaked.isEmpty,
+      s"q294 leaked per-invocation table copies: $leaked")
+  }
+}
