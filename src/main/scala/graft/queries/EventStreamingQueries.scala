@@ -1358,7 +1358,10 @@ private[queries] trait EventStreamingQueries extends EventQueriesBase {
     * version to its copy, which must never leak into the shared base
     * (bench invokes the same query more than once per JVM).
     */
-  private val q294Tables =
+  // private[graft] so Q294LifecycleSpec can locate the cached base
+  // deterministically (tmp-scanning broke when an earlier suite in the
+  // same JVM had already warmed the cache)
+  private[graft] val q294Tables =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
   /** Manifest change-feed RESUME, end-to-end through the driver's

@@ -22,6 +22,11 @@ import graft.sources.ManifestSink
   *    returns — it serves only the two eager drains, and the finally
   *    releases it even when a drain throws (only the small sink dir
   *    may persist, the q293 precedent).
+  *
+  * The base is located through the query's own cache map, not by
+  * scanning tmp: an earlier suite in the same JVM (e.g. the comparator
+  * contract walking every query) may already have warmed the cache,
+  * in which case this spec's invocations create no new base at all.
   */
 class Q294LifecycleSpec extends SparkSpec {
   private val sfDir = "/root/testdata/sf0.001"
@@ -29,40 +34,30 @@ class Q294LifecycleSpec extends SparkSpec {
   private def tmpRoot: Path =
     java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
 
-  private def tmpEntries(pred: String => Boolean): Seq[Path] = {
+  // the per-invocation work copies: prefix graft_q294 but neither the
+  // shared base nor the per-invocation sink dirs
+  private def workDirs: Seq[Path] = {
     val s = Files.list(tmpRoot)
-    try s.iterator.asScala
-      .filter(p => pred(p.getFileName.toString)).toSeq
+    try s.iterator.asScala.filter { p =>
+      val n = p.getFileName.toString
+      n.startsWith("graft_q294") && !n.startsWith("graft_q294_base") &&
+        !n.startsWith("graft_q294_out")
+    }.toSeq
     finally s.close()
   }
 
-  private def baseDirs: Seq[Path] =
-    tmpEntries(_.startsWith("graft_q294_base"))
-
-  // the per-invocation work copies: prefix graft_q294 but neither the
-  // shared base nor the per-invocation sink dirs
-  private def workDirs: Seq[Path] =
-    tmpEntries(n => n.startsWith("graft_q294")
-      && !n.startsWith("graft_q294_base")
-      && !n.startsWith("graft_q294_out"))
-
   test("q294 leaves the cached base at its two build versions and " +
       "releases the work copy, across repeated invocations") {
-    // delta-based against pre-existing tmp content: bases from OTHER
-    // JVMs are removed by their own exit hooks, but a crashed JVM's
-    // litter (or pre-hook rounds') must not fail this spec
-    val preBases = baseDirs.toSet
     val preWork = workDirs.toSet
     val q = graft.SparkEntry.queries("q294_manifest_feed_resume")
     assert(q(spark, sfDir).count() > 0)
 
-    // exactly one NEW base for this JVM (keyed by dir + fixture
-    // signature; one fixture dir in play here), holding exactly the
-    // two build appends
-    val afterFirst = baseDirs.filterNot(preBases)
-    assert(afterFirst.size == 1,
-      s"expected one cached q294 base, found: $afterFirst")
-    val baseTbl = afterFirst.head.resolve("tbl").toString
+    // exactly one cache entry for this fixture dir (keyed by dir +
+    // fixture signature), holding exactly the two build appends
+    val keys = EventQueries.q294Tables.keys.filter(_.startsWith(sfDir + "@"))
+    assert(keys.size == 1,
+      s"expected one cached q294 base for $sfDir, found keys: $keys")
+    val baseTbl = EventQueries.q294Tables(keys.head)
     val v1 = ManifestSink.listVersions(baseTbl)
     assert(v1.size == 2,
       s"base table must hold exactly its 2 build versions, got $v1")
@@ -70,7 +65,8 @@ class Q294LifecycleSpec extends SparkSpec {
     // second invocation in the same JVM: reuses the cache, appends to
     // its own copy only
     assert(q(spark, sfDir).count() > 0)
-    assert(baseDirs.filterNot(preBases) == afterFirst,
+    assert(EventQueries.q294Tables(keys.head) == baseTbl &&
+        EventQueries.q294Tables.keys.count(_.startsWith(sfDir + "@")) == 1,
       "a second invocation must not create another base copy")
     assert(ManifestSink.listVersions(baseTbl) == v1,
       "the resume append leaked into the shared base table")

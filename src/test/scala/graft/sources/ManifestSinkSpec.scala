@@ -40,6 +40,41 @@ private[sources] object ManifestFeedHarness {
     assert(done, "feed drain timed out")
     got.toSeq
   }
+
+  /** [[drain]] for the schema-EVOLVING model walks: each drain is a new
+    * stream over the same checkpoint, so it resolves the table's
+    * CURRENT schema — (id, name) before the walk widens, (id, name,
+    * extra) after — and pre-widening files surface `extra` as NULL.
+    * Rows come back schema-normalized to (id, name?, extra?) so the
+    * model compares one canonical shape across the widening boundary.
+    */
+  def drainEvolve(spark: org.apache.spark.sql.SparkSession, dir: String,
+      cp: String): Seq[(Long, Option[String], Option[Long])] = {
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Option[String], Option[Long])]
+    val q = spark.readStream.format("graft-manifest")
+      .option("path", dir).load()
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val hasExtra = df.columns.contains("extra")
+        val rows = df.collect().map { r =>
+          val ni = r.fieldIndex("name")
+          val ei = if (hasExtra) r.fieldIndex("extra") else -1
+          (r.getLong(r.fieldIndex("id")),
+            if (r.isNullAt(ni)) None else Some(r.getString(ni)),
+            if (ei < 0 || r.isNullAt(ei)) None else Some(r.getLong(ei)))
+        }
+        got.synchronized { got ++= rows }
+        ()
+      }
+      .option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    val done = q.awaitTermination(120000)
+    if (!done) q.stop()
+    assert(done, "feed drain timed out")
+    got.toSeq
+  }
 }
 
 /** The graft-manifest DSv2 batch write: round-trip fidelity, manifest
