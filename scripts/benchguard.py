@@ -120,8 +120,8 @@ def parse_capture(lines):
     return cold, warm
 
 
-def estimate_s(cold, warm):
-    return (sum(cold.values()) + sum(warm.values())) * SLOWDOWN + OVERHEAD_S
+def estimate_s(cold, warm, slowdown=SLOWDOWN):
+    return (sum(cold.values()) + sum(warm.values())) * slowdown + OVERHEAD_S
 
 
 def parse_canary(lines):
@@ -322,14 +322,21 @@ def capture_lines(text):
     parses as one JSON object with a string `tail`. A raw capture never
     matches (each of its lines is a separate object, so the full text
     fails to parse as one; and no bench record carries a `tail` key).
+
+    Returns (lines, driver_origin): driver_origin is True for the
+    wrapper — its timings were measured ON the driver, so the
+    builder-to-driver SLOWDOWN ratio must not be applied to them again
+    (round-8 calibration: driver wall 1,988 s vs driver-measured totals
+    1,945.6 s, ratio ~1.0; applying 1.3x to a driver-side 700 s total
+    would false-trip a 1,000 s budget at 1,010 s).
     """
     try:
         d = json.loads(text)
     except json.JSONDecodeError:
-        return text.splitlines()
+        return text.splitlines(), False
     if isinstance(d, dict) and isinstance(d.get("tail"), str):
-        return d["tail"].splitlines()
-    return text.splitlines()
+        return d["tail"].splitlines(), True
+    return text.splitlines(), False
 
 
 def parse_summary_total(lines):
@@ -351,7 +358,11 @@ def parse_summary_total(lines):
     return None
 
 
-def check(lines, budget_s, label):
+def check(lines, budget_s, label, driver_origin=False):
+    # driver-origin timings already ARE driver wall: applying the
+    # builder-to-driver ratio again would over-estimate ~30% and could
+    # false-trip the budget on a run that fit (see capture_lines)
+    slowdown = 1.0 if driver_origin else SLOWDOWN
     cold, warm = parse_capture(lines)
     # canary verdicts first: they must print even for a tail-only
     # capture (driver kept just the compact summary line, no per-query
@@ -365,7 +376,7 @@ def check(lines, budget_s, label):
         summary = parse_summary_total(lines)
         if summary is not None:
             total, n = summary
-            est = total * SLOWDOWN + OVERHEAD_S
+            est = total * slowdown + OVERHEAD_S
             verdict = "OK" if est <= budget_s else "OVER BUDGET"
             print(f"benchguard: no per-query timings in {label}; using "
                   f"summary total {total:.1f}s"
@@ -380,7 +391,7 @@ def check(lines, budget_s, label):
             return 0
         print(f"benchguard: no per-query timings found in {label}")
         return 2
-    est = estimate_s(cold, warm)
+    est = estimate_s(cold, warm, slowdown)
     verdict = "OK" if est <= budget_s else "OVER BUDGET"
     print(f"benchguard: {len(cold)} queries, measured "
           f"{sum(cold.values()):.1f}s cold + {sum(warm.values()):.1f}s warm "
@@ -596,11 +607,13 @@ def selftest():
                                "write_names": WRITE_SUMMARY_ORDER,
                                "write_secs": [1.59, 0.75, 0.41]}) + "\n"),
         "parsed": {"metric": "total", "value": 334.1}})
-    wl = capture_lines(wrapper)
+    wl, wo = capture_lines(wrapper)
+    assert wo, "wrapper must be flagged driver-origin"
     assert len(wl) == 3, f"wrapper unwrap produced {len(wl)} lines"
     buf = _io.StringIO()
     with contextlib.redirect_stdout(buf):
-        rc = check(wl, DEFAULT_BUDGET_S, "selftest-wrapper")
+        rc = check(wl, DEFAULT_BUDGET_S, "selftest-wrapper",
+                   driver_origin=True)
     out = buf.getvalue()
     assert rc == 0, f"wrapper capture must adjudicate, got rc {rc}: {out}"
     assert "canary [CLEAN]" in out and "start=0.52s" in out \
@@ -609,11 +622,21 @@ def selftest():
     assert "using summary total" in out, \
         f"wrapper budget fallback missing: {out}"
     # a raw JSONL capture must pass through capture_lines untouched
+    # and NOT be flagged driver-origin
     raw = "\n".join(io_clean) + "\n"
-    assert capture_lines(raw) == raw.splitlines()
+    assert capture_lines(raw) == (raw.splitlines(), False)
     # ... including a single-line raw capture (one summary line is one
     # valid JSON object but has no string `tail`, so NOT a wrapper)
-    assert capture_lines(io_tail_clean[0]) == [io_tail_clean[0]]
+    assert capture_lines(io_tail_clean[0]) == ([io_tail_clean[0]], False)
+    # DRIVER-ORIGIN BUDGET MODEL: a 700s driver-side total fits a
+    # 1000s budget (ratio ~1.0 + overhead = 800s); applying the
+    # builder-to-driver SLOWDOWN again would false-trip at 1010s.
+    drv_total = [json.dumps({"metric": "total", "value": 650.0,
+                             "total_warm": 50.0, "n_queries": 294})]
+    assert check(drv_total, DEFAULT_BUDGET_S, "selftest-driver-origin",
+                 driver_origin=True) == 0
+    assert check(drv_total, DEFAULT_BUDGET_S,
+                 "selftest-local-origin") == 1
     print("benchguard selftest: PASS")
     return 0
 
@@ -644,7 +667,8 @@ def main():
             print(f"benchguard: STALE BASELINE — {err}")
             return 2
     with open(args[0]) as f:
-        return check(capture_lines(f.read()), budget, args[0])
+        lines, driver_origin = capture_lines(f.read())
+    return check(lines, budget, args[0], driver_origin=driver_origin)
 
 
 if __name__ == "__main__":

@@ -221,10 +221,7 @@ object Bench {
       timedWrite("write_s7_gold")(
         graft.engine.Sinks.writeParquet(gold, s"$tmp/gold"))
       // best-effort cleanup of the temp write area
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(tmp.toFile)
+      graft.engine.TempDirs.deleteRecursively(tmp.toFile)
     }
     canary("end")
     val warmRs = results.collect { case R(n, _, Some(w), _) => (n, w) }

@@ -45,4 +45,15 @@ object Bucketing {
   /** Read a bucketed table back (scan carries the bucket distribution). */
   def readBucketed(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
+
+  /** A managed table's location under the session warehouse dir — for
+    * clearing a stale location a PRIOR JVM left behind (the in-memory
+    * catalog forgets the table, the directory survives; creating a
+    * managed table over a non-empty location then fails). One resolver
+    * shared by q295's build and `BucketingSpec`.
+    */
+  def tableLocation(spark: SparkSession, table: String): java.io.File =
+    new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath,
+      table.toLowerCase)
 }

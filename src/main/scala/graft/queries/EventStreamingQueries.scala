@@ -25,20 +25,12 @@ private[queries] trait EventStreamingQueries extends EventQueriesBase {
     * deletion is only safe for q294's per-invocation work copy, which
     * has its own try/finally) — but across JVMs they accumulated one
     * full staged-table copy per sweep/bench run in tmp (the q294
-    * lifecycle spec found 20 stale bases from prior rounds) until this
-    * hook. Hook failure is irrelevant: worst case is the old behavior.
+    * lifecycle spec found 20 stale bases from prior rounds). One
+    * shared registry/hook in [[graft.engine.TempDirs]].
     */
   private[queries] def tempDirCleanedAtExit(prefix: String)
-      : java.nio.file.Path = {
-    val d = java.nio.file.Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(d.toFile)
-    }))
-    d
-  }
+      : java.nio.file.Path =
+    graft.engine.TempDirs.createCleanedAtExit(prefix)
 
   /** Run a streaming DataFrame to completion through a memory sink
     * (append mode, AvailableNow) and return the drained table — the
@@ -1441,10 +1433,7 @@ private[queries] trait EventStreamingQueries extends EventQueriesBase {
           .mode("append").save()
         drain() // RESUME on the same checkpoint: exactly v3's delta
       } finally {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(work.getParent.toFile)
+        graft.engine.TempDirs.deleteRecursively(work.getParent.toFile)
       }
       s.read.parquet(out.resolve("data").toString)
         .groupBy(col("c_mktsegment"))

@@ -1272,17 +1272,13 @@ private[queries] trait RelationalJoinQueries {
           // shared warehouse dir with no entry in THIS JVM's in-memory
           // catalog (the BucketingSpec lesson) — clear both, and remove
           // this JVM's locations again at exit
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-          }
-          def loc(table: String): java.io.File = new java.io.File(
-            new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))
-              .getPath, table.toLowerCase)
+          import graft.engine.{Bucketing, TempDirs}
           Seq(to, tc).foreach { t =>
-            s.sql(s"DROP TABLE IF EXISTS $t"); rm(loc(t))
+            s.sql(s"DROP TABLE IF EXISTS $t")
+            val loc = Bucketing.tableLocation(s, t)
+            TempDirs.deleteRecursively(loc)
+            TempDirs.registerAtExit(loc.toPath)
           }
-          Runtime.getRuntime.addShutdownHook(new Thread(() =>
-            Seq(to, tc).foreach(t => rm(loc(t)))))
           graft.engine.Bucketing.writeBucketed(
             Tables.load(s, dir, "orders")
               .withColumn("price_cents",

@@ -45,13 +45,7 @@ class BucketingSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     */
   private def fresh(table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    val loc = new java.io.File(
-      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath,
-      table.toLowerCase)
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-    }
-    rm(loc)
+    TempDirs.deleteRecursively(Bucketing.tableLocation(spark, table))
   }
 
   private val facts = (1L to 2000L).map(i => (i, i % 97, i * 2.0))

@@ -14,19 +14,20 @@ import graft.SparkSpec
   * resumes, so repeated drains return only the new deltas).
   */
 private[sources] object ManifestFeedHarness {
-  def drain(spark: org.apache.spark.sql.SparkSession, dir: String,
-      cp: String): Seq[(Long, String)] = {
-    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+  /** The one stream-drain scaffold (AvailableNow over the change feed,
+    * accumulate per batch via `decode`, 120 s timeout): [[drain]] and
+    * [[drainEvolve]] differ ONLY in how a batch decodes to rows.
+    */
+  private def drainWith[T](spark: org.apache.spark.sql.SparkSession,
+      dir: String, cp: String)(
+      decode: org.apache.spark.sql.DataFrame => Seq[T]): Seq[T] = {
+    val got = scala.collection.mutable.ArrayBuffer.empty[T]
     val q = spark.readStream.format("graft-manifest")
       .option("path", dir).load()
       .writeStream
       .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
-        got.synchronized {
-          got ++= df.as[(Long, String)](
-            org.apache.spark.sql.Encoders.tuple(
-              org.apache.spark.sql.Encoders.scalaLong,
-              org.apache.spark.sql.Encoders.STRING)).collect()
-        }
+        val rows = decode(df)
+        got.synchronized { got ++= rows }
         ()
       }
       .option("checkpointLocation", cp)
@@ -41,40 +42,42 @@ private[sources] object ManifestFeedHarness {
     got.toSeq
   }
 
+  def drain(spark: org.apache.spark.sql.SparkSession, dir: String,
+      cp: String): Seq[(Long, String)] =
+    drainWith(spark, dir, cp) { df =>
+      df.as[(Long, String)](
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.STRING)).collect().toSeq
+    }
+
+  /** Schema-normalize a 2- or 3-column feed/snapshot frame to the
+    * evolving walks' canonical (id, name?, extra?) shape: a frame
+    * read under a pre-widening schema has no `extra` column (⇒ None),
+    * a post-widening frame surfaces pre-widening files' extra as NULL.
+    * Shared by [[drainEvolve]] and the model spec's snapshot reads so
+    * the harness and the model cannot disagree about a row's shape.
+    */
+  def decodeEvolved(df: org.apache.spark.sql.DataFrame)
+      : Seq[(Long, Option[String], Option[Long])] = {
+    val hasExtra = df.columns.contains("extra")
+    df.collect().toSeq.map { r =>
+      val ni = r.fieldIndex("name")
+      val ei = if (hasExtra) r.fieldIndex("extra") else -1
+      (r.getLong(r.fieldIndex("id")),
+        if (r.isNullAt(ni)) None else Some(r.getString(ni)),
+        if (ei < 0 || r.isNullAt(ei)) None else Some(r.getLong(ei)))
+    }
+  }
+
   /** [[drain]] for the schema-EVOLVING model walks: each drain is a new
     * stream over the same checkpoint, so it resolves the table's
     * CURRENT schema — (id, name) before the walk widens, (id, name,
     * extra) after — and pre-widening files surface `extra` as NULL.
-    * Rows come back schema-normalized to (id, name?, extra?) so the
-    * model compares one canonical shape across the widening boundary.
     */
   def drainEvolve(spark: org.apache.spark.sql.SparkSession, dir: String,
-      cp: String): Seq[(Long, Option[String], Option[Long])] = {
-    val got = scala.collection.mutable.ArrayBuffer
-      .empty[(Long, Option[String], Option[Long])]
-    val q = spark.readStream.format("graft-manifest")
-      .option("path", dir).load()
-      .writeStream
-      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
-        val hasExtra = df.columns.contains("extra")
-        val rows = df.collect().map { r =>
-          val ni = r.fieldIndex("name")
-          val ei = if (hasExtra) r.fieldIndex("extra") else -1
-          (r.getLong(r.fieldIndex("id")),
-            if (r.isNullAt(ni)) None else Some(r.getString(ni)),
-            if (ei < 0 || r.isNullAt(ei)) None else Some(r.getLong(ei)))
-        }
-        got.synchronized { got ++= rows }
-        ()
-      }
-      .option("checkpointLocation", cp)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    val done = q.awaitTermination(120000)
-    if (!done) q.stop()
-    assert(done, "feed drain timed out")
-    got.toSeq
-  }
+      cp: String): Seq[(Long, Option[String], Option[Long])] =
+    drainWith(spark, dir, cp)(decodeEvolved)
 }
 
 /** The graft-manifest DSv2 batch write: round-trip fidelity, manifest
