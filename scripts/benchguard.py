@@ -392,11 +392,26 @@ def check(lines, budget_s, label, driver_origin=False):
         print(f"benchguard: no per-query timings found in {label}")
         return 2
     est = estimate_s(cold, warm, slowdown)
+    basis = (f"{len(cold)} queries, measured {sum(cold.values()):.1f}s "
+             f"cold + {sum(warm.values()):.1f}s warm")
+    # A truncated driver tail can keep a HANDFUL of trailing per-query
+    # lines alongside the complete summary; adjudicating from that tiny
+    # partial sum would silently pass an over-budget run (the guard's
+    # founding failure mode). Whenever a summary total is also present,
+    # the LARGER of the two estimates wins.
+    summary = parse_summary_total(lines)
+    if summary is not None:
+        total, n = summary
+        est_sum = total * slowdown + OVERHEAD_S
+        if est_sum > est:
+            est = est_sum
+            basis = (f"summary total {total:.1f}s"
+                     + (f" over {n} queries" if n is not None else "")
+                     + f" (per-query lines cover only {len(cold)} — "
+                       f"truncated capture)")
     verdict = "OK" if est <= budget_s else "OVER BUDGET"
-    print(f"benchguard: {len(cold)} queries, measured "
-          f"{sum(cold.values()):.1f}s cold + {sum(warm.values()):.1f}s warm "
-          f"-> estimated driver wall {est:.1f}s vs budget {budget_s:.0f}s "
-          f"[{verdict}]")
+    print(f"benchguard: {basis} -> estimated driver wall {est:.1f}s vs "
+          f"budget {budget_s:.0f}s [{verdict}]")
     if est > budget_s:
         top = sorted(cold.items(), key=lambda kv: -kv[1])[:5]
         print("  heaviest cold queries: "
@@ -637,6 +652,23 @@ def selftest():
                  driver_origin=True) == 0
     assert check(drv_total, DEFAULT_BUDGET_S,
                  "selftest-local-origin") == 1
+    # TRUNCATED-TAIL PARTIAL per-query lines must not preempt the
+    # summary total: 5 surviving 1s query lines estimate ~105s, but
+    # the summary says the run took 900s+100s warm — the larger
+    # estimate (summary) must adjudicate, catching the over-budget run
+    trunc = ([json.dumps({"progress": "query", "name": f"q{i}",
+                          "cold": 1.0}) for i in range(5)]
+             + [json.dumps({"metric": "total", "value": 900.0,
+                            "total_warm": 100.0, "n_queries": 294})])
+    assert check(trunc, DEFAULT_BUDGET_S, "selftest-trunc-tail",
+                 driver_origin=True) == 1
+    # ... and a FULL capture where the per-query sum (with warm lines)
+    # exceeds the summary's cold-only value keeps the per-query basis
+    full = ([json.dumps({"progress": "query", "name": f"q{i}",
+                         "cold": 3.0}) for i in range(100)]
+            + [json.dumps({"metric": "total", "value": 300.0,
+                           "n_queries": 100})])
+    assert check(full, DEFAULT_BUDGET_S, "selftest-full-capture") == 0
     print("benchguard selftest: PASS")
     return 0
 

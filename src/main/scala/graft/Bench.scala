@@ -221,7 +221,7 @@ object Bench {
       timedWrite("write_s7_gold")(
         graft.engine.Sinks.writeParquet(gold, s"$tmp/gold"))
       // best-effort cleanup of the temp write area
-      graft.engine.TempDirs.deleteRecursively(tmp.toFile)
+      graft.engine.Fs.deleteRecursivelyQuietly(tmp)
     }
     canary("end")
     val warmRs = results.collect { case R(n, _, Some(w), _) => (n, w) }

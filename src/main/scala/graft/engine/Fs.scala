@@ -20,4 +20,13 @@ object Fs {
     }
     Files.deleteIfExists(p); ()
   }
+
+  /** [[deleteRecursively]] for best-effort cleanup paths (a finally
+    * block that must not mask the real failure, the JVM-exit temp-dir
+    * drain, the bench's scratch area): an IO failure leaves the
+    * remainder in place instead of propagating — worst case is the
+    * old leave-in-tmp behavior.
+    */
+  def deleteRecursivelyQuietly(p: Path): Unit =
+    try deleteRecursively(p) catch { case _: java.io.IOException => () }
 }

@@ -20,27 +20,18 @@ import java.nio.file.{Files, Path}
 object TempDirs {
   private val registered =
     new java.util.concurrent.ConcurrentLinkedQueue[Path]()
-  // lazy so the hook is installed exactly once, on first registration
+  // lazy so the hook is installed exactly once, on first registration;
+  // deletion is [[Fs.deleteRecursivelyQuietly]] per path, so one
+  // undeletable entry cannot abort the drain and leak the rest
   private lazy val hookInstalled: Boolean = {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       var p = registered.poll()
       while (p != null) {
-        deleteRecursively(p.toFile)
+        Fs.deleteRecursivelyQuietly(p)
         p = registered.poll()
       }
     }))
     true
-  }
-
-  /** The one main-source recursive delete (staged tables, sink dirs,
-    * write-bench scratch). Symlinks are deleted as links, not
-    * followed ([[java.io.File.listFiles]] on a link to a dir would
-    * descend, but none of the registered dirs contain links to data
-    * the engine does not own).
-    */
-  def deleteRecursively(f: java.io.File): Unit = {
-    Option(f.listFiles).foreach(_.foreach(deleteRecursively))
-    f.delete(); ()
   }
 
   /** Create a temp dir removed at JVM exit. */

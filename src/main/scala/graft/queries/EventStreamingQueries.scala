@@ -1433,7 +1433,7 @@ private[queries] trait EventStreamingQueries extends EventQueriesBase {
           .mode("append").save()
         drain() // RESUME on the same checkpoint: exactly v3's delta
       } finally {
-        graft.engine.TempDirs.deleteRecursively(work.getParent.toFile)
+        graft.engine.Fs.deleteRecursivelyQuietly(work.getParent)
       }
       s.read.parquet(out.resolve("data").toString)
         .groupBy(col("c_mktsegment"))

@@ -1272,11 +1272,11 @@ private[queries] trait RelationalJoinQueries {
           // shared warehouse dir with no entry in THIS JVM's in-memory
           // catalog (the BucketingSpec lesson) — clear both, and remove
           // this JVM's locations again at exit
-          import graft.engine.{Bucketing, TempDirs}
+          import graft.engine.{Bucketing, Fs, TempDirs}
           Seq(to, tc).foreach { t =>
             s.sql(s"DROP TABLE IF EXISTS $t")
             val loc = Bucketing.tableLocation(s, t)
-            TempDirs.deleteRecursively(loc)
+            Fs.deleteRecursively(loc.toPath)
             TempDirs.registerAtExit(loc.toPath)
           }
           graft.engine.Bucketing.writeBucketed(

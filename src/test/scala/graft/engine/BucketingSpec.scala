@@ -45,7 +45,7 @@ class BucketingSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     */
   private def fresh(table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    TempDirs.deleteRecursively(Bucketing.tableLocation(spark, table))
+    Fs.deleteRecursively(Bucketing.tableLocation(spark, table).toPath)
   }
 
   private val facts = (1L to 2000L).map(i => (i, i % 97, i * 2.0))
