@@ -24,9 +24,10 @@ trait SparkSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     finally deleteRecursively(dir)
   }
 
-  /** The one test-side recursive delete (checkpoint wipes, temp dirs). */
-  def deleteRecursively(f: java.io.File): Unit = {
-    Option(f.listFiles).foreach(_.foreach(deleteRecursively))
-    f.delete(); ()
-  }
+  /** Test-side recursive delete (checkpoint wipes, temp dirs) —
+    * delegates to the engine's one copy; quiet because test cleanup
+    * must never mask the assertion that actually failed.
+    */
+  def deleteRecursively(f: java.io.File): Unit =
+    engine.Fs.deleteRecursivelyQuietly(f.toPath)
 }

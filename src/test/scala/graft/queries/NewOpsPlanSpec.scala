@@ -96,4 +96,19 @@ class NewOpsPlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
   test("q214 abc: ranked cumulative walk has no single-partition window") {
     noGlobalWindow(executed(RelationalQueries.q214AbcClasses.fn(spark, dir)))
   }
+
+  test("q295 bucketed join: the SMJ reads co-located buckets — only " +
+      "the post-join group-by/order-by exchanges remain") {
+    val p = executed(RelationalQueries.q295BucketedJoin.fn(spark, dir))
+    // the merge hint keeps the join on the sort-merge path the
+    // bucketed layout serves (a broadcast would bypass the layout at
+    // this SF and hide a co-location regression)
+    joins(p).exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.SortMergeJoinExec]) shouldBe true
+    // join-side exchanges MUST be absent: 1 shuffle for the segment
+    // group-by + 1 range exchange for the output order. A bucketing
+    // regression (mismatched counts, lost bucket spec on read-back)
+    // re-shuffles one or both scan sides and pushes this past 2.
+    shuffles(p) should be <= 2
+  }
 }
