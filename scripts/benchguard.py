@@ -369,55 +369,52 @@ def check(lines, budget_s, label, driver_origin=False):
     # timings) — that truncated case is what the summary echo exists for
     annotate_canary(lines)
     annotate_io(lines)
-    if not cold:
-        # tail-only fallback: no per-query timings survived, but the
-        # summary's measured total still adjudicates the budget (the
-        # driver artifact's tail is exactly this shape)
-        summary = parse_summary_total(lines)
-        if summary is not None:
-            total, n = summary
-            est = total * slowdown + OVERHEAD_S
-            verdict = "OK" if est <= budget_s else "OVER BUDGET"
-            print(f"benchguard: no per-query timings in {label}; using "
-                  f"summary total {total:.1f}s"
-                  + (f" over {n} queries" if n is not None else "")
-                  + f" -> estimated driver wall {est:.1f}s vs budget "
-                    f"{budget_s:.0f}s [{verdict}]")
-            if est > budget_s:
-                print("  per-query attribution unavailable in a tail-only "
-                      "capture — re-run scripts/run_bench.sh locally to "
-                      "find the heavy queries.")
-                return 1
-            return 0
+    # Two estimate sources, ONE adjudication path. A truncated driver
+    # tail can keep a HANDFUL of trailing per-query lines alongside the
+    # complete summary; adjudicating from that tiny partial sum would
+    # silently pass an over-budget run (the guard's founding failure
+    # mode), so whenever both sources exist the LARGER estimate wins —
+    # on a full capture the per-query sum (cold + top-K warm) is always
+    # >= the summary's cold+warm totals, so this only flips the basis
+    # on genuinely truncated captures.
+    summary = parse_summary_total(lines)
+    est_pq = estimate_s(cold, warm, slowdown) if cold else None
+    est_sum = summary[0] * slowdown + OVERHEAD_S if summary else None
+    if est_pq is None and est_sum is None:
         print(f"benchguard: no per-query timings found in {label}")
         return 2
-    est = estimate_s(cold, warm, slowdown)
-    basis = (f"{len(cold)} queries, measured {sum(cold.values()):.1f}s "
-             f"cold + {sum(warm.values()):.1f}s warm")
-    # A truncated driver tail can keep a HANDFUL of trailing per-query
-    # lines alongside the complete summary; adjudicating from that tiny
-    # partial sum would silently pass an over-budget run (the guard's
-    # founding failure mode). Whenever a summary total is also present,
-    # the LARGER of the two estimates wins.
-    summary = parse_summary_total(lines)
-    if summary is not None:
+    from_summary = est_sum is not None and \
+        (est_pq is None or est_sum > est_pq)
+    if from_summary:
+        est = est_sum
         total, n = summary
-        est_sum = total * slowdown + OVERHEAD_S
-        if est_sum > est:
-            est = est_sum
-            basis = (f"summary total {total:.1f}s"
-                     + (f" over {n} queries" if n is not None else "")
-                     + f" (per-query lines cover only {len(cold)} — "
-                       f"truncated capture)")
+        basis = ("summary total " + f"{total:.1f}s"
+                 + (f" over {n} queries" if n is not None else ""))
+        if cold:
+            basis += (f" (per-query lines cover only {len(cold)} — "
+                      f"truncated capture)")
+        else:
+            basis = f"no per-query timings in {label}; using " + basis
+    else:
+        est = est_pq
+        basis = (f"{len(cold)} queries, measured {sum(cold.values()):.1f}s "
+                 f"cold + {sum(warm.values()):.1f}s warm")
     verdict = "OK" if est <= budget_s else "OVER BUDGET"
     print(f"benchguard: {basis} -> estimated driver wall {est:.1f}s vs "
           f"budget {budget_s:.0f}s [{verdict}]")
     if est > budget_s:
-        top = sorted(cold.items(), key=lambda kv: -kv[1])[:5]
-        print("  heaviest cold queries: "
-              + ", ".join(f"{n}={t:.1f}s" for n, t in top))
-        print("  cut passes or query cost before the DRIVER discovers this "
-              "as an rc-124 bench.")
+        if from_summary:
+            # the surviving per-query lines (if any) are arbitrary tail
+            # stragglers — naming them as "heaviest" would misdirect
+            print("  per-query attribution unavailable in a truncated "
+                  "capture — re-run scripts/run_bench.sh locally to "
+                  "find the heavy queries.")
+        else:
+            top = sorted(cold.items(), key=lambda kv: -kv[1])[:5]
+            print("  heaviest cold queries: "
+                  + ", ".join(f"{n}={t:.1f}s" for n, t in top))
+            print("  cut passes or query cost before the DRIVER discovers "
+                  "this as an rc-124 bench.")
         return 1
     return 0
 
@@ -660,15 +657,33 @@ def selftest():
                           "cold": 1.0}) for i in range(5)]
              + [json.dumps({"metric": "total", "value": 900.0,
                             "total_warm": 100.0, "n_queries": 294})])
-    assert check(trunc, DEFAULT_BUDGET_S, "selftest-trunc-tail",
-                 driver_origin=True) == 1
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = check(trunc, DEFAULT_BUDGET_S, "selftest-trunc-tail",
+                   driver_origin=True)
+    out = buf.getvalue()
+    assert rc == 1, f"truncated-tail over-budget run must trip: {out}"
+    assert "truncated capture" in out and "cover only 5" in out, \
+        f"basis must name the summary + truncation: {out}"
+    # the 5 surviving ~1s stragglers are NOT the heavy queries — the
+    # diagnostic must say attribution is unavailable, never list them
+    assert "heaviest cold queries" not in out \
+        and "attribution unavailable" in out, \
+        f"truncated over-budget diagnostic misattributes: {out}"
     # ... and a FULL capture where the per-query sum (with warm lines)
-    # exceeds the summary's cold-only value keeps the per-query basis
+    # exceeds the summary's cold-only value keeps the per-query basis —
+    # pinned via the printed basis, not just the (identical) rc
     full = ([json.dumps({"progress": "query", "name": f"q{i}",
                          "cold": 3.0}) for i in range(100)]
             + [json.dumps({"metric": "total", "value": 300.0,
                            "n_queries": 100})])
-    assert check(full, DEFAULT_BUDGET_S, "selftest-full-capture") == 0
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = check(full, DEFAULT_BUDGET_S, "selftest-full-capture")
+    out = buf.getvalue()
+    assert rc == 0 and "100 queries, measured 300.0s" in out \
+        and "truncated capture" not in out, \
+        f"full capture must keep the per-query basis: {out}"
     print("benchguard selftest: PASS")
     return 0
 

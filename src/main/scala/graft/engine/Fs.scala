@@ -9,24 +9,35 @@ import java.nio.file.{Files, Path}
 object Fs {
 
   /** Delete `p` and everything under it; a missing path is a no-op.
-    * Local-FS only (the fixture staging dirs, temp publish roots and
-    * verify output dirs) — production object stores delete by prefix
-    * listing, not recursion.
+    * NOFOLLOW throughout: a symlink is deleted as a link, never
+    * descended into or skipped — link-following exists() reports a
+    * BROKEN link as absent, which would leave it behind and make the
+    * parent's delete throw DirectoryNotEmptyException, and a link to
+    * a directory must never recurse into data the caller does not
+    * own (the streaming staging dirs hold links into the read-only
+    * fixtures). Local-FS only (fixture staging dirs, temp publish
+    * roots and verify output dirs) — production object stores delete
+    * by prefix listing, not recursion.
     */
-  def deleteRecursively(p: Path): Unit = if (Files.exists(p)) {
-    if (Files.isDirectory(p)) {
-      val s = Files.list(p)
-      try s.forEach(deleteRecursively(_)) finally s.close()
+  def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+      if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+        val s = Files.list(p)
+        try s.forEach(deleteRecursively(_)) finally s.close()
+      }
+      Files.deleteIfExists(p); ()
     }
-    Files.deleteIfExists(p); ()
-  }
 
   /** [[deleteRecursively]] for best-effort cleanup paths (a finally
     * block that must not mask the real failure, the JVM-exit temp-dir
     * drain, the bench's scratch area): an IO failure leaves the
     * remainder in place instead of propagating — worst case is the
-    * old leave-in-tmp behavior.
+    * old leave-in-tmp behavior. Catches UncheckedIOException too:
+    * that is how `Files.list`'s stream surfaces iteration errors.
     */
   def deleteRecursivelyQuietly(p: Path): Unit =
-    try deleteRecursively(p) catch { case _: java.io.IOException => () }
+    try deleteRecursively(p)
+    catch {
+      case _: java.io.IOException | _: java.io.UncheckedIOException => ()
+    }
 }
