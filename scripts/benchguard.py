@@ -383,8 +383,19 @@ def check(lines, budget_s, label, driver_origin=False):
     if est_pq is None and est_sum is None:
         print(f"benchguard: no per-query timings found in {label}")
         return 2
-    from_summary = est_sum is not None and \
-        (est_pq is None or est_sum > est_pq)
+    # truncation is a COVERAGE fact, not an estimate-magnitude one:
+    # the summary's n_queries vs the surviving per-query lines decides
+    # it (a full capture's two estimates can differ by float-summation
+    # ulps — magnitude alone could mislabel a complete capture as
+    # truncated and drop the heaviest-query attribution). The
+    # 1-second epsilon is the fallback for pre-n_queries summaries.
+    truncated = False
+    if cold and summary is not None:
+        n = summary[1]
+        truncated = (len(cold) < n) if n is not None \
+            else (est_sum > est_pq + 1.0)
+    from_summary = summary is not None and \
+        (not cold or (truncated and est_sum > est_pq))
     if from_summary:
         est = est_sum
         total, n = summary
@@ -670,12 +681,18 @@ def selftest():
     assert "heaviest cold queries" not in out \
         and "attribution unavailable" in out, \
         f"truncated over-budget diagnostic misattributes: {out}"
-    # ... and a FULL capture where the per-query sum (with warm lines)
-    # exceeds the summary's cold-only value keeps the per-query basis —
-    # pinned via the printed basis, not just the (identical) rc
+    # ... and a FULL capture (all n_queries covered, warm lines plus a
+    # matching total_warm echo) keeps the per-query basis — pinned via
+    # the printed basis, not just the (identical) rc. The warm values
+    # sum in a different order on each side, so the two estimates can
+    # differ by float ulps: coverage, not magnitude, must decide.
     full = ([json.dumps({"progress": "query", "name": f"q{i}",
                          "cold": 3.0}) for i in range(100)]
+            + [json.dumps({"progress": "warm", "name": f"q{i}",
+                           "warm": 0.1 + i * 0.01}) for i in range(20)]
             + [json.dumps({"metric": "total", "value": 300.0,
+                           "total_warm": sum(0.1 + i * 0.01
+                                             for i in range(19, -1, -1)),
                            "n_queries": 100})])
     buf = _io.StringIO()
     with contextlib.redirect_stdout(buf):

@@ -19,14 +19,16 @@ object Fs {
     * roots and verify output dirs) — production object stores delete
     * by prefix listing, not recursion.
     */
-  def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
-      if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
-        val s = Files.list(p)
-        try s.forEach(deleteRecursively(_)) finally s.close()
-      }
-      Files.deleteIfExists(p); ()
+  def deleteRecursively(p: Path): Unit = {
+    // no exists() pre-check: isDirectory(missing) is false and
+    // deleteIfExists no-ops on an absent path, so the guard would
+    // only add an lstat per entry on multi-thousand-file trees
+    if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+      val s = Files.list(p)
+      try s.forEach(deleteRecursively(_)) finally s.close()
     }
+    Files.deleteIfExists(p); ()
+  }
 
   /** [[deleteRecursively]] for best-effort cleanup paths (a finally
     * block that must not mask the real failure, the JVM-exit temp-dir
