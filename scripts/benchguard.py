@@ -373,10 +373,9 @@ def check(lines, budget_s, label, driver_origin=False):
     # tail can keep a HANDFUL of trailing per-query lines alongside the
     # complete summary; adjudicating from that tiny partial sum would
     # silently pass an over-budget run (the guard's founding failure
-    # mode), so whenever both sources exist the LARGER estimate wins —
-    # on a full capture the per-query sum (cold + top-K warm) is always
-    # >= the summary's cold+warm totals, so this only flips the basis
-    # on genuinely truncated captures.
+    # mode). The summary basis wins exactly when the capture is
+    # TRUNCATED (decided by coverage, below) and the summary's
+    # estimate is the larger.
     summary = parse_summary_total(lines)
     est_pq = estimate_s(cold, warm, slowdown) if cold else None
     est_sum = summary[0] * slowdown + OVERHEAD_S if summary else None
@@ -676,6 +675,17 @@ def selftest():
     assert rc == 1, f"truncated-tail over-budget run must trip: {out}"
     assert "truncated capture" in out and "cover only 5" in out, \
         f"basis must name the summary + truncation: {out}"
+    # pre-n_queries summary (no coverage signal): the 1-second-epsilon
+    # magnitude fallback must still flag the truncation and trip
+    trunc_legacy = trunc[:-1] + [json.dumps(
+        {"metric": "total", "value": 900.0, "total_warm": 100.0})]
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = check(trunc_legacy, DEFAULT_BUDGET_S,
+                   "selftest-trunc-legacy", driver_origin=True)
+    out = buf.getvalue()
+    assert rc == 1 and "truncated capture" in out, \
+        f"epsilon fallback failed to flag a pre-n_queries truncation: {out}"
     # the 5 surviving ~1s stragglers are NOT the heavy queries — the
     # diagnostic must say attribution is unavailable, never list them
     assert "heaviest cold queries" not in out \

@@ -19,16 +19,20 @@ object Fs {
     * roots and verify output dirs) — production object stores delete
     * by prefix listing, not recursion.
     */
-  def deleteRecursively(p: Path): Unit = {
-    // no exists() pre-check: isDirectory(missing) is false and
-    // deleteIfExists no-ops on an absent path, so the guard would
-    // only add an lstat per entry on multi-thousand-file trees
-    if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
-      val s = Files.list(p)
-      try s.forEach(deleteRecursively(_)) finally s.close()
+  def deleteRecursively(p: Path): Unit =
+    // the exists(NOFOLLOW) guard is NOT just an optimization dodge:
+    // deleteIfExists only swallows ENOENT — a path whose parent
+    // component is a regular file (ENOTDIR) or is unstattable
+    // (EACCES) would throw where the "missing path is a no-op"
+    // contract promises silence, and the strict callers (Verify,
+    // Incremental, the staging seams) rely on that silence
+    if (Files.exists(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+      if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+        val s = Files.list(p)
+        try s.forEach(deleteRecursively(_)) finally s.close()
+      }
+      Files.deleteIfExists(p); ()
     }
-    Files.deleteIfExists(p); ()
-  }
 
   /** [[deleteRecursively]] for best-effort cleanup paths (a finally
     * block that must not mask the real failure, the JVM-exit temp-dir
