@@ -40,7 +40,23 @@ before the guard will pass again.
 Usage:
     benchguard.py <bench_capture.jsonl | BENCH_r{N}.json> [--budget SECONDS]
                   [--fixtures DIR | --no-staleness-check]
+                  [--compare-warm OTHER_CAPTURE]
     benchguard.py --selftest
+
+Round-17 additions (VERDICT r16 ask #1): the bench summary now echoes
+budget-trimmed `top_cold` / `warm_echo` per-query maps, so the guard
+
+ - always prints the heaviest cold queries (per-line records win for
+   precision; the summary echo fills what the driver tail truncated);
+ - adjudicates WARM contention: a warm row exceeding its OWN cold
+   ([WARM-SUSPECT]) is a contention artifact, not a regression — the
+   warm pass re-runs the identical plan with codegen already cached and
+   the inter-pass cache cleared, so it is structurally <= cold (r16's
+   smoking gun: q79 warm 11.26 s vs ~1.5 s cold, which nothing named);
+ - `--compare-warm OTHER` compares warm totals across two captures on
+   the cohort INTERSECTION only, refusing when the cohorts are disjoint
+   (the warm cohort is re-derived from each run's own cold ranking, so
+   r15-vs-r16's "+59 %" compared different query sets).
 
 The capture argument accepts BOTH shapes (round-15 lesson: the guard
 could adjudicate a raw stdout capture but printed [NO CANARY]/RC 2 on
@@ -122,6 +138,157 @@ def parse_capture(lines):
 
 def estimate_s(cold, warm, slowdown=SLOWDOWN):
     return (sum(cold.values()) + sum(warm.values())) * slowdown + OVERHEAD_S
+
+
+def parse_summary_echo(lines):
+    """(top_cold, warm_echo) dicts from the round-17+ summary echo;
+    empty dicts for an older capture. Values are the 2-decimal echoes —
+    attribution-grade, not ulp-comparable to the per-line precision."""
+    top_cold, warm_echo = {}, {}
+    for line in lines:
+        line = line.strip()
+        if not line.startswith("{"):
+            continue
+        try:
+            d = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if d.get("metric") == "total":
+            if isinstance(d.get("top_cold"), dict):
+                top_cold = {k: float(v) for k, v in d["top_cold"].items()}
+            if isinstance(d.get("warm_echo"), dict):
+                warm_echo = {k: float(v) for k, v in d["warm_echo"].items()}
+    return top_cold, warm_echo
+
+
+def merged_attribution(lines):
+    """(cold, warm) per-query maps merging the per-line records with the
+    summary echo. Per-line wins per name (full precision); the echo
+    fills names whose per-lines scrolled out of the driver tail — the
+    same merge rule as the canary and write echoes. Cold from the echo
+    covers only the echoed top-K heaviest, which is exactly the
+    attribution the guard prints."""
+    pq_cold, pq_warm = parse_capture(lines)
+    top_cold, warm_echo = parse_summary_echo(lines)
+    cold = dict(top_cold)
+    cold.update(pq_cold)
+    warm = dict(warm_echo)
+    warm.update(pq_warm)
+    return cold, warm
+
+
+def print_heaviest(cold, k=5):
+    """Names the heaviest cold queries (round-17 ask: the driver tail
+    keeps ~20 lines, so BENCH_r{N}.json alone must answer 'which
+    queries are heavy' — previously unanswerable after truncation)."""
+    if not cold:
+        print("benchguard: heaviest colds [NO COLD ATTRIBUTION] — no "
+              "per-query lines survived and the summary carries no "
+              "top_cold echo (pre-round-17 capture)")
+        return
+    top = sorted(cold.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    print("benchguard: heaviest colds — "
+          + ", ".join(f"{n}={t:.2f}s" for n, t in top))
+
+
+# A warm pass re-executes the identical physical plan with codegen
+# already JIT-compiled and the inter-pass cache cleared: structurally
+# it can only be FASTER than its cold. A warm exceeding its own cold by
+# more than jitter (20% + 0.1 s absolute — small rows jitter more in
+# relative terms) means the warm pass ran under contention and the row
+# is a host artifact, not a steady-state measurement. r16's smoking
+# gun: q79_semantic_dedup warm 11.26 s vs ~1.5 s cold, flagged by
+# nothing at the time.
+WARM_SUSPECT_FACTOR = 1.2
+WARM_SUSPECT_MIN_EXCESS_S = 0.1
+
+
+def annotate_warm(lines):
+    """Print the [WARM-SUSPECT]/[WARM-CLEAN]/[NO WARM DATA] verdict:
+    each warm row against its OWN cold (merged per-line + echo). Warm
+    rows whose cold is unknown (echo trimmed, tail truncated) are named
+    as unadjudicated rather than silently skipped. Returns the verdict
+    string."""
+    cold, warm = merged_attribution(lines)
+    if not warm:
+        print("benchguard: warm [NO WARM DATA] — no warm rows in the "
+              "capture (filtered run, streaming-only, or pre-round-8 "
+              "shape)")
+        return "NO WARM DATA"
+    suspects = []
+    unknown = []
+    for name, w in sorted(warm.items()):
+        c = cold.get(name)
+        if c is None:
+            unknown.append(name)
+        elif w > c * WARM_SUSPECT_FACTOR + WARM_SUSPECT_MIN_EXCESS_S:
+            suspects.append((name, w, c))
+    if suspects:
+        verdict = "WARM-SUSPECT"
+        detail = ", ".join(f"{n} warm {w:.2f}s vs cold {c:.2f}s "
+                           f"({w / c:.1f}x)" for n, w, c in suspects)
+        print(f"benchguard: warm [WARM-SUSPECT] — {detail}; a warm pass "
+              "re-runs the identical plan with codegen cached, so "
+              "exceeding its own cold means the row is a contention "
+              "artifact — exclude it from warm-total comparisons")
+    elif len(unknown) == len(warm):
+        # "clean" would overclaim when NOTHING was actually checked
+        # (pre-round-17 capture whose colds all scrolled out)
+        verdict = "WARM-UNADJUDICATED"
+        print(f"benchguard: warm [WARM-UNADJUDICATED] — {len(warm)} warm "
+              "rows but no cold attribution for any of them; cannot "
+              "check warm-vs-own-cold")
+    else:
+        verdict = "WARM-CLEAN"
+        print(f"benchguard: warm [WARM-CLEAN] — {len(warm) - len(unknown)} "
+              f"warm rows each within {WARM_SUSPECT_FACTOR:.1f}x of their "
+              "own cold")
+    if unknown:
+        print("benchguard: warm NOTE — no cold attribution for "
+              + ", ".join(unknown)
+              + " (echo trimmed or pre-round-17 capture): those rows are "
+                "unadjudicated")
+    return verdict
+
+
+def compare_warm(lines_a, label_a, lines_b, label_b):
+    """Compare two captures' warm totals on the cohort INTERSECTION
+    only (round-17 ask #1b: the warm cohort is re-derived from each
+    run's own cold ranking, so raw total_warm deltas compare different
+    query sets — r15 vs r16's '+59 % regression' was partly set-shift).
+    Refuses (returns 'REFUSED') when the cohorts are disjoint: there is
+    nothing comparable, and printing a ratio anyway would manufacture
+    the exact artifact this exists to kill. Returns 'OK' otherwise."""
+    _, warm_a = merged_attribution(lines_a)
+    _, warm_b = merged_attribution(lines_b)
+    inter = sorted(set(warm_a) & set(warm_b))
+    if not warm_a or not warm_b:
+        missing = label_a if not warm_a else label_b
+        print(f"benchguard: warm-compare [REFUSED] — no warm rows in "
+              f"{missing}; nothing to compare")
+        return "REFUSED"
+    if not inter:
+        print(f"benchguard: warm-compare [REFUSED] — cohorts are "
+              f"disjoint ({len(warm_a)} rows in {label_a}, "
+              f"{len(warm_b)} in {label_b}, 0 shared): the warm cohort "
+              "is each run's own top-K cold ranking, so these totals "
+              "measure different query sets and comparing them would "
+              "manufacture a set-shift artifact, not a regression")
+        return "REFUSED"
+    ta = sum(warm_a[n] for n in inter)
+    tb = sum(warm_b[n] for n in inter)
+    only_a = len(warm_a) - len(inter)
+    only_b = len(warm_b) - len(inter)
+    print(f"benchguard: warm-compare [OK] — intersection {len(inter)} "
+          f"queries: {label_a} {ta:.2f}s vs {label_b} {tb:.2f}s "
+          f"({ta / tb:.2f}x)" if tb > 0 else
+          f"benchguard: warm-compare [OK] — intersection {len(inter)} "
+          f"queries: {label_a} {ta:.2f}s vs {label_b} {tb:.2f}s")
+    if only_a or only_b:
+        print(f"benchguard: warm-compare NOTE — excluded {only_a} rows "
+              f"only in {label_a} and {only_b} only in {label_b} "
+              "(cohort set-shift)")
+    return "OK"
 
 
 def parse_canary(lines):
@@ -319,9 +486,14 @@ def capture_lines(text):
     guard fed the wrapper's one line to check() and printed
     [NO CANARY]/[NO IO ROWS]/RC 2 on the very artifact it exists to
     adjudicate). Detection is by shape, not filename: the whole text
-    parses as one JSON object with a string `tail`. A raw capture never
-    matches (each of its lines is a separate object, so the full text
-    fails to parse as one; and no bench record carries a `tail` key).
+    parses as one JSON object with a string `tail` AND at least one
+    other wrapper-only key (`rc` or `parsed`) — requiring the second
+    key (r16 ADVICE) stops a future raw summary record or unrelated
+    single-object JSON that happens to carry a string `tail` from
+    being silently unwrapped and its timings exempted from the
+    SLOWDOWN ratio. A raw capture never matches (each of its lines is
+    a separate object, so the full text fails to parse as one; and no
+    bench record carries a `tail`/`rc`/`parsed` key).
 
     Returns (lines, driver_origin): driver_origin is True for the
     wrapper — its timings were measured ON the driver, so the
@@ -334,7 +506,8 @@ def capture_lines(text):
         d = json.loads(text)
     except json.JSONDecodeError:
         return text.splitlines(), False
-    if isinstance(d, dict) and isinstance(d.get("tail"), str):
+    if isinstance(d, dict) and isinstance(d.get("tail"), str) \
+            and ("rc" in d or "parsed" in d):
         return d["tail"].splitlines(), True
     return text.splitlines(), False
 
@@ -409,16 +582,43 @@ def check(lines, budget_s, label, driver_origin=False):
         est = est_pq
         basis = (f"{len(cold)} queries, measured {sum(cold.values()):.1f}s "
                  f"cold + {sum(warm.values()):.1f}s warm")
+    # round-17: per-query attribution + warm contention, straight from
+    # the wrapper (per-line records win; the summary echo fills what the
+    # driver tail truncated). For a TRUNCATED capture without an echo
+    # the surviving per-line colds are arbitrary tail stragglers —
+    # naming them "heaviest" would misdirect, so say so instead.
+    top_cold_echo, _ = parse_summary_echo(lines)
+    if top_cold_echo or (cold and not truncated):
+        merged_cold, _ = merged_attribution(lines)
+        print_heaviest(merged_cold)
+    elif cold:
+        print("benchguard: heaviest colds [NO COLD ATTRIBUTION] — "
+              "truncated capture without a top_cold echo: the "
+              f"{len(cold)} surviving per-query lines are tail "
+              "stragglers, not the heaviest")
+    else:
+        print_heaviest({})
+    annotate_warm(lines)
     verdict = "OK" if est <= budget_s else "OVER BUDGET"
     print(f"benchguard: {basis} -> estimated driver wall {est:.1f}s vs "
           f"budget {budget_s:.0f}s [{verdict}]")
     if est > budget_s:
         if from_summary:
-            # the surviving per-query lines (if any) are arbitrary tail
-            # stragglers — naming them as "heaviest" would misdirect
-            print("  per-query attribution unavailable in a truncated "
-                  "capture — re-run scripts/run_bench.sh locally to "
-                  "find the heavy queries.")
+            top_cold, _ = parse_summary_echo(lines)
+            if top_cold:
+                # round-17+: the summary's own top_cold echo IS the
+                # heavy-query attribution — no local re-run needed
+                top = sorted(top_cold.items(),
+                             key=lambda kv: (-kv[1], kv[0]))[:5]
+                print("  heaviest cold queries (summary echo): "
+                      + ", ".join(f"{n}={t:.2f}s" for n, t in top))
+            else:
+                # the surviving per-query lines (if any) are arbitrary
+                # tail stragglers — naming them as "heaviest" would
+                # misdirect
+                print("  per-query attribution unavailable in a "
+                      "truncated capture — re-run scripts/run_bench.sh "
+                      "locally to find the heavy queries.")
         else:
             top = sorted(cold.items(), key=lambda kv: -kv[1])[:5]
             print("  heaviest cold queries: "
@@ -711,6 +911,129 @@ def selftest():
     assert rc == 0 and "100 queries, measured 300.0s" in out \
         and "truncated capture" not in out, \
         f"full capture must keep the per-query basis: {out}"
+    # ---- round-17 cases (VERDICT r16 ask #1) ----
+    # (i) TOP_COLD ECHO SURVIVING A TAIL-ONLY CAPTURE: every per-query
+    # line scrolled out of the driver tail, but the summary's top_cold
+    # echo alone must still name the heaviest colds — the ask's literal
+    # done-criterion ("BENCH_r{N}.json alone names the heavy queries
+    # after the tail truncates the per-query lines").
+    topcold_tail = [json.dumps(
+        {"metric": "total", "value": 300.0, "unit": "sec",
+         "total_warm": 40.0, "n_warm": 20, "n_queries": 295,
+         "n_errors": 0,
+         "top_cold": {"q110_wedge": 6.31, "q107_stream": 4.82,
+                      "q102_shingle": 4.11, "q263_x": 3.9, "q176_y": 3.88},
+         "warm_echo": {"q110_wedge": 4.1, "q102_shingle": 2.2},
+         "canary_spins": [0.47, 0.5, 0.52],
+         "canary_load1": [0.9, 1.0, 1.1]})]
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = check(topcold_tail, DEFAULT_BUDGET_S, "selftest-topcold-tail",
+                   driver_origin=True)
+    out = buf.getvalue()
+    assert rc == 0, f"selftest-topcold-tail rc {rc}: {out}"
+    assert "heaviest colds — q110_wedge=6.31s, q107_stream=4.82s" in out, \
+        f"top_cold echo must name the heaviest in a tail-only capture: {out}"
+    assert "warm [WARM-CLEAN]" in out, \
+        f"tail-only warm rows must adjudicate against echoed colds: {out}"
+    # ... and when a tail-only capture is ALSO over budget, the echo
+    # replaces the old attribution-unavailable apology
+    topcold_over = [json.dumps(
+        {"metric": "total", "value": 900.0, "total_warm": 100.0,
+         "n_queries": 295,
+         "top_cold": {"q110_wedge": 55.0, "q263_x": 41.2}})]
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = check(topcold_over, DEFAULT_BUDGET_S, "selftest-topcold-over",
+                   driver_origin=True)
+    out = buf.getvalue()
+    assert rc == 1 and "heaviest cold queries (summary echo): " \
+        "q110_wedge=55.00s" in out \
+        and "attribution unavailable" not in out, \
+        f"over-budget tail must attribute from the echo: {out}"
+    # (ii) WARM > COLD FLAGGED: the r16 smoking gun — q79 warm 11.26 s
+    # against a ~1.5 s cold is a contention artifact that nothing named
+    # at the time; it must come out [WARM-SUSPECT] with both numbers.
+    warm_suspect = [
+        json.dumps({"progress": "query", "name": "q79_semantic_dedup",
+                    "cold": 1.46, "streaming": False}),
+        json.dumps({"progress": "query", "name": "q110_wedge",
+                    "cold": 6.3, "streaming": False}),
+        json.dumps({"progress": "warm", "name": "q79_semantic_dedup",
+                    "warm": 11.26}),
+        json.dumps({"progress": "warm", "name": "q110_wedge",
+                    "warm": 5.9})]
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        v = annotate_warm(warm_suspect)
+    out = buf.getvalue()
+    assert v == "WARM-SUSPECT" and \
+        "q79_semantic_dedup warm 11.26s vs cold 1.46s (7.7x)" in out, \
+        f"selftest-warm-suspect: warm>cold not flagged: {out}"
+    # warm within jitter of its own cold stays CLEAN (0.50 vs 0.49
+    # would otherwise false-flag every light row)
+    warm_clean = [
+        json.dumps({"progress": "query", "name": "q1", "cold": 0.49}),
+        json.dumps({"progress": "warm", "name": "q1", "warm": 0.50})]
+    assert annotate_warm(warm_clean) == "WARM-CLEAN", \
+        "selftest-warm-clean: sub-jitter warm excess must not flag"
+    # a warm row with NO cold anywhere (echo trimmed) is named as
+    # unadjudicated — and when NO row could be checked, the verdict says
+    # so instead of overclaiming CLEAN
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        v = annotate_warm([json.dumps(
+            {"progress": "warm", "name": "q_orphan", "warm": 2.0})])
+    assert v == "WARM-UNADJUDICATED" and "no cold attribution for q_orphan" \
+        in buf.getvalue(), \
+        f"orphan warm row must be named unadjudicated: {buf.getvalue()}"
+    assert annotate_warm([]) == "NO WARM DATA"
+    # (iii) DISJOINT-COHORT WARM COMPARISON REFUSING RATHER THAN
+    # COMPARING: the warm cohort is each run's own top-K cold ranking;
+    # r15-vs-r16 compared different sets and manufactured a "+59 %
+    # regression". Zero shared queries -> REFUSED, no ratio printed.
+    cohort_a = [json.dumps({"progress": "warm", "name": f"qa{i}",
+                            "warm": 1.0}) for i in range(3)]
+    cohort_b = [json.dumps({"progress": "warm", "name": f"qb{i}",
+                            "warm": 2.0}) for i in range(3)]
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        v = compare_warm(cohort_a, "selftest-warm-disjoint-a",
+                         cohort_b, "selftest-warm-disjoint-b")
+    out = buf.getvalue()
+    assert v == "REFUSED" and "cohorts are disjoint" in out \
+        and "x)" not in out, \
+        f"selftest-warm-disjoint: must refuse, not compare: {out}"
+    # overlapping cohorts compare on the INTERSECTION only, naming the
+    # set-shift exclusions
+    overlap_b = cohort_a[:2] + [json.dumps(
+        {"progress": "warm", "name": "qb9", "warm": 5.0})]
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        v = compare_warm(cohort_a, "capA", overlap_b, "capB")
+    out = buf.getvalue()
+    assert v == "OK" and "intersection 2 queries" in out \
+        and "excluded 1 rows only in capA and 1 only in capB" in out, \
+        f"intersection compare wrong: {out}"
+    # an empty warm side refuses too (nothing comparable)
+    assert compare_warm(cohort_a, "a", [], "b") == "REFUSED"
+    # wrapper detection TIGHTENED (r16 ADVICE): a single JSON object
+    # with a string `tail` but NO rc/parsed is NOT the driver wrapper —
+    # it must pass through as a raw capture, keeping the SLOWDOWN ratio
+    not_wrapper = json.dumps({"metric": "total", "value": 300.0,
+                              "tail": "some unrelated string"})
+    nl, no = capture_lines(not_wrapper)
+    assert not no and nl == [not_wrapper], \
+        "tail-only object without rc/parsed must not unwrap as wrapper"
+    # per-line precision beats the 2-decimal echo in the merge
+    echo_merge = [
+        json.dumps({"progress": "query", "name": "q110_wedge",
+                    "cold": 6.312345}),
+        json.dumps({"metric": "total", "value": 300.0,
+                    "top_cold": {"q110_wedge": 6.31, "q263_x": 3.9}})]
+    mc, _ = merged_attribution(echo_merge)
+    assert mc["q110_wedge"] == 6.312345 and mc["q263_x"] == 3.9, \
+        f"per-line must win in the attribution merge: {mc}"
     print("benchguard selftest: PASS")
     return 0
 
@@ -735,6 +1058,11 @@ def main():
     if "--no-staleness-check" in args:
         args.remove("--no-staleness-check")
         fixtures = None
+    compare_path = None
+    if "--compare-warm" in args:
+        i = args.index("--compare-warm")
+        compare_path = args[i + 1]
+        del args[i:i + 2]
     if fixtures is not None:
         err = staleness_error(args[0], fixtures)
         if err is not None:
@@ -742,7 +1070,15 @@ def main():
             return 2
     with open(args[0]) as f:
         lines, driver_origin = capture_lines(f.read())
-    return check(lines, budget, args[0], driver_origin=driver_origin)
+    rc = check(lines, budget, args[0], driver_origin=driver_origin)
+    if compare_path is not None:
+        # advisory: a REFUSED comparison is the CORRECT outcome for
+        # disjoint cohorts (a fact about the two captures, not a defect
+        # of this one), so it never changes the exit code
+        with open(compare_path) as f:
+            other, _ = capture_lines(f.read())
+        compare_warm(lines, args[0], other, compare_path)
+    return rc
 
 
 if __name__ == "__main__":

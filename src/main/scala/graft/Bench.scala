@@ -12,13 +12,18 @@ package graft
   *    `metric`, so summary-line consumers cannot mis-parse a partial
   *    line as the total);
   *  - the single `{"metric":"total",...}` summary line is printed last
-  *    and is COMPACT: totals + counts only, never per-query maps. The
-  *    driver retains only a ~2,000-character tail of stdout; rounds 1-7
-  *    embedded the full per-query maps (~8 KB at 161 queries) in the
-  *    summary line, so its head — `{"metric":"total",...` — was always
-  *    truncated away and the driver's parse came back null every round.
-  *    Per-query numbers are not lost: they already stream as the flushed
-  *    progress lines above.
+  *    and is BUDGETED: totals + counts + compact echoes, hard-capped at
+  *    [[SummaryMaxChars]] (< the driver's 2,000-char stdout tail).
+  *    Rounds 1-7 embedded the FULL per-query maps (~8 KB at 161
+  *    queries) in the summary line, so its head — `{"metric":"total",
+  *    ...` — was always truncated away and the driver's parse came back
+  *    null every round. Since round 17 the summary carries budget-
+  *    trimmed `top_cold`/`warm_echo` maps (top-K heaviest only, 2
+  *    decimals — ~1.2 KB at 295 queries) so the driver artifact alone
+  *    attributes heavy queries after the tail truncates the per-query
+  *    lines; the trim guarantees the rounds-1-7 failure mode cannot
+  *    recur. Full-precision per-query numbers still stream as the
+  *    flushed progress lines above.
   *
   * Write-path policy: the sink surface (S5 partitioned silver write, S7
   * gold write, S5b dynamic-partition overwrite) is timed too — each as a
@@ -81,6 +86,84 @@ object Bench {
     */
   @volatile private var canaryBlackhole: Long = 0L
   private val CanaryIters = 300000000L
+
+  /** Hard character budget for the ONE summary line (round-17 ask #1a).
+    *
+    * The driver retains a 2,000-char stdout tail; the summary is printed
+    * twice (last-line guarantee) and only the LAST copy must survive
+    * complete — so the line itself must stay strictly under 2,000 chars
+    * or its head (`{"metric":"total",...`) is truncated away and the
+    * driver's parse comes back null (the rounds-1-7 failure mode this
+    * file's header documents). 1,900 leaves a 100-char margin for the
+    * trailing newline and driver-side off-by-ones. At the current
+    * catalog (295 queries, mean name ~18 chars) the echo maps render
+    * ~1,250 chars against a ~590-char base, so trimming never engages
+    * in practice; the budget is the safety valve for name growth.
+    */
+  private[graft] val SummaryMaxChars = 1900
+
+  private[graft] def fmt2(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+
+  /** Echo cohorts for the summary's per-query attribution maps
+    * (round-17 ask #1a: after the driver tail truncates the 295
+    * per-query progress lines, `BENCH_r{N}.json` alone must still name
+    * the heavy queries — the same summary-echo pattern as
+    * `canary_phases`/`write_names`).
+    *
+    *  - `top_cold`: the K heaviest colds across ALL queries (streaming
+    *    included — q107's stream-stream outer join is a legitimate
+    *    heavy-tail member), UNIONed with the warm cohort's colds. The
+    *    union matters: the warm cohort is the top-K NON-streaming
+    *    colds, so when a streaming query occupies a global top-K slot,
+    *    a warm row's own cold would otherwise be missing from the echo
+    *    and benchguard's warm-vs-own-cold contention check (the r16
+    *    q79 smoking gun: warm 11.26 s vs cold ~1.5 s) could not
+    *    adjudicate that row from a tail-only capture.
+    *  - `warm_echo`: every successful warm row (≤ K by construction).
+    *
+    * Both are value-descending with a name tiebreak, so the budget trim
+    * in [[renderEchoMaps]] always drops the LIGHTEST entries first.
+    */
+  private[graft] def echoCohorts(
+      colds: Seq[(String, Double)],
+      warms: Map[String, Double],
+      k: Int): (Seq[(String, Double)], Seq[(String, Double)]) = {
+    val desc = colds.sortBy { case (n, c) => (-c, n) }
+    val top = desc.take(k)
+    val topNames = top.map(_._1).toSet
+    val extras = desc.filter { case (n, _) =>
+      warms.contains(n) && !topNames(n) }
+    val warmEcho = warms.toSeq.sortBy { case (n, w) => (-w, n) }
+    (top ++ extras, warmEcho)
+  }
+
+  /** Renders `"top_cold":{...},"warm_echo":{...}` (2-decimal values) in
+    * at most `budget` chars, dropping the smallest entry from the
+    * longer map (ties: warm_echo — cold attribution is the primary
+    * ask) until it fits. Both keys are always present, possibly as
+    * empty maps, so consumers never key-check against line length.
+    */
+  private[graft] def renderEchoMaps(
+      topCold: Seq[(String, Double)],
+      warmEcho: Seq[(String, Double)],
+      budget: Int): String = {
+    def render(tc: Seq[(String, Double)], we: Seq[(String, Double)]) = {
+      def m(xs: Seq[(String, Double)]) =
+        xs.map { case (n, v) => s"${Jsons.quote(n)}:${fmt2(v)}" }
+          .mkString(",")
+      s""""top_cold":{${m(tc)}},"warm_echo":{${m(we)}}"""
+    }
+    var tc = topCold
+    var we = warmEcho
+    var out = render(tc, we)
+    while (out.length > budget && (tc.nonEmpty || we.nonEmpty)) {
+      if (we.length >= tc.length && we.nonEmpty) we = we.init
+      else tc = tc.init
+      out = render(tc, we)
+    }
+    out
+  }
   private def canarySpin(iters: Long): Double = {
     val t0 = System.nanoTime()
     var x = 0x9E3779B97F4A7C15L
@@ -257,8 +340,19 @@ object Bench {
       writeSecs.map { case (n, _) => Jsons.quote(n) }.mkString(",")
     val writeEcho =
       writeSecs.map(_._2.fold("null")(num(_, "%.2f"))).mkString(",")
-    val summary =
-      s"""{"metric":"total","value":$total,"unit":"sec","total_warm":$totalWarm,"n_warm":${warmRs.size},"n_queries":${results.size},"n_errors":$errs,"canary_phases":[$canaryPhases],"canary_spins":[$canarySpins],"canary_load1":[$canaryLoads],"write_names":[$writeNames],"write_secs":[$writeEcho],"sf":${Jsons.quote(sfDir)}}"""
+    // round-17 ask #1a: compact per-query attribution maps in the
+    // summary (top-K heaviest colds + the warm rows), budget-trimmed so
+    // the line can never outgrow the driver's 2,000-char tail window —
+    // see SummaryMaxChars / echoCohorts / renderEchoMaps above
+    val (topCold, warmEcho) =
+      echoCohorts(results.map(r => (r.name, r.cold)), warms, WarmK)
+    val head =
+      s"""{"metric":"total","value":$total,"unit":"sec","total_warm":$totalWarm,"n_warm":${warmRs.size},"n_queries":${results.size},"n_errors":$errs,"""
+    val rest =
+      s""""canary_phases":[$canaryPhases],"canary_spins":[$canarySpins],"canary_load1":[$canaryLoads],"write_names":[$writeNames],"write_secs":[$writeEcho],"sf":${Jsons.quote(sfDir)}}"""
+    val echo = renderEchoMaps(topCold, warmEcho,
+      SummaryMaxChars - head.length - rest.length - 1)
+    val summary = head + echo + "," + rest
     println(summary)
     System.out.flush()
     spark.stop()

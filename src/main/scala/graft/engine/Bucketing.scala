@@ -51,9 +51,17 @@ object Bucketing {
     * catalog forgets the table, the directory survives; creating a
     * managed table over a non-empty location then fails). One resolver
     * shared by q295's build and `BucketingSpec`.
+    *
+    * The warehouse conf may be a URI (`file:/...`, Spark's default) or
+    * a plain filesystem path, possibly with URI-illegal characters
+    * (spaces). Hadoop's `Path` normalizes both — `new java.net.URI`
+    * (the previous resolver) threw `URISyntaxException` on unescaped
+    * paths, which was tolerable test-only but this is on q295's
+    * production path (r16 ADVICE).
     */
   def tableLocation(spark: SparkSession, table: String): java.io.File =
     new java.io.File(
-      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath,
+      new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir")).toUri.getPath,
       table.toLowerCase)
 }

@@ -1398,7 +1398,13 @@ private[queries] trait EventStreamingQueries extends EventQueriesBase {
             .mode("append").save()
           r
         })
-      val work = Files.createTempDirectory("graft_q294")
+      // PID-tagged prefix (r16 ADVICE): Q294LifecycleSpec leak-scans
+      // the shared java.io.tmpdir for these work dirs; without the tag
+      // a concurrently running sweep/bench JVM's in-flight copy would
+      // appear "leaked" and flake the suite. The tag scopes the scan
+      // to this JVM (same convention as q295's PID-suffixed tables).
+      val work = Files.createTempDirectory(
+          s"graft_q294_work_pid${ProcessHandle.current().pid()}_")
         .resolve("tbl")
       val walk = Files.walk(Paths.get(base))
       try walk.forEach { p: Path =>

@@ -41,6 +41,66 @@ class BenchPolicySpec extends AnyFunSuite with Matchers {
     names.distinct.size shouldBe names.size
   }
 
+  // ---- round-17 summary echo (VERDICT r16 ask #1a) ----
+
+  test("echoCohorts unions the warm cohort into top_cold so every warm " +
+      "row's own cold survives the echo") {
+    // a heavy streaming query occupies a global top-K slot, pushing the
+    // lightest warm-cohort member out of the global top-K: the union
+    // must re-include it, or benchguard's warm-vs-own-cold check could
+    // not adjudicate that row from a tail-only capture
+    val colds = Seq(("q_stream_heavy", 9.0), ("qa", 5.0), ("qb", 4.0),
+      ("qc", 3.0), ("qd", 2.0))
+    val warms = Map("qa" -> 4.0, "qb" -> 3.1, "qc" -> 2.4, "qd" -> 1.9)
+    val (topCold, warmEcho) = Bench.echoCohorts(colds, warms, k = 4)
+    // global top-4 = stream_heavy, qa, qb, qc; qd re-enters via union
+    topCold.map(_._1) shouldBe
+      Seq("q_stream_heavy", "qa", "qb", "qc", "qd")
+    warmEcho.map(_._1) shouldBe Seq("qa", "qb", "qc", "qd")
+    // both value-descending so the budget trim drops the lightest first
+    topCold.map(_._2) shouldBe topCold.map(_._2).sorted.reverse
+    warmEcho.map(_._2) shouldBe warmEcho.map(_._2).sorted.reverse
+  }
+
+  test("renderEchoMaps renders both keys, 2-decimal, and never exceeds " +
+      "its budget (drops lightest entries first)") {
+    val tc = Seq(("q110_wedge", 6.312), ("q107_stream", 4.818))
+    val we = Seq(("q110_wedge", 4.1))
+    val full = Bench.renderEchoMaps(tc, we, budget = 10000)
+    full shouldBe
+      """"top_cold":{"q110_wedge":6.31,"q107_stream":4.82},""" +
+        """"warm_echo":{"q110_wedge":4.10}"""
+    // squeezed: the LIGHTEST entries go first, keys always remain
+    val squeezed = Bench.renderEchoMaps(tc, we, budget = full.length - 1)
+    squeezed.length should be <= (full.length - 1)
+    squeezed should include(""""top_cold":{""")
+    squeezed should include(""""warm_echo":{""")
+    squeezed should include("q110_wedge") // heaviest cold survives longest
+    // starved budget: degrades to empty maps rather than a broken line
+    Bench.renderEchoMaps(tc, we, budget = 0) shouldBe
+      """"top_cold":{},"warm_echo":{}"""
+  }
+
+  test("the echo maps for the REAL catalog fit the summary budget " +
+      "without trimming") {
+    // worst realistic shape: every name at its true length, all K slots
+    // filled, plus a ~600-char base summary — trimming must not engage
+    // (the budget is a safety valve for name growth, not the common
+    // path; see Bench.SummaryMaxChars)
+    val colds = Catalog.all.map(q => (q.name, 10.0))
+    val warms = colds.filterNot(c =>
+      Catalog.all.find(_.name == c._1).exists(_.streaming))
+      .sortBy { case (n, c) => (-c, n) }.take(20)
+      .map { case (n, _) => n -> 9.99 }.toMap
+    val (tc, we) = Bench.echoCohorts(colds, warms, k = 20)
+    val baseOverhead = 650 // measured base ≈ 590 chars; headroom
+    val rendered =
+      Bench.renderEchoMaps(tc, we, Bench.SummaryMaxChars - baseOverhead)
+    // untrimmed: every cohort entry survived
+    rendered.count(_ == ':') shouldBe tc.size + we.size + 2
+    (rendered.length + baseOverhead) should be <= Bench.SummaryMaxChars
+  }
+
   test("bench-budget guard script is present") {
     assert(java.nio.file.Files.exists(
       java.nio.file.Paths.get("scripts/benchguard.py")),

@@ -34,15 +34,19 @@ class Q294LifecycleSpec extends SparkSpec {
   private def tmpRoot: Path =
     java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
 
-  // the per-invocation work copies: prefix graft_q294 but neither the
-  // shared base nor the per-invocation sink dirs
+  // the per-invocation work copies of THIS JVM: the query PID-tags the
+  // prefix (r16 ADVICE — the shared tmpdir scan previously matched a
+  // concurrently running sweep/bench JVM's in-flight copy, flaking the
+  // leak assertion), so the scan keys on our own PID and other
+  // processes' dirs are invisible to it. The base/out dirs use
+  // different prefixes and never match.
+  private val workPrefix =
+    s"graft_q294_work_pid${ProcessHandle.current().pid()}_"
+
   private def workDirs: Seq[Path] = {
     val s = Files.list(tmpRoot)
-    try s.iterator.asScala.filter { p =>
-      val n = p.getFileName.toString
-      n.startsWith("graft_q294") && !n.startsWith("graft_q294_base") &&
-        !n.startsWith("graft_q294_out")
-    }.toSeq
+    try s.iterator.asScala
+      .filter(_.getFileName.toString.startsWith(workPrefix)).toSeq
     finally s.close()
   }
 
