@@ -68,6 +68,7 @@ object Tables {
     * sf0.1). Same rule at 100 TB: materialize/checkpoint before fan-out.
     */
   def eager(df: DataFrame): DataFrame = {
+    PlanAudit.record("eager", df)
     val p = df.persist(StorageLevel.MEMORY_AND_DISK)
     p.count()
     p
@@ -117,15 +118,22 @@ object Tables {
   def landed(s: SparkSession, key: String,
       counter: java.util.concurrent.atomic.AtomicInteger = null)(
       compute: => DataFrame): DataFrame = {
+    val preLanded = landedPaths.contains(key)
     val path = landedPaths.getOrElseUpdate(key, {
       val p = landedRoot
         .resolve(s"${landedPaths.size}_" +
           key.replaceAll("[^A-Za-z0-9._-]", "_").takeRight(80))
         .toString
       if (counter != null) counter.incrementAndGet()
-      Sinks.writeParquet(compute, p)
+      val df = compute
+      PlanAudit.record(s"landed:$key", df)
+      Sinks.writeParquet(df, p)
       p
     })
+    // already-landed keys still expose their compute PLAN to an enabled
+    // audit (by-name, never built otherwise), so plan-policy coverage
+    // does not depend on which suite landed the table first
+    if (preLanded) PlanAudit.record(s"landed:$key", compute)
     s.read.parquet(path)
   }
 

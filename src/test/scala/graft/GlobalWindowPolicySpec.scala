@@ -18,6 +18,17 @@ import org.apache.spark.sql.execution.window.WindowExec
   * the list with a Scaladoc justification — the regression guard that
   * keeps "no single-partition windows at data scale" true as the
   * catalog grows.
+  *
+  * Round 17: the sweep also drains [[graft.engine.PlanAudit]], so global
+  * windows inside `Tables.eager` / `Tables.landed` INTERMEDIATES — which
+  * hide behind an InMemoryTableScan / parquet scan in the final plan —
+  * are policed too (q180's block-offset window was invisible before).
+  * The `WindowExec: No Partition Defined` warnings in a full-suite log
+  * therefore all attribute to (a) the allowlisted queries executing in
+  * their oracle suites (NewOpsSpec, RobustOpsSpec, NewOpsPlanSpec,
+  * DecimalDisciplineSpec, and this spec's own fn invocations) or (b)
+  * explicitly-serial oracle scaffolding (DedupPropertySpec's flat-rank
+  * reference model).
   */
 class GlobalWindowPolicySpec extends SparkSpec with AdaptiveSparkPlanHelper {
 
@@ -30,6 +41,9 @@ class GlobalWindowPolicySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "q129_wow_growth",          // weeks
     "q144_survival_km",         // death-time table; documented exemption
     "q163_rrf_fusion",          // post-limit top-100 lists
+    "q180_sorted_neighborhood", // one row per 2-char block prefix (the
+                                // rank-offset running sum; caught by the
+                                // eager-plan audit, reviewed round 17)
     "q189_quantile_sketch",     // fixed-width sketch buckets
     "q210_entry_exit_bounce",   // |event types| rows
     "q211_seasonal_dow",        // 7 weekday rows
@@ -49,15 +63,28 @@ class GlobalWindowPolicySpec extends SparkSpec with AdaptiveSparkPlanHelper {
       case a: AdaptiveSparkPlanExec => a +: flatten(a.initialPlan)
       case other => other +: other.children.flatMap(flatten)
     }
-    val offenders = Catalog.all
-      .filterNot(_.streaming) // streaming plans are runs, not lazy plans
-      .flatMap { q =>
-        val plan = q.fn(spark, sfDir).queryExecution.executedPlan
-        val globals = flatten(plan).collect {
-          case w: WindowExec if w.partitionSpec.isEmpty => w
+    def hasGlobalWindow(p: SparkPlan): Boolean = flatten(p).exists {
+      case w: WindowExec => w.partitionSpec.isEmpty
+      case _ => false
+    }
+    // The final plan alone is NOT enough: Tables.eager / Tables.landed
+    // materialize intermediate plans whose operators then hide behind an
+    // InMemoryTableScan / parquet scan (q180's block-offset window was
+    // invisible here for five rounds). PlanAudit exposes them — every
+    // eager'd frame and every landed compute, including already-landed
+    // keys — so this sweep sees the WHOLE set of plans a query runs.
+    engine.PlanAudit.enable()
+    val offenders =
+      try Catalog.all
+        .filterNot(_.streaming) // streaming plans are runs, not lazy plans
+        .flatMap { q =>
+          val finalPlan = q.fn(spark, sfDir).queryExecution.executedPlan
+          val audited = engine.PlanAudit.drain().map(_.plan)
+          if ((finalPlan +: audited).exists(hasGlobalWindow) &&
+              !allowed(q.name)) Some(q.name)
+          else None
         }
-        if (globals.nonEmpty && !allowed(q.name)) Some(q.name) else None
-      }
+      finally engine.PlanAudit.disable()
     withClue("unreviewed single-partition windows in: ") {
       offenders shouldBe empty
     }

@@ -149,7 +149,10 @@ class DedupPropertySpec extends SparkSpec {
         (0 until 8).map(i => (200L + i, bases(i) + " extra"))
       writeDocs(dir, docs)
       // reference: single-partition global row_number + brute-force
-      // range self-join + composed-functions jaccard
+      // range self-join + composed-functions jaccard — the DELIBERATELY
+      // serial oracle model (source of this suite's `WindowExec: No
+      // Partition Defined` log warnings; 30-row corpus, never a query
+      // path — those are policed by GlobalWindowPolicySpec)
       val raw = spark.read.parquet(s"$dir/documents.parquet")
       val flat = raw
         .select(col("doc_id"), lower(substring(col("text"), 1, 24)).as("k"))
