@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions
+import org.apache.spark.sql.functions._
+
+/** Unit verdicts for [[PlanBounds]] — the review-judgement encoder
+  * behind the cross-join policy. Positives pin each rule family the
+  * catalog relies on; the NEGATIVES matter more: if a lax edit ever
+  * blesses a per-key grouped attach or a raw fact-table broadcast, the
+  * policy gate silently stops guarding, so those verdicts are pinned
+  * here at unit level.
+  */
+class PlanBoundsSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private def docs: DataFrame = spark.read.parquet(s"$sfDir/documents.parquet")
+  private def emb: DataFrame = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  private def verdict(df: DataFrame): Boolean =
+    PlanBounds.bounded(df.queryExecution.executedPlan)
+
+  test("bounded: grouping-free aggregate over a fact table") {
+    verdict(docs.agg(count(lit(1)).as("n"))) shouldBe true
+  }
+
+  test("bounded: grouping by pmod(hash, literal K)") {
+    verdict(docs.groupBy(pmod(xxhash64(col("text")), lit(16)).as("b"))
+      .agg(count(lit(1)).as("n"))) shouldBe true
+  }
+
+  test("NOT bounded: grouping by a per-row key (the per-doc attach)") {
+    verdict(docs.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))) shouldBe
+      false
+  }
+
+  test("NOT bounded: a raw scaling-table scan") {
+    verdict(docs.select(col("doc_id"), col("text"))) shouldBe false
+  }
+
+  test("bounded: fixed dims, literal range, literal locals") {
+    import spark.implicits._
+    verdict(spark.read.parquet(s"$sfDir/nation.parquet")) shouldBe true
+    verdict(spark.range(10).toDF("k")) shouldBe true
+    verdict(Seq((1, "a")).toDF("k", "s")) shouldBe true
+  }
+
+  test("bounded: unique-id literal range filter; NOT for non-key columns") {
+    verdict(emb.filter(col("vec_id") < 3)) shouldBe true
+    // renamed unique key still resolves through the Project
+    verdict(emb.select(col("vec_id").as("q_id"), col("embedding"))
+      .filter(col("q_id") < 3)) shouldBe true
+    // a non-unique column bounds nothing: half the table can pass
+    verdict(docs.filter(functions.length(col("text")) < 100)) shouldBe false
+  }
+
+  test("bounded: enum fixture columns (label), not per-key ones") {
+    verdict(emb.groupBy(col("label")).agg(count(lit(1)).as("n"))) shouldBe
+      true
+  }
+
+  test("bounded: stack label column; NOT its value column") {
+    val stacked = docs.selectExpr(
+      "stack(2, 'a', CAST(length(text) AS BIGINT), 'b', doc_id) " +
+        "AS (metric, v)")
+    verdict(stacked.groupBy(col("metric")).agg(count(lit(1)).as("n"))) shouldBe
+      true
+    verdict(stacked.groupBy(col("v")).agg(count(lit(1)).as("n"))) shouldBe
+      false
+  }
+
+  test("NOT bounded: non-deterministic grouping") {
+    verdict(docs.groupBy((rand() * 4).cast("int").as("r"))
+      .agg(count(lit(1)).as("n"))) shouldBe false
+  }
+
+  test("bounded: partition-id grouping THROUGH an eager'd cache") {
+    // the rankedCumSum offset-table shape: __pid := SPARK_PARTITION_ID()
+    // is defined inside the cached relation; resolution must bridge the
+    // InMemoryRelation's re-numbered exprIds into the cached plan
+    val cached = engine.Tables.eager(
+      docs.select(col("doc_id"), spark_partition_id().as("__pid")))
+    try
+      verdict(cached.groupBy(col("__pid"))
+        .agg(count(lit(1)).as("n"))) shouldBe true
+    finally cached.unpersist(blocking = true)
+  }
+
+  test("NOT bounded: per-key grouping through an eager'd cache") {
+    val cached = engine.Tables.eager(
+      docs.select(col("doc_id"), functions.length(col("text")).as("len")))
+    try
+      verdict(cached.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n"))) shouldBe false
+    finally cached.unpersist(blocking = true)
+  }
+}
