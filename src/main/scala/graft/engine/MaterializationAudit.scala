@@ -27,7 +27,7 @@ import org.apache.spark.sql.execution.SparkPlan
   * same spec-only observability precedent as [[Tables.landed]]'s
   * from-scratch-compute counter.
   */
-object PlanAudit {
+object MaterializationAudit {
   final case class Recorded(site: String, plan: SparkPlan)
 
   @volatile private var sink: ConcurrentLinkedQueue[Recorded] = null

@@ -68,7 +68,7 @@ object Tables {
     * sf0.1). Same rule at 100 TB: materialize/checkpoint before fan-out.
     */
   def eager(df: DataFrame): DataFrame = {
-    PlanAudit.record("eager", df)
+    MaterializationAudit.record("eager", df)
     val p = df.persist(StorageLevel.MEMORY_AND_DISK)
     p.count()
     p
@@ -126,14 +126,14 @@ object Tables {
         .toString
       if (counter != null) counter.incrementAndGet()
       val df = compute
-      PlanAudit.record(s"landed:$key", df)
+      MaterializationAudit.record(s"landed:$key", df)
       Sinks.writeParquet(df, p)
       p
     })
     // already-landed keys still expose their compute PLAN to an enabled
     // audit (by-name, never built otherwise), so plan-policy coverage
     // does not depend on which suite landed the table first
-    if (preLanded) PlanAudit.record(s"landed:$key", compute)
+    if (preLanded) MaterializationAudit.record(s"landed:$key", compute)
     s.read.parquet(path)
   }
 

@@ -34,7 +34,7 @@ import org.apache.spark.sql.execution.{CollectLimitExec, GlobalLimitExec, LocalL
   * A NEW query that trips either policy fails here until it is converted
   * or reviewed onto the list with a Scaladoc justification.
   *
-  * Round 17: the sweep also drains [[graft.engine.PlanAudit]], so
+  * Round 17: the sweep also drains [[graft.engine.MaterializationAudit]], so
   * operators inside `Tables.eager` / `Tables.landed` INTERMEDIATES —
   * which hide behind an InMemoryTableScan / parquet scan in the final
   * plan — are policed too (q180's block-offset window was invisible
@@ -89,20 +89,20 @@ class GlobalWindowPolicySpec extends SparkSpec with AdaptiveSparkPlanHelper {
 
   /** One catalog pass: each non-streaming query's FINAL executed plan
     * plus every intermediate plan it materializes through Tables.eager /
-    * Tables.landed (drained from PlanAudit). The final plan alone is NOT
+    * Tables.landed (drained from MaterializationAudit). The final plan alone is NOT
     * enough — materialized subplans hide behind an InMemoryTableScan /
     * parquet scan (q180's block-offset window was invisible that way for
     * five rounds). Both policy tests read this one sweep.
     */
   private lazy val sweep: Seq[(String, Seq[SparkPlan])] = {
-    engine.PlanAudit.enable()
+    engine.MaterializationAudit.enable()
     try Catalog.all
       .filterNot(_.streaming) // streaming plans are runs, not lazy plans
       .map { q =>
         val finalPlan = q.fn(spark, sfDir).queryExecution.executedPlan
-        (q.name, finalPlan +: engine.PlanAudit.drain().map(_.plan))
+        (q.name, finalPlan +: engine.MaterializationAudit.drain().map(_.plan))
       }
-    finally engine.PlanAudit.disable()
+    finally engine.MaterializationAudit.disable()
   }
 
   test("only reviewed queries carry single-partition windows") {

@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
-/** Contracts of the [[PlanAudit]] spec hook — each pinned because the
+/** Contracts of the [[MaterializationAudit]] spec hook — each pinned because the
   * policy sweep riding it ([[graft.GlobalWindowPolicySpec]]) silently
   * loses coverage if any of them regresses:
   *
@@ -27,7 +27,7 @@ import graft.SparkSpec
   *     and nothing accumulates — the hook must stay free in the
   *     bench/verify mains.
   */
-class PlanAuditSpec extends SparkSpec {
+class MaterializationAuditSpec extends SparkSpec {
 
   private def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
     case a: AdaptiveSparkPlanExec => a +: flatten(a.initialPlan)
@@ -40,10 +40,10 @@ class PlanAuditSpec extends SparkSpec {
     // plan hides behind an InMemoryTableScan
     def build() = Seq(("a", 1L), ("b", 2L)).toDF("k", "v")
       .withColumn("rn", row_number().over(Window.orderBy(col("k"))))
-    PlanAudit.enable()
+    MaterializationAudit.enable()
     try {
       val p = Tables.eager(build())
-      val recs = PlanAudit.drain()
+      val recs = MaterializationAudit.drain()
       recs.map(_.site) shouldBe Seq("eager")
       withClue("audited plan must carry the window: ") {
         flatten(recs.head.plan).collect {
@@ -62,7 +62,7 @@ class PlanAuditSpec extends SparkSpec {
           not be empty
       }
       p.unpersist(blocking = true)
-    } finally PlanAudit.disable()
+    } finally MaterializationAudit.disable()
   }
 
   test("landed records the compute plan even when already landed") {
@@ -74,23 +74,23 @@ class PlanAuditSpec extends SparkSpec {
     }
     build() // land it with the audit OFF (another suite's first touch)
     computes.get shouldBe 1
-    PlanAudit.enable()
+    MaterializationAudit.enable()
     try {
       build() // already landed: plan-only audit, no recompute
       computes.get shouldBe 1
-      val recs = PlanAudit.drain()
+      val recs = MaterializationAudit.drain()
       recs.map(_.site) shouldBe Seq("landed:plan_audit_spec_key")
       flatten(recs.head.plan).collect {
         case w: WindowExec if w.partitionSpec.isEmpty => w
       } should not be empty
-    } finally PlanAudit.disable()
+    } finally MaterializationAudit.disable()
   }
 
   test("disabled: nothing is built and nothing accumulates") {
     var built = false
-    PlanAudit.record("off", { built = true; spark.range(1).toDF() })
+    MaterializationAudit.record("off", { built = true; spark.range(1).toDF() })
     built shouldBe false
-    PlanAudit.enabled shouldBe false
-    PlanAudit.drain() shouldBe empty
+    MaterializationAudit.enabled shouldBe false
+    MaterializationAudit.drain() shouldBe empty
   }
 }
