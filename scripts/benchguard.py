@@ -225,8 +225,13 @@ def annotate_warm(lines):
             suspects.append((name, w, c))
     if suspects:
         verdict = "WARM-SUSPECT"
-        detail = ", ".join(f"{n} warm {w:.2f}s vs cold {c:.2f}s "
-                           f"({w / c:.1f}x)" for n, w, c in suspects)
+        # cold can be 0.00: the summary echo renders at 2 decimals, so a
+        # sub-5ms cold arrives as 0.0 — print the ratio only when it
+        # divides
+        detail = ", ".join(
+            f"{n} warm {w:.2f}s vs cold {c:.2f}s"
+            + (f" ({w / c:.1f}x)" if c > 0 else " (cold ~0: ratio n/a)")
+            for n, w, c in suspects)
         print(f"benchguard: warm [WARM-SUSPECT] — {detail}; a warm pass "
               "re-runs the identical plan with codegen cached, so "
               "exceeding its own cold means the row is a contention "
@@ -604,7 +609,7 @@ def check(lines, budget_s, label, driver_origin=False):
           f"budget {budget_s:.0f}s [{verdict}]")
     if est > budget_s:
         if from_summary:
-            top_cold, _ = parse_summary_echo(lines)
+            top_cold = top_cold_echo  # parsed once above
             if top_cold:
                 # round-17+: the summary's own top_cold echo IS the
                 # heavy-query attribution — no local re-run needed
@@ -988,6 +993,17 @@ def selftest():
         in buf.getvalue(), \
         f"orphan warm row must be named unadjudicated: {buf.getvalue()}"
     assert annotate_warm([]) == "NO WARM DATA"
+    # a 0.00 cold (sub-5ms rendered at the echo's 2 decimals) must not
+    # divide-by-zero the suspect detail — verdict still lands, ratio n/a
+    warm_zero_cold = [
+        json.dumps({"metric": "total", "value": 1.0, "n_queries": 1,
+                    "top_cold": {"q_tiny": 0.00},
+                    "warm_echo": {"q_tiny": 0.50}})]
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        v = annotate_warm(warm_zero_cold)
+    assert v == "WARM-SUSPECT" and "cold ~0: ratio n/a" in buf.getvalue(), \
+        f"selftest-warm-zero-cold: 0.00 cold must not crash: {buf.getvalue()}"
     # (iii) DISJOINT-COHORT WARM COMPARISON REFUSING RATHER THAN
     # COMPARING: the warm cohort is each run's own top-K cold ranking;
     # r15-vs-r16 compared different sets and manufactured a "+59 %

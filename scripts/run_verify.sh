@@ -45,7 +45,12 @@ if [[ "${1:-}" == "--two-scale" ]]; then
     rm -rf "$out"
     echo "two-scale: sweeping $sf ..." >&2
     run_verify "/root/testdata/$sf" "$out" >/dev/null
-    line=$(python3 scripts/check.py "/root/testdata/$sf" "$out" | tail -1)
+    # check.py exits 1 on any FAIL — that is the adjudication below, so
+    # it must not trip set -e/pipefail here (it would kill the script
+    # BEFORE the ledger line prints, exactly when there is a failure to
+    # report)
+    line=$(python3 scripts/check.py "/root/testdata/$sf" "$out" | tail -1) \
+      || true
     # check.py's last line is "PASS n FAIL m"
     fails=$(sed -E 's/.*FAIL ([0-9]+).*/\1/' <<<"$line")
     if [[ "$fails" != "0" ]]; then

@@ -182,13 +182,21 @@ object PlanBounds {
 
   /** Does the condition pin a unique dense id under a literal?
     * (`vec_id < 3`, `doc_id <= k`, `vec_id = k` — at most literal-many
-    * rows whatever the child's size.) Name resolution follows rename
-    * chains so `a_id` aliased from `doc_id` still qualifies.
+    * rows whatever the child's size.) The comparison must be a TOP-LEVEL
+    * CONJUNCT: a match anywhere in the tree (under Or / Not / a CASE
+    * branch) bounds nothing — `doc_id < 3 OR long_text` keeps most of
+    * the table, and blessing it would silently stop the gate from
+    * guarding. Name resolution follows rename chains so `a_id` aliased
+    * from `doc_id` still qualifies.
     */
   private def uniqueKeyRange(cond: Expression, aliases: Aliases): Boolean = {
     def unique(e: Expression): Boolean = leafName(e, aliases, Set.empty)
       .exists(uniqueKeyCols)
-    cond.exists {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    conjuncts(cond).exists {
       case LessThan(a, _: Literal) => unique(a)
       case LessThanOrEqual(a, _: Literal) => unique(a)
       case EqualTo(a, _: Literal) => unique(a)

@@ -52,6 +52,14 @@ class PlanBoundsSpec extends SparkSpec {
       .filter(col("q_id") < 3)) shouldBe true
     // a non-unique column bounds nothing: half the table can pass
     verdict(docs.filter(functions.length(col("text")) < 100)) shouldBe false
+    // the comparison must be a top-level CONJUNCT: under Or/Not it keeps
+    // most of the table — blessing it would stop the gate from guarding
+    verdict(docs.filter(col("doc_id") < 3 ||
+      functions.length(col("text")) > 5)) shouldBe false
+    verdict(docs.filter(!(col("doc_id") < 3))) shouldBe false
+    // but a conjunct alongside other predicates still bounds
+    verdict(emb.filter(col("vec_id") < 3 &&
+      functions.size(col("embedding")) > 0)) shouldBe true
   }
 
   test("bounded: enum fixture columns (label), not per-key ones") {
