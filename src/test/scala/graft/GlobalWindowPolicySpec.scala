@@ -39,8 +39,10 @@ import org.apache.spark.sql.execution.window.WindowExec
   * full-suite log therefore all attribute to (a) the allowlisted queries
   * executing in their oracle suites (NewOpsSpec, RobustOpsSpec,
   * NewOpsPlanSpec, DecimalDisciplineSpec, and this spec's own fn
-  * invocations) or (b) explicitly-serial oracle scaffolding
-  * (DedupPropertySpec's flat-rank reference model).
+  * invocations) or (b) explicitly-serial spec scaffolding —
+  * DedupPropertySpec's flat-rank reference model, and
+  * MaterializationAuditSpec's deliberately-constructed q180 shapes
+  * (tiny literal frames exercising the audit itself).
   */
 class GlobalWindowPolicySpec extends SparkSpec with AdaptiveSparkPlanHelper {
 
