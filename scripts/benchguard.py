@@ -285,11 +285,9 @@ def compare_warm(lines_a, label_a, lines_b, label_b):
     tb = sum(warm_b[n] for n in inter)
     only_a = len(warm_a) - len(inter)
     only_b = len(warm_b) - len(inter)
+    ratio = f" ({ta / tb:.2f}x)" if tb > 0 else ""
     print(f"benchguard: warm-compare [OK] — intersection {len(inter)} "
-          f"queries: {label_a} {ta:.2f}s vs {label_b} {tb:.2f}s "
-          f"({ta / tb:.2f}x)" if tb > 0 else
-          f"benchguard: warm-compare [OK] — intersection {len(inter)} "
-          f"queries: {label_a} {ta:.2f}s vs {label_b} {tb:.2f}s")
+          f"queries: {label_a} {ta:.2f}s vs {label_b} {tb:.2f}s{ratio}")
     if only_a or only_b:
         print(f"benchguard: warm-compare NOTE — excluded {only_a} rows "
               f"only in {label_a} and {only_b} only in {label_b} "

@@ -81,10 +81,7 @@ class GlobalWindowPolicySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "q137_symspell_join", // deletion-neighborhood losslessness
     "q241_ann_bits_curve") // documented exhaustive truth pass
 
-  private def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
-    case a: AdaptiveSparkPlanExec => a +: flatten(a.initialPlan)
-    case other => other +: other.children.flatMap(flatten)
-  }
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = PlanBounds.flatten(p)
 
   /** One catalog pass: each non-streaming query's FINAL executed plan
     * plus every intermediate plan it materializes through Tables.eager /

@@ -68,6 +68,17 @@ object PlanBounds {
 
   private type Aliases = Map[ExprId, Seq[Expression]]
 
+  /** Every node of the plan, descending through the AQE wrapper — the
+    * traversal the plan-policy specs share. (Deliberately does NOT
+    * descend into cached relations: a final plan's `InMemoryTableScan`
+    * contents are audited separately via MaterializationAudit, at the
+    * moment they materialize.)
+    */
+  def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => a +: flatten(a.initialPlan)
+    case other => other +: other.children.flatMap(flatten)
+  }
+
   def bounded(p: SparkPlan): Boolean = boundedRows(p, aliasMap(p))
 
   private def boundedRows(p: SparkPlan, aliases: Aliases): Boolean =
@@ -125,19 +136,11 @@ object PlanBounds {
           // stack(n, a1..am, b1..bm, ...): output column j's domain is
           // the j-th slot of each row group — for the label column of an
           // unpivot that is exactly the literal tags
-          case st: Stack =>
-            (st.children.headOption, st.children.drop(1)) match {
-              case (Some(Literal(n: Int, _)), args)
-                  if n > 0 && args.size % n == 0 =>
-                val m = args.size / n
-                g.generatorOutput.zipWithIndex.map { case (a, j) =>
-                  a.exprId ->
-                    (0 until n).map(i => args(i * m + j)): (ExprId,
-                      Seq[Expression]) }
-              case _ =>
-                g.generatorOutput.map(a =>
-                  a.exprId -> Seq[Expression](st))
-            }
+          case Stack(Literal(n: Int, _) +: args)
+              if n > 0 && args.size % n == 0 =>
+            val m = args.size / n
+            g.generatorOutput.zipWithIndex.map { case (a, j) =>
+              a.exprId -> (0 until n).map(i => args(i * m + j)) }
           // otherwise an exploded value's domain is contained in the
           // generator's input values: bounded inputs => bounded outputs
           case gen =>

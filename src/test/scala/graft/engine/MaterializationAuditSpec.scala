@@ -3,7 +3,6 @@ package graft.engine
 import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
 import org.apache.spark.sql.execution.window.WindowExec
 import org.apache.spark.sql.expressions.Window
@@ -29,10 +28,8 @@ import graft.SparkSpec
   */
 class MaterializationAuditSpec extends SparkSpec {
 
-  private def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
-    case a: AdaptiveSparkPlanExec => a +: flatten(a.initialPlan)
-    case other => other +: other.children.flatMap(flatten)
-  }
+  private def flatten(p: SparkPlan): Seq[SparkPlan] =
+    graft.PlanBounds.flatten(p)
 
   test("eager snapshots the original operators, not the cache scan") {
     import spark.implicits._
