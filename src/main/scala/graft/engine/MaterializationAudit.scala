@@ -53,6 +53,17 @@ object MaterializationAudit {
     * instance, so forcing `executedPlan` after the fact would hand the
     * consumer an `InMemoryTableScan` of the whole plan — exactly the
     * substitution this hook exists to see through.
+    *
+    * Known spec-only side effect (r17 ADVICE): forcing `executedPlan`
+    * pre-persist MEMOIZES it on the Dataset's QueryExecution, so a later
+    * action invoked directly on the SAME Dataset instance (e.g. a spec
+    * calling `.collect()` on the frame it passed to `eager`) re-executes
+    * the raw plan and bypasses the cache it just populated — a perf skew
+    * confined to audit-enabled spec runs (results are unchanged, and the
+    * audit is always off in the bench/verify mains). Consumers that need
+    * the cached path after recording should act through a fresh
+    * `df.sparkSession.createDataFrame`-free handle such as `df.select("*")`,
+    * whose new QueryExecution plans against the now-cached relation.
     */
   private[graft] def record(site: String, df: => DataFrame): Unit = {
     val s = sink

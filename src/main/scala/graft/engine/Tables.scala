@@ -118,7 +118,13 @@ object Tables {
   def landed(s: SparkSession, key: String,
       counter: java.util.concurrent.atomic.AtomicInteger = null)(
       compute: => DataFrame): DataFrame = {
-    val preLanded = landedPaths.contains(key)
+    // `computedHere` (set inside the update thunk) — not a separate
+    // check-then-act `contains` read — decides whether THIS caller's
+    // thunk ran (r17 ADVICE): two threads racing on the same un-landed
+    // key both see contains=false, but only the getOrElseUpdate winner
+    // runs the thunk; the loser must still fall through to the record
+    // below or its audit hook silently never fires.
+    var computedHere = false
     val path = landedPaths.getOrElseUpdate(key, {
       val p = landedRoot
         .resolve(s"${landedPaths.size}_" +
@@ -128,12 +134,14 @@ object Tables {
       val df = compute
       MaterializationAudit.record(s"landed:$key", df)
       Sinks.writeParquet(df, p)
+      computedHere = true
       p
     })
-    // already-landed keys still expose their compute PLAN to an enabled
-    // audit (by-name, never built otherwise), so plan-policy coverage
-    // does not depend on which suite landed the table first
-    if (preLanded) MaterializationAudit.record(s"landed:$key", compute)
+    // already-landed keys (and race losers) still expose their compute
+    // PLAN to an enabled audit (by-name, never built otherwise), so
+    // plan-policy coverage does not depend on which suite — or thread —
+    // landed the table first
+    if (!computedHere) MaterializationAudit.record(s"landed:$key", compute)
     s.read.parquet(path)
   }
 

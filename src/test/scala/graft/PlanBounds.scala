@@ -93,9 +93,11 @@ object PlanBounds {
       case _: LocalTableScanExec => true
       case r: RangeExec => r.range.numElements <= 1000000
       case f: FileSourceScanExec =>
+        // exact final-path-component match (r17 ADVICE): endsWith on the
+        // full path string blessed any table whose NAME merely ends with
+        // a dim name (big_region.parquet, fakeregion.parquet)
         f.relation.location.rootPaths.nonEmpty &&
-          f.relation.location.rootPaths.forall(rp =>
-            fixedDims.exists(d => rp.toString.endsWith(d)))
+          f.relation.location.rootPaths.forall(rp => fixedDims(rp.getName))
       case fl: FilterExec =>
         boundedRows(fl.child, aliases) || uniqueKeyRange(fl.condition, aliases)
       case g: GenerateExec =>
@@ -219,7 +221,17 @@ object PlanBounds {
         case None => Some(ar.name)
       }
     case a: Alias => leafName(a.child, aliases, seen)
-    case c: Cast => leafName(c.child, aliases, seen)
+    // only ORDER-PRESERVING INJECTIVE casts may be looked through here
+    // (r17 ADVICE): `id < k` bounds the row count because ids are unique
+    // and the comparison is in id order. A numeric up-cast (int->long,
+    // int->double) keeps both properties; CAST(id AS STRING) < '3' is
+    // injective but LEXICOGRAPHIC — it selects unboundedly many rows —
+    // so following it would bless an unbounded filter.
+    case c: Cast
+        if c.child.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] &&
+          c.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] &&
+          Cast.canUpCast(c.child.dataType, c.dataType) =>
+      leafName(c.child, aliases, seen)
     case _ => None
   }
 }

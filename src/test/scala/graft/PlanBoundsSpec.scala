@@ -62,6 +62,33 @@ class PlanBoundsSpec extends SparkSpec {
       functions.size(col("embedding")) > 0)) shouldBe true
   }
 
+  test("unique-key casts: numeric up-cast bounds, string cast does NOT") {
+    // an order-preserving injective widening keeps `id < k` selecting at
+    // most k rows, so it may be looked through...
+    verdict(emb.filter(col("vec_id").cast("bigint") < 3)) shouldBe true
+    // ...but CAST(id AS STRING) < '3' compares LEXICOGRAPHICALLY — it
+    // selects every id whose decimal rendering sorts below "3" ("1",
+    // "10", "1999", "299999", ...), an unbounded fraction of the table
+    // (the r17 ADVICE lax-cast hole)
+    verdict(emb.filter(col("vec_id").cast("string") < "3")) shouldBe false
+    // a narrowing numeric cast is not injective (many ids collapse to
+    // one value), so it must not be looked through either
+    verdict(emb.filter(col("vec_id").cast("tinyint") < 3)) shouldBe false
+  }
+
+  test("fixed-dim scan: exact table name only, not a suffix lookalike") {
+    // a table whose NAME merely ends with a dim name scales with the
+    // data; the old endsWith-on-the-full-path rule blessed it (r17
+    // ADVICE). region.parquet itself stays bounded (pinned above via
+    // nation); the lookalike must not.
+    val dir = java.nio.file.Files.createTempDirectory("graft_fakedim_")
+    try {
+      val fake = s"$dir/fakeregion.parquet"
+      docs.limit(50).write.parquet(fake)
+      verdict(spark.read.parquet(fake)) shouldBe false
+    } finally engine.Fs.deleteRecursivelyQuietly(dir)
+  }
+
   test("bounded: enum fixture columns (label), not per-key ones") {
     verdict(emb.groupBy(col("label")).agg(count(lit(1)).as("n"))) shouldBe
       true
