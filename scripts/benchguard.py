@@ -66,6 +66,37 @@ driver's BENCH_r{N}.json wrapper — a single JSON object whose string
 `tail` holds the last ~2,000 chars of bench stdout. The wrapper is
 detected by parsing the whole file as one JSON object with a string
 `tail`, which is then re-split into capture lines.
+
+Round-18 additions (VERDICT r17 asks #1b/#2 — BENCH_r17 was a FALSE
+RED: a co-tenant IO burst inflated contiguous cold spans 14-56x while
+the 3-point canary, the warm rows, and the write probes all read
+clean, so the guard ruled the contradictory [CLEAN]+[OVER BUDGET]):
+
+ - INLINE PROBES: Bench now times a spin + fixed-size parquet read
+   every ~25 queries through the cold pass
+   (`{"progress":"canary_inline",...}` lines + `inline_after`/
+   `inline_spin`/`inline_io` summary arrays); an inflated probe
+   brackets the polluted cold window by query index.
+ - COLD/WARM ASYMMETRY (fallback for pre-inline captures like
+   BENCH_r17.json): a warm pass re-runs the identical plan, so a cold
+   at >5x its own clean warm with >5s excess is a contention-suspect
+   row — UNLESS the excess is a one-time landed-table write (q110's
+   clean-host 15.6x), which is why the verdict needs >=3 suspects AND
+   the contention-adjusted estimate to fit the budget (a real plan
+   regression inflates warm too, so min(cold, warm) stays over).
+ - COLD_MIN BUDGETING: each query's contention-resistant cold is the
+   MIN over its measured executions (`total_cold_min` in round-18+
+   summaries; derived from top_cold ∧ warm_echo ∧ cold2 for older
+   captures). When the RAW estimate is over budget but the cold_min
+   estimate fits AND contention evidence exists (inline-probe flags,
+   or the asymmetry fallback), the verdict is
+   [OVER-BUDGET-CONTENTION-SUSPECT] (exit 3) naming the polluted
+   spans — distinct from a clean structural [OVER BUDGET] (exit 1),
+   which stays a hard red.
+
+Exit codes: 0 OK, 1 over budget (structural), 2 unusable/stale
+capture, 3 over budget but contention-suspect (adjudicate against the
+committed local capture via --compare-cold before believing it).
 """
 import json
 import os
@@ -343,7 +374,15 @@ def compare_cold(lines_a, label_a, lines_b, label_b):
         return "REFUSED"
     raw = ta / tb
     sa, sb = mean_spin(lines_a), mean_spin(lines_b)
-    drift = (sa / sb) if (sa and sb) else None
+    # explicit None tests (r17 ADVICE): truthiness conflated "no canary
+    # records" with a (degenerate) 0.0 mean spin — a zero spin is a
+    # broken capture and must be refused, not relabeled [NO-CANARY]
+    if sa is not None and sb is not None and (sa <= 0 or sb <= 0):
+        print(f"benchguard: cold-compare [REFUSED] — degenerate canary "
+              f"spin ({sa:.3f}s vs {sb:.3f}s): a 0-second spin is a "
+              "corrupt capture, not a clean host; drift is undefined")
+        return "REFUSED"
+    drift = (sa / sb) if (sa is not None and sb is not None) else None
     if drift is None:
         verdict = "NO-CANARY"
         print(f"benchguard: cold-compare [NO-CANARY] — intersection "
@@ -534,6 +573,282 @@ def annotate_io(lines):
     return verdict
 
 
+# ---- round-18: episodic cold-pass contention adjudication ----
+#
+# BENCH_r17's false red: a co-tenant IO burst during the COLD pass
+# inflated contiguous spans (q134-136, q171-176, q185-186, q226-228)
+# 14-56x while the same run's warm rows, CPU spins, and write probes
+# all read clean. Three independent detectors now cover that class:
+# inline probes bracket the polluted window in-run; the cold/warm
+# asymmetry heuristic adjudicates older captures after the fact; and
+# the cold_min basis bounds the damage either way.
+
+# io probes are thresholded SELF-RELATIVELY (vs the run's own median):
+# the probe file size is a constant but host decode speed is not, so a
+# cross-round nominal would drift; a burst that inflates EVERY probe
+# equally escapes this check and is caught by the spin threshold or
+# the asymmetry fallback instead.
+INLINE_IO_REL_FACTOR = 3.0
+INLINE_IO_MIN_EXCESS_S = 0.3
+
+# Asymmetry fallback calibration: a warm pass re-runs the identical
+# plan with codegen cached, so cold sits within ~2x of warm on a clean
+# host — EXCEPT queries whose cold pays a one-time landed-table write
+# (q110_triangles is 15.6x on the committed clean capture). Hence the
+# per-row test is deliberately loose (>5x AND >5s excess) and the
+# VERDICT requires >=3 suspect rows plus the contention-adjusted
+# estimate fitting the budget: a real plan regression inflates warm
+# too, so min(cold, warm) stays over and the red stays hard.
+ASYM_RATIO = 5.0
+ASYM_MIN_EXCESS_S = 5.0
+ASYM_MIN_SUSPECTS = 3
+
+# suspects qN..qM with numeric gaps <= this merge into one span — r17's
+# bursts polluted contiguous ALPHABETICAL execution spans, minus the
+# odd member whose cold didn't rank into the top_cold echo (q173)
+SPAN_GAP = 2
+
+
+def parse_inline(lines):
+    """Inline probes as [(after_query_index, spin_s, io_s)], sorted by
+    index. Per-line `{"progress":"canary_inline",...}` records win;
+    the summary's `inline_after`/`inline_spin`/`inline_io` arrays fill
+    indices whose per-lines were truncated away (same merge rule as the
+    canary echo). Empty for a pre-round-18 capture."""
+    per_line, summary = {}, {}
+    for line in lines:
+        line = line.strip()
+        if not line.startswith("{"):
+            continue
+        try:
+            d = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if d.get("progress") == "canary_inline" and "after" in d:
+            a = int(d["after"])
+            per_line[a] = (a, float(d.get("spin_sec", 0.0)),
+                           float(d.get("io_sec", 0.0)))
+        elif d.get("metric") == "total" and d.get("inline_after"):
+            afters = d["inline_after"]
+            spins = d.get("inline_spin") or []
+            ios = d.get("inline_io") or []
+            for i, a in enumerate(afters):
+                summary[int(a)] = (
+                    int(a),
+                    float(spins[i]) if i < len(spins) else 0.0,
+                    float(ios[i]) if i < len(ios) else 0.0)
+    merged = dict(summary)
+    merged.update(per_line)
+    return sorted(merged.values())
+
+
+def inline_flags(probes):
+    """Contention-flagged probes: [(probe_idx, after, reason)]. A probe
+    is flagged when its spin exceeds the calibrated canary threshold or
+    its io read exceeds the run's own median by the relative factor."""
+    if not probes:
+        return []
+    ios = sorted(io for _, _, io in probes)
+    med = ios[len(ios) // 2]
+    spin_thr = CANARY_NOMINAL_S * CANARY_NOISY_FACTOR
+    io_thr = max(med * INLINE_IO_REL_FACTOR, med + INLINE_IO_MIN_EXCESS_S)
+    flags = []
+    for i, (after, spin, io) in enumerate(probes):
+        why = []
+        if spin > spin_thr:
+            why.append(f"spin {spin:.2f}s (thr {spin_thr:.2f}s)")
+        if io > io_thr:
+            why.append(f"io {io:.2f}s (median {med:.2f}s)")
+        if why:
+            flags.append((i, after, ", ".join(why)))
+    return flags
+
+
+def inline_windows(probes, flags):
+    """Bracketed query-index windows [(lo, hi, reason)] — contention
+    observed at probe `hi` pollutes the cold rows run since the previous
+    probe `lo` (exclusive)."""
+    return [(probes[i - 1][0] if i > 0 else 0, after, why)
+            for i, after, why in flags]
+
+
+def asymmetry_suspects(cold, warm):
+    """Contention-suspect cold rows [(name, cold, warm)]: cold far above
+    its own clean warm (see ASYM_* calibration above)."""
+    out = []
+    for n, w in warm.items():
+        c = cold.get(n)
+        if c is not None and w > 0 and c > w * ASYM_RATIO \
+                and c - w > ASYM_MIN_EXCESS_S:
+            out.append((n, c, w))
+    return sorted(out)
+
+
+def group_spans(names):
+    """Group suspect query names into contiguous numeric spans:
+    ['q134_x','q135_y','q136_z','q45_w'] -> (['q134-q136'], ['q45_w']).
+    Names without a qN prefix stay singletons."""
+    import re
+    nums, other = [], []
+    for n in sorted(set(names)):
+        m = re.match(r"q(\d+)", n)
+        if m:
+            nums.append((int(m.group(1)), n))
+        else:
+            other.append(n)
+    nums.sort()
+    spans, singles = [], list(other)
+    run = []
+    for num, name in nums + [(None, None)]:
+        if run and (num is None or num - run[-1][0] > SPAN_GAP):
+            if len(run) >= 2:
+                spans.append(f"q{run[0][0]}-q{run[-1][0]}")
+            else:
+                singles.append(run[0][1])
+            run = []
+        if num is not None:
+            run.append((num, name))
+    return spans, singles
+
+
+def parse_cold2(lines):
+    """Streaming cold re-measures: per-line `{"progress":"cold2",...}`
+    records win, the summary's `cold2` map fills."""
+    per_line, summary = {}, {}
+    for line in lines:
+        line = line.strip()
+        if not line.startswith("{"):
+            continue
+        try:
+            d = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if d.get("progress") == "cold2" and "name" in d \
+                and "cold2" in d and "err" not in d:
+            per_line[d["name"]] = float(d["cold2"])
+        elif d.get("metric") == "total" and isinstance(d.get("cold2"), dict):
+            summary = {k: float(v) for k, v in d["cold2"].items()}
+    merged = dict(summary)
+    merged.update(per_line)
+    return merged
+
+
+def cold_min_estimate(lines, slowdown):
+    """(estimated driver wall on the contention-resistant cold_min
+    basis, provenance string), or (None, why-not).
+
+    Preference order: the summary's explicit `total_cold_min`
+    (round-18+ Bench computes the true per-query min over every
+    execution); else a per-query min over the merged cold/warm/cold2
+    maps when per-query lines cover the run; else the echo-derived
+    pseudo-min for a tail-only driver artifact — `value` minus the
+    echoed top-K's (cold - min(cold, second-sample)) corrections. The
+    fallbacks can only adjust queries they can SEE, so they
+    under-correct: a derived estimate that fits the budget is
+    conservative evidence, never an optimistic one."""
+    summary = None
+    for line in lines:
+        line = line.strip()
+        if not line.startswith("{"):
+            continue
+        try:
+            d = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if d.get("metric") == "total" and "value" in d:
+            summary = d
+    cold, warm = parse_capture(lines)
+    cold2 = parse_cold2(lines)
+    if summary is not None and summary.get("total_cold_min") is not None:
+        tcm = float(summary["total_cold_min"])
+        tw = float(summary.get("total_warm", 0.0))
+        return (tcm + tw) * slowdown + OVERHEAD_S, \
+            f"explicit total_cold_min {tcm:.1f}s"
+    second = dict(cold2)
+    for n, w in warm.items():
+        second[n] = min(w, second[n]) if n in second else w
+    n_q = summary.get("n_queries") if summary is not None else None
+    if cold and (n_q is None or len(cold) >= n_q):
+        tcm = sum(min(c, second.get(n, c)) for n, c in cold.items())
+        tw = sum(warm.values())
+        return (tcm + tw) * slowdown + OVERHEAD_S, \
+            f"per-query min over {len(cold)} queries = {tcm:.1f}s"
+    if summary is not None:
+        top_cold, warm_echo = parse_summary_echo(lines)
+        for n, w in warm_echo.items():
+            if n not in second or w < second[n]:
+                second[n] = w
+        correction = sum(c - min(c, second[n])
+                         for n, c in top_cold.items() if n in second)
+        if correction > 0:
+            tcm = float(summary["value"]) - correction
+            tw = float(summary.get("total_warm", 0.0))
+            return (tcm + tw) * slowdown + OVERHEAD_S, \
+                (f"echo-derived pseudo-min {tcm:.1f}s (raw "
+                 f"{float(summary['value']):.1f}s - {correction:.1f}s of "
+                 f"echoed-cohort excess; un-echoed queries uncorrected)")
+    return None, "no second samples to derive a cold_min basis from"
+
+
+def adjudicate_over_budget(lines, budget_s, est_raw, slowdown):
+    """Contention adjudication for an over-budget estimate. Returns the
+    exit code: 3 ([OVER-BUDGET-CONTENTION-SUSPECT]) when contention
+    evidence exists AND the cold_min-basis estimate fits the budget;
+    1 (hard red) otherwise. Prints the evidence either way."""
+    probes = parse_inline(lines)
+    flags = inline_flags(probes)
+    windows = inline_windows(probes, flags)
+    merged_cold, merged_warm = merged_attribution(lines)
+    suspects = asymmetry_suspects(merged_cold, merged_warm)
+    est_min, basis = cold_min_estimate(lines, slowdown)
+    evidence = []
+    if windows:
+        evidence.append(
+            "inline probes flag cold windows (query index): "
+            + ", ".join(f"({lo},{hi}] {why}" for lo, hi, why in windows))
+    if len(suspects) >= ASYM_MIN_SUSPECTS:
+        spans, singles = group_spans([n for n, _, _ in suspects])
+        parts = spans + singles
+        worst = max(suspects, key=lambda s: s[1] / s[2])
+        evidence.append(
+            f"cold/warm asymmetry: {len(suspects)} cold rows run >"
+            f"{ASYM_RATIO:.0f}x their own clean warm (worst {worst[0]} "
+            f"cold {worst[1]:.2f}s vs warm {worst[2]:.2f}s, "
+            f"{worst[1] / worst[2]:.1f}x); polluted spans: "
+            + ", ".join(parts))
+    if est_min is not None:
+        print(f"benchguard: cold_min basis — {basis}; contention-"
+              f"adjusted estimate {est_min:.1f}s vs raw {est_raw:.1f}s "
+              f"(delta {est_raw - est_min:.1f}s)")
+    if evidence and est_min is not None and est_min <= budget_s:
+        print("benchguard: [OVER-BUDGET-CONTENTION-SUSPECT] — the raw "
+              f"estimate {est_raw:.1f}s exceeds the {budget_s:.0f}s "
+              f"budget, but the contention-adjusted estimate "
+              f"{est_min:.1f}s fits and the capture carries contention "
+              "evidence:")
+        for e in evidence:
+            print(f"  - {e}")
+        print("  adjudicate against the committed local capture "
+              "(--compare-cold bench_local.jsonl) before treating this "
+              "as a regression; rc 3, distinct from a structural rc 1")
+        return 3
+    if evidence:
+        print("benchguard: contention evidence present BUT the "
+              "contention-adjusted estimate "
+              + (f"{est_min:.1f}s" if est_min is not None else "(none)")
+              + f" still exceeds the {budget_s:.0f}s budget — the red "
+              "stays hard; clean samples confirm the suite itself "
+              "outgrew the budget")
+        for e in evidence:
+            print(f"  - {e}")
+    elif est_min is not None and est_min <= budget_s:
+        print("benchguard: cold_min estimate fits the budget but NO "
+              "contention evidence (no flagged probes, <"
+              f"{ASYM_MIN_SUSPECTS} asymmetry suspects) — refusing to "
+              "exonerate on basis alone; the red stays hard")
+    return 1
+
+
 def newest_fixture_mtime(fixtures_dir):
     """Max mtime over every file under the fixtures root (parquet files
     sit in sf*/ subdirs); None when the root is absent (non-sandbox
@@ -718,7 +1033,22 @@ def check(lines, budget_s, label, driver_origin=False):
                   + ", ".join(f"{n}={t:.1f}s" for n, t in top))
             print("  cut passes or query cost before the DRIVER discovers "
                   "this as an rc-124 bench.")
-        return 1
+        # round-18 (VERDICT r17 ask #1b): an over-budget capture with
+        # contention evidence AND a budget-fitting cold_min estimate is
+        # a contention-suspect (rc 3), not a structural red (rc 1)
+        return adjudicate_over_budget(lines, budget_s, est, slowdown)
+    # OK path: still surface flagged inline probes (a fitting run can
+    # carry a burst worth knowing about) and the cold_min delta
+    flags = inline_flags(parse_inline(lines))
+    if flags:
+        print("benchguard: NOTE — inline probes flagged despite the OK "
+              "verdict: "
+              + ", ".join(f"after q-index {a}: {w}" for _, a, w in flags)
+              + "; cold rows in those windows are contention-inflated")
+    est_min, _basis = cold_min_estimate(lines, slowdown)
+    if est_min is not None and est - est_min > 1.0:
+        print(f"benchguard: cold_min delta — contention-adjusted "
+              f"estimate {est_min:.1f}s vs raw {est:.1f}s")
     return 0
 
 
@@ -1180,6 +1510,174 @@ def selftest():
     mc, _ = merged_attribution(echo_merge)
     assert mc["q110_wedge"] == 6.312345 and mc["q263_x"] == 3.9, \
         f"per-line must win in the attribution merge: {mc}"
+    # ---- round-18 cases (VERDICT r17 asks #1b/#2) ----
+    # (i) INLINE-PROBE CONTENTION SPAN DETECTION: an over-budget capture
+    # whose inline probes flag a window must come out rc 3 with the
+    # window bracketed by query index — the probes are the in-run
+    # evidence the 3-point canary provably lacked in r17.
+    inline_over = (
+        [json.dumps({"progress": "query", "name": f"q{i:03d}", "cold": 10.0,
+                     "streaming": False}) for i in range(100)]
+        + [json.dumps({"progress": "canary_inline", "after": a,
+                       "spin_sec": 0.5,
+                       "io_sec": 9.0 if a == 50 else 0.15,
+                       "loadavg": [2.0]}) for a in (0, 25, 50, 75, 100)]
+        + [json.dumps({"progress": "warm", "name": f"q{i:03d}",
+                       "warm": 0.9}) for i in range(20)]
+        + [json.dumps({"metric": "total", "value": 1000.0,
+                       "total_warm": 18.0, "n_queries": 100,
+                       "total_cold_min": 250.0})])
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = check(inline_over, DEFAULT_BUDGET_S, "selftest-inline-span",
+                   driver_origin=True)
+    out = buf.getvalue()
+    assert rc == 3, f"selftest-inline-span: want rc 3, got {rc}: {out}"
+    assert "OVER-BUDGET-CONTENTION-SUSPECT" in out \
+        and "(25,50] io 9.00s (median 0.15s)" in out, \
+        f"selftest-inline-span: window not bracketed: {out}"
+    assert "explicit total_cold_min 250.0s" in out, \
+        f"selftest-inline-span: explicit cold_min basis ignored: {out}"
+    # an inflated SPIN probe flags too (CPU-contention windows)
+    spin_probe = [(0, 0.5, 0.15), (25, 2.4, 0.15), (50, 0.5, 0.15)]
+    fl = inline_flags(spin_probe)
+    assert len(fl) == 1 and fl[0][1] == 25 and "spin 2.40s" in fl[0][2], \
+        f"spin-probe flag wrong: {fl}"
+    assert inline_windows(spin_probe, fl) == [(0, 25, fl[0][2])]
+    # (ii) CLEAN-PROBE OVER STAYS A HARD RED: same over-budget shape but
+    # every probe clean, warm rows proportionate (no asymmetry), and the
+    # cold_min basis still over — a structural blow-up must stay rc 1.
+    clean_over = (
+        [json.dumps({"progress": "query", "name": f"q{i:03d}", "cold": 10.0,
+                     "streaming": False}) for i in range(100)]
+        + [json.dumps({"progress": "canary_inline", "after": a,
+                       "spin_sec": 0.5, "io_sec": 0.15,
+                       "loadavg": [2.0]}) for a in (0, 25, 50, 75, 100)]
+        + [json.dumps({"progress": "warm", "name": f"q{i:03d}",
+                       "warm": 9.5}) for i in range(20)]
+        + [json.dumps({"metric": "total", "value": 1000.0,
+                       "total_warm": 190.0, "n_queries": 100,
+                       "total_cold_min": 990.0})])
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = check(clean_over, DEFAULT_BUDGET_S, "selftest-clean-over",
+                   driver_origin=True)
+    out = buf.getvalue()
+    assert rc == 1 and "OVER-BUDGET-CONTENTION-SUSPECT" not in out, \
+        f"selftest-clean-over: clean over-budget must stay rc 1: {out}"
+    # ... and contention EVIDENCE without a fitting cold_min stays hard
+    # red too (clean samples confirm the suite itself is too big): flag
+    # a probe but keep total_cold_min over budget
+    evidence_still_over = inline_over[:-1] + [json.dumps(
+        {"metric": "total", "value": 1000.0, "total_warm": 18.0,
+         "n_queries": 100, "total_cold_min": 950.0})]
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = check(evidence_still_over, DEFAULT_BUDGET_S,
+                   "selftest-evidence-still-over", driver_origin=True)
+    out = buf.getvalue()
+    assert rc == 1 and "the red stays hard" in out, \
+        f"selftest-evidence-still-over: must stay rc 1: {out}"
+    # (iii) PRE-INLINE FALLBACK — the literal BENCH_r17 shape: tail-only
+    # wrapper, no probes, warm echo clean, contiguous cold spans 14-56x.
+    # The asymmetry heuristic must name the spans and rule rc 3 from the
+    # echo-derived pseudo-min.
+    r17_like = [json.dumps(
+        {"metric": "total", "value": 1396.2, "unit": "sec",
+         "total_warm": 46.6, "n_warm": 20, "n_queries": 295, "n_errors": 0,
+         "top_cold": {"q174_rfm": 90.02, "q176_reach": 79.14,
+                      "q171_contain": 77.42, "q136_hist": 77.20,
+                      "q227_recon": 74.57, "q135_chain": 50.85,
+                      "q175_median": 49.12, "q186_lift": 45.98,
+                      "q172_dup": 27.83, "q226_sla": 23.52,
+                      "q107_stream": 19.77, "q162_bm25": 10.17},
+         "warm_echo": {"q174_rfm": 4.61, "q176_reach": 5.83,
+                       "q171_contain": 2.59, "q136_hist": 3.69,
+                       "q227_recon": 2.15, "q135_chain": 0.81,
+                       "q175_median": 2.91, "q186_lift": 3.38,
+                       "q172_dup": 1.75, "q226_sla": 2.68,
+                       "q162_bm25": 6.93},
+         "canary_spins": [0.65, 0.65, 0.61],
+         "canary_load1": [4.8, 9.9, 7.7]})]
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = check(r17_like, DEFAULT_BUDGET_S, "selftest-asym-fallback",
+                   driver_origin=True)
+    out = buf.getvalue()
+    assert rc == 3 and "OVER-BUDGET-CONTENTION-SUSPECT" in out, \
+        f"selftest-asym-fallback: want rc 3: {out}"
+    # the reduced echo omits q173 (which never ranked into top_cold in
+    # r17 either) — the gap<=2 rule must still merge q171-q176; q186
+    # stands alone here because this fixture carries no q185
+    assert "q171-q176" in out and "q135-q136" in out \
+        and "q226-q227" in out and "q186_lift" in out, \
+        f"selftest-asym-fallback: spans wrong (this reduced echo covers " \
+        f"171-176/135-136/226-227 + singleton q186): {out}"
+    assert "q162" not in out.split("polluted spans")[1].split("\n")[0], \
+        f"q162 (cold within 1.5x of warm) must NOT be a suspect: {out}"
+    # the clean local capture's landing-amortized rows (q110 15.6x on a
+    # clean host) must NOT produce the suspect verdict alone: two such
+    # rows are below ASYM_MIN_SUSPECTS, so an over-budget capture with
+    # only them stays a hard red
+    landed_over = [json.dumps(
+        {"metric": "total", "value": 900.0, "total_warm": 100.0,
+         "n_queries": 295,
+         "top_cold": {"q110_tri": 7.11, "q263_mat": 5.27},
+         "warm_echo": {"q110_tri": 0.46, "q263_mat": 0.69}})]
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = check(landed_over, DEFAULT_BUDGET_S, "selftest-landed-over",
+                   driver_origin=True)
+    out = buf.getvalue()
+    assert rc == 1 and "OVER-BUDGET-CONTENTION-SUSPECT" not in out, \
+        f"selftest-landed-over: 2 landing-amortized rows must not " \
+        f"exonerate: {out}"
+    # group_spans unit verdicts: gap<=2 merges (q173 missing from the
+    # echo must not split q171-q176), gap>2 splits, non-qN names stay
+    asym_spans, asym_singles = group_spans(
+        ["q171_a", "q172_b", "q174_c", "q175_d", "q176_e", "q45_f",
+         "write_gold"])
+    assert asym_spans == ["q171-q176"] \
+        and asym_singles == ["write_gold", "q45_f"], \
+        f"group_spans wrong: {asym_spans} / {asym_singles}"
+    # parse_inline merge: per-line precision wins over the summary echo
+    inline_merge = [
+        json.dumps({"progress": "canary_inline", "after": 25,
+                    "spin_sec": 0.512345, "io_sec": 0.151}),
+        json.dumps({"metric": "total", "value": 1.0,
+                    "inline_after": [0, 25], "inline_spin": [0.5, 0.51],
+                    "inline_io": [0.15, 0.15]})]
+    probes = parse_inline(inline_merge)
+    assert probes == [(0, 0.5, 0.15), (25, 0.512345, 0.151)], \
+        f"parse_inline merge wrong: {probes}"
+    # degenerate canary spin refuses the cold comparison (r17 ADVICE:
+    # truthiness conflated zero spin with no canary)
+    zero_spin = [json.dumps({"progress": "query", "name": "q1",
+                             "cold": 1.0, "streaming": False}),
+                 json.dumps({"progress": "canary", "phase": "start",
+                             "spin_sec": 0.0, "loadavg": [0.5]})]
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        v = compare_cold(zero_spin, "a", cold_cap(base, 0.5), "b")
+    assert v == "REFUSED" and "degenerate canary spin" in buf.getvalue(), \
+        f"zero-spin capture must refuse, not NO-CANARY: {buf.getvalue()}"
+    # an OK capture with a flagged probe still surfaces the note (a
+    # fitting run can carry a burst worth knowing about)
+    ok_flagged = (
+        [json.dumps({"progress": "query", "name": f"q{i}", "cold": 1.0,
+                     "streaming": False}) for i in range(50)]
+        + [json.dumps({"progress": "canary_inline", "after": a,
+                       "spin_sec": 0.5,
+                       "io_sec": 5.0 if a == 25 else 0.15})
+           for a in (0, 25, 50)]
+        + [json.dumps({"metric": "total", "value": 50.0, "n_queries": 50,
+                       "total_cold_min": 48.0})])
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = check(ok_flagged, DEFAULT_BUDGET_S, "selftest-ok-flagged")
+    out = buf.getvalue()
+    assert rc == 0 and "inline probes flagged despite the OK verdict" \
+        in out, f"selftest-ok-flagged: {out}"
     print("benchguard selftest: PASS")
     return 0
 

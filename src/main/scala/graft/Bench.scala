@@ -65,6 +65,30 @@ package graft
   *    midpoint, and end, streamed as `{"progress":"canary",...}` lines
   *    and echoed in the summary, so every capture carries its own
   *    contention evidence — see [[canarySpin]] and `scripts/benchguard.py`.
+  *  - INLINE PROBES (round-17 lesson: BENCH_r17 was the build's first
+  *    [OVER BUDGET] — a co-tenant IO burst inflated contiguous cold
+  *    spans 14-56x while all THREE point canaries read clean, because a
+  *    3-point sample provably misses a multi-minute contention window
+  *    inside a 23-minute pass): the same spin PLUS a fixed-size parquet
+  *    read is timed every [[InlineProbeStride]] queries THROUGH the cold
+  *    pass, streamed as `{"progress":"canary_inline",...}` lines and
+  *    echoed compactly in the summary (`inline_after`/`inline_spin`/
+  *    `inline_io`), so benchguard can bracket exactly WHICH cold spans
+  *    ran under contention. The IO probe reads a file this bench wrote
+  *    itself (constant size, independent of SF), so inflation is host
+  *    state, never data growth.
+  *  - COLD_MIN (round-17 ask #2 — bound the damage when contention does
+  *    hit): every query's contention-resistant cold is the MIN over its
+  *    measured executions this run. The warm pass already re-executes
+  *    the top-20 batch colds (identical plan, cache cleared between), so
+  *    it doubles as their second sample at zero extra wall; STREAMING
+  *    queries — excluded from warm by policy — get a dedicated `cold2`
+  *    re-run when they rank in the top-20 colds (every streaming run
+  *    re-pays state-store provisioning, so a re-run IS a legitimate
+  *    cold re-measurement). The summary carries `total_cold_min` plus
+  *    the `cold2` map; the raw first-pass numbers stay in `value` and
+  *    `top_cold` so contention remains VISIBLE, never silently masked —
+  *    benchguard budgets on cold_min and reports the delta.
   */
 object Bench {
   /** Host-noise canary (round-12 ask): a FIXED amount of single-threaded
@@ -86,6 +110,27 @@ object Bench {
     */
   @volatile private var canaryBlackhole: Long = 0L
   private val CanaryIters = 300000000L
+
+  /** Cold-pass inline-probe cadence (round-17 ask #1a): a probe fires
+    * before the first query, after every `InlineProbeStride`-th query,
+    * and after the last — so every cold row sits inside a bracketed
+    * window at most this many queries wide. 25 ≈ 30-60 s of cold wall
+    * per window at the current catalog: fine-grained enough to name a
+    * multi-minute contention burst's span, cheap enough (~13 probes x
+    * ~0.8 s) to cost <2% of a clean run.
+    */
+  private[graft] val InlineProbeStride = 25
+
+  /** Contention-resistant per-run cold total: each query's cold is the
+    * MIN over its measured executions this run (first cold pass, plus
+    * the warm pass / `cold2` re-run when the query ranked heavy enough
+    * to get one). One co-tenant burst inflates only the pass it hit;
+    * the min recovers the query's real cost as long as ONE sample ran
+    * clean — r17's 90 s q174 had a 4.61 s warm in the same artifact.
+    */
+  private[graft] def coldMinTotal(colds: Seq[(String, Double)],
+      second: Map[String, Double]): Double =
+    colds.map { case (n, c) => math.min(c, second.getOrElse(n, c)) }.sum
 
   /** Hard character budget for the ONE summary line (round-17 ask #1a).
     *
@@ -209,6 +254,37 @@ object Bench {
     }
     canary("start")
 
+    // Inline-probe IO target: a fixed-size parquet file THIS RUN writes
+    // (1M rows, two long columns, ~8 MB — constant at every SF), so an
+    // inflated probe read is host contention, never data growth. One
+    // untimed read warms JIT + page cache; later inflation therefore
+    // means the cache was evicted or the readers were descheduled —
+    // exactly the r17 co-tenant-burst signature the 3-point canary
+    // missed.
+    val probeDir = java.nio.file.Files.createTempDirectory("graft-ioprobe")
+    val probePath: String = s"$probeDir/probe.parquet"
+    locally {
+      import org.apache.spark.sql.functions.{col, xxhash64}
+      spark.range(0, 1000000L).select(col("id"), xxhash64(col("id")).as("h"))
+        .coalesce(4).write.mode("overwrite").parquet(probePath)
+    }
+    def ioProbeRead(): Double = {
+      val t0 = System.nanoTime()
+      spark.read.parquet(probePath).write.format("noop")
+        .mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    ioProbeRead(); ioProbeRead() // un-timed JIT / page-cache warm-up
+    val inlineProbes =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Double)]
+    def inlineProbe(after: Int): Unit = {
+      val spin = canarySpin(CanaryIters)
+      val io = ioProbeRead()
+      inlineProbes += ((after, spin, io))
+      println(s"""{"progress":"canary_inline","after":$after,"spin_sec":$spin,"io_sec":$io,"loadavg":[${loadAvg().mkString(",")}]}""")
+      System.out.flush()
+    }
+
     def timed(q: Catalog.Q): (Double, Option[String]) = {
       val t0 = System.nanoTime()
       val err =
@@ -219,17 +295,42 @@ object Bench {
         }
       ((System.nanoTime() - t0) / 1e9, err)
     }
-    // Phase 1: COLD pass for every query (the round-over-round headline).
-    val colds = Catalog.all.filter(q => only.isEmpty || only(q.name))
-      .sortBy(_.name).map { q =>
+    // Phase 1: COLD pass for every query (the round-over-round headline),
+    // with an inline probe before the first query, after every
+    // InlineProbeStride-th, and after the last — each cold row sits in a
+    // bracketed contention window (round-17 ask #1a).
+    val coldQs = Catalog.all.filter(q => only.isEmpty || only(q.name))
+      .sortBy(_.name)
+    inlineProbe(0)
+    val colds = coldQs.zipWithIndex.map { case (q, i) =>
         val (cold, err) = timed(q)
         spark.sharedState.cacheManager.clearCache()
         // flushed JSONL progress line: a driver timeout still yields data
         println(s"""{"progress":"query","name":${Jsons.quote(q.name)},"cold":$cold,"streaming":${q.streaming}${
           err.fold("")(e => s""","err":${Jsons.quote(e)}""")}}""")
         System.out.flush()
+        if ((i + 1) % InlineProbeStride == 0 || (i + 1) == coldQs.size)
+          inlineProbe(i + 1)
         (q, cold, err)
       }
+    // COLD2 re-measure (round-17 ask #2): streaming members of this
+    // run's top-20 colds get a second COLD sample here — they are
+    // excluded from the warm pass by policy, but a streaming re-run
+    // re-pays state-store provisioning and so IS a cold re-measurement;
+    // batch members get their second sample from the warm pass below at
+    // zero extra wall. ~3 queries, ~15 s on a clean host.
+    val Cold2K = 20
+    val cold2: Map[String, Double] = colds
+      .sortBy { case (_, cold, _) => -cold }.take(Cold2K)
+      .filter { case (q, _, err) => q.streaming && err.isEmpty }
+      .flatMap { case (q, _, _) =>
+        val (t, e) = timed(q)
+        spark.sharedState.cacheManager.clearCache()
+        println(s"""{"progress":"cold2","name":${Jsons.quote(q.name)},"cold2":$t${
+          e.fold("")(x => s""","err":${Jsons.quote(x)}""")}}""")
+        System.out.flush()
+        if (e.isEmpty) Some(q.name -> t) else None
+      }.toMap
     // Phase 2: WARM pass for the top-K heaviest batch queries only,
     // ranked by THIS run's cold times. r08 warmed all 161 queries and
     // spent 888 s — nearly half a driver wall that ran within sight of
@@ -307,10 +408,18 @@ object Bench {
       graft.engine.Fs.deleteRecursivelyQuietly(tmp)
     }
     canary("end")
+    graft.engine.Fs.deleteRecursivelyQuietly(probeDir)
     val warmRs = results.collect { case R(n, _, Some(w), _) => (n, w) }
     val errs = results.count(_.err.isDefined)
     val total = results.map(_.cold).sum
     val totalWarm = warmRs.map(_._2).sum
+    // contention-resistant total (see coldMinTotal): second samples are
+    // the warm rows (batch top-20) and the cold2 re-runs (streaming
+    // top-20); min-merged in case a name ever lands in both
+    val secondSamples =
+      (warms.toSeq ++ cold2.toSeq).groupMapReduce(_._1)(_._2)(math.min)
+    val totalColdMin =
+      coldMinTotal(results.map(r => (r.name, r.cold)), secondSamples)
     // COMPACT summary (see header): totals + counts only — per-query data
     // already streamed above; an ~8 KB map here is what kept the driver's
     // tail-window parse null for seven rounds.
@@ -346,10 +455,23 @@ object Bench {
     // see SummaryMaxChars / echoCohorts / renderEchoMaps above
     val (topCold, warmEcho) =
       echoCohorts(results.map(r => (r.name, r.cold)), warms, WarmK)
+    // inline-probe echo (round-17 ask #1a): `inline_after` travels WITH
+    // the spin/io arrays — same no-positional-convention rule as
+    // canary_phases/write_names — so benchguard brackets contention
+    // windows from the summary alone after the per-lines scroll out
+    val inlineAfter = inlineProbes.map(_._1).mkString(",")
+    val inlineSpin =
+      inlineProbes.map(p => num(p._2, "%.2f")).mkString(",")
+    val inlineIo = inlineProbes.map(p => num(p._3, "%.2f")).mkString(",")
+    // cold2 echo: the streaming re-measures (few entries by design —
+    // batch second samples are already visible as warm_echo)
+    val cold2Echo = cold2.toSeq.sortBy { case (n, v) => (-v, n) }
+      .map { case (n, v) => s"${Jsons.quote(n)}:${fmt2(v)}" }
+      .mkString(",")
     val head =
-      s"""{"metric":"total","value":$total,"unit":"sec","total_warm":$totalWarm,"n_warm":${warmRs.size},"n_queries":${results.size},"n_errors":$errs,"""
+      s"""{"metric":"total","value":$total,"unit":"sec","total_warm":$totalWarm,"total_cold_min":${num(totalColdMin, "%.2f")},"n_warm":${warmRs.size},"n_queries":${results.size},"n_errors":$errs,"""
     val rest =
-      s""""canary_phases":[$canaryPhases],"canary_spins":[$canarySpins],"canary_load1":[$canaryLoads],"write_names":[$writeNames],"write_secs":[$writeEcho],"sf":${Jsons.quote(sfDir)}}"""
+      s""""cold2":{$cold2Echo},"inline_after":[$inlineAfter],"inline_spin":[$inlineSpin],"inline_io":[$inlineIo],"canary_phases":[$canaryPhases],"canary_spins":[$canarySpins],"canary_load1":[$canaryLoads],"write_names":[$writeNames],"write_secs":[$writeEcho],"sf":${Jsons.quote(sfDir)}}"""
     val echo = renderEchoMaps(topCold, warmEcho,
       SummaryMaxChars - head.length - rest.length - 1)
     val summary = head + echo + "," + rest
