@@ -89,6 +89,29 @@ class PlanBoundsSpec extends SparkSpec {
     } finally engine.Fs.deleteRecursivelyQuietly(dir)
   }
 
+  test("union: bounded only when EVERY branch is (an unbounded side " +
+      "cannot hide behind a bounded one)") {
+    // the r17 ask-#6 negative: a cross-join attach whose "bounded" side
+    // is really union(dim, fact) scales with the fact table — the
+    // all-children rule must refuse it regardless of branch order
+    val dims = spark.read.parquet(s"$sfDir/nation.parquet")
+      .select(col("n_nationkey").as("k"))
+    val facts = docs.select(col("doc_id").as("k"))
+    verdict(dims.union(facts)) shouldBe false
+    verdict(facts.union(dims)) shouldBe false
+    verdict(dims.union(dims)) shouldBe true
+  }
+
+  test("NOT bounded: disjunction of conjuncts with an unbounded branch") {
+    // (id < 3 AND p) OR (len > 100): the second branch keeps an
+    // unbounded fraction of the table, so the filter as a whole must
+    // not be blessed even though a bounded unique-key conjunct appears
+    // inside the first branch
+    verdict(docs.filter(
+      (col("doc_id") < 3 && functions.length(col("text")) > 5) ||
+        functions.length(col("text")) > 100)) shouldBe false
+  }
+
   test("bounded: enum fixture columns (label), not per-key ones") {
     verdict(emb.groupBy(col("label")).agg(count(lit(1)).as("n"))) shouldBe
       true
