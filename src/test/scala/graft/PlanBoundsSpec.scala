@@ -102,6 +102,21 @@ class PlanBoundsSpec extends SparkSpec {
     verdict(dims.union(dims)) shouldBe true
   }
 
+  test("join: bounded only when BOTH sides are (|A JOIN B| <= |A|x|B| " +
+      "is code-bounded only if each factor is)") {
+    // same shape as the union negative, one level up: an attach whose
+    // "bounded" side is really dim-join-fact scales with the fact table
+    // whichever side the fact sits on — the all-children rule must
+    // refuse both orders and keep blessing the pure dim-dim join
+    val nations = spark.read.parquet(s"$sfDir/nation.parquet")
+    val regions = spark.read.parquet(s"$sfDir/region.parquet")
+    val byNation = docs.select((col("doc_id") % 25).as("n_nationkey"))
+    verdict(nations.join(byNation, "n_nationkey")) shouldBe false
+    verdict(byNation.join(nations, "n_nationkey")) shouldBe false
+    verdict(nations.join(regions,
+      col("n_regionkey") === col("r_regionkey"))) shouldBe true
+  }
+
   test("NOT bounded: disjunction of conjuncts with an unbounded branch") {
     // (id < 3 AND p) OR (len > 100): the second branch keeps an
     // unbounded fraction of the table, so the filter as a whole must
