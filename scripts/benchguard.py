@@ -137,6 +137,19 @@ WRITE_SUMMARY_ORDER = ["write_s5_silver_partitioned",
                        "write_s5b_dynamic_overwrite", "write_s7_gold"]
 
 
+def json_records(lines):
+    """The parse-or-skip scan every capture parser shares: yields each
+    line that decodes as a JSON object, ignoring log noise."""
+    for line in lines:
+        line = line.strip()
+        if not line.startswith("{"):
+            continue
+        try:
+            yield json.loads(line)
+        except json.JSONDecodeError:
+            continue
+
+
 def parse_capture(lines):
     """Per-query (cold, warm) seconds from a bench stdout capture.
 
@@ -616,14 +629,7 @@ def parse_inline(lines):
     indices whose per-lines were truncated away (same merge rule as the
     canary echo). Empty for a pre-round-18 capture."""
     per_line, summary = {}, {}
-    for line in lines:
-        line = line.strip()
-        if not line.startswith("{"):
-            continue
-        try:
-            d = json.loads(line)
-        except json.JSONDecodeError:
-            continue
+    for d in json_records(lines):
         if d.get("progress") == "canary_inline" and "after" in d:
             a = int(d["after"])
             per_line[a] = (a, float(d.get("spin_sec", 0.0)),
@@ -715,14 +721,7 @@ def parse_cold2(lines):
     """Streaming cold re-measures: per-line `{"progress":"cold2",...}`
     records win, the summary's `cold2` map fills."""
     per_line, summary = {}, {}
-    for line in lines:
-        line = line.strip()
-        if not line.startswith("{"):
-            continue
-        try:
-            d = json.loads(line)
-        except json.JSONDecodeError:
-            continue
+    for d in json_records(lines):
         if d.get("progress") == "cold2" and "name" in d \
                 and "cold2" in d and "err" not in d:
             per_line[d["name"]] = float(d["cold2"])
@@ -747,14 +746,7 @@ def cold_min_estimate(lines, slowdown):
     under-correct: a derived estimate that fits the budget is
     conservative evidence, never an optimistic one."""
     summary = None
-    for line in lines:
-        line = line.strip()
-        if not line.startswith("{"):
-            continue
-        try:
-            d = json.loads(line)
-        except json.JSONDecodeError:
-            continue
+    for d in json_records(lines):
         if d.get("metric") == "total" and "value" in d:
             summary = d
     cold, warm = parse_capture(lines)
