@@ -22,8 +22,11 @@ package graft
   *    decimals — ~1.2 KB at 295 queries) so the driver artifact alone
   *    attributes heavy queries after the tail truncates the per-query
   *    lines; the trim guarantees the rounds-1-7 failure mode cannot
-  *    recur. Full-precision per-query numbers still stream as the
-  *    flushed progress lines above.
+  *    recur. Since round 19 each `warm_echo` value is a `[warm, cold]`
+  *    PAIR (r18's trim dropped the 7 warm-cohort colds outside the
+  *    global top-20, leaving those warm rows unadjudicatable from the
+  *    artifact alone — see [[echoCohorts]]). Full-precision per-query
+  *    numbers still stream as the flushed progress lines above.
   *
   * Write-path policy: the sink surface (S5 partitioned silver write, S7
   * gold write, S5b dynamic-partition overwrite) is timed too — each as a
@@ -156,16 +159,25 @@ object Bench {
     * the heavy queries — the same summary-echo pattern as
     * `canary_phases`/`write_names`).
     *
+    *  - `warm_echo`: every successful warm row (≤ K by construction),
+    *    each carrying ITS OWN COLD as a `[warm, cold]` pair (round-18
+    *    lesson: r18's 1,883/1,900-char line trimmed the 7 warm-cohort
+    *    colds that sat outside the global top-20, leaving those warm
+    *    rows unadjudicatable from the driver artifact alone — inside
+    *    the pair, no trim of the OTHER map can detach a warm row's
+    *    cold).
     *  - `top_cold`: the K heaviest colds across ALL queries (streaming
     *    included — q107's stream-stream outer join is a legitimate
-    *    heavy-tail member), UNIONed with the warm cohort's colds. The
-    *    union matters: the warm cohort is the top-K NON-streaming
-    *    colds, so when a streaming query occupies a global top-K slot,
-    *    a warm row's own cold would otherwise be missing from the echo
-    *    and benchguard's warm-vs-own-cold contention check (the r16
-    *    q79 smoking gun: warm 11.26 s vs cold ~1.5 s) could not
-    *    adjudicate that row from a tail-only capture.
-    *  - `warm_echo`: every successful warm row (≤ K by construction).
+    *    heavy-tail member), MINUS the names already carried in
+    *    `warm_echo` pairs: a duplicate entry would spend ~28 chars
+    *    repeating a number the pair already carries for ~6, and the
+    *    pair-shape line must stay under the same [[SummaryMaxChars]]
+    *    budget the r18 single-value shape nearly filled. Consumers
+    *    (benchguard's `parse_summary_echo`) merge pair colds back into
+    *    the cold-attribution map, so "the top-K heaviest" is always
+    *    reconstructible from the two maps together. Rounds ≤18 instead
+    *    UNIONed the warm cohort's colds into top_cold as single
+    *    values; benchguard accepts both shapes.
     *
     * Both are value-descending with a name tiebreak, so the budget trim
     * in [[renderEchoMaps]] always drops the LIGHTEST entries first.
@@ -173,31 +185,36 @@ object Bench {
   private[graft] def echoCohorts(
       colds: Seq[(String, Double)],
       warms: Map[String, Double],
-      k: Int): (Seq[(String, Double)], Seq[(String, Double)]) = {
+      k: Int): (Seq[(String, Double)], Seq[(String, Double, Double)]) = {
     val desc = colds.sortBy { case (n, c) => (-c, n) }
-    val top = desc.take(k)
-    val topNames = top.map(_._1).toSet
-    val extras = desc.filter { case (n, _) =>
-      warms.contains(n) && !topNames(n) }
+    val coldOf = colds.toMap
+    // every warm name came from this run's cold ranking, so coldOf is
+    // total over the warm cohort
     val warmEcho = warms.toSeq.sortBy { case (n, w) => (-w, n) }
-    (top ++ extras, warmEcho)
+      .map { case (n, w) => (n, w, coldOf(n)) }
+    val top = desc.take(k).filterNot { case (n, _) => warms.contains(n) }
+    (top, warmEcho)
   }
 
-  /** Renders `"top_cold":{...},"warm_echo":{...}` (2-decimal values) in
-    * at most `budget` chars, dropping the smallest entry from the
-    * longer map (ties: warm_echo — cold attribution is the primary
-    * ask) until it fits. Both keys are always present, possibly as
-    * empty maps, so consumers never key-check against line length.
+  /** Renders `"top_cold":{...},"warm_echo":{...}` (2-decimal values;
+    * warm entries as `[warm, cold]` pairs) in at most `budget` chars,
+    * dropping the smallest entry from the longer map (ties: warm_echo —
+    * cold attribution is the primary ask) until it fits. Both keys are
+    * always present, possibly as empty maps, so consumers never
+    * key-check against line length.
     */
   private[graft] def renderEchoMaps(
       topCold: Seq[(String, Double)],
-      warmEcho: Seq[(String, Double)],
+      warmEcho: Seq[(String, Double, Double)],
       budget: Int): String = {
-    def render(tc: Seq[(String, Double)], we: Seq[(String, Double)]) = {
-      def m(xs: Seq[(String, Double)]) =
-        xs.map { case (n, v) => s"${Jsons.quote(n)}:${fmt2(v)}" }
-          .mkString(",")
-      s""""top_cold":{${m(tc)}},"warm_echo":{${m(we)}}"""
+    def render(tc: Seq[(String, Double)],
+        we: Seq[(String, Double, Double)]) = {
+      val tcm = tc.map { case (n, v) => s"${Jsons.quote(n)}:${fmt2(v)}" }
+        .mkString(",")
+      val wem = we
+        .map { case (n, w, c) => s"${Jsons.quote(n)}:[${fmt2(w)},${fmt2(c)}]" }
+        .mkString(",")
+      s""""top_cold":{$tcm},"warm_echo":{$wem}"""
     }
     var tc = topCold
     var we = warmEcho

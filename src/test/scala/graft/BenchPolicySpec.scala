@@ -43,33 +43,36 @@ class BenchPolicySpec extends AnyFunSuite with Matchers {
 
   // ---- round-17 summary echo (VERDICT r16 ask #1a) ----
 
-  test("echoCohorts unions the warm cohort into top_cold so every warm " +
-      "row's own cold survives the echo") {
+  test("echoCohorts gives every warm_echo row its own cold as a " +
+      "[warm, cold] pair (r18: the trim dropped union-extra colds)") {
     // a heavy streaming query occupies a global top-K slot, pushing the
-    // lightest warm-cohort member out of the global top-K: the union
-    // must re-include it, or benchguard's warm-vs-own-cold check could
-    // not adjudicate that row from a tail-only capture
+    // lightest warm-cohort member out of the global top-K: its cold
+    // must still travel — now INSIDE the pair, where no trim of the
+    // other map can detach it (rounds ≤18 unioned it into top_cold and
+    // r18's 1,883/1,900-char line trimmed exactly those 7 extras away);
+    // top_cold keeps only the NON-warm heavies (the pair already
+    // carries the cold for warm names — a duplicate entry would spend
+    // the budget the pair shape exists to save)
     val colds = Seq(("q_stream_heavy", 9.0), ("qa", 5.0), ("qb", 4.0),
       ("qc", 3.0), ("qd", 2.0))
     val warms = Map("qa" -> 4.0, "qb" -> 3.1, "qc" -> 2.4, "qd" -> 1.9)
     val (topCold, warmEcho) = Bench.echoCohorts(colds, warms, k = 4)
-    // global top-4 = stream_heavy, qa, qb, qc; qd re-enters via union
-    topCold.map(_._1) shouldBe
-      Seq("q_stream_heavy", "qa", "qb", "qc", "qd")
-    warmEcho.map(_._1) shouldBe Seq("qa", "qb", "qc", "qd")
+    topCold.map(_._1) shouldBe Seq("q_stream_heavy")
+    warmEcho shouldBe Seq(("qa", 4.0, 5.0), ("qb", 3.1, 4.0),
+      ("qc", 2.4, 3.0), ("qd", 1.9, 2.0))
     // both value-descending so the budget trim drops the lightest first
     topCold.map(_._2) shouldBe topCold.map(_._2).sorted.reverse
     warmEcho.map(_._2) shouldBe warmEcho.map(_._2).sorted.reverse
   }
 
-  test("renderEchoMaps renders both keys, 2-decimal, and never exceeds " +
-      "its budget (drops lightest entries first)") {
+  test("renderEchoMaps renders both keys, 2-decimal, warm as [warm,cold] " +
+      "pairs, and never exceeds its budget (drops lightest entries first)") {
     val tc = Seq(("q110_wedge", 6.312), ("q107_stream", 4.818))
-    val we = Seq(("q110_wedge", 4.1))
+    val we = Seq(("q110_wedge", 4.1, 6.312))
     val full = Bench.renderEchoMaps(tc, we, budget = 10000)
     full shouldBe
       """"top_cold":{"q110_wedge":6.31,"q107_stream":4.82},""" +
-        """"warm_echo":{"q110_wedge":4.10}"""
+        """"warm_echo":{"q110_wedge":[4.10,6.31]}"""
     // squeezed: the LIGHTEST entries go first, keys always remain
     val squeezed = Bench.renderEchoMaps(tc, we, budget = full.length - 1)
     squeezed.length should be <= (full.length - 1)
