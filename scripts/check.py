@@ -6,7 +6,9 @@ oracle SQL in DuckDB over the sf tables, and compares: schema (column
 names, sorted), row count, and values (rows sorted by all columns,
 column order = sorted by name — mirroring the driver's described
 compare). Floats compared exactly AND with max-abs-diff reporting so
-near-misses are visible.
+near-misses are visible. A zero-row result fails unless the catalog
+declared the query semantically empty (empty_ok.json, from
+Catalog.Q.emptyOk) — an oracle cannot see a degeneracy it shares.
 
 Usage: check.py <sfDir> <verifyOutDir> [query ...]
 """
@@ -51,6 +53,19 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # Zero-row non-degeneracy gate (round-19): the oracle runs the same
+    # SQL over the same data, so a fixture or constant change that
+    # collapses a query to 0 rows still hash-matches (SURVEY §7.10:
+    # hourly buckets once left the sf0.1 graph EMPTY while every query
+    # stayed green). Emptiness is therefore adjudicated against the
+    # catalog's OWN declaration (Catalog.Q.emptyOk, exported by Verify
+    # as empty_ok.json): any query outside that set returning 0 rows is
+    # a FAIL even when the oracle agrees. Missing file (pre-round-19
+    # Verify output) degrades to an empty allowlist — stricter, never
+    # looser.
+    empty_ok_path = os.path.join(out_dir, "empty_ok.json")
+    empty_ok = set(json.load(open(empty_ok_path))) \
+        if os.path.exists(empty_ok_path) else set()
     n_pass = n_fail = 0
     # Anti-false-green: every expected query (oracle keys, plus any
     # explicitly requested names) must have an output dir. A query dropped
@@ -71,7 +86,13 @@ def main():
         got_rows = [tuple(r) for r in zip(*[got_tbl.column(c).to_pylist()
                                             for c in got_cols])] if got_cols else []
         if name not in oracles:
-            print(f"  ~ {name}: no oracle (rows-only): {len(got_rows)} rows")
+            if not got_rows and name not in empty_ok:
+                print(f"  ✗ {name}: DEGENERATE 0 rows (rows-only query "
+                      f"not in the declared semantically-empty set)")
+                n_fail += 1
+            else:
+                print(f"  ~ {name}: no oracle (rows-only): "
+                      f"{len(got_rows)} rows")
             continue
         try:
             # ONE execution: the arrow table provides both the values and
@@ -129,6 +150,14 @@ def main():
             print(f"  ✗ {name}: VALUES {nd} differing rows; maxFloatDiff={maxd:.3e}")
             if first:
                 print(f"      row {first[0]}:\n      got {first[1]}\n      exp {first[2]}")
+            ok = False
+        if ok and not gr and name not in empty_ok:
+            # the oracle happily matched an empty result — but the
+            # catalog never declared this query semantically empty, so
+            # an empty answer is a degeneracy, not a pass
+            print(f"  ✗ {name}: DEGENERATE 0 rows (oracle matches, but "
+                  f"the query is not in the declared semantically-empty "
+                  f"set — a fixture/constant change likely collapsed it)")
             ok = False
         if ok:
             print(f"  ✓ {name}: {len(gr)} rows")

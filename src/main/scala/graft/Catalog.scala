@@ -42,9 +42,21 @@ object Catalog {
     * wall time); [[Bench]] times these cold-only — a warm pass re-pays
     * the same per-run provisioning cost, so it measures nothing the
     * cold pass didn't.
+    *
+    * `emptyOk = true` declares a query whose SEMANTICS make an empty
+    * result the correct answer on the clean fixtures (an anti-join over
+    * a referentially-complete table, a dedup report on a corpus with
+    * nothing to report). Every other query returning 0 rows at any
+    * verified SF is a DEGENERACY the oracle cannot see — the oracle
+    * runs the same SQL over the same data, so a fixture or constant
+    * change that collapses a query to 0 rows still hash-matches
+    * (SURVEY §7.10: hourly buckets once left the sf0.1 graph EMPTY
+    * while every query stayed green) — and `scripts/check.py` now
+    * fails it. The flag lives here, next to the query it blesses, so
+    * the allowlist can never drift from the catalog.
     */
   final case class Q(name: String, fn: QueryFn, oracle: Option[String],
-      streaming: Boolean = false)
+      streaming: Boolean = false, emptyOk: Boolean = false)
 
   def all: Seq[Q] =
     queries.ReferenceQueries.all ++
@@ -63,4 +75,11 @@ object Catalog {
 
   lazy val oracleMap: Map[String, String] =
     all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  /** The declared semantically-empty set (see [[Q.emptyOk]]): exported
+    * to `empty_ok.json` by [[Verify]] so check.py's zero-row
+    * non-degeneracy gate reads the allowlist from the code that
+    * blesses it. */
+  lazy val emptyOkNames: Set[String] =
+    all.filter(_.emptyOk).map(_.name).toSet
 }

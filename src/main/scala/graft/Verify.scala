@@ -26,6 +26,14 @@ object Verify {
       .map { case (k, v) => s"${Jsons.quote(k)}: ${Jsons.quote(v)}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // the declared semantically-empty allowlist (Catalog.Q.emptyOk),
+    // exported for check.py's zero-row non-degeneracy gate: a query
+    // that degenerates to 0 rows still hash-matches its oracle (same
+    // SQL, same data), so emptiness must be adjudicated against the
+    // catalog's own declaration, not against the oracle
+    Files.writeString(Paths.get(s"$outDir/empty_ok.json"),
+      Catalog.emptyOkNames.toSeq.sorted
+        .map(Jsons.quote).mkString("[", ",", "]"))
     val selected =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => only(n) }

@@ -116,7 +116,12 @@ private[queries] trait RelationalJoinQueries {
     },
     Some("""SELECT c_nationkey, count(*) AS n_cust FROM customer
             WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-            GROUP BY c_nationkey ORDER BY c_nationkey"""))
+            GROUP BY c_nationkey ORDER BY c_nationkey"""),
+    // semantically empty on these fixtures: every generated customer
+    // has at least one order, so the anti-join's correct answer is no
+    // rows — declared here (not in a script-side list) so check.py's
+    // zero-row degeneracy gate knows this empty is the oracle truth
+    emptyOk = true)
 
   /** Exact multi-column distinct counts (single + tuple). */
   val q12DistinctExact: Q = Q(

@@ -41,6 +41,17 @@ class BenchPolicySpec extends AnyFunSuite with Matchers {
     names.distinct.size shouldBe names.size
   }
 
+  test("the semantically-empty allowlist is exactly the two declared " +
+      "queries (check.py's zero-row non-degeneracy gate reads it)") {
+    // q09: anti-join over referentially-complete fixtures; q193: no two
+    // generated docs share a token multiset. ANY other query returning
+    // 0 rows at a verified SF is a degeneracy the oracle cannot see
+    // (same SQL, same data — SURVEY §7.10's empty-graph lesson), so
+    // growth of this set needs the same scrutiny as a new query
+    Catalog.emptyOkNames shouldBe Set("q09_anti_join",
+      "q193_tokenset_dedup")
+  }
+
   // ---- round-17 summary echo (VERDICT r16 ask #1a) ----
 
   test("echoCohorts gives every warm_echo row its own cold as a " +
