@@ -117,6 +117,36 @@ class PlanBoundsSpec extends SparkSpec {
       col("n_regionkey") === col("r_regionkey"))) shouldBe true
   }
 
+  test("aggregate: unbounded group keys over an unbounded child are " +
+      "refused even when a bounded dim hides inside the child") {
+    // the r18-verdict "next class up" from the dim-join-fact pin: an
+    // attach of agg(dim JOIN fact) GROUP BY per-row-key scales with the
+    // fact table — neither arm of the aggregate rule may bless it (the
+    // keys scale per row AND the child is unbounded); the dim buried in
+    // the join must not leak boundedness through the aggregate
+    val nations = spark.read.parquet(s"$sfDir/nation.parquet")
+    val byNation = docs.select(col("doc_id"),
+      (col("doc_id") % 25).as("n_nationkey"))
+    val joined = nations.join(byNation, "n_nationkey")
+    verdict(joined.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"))) shouldBe false
+    // mixed keys: group count is the DOMAIN PRODUCT, so one bounded
+    // key must not bless the pair (forall, not exists — no other test
+    // groups by more than one key, so this is the only verdict that
+    // distinguishes them)
+    verdict(joined.groupBy(col("doc_id"), (col("doc_id") % 25).as("b"))
+      .agg(count(lit(1)).as("n"))) shouldBe false
+    // the rule's two sound escapes stay blessed, pinning each || arm:
+    // a bounded key DOMAIN over the same unbounded child (<= 25 groups
+    // whatever the fact size) ...
+    verdict(joined.groupBy((col("doc_id") % 25).as("b"))
+      .agg(count(lit(1)).as("n"))) shouldBe true
+    // ... and unbounded keys over a genuinely bounded child (output
+    // rows <= child rows; n_name is no enum but nation is a fixed dim)
+    verdict(nations.groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n"))) shouldBe true
+  }
+
   test("NOT bounded: disjunction of conjuncts with an unbounded branch") {
     // (id < 3 AND p) OR (len > 100): the second branch keeps an
     // unbounded fraction of the table, so the filter as a whole must
