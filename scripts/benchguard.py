@@ -293,11 +293,15 @@ WARM_SUSPECT_MIN_EXCESS_S = 0.1
 # beyond what the spin ratio normalizes (page-cache state, IO stack —
 # the r18 artifact's q272/q68 sat at 1.4-1.7x their local colds while
 # every same-run-adjudicated row was clean). A cross-capture basis
-# therefore gets the canary's own 2x philosophy plus a real absolute
-# floor, so it can still catch an r16-q79-magnitude artifact (7.7x)
-# without manufacturing suspects out of host-to-host scatter.
+# therefore gets the canary's own 2x philosophy plus an absolute floor
+# ABOVE small-row scatter: the same query's cold measured 0.79s and
+# 1.31s in two consecutive CLEAN local captures (1.7x run-to-run on a
+# sub-second row), so any floor below ~1.5s lets the verdict flip with
+# the baseline refresh. The target class is the r16 q79 artifact
+# (warm 11.26s vs cold ~1.5s: 7.7x, ~8s excess), which clears both
+# thresholds with a wide margin.
 FALLBACK_SUSPECT_FACTOR = 2.0
-FALLBACK_MIN_EXCESS_S = 0.5
+FALLBACK_MIN_EXCESS_S = 2.0
 
 
 def annotate_warm(lines, fallback_lines=None, fallback_label=None):
@@ -1956,6 +1960,22 @@ def selftest():
     # basis only
     marginal = {"metric": "total", "value": 500.0, "n_queries": 295,
                 "warm_echo": {"q68_mix": 5.1}}
+    # ... and a 2.8x of a SUB-SECOND fallback cold stays clean too (the
+    # q68 flip: the same query's cold scattered 0.79s vs 1.31s across
+    # two clean local captures, so a baseline refresh must not flip the
+    # verdict — the absolute floor absorbs small-row scatter)
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        v = annotate_warm(
+            [json.dumps({"metric": "total", "value": 500.0,
+                         "n_queries": 295,
+                         "warm_echo": {"q68_small": 2.23}})],
+            [json.dumps({"progress": "query", "name": "q68_small",
+                         "cold": 0.79, "streaming": False})],
+            "bench_local.jsonl")
+    assert v == "WARM-CLEAN", \
+        f"selftest-warm-fallback-smallrow: sub-second scatter must not " \
+        f"flip the verdict: {buf.getvalue()}"
     buf = _io.StringIO()
     with contextlib.redirect_stdout(buf):
         v = annotate_warm([json.dumps(marginal)], fb, "bench_local.jsonl")
