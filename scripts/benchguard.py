@@ -371,13 +371,11 @@ def annotate_warm(lines, fallback_lines=None, fallback_label=None):
               "check warm-vs-own-cold")
     else:
         verdict = "WARM-CLEAN"
+        suffix = (f" ({FALLBACK_SUSPECT_FACTOR:.1f}x for "
+                  "fallback-attributed rows)") if borrowed else ""
         print(f"benchguard: warm [WARM-CLEAN] — {len(warm) - len(unknown)} "
               f"warm rows each within {WARM_SUSPECT_FACTOR:.1f}x of their "
-              f"own cold ({FALLBACK_SUSPECT_FACTOR:.1f}x for "
-              "fallback-attributed rows)" if borrowed else
-              f"benchguard: warm [WARM-CLEAN] — {len(warm) - len(unknown)} "
-              f"warm rows each within {WARM_SUSPECT_FACTOR:.1f}x of their "
-              "own cold")
+              f"own cold{suffix}")
     if borrowed:
         print("benchguard: warm NOTE — cold attribution for "
               + ", ".join(borrowed)
@@ -451,6 +449,23 @@ def mean_spin(lines):
     return (sum(spins) / len(spins)) if spins else None
 
 
+def spin_drift(lines_a, lines_b):
+    """(spin_a, spin_b, drift, refuse_msg) — the canary-drift scaffolding
+    compare_cold and compare_cold_min share. drift is None when either
+    capture predates the canary ([NO-CANARY] handling is the caller's);
+    refuse_msg is non-None for a degenerate 0-second spin (a corrupt
+    capture, not a clean host — r17 ADVICE: truthiness used to conflate
+    this with a missing canary)."""
+    sa, sb = mean_spin(lines_a), mean_spin(lines_b)
+    if sa is not None and sb is not None and (sa <= 0 or sb <= 0):
+        return sa, sb, None, (
+            f"degenerate canary spin ({sa:.3f}s vs {sb:.3f}s): a "
+            "0-second spin is a corrupt capture, not a clean host; "
+            "drift is undefined")
+    drift = (sa / sb) if (sa is not None and sb is not None) else None
+    return sa, sb, drift, None
+
+
 def compare_cold(lines_a, label_a, lines_b, label_b):
     """Compare two captures' cold totals on the query INTERSECTION,
     normalized by the canary-spin ratio so host drift reads as
@@ -483,16 +498,10 @@ def compare_cold(lines_a, label_a, lines_b, label_b):
               f"in {label_b}; ratio undefined")
         return "REFUSED"
     raw = ta / tb
-    sa, sb = mean_spin(lines_a), mean_spin(lines_b)
-    # explicit None tests (r17 ADVICE): truthiness conflated "no canary
-    # records" with a (degenerate) 0.0 mean spin — a zero spin is a
-    # broken capture and must be refused, not relabeled [NO-CANARY]
-    if sa is not None and sb is not None and (sa <= 0 or sb <= 0):
-        print(f"benchguard: cold-compare [REFUSED] — degenerate canary "
-              f"spin ({sa:.3f}s vs {sb:.3f}s): a 0-second spin is a "
-              "corrupt capture, not a clean host; drift is undefined")
+    sa, sb, drift, refuse = spin_drift(lines_a, lines_b)
+    if refuse is not None:
+        print(f"benchguard: cold-compare [REFUSED] — {refuse}")
         return "REFUSED"
-    drift = (sa / sb) if (sa is not None and sb is not None) else None
     if drift is None:
         verdict = "NO-CANARY"
         print(f"benchguard: cold-compare [NO-CANARY] — intersection "
@@ -589,13 +598,10 @@ def compare_cold_min(lines_a, label_a, lines_b, label_b):
               f"({nq_a} vs {nq_b}): the totals sum different catalogs, "
               "so part of any ratio is set-shift, not per-query movement")
     raw = ta / tb
-    sa, sb = mean_spin(lines_a), mean_spin(lines_b)
-    if sa is not None and sb is not None and (sa <= 0 or sb <= 0):
-        print(f"benchguard: cold_min-compare [REFUSED] — degenerate "
-              f"canary spin ({sa:.3f}s vs {sb:.3f}s): a 0-second spin "
-              "is a corrupt capture; drift is undefined")
+    sa, sb, drift, refuse = spin_drift(lines_a, lines_b)
+    if refuse is not None:
+        print(f"benchguard: cold_min-compare [REFUSED] — {refuse}")
         return "REFUSED"
-    drift = (sa / sb) if (sa is not None and sb is not None) else None
     if drift is None:
         print(f"benchguard: cold_min-compare [NO-CANARY] — cold_min "
               f"{label_a} {ta:.1f}s ({prov_a}) vs prior cold_min "
@@ -931,23 +937,23 @@ def cold_min_estimate(lines, slowdown):
     for d in json_records(lines):
         if d.get("metric") == "total" and "value" in d:
             summary = d
-    cold, warm = parse_capture(lines)
-    cold2 = parse_cold2(lines)
-    if summary is not None and summary.get("total_cold_min") is not None:
-        tcm = float(summary["total_cold_min"])
+    # the first two preference levels ARE total_cold_min_of (one
+    # implementation of the summary/min-merge logic); only the warm
+    # total differs per level — the explicit path trusts the summary's
+    # total_warm, the per-query path sums the surviving warm lines
+    tcm, prov, _ = total_cold_min_of(lines)
+    if tcm is not None and prov == "explicit":
         tw = float(summary.get("total_warm", 0.0))
         return (tcm + tw) * slowdown + OVERHEAD_S, \
             f"explicit total_cold_min {tcm:.1f}s"
-    second = dict(cold2)
-    for n, w in warm.items():
-        second[n] = min(w, second[n]) if n in second else w
-    n_q = summary.get("n_queries") if summary is not None else None
-    if cold and (n_q is None or len(cold) >= n_q):
-        tcm = sum(min(c, second.get(n, c)) for n, c in cold.items())
-        tw = sum(warm.values())
-        return (tcm + tw) * slowdown + OVERHEAD_S, \
-            f"per-query min over {len(cold)} queries = {tcm:.1f}s"
+    _, warm = parse_capture(lines)
+    if tcm is not None:
+        return (tcm + sum(warm.values())) * slowdown + OVERHEAD_S, \
+            f"{prov} = {tcm:.1f}s"
     if summary is not None:
+        second = dict(parse_cold2(lines))
+        for n, w in warm.items():
+            second[n] = min(w, second[n]) if n in second else w
         top_cold, warm_echo = parse_summary_echo(lines)
         for n, w in warm_echo.items():
             if n not in second or w < second[n]:
