@@ -226,23 +226,39 @@ def parse_summary_echo(lines):
     consumer — merged_attribution, the warm-vs-own-cold check, the
     cold_min echo correction — sees one complete cold-attribution map
     regardless of which shape the capture used."""
-    top_cold, warm_echo = {}, {}
+    # LAST summary record wins, both maps together (same convention as
+    # total_cold_min_of): merging across records would adjudicate one
+    # run's warm rows against another run's colds when two summaries
+    # ever land in one capture (concatenated runs, a crashed retry)
+    summary = None
     for d in json_records(lines):
-        if d.get("metric") == "total":
-            pair_cold = {}
-            if isinstance(d.get("warm_echo"), dict):
-                warm_echo = {}
-                for k, v in d["warm_echo"].items():
-                    if isinstance(v, (list, tuple)):
-                        warm_echo[k] = float(v[0])
-                        if len(v) > 1 and v[1] is not None:
-                            pair_cold[k] = float(v[1])
-                    else:
-                        warm_echo[k] = float(v)
-            if isinstance(d.get("top_cold"), dict):
-                top_cold = {k: float(v) for k, v in d["top_cold"].items()}
-            top_cold = {**pair_cold, **top_cold}
-    return top_cold, warm_echo
+        if d.get("metric") == "total" and (
+                isinstance(d.get("top_cold"), dict)
+                or isinstance(d.get("warm_echo"), dict)):
+            summary = d
+    if summary is None:
+        return {}, {}
+    top_cold, warm_echo, pair_cold = {}, {}, {}
+    we_raw = summary.get("warm_echo")
+    tc_raw = summary.get("top_cold")
+    for k, v in (we_raw if isinstance(we_raw, dict) else {}).items():
+        # parse-or-skip like every other parser here: one malformed
+        # value ([], [null,...], a string) must not crash the verdict
+        try:
+            if isinstance(v, (list, tuple)):
+                warm_echo[k] = float(v[0])
+                if len(v) > 1 and v[1] is not None:
+                    pair_cold[k] = float(v[1])
+            else:
+                warm_echo[k] = float(v)
+        except (TypeError, ValueError, IndexError):
+            warm_echo.pop(k, None)
+    for k, v in (tc_raw if isinstance(tc_raw, dict) else {}).items():
+        try:
+            top_cold[k] = float(v)
+        except (TypeError, ValueError):
+            continue
+    return {**pair_cold, **top_cold}, warm_echo
 
 
 def merged_attribution(lines):
@@ -328,8 +344,12 @@ def annotate_warm(lines, fallback_lines=None, fallback_label=None):
               "capture (filtered run, streaming-only, or pre-round-8 "
               "shape)")
         return "NO WARM DATA"
+    # parse the fallback capture only when some warm row actually needs
+    # it — for a round-19+ pair-shaped artifact every row self-carries
+    # its cold, and parsing the ~340-line committed capture for nothing
+    # would be the common case
     fb_cold = {}
-    if fallback_lines is not None:
+    if fallback_lines is not None and any(n not in cold for n in warm):
         fb_cold, _ = merged_attribution(list(fallback_lines))
     suspects = []
     unknown = []
@@ -586,9 +606,14 @@ def compare_cold_min(lines_a, label_a, lines_b, label_b):
               f"basis in {missing} ({why}); pre-round-18 captures "
               "carry no total_cold_min")
         return "REFUSED"
-    if tb <= 0:
+    if ta <= 0 or tb <= 0:
+        # refuse BOTH directions: a 0.0s explicit total_cold_min (an
+        # empty/filtered-run summary) would otherwise print a confident
+        # 0.00x as "the round-over-round basis" — the exact
+        # degenerate-anchor class this comparison exists to kill
+        which = label_a if ta <= 0 else label_b
         print(f"benchguard: cold_min-compare [REFUSED] — zero cold_min "
-              f"total in {label_b}; ratio undefined")
+              f"total in {which}; ratio undefined")
         return "REFUSED"
     # cold_min totals are WHOLE-RUN sums (the summary carries no
     # per-query breakdown), so a catalog-size change shifts the ratio
@@ -2067,6 +2092,37 @@ def selftest():
                                       "canary_spins": [0.5]})], "prior")
     assert "query counts differ (295 vs 200)" in buf.getvalue(), \
         f"selftest-coldmin-setshift: {buf.getvalue()}"
+    # (iv) REVIEW FIXES. Malformed warm_echo values parse-or-skip like
+    # every other parser here — one corrupt value must not turn an
+    # adjudication into a traceback (the skipped row simply goes back
+    # to being unattributed)
+    bad_pairs = [json.dumps(
+        {"metric": "total", "value": 10.0, "n_queries": 3,
+         "top_cold": {"q_ok": 5.0, "q_badtc": "x"},
+         "warm_echo": {"q_empty": [], "q_null": [None, 2.0],
+                       "q_str": ["x", 1.0], "q_ok": [1.0, 5.0]}})]
+    tc_b, we_b = parse_summary_echo(bad_pairs)
+    assert we_b == {"q_ok": 1.0} and tc_b == {"q_ok": 5.0}, \
+        f"selftest-pair-malformed: {tc_b} / {we_b}"
+    # last-summary-wins: a stale earlier summary's top_cold must not
+    # adjudicate a later summary's warm rows (concatenated runs / a
+    # crashed retry's summary in the same capture)
+    two_sums = [
+        json.dumps({"metric": "total", "value": 9.0,
+                    "top_cold": {"q110": 7.0}}),
+        json.dumps({"metric": "total", "value": 10.0,
+                    "warm_echo": {"q110": [4.1, 6.31]}})]
+    tc2, we2 = parse_summary_echo(two_sums)
+    assert tc2 == {"q110": 6.31} and we2 == {"q110": 4.1}, \
+        f"selftest-echo-last-summary: {tc2} / {we2}"
+    # zero cold_min refuses in BOTH directions (a 0.0s explicit basis
+    # must never print a confident 0.00x as the round-over-round anchor)
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        v = compare_cold_min(cm_cap(10.0, 0.0, 0.5), "now",
+                             cm_cap(500.0, 450.0, 0.5), "prior")
+    assert v == "REFUSED" and "zero cold_min total in now" in buf.getvalue(), \
+        f"selftest-coldmin-zero-now: {buf.getvalue()}"
     # json_records multi-pass safety (r18 ADVICE): the multi-pass entry
     # points materialize, so a one-shot iterator input cannot silently
     # drop data

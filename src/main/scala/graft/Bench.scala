@@ -179,8 +179,13 @@ object Bench {
     *    UNIONed the warm cohort's colds into top_cold as single
     *    values; benchguard accepts both shapes.
     *
-    * Both are value-descending with a name tiebreak, so the budget trim
-    * in [[renderEchoMaps]] always drops the LIGHTEST entries first.
+    * Both are value-descending with a name tiebreak — pairs by
+    * `max(warm, cold)`, since a pair matters when EITHER number is
+    * heavy (its cold may be the run's #1 heaviest, or its warm the
+    * anomaly benchguard exists to flag) — so the budget trim in
+    * [[renderEchoMaps]] always drops the least informative entries
+    * first and can never discard the heaviest cold attribution while
+    * lighter rows survive.
     */
   private[graft] def echoCohorts(
       colds: Seq[(String, Double)],
@@ -190,8 +195,9 @@ object Bench {
     val coldOf = colds.toMap
     // every warm name came from this run's cold ranking, so coldOf is
     // total over the warm cohort
-    val warmEcho = warms.toSeq.sortBy { case (n, w) => (-w, n) }
+    val warmEcho = warms.toSeq
       .map { case (n, w) => (n, w, coldOf(n)) }
+      .sortBy { case (n, w, c) => (-math.max(w, c), n) }
     val top = desc.take(k).filterNot { case (n, _) => warms.contains(n) }
     (top, warmEcho)
   }

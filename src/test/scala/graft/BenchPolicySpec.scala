@@ -74,6 +74,14 @@ class BenchPolicySpec extends AnyFunSuite with Matchers {
     // both value-descending so the budget trim drops the lightest first
     topCold.map(_._2) shouldBe topCold.map(_._2).sorted.reverse
     warmEcho.map(_._2) shouldBe warmEcho.map(_._2).sorted.reverse
+    // pairs rank by max(warm, cold): an anomalous heavy WARM (the r16
+    // q79 shape) and a heavy COLD both outlive a trim against rows
+    // light on both numbers — neither the run's heaviest cold nor the
+    // warm anomaly benchguard exists to flag can be dropped first
+    val anom = Bench.echoCohorts(
+      Seq(("q_warm_anom", 1.5), ("qa", 5.0), ("qz", 4.0)),
+      Map("q_warm_anom" -> 11.0, "qa" -> 4.0, "qz" -> 0.2), k = 3)._2
+    anom.map(_._1) shouldBe Seq("q_warm_anom", "qa", "qz")
   }
 
   test("renderEchoMaps renders both keys, 2-decimal, warm as [warm,cold] " +
