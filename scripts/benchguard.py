@@ -2092,6 +2092,37 @@ def selftest():
                                       "canary_spins": [0.5]})], "prior")
     assert "query counts differ (295 vs 200)" in buf.getvalue(), \
         f"selftest-coldmin-setshift: {buf.getvalue()}"
+    # the full check() path on a TAIL-ONLY pair-echo DRIVER WRAPPER —
+    # the exact shape BENCH_r19+.json has after the driver truncates
+    # the per-query lines: every warm row must adjudicate from its own
+    # pair, the heaviest colds must merge from top_cold ∧ pairs, and no
+    # fallback or unadjudicated NOTE may appear
+    pair_wrapper = json.dumps({
+        "n": 295, "rc": 0, "cpus": 32, "sf": "/root/testdata/sf0.1",
+        "tail": json.dumps(
+            {"metric": "total", "value": 405.9, "unit": "sec",
+             "total_warm": 49.6, "total_cold_min": 349.27,
+             "n_warm": 2, "n_queries": 295, "n_errors": 0,
+             "top_cold": {"q110_tri": 13.12, "q107_stream": 12.93},
+             "warm_echo": {"q102_prefix": [2.4, 7.09],
+                           "q139_adc": [2.1, 5.32]},
+             "canary_spins": [0.71, 0.66, 0.72],
+             "canary_load1": [1.6, 1.9, 1.6],
+             "write_names": WRITE_SUMMARY_ORDER,
+             "write_secs": [1.75, 1.06, 0.60]}) + "\n",
+        "parsed": {"metric": "total", "value": 405.9}})
+    pw_lines, pw_origin = capture_lines(pair_wrapper)
+    assert pw_origin, "pair wrapper must be flagged driver-origin"
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = check(pw_lines, DEFAULT_BUDGET_S, "selftest-pair-wrapper",
+                   driver_origin=True,
+                   fallback_lines=fb, fallback_label="bench_local.jsonl")
+    out = buf.getvalue()
+    assert rc == 0 and "warm [WARM-CLEAN]" in out \
+        and "taken from" not in out and "no cold attribution" not in out \
+        and "q110_tri=13.12s" in out and "q102_prefix=7.09s" in out, \
+        f"selftest-pair-wrapper: {out}"
     # (iv) REVIEW FIXES. Malformed warm_echo values parse-or-skip like
     # every other parser here — one corrupt value must not turn an
     # adjudication into a traceback (the skipped row simply goes back
