@@ -114,6 +114,29 @@ and the raw `value` was still the only cross-round anchor):
    contention-inflated raw `value` can never again anchor the
    round-over-round headline.
 
+Round-20 additions (VERDICT r19 ask #1 — the capture self-HEALS, not
+just self-adjudicates: r19 lost 4 warm rows and all 3 write probes to
+a disk burst; they were correctly flagged-and-excluded, but excluded
+is still lost signal):
+
+ - IN-RUN RETRY, WARM: Bench re-measures once, at end of run, every
+   warm row whose first sample trips the WARM-SUSPECT predicate. The
+   retry arrives as a `{"progress":"warm_retry",...}` line and as the
+   third slot of the row's `warm_echo` value (`[warm, cold, retry]`).
+   annotate_warm takes min(first, retry): a clean retry RESCUES the
+   row (verdict WARM-CLEAN, attribution grade `retried`, both samples
+   printed); a still-suspect retry leaves the row flagged.
+ - IN-RUN RETRY, WRITES: a probe whose first sample exceeds 3x nominal
+   is re-run once, arriving as a `<name>__retry` row in the same write
+   stream/echo. annotate_io adjudicates min(first, retry) per probe,
+   labeled `retried` — a passing burst no longer costs the round its
+   sink-row signal.
+ - Retries also feed every cold_min second-sample derivation.
+   Bench.scala mirrors this file's WARM_SUSPECT_* and WRITE_NOMINAL_S/
+   WRITE_NOISY_FACTOR constants (pinned on both sides: BenchPolicySpec
+   and --selftest), so the bench retries exactly the rows this guard
+   would otherwise have to exclude.
+
 Exit codes: 0 OK, 1 over budget (structural), 2 unusable/stale
 capture, 3 over budget but contention-suspect (adjudicate against the
 committed local capture via --compare-cold before believing it).
@@ -155,6 +178,19 @@ WRITE_NOISY_FACTOR = 3.0
 # (kept in Bench.scala's write-bench emission order)
 WRITE_SUMMARY_ORDER = ["write_s5_silver_partitioned",
                        "write_s5b_dynamic_overwrite", "write_s7_gold"]
+
+# Round-20 (VERDICT r19 ask #1 — self-HEALING capture): Bench now
+# re-measures, ONCE at end of run, every row whose first sample trips
+# the very predicates this guard applies post hoc (warm > 1.2x own
+# cold + 0.1s; write > 3x nominal). The retry arrives as a
+# `{"progress":"warm_retry",...}` line / a third `[warm, cold, retry]`
+# echo slot for warm rows, and as a `<name>__retry` row in the same
+# write stream/echo for write probes. The guard takes the per-row MIN
+# under a `retried` attribution grade — rescued signal, named as such,
+# never silently promoted to same-run-pristine. Bench.scala's
+# WarmSuspectFactor/WriteNominalS mirror these constants; drift on
+# either side fails BenchPolicySpec or this file's selftest.
+RETRY_SUFFIX = "__retry"
 
 
 def json_records(lines):
@@ -225,7 +261,9 @@ def parse_summary_echo(lines):
     that the same run can disagree with itself), so every downstream
     consumer — merged_attribution, the warm-vs-own-cold check, the
     cold_min echo correction — sees one complete cold-attribution map
-    regardless of which shape the capture used."""
+    regardless of which shape the capture used. Round-20 TRIPLES
+    ([warm, cold, retry]) parse identically here — the third slot is
+    parse_warm_retries' concern."""
     # LAST summary record wins, both maps together (same convention as
     # total_cold_min_of): merging across records would adjudicate one
     # run's warm rows against another run's colds when two summaries
@@ -259,6 +297,36 @@ def parse_summary_echo(lines):
         except (TypeError, ValueError):
             continue
     return {**pair_cold, **top_cold}, warm_echo
+
+
+def parse_warm_retries(lines):
+    """In-run warm re-measures (round-20): {name: retry_seconds}.
+    Per-line `{"progress":"warm_retry",...}` records win (full
+    precision); the third slot of a summary `warm_echo` triple fills
+    rows whose per-lines were truncated away — the same merge rule as
+    every other echo. An errored retry measured time-to-failure and is
+    skipped. Empty for pre-round-20 captures."""
+    per_line, last_summary = {}, None
+    for d in json_records(lines):
+        if d.get("progress") == "warm_retry" and "name" in d \
+                and "warm_retry" in d and "err" not in d:
+            per_line[d["name"]] = float(d["warm_retry"])
+        elif d.get("metric") == "total" \
+                and isinstance(d.get("warm_echo"), dict):
+            # last summary wins, same convention as parse_summary_echo
+            last_summary = d
+    summary = {}
+    if last_summary is not None:
+        for k, v in last_summary["warm_echo"].items():
+            try:
+                if isinstance(v, (list, tuple)) and len(v) > 2 \
+                        and v[2] is not None:
+                    summary[k] = float(v[2])
+            except (TypeError, ValueError):
+                continue
+    merged = dict(summary)
+    merged.update(per_line)
+    return merged
 
 
 def merged_attribution(lines):
@@ -336,7 +404,14 @@ def annotate_warm(lines, fallback_lines=None, fallback_label=None):
     `BENCH_r18.json` (their colds fell to the echo trim) even though
     the committed local capture carried the numbers. The fallback is
     used ONLY here: the asymmetry/cold_min contention adjudicators stay
-    strictly same-run."""
+    strictly same-run.
+
+    Round-20 (VERDICT r19 ask #1): a first-sample suspect whose IN-RUN
+    RETRY (Bench re-measures suspect rows once at end of run) clears
+    the same threshold is RESCUED — min(first, retry) adjudicates,
+    named under a `retried` attribution grade instead of excluding the
+    row. A retry that is itself still suspect leaves the row flagged
+    (both samples contended, or a genuine steady-state regression)."""
     lines = list(lines)
     cold, warm = merged_attribution(lines)
     if not warm:
@@ -351,7 +426,9 @@ def annotate_warm(lines, fallback_lines=None, fallback_label=None):
     fb_cold = {}
     if fallback_lines is not None and any(n not in cold for n in warm):
         fb_cold, _ = merged_attribution(list(fallback_lines))
+    retries = parse_warm_retries(lines)
     suspects = []
+    rescued = []
     unknown = []
     borrowed = []
     for name, w in sorted(warm.items()):
@@ -360,14 +437,20 @@ def annotate_warm(lines, fallback_lines=None, fallback_label=None):
         factor, floor = WARM_SUSPECT_FACTOR, WARM_SUSPECT_MIN_EXCESS_S
         if c is None and name in fb_cold:
             c = fb_cold[name]
-            borrowed.append(name)
+            borrowed.append((name, w, c))
             src = f" [cold from {fallback_label}]"
             # cross-capture basis: looser threshold (see FALLBACK_*)
             factor, floor = FALLBACK_SUSPECT_FACTOR, FALLBACK_MIN_EXCESS_S
         if c is None:
             unknown.append(name)
         elif w > c * factor + floor:
-            suspects.append((name, w, c, src))
+            r = retries.get(name)
+            if r is not None and min(w, r) <= c * factor + floor:
+                # round-20 rescue: the end-of-run retry cleared the same
+                # threshold the first sample tripped — min adjudicates
+                rescued.append((name, w, r, c))
+            else:
+                suspects.append((name, w, c, src, r))
     if suspects:
         verdict = "WARM-SUSPECT"
         # cold can be 0.00: the summary echo renders at 2 decimals, so a
@@ -376,8 +459,9 @@ def annotate_warm(lines, fallback_lines=None, fallback_label=None):
         detail = ", ".join(
             f"{n} warm {w:.2f}s vs cold {c:.2f}s"
             + (f" ({w / c:.1f}x)" if c > 0 else " (cold ~0: ratio n/a)")
+            + (f" [retry {r:.2f}s also suspect]" if r is not None else "")
             + src
-            for n, w, c, src in suspects)
+            for n, w, c, src, r in suspects)
         print(f"benchguard: warm [WARM-SUSPECT] — {detail}; a warm pass "
               "re-runs the identical plan with codegen cached, so "
               "exceeding its own cold means the row is a contention "
@@ -393,12 +477,31 @@ def annotate_warm(lines, fallback_lines=None, fallback_label=None):
         verdict = "WARM-CLEAN"
         suffix = (f" ({FALLBACK_SUSPECT_FACTOR:.1f}x for "
                   "fallback-attributed rows)") if borrowed else ""
+        if rescued:
+            suffix += (f"; {len(rescued)} rescued by in-run retry "
+                       "(attribution grade: retried)")
         print(f"benchguard: warm [WARM-CLEAN] — {len(warm) - len(unknown)} "
               f"warm rows each within {WARM_SUSPECT_FACTOR:.1f}x of their "
               f"own cold{suffix}")
+    if rescued:
+        # rescued signal is attribution-grade `retried`, never silently
+        # promoted to same-run-pristine: both samples are printed so the
+        # contention that hit the first pass stays visible
+        print("benchguard: warm NOTE — retried in-run: "
+              + ", ".join(f"{n} first {w:.2f}s, retry {r:.2f}s vs cold "
+                          f"{c:.2f}s" for n, w, r, c in rescued)
+              + "; min(first, retry) adjudicates — grade `retried`, the "
+                "first sample was a contention artifact the end-of-run "
+                "re-measure rescued")
     if borrowed:
+        # each borrowed row's actual ratio is printed even when it does
+        # not trip the (looser) cross-capture threshold, so a 1.8x row
+        # is visible inside a WARM-CLEAN verdict (r19 ADVICE)
         print("benchguard: warm NOTE — cold attribution for "
-              + ", ".join(borrowed)
+              + ", ".join(
+                  f"{n} (warm {w:.2f}s vs borrowed cold {c:.2f}s"
+                  + (f", {w / c:.1f}x)" if c > 0 else ")")
+                  for n, w, c in borrowed)
               + f" taken from {fallback_label} (committed local capture): "
                 "this capture's own echo carried no cold for those rows, "
                 "so the verdict for them is cross-capture attribution "
@@ -580,6 +683,9 @@ def total_cold_min_of(lines):
     second = dict(parse_cold2(lines))
     for n, w in warm.items():
         second[n] = min(w, second[n]) if n in second else w
+    # round-20 in-run retries are third samples of the same plan
+    for n, r in parse_warm_retries(lines).items():
+        second[n] = min(r, second[n]) if n in second else r
     if cold and (n_q is None or len(cold) >= n_q):
         tcm = sum(min(c, second.get(n, c)) for n, c in cold.items())
         return tcm, f"per-query min over {len(cold)} queries", \
@@ -739,8 +845,22 @@ def annotate_io(lines):
     array when present (round-15+ Bench emits it); positional
     WRITE_SUMMARY_ORDER is only the legacy fallback and prints a
     warning when the slot count disagrees with the convention instead
-    of silently dropping extras. Returns the verdict string."""
+    of silently dropping extras.
+
+    Round-20 (VERDICT r19 ask #1): a probe whose first sample tripped
+    the 3x threshold is re-measured once by Bench at end of run,
+    arriving as a `<name>__retry` row in the same stream/echo. The
+    verdict uses min(first, retry) per probe, labeled `retried` with
+    both samples printed — an IO burst that passed by the end of the
+    run no longer costs the round its sink-row signal, while a retry
+    that is still inflated leaves the verdict IO-NOISY. Returns the
+    verdict string."""
     nominals = WRITE_NOMINAL_S
+
+    def known(name):
+        return name in nominals or (
+            isinstance(name, str) and name.endswith(RETRY_SUFFIX)
+            and name[:-len(RETRY_SUFFIX)] in nominals)
     per_line, summary = {}, {}
     for line in lines:
         line = line.strip()
@@ -750,7 +870,7 @@ def annotate_io(lines):
             d = json.loads(line)
         except json.JSONDecodeError:
             continue
-        if d.get("progress") == "write" and d.get("name") in nominals \
+        if d.get("progress") == "write" and known(d.get("name")) \
                 and "sec" in d and "err" not in d:
             per_line[d["name"]] = float(d["sec"])
         elif d.get("metric") == "total" and d.get("write_secs"):
@@ -776,7 +896,13 @@ def annotate_io(lines):
                        if s is not None and i < len(names)}
     merged = dict(summary)
     merged.update(per_line)
-    obs = [(n, s) for n, s in merged.items() if n in nominals]
+    # round-20: fold each probe's in-run retry — min(first, retry)
+    # adjudicates; both samples are printed so the burst stays visible
+    retries = {n[:-len(RETRY_SUFFIX)]: s for n, s in merged.items()
+               if isinstance(n, str) and n.endswith(RETRY_SUFFIX)
+               and n[:-len(RETRY_SUFFIX)] in nominals}
+    obs = [(n, min(s, retries.get(n, s))) for n, s in merged.items()
+           if n in nominals]
     obs.sort(key=lambda t: (WRITE_SUMMARY_ORDER.index(t[0])
                             if t[0] in WRITE_SUMMARY_ORDER else 99, t[0]))
     if not obs:
@@ -787,14 +913,29 @@ def annotate_io(lines):
     worst_name, worst_ratio = max(
         ((n, s / nominals[n]) for n, s in obs), key=lambda t: t[1])
     noisy = worst_ratio > WRITE_NOISY_FACTOR
-    detail = ", ".join(f"{n}={s:.2f}s ({s / nominals[n]:.1f}x of "
-                       f"{nominals[n]:.2f}s)" for n, s in obs)
+    detail = ", ".join(
+        f"{n}={s:.2f}s ({s / nominals[n]:.1f}x of {nominals[n]:.2f}s)"
+        + (f" [retried: samples {merged[n]:.2f}s/{retries[n]:.2f}s, "
+           "min used]" if n in retries else "")
+        for n, s in obs)
     verdict = "IO-NOISY" if noisy else "IO-CLEAN"
     print(f"benchguard: io [{verdict}] — {detail}; threshold "
           f"{WRITE_NOISY_FACTOR:.0f}x nominal"
           + (f"; {worst_name} at {worst_ratio:.1f}x means disk contention "
                "during the capture — sink rows are not comparable this "
                "round" if noisy else ""))
+    if retries:
+        rescued = [n for n in retries
+                   if merged[n] / nominals[n] > WRITE_NOISY_FACTOR
+                   and min(merged[n], retries[n]) / nominals[n]
+                   <= WRITE_NOISY_FACTOR]
+        print("benchguard: io NOTE — in-run retries: "
+              + ", ".join(f"{n} first {merged[n]:.2f}s, retry "
+                          f"{retries[n]:.2f}s" for n in sorted(retries))
+              + ("; rescued: " + ", ".join(sorted(rescued))
+                 if rescued else "")
+              + " — attribution grade `retried` (min adjudicates, the "
+                "first sample stays visible above)")
     return verdict
 
 
@@ -983,6 +1124,10 @@ def cold_min_estimate(lines, slowdown):
         for n, w in warm_echo.items():
             if n not in second or w < second[n]:
                 second[n] = w
+        # round-20 in-run retries (per-line or echo-triple third slot)
+        for n, r in parse_warm_retries(lines).items():
+            if n not in second or r < second[n]:
+                second[n] = r
         correction = sum(c - min(c, second[n])
                          for n, c in top_cold.items() if n in second)
         if correction > 0:
@@ -1167,6 +1312,15 @@ def parse_summary_total(lines):
 
 def check(lines, budget_s, label, driver_origin=False,
           fallback_lines=None, fallback_label=None):
+    # DELIBERATELY multi-parse (r18/r19 ADVICE, noted-not-applied; r19
+    # VERDICT asked to apply-or-record, so recorded): this function and
+    # its annotators re-scan `lines` a handful of times. A single-parse
+    # refactor would thread a parsed-record cache through ~12 parsers
+    # that are also called directly (selftest, compare_* entry points,
+    # external callers) on raw line lists. A capture is at most a few
+    # hundred short lines, so the total re-parse cost is single-digit
+    # milliseconds per run; the rewiring risk to a heavily-pinned,
+    # correctness-critical adjudicator outweighs an invisible speedup.
     # driver-origin timings already ARE driver wall: applying the
     # builder-to-driver ratio again would over-estimate ~30% and could
     # false-trip the budget on a run that fit (see capture_lines)
@@ -1967,9 +2121,14 @@ def selftest():
     with contextlib.redirect_stdout(buf):
         v = annotate_warm(r18_like, fb, "bench_local.jsonl")
     out = buf.getvalue()
+    # the borrowed row's ACTUAL ratio is printed inside the NOTE even
+    # though it does not trip the looser cross-capture threshold (r19
+    # ADVICE: a 1.8x borrowed row used to be invisible in WARM-CLEAN)
     assert v == "WARM-CLEAN" and "no cold attribution" not in out \
-        and "cold attribution for q68_mix taken from bench_local.jsonl" \
-        in out, f"selftest-warm-fallback: {out}"
+        and "cold attribution for " \
+            "q68_mix (warm 2.00s vs borrowed cold 3.40s, 0.6x)" in out \
+        and "taken from bench_local.jsonl" in out, \
+        f"selftest-warm-fallback: {out}"
     # a fallback-attributed SUSPECT names its cross-capture provenance
     # inline (it is attribution grade, not same-run grade)
     buf = _io.StringIO()
@@ -2162,6 +2321,169 @@ def selftest():
         "cold_min_estimate must materialize a one-shot iterator input"
     assert check(iter(under), DEFAULT_BUDGET_S, "selftest-iter-input") == 0, \
         "check must materialize a one-shot iterator input"
+    # ---- round-20 cases (VERDICT r19 ask #1: self-HEALING retries) ----
+    # (i) WARM RETRY RESCUE, per-line shape: the r16 q79 contention
+    # artifact (warm 11.26s vs cold 1.46s) whose end-of-run retry
+    # measured 1.41s — min adjudicates, verdict flips to WARM-CLEAN,
+    # both samples visible under the `retried` grade.
+    retry_rescue = [
+        json.dumps({"progress": "query", "name": "q79_sem", "cold": 1.46,
+                    "streaming": False}),
+        json.dumps({"progress": "warm", "name": "q79_sem", "warm": 11.26}),
+        json.dumps({"progress": "warm_retry", "name": "q79_sem",
+                    "warm_retry": 1.41, "first": 11.26})]
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        v = annotate_warm(retry_rescue)
+    out = buf.getvalue()
+    assert v == "WARM-CLEAN" \
+        and "rescued by in-run retry" in out \
+        and "q79_sem first 11.26s, retry 1.41s vs cold 1.46s" in out \
+        and "grade `retried`" in out, \
+        f"selftest-retry-rescue: {out}"
+    # (ii) ... and via the tail-only TRIPLE echo (the driver-artifact
+    # path): the third warm_echo slot is the retry; pair rows coexist
+    triple_tail = [json.dumps(
+        {"metric": "total", "value": 300.0, "n_queries": 295,
+         "warm_echo": {"q79_sem": [11.26, 1.46, 1.41],
+                       "q110_wedge": [4.1, 6.31]}})]
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        v = annotate_warm(triple_tail)
+    out = buf.getvalue()
+    assert v == "WARM-CLEAN" and "retried in-run" in out, \
+        f"selftest-retry-triple: {out}"
+    mc3, mw3 = merged_attribution(triple_tail)
+    assert mc3 == {"q79_sem": 1.46, "q110_wedge": 6.31} \
+        and mw3 == {"q79_sem": 11.26, "q110_wedge": 4.1}, \
+        f"selftest-retry-triple-merge: triples must still merge cold/" \
+        f"first-warm like pairs: {mc3} / {mw3}"
+    assert parse_warm_retries(triple_tail) == {"q79_sem": 1.41}, \
+        "triple third slot must parse as the retry"
+    # per-line retry precision wins over the echo's 2-decimal slot
+    assert parse_warm_retries(
+        retry_rescue + [json.dumps(
+            {"metric": "total", "value": 1.0,
+             "warm_echo": {"q79_sem": [11.26, 1.46, 1.4]}})]
+    ) == {"q79_sem": 1.41}, "per-line warm_retry must win the merge"
+    # an errored retry measured time-to-failure, never a second sample
+    assert parse_warm_retries([json.dumps(
+        {"progress": "warm_retry", "name": "q79_sem", "warm_retry": 0.01,
+         "err": "OOM"})]) == {}, "errored retry must be skipped"
+    # (iii) a retry that is ITSELF still suspect leaves the row flagged
+    # (both samples contended, or a genuine steady-state regression) —
+    # the retry must not launder a real regression
+    retry_fail = [json.dumps(
+        {"metric": "total", "value": 300.0, "n_queries": 295,
+         "warm_echo": {"q79_sem": [11.26, 1.46, 10.9]}})]
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        v = annotate_warm(retry_fail)
+    out = buf.getvalue()
+    assert v == "WARM-SUSPECT" and "[retry 10.90s also suspect]" in out, \
+        f"selftest-retry-fail: a still-suspect retry must stay flagged: " \
+        f"{out}"
+    # (iv) IO RETRY RESCUE: the r12/r19 write-burst signature (silver
+    # 12.2s = 8.7x nominal) whose end-of-run retry landed clean — the
+    # verdict heals to IO-CLEAN, both samples printed, rescue named
+    io_retry = io_clean[1:] + [
+        json.dumps({"progress": "write",
+                    "name": "write_s5_silver_partitioned", "sec": 12.2}),
+        json.dumps({"progress": "write",
+                    "name": "write_s5_silver_partitioned" + RETRY_SUFFIX,
+                    "sec": 1.31})]
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        v = annotate_io(io_retry)
+    out = buf.getvalue()
+    assert v == "IO-CLEAN" \
+        and "[retried: samples 12.20s/1.31s, min used]" in out \
+        and "rescued: write_s5_silver_partitioned" in out, \
+        f"selftest-io-retry-rescue: {out}"
+    # ... a still-inflated retry keeps the round IO-NOISY (a burst that
+    # spans the whole run is real lost signal, not heal-able)
+    io_retry_fail = io_clean[1:] + [
+        json.dumps({"progress": "write",
+                    "name": "write_s5_silver_partitioned", "sec": 12.2}),
+        json.dumps({"progress": "write",
+                    "name": "write_s5_silver_partitioned" + RETRY_SUFFIX,
+                    "sec": 11.0})]
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        v = annotate_io(io_retry_fail)
+    assert v == "IO-NOISY", \
+        f"selftest-io-retry-fail: still-noisy retry must stay IO-NOISY: " \
+        f"{buf.getvalue()}"
+    # ... and the retry travels through the summary echo too (the
+    # tail-only driver artifact is where the healing matters most)
+    io_retry_tail = [json.dumps(
+        {"metric": "total", "value": 300.0,
+         "write_names": WRITE_SUMMARY_ORDER
+         + ["write_s5_silver_partitioned" + RETRY_SUFFIX],
+         "write_secs": [12.2, 0.79, 0.41, 1.31]})]
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        v = annotate_io(io_retry_tail)
+    assert v == "IO-CLEAN" and "retried" in buf.getvalue(), \
+        f"selftest-io-retry-tail: {buf.getvalue()}"
+    # (v) retries feed the cold_min second-sample maps: per-query
+    # derivation and the echo-derived pseudo-min both take the min
+    retry_cm = [
+        json.dumps({"progress": "query", "name": "qa", "cold": 50.0,
+                    "streaming": False}),
+        json.dumps({"progress": "query", "name": "qb", "cold": 5.0,
+                    "streaming": False}),
+        json.dumps({"progress": "warm", "name": "qa", "warm": 40.0}),
+        json.dumps({"progress": "warm_retry", "name": "qa",
+                    "warm_retry": 4.0, "first": 40.0}),
+        json.dumps({"metric": "total", "value": 55.0, "total_warm": 40.0,
+                    "n_queries": 2})]
+    tcm_r, prov_r, _ = total_cold_min_of(retry_cm)
+    assert tcm_r == 9.0, \
+        f"selftest-retry-coldmin: per-query min must use the retry: {tcm_r}"
+    est_r, basis_r = cold_min_estimate([json.dumps(
+        {"metric": "total", "value": 100.0, "total_warm": 4.0,
+         "n_queries": 295,
+         "warm_echo": {"qa": [4.0, 50.0, 2.0]}})], 1.0)
+    assert "pseudo-min 52.0s" in basis_r, \
+        f"selftest-retry-pseudomin: echo triple retry must correct: " \
+        f"{basis_r}"
+    # (vi) THE DONE-CRITERION: a synthetic contended DRIVER capture —
+    # warm rows and a write probe all burst-inflated on first sample,
+    # all retried clean in-run — adjudicates rc 0 with ZERO rows
+    # excluded-without-signal: every suspect heals under the `retried`
+    # grade instead of being thrown away (r19 lost 4 warm rows and 3
+    # write probes exactly this way).
+    healed_wrapper = json.dumps({
+        "n": 295, "rc": 0, "cpus": 32, "sf": "/root/testdata/sf0.1",
+        "tail": json.dumps(
+            {"metric": "total", "value": 360.0, "unit": "sec",
+             "total_warm": 60.0, "total_cold_min": 320.0,
+             "n_warm": 3, "n_queries": 295, "n_errors": 0,
+             "top_cold": {"q110_tri": 13.1},
+             "warm_echo": {"q40_corr": [6.73, 2.31, 1.9],
+                           "q162_bm25": [9.4, 3.1, 2.8],
+                           "q139_adc": [2.1, 5.3]},
+             "canary_spins": [0.5, 0.52, 0.49],
+             "canary_load1": [1.0, 1.2, 1.1],
+             "write_names": WRITE_SUMMARY_ORDER
+             + ["write_s5b_dynamic_overwrite" + RETRY_SUFFIX],
+             "write_secs": [1.4, 3.3, 0.4, 0.77]}) + "\n",
+        "parsed": {"metric": "total", "value": 360.0}})
+    hw_lines, hw_origin = capture_lines(healed_wrapper)
+    assert hw_origin
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = check(hw_lines, DEFAULT_BUDGET_S, "selftest-healed-wrapper",
+                   driver_origin=True)
+    out = buf.getvalue()
+    assert rc == 0 and "warm [WARM-CLEAN]" in out \
+        and "2 rescued by in-run retry" in out \
+        and "io [IO-CLEAN]" in out and "rescued" in out \
+        and "WARM-SUSPECT" not in out and "IO-NOISY" not in out \
+        and "unadjudicated" not in out, \
+        f"selftest-healed-wrapper: every contended row must heal via " \
+        f"retry, none excluded: {out}"
     print("benchguard selftest: PASS")
     return 0
 

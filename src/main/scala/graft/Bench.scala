@@ -92,6 +92,29 @@ package graft
   *    the `cold2` map; the raw first-pass numbers stay in `value` and
   *    `top_cold` so contention remains VISIBLE, never silently masked —
   *    benchguard budgets on cold_min and reports the delta.
+  *  - IN-RUN RETRY (round-20, VERDICT r19 ask #1 — self-HEALING, not
+  *    just self-adjudicating: the r19 driver capture lost 4 warm rows
+  *    and all 3 write probes to a disk-contention burst; benchguard
+  *    correctly flagged and excluded them, but flagged-and-excluded is
+  *    still lost signal): a warm row whose first sample trips
+  *    benchguard's WARM-SUSPECT predicate (warm > 1.2x its own cold
+  *    + 0.1 s — see [[warmSuspect]]) and a write probe whose first
+  *    sample trips the IO-NOISY threshold (> 3x nominal — see
+  *    [[writeSuspect]]) are each re-measured ONCE at the END of the
+  *    run, when a mid-run burst has had the most wall-clock to pass.
+  *    Both samples are emitted — the warm retry as a flushed
+  *    `{"progress":"warm_retry",...}` line and a third slot in the
+  *    row's `warm_echo` value (`[warm, cold, retry]`), the write retry
+  *    as a `<name>__retry` row in the same write stream/echo — so
+  *    benchguard can take the per-row MIN under a `retried`
+  *    attribution grade instead of excluding the row. First samples
+  *    stay untouched in `value`/`total_warm`/the first echo slot:
+  *    contention remains visible, the retry only adds the second
+  *    sample that rescues the row's signal. Retries also feed
+  *    `total_cold_min`'s second-sample map. Cost bound: retries only
+  *    fire on suspect rows (zero on a clean run), each runs once, and
+  *    the suspect sets are capped by the warm cohort (20) and the
+  *    write probe count (3).
   */
 object Bench {
   /** Host-noise canary (round-12 ask): a FIXED amount of single-threaded
@@ -135,6 +158,43 @@ object Bench {
       second: Map[String, Double]): Double =
     colds.map { case (n, c) => math.min(c, second.getOrElse(n, c)) }.sum
 
+  /** In-run retry predicates (round-20, VERDICT r19 ask #1). Both
+    * MIRROR `scripts/benchguard.py`'s post-hoc thresholds exactly —
+    * WARM_SUSPECT_FACTOR/WARM_SUSPECT_MIN_EXCESS_S and
+    * WRITE_NOMINAL_S/WRITE_NOISY_FACTOR — so the bench re-measures
+    * precisely the rows the guard would otherwise have to exclude. A
+    * mirrored constant is a sync hazard by construction; the guard's
+    * selftest and [[BenchPolicySpec]] both pin the values, so drift on
+    * either side fails a gate before it ships a silently-different
+    * retry policy.
+    */
+  private[graft] val WarmSuspectFactor = 1.2
+  private[graft] val WarmSuspectMinExcessS = 0.1
+  private[graft] def warmSuspect(warm: Double, cold: Double): Boolean =
+    warm > cold * WarmSuspectFactor + WarmSuspectMinExcessS
+
+  /** Clean-host write-probe nominals (mirror of benchguard.py's
+    * WRITE_NOMINAL_S; driver r13 / local r14 captures agree within
+    * noise) and the 3x IO-NOISY factor. A first sample above
+    * nominal x factor earns the probe ONE end-of-run re-measure.
+    */
+  private[graft] val WriteNominalS = Map(
+    "write_s5_silver_partitioned" -> 1.4,
+    "write_s5b_dynamic_overwrite" -> 0.8,
+    "write_s7_gold" -> 0.45)
+  private[graft] val WriteNoisyFactor = 3.0
+  private[graft] def writeSuspect(name: String, sec: Double): Boolean =
+    WriteNominalS.get(name).exists(nom => sec > nom * WriteNoisyFactor)
+
+  /** Suffix naming a write probe's retry row in the write stream/echo
+    * (`write_s7_gold__retry`): the retry travels through the SAME
+    * `write_names`/`write_secs` channel as the first sample, so a
+    * tail-only driver artifact carries both, and a pre-round-20
+    * benchguard simply ignores the unknown name (no nominal for it)
+    * instead of misparsing.
+    */
+  private[graft] val RetrySuffix = "__retry"
+
   /** Hard character budget for the ONE summary line (round-17 ask #1a).
     *
     * The driver retains a 2,000-char stdout tail; the summary is printed
@@ -165,7 +225,11 @@ object Bench {
     *    colds that sat outside the global top-20, leaving those warm
     *    rows unadjudicatable from the driver artifact alone — inside
     *    the pair, no trim of the OTHER map can detach a warm row's
-    *    cold).
+    *    cold). Since round 20, a row that earned an in-run retry (its
+    *    first warm tripped [[warmSuspect]]) carries the retry as a
+    *    THIRD slot — `[warm, cold, retry]` — so a tail-only driver
+    *    artifact self-carries the rescuing sample too; pre-round-20
+    *    consumers read slots 0-1 and ignore the third.
     *  - `top_cold`: the K heaviest colds across ALL queries (streaming
     *    included — q107's stream-stream outer join is a legitimate
     *    heavy-tail member), MINUS the names already carried in
@@ -179,31 +243,36 @@ object Bench {
     *    UNIONed the warm cohort's colds into top_cold as single
     *    values; benchguard accepts both shapes.
     *
-    * Both are value-descending with a name tiebreak — pairs by
-    * `max(warm, cold)`, since a pair matters when EITHER number is
-    * heavy (its cold may be the run's #1 heaviest, or its warm the
-    * anomaly benchguard exists to flag) — so the budget trim in
-    * [[renderEchoMaps]] always drops the least informative entries
-    * first and can never discard the heaviest cold attribution while
-    * lighter rows survive.
+    * Both are value-descending with a name tiebreak — rows by the max
+    * over every sample they carry (`max(warm, cold, retry)`), since a
+    * row matters when ANY number is heavy (its cold may be the run's
+    * #1 heaviest, or its warm the anomaly benchguard exists to flag) —
+    * so the budget trim in [[renderEchoMaps]] always drops the least
+    * informative entries first and can never discard the heaviest cold
+    * attribution while lighter rows survive.
     */
   private[graft] def echoCohorts(
       colds: Seq[(String, Double)],
       warms: Map[String, Double],
-      k: Int): (Seq[(String, Double)], Seq[(String, Double, Double)]) = {
+      k: Int,
+      retries: Map[String, Double] = Map.empty)
+      : (Seq[(String, Double)],
+         Seq[(String, Double, Double, Option[Double])]) = {
     val desc = colds.sortBy { case (n, c) => (-c, n) }
     val coldOf = colds.toMap
     // every warm name came from this run's cold ranking, so coldOf is
     // total over the warm cohort
     val warmEcho = warms.toSeq
-      .map { case (n, w) => (n, w, coldOf(n)) }
-      .sortBy { case (n, w, c) => (-math.max(w, c), n) }
+      .map { case (n, w) => (n, w, coldOf(n), retries.get(n)) }
+      .sortBy { case (n, w, c, r) =>
+        (-math.max(math.max(w, c), r.getOrElse(0.0)), n) }
     val top = desc.take(k).filterNot { case (n, _) => warms.contains(n) }
     (top, warmEcho)
   }
 
   /** Renders `"top_cold":{...},"warm_echo":{...}` (2-decimal values;
-    * warm entries as `[warm, cold]` pairs) in at most `budget` chars,
+    * warm entries as `[warm, cold]` pairs, or `[warm, cold, retry]`
+    * triples for rows re-measured in-run) in at most `budget` chars,
     * dropping the smallest entry from the longer map (ties: warm_echo —
     * cold attribution is the primary ask) until it fits. Both keys are
     * always present, possibly as empty maps, so consumers never
@@ -211,14 +280,16 @@ object Bench {
     */
   private[graft] def renderEchoMaps(
       topCold: Seq[(String, Double)],
-      warmEcho: Seq[(String, Double, Double)],
+      warmEcho: Seq[(String, Double, Double, Option[Double])],
       budget: Int): String = {
     def render(tc: Seq[(String, Double)],
-        we: Seq[(String, Double, Double)]) = {
+        we: Seq[(String, Double, Double, Option[Double])]) = {
       val tcm = tc.map { case (n, v) => s"${Jsons.quote(n)}:${fmt2(v)}" }
         .mkString(",")
       val wem = we
-        .map { case (n, w, c) => s"${Jsons.quote(n)}:[${fmt2(w)},${fmt2(c)}]" }
+        .map { case (n, w, c, r) =>
+          s"${Jsons.quote(n)}:[${fmt2(w)},${fmt2(c)}${
+            r.fold("")(x => "," + fmt2(x))}]" }
         .mkString(",")
       s""""top_cold":{$tcm},"warm_echo":{$wem}"""
     }
@@ -392,44 +463,89 @@ object Bench {
     // the IO-noise evidence benchguard's [IO-NOISY] verdict needs
     val writeSecs =
       scala.collection.mutable.ArrayBuffer.empty[(String, Option[Double])]
+    // write retries pending until after the warm retries (below): a
+    // suspect write's re-measure runs as late in the run as possible,
+    // maximizing the wall-clock between it and the burst that inflated
+    // the first sample
+    var writeRetryJobs: Seq[(String, () => Unit)] = Nil
+    var writeCleanup: () => Unit = () => ()
+    def timedWrite(name: String)(body: => Unit): Option[Double] = {
+      val t0 = System.nanoTime()
+      val err = try { body; None } catch { case e: Throwable =>
+        Some(e.getClass.getSimpleName + ": " +
+          Option(e.getMessage).getOrElse("").take(200))
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      // an errored write measured time-to-failure, not IO: null slot
+      writeSecs += (name -> (if (err.isEmpty) Some(sec) else None))
+      println(s"""{"progress":"write","name":${Jsons.quote(name)},"sec":$sec${
+        err.fold("")(e => s""","err":${Jsons.quote(e)}""")}}""")
+      System.out.flush()
+      if (err.isEmpty) Some(sec) else None
+    }
     if (only.isEmpty) {
       val tmp = java.nio.file.Files.createTempDirectory("graft-writebench")
-      def timedWrite(name: String)(body: => Unit): Unit = {
-        val t0 = System.nanoTime()
-        val err = try { body; None } catch { case e: Throwable =>
-          Some(e.getClass.getSimpleName + ": " +
-            Option(e.getMessage).getOrElse("").take(200))
-        }
-        val sec = (System.nanoTime() - t0) / 1e9
-        // an errored write measured time-to-failure, not IO: null slot
-        writeSecs += (name -> (if (err.isEmpty) Some(sec) else None))
-        println(s"""{"progress":"write","name":${Jsons.quote(name)},"sec":$sec${
-          err.fold("")(e => s""","err":${Jsons.quote(e)}""")}}""")
-        System.out.flush()
-      }
+      writeCleanup = () => graft.engine.Fs.deleteRecursivelyQuietly(tmp)
       val gold = SparkEntry.queries("q01_gold_count")(spark, sfDir)
       val lineitem = graft.engine.Tables.load(spark, sfDir, "lineitem")
-      timedWrite("write_s5_silver_partitioned") {
-        // hive-partitioned silver layout on a low-cardinality key;
-        // repartition first so it's one file per partition value, not
-        // one per (task, value) — the small-files hygiene the Sinks
-        // header documents
-        graft.engine.Sinks.writePartitionedParquet(
-          lineitem.repartition(org.apache.spark.sql.functions.col("l_returnflag")),
-          s"$tmp/silver_li", Seq("l_returnflag"))
+      // all three sinks are overwrite-mode, so a retry re-landing the
+      // same path measures the same IO work (idempotent re-run)
+      val jobs: Seq[(String, () => Unit)] = Seq(
+        "write_s5_silver_partitioned" -> { () =>
+          // hive-partitioned silver layout on a low-cardinality key;
+          // repartition first so it's one file per partition value, not
+          // one per (task, value) — the small-files hygiene the Sinks
+          // header documents
+          graft.engine.Sinks.writePartitionedParquet(
+            lineitem.repartition(org.apache.spark.sql.functions.col("l_returnflag")),
+            s"$tmp/silver_li", Seq("l_returnflag"))
+        },
+        "write_s5b_dynamic_overwrite" -> { () =>
+          // rewrite ONE partition slice in place; siblings must survive
+          graft.engine.Sinks.overwritePartitionsDynamic(
+            lineitem.filter(org.apache.spark.sql.functions.col("l_returnflag") === "R")
+              .repartition(org.apache.spark.sql.functions.col("l_returnflag")),
+            s"$tmp/silver_li", Seq("l_returnflag"))
+        },
+        "write_s7_gold" -> (() =>
+          graft.engine.Sinks.writeParquet(gold, s"$tmp/gold")))
+      writeRetryJobs = jobs.flatMap { case (name, body) =>
+        val sec = timedWrite(name)(body())
+        // round-20 retry predicate: first sample tripped the IO-NOISY
+        // threshold benchguard would apply post hoc — earn ONE
+        // end-of-run re-measure (emitted as `<name>__retry` through
+        // the same write stream/echo, so both samples travel)
+        if (sec.exists(s => writeSuspect(name, s)))
+          Some((name + RetrySuffix) -> body)
+        else None
       }
-      timedWrite("write_s5b_dynamic_overwrite") {
-        // rewrite ONE partition slice in place; siblings must survive
-        graft.engine.Sinks.overwritePartitionsDynamic(
-          lineitem.filter(org.apache.spark.sql.functions.col("l_returnflag") === "R")
-            .repartition(org.apache.spark.sql.functions.col("l_returnflag")),
-          s"$tmp/silver_li", Seq("l_returnflag"))
-      }
-      timedWrite("write_s7_gold")(
-        graft.engine.Sinks.writeParquet(gold, s"$tmp/gold"))
-      // best-effort cleanup of the temp write area
-      graft.engine.Fs.deleteRecursivelyQuietly(tmp)
     }
+    // IN-RUN WARM RETRY (round-20, VERDICT r19 ask #1): each warm row
+    // whose first sample tripped the WARM-SUSPECT predicate gets ONE
+    // re-measure here — after the write probes, as far from its own
+    // contended window as the run allows. The retry is a second sample
+    // of the identical plan (codegen cached, inter-pass cache cleared),
+    // so benchguard may take min(warm, retry) under a `retried`
+    // attribution grade; the first sample stays in total_warm and the
+    // echo's first slot so the contention remains visible.
+    val qByName = coldQs.map(q => q.name -> q).toMap
+    val coldByName = colds.map { case (q, c, _) => q.name -> c }.toMap
+    val warmRetries: Map[String, Double] = warms.toSeq.sortBy(_._1)
+      .flatMap { case (n, w) =>
+        if (!warmSuspect(w, coldByName(n))) None
+        else {
+          val (t, e) = timed(qByName(n))
+          spark.sharedState.cacheManager.clearCache()
+          println(s"""{"progress":"warm_retry","name":${Jsons.quote(n)},"warm_retry":$t,"first":$w${
+            e.fold("")(x => s""","err":${Jsons.quote(x)}""")}}""")
+          System.out.flush()
+          // a retry that threw measured time-to-failure, not the plan
+          if (e.isEmpty) Some(n -> t) else None
+        }
+      }.toMap
+    // suspect write probes' end-of-run re-measures (collected above)
+    writeRetryJobs.foreach { case (name, body) => timedWrite(name)(body()) }
+    writeCleanup()
     canary("end")
     graft.engine.Fs.deleteRecursivelyQuietly(probeDir)
     val warmRs = results.collect { case R(n, _, Some(w), _) => (n, w) }
@@ -437,10 +553,12 @@ object Bench {
     val total = results.map(_.cold).sum
     val totalWarm = warmRs.map(_._2).sum
     // contention-resistant total (see coldMinTotal): second samples are
-    // the warm rows (batch top-20) and the cold2 re-runs (streaming
-    // top-20); min-merged in case a name ever lands in both
+    // the warm rows (batch top-20), the cold2 re-runs (streaming
+    // top-20), and the round-20 in-run warm retries; min-merged in case
+    // a name ever lands in several
     val secondSamples =
-      (warms.toSeq ++ cold2.toSeq).groupMapReduce(_._1)(_._2)(math.min)
+      (warms.toSeq ++ cold2.toSeq ++ warmRetries.toSeq)
+        .groupMapReduce(_._1)(_._2)(math.min)
     val totalColdMin =
       coldMinTotal(results.map(r => (r.name, r.cold)), secondSamples)
     // COMPACT summary (see header): totals + counts only — per-query data
@@ -477,7 +595,8 @@ object Bench {
     // the line can never outgrow the driver's 2,000-char tail window —
     // see SummaryMaxChars / echoCohorts / renderEchoMaps above
     val (topCold, warmEcho) =
-      echoCohorts(results.map(r => (r.name, r.cold)), warms, WarmK)
+      echoCohorts(results.map(r => (r.name, r.cold)), warms, WarmK,
+        warmRetries)
     // inline-probe echo (round-17 ask #1a): `inline_after` travels WITH
     // the spin/io arrays — same no-positional-convention rule as
     // canary_phases/write_names — so benchguard brackets contention

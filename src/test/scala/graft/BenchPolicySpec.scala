@@ -43,11 +43,14 @@ class BenchPolicySpec extends AnyFunSuite with Matchers {
 
   test("the semantically-empty allowlist is exactly the two declared " +
       "queries (check.py's zero-row non-degeneracy gate reads it)") {
-    // q09: anti-join over referentially-complete fixtures; q193: no two
-    // generated docs share a token multiset. ANY other query returning
-    // 0 rows at a verified SF is a degeneracy the oracle cannot see
-    // (same SQL, same data — SURVEY §7.10's empty-graph lesson), so
-    // growth of this set needs the same scrutiny as a new query
+    // q09: the anti-join is legitimately empty at the small verified
+    // SFs (sf0.001/sf0.01; at sf0.1 it returns 1 row — emptiness is
+    // scale-dependent, not a fixture invariant, r19 ADVICE); q193: no
+    // two generated docs share a token multiset at those SFs. ANY
+    // other query returning 0 rows at a verified SF is a degeneracy
+    // the oracle cannot see (same SQL, same data — SURVEY §7.10's
+    // empty-graph lesson), so growth of this set needs the same
+    // scrutiny as a new query
     Catalog.emptyOkNames shouldBe Set("q09_anti_join",
       "q193_tokenset_dedup")
   }
@@ -69,29 +72,68 @@ class BenchPolicySpec extends AnyFunSuite with Matchers {
     val warms = Map("qa" -> 4.0, "qb" -> 3.1, "qc" -> 2.4, "qd" -> 1.9)
     val (topCold, warmEcho) = Bench.echoCohorts(colds, warms, k = 4)
     topCold.map(_._1) shouldBe Seq("q_stream_heavy")
-    warmEcho shouldBe Seq(("qa", 4.0, 5.0), ("qb", 3.1, 4.0),
-      ("qc", 2.4, 3.0), ("qd", 1.9, 2.0))
+    warmEcho shouldBe Seq(("qa", 4.0, 5.0, None), ("qb", 3.1, 4.0, None),
+      ("qc", 2.4, 3.0, None), ("qd", 1.9, 2.0, None))
     // both value-descending so the budget trim drops the lightest first
     topCold.map(_._2) shouldBe topCold.map(_._2).sorted.reverse
     warmEcho.map(_._2) shouldBe warmEcho.map(_._2).sorted.reverse
-    // pairs rank by max(warm, cold): an anomalous heavy WARM (the r16
-    // q79 shape) and a heavy COLD both outlive a trim against rows
+    // rows rank by max over their samples: an anomalous heavy WARM (the
+    // r16 q79 shape) and a heavy COLD both outlive a trim against rows
     // light on both numbers — neither the run's heaviest cold nor the
     // warm anomaly benchguard exists to flag can be dropped first
     val anom = Bench.echoCohorts(
       Seq(("q_warm_anom", 1.5), ("qa", 5.0), ("qz", 4.0)),
       Map("q_warm_anom" -> 11.0, "qa" -> 4.0, "qz" -> 0.2), k = 3)._2
     anom.map(_._1) shouldBe Seq("q_warm_anom", "qa", "qz")
+    // round-20: an in-run retry attaches as the row's THIRD slot, so a
+    // tail-only artifact self-carries the rescuing sample
+    val retried = Bench.echoCohorts(
+      Seq(("q_warm_anom", 1.5), ("qa", 5.0)),
+      Map("q_warm_anom" -> 11.0, "qa" -> 4.0),
+      k = 2, retries = Map("q_warm_anom" -> 1.4))._2
+    retried shouldBe Seq(("q_warm_anom", 11.0, 1.5, Some(1.4)),
+      ("qa", 4.0, 5.0, None))
+  }
+
+  test("in-run retry predicates mirror benchguard's post-hoc thresholds " +
+      "(round-20: the bench re-measures exactly the rows the guard " +
+      "would otherwise exclude)") {
+    // WARM-SUSPECT: warm > 1.2x own cold + 0.1s (benchguard's
+    // WARM_SUSPECT_FACTOR / WARM_SUSPECT_MIN_EXCESS_S)
+    Bench.WarmSuspectFactor shouldBe 1.2
+    Bench.WarmSuspectMinExcessS shouldBe 0.1
+    Bench.warmSuspect(11.26, 1.46) shouldBe true // the r16 q79 shape
+    Bench.warmSuspect(0.50, 0.49) shouldBe false // sub-jitter excess
+    Bench.warmSuspect(1.86, 1.46) shouldBe true // just over 1.2x + 0.1
+    Bench.warmSuspect(1.85, 1.46) shouldBe false // exactly at: not over
+    // IO-NOISY: sec > 3x the write's clean-host nominal (benchguard's
+    // WRITE_NOMINAL_S / WRITE_NOISY_FACTOR — values pinned here AND in
+    // the guard's selftest so one-sided drift fails a gate)
+    Bench.WriteNoisyFactor shouldBe 3.0
+    Bench.WriteNominalS shouldBe Map(
+      "write_s5_silver_partitioned" -> 1.4,
+      "write_s5b_dynamic_overwrite" -> 0.8,
+      "write_s7_gold" -> 0.45)
+    // the r19 capture's 4.0x write_s5b row would have earned a retry
+    Bench.writeSuspect("write_s5b_dynamic_overwrite", 3.2) shouldBe true
+    Bench.writeSuspect("write_s5b_dynamic_overwrite", 2.3) shouldBe false
+    // unknown probe names never retry (no nominal to threshold against)
+    Bench.writeSuspect("write_unknown", 99.0) shouldBe false
+    Bench.RetrySuffix shouldBe "__retry"
   }
 
   test("renderEchoMaps renders both keys, 2-decimal, warm as [warm,cold] " +
       "pairs, and never exceeds its budget (drops lightest entries first)") {
     val tc = Seq(("q110_wedge", 6.312), ("q107_stream", 4.818))
-    val we = Seq(("q110_wedge", 4.1, 6.312))
+    val we = Seq(("q110_wedge", 4.1, 6.312, None))
     val full = Bench.renderEchoMaps(tc, we, budget = 10000)
     full shouldBe
       """"top_cold":{"q110_wedge":6.31,"q107_stream":4.82},""" +
         """"warm_echo":{"q110_wedge":[4.10,6.31]}"""
+    // a retried row renders its third slot (round-20)
+    Bench.renderEchoMaps(Nil, Seq(("q79_sem", 11.26, 1.46, Some(1.41))),
+      budget = 10000) shouldBe
+      """"top_cold":{},"warm_echo":{"q79_sem":[11.26,1.46,1.41]}"""
     // squeezed: the LIGHTEST entries go first, keys always remain
     val squeezed = Bench.renderEchoMaps(tc, we, budget = full.length - 1)
     squeezed.length should be <= (full.length - 1)
@@ -124,6 +166,16 @@ class BenchPolicySpec extends AnyFunSuite with Matchers {
     // at most the 2 lightest entries may be dropped
     rendered.count(_ == ':') should be >= (tc.size + we.size + 2 - 2)
     (rendered.length + baseOverhead) should be <= Bench.SummaryMaxChars
+    // round-20 pathological shape: EVERY warm row retried (a real run
+    // retries only suspect rows — r19's worst capture had 4). Each
+    // third slot costs ~5 chars, so a few more of the LIGHTEST entries
+    // may trim, but the budget holds and the heavy rows survive
+    val (tcR, weR) = Bench.echoCohorts(colds, warms, k = 20,
+      retries = warms.map { case (n, _) => n -> 9.98 })
+    val renderedR =
+      Bench.renderEchoMaps(tcR, weR, Bench.SummaryMaxChars - baseOverhead)
+    renderedR.count(_ == ':') should be >= (tcR.size + weR.size + 2 - 6)
+    (renderedR.length + baseOverhead) should be <= Bench.SummaryMaxChars
   }
 
   // ---- round-18 cold_min (VERDICT r17 ask #2) ----
