@@ -60,6 +60,16 @@ if [[ "${1:-}" == "--two-scale" ]]; then
       summary+="${summary:+/}$(sed -E 's/ FAIL 0//' <<<"$line")"
     fi
   done
+  # round-20 low-cardinality sentinel (VERDICT r19 #5): a query whose
+  # result SHRINKS to <=2 rows at the larger SF is the §7.10 degeneracy
+  # class decaying toward zero — catch it before the zero-row gate would
+  if python3 scripts/rowtrend.py /tmp/verify_twoscale_sf0.01 \
+      /tmp/verify_twoscale_sf0.1; then
+    summary+=" trend CLEAN"
+  else
+    rc=1
+    summary+=" trend SUSPECT (see rowtrend line above)"
+  fi
   echo "two-scale: $summary"
   exit $rc
 fi

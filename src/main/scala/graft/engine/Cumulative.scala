@@ -102,6 +102,77 @@ object Cumulative {
           Seq(s"__lcum$i", s"__soff$i"))): _*)
   }
 
+  /** PER-GROUP rank and running sums without partitioning any window by
+    * the group key (round-20 gate: a window `PARTITION BY <enum>` over
+    * an unbounded child shuffles the whole table into |enum| partitions
+    * — each a single-task TB-scale sort at 100 TB, the low-cardinality
+    * cousin of the global window [[rankedCumSum]] replaces).
+    *
+    * Shape: one GLOBAL [[rankedCumSums]] over the total order
+    * `keys ++ order` — keys lead, so each group's rows form one
+    * contiguous rank block — then per-group offsets (the block's first
+    * global rank, and each value's global running sum BEFORE the block)
+    * from a |groups|-row aggregate turned into exclusive prefixes by
+    * the same triangular broadcast self-join as [[rankedCumSums]]'s
+    * step 3, ordered by block position (`__rk0`), so group keys never
+    * need their own comparator. Appends `rkName` = the 1-based
+    * per-group rank and each `cumName` = the per-group INCLUSIVE
+    * running sum; row-identical to
+    * `row_number()/sum() OVER (PARTITION BY keys ORDER BY order)`
+    * because contiguous blocks make per-group rank = global rank -
+    * first-of-block + 1 and per-group cumsum = global cumsum - total
+    * of earlier blocks.
+    *
+    * `keys` must be dimension-bounded (the offset table is broadcast —
+    * same contract as every broadcast dim in the catalog, and the
+    * triangular self-join is only plan-policy-blessed for a provably
+    * bounded side) and NON-NULL (the offset join-back is an equi-join;
+    * a null key row would silently drop where the window form keeps a
+    * null partition — wrap nullable keys in `coalesce` at the call
+    * site); `order` must be total WITHIN each group (keys ++ order
+    * total overall).
+    */
+  def groupedRankedCumSums(df: DataFrame, keys: Seq[Column],
+      order: Seq[Column], values: Seq[(Column, String)] = Nil,
+      rkName: String = "rk", numPartitions: Int = 32): DataFrame = {
+    val gNames = values.map { case (_, n) => s"__g_$n" }
+    val global = rankedCumSums(df, keys ++ order,
+      values.zip(gNames).map { case ((v, _), gn) => (v, gn) },
+      "__grk", numPartitions)
+    val keyNames = keys.indices.map(i => s"__k$i")
+    val keyed = keyNames.zip(keys).foldLeft(global) {
+      case (acc, (kn, k)) => acc.withColumn(kn, k)
+    }
+    // per-group block stats: first global rank + per-value block totals
+    val perKey = keyed.groupBy(keyNames.map(col): _*)
+      .agg(min(col("__grk")).as("__rk0"),
+        values.zipWithIndex.map { case ((v, _), i) =>
+          // sum the ORIGINAL value expression (re-evaluated per row —
+          // deterministic per the Catalog contract), not the global
+          // cum, so the block total is exact
+          sum(v).as(s"__t$i")
+        }: _*)
+    val earlier = perKey.select(
+      (col("__rk0").as("__rk0b") +:
+        values.indices.map(i => col(s"__t$i").as(s"__t${i}b"))): _*)
+    // exclusive prefix totals over the |groups|-row table: triangular
+    // broadcast self-join on block position, never a global window
+    val offs = perKey
+      .join(broadcast(earlier), col("__rk0b") < col("__rk0"), "left")
+      .groupBy((col("__rk0") +: keyNames.map(col)): _*)
+      .agg(count(lit(1)).as("__ign"),
+        values.indices.map(i =>
+          coalesce(sum(col(s"__t${i}b")), lit(0L)).as(s"__off$i")): _*)
+      .drop("__ign")
+    val joined = keyed.join(broadcast(offs), keyNames)
+      .withColumn(rkName, (col("__grk") - col("__rk0") + 1L).cast("long"))
+    values.zipWithIndex.foldLeft(joined) {
+      case (acc, ((_, name), i)) =>
+        acc.withColumn(name, col(s"__g_$name") - col(s"__off$i"))
+    }.drop((Seq("__grk", "__rk0") ++ keyNames ++
+      values.indices.flatMap(i => Seq(s"__g_${values(i)._2}", s"__off$i"))): _*)
+  }
+
   /** Running MAX over a total order, same two-phase shape as
     * [[rankedCumSum]] (max is associative, so per-range maxima plus a
     * broadcast prefix-max offset regroup exactly): appends `cumName` =

@@ -245,22 +245,40 @@ object CorpusQueries {
 
   /** Per-source quantile normalization of the shared quality score
     * (TextQueries.qualityScoreCol — the exact column q21/q82 emit):
-    * `percent_rank` inside each source maps raw scores onto [0,1], the
+    * the per-source percent rank maps raw scores onto [0,1], the
     * rank-based calibration that makes cross-source thresholds
     * comparable when sources have different score distributions. The
     * rank order is (score, doc_id) — total, so the rational
     * `(rank-1)/(n-1)` is engine-independent.
+    *
+    * ## 100 TB notes
+    * Round 20: `percent_rank() OVER (PARTITION BY source ...)` would
+    * shuffle EVERY document into |sources| window partitions — each a
+    * single-task sort of billions of rows (the collapsed-window class
+    * the GlobalWindowPolicySpec gate flags). The per-source rank now
+    * comes from [[graft.engine.Cumulative.groupedRankedCumSums]] —
+    * range-partitioned global rank over (source, score, doc_id) plus a
+    * broadcast per-source offset — and the percent is the same
+    * `(rank-1)/(n-1)` division of exact integers, so the result is
+    * row-identical to the window form at any partitioning.
     */
   val q96QuantileNorm: Q = Q(
     "q96_quantile_norm",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val docs = Tables.load(s, dir, "documents")
-      docs
+      val scored = docs
         .select(col("doc_id"), col("source"),
           TextQueries.qualityScoreCol.as("score"))
-        .withColumn("pct", percent_rank().over(
-          Window.partitionBy("source").orderBy("score", "doc_id")))
+      val ranked = graft.engine.Cumulative.groupedRankedCumSums(
+        scored, Seq(col("source")),
+        Seq(col("score").asc, col("doc_id").asc), rkName = "rk_s")
+      val perSrc = ranked.groupBy("source")
+        .agg(count(lit(1)).as("n_src"))
+      ranked.join(broadcast(perSrc), "source")
+        .select(col("doc_id"), col("source"), col("score"),
+          when(col("n_src") === 1L, lit(0.0))
+            .otherwise((col("rk_s") - 1L).cast("double") /
+              (col("n_src") - 1L).cast("double")).as("pct"))
         .orderBy("source", "doc_id")
     },
     Some(s"""SELECT doc_id, source, score,

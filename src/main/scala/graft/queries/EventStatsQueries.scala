@@ -62,18 +62,23 @@ private[queries] trait EventStatsQueries extends EventQueriesBase {
     * heaviest key's share in exact ppm (integer cross-multiplication,
     * no doubles), and how many keys exceed 8x the mean frequency
     * (`cnt * n_keys > 8 * total`, the integer form of cnt > 8*mean).
-    * Two chained aggregations over one shuffle each; the per-key table
-    * is the same shape the salted-agg query consumes.
+    * One shuffle to the per-key grain, a tiny per-type rollup, and a
+    * BROADCAST join-back of the |event_type|-row totals (round 20:
+    * the per-type totals previously rode `count()/sum() OVER
+    * (PARTITION BY event_type)` — an |enum|-partition shuffle of the
+    * whole per-key table, each partition a single task at scale; the
+    * broadcast join-back computes the same numbers with the per-key
+    * table staying on its own partitioning).
     */
   val q105SkewProfile: Q = Q(
     "q105_skew_profile",
     (s, dir) => {
-      val w = Window.partitionBy("event_type")
-      Tables.load(s, dir, "events")
+      val perKey = Tables.eager(Tables.load(s, dir, "events")
         .groupBy(col("event_type"), col("user_id"))
-        .agg(count(lit(1)).as("cnt"))
-        .withColumn("nk", count(lit(1)).over(w))
-        .withColumn("tot", sum(col("cnt")).over(w))
+        .agg(count(lit(1)).as("cnt")))
+      val totals = perKey.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("nk"), sum(col("cnt")).as("tot"))
+      perKey.join(broadcast(totals), "event_type")
         .groupBy(col("event_type"))
         .agg(
           max(col("nk")).as("n_keys"),
@@ -161,12 +166,20 @@ private[queries] trait EventStatsQueries extends EventQueriesBase {
     * lakehouse runs to fight small files: per partition, files in name
     * order are greedily packed into bins of a target size by
     * exclusive-prefix-sum division, and the plan reports each output
-    * bin's file count and byte total. Everything is a window cumsum and
-    * integer division — one shuffle on the partition key; the plan table
-    * is what the rewrite job would execute. (File inventory is simulated
-    * from events: one "file" per (event_type, user_id) with its row
-    * count ×100 as bytes — the planner's arithmetic is the operator
-    * under test, not the listing.)
+    * bin's file count and byte total. Everything is an exclusive prefix
+    * sum and integer division; the plan table is what the rewrite job
+    * would execute. (File inventory is simulated from events: one
+    * "file" per (event_type, user_id) with its row count ×100 as bytes
+    * — the planner's arithmetic is the operator under test, not the
+    * listing.)
+    *
+    * Round 20: the prefix sum rides
+    * [[graft.engine.Cumulative.groupedRankedCumSums]] rather than a
+    * window PARTITIONED BY event_type — a real lake's file manifest is
+    * metadata-sized, but nothing in this plan shape bounded it, and
+    * |enum|-partition windows are the collapsed-window class the
+    * GlobalWindowPolicySpec gate flags. prior = inclusive cum − own
+    * bytes, exact BIGINT, row-identical to the old exclusive frame.
     */
   val q109CompactionPlan: Q = Q(
     "q109_compaction_plan",
@@ -175,10 +188,10 @@ private[queries] trait EventStatsQueries extends EventQueriesBase {
       val files = Tables.load(s, dir, "events")
         .groupBy(col("event_type"), col("user_id"))
         .agg((count(lit(1)) * 100).as("bytes"))
-      val w = Window.partitionBy("event_type").orderBy("user_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      files
-        .withColumn("prior", coalesce(sum(col("bytes")).over(w), lit(0L)))
+      graft.engine.Cumulative.groupedRankedCumSums(
+        files, Seq(col("event_type")), Seq(col("user_id").asc),
+        values = Seq(col("bytes") -> "cum_bytes"))
+        .withColumn("prior", col("cum_bytes") - col("bytes"))
         .withColumn("bin", expr(s"prior div $target"))
         .groupBy(col("event_type"), col("bin"))
         .agg(count(lit(1)).as("n_files"),

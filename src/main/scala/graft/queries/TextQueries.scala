@@ -510,21 +510,25 @@ object TextQueries {
     * per partition boundary over this.
     *
     * ## 100 TB notes
-    * One window cumsum per language partition = one shuffle; at scale the
-    * partition key widens (lang, shard) so no single sort exceeds a task,
-    * at the cost of one partially-filled window per shard — the same
-    * boundary waste every distributed packer accepts.
+    * Round 20: the per-language cumsum rides
+    * [[graft.engine.Cumulative.groupedRankedCumSums]] — a window
+    * `PARTITION BY lang` is |langs| single-task partitions, the
+    * collapsed-window class (this note once proposed a manual
+    * (lang, shard) key widening; the grouped prefix-sum primitive IS
+    * that decomposition, with exact offsets instead of per-shard
+    * boundary waste). Exact BIGINT throughout; row-identical to the
+    * window form.
     */
   val q62PackSequences: Q = Q(
     "q62_pack_sequences",
     (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-      docs
-        .select(col("lang"), col("doc_id"),
+      graft.engine.Cumulative.groupedRankedCumSums(
+        docs.select(col("lang"), col("doc_id"),
           coalesce(size(Text.tokens(col("text"))).cast("long"), lit(0L))
-            .as("n_tokens"))
-        .withColumn("cum", sum(col("n_tokens")).over(w))
+            .as("n_tokens")),
+        Seq(col("lang")), Seq(col("doc_id").asc),
+        values = Seq(col("n_tokens") -> "cum"))
         .withColumn("bin", expr("(cum - n_tokens) div 2048"))
         .groupBy(col("lang"), col("bin"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
@@ -880,14 +884,19 @@ object TextQueries {
     * document (the effective quality cutoff that budget buys).
     *
     * ## 100 TB notes
-    * One shuffle on source, then a single window pass computes the
-    * running token total — same shape as q62's packing cumsum; the
-    * aggregate rides the same partitioning. Skewed sources bound the
-    * window partition; a source too hot for one partition gets q73's
-    * salt on the SCORING pass and a two-level cumsum (per-salt, then
-    * offset by per-salt totals) — plan shape unchanged. Ties cannot
-    * reorder the prefix: the window orders by (score DESC, doc_id ASC)
-    * and the score is the bit-identical raw double both engines compute.
+    * Round 20: `sum() OVER (PARTITION BY source ORDER BY ...)` would
+    * shuffle every document into |sources| window partitions — each a
+    * single-task TB-scale sort (the collapsed-window class the
+    * GlobalWindowPolicySpec gate flags; this file's old note proposed
+    * manual salting as the escape hatch, but the engine grew the
+    * general primitive instead). The per-source running token total now
+    * comes from [[graft.engine.Cumulative.groupedRankedCumSums]]:
+    * range-partitioned global cumsum over (source, score DESC, doc_id)
+    * plus broadcast per-source offsets — exact BIGINT throughout, so
+    * the admitted prefix is row-identical to the window form. Ties
+    * cannot reorder the prefix: the order is (score DESC, doc_id ASC)
+    * and the score is the bit-identical raw double both engines
+    * compute.
     */
   val q82TokenBudget: Q = Q(
     "q82_token_budget",
@@ -896,11 +905,10 @@ object TextQueries {
         .select(col("doc_id"), col("source"),
           size(Text.tokens(col("text"))).cast("long").as("n_tokens"),
           qualityScoreCol.as("score"))
-      val w = Window.partitionBy(col("source"))
-        .orderBy(col("score").desc, col("doc_id").asc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      scored
-        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      graft.engine.Cumulative.groupedRankedCumSums(
+        scored, Seq(col("source")),
+        Seq(col("score").desc, col("doc_id").asc),
+        values = Seq(col("n_tokens") -> "cum_tokens"))
         .filter(col("cum_tokens") <= TokenBudget)
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs_kept"),
@@ -1658,23 +1666,26 @@ object TextQueries {
     * ("exactly 50 held-out docs per language").
     *
     * ## 100 TB notes
-    * The window partitions by `lang` — per-stratum state only, no
-    * global window. For strata too large for one task's sort, the
-    * scale path is a per-partition top-k (TakeOrderedAndProject shape)
-    * followed by a k·#partitions re-rank: both phases bounded, the
-    * result identical because hash-rank selection is a pure total
-    * order. At any scale the output is k·|strata| rows — tiny.
+    * Round 20: the per-stratum rank rides
+    * [[graft.engine.Cumulative.groupedRankedCumSums]] — a window
+    * `PARTITION BY lang` is |langs| single-task partitions, the
+    * collapsed-window class (the old note called it "per-stratum state
+    * only", which is exactly the collapse). Range partitioning spreads
+    * every stratum across tasks; a per-partition top-k pre-filter
+    * (TakeOrderedAndProject shape) remains the further optimization if
+    * the rank table itself ever mattered — the output is k·|strata|
+    * rows either way, and hash-rank selection is a pure total order so
+    * the sample is partitioning-invariant.
     */
   val q269FixedSample: Q = Q(
     "q269_fixed_sample",
     (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       val h = md5(col("doc_id").cast("string"))
-      val byLang = Window.partitionBy(col("lang"))
-        .orderBy(h.asc, col("doc_id").asc)
-      docs
-        .select(col("lang"), col("doc_id"), col("n_chars"))
-        .withColumn("rk", row_number().over(byLang).cast("long"))
+      graft.engine.Cumulative.groupedRankedCumSums(
+        docs.select(col("lang"), col("doc_id"), col("n_chars"),
+          h.as("__h")),
+        Seq(col("lang")), Seq(col("__h").asc, col("doc_id").asc))
         .filter(col("rk") <= 50)
         .select(col("lang"), col("rk"), col("doc_id"), col("n_chars"))
         .orderBy("lang", "rk")
@@ -1773,11 +1784,16 @@ object TextQueries {
     * q270's hash order.
     *
     * ## 100 TB notes
-    * Per-source ranks come from windows partitioned by source
-    * (bounded strata); the global order is
+    * Per-source ranks come from
+    * [[graft.engine.Cumulative.groupedRankedCumSums]] (round 20: a
+    * window PARTITIONED BY source is |sources| single-task partitions —
+    * the collapsed-window class, NOT "bounded strata" as this note
+    * once claimed); the global order is
     * [[graft.engine.Cumulative.rankedCumSum]] over the virtual-time
     * key — range partition + broadcast offsets, no single-partition
-    * window. The deviation check is a bounded two-level group-by.
+    * window. The per-batch totals window partitions by `batch`, a key
+    * that SCALES with the corpus (one partition per 100-doc batch).
+    * The deviation check is a bounded two-level group-by.
     * Everything is integer: `|cnt*W - w_s*bn|` cross-multiplication
     * avoids any rational arithmetic. Headroom: the fixed-point ticket
     * `rk_s * 1e9` stays inside int64 up to ~9.2e9 docs per source;
@@ -1791,10 +1807,9 @@ object TextQueries {
       val docs = Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("source"),
           md5(col("doc_id").cast("string")).as("h"))
-      val bySrc = Window.partitionBy(col("source"))
-        .orderBy(col("h").asc, col("doc_id").asc)
-      val rankedSrc = docs
-        .withColumn("rk_s", row_number().over(bySrc).cast("long"))
+      val rankedSrc = graft.engine.Cumulative.groupedRankedCumSums(
+        docs, Seq(col("source")),
+        Seq(col("h").asc, col("doc_id").asc), rkName = "rk_s")
       val weights = docs.groupBy(col("source"))
         .agg(count(lit(1)).as("w_s"))
       val tot = docs.agg(count(lit(1)).as("w_tot")) // 1 row

@@ -118,6 +118,55 @@ class GlobalWindowPolicySpec extends SparkSpec with AdaptiveSparkPlanHelper {
 
   private def bounded(p: SparkPlan): Boolean = PlanBounds.bounded(p)
 
+  /** Round-20 allowlist for the collapsed-window gate below: queries
+    * whose bounded-domain-key windows were reviewed. Entries must state
+    * why the shape survives scale (usually: the window's CHILD is
+    * small-by-construction for a reason PlanBounds cannot prove —
+    * a TIME-GRAIN or HISTOGRAM-SUPPORT aggregate, sub-linear in data).
+    * The round-20 review CONVERTED the five queries whose windows ran
+    * over raw per-row tables (q82/q96/q105/q109/q274 — now
+    * `Cumulative.groupedRankedCumSums` / broadcast join-backs); these
+    * remaining entries window over grain tables only.
+    */
+  private val collapsedAllowed: Set[String] = Set(
+    "q85_moving_average",   // hourly grain agg: |hours| rows per type —
+                            // the documented two-level calendar shape
+    "q143_cusum_changepoint", // daily grain agg: |days| rows per type
+    "q161_autocorr",        // daily grain agg: |days| rows per type
+    "q179_interpolate_gaps", // hourly spine x |types|: |hours| per type
+    "q236_fanout_profile",  // fan-out histogram: |distinct sizes| per
+                            // edge (histogram support, not rows)
+    "q288_qte_deciles",     // value histogram: |distinct cents| per arm
+    "q282_rle_profile")     // per-FILE run detection: file ids scale
+                            // with a real manifest; the fixture
+                            // synthesizes 32 from the bounded key
+                            // domain, so the constant domain is a
+                            // fixture artifact, not the operator shape
+
+  test("window partition keys must scale out: bounded-domain keys over " +
+      "an unbounded child collapse to constant partitions (round-20: " +
+      "the low-cardinality cousin of the empty-partitionSpec killer)") {
+    // a WindowExec partitioned ONLY by code-constant-domain keys (an
+    // enum column, pmod-by-literal, a calendar part) over an unbounded
+    // child shuffles the whole table into |domain| partitions — each a
+    // single-task TB-scale sort at 100 TB. partitionSpec.isEmpty cannot
+    // see it; this gate can. A bounded partition KEY never blesses a
+    // window; only a bounded CHILD (or a genuinely scaling key) does.
+    val offenders = sweep.collect {
+      case (name, plans) if !collapsedAllowed(name) &&
+        plans.flatMap(flatten).exists {
+          case w: WindowExec => w.partitionSpec.nonEmpty &&
+            PlanBounds.allConstantDomains(w.partitionSpec, w) &&
+            !bounded(w.child)
+          case _ => false
+        } => name
+    }
+    withClue("bounded-domain window partition keys over unbounded " +
+      "children in: ") { offenders shouldBe empty }
+    val stale = collapsedAllowed.filterNot(Catalog.all.map(_.name).toSet)
+    withClue("allowlisted names not in the catalog: ") { stale shouldBe empty }
+  }
+
   test("cross/nested-loop joins only attach provably-bounded sides") {
     val offenders = sweep.collect {
       case (name, plans) if !allPairsAllowed(name) &&

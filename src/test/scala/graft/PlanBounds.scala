@@ -60,8 +60,12 @@ object PlanBounds {
   /** Fixed-cardinality dimension tables of the data model. */
   private val fixedDims = Set("region.parquet", "nation.parquet")
 
-  /** Fixture columns with data-model-constant domains. */
-  private val enumCols = Set("event_type", "source", "label")
+  /** Fixture columns with data-model-constant domains. `lang` joined in
+    * round 20: the documents generator draws it from a fixed 5-language
+    * enum (verified at sf0.01/sf0.1), the text-pipeline analogue of
+    * `source`.
+    */
+  private val enumCols = Set("event_type", "source", "label", "lang")
 
   /** Unique dense-id columns: `id < k` selects at most k rows. */
   private val uniqueKeyCols = Set("vec_id", "doc_id")
@@ -80,6 +84,33 @@ object PlanBounds {
   }
 
   def bounded(p: SparkPlan): Boolean = boundedRows(p, aliasMap(p))
+
+  /** Round-20 (VERDICT r19 #5): are ALL of `exprs` bounded-DOMAIN in
+    * the alias scope of `scope`'s subtree? Used by
+    * [[GlobalWindowPolicySpec]]'s collapsed-window gate: a `WindowExec`
+    * whose partition keys are all code-constant-domain (an enum column,
+    * pmod-by-literal, a calendar part) over an UNBOUNDED child collapses
+    * the table into a constant number of window partitions — at 100 TB
+    * each partition is a single-task sort of TB-scale data, the same
+    * scale-killer as an empty partitionSpec, invisible to the
+    * `partitionSpec.isEmpty` check. A bounded partition KEY must never
+    * bless a window; only a bounded CHILD (or a scaling key) may.
+    *
+    * `SPARK_PARTITION_ID()` is deliberately NOT constant here
+    * (`pidBounded = false`), unlike in the broadcast-boundedness rules:
+    * for a broadcast side, "≤ the configured partition count" is a
+    * usable bound (the offset table stays small), but as a WINDOW key
+    * it is the one bounded-domain key that SCALES — one window
+    * partition per data partition, each task-local
+    * (`Cumulative.rankedCumSum`'s round-10 decomposition). Treating it
+    * as constant would flag the very pattern that replaced the
+    * single-partition windows.
+    */
+  def allConstantDomains(exprs: Seq[Expression], scope: SparkPlan): Boolean = {
+    val aliases = aliasMap(scope)
+    exprs.nonEmpty &&
+      exprs.forall(boundedDomain(_, aliases, Set.empty, pidBounded = false))
+  }
 
   private def boundedRows(p: SparkPlan, aliases: Aliases): Boolean =
     p match {
@@ -154,14 +185,45 @@ object PlanBounds {
         imts.relation.output.zip(imts.relation.cachedPlan.output).collect {
           case (rel, cached) if rel.exprId != cached.exprId =>
             rel.exprId -> Seq[Expression](cached) }
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        // round-20: DOMAIN-PRESERVING window functions only. lead/lag/
+        // first/last/nth pick VALUES of their input (plus the offset
+        // default), so the output domain is ⊆ input ∪ default — the
+        // q122 shape (`dst = lead(event_type)` has the event-type enum
+        // domain). min/max over any frame likewise. Everything else
+        // (row_number, rank, sum, count, ...) ACCUMULATES — sum over a
+        // bounded-domain input is NOT bounded-domain, so mapping those
+        // through the generic f(bounded)=bounded rule would be unsound;
+        // they stay unmapped leaves (= unbounded).
+        w.windowExpression.flatMap {
+          case a @ Alias(we: WindowExpression, _) =>
+            val fn = we.windowFunction match {
+              case ae: aggregate.AggregateExpression => ae.aggregateFunction
+              case other => other
+            }
+            val dom: Option[Seq[Expression]] = fn match {
+              case o: OffsetWindowFunction => Some(Seq(o.input, o.default))
+              case f: aggregate.First => Some(Seq(f.child))
+              case l: aggregate.Last => Some(Seq(l.child))
+              case n: NthValue => Some(Seq(n.input))
+              case m: aggregate.Min => Some(Seq(m.child))
+              case m: aggregate.Max => Some(Seq(m.child))
+              case _ => None
+            }
+            dom.map(a.exprId -> _)
+          case _ => None
+        }
       case _ => Seq.empty
     }.groupMapReduce(_._1)(_._2)(_ ++ _)
   }
 
   private def boundedDomain(e: Expression, aliases: Aliases,
-      seen: Set[ExprId]): Boolean = e match {
+      seen: Set[ExprId], pidBounded: Boolean = true): Boolean = e match {
     case _: Literal => true
-    case _: SparkPartitionID => true // <= configured partition count
+    // <= configured partition count: a usable bound for a broadcast
+    // side, but a SCALING quantity (not a code constant) for the
+    // collapsed-window gate — see allConstantDomains
+    case _: SparkPartitionID => pidBounded
     // domain-collapsing regardless of the left input
     case Pmod(_, Literal(_, _), _) => true
     case Remainder(_, Literal(_, _), _) => true
@@ -171,18 +233,19 @@ object PlanBounds {
         _: WeekOfYear => true
     // predicates: {true, false, null}
     case _: Predicate => true
-    case a: Alias => boundedDomain(a.child, aliases, seen)
+    case a: Alias => boundedDomain(a.child, aliases, seen, pidBounded)
     case ar: AttributeReference =>
       if (seen(ar.exprId)) false
       else aliases.get(ar.exprId) match {
         case Some(defs) =>
           defs.nonEmpty &&
-            defs.forall(boundedDomain(_, aliases, seen + ar.exprId))
+            defs.forall(
+              boundedDomain(_, aliases, seen + ar.exprId, pidBounded))
         case None => enumCols(ar.name) // reviewed fixture enum, else leaf
       }
     case other =>
       other.deterministic && other.children.nonEmpty &&
-        other.children.forall(boundedDomain(_, aliases, seen))
+        other.children.forall(boundedDomain(_, aliases, seen, pidBounded))
   }
 
   /** Does the condition pin a unique dense id under a literal?

@@ -197,4 +197,72 @@ class PlanBoundsSpec extends SparkSpec {
         .agg(count(lit(1)).as("n"))) shouldBe false
     finally cached.unpersist(blocking = true)
   }
+
+  // ---- round-20: the collapsed-window gate's building blocks ----
+
+  private def constantKeys(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plans = PlanBounds.flatten(df.queryExecution.executedPlan)
+    val windows = plans.collect { case w: WindowExec => w }
+    windows.nonEmpty && windows.forall(w =>
+      PlanBounds.allConstantDomains(w.partitionSpec, w))
+  }
+
+  test("constant-domain window keys: enum yes, partition-id NO (it " +
+      "scales with the cluster), per-row key no") {
+    import org.apache.spark.sql.expressions.Window
+    // enum key over a fact table: the collapse the round-20 gate exists
+    // to catch — |enum| single-task partitions at any data size
+    constantKeys(docs.withColumn("rn",
+      row_number().over(Window.partitionBy(col("source"))
+        .orderBy(col("doc_id"))))) shouldBe true
+    // SPARK_PARTITION_ID is bounded for BROADCAST purposes but SCALING
+    // for window purposes (rankedCumSum's per-partition pass) — the one
+    // key deliberately treated differently by the two rule sets
+    constantKeys(docs.repartition(8)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("__pid")).orderBy(col("doc_id"))))) shouldBe
+      false
+    // a per-row key scales out — not constant
+    constantKeys(docs.withColumn("rn",
+      row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("n_chars"))))) shouldBe false
+    // ... and the same enum key over a BOUNDED child is what the gate's
+    // second conjunct (bounded(w.child)) blesses — pinned via bounded()
+    verdict(docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n"))) shouldBe true
+  }
+
+  test("bounded: documents.lang is a generator enum (round-20 addition)") {
+    verdict(docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))) shouldBe
+      true
+  }
+
+  test("window alias bridge: lead(enum) keeps the enum domain; an " +
+      "accumulating window function does NOT (the sum-domain trap)") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("n_chars"))
+    // q122's shape: dst = lead(event_type) — grouping the window output
+    // with the source enum is |enum|^2, provably bounded ONLY if the
+    // window alias resolves through to its domain-preserving input
+    verdict(docs
+      .withColumn("nxt", lead(col("source"), 1).over(w))
+      .groupBy(col("source"), col("nxt"))
+      .agg(count(lit(1)).as("n"))) shouldBe true
+    // last() over the same frame is equally domain-preserving
+    verdict(docs
+      .withColumn("lst", last(col("lang"), ignoreNulls = true).over(w))
+      .groupBy(col("lst")).agg(count(lit(1)).as("n"))) shouldBe true
+    // sum over a bounded-domain input ACCUMULATES — its domain is NOT
+    // the input's; mapping it through would bless unbounded grouping
+    verdict(docs
+      .withColumn("s", sum(functions.length(col("lang")).cast("long"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("s")).agg(count(lit(1)).as("n"))) shouldBe false
+    // row_number likewise: rank domains grow with partition size
+    verdict(docs
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("rn")).agg(count(lit(1)).as("n"))) shouldBe false
+  }
 }

@@ -89,6 +89,49 @@ class CumulativePropertySpec extends SparkSpec {
     }
   }
 
+  test("groupedRankedCumSums equals the per-group window on random input " +
+      "(round-20: the collapsed-window replacement)") {
+    // reference: row_number()/sum() OVER (PARTITION BY g ORDER BY k) —
+    // computed flat in Scala, never via the window it replaces
+    val gen = for {
+      n <- Gen.choose(1, 200)
+      keys <- Gen.pick(n, 0L until 1000L) // unique order keys (contract)
+      grps <- Gen.listOfN(n, Gen.choose(0L, 4L))
+      vals <- Gen.listOfN(n, Gen.choose(-1000L, 1000L))
+    } yield keys.toSeq.lazyZip(grps).lazyZip(vals).toSeq
+    (1 to 15).foreach { _ =>
+      val rows = gen.sample.getOrElse(Seq((0L, 0L, 1L)))
+      val nParts = Gen.oneOf(1, 3, 8, 300).sample.getOrElse(8)
+      val df = rows.toDF("k", "g", "v")
+      val got = Cumulative
+        .groupedRankedCumSums(df, Seq(col("g")), Seq(col("k").asc),
+          values = Seq(col("v") -> "cum"), numPartitions = nParts)
+        .select(col("g"), col("k"), col("rk"), col("cum"))
+        .as[(Long, Long, Long, Long)].collect().sortBy(t => (t._1, t._2))
+        .toSeq
+      val expect = rows.groupBy(_._2).toSeq.sortBy(_._1).flatMap {
+        case (g, rs) =>
+          val sorted = rs.sortBy(_._1)
+          var cum = 0L
+          sorted.zipWithIndex.map { case ((k, _, v), i) =>
+            cum += v
+            (g, k, i + 1L, cum)
+          }
+      }
+      got shouldBe expect
+    }
+    // rank-only call (no value columns) and desc order within groups —
+    // the q269/q274 shape
+    val rows = Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 0L), (5L, 1L))
+    val got = Cumulative
+      .groupedRankedCumSums(rows.toDF("id", "g"), Seq(col("g")),
+        Seq(col("id").desc), rkName = "r", numPartitions = 3)
+      .select(col("g"), col("id"), col("r"))
+      .as[(Long, Long, Long)].collect().sortBy(t => (t._1, t._2)).toList
+    got shouldBe List((0L, 1L, 3L), (0L, 2L, 2L), (0L, 4L, 1L),
+      (1L, 3L, 2L), (1L, 5L, 1L))
+  }
+
   test("descending order with tie-broken keys matches the reference") {
     // the q155 shape: primary desc with ties, unique tiebreaker asc
     val rows = Seq((1L, 50L), (2L, 50L), (3L, 10L), (4L, 90L), (5L, 10L))
