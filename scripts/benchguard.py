@@ -897,10 +897,14 @@ def annotate_io(lines):
     merged = dict(summary)
     merged.update(per_line)
     # round-20: fold each probe's in-run retry — min(first, retry)
-    # adjudicates; both samples are printed so the burst stays visible
+    # adjudicates; both samples are printed so the burst stays visible.
+    # An ORPHAN retry (its base first-sample truncated away — retries
+    # print after firsts, so a tail window can keep one without the
+    # other) is dropped: an unpaired second sample adjudicates nothing
     retries = {n[:-len(RETRY_SUFFIX)]: s for n, s in merged.items()
                if isinstance(n, str) and n.endswith(RETRY_SUFFIX)
-               and n[:-len(RETRY_SUFFIX)] in nominals}
+               and n[:-len(RETRY_SUFFIX)] in nominals
+               and n[:-len(RETRY_SUFFIX)] in merged}
     obs = [(n, min(s, retries.get(n, s))) for n, s in merged.items()
            if n in nominals]
     obs.sort(key=lambda t: (WRITE_SUMMARY_ORDER.index(t[0])
@@ -2426,6 +2430,19 @@ def selftest():
         v = annotate_io(io_retry_tail)
     assert v == "IO-CLEAN" and "retried" in buf.getvalue(), \
         f"selftest-io-retry-tail: {buf.getvalue()}"
+    # an ORPHAN retry (base first-sample truncated away) adjudicates
+    # nothing and must not crash: alone it is NO IO ROWS, and next to
+    # the other probes it is simply ignored
+    orphan = [json.dumps({"progress": "write",
+                          "name": "write_s7_gold" + RETRY_SUFFIX,
+                          "sec": 0.4})]
+    assert annotate_io(orphan) == "NO IO ROWS", \
+        "orphan io retry must not adjudicate"
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        v = annotate_io(io_clean[:2] + orphan)
+    assert v == "IO-CLEAN" and "retried" not in buf.getvalue(), \
+        f"orphan retry next to other probes must be ignored: {buf.getvalue()}"
     # (v) retries feed the cold_min second-sample maps: per-query
     # derivation and the echo-derived pseudo-min both take the min
     retry_cm = [

@@ -62,13 +62,21 @@ if [[ "${1:-}" == "--two-scale" ]]; then
   done
   # round-20 low-cardinality sentinel (VERDICT r19 #5): a query whose
   # result SHRINKS to <=2 rows at the larger SF is the §7.10 degeneracy
-  # class decaying toward zero — catch it before the zero-row gate would
-  if python3 scripts/rowtrend.py /tmp/verify_twoscale_sf0.01 \
-      /tmp/verify_twoscale_sf0.1; then
+  # class decaying toward zero — catch it before the zero-row gate
+  # would. rc 1 = real suspects; anything else (rc 2 unusable dirs, a
+  # crash) is an infrastructure failure and must be LABELED as such,
+  # not dressed up as a finding
+  trc=0
+  python3 scripts/rowtrend.py /tmp/verify_twoscale_sf0.01 \
+    /tmp/verify_twoscale_sf0.1 || trc=$?
+  if [[ $trc -eq 0 ]]; then
     summary+=" trend CLEAN"
-  else
+  elif [[ $trc -eq 1 ]]; then
     rc=1
     summary+=" trend SUSPECT (see rowtrend line above)"
+  else
+    rc=1
+    summary+=" trend UNUSABLE (rowtrend rc $trc)"
   fi
   echo "two-scale: $summary"
   exit $rc
