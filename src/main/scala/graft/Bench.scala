@@ -186,6 +186,16 @@ object Bench {
   private[graft] def writeSuspect(name: String, sec: Double): Boolean =
     WriteNominalS.get(name).exists(nom => sec > nom * WriteNoisyFactor)
 
+  /** Test hook: force every successful write probe to retry once, so
+    * the `<name>__retry` emission path can be driven end-to-end on a
+    * clean host (real write retries only fire under disk contention —
+    * the one condition a validation run cannot schedule). Never set by
+    * the driver; a capture taken with it is a plumbing check, not a
+    * baseline.
+    */
+  private def forceWriteRetry: Boolean =
+    sys.env.contains("GRAFT_BENCH_FORCE_WRITE_RETRY")
+
   /** Suffix naming a write probe's retry row in the write stream/echo
     * (`write_s7_gold__retry`): the retry travels through the SAME
     * `write_names`/`write_secs` channel as the first sample, so a
@@ -515,7 +525,7 @@ object Bench {
         // threshold benchguard would apply post hoc — earn ONE
         // end-of-run re-measure (emitted as `<name>__retry` through
         // the same write stream/echo, so both samples travel)
-        if (sec.exists(s => writeSuspect(name, s)))
+        if (sec.exists(s => writeSuspect(name, s) || forceWriteRetry))
           Some((name + RetrySuffix) -> body)
         else None
       }
