@@ -39,7 +39,16 @@ import org.apache.spark.sql.expressions.Window
   *
   * `value` should be an exact type (BIGINT cents / centi-units or
   * decimal — the Catalog determinism contract); the helper adds partial
-  * sums in whatever type `sum(value)` infers.
+  * sums in whatever type `sum(value)` infers. Values must also be
+  * NON-NULL (same class of contract as [[groupedRankedCumSums]]'s
+  * non-null keys): window `sum` skips nulls and yields NULL over an
+  * all-null prefix, and the two-phase combine `local + offset`
+  * null-propagates — a row whose local prefix is all-NULL inside a
+  * range with non-null values in EARLIER ranges would read NULL where
+  * the flat window form reads the earlier-range sum. Wrap nullable
+  * values in `coalesce(v, 0)` at the call site (every current caller
+  * sums inherently non-null measures; [[runningMax]] is immune — its
+  * `greatest` combine skips nulls by design).
   */
 object Cumulative {
 
