@@ -32,22 +32,130 @@ private[queries] trait EventStreamingQueries extends EventQueriesBase {
       : java.nio.file.Path =
     graft.engine.TempDirs.createCleanedAtExit(prefix)
 
+  /** Target input bytes per streaming state partition — the same
+    * bytes-per-partition sizing the batch side gets from AQE's advisory
+    * partition size (64 MB default), applied to the one exchange AQE
+    * can never coalesce (adaptive execution is disabled in stateful
+    * workloads).
+    */
+  private[queries] val StreamStateTargetBytes: Long = 64L * 1024 * 1024
+
+  /** Bytes of staged parquet input under `stagingDir` (symlinks
+    * followed — the single-file staging IS a symlink to the fixture).
+    */
+  private[queries] def stagedInputBytes(stagingDir: String): Long = {
+    val stream = java.nio.file.Files.list(
+      java.nio.file.Paths.get(stagingDir))
+    try stream.iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(java.nio.file.Files.size(_)).sum
+    finally stream.close()
+  }
+
+  /** Scale-adaptive shuffle-partition count for ONE bounded streaming
+    * run over `stagingDir` (guide §2: derive partitioning from input
+    * size, never a constant tuned for local mode or the cluster).
+    *
+    * Why it matters: every stateful operator provisions ONE state store
+    * per shuffle partition per micro-batch — commit/delta/maintenance
+    * files on the HDFS-backed provider, a whole RocksDB instance each
+    * under transformWithState — and AQE cannot coalesce streaming
+    * exchanges, so the session default (sized to the core count for
+    * batch work) buys `cores x operators x batches` of pure provisioning
+    * overhead while each store holds kilobytes. Partitions are derived
+    * as one per [[StreamStateTargetBytes]] of staged input, clamped to
+    * [1, session default] so a cluster deployment (whose session
+    * default is sized to its data) never loses parallelism it had, and
+    * overridable via SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS for a
+    * deployment whose steady-state STATE volume is not proportional to
+    * one bounded drain's input (an unbounded run accumulating keys
+    * sizes partitions to state, not to a batch).
+    *
+    * Correctness-neutral by construction: every stateful op here is
+    * keyed (groupBy / dropDuplicates / join keys), and key->partition
+    * assignment never changes which rows meet which state — the suite's
+    * 32-vs-4 thread invariance gate re-proves partition-count
+    * invariance of all 295 results each round.
+    */
+  private[queries] def streamShufflePartitions(s: SparkSession,
+      stagingDir: String): Int =
+    sys.env.get("SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS")
+      .map(_.trim.toInt) match {
+      case Some(n) if n >= 1 => n
+      case _ => deriveStreamPartitions(stagedInputBytes(stagingDir),
+        s.conf.get("spark.sql.shuffle.partitions").toInt)
+    }
+
+  /** Parallelism floor for the derived count: stateful per-batch work
+    * (the symmetric join's per-row state probes above all) scales with
+    * the rows buffered, not with the input bytes the derivation sees,
+    * and a single partition serializes it. Measured on the q78-shape
+    * interval join over the sf0.1 staging (clean host, warm JVM): 1
+    * partition 8.0-10.9 s, 2 -> 5.6 s, 4 -> 3.5 s, 8 -> 3.6 s, 32
+    * (the old session default) -> 10.1 s — a U-curve between probe
+    * parallelism and store provisioning whose flat bottom starts at 4.
+    * The floor never RAISES the count above the session default, so a
+    * deliberately small cluster conf wins.
+    */
+  private[queries] val StreamMinPartitions = 4
+
+  /** The pure sizing rule behind [[streamShufflePartitions]]: one
+    * partition per [[StreamStateTargetBytes]] of input (ceil), floored
+    * at min([[StreamMinPartitions]], session default), never above the
+    * session default.
+    */
+  private[queries] def deriveStreamPartitions(inputBytes: Long,
+      sessionDefault: Int): Int = {
+    val cap = math.max(sessionDefault, 1)
+    val derived =
+      math.ceil(inputBytes.toDouble / StreamStateTargetBytes).toInt
+    math.min(math.max(derived, math.min(StreamMinPartitions, cap)), cap)
+  }
+
+  /** Run `body` (which starts AND drains a streaming query) under the
+    * scale-adaptive shuffle-partition count for `stagingDir`, restoring
+    * the session conf after — the [[withRocksDb]] bracket pattern. The
+    * conf must be in force when the stream STARTS: the stateful
+    * operator's partition count is fixed into the new checkpoint at
+    * start and every micro-batch re-uses it.
+    */
+  private[queries] def withStreamShuffle[A](s: SparkSession,
+      stagingDir: String)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prior = s.conf.getOption(key)
+    s.conf.set(key, streamShufflePartitions(s, stagingDir).toString)
+    try body finally prior match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   /** Run a streaming DataFrame to completion through a memory sink
     * (append mode, AvailableNow) and return the drained table — the
     * bounded-stream harness shared by q64/q66/q75. Drops any stale view
-    * from a prior run in the same session first.
+    * from a prior run in the same session first. When `inputDir` is
+    * given, the run executes under [[withStreamShuffle]]'s input-sized
+    * state partitioning (the drained table itself is batch data; later
+    * transformations on it run under the restored session conf).
     */
   private def runToMemorySink(s: SparkSession, df: DataFrame,
-      name: String, outputMode: String = "append"): DataFrame = {
+      name: String, outputMode: String = "append",
+      inputDir: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     s.catalog.dropTempView(name)
-    // the memory sink APPENDS each batch's rows in update mode too, so
-    // an update-mode run materializes the full per-batch emission log —
-    // exactly what q119's oracle models
-    val query = df.writeStream.format("memory").queryName(name)
-      .outputMode(outputMode).trigger(Trigger.AvailableNow()).start()
-    query.awaitTermination()
-    s.table(name)
+    def run(): DataFrame = {
+      // the memory sink APPENDS each batch's rows in update mode too, so
+      // an update-mode run materializes the full per-batch emission log —
+      // exactly what q119's oracle models
+      val query = df.writeStream.format("memory").queryName(name)
+        .outputMode(outputMode).trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+      s.table(name)
+    }
+    inputDir match {
+      case Some(d) => withStreamShuffle(s, d)(run())
+      case None => run()
+    }
   }
 
   /** Staging dir for the streaming queries: the file source requires a
@@ -205,8 +313,9 @@ private[queries] trait EventStreamingQueries extends EventQueriesBase {
     (s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val stagingDir = eventsStreamDir(dir)
       val agg = s.readStream.schema(batchSchema)
-        .parquet(eventsStreamDir(dir))
+        .parquet(stagingDir)
         .transform(Tables.normalizeEventTs)
         .select(tsStamp.as("tss"), col("event_type"))
         .withWatermark("tss", "10 minutes")
@@ -214,7 +323,8 @@ private[queries] trait EventStreamingQueries extends EventQueriesBase {
         .agg(count(lit(1)).as("n_events"))
         .select(us(col("w.start")).as("window_start_us"), col("event_type"),
           col("n_events"))
-      runToMemorySink(s, agg, "q64_stream_hourly_mem")
+      runToMemorySink(s, agg, "q64_stream_hourly_mem",
+        inputDir = Some(stagingDir))
         .orderBy("window_start_us", "event_type")
     },
     Some(s"""WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS t, event_type
@@ -255,7 +365,8 @@ private[queries] trait EventStreamingQueries extends EventQueriesBase {
         .withWatermark("tss", "10 minutes")
         .dropDuplicatesWithinWatermark("user_id", "hour_us")
         .select(col("user_id"), col("hour_us"))
-      runToMemorySink(s, dedup, "q66_stream_dedup_mem")
+      runToMemorySink(s, dedup, "q66_stream_dedup_mem",
+        inputDir = Some(stagingDir))
         .orderBy("user_id", "hour_us")
     },
     Some(s"""SELECT DISTINCT user_id,
@@ -286,15 +397,17 @@ private[queries] trait EventStreamingQueries extends EventQueriesBase {
       import org.apache.spark.sql.streaming.Trigger
       import s.implicits._
       val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val stagingDir = eventsStreamDir(dir)
       val evs = s.readStream.schema(batchSchema)
-        .parquet(eventsStreamDir(dir))
+        .parquet(stagingDir)
         .transform(Tables.normalizeEventTs)
         .select(col("user_id"), tsUs.as("ts_us"), col("value"))
         .as[graft.streaming.EventStreams.Ev]
       val out = graft.streaming.EventStreams.sessionize(evs)
         .select(col("user_id"), col("start_us"), col("end_us"),
           col("n_events"))
-      runToMemorySink(s, out, "q75_stream_sessions_mem")
+      runToMemorySink(s, out, "q75_stream_sessions_mem",
+        inputDir = Some(stagingDir))
         .orderBy("user_id", "start_us")
     },
     Some(duckStreamSessionsOracle))
@@ -341,15 +454,17 @@ private[queries] trait EventStreamingQueries extends EventQueriesBase {
         "state.RocksDBStateStoreProvider")
       try {
         val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+        val stagingDir = eventsStreamDir(dir)
         val evs = s.readStream.schema(batchSchema)
-          .parquet(eventsStreamDir(dir))
+          .parquet(stagingDir)
           .transform(Tables.normalizeEventTs)
           .select(col("user_id"), tsUs.as("ts_us"), col("value"))
           .as[graft.streaming.EventStreams.Ev]
         val out = graft.streaming.EventStreams.sessionizeTws(evs)
           .select(col("user_id"), col("start_us"), col("end_us"),
             col("n_events"))
-        runToMemorySink(s, out, "q266_stream_tws_sessions_mem")
+        runToMemorySink(s, out, "q266_stream_tws_sessions_mem",
+          inputDir = Some(stagingDir))
           .orderBy("user_id", "start_us")
       } finally prior match {
         case Some(v) => s.conf.set(key, v)
@@ -367,9 +482,10 @@ private[queries] trait EventStreamingQueries extends EventQueriesBase {
   private[graft] def runQ76(s: SparkSession, dir: String): (DataFrame, Long) = {
     import org.apache.spark.sql.streaming.Trigger
     val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+    val stagingDir = eventsOooStreamDir(s, dir)
     val agg = s.readStream.schema(batchSchema)
       .option("maxFilesPerTrigger", 1)
-      .parquet(eventsOooStreamDir(s, dir))
+      .parquet(stagingDir)
       .transform(Tables.normalizeEventTs)
       .select(tsStamp.as("tss"), col("event_type"))
       .withWatermark("tss", "10 minutes")
@@ -379,12 +495,16 @@ private[queries] trait EventStreamingQueries extends EventQueriesBase {
         col("n_events"))
     val name = "q76_stream_late_mem"
     s.catalog.dropTempView(name)
-    val query = agg.writeStream.format("memory").queryName(name)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    query.awaitTermination()
-    val dropped = query.recentProgress.toSeq
-      .flatMap(_.stateOperators.toSeq.map(_.numRowsDroppedByWatermark)).sum
-    (s.table(name).orderBy("window_start_us", "event_type"), dropped)
+    val (table, dropped) = withStreamShuffle(s, stagingDir) {
+      val query = agg.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+      val d = query.recentProgress.toSeq
+        .flatMap(_.stateOperators.toSeq.map(_.numRowsDroppedByWatermark))
+        .sum
+      (s.table(name), d)
+    }
+    (table.orderBy("window_start_us", "event_type"), dropped)
   }
 
   /** The DROPPING half of the watermark contract under oracle hash check
@@ -474,7 +594,8 @@ private[queries] trait EventStreamingQueries extends EventQueriesBase {
         .select(col("user_id"), tsUs.as("ts_us"), col("event_type"))
       val joined = graft.streaming.EventStreams.intervalJoin(
         side(), side(), "user_id", windowUs = 600L * 1000000)
-      runToMemorySink(s, joined, "q78_stream_interval_mem")
+      runToMemorySink(s, joined, "q78_stream_interval_mem",
+        inputDir = Some(stagingDir))
         .orderBy("user_id", "l_ts_us", "r_ts_us", "l_type", "r_type")
     },
     Some(s"""WITH ev AS (SELECT user_id, ${duckUs("ts")} AS us, event_type
@@ -569,30 +690,36 @@ private[queries] trait EventStreamingQueries extends EventQueriesBase {
           "cross-batch merge arrival-order-dependent")
       val root = tempDirCleanedAtExit("graft_q84")
       val stateDir = root.resolve("state")
+      val stagingDir = eventsOooStreamDir(s, dir)
       val src = s.readStream.schema(batchSchema)
         .option("maxFilesPerTrigger", 1)
-        .parquet(eventsOooStreamDir(s, dir))
+        .parquet(stagingDir)
         .transform(Tables.normalizeEventTs)
         .select(col("user_id"), tsUs.as("ts_us"), col("event_type"),
           col("value"))
-      val query = src.writeStream
-        .option("checkpointLocation", root.resolve("ckpt").toString)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          val base =
-            if (Files.exists(stateDir)) s.read.parquet(stateDir.toString)
-            else batch.limit(0)
-          val merged = graft.engine.Sinks.upsertLatestWins(
-            base, batch, keyCols = Seq("user_id"), versionCol = "ts_us")
-          val tmp = root.resolve("state_tmp")
-          merged.write.mode("overwrite").parquet(tmp.toString)
-          graft.engine.Fs.deleteRecursively(stateDir)
-          Files.move(tmp, stateDir)
-          ()
-        }
-        .trigger(Trigger.AvailableNow()).start()
-      query.awaitTermination()
-      val dataBatches =
+      // stateless stream, but the foreachBatch MERGE below is batch work
+      // executed inside the streaming run — where AQE is disabled, so
+      // its join shuffles at the raw session partition count unless the
+      // input-sized bracket covers the run
+      val dataBatches = withStreamShuffle(s, stagingDir) {
+        val query = src.writeStream
+          .option("checkpointLocation", root.resolve("ckpt").toString)
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val base =
+              if (Files.exists(stateDir)) s.read.parquet(stateDir.toString)
+              else batch.limit(0)
+            val merged = graft.engine.Sinks.upsertLatestWins(
+              base, batch, keyCols = Seq("user_id"), versionCol = "ts_us")
+            val tmp = root.resolve("state_tmp")
+            merged.write.mode("overwrite").parquet(tmp.toString)
+            graft.engine.Fs.deleteRecursively(stateDir)
+            Files.move(tmp, stateDir)
+            ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        query.awaitTermination()
         query.recentProgress.toSeq.count(_.numInputRows > 0).toLong
+      }
       // one row per user after the merge, so user_id is a total order
       (s.read.parquet(stateDir.toString).orderBy("user_id"), dataBatches)
   }
@@ -638,7 +765,8 @@ private[queries] trait EventStreamingQueries extends EventQueriesBase {
       val joined = graft.streaming.EventStreams.intervalJoin(
         side(), side(), "user_id", windowUs = 600L * 1000000,
         watermark = "10 minutes", joinType = "leftOuter")
-      runToMemorySink(s, joined, "q107_stream_outer_mem")
+      runToMemorySink(s, joined, "q107_stream_outer_mem",
+        inputDir = Some(stagingDir))
         .orderBy(col("user_id"), col("l_ts_us"), col("l_type"),
           col("r_ts_us").asc_nulls_last, col("r_type").asc_nulls_last)
     },
@@ -690,9 +818,10 @@ private[queries] trait EventStreamingQueries extends EventQueriesBase {
     (s, dir) => {
       import s.implicits._
       val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val stagingDir = eventsOooStreamDir(s, dir)
       val src = s.readStream.schema(batchSchema)
         .option("maxFilesPerTrigger", 1)
-        .parquet(eventsOooStreamDir(s, dir))
+        .parquet(stagingDir)
         .transform(Tables.normalizeEventTs)
         .select(col("user_id"),
           floor(col("value") * 100).cast("long").as("cents"),
@@ -700,7 +829,8 @@ private[queries] trait EventStreamingQueries extends EventQueriesBase {
         .as[graft.streaming.EventStreams.Counted]
       graft.streaming.EventStreams.runningTotals(src).toDF()
         .transform(df => runToMemorySink(s, df,
-          "q119_stream_running_totals_mem", outputMode = "update"))
+          "q119_stream_running_totals_mem", outputMode = "update",
+          inputDir = Some(stagingDir)))
         .orderBy("user_id", "n_events")
     },
     Some(duckRunningTotalsOracle))
@@ -753,9 +883,10 @@ private[queries] trait EventStreamingQueries extends EventQueriesBase {
         "state.RocksDBStateStoreProvider")
       try {
         val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+        val stagingDir = eventsOooStreamDir(s, dir)
         val src = s.readStream.schema(batchSchema)
           .option("maxFilesPerTrigger", 1)
-          .parquet(eventsOooStreamDir(s, dir))
+          .parquet(stagingDir)
           .transform(Tables.normalizeEventTs)
           .select(col("user_id"),
             floor(col("value") * 100).cast("long").as("cents"),
@@ -763,7 +894,8 @@ private[queries] trait EventStreamingQueries extends EventQueriesBase {
           .as[graft.streaming.EventStreams.Counted]
         graft.streaming.EventStreams.runningTotalsTws(src).toDF()
           .transform(df => runToMemorySink(s, df,
-            "q265_stream_tws_totals_mem", outputMode = "update"))
+            "q265_stream_tws_totals_mem", outputMode = "update",
+            inputDir = Some(stagingDir)))
           .orderBy("user_id", "n_events")
       } finally prior match {
         case Some(v) => s.conf.set(key, v)
@@ -808,9 +940,10 @@ private[queries] trait EventStreamingQueries extends EventQueriesBase {
       import s.implicits._
       withRocksDb(s) {
         val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+        val stagingDir = eventsOooStreamDir(s, dir)
         val src = s.readStream.schema(batchSchema)
           .option("maxFilesPerTrigger", 1)
-          .parquet(eventsOooStreamDir(s, dir))
+          .parquet(stagingDir)
           .transform(Tables.normalizeEventTs)
           .select(col("user_id"),
             floor(col("value") * 100).cast("long").as("cents"),
@@ -818,7 +951,8 @@ private[queries] trait EventStreamingQueries extends EventQueriesBase {
           .as[graft.streaming.EventStreams.Counted]
         graft.streaming.EventStreams.topkTws(src).toDF()
           .transform(df => runToMemorySink(s, df,
-            "q275_stream_tws_topk_mem", outputMode = "update"))
+            "q275_stream_tws_topk_mem", outputMode = "update",
+            inputDir = Some(stagingDir)))
           .orderBy("user_id", "n_events")
       }
     },
@@ -863,15 +997,17 @@ private[queries] trait EventStreamingQueries extends EventQueriesBase {
       import s.implicits._
       withRocksDb(s) {
         val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+        val stagingDir = eventsOooStreamDir(s, dir)
         val src = s.readStream.schema(batchSchema)
           .option("maxFilesPerTrigger", 1)
-          .parquet(eventsOooStreamDir(s, dir))
+          .parquet(stagingDir)
           .transform(Tables.normalizeEventTs)
           .select(col("user_id"), col("event_type"), lit(1L).as("n"))
           .as[graft.streaming.EventStreams.TypeCount]
         graft.streaming.EventStreams.typeCountsTws(src).toDF()
           .transform(df => runToMemorySink(s, df,
-            "q276_stream_tws_typecounts_mem", outputMode = "update"))
+            "q276_stream_tws_typecounts_mem", outputMode = "update",
+            inputDir = Some(stagingDir)))
           .orderBy("user_id", "event_type", "n")
       }
     },
@@ -1160,28 +1296,34 @@ private[queries] trait EventStreamingQueries extends EventQueriesBase {
       val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
       val root = tempDirCleanedAtExit("graft_q284")
       val goldDir = root.resolve("gold")
+      val stagingDir = eventsOooStreamDir(s, dir)
       val src = s.readStream.schema(batchSchema)
         .option("maxFilesPerTrigger", 1)
-        .parquet(eventsOooStreamDir(s, dir))
+        .parquet(stagingDir)
         .transform(Tables.normalizeEventTs)
         .select(col("user_id"),
           floor(col("value") * 100).cast("long").as("cents"))
-      val query = src.writeStream
-        .option("checkpointLocation", root.resolve("ckpt").toString)
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          // delta aggregation here; recovery, replay-idempotence (the
-          // _applied_batch marker) and the gap-free two-rename publish
-          // live in the unit-tested Incremental.publishAdditiveBatch
-          val delta = batch.groupBy(col("user_id"))
-            .agg(count(lit(1)).as("n_events"),
-              sum(col("cents")).as("total_cents"))
-          graft.engine.Incremental.publishAdditiveBatch(
-            s, root, delta, batchId,
-            Seq("user_id"), Seq("n_events", "total_cents"))
-          ()
-        }
-        .trigger(Trigger.AvailableNow()).start()
-      query.awaitTermination()
+      // stateless stream; the bracket covers the foreachBatch delta
+      // aggregation + additive merge, which run inside the streaming
+      // execution where AQE cannot coalesce their shuffles (q84's note)
+      withStreamShuffle(s, stagingDir) {
+        val query = src.writeStream
+          .option("checkpointLocation", root.resolve("ckpt").toString)
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            // delta aggregation here; recovery, replay-idempotence (the
+            // _applied_batch marker) and the gap-free two-rename publish
+            // live in the unit-tested Incremental.publishAdditiveBatch
+            val delta = batch.groupBy(col("user_id"))
+              .agg(count(lit(1)).as("n_events"),
+                sum(col("cents")).as("total_cents"))
+            graft.engine.Incremental.publishAdditiveBatch(
+              s, root, delta, batchId,
+              Seq("user_id"), Seq("n_events", "total_cents"))
+            ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        query.awaitTermination()
+      }
       s.read.parquet(goldDir.toString).orderBy("user_id")
     },
     Some("""SELECT user_id, count(*) AS n_events,
