@@ -49,6 +49,20 @@ class StreamShuffleSpec extends SparkSpec {
     }
   }
 
+  test("stagedInputBytes recurses into a partitioned staging dir " +
+      "(round-21: the flat listing read 0 bytes over dt=…/part-… layouts " +
+      "and silently floored the derivation)") {
+    withTempDir { dir =>
+      val part = Paths.get(dir, "dt=2026-08-19")
+      Files.createDirectories(part)
+      Files.write(part.resolve("part-0.parquet"), Array.fill[Byte](70)(1))
+      Files.write(part.resolve("part-1.parquet"), Array.fill[Byte](30)(1))
+      Files.write(part.resolve("_SUCCESS"), Array.fill[Byte](5)(1))
+      Files.write(Paths.get(dir, "top.parquet"), Array.fill[Byte](23)(1))
+      EventQueries.stagedInputBytes(dir) shouldBe 123L
+    }
+  }
+
   test("a stateful stream under the bracket provisions the derived " +
       "partition count, and its result matches the session-default run") {
     import org.apache.spark.sql.functions._
