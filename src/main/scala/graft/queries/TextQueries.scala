@@ -1807,13 +1807,18 @@ object TextQueries {
       val docs = Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("source"),
           md5(col("doc_id").cast("string")).as("h"))
+      // r21: the per-source weight w_s rides the helper's totalName
+      // (computed from its bounded cell table), so the ticket projection
+      // below needs no full-data weights join; the standalone `weights`
+      // aggregate survives only for the bounded per-batch check
       val rankedSrc = graft.engine.Cumulative.groupedRankedCumSums(
         docs, Seq(col("source")),
-        Seq(col("h").asc, col("doc_id").asc), rkName = "rk_s")
+        Seq(col("h").asc, col("doc_id").asc), rkName = "rk_s",
+        totalName = Some("w_s"))
       val weights = docs.groupBy(col("source"))
         .agg(count(lit(1)).as("w_s"))
       val tot = docs.agg(count(lit(1)).as("w_tot")) // 1 row
-      val vt = rankedSrc.join(broadcast(weights), "source")
+      val vt = rankedSrc
         .select(col("source"), col("rk_s"),
           expr("rk_s * 1000000000 div w_s").as("vt"))
       val ordered = graft.engine.Cumulative.rankedCumSum(
