@@ -205,6 +205,85 @@ object Bench {
     */
   private[graft] val RetrySuffix = "__retry"
 
+  /** Round-21 COLD RETRY (VERDICT r20 #1 — contention-proof the
+    * headline): `value` stays the raw first-pass cold sum by design,
+    * but `total_cold_min` previously had second samples only for the
+    * warm top-20, the streaming cold2 re-runs, and the retried-warm
+    * rows — a contended cold OUTSIDE those cohorts fed `value` AND
+    * `total_cold_min` un-resampled (the r20 32-core capture: q145 cold
+    * 42.2 s against a 1.5 s in-run retry of the same plan, and the
+    * round's comparison basis moved with it). Now every errorless cold
+    * whose first sample exceeds [[ColdSuspectFactor]]x its committed
+    * nominal plus [[ColdSuspectMinExcessS]] earns ONE end-of-run
+    * re-measure — after the warm/write retries, i.e. with the most
+    * wall-clock between it and the burst that inflated the first
+    * sample — ordered by absolute excess (the biggest corrections
+    * first), capped at [[ColdRetryMax]] rows AND
+    * [[ColdRetryWallBudgetS]] seconds of re-measure wall, and skipping
+    * rows that already hold a second sample this run. Nominals come
+    * from the committed full local capture (`bench_local.jsonl`,
+    * overridable via `GRAFT_BENCH_NOMINALS`); no file, no retries —
+    * identical pre-round-21 behavior. Retries stream as
+    * `{"progress":"cold2",...}` lines and ride the existing `cold2`
+    * summary echo (value-capped at [[Cold2EchoMax]] entries so the
+    * summary line's budget never starves the warm/cold attribution
+    * maps): the same channel the streaming re-measures use, so
+    * benchguard's cold_min derivations consume them with NO new
+    * parser. First samples stay untouched in `value`/`top_cold` —
+    * contention remains visible, never silently masked.
+    *
+    * The absolute-excess floor exists because sub-second rows jitter
+    * far beyond 1.5x run-to-run (the committed capture itself has
+    * 0.79 s vs 1.31 s on consecutive clean runs); the row cap plus the
+    * wall budget bound the worst-case cost (a fully-contended run) to
+    * ~[[ColdRetryWallBudgetS]] s, and a clean same-core run fires zero.
+    */
+  private[graft] val ColdSuspectFactor = 1.5
+  private[graft] val ColdSuspectMinExcessS = 0.5
+  private[graft] val ColdRetryMax = 25
+  private[graft] val ColdRetryWallBudgetS = 120.0
+  private[graft] val Cold2EchoMax = 12
+  private[graft] def coldSuspect(cold: Double, nominal: Double): Boolean =
+    cold > nominal * ColdSuspectFactor + ColdSuspectMinExcessS
+
+  /** The retry plan: suspect colds not already second-sampled, ordered
+    * by absolute excess over nominal (descending, name tiebreak),
+    * capped at [[ColdRetryMax]]. Pure for the policy spec.
+    */
+  private[graft] def coldRetryPlan(colds: Seq[(String, Double)],
+      nominals: Map[String, Double], covered: Set[String]): Seq[String] =
+    colds.filterNot { case (n, _) => covered(n) }
+      .flatMap { case (n, c) =>
+        nominals.get(n).filter(coldSuspect(c, _)).map(nom => (n, c - nom))
+      }
+      .sortBy { case (n, ex) => (-ex, n) }
+      .take(ColdRetryMax).map(_._1)
+
+  /** Per-query nominal colds from a committed bench capture (JSONL:
+    * the flushed `{"progress":"query",...}` lines). Parse-or-skip like
+    * benchguard's readers; last record wins per name. Empty map when
+    * the file is absent — the retry mechanism then stays off.
+    */
+  private[graft] def nominalColds(path: java.nio.file.Path)
+      : Map[String, Double] = {
+    if (!java.nio.file.Files.exists(path)) return Map.empty
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val out = scala.collection.mutable.Map.empty[String, Double]
+    val src = scala.io.Source.fromFile(path.toFile)
+    try src.getLines().foreach { line =>
+      val t = line.trim
+      if (t.startsWith("{")) {
+        try {
+          val node = mapper.readTree(t)
+          if (node.path("progress").asText() == "query" &&
+              node.hasNonNull("name") && node.hasNonNull("cold"))
+            out(node.get("name").asText()) = node.get("cold").asDouble()
+        } catch { case _: Throwable => () }
+      }
+    } finally src.close()
+    out.toMap
+  }
+
   /** Hard character budget for the ONE summary line (round-17 ask #1a).
     *
     * The driver retains a 2,000-char stdout tail; the summary is printed
@@ -556,6 +635,33 @@ object Bench {
     // suspect write probes' end-of-run re-measures (collected above)
     writeRetryJobs.foreach { case (name, body) => timedWrite(name)(body()) }
     writeCleanup()
+    // round-21 COLD RETRY (see the policy block above): re-measure the
+    // suspect colds LAST — maximum wall between the burst and the
+    // second sample. Emitted through the cold2 channel; feeds only
+    // total_cold_min's second-sample map, never `value`.
+    val coldRetries: Map[String, Double] = {
+      val nominals = nominalColds(java.nio.file.Paths.get(
+        sys.env.getOrElse("GRAFT_BENCH_NOMINALS", "bench_local.jsonl")))
+      val covered = warms.keySet ++ cold2.keySet ++ warmRetries.keySet
+      val plan = coldRetryPlan(
+        colds.collect { case (q, c, None) => (q.name, c) },
+        nominals, covered)
+      val out = scala.collection.mutable.Map.empty[String, Double]
+      var spent = 0.0
+      plan.foreach { name =>
+        if (spent < ColdRetryWallBudgetS) {
+          val q = qByName(name)
+          val (t, e) = timed(q)
+          spark.sharedState.cacheManager.clearCache()
+          spent += t
+          println(s"""{"progress":"cold2","name":${Jsons.quote(name)},"cold2":$t,"first":${coldByName(name)}${
+            e.fold("")(x => s""","err":${Jsons.quote(x)}""")}}""")
+          System.out.flush()
+          if (e.isEmpty) out(name) = t
+        }
+      }
+      out.toMap
+    }
     canary("end")
     graft.engine.Fs.deleteRecursivelyQuietly(probeDir)
     val warmRs = results.collect { case R(n, _, Some(w), _) => (n, w) }
@@ -567,7 +673,7 @@ object Bench {
     // top-20), and the round-20 in-run warm retries; min-merged in case
     // a name ever lands in several
     val secondSamples =
-      (warms.toSeq ++ cold2.toSeq ++ warmRetries.toSeq)
+      (warms.toSeq ++ cold2.toSeq ++ warmRetries.toSeq ++ coldRetries.toSeq)
         .groupMapReduce(_._1)(_._2)(math.min)
     val totalColdMin =
       coldMinTotal(results.map(r => (r.name, r.cold)), secondSamples)
@@ -615,9 +721,14 @@ object Bench {
     val inlineSpin =
       inlineProbes.map(p => num(p._2, "%.2f")).mkString(",")
     val inlineIo = inlineProbes.map(p => num(p._3, "%.2f")).mkString(",")
-    // cold2 echo: the streaming re-measures (few entries by design —
-    // batch second samples are already visible as warm_echo)
-    val cold2Echo = cold2.toSeq.sortBy { case (n, v) => (-v, n) }
+    // cold2 echo: the streaming re-measures plus the round-21 cold
+    // retries, value-descending, capped at Cold2EchoMax entries so a
+    // fully-retried contended run cannot starve the budgeted
+    // warm/cold attribution maps (all retries still streamed as
+    // progress lines above; total_cold_min already folds every one)
+    val cold2Echo = (cold2 ++ coldRetries).toSeq
+      .sortBy { case (n, v) => (-v, n) }
+      .take(Cold2EchoMax)
       .map { case (n, v) => s"${Jsons.quote(n)}:${fmt2(v)}" }
       .mkString(",")
     val head =

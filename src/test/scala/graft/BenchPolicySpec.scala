@@ -178,6 +178,77 @@ class BenchPolicySpec extends AnyFunSuite with Matchers {
     (renderedR.length + baseOverhead) should be <= Bench.SummaryMaxChars
   }
 
+  // ---- round-21 cold retry (VERDICT r20 ask #1) ----
+
+  test("cold-retry predicate and plan: suspect colds vs committed " +
+      "nominal, excess-descending, deduped against existing second " +
+      "samples, row-capped") {
+    // suspect = cold > 1.5x nominal + 0.5s (absolute floor: sub-second
+    // rows jitter beyond 1.5x between clean runs)
+    Bench.ColdSuspectFactor shouldBe 1.5
+    Bench.ColdSuspectMinExcessS shouldBe 0.5
+    Bench.ColdRetryMax shouldBe 25
+    Bench.coldSuspect(42.16, 1.61) shouldBe true // the r20 q145 capture
+    Bench.coldSuspect(3.5, 2.0) shouldBe false   // exactly 1.5x + 0.5: not over
+    Bench.coldSuspect(3.6, 2.0) shouldBe true
+    Bench.coldSuspect(0.08, 0.02) shouldBe false // 4x but under the floor
+    // plan: biggest absolute excess first; rows already second-sampled
+    // (warm cohort / streaming cold2 / warm retries) never re-run;
+    // rows without a nominal (new queries) never fire
+    val colds = Seq(("qa", 42.0), ("qb", 10.0), ("qc", 9.0),
+      ("qd", 1.0), ("qe", 50.0))
+    val noms = Map("qa" -> 1.6, "qb" -> 2.0, "qc" -> 5.0, "qd" -> 0.9)
+    Bench.coldRetryPlan(colds, noms, covered = Set("qc")) shouldBe
+      Seq("qa", "qb")
+    Bench.coldRetryPlan(colds, noms, covered = Set.empty)
+      .take(2) shouldBe Seq("qa", "qb")
+    // the cap bounds a fully-contended run
+    val many = (1 to 40).map(i => (f"q$i%02d", 100.0))
+    val manyNoms = many.map { case (n, _) => n -> 1.0 }.toMap
+    Bench.coldRetryPlan(many, manyNoms, Set.empty).size shouldBe 25
+    // no nominals file -> empty map -> no retries (pre-round-21 behavior)
+    Bench.nominalColds(java.nio.file.Paths.get(
+      "/nonexistent/bench_nominals.jsonl")) shouldBe Map.empty
+  }
+
+  test("nominalColds reads per-query colds from a committed capture, " +
+      "parse-or-skip, last record wins") {
+    val tmp = java.nio.file.Files.createTempFile("graft-noms", ".jsonl")
+    try {
+      java.nio.file.Files.writeString(tmp,
+        """log noise
+          |{"progress":"canary","phase":"start","spin_sec":0.5}
+          |{"progress":"query","name":"qa","cold":1.25,"streaming":false}
+          |{"progress":"query","name":"qb","cold":0.5,"streaming":true}
+          |not json {{{
+          |{"progress":"query","name":"qa","cold":1.5,"streaming":false}
+          |{"metric":"total","value":99.0}
+          |""".stripMargin)
+      Bench.nominalColds(tmp) shouldBe Map("qa" -> 1.5, "qb" -> 0.5)
+    } finally java.nio.file.Files.delete(tmp)
+  }
+
+  test("the cold2 echo stays bounded: a fully-retried contended run " +
+      "may not starve the budgeted attribution maps") {
+    // Cold2EchoMax caps the unbudgeted cold2 summary map; with the cap,
+    // the worst-case base (~12 extra entries, ~330 chars over the old
+    // ~3-entry base) still leaves the budgeted echo room for the heavy
+    // warm/cold rows (mirrors the baseOverhead simulation below)
+    Bench.Cold2EchoMax shouldBe 12
+    val colds = Catalog.all.map(q => (q.name, 10.0))
+    val warms = colds.filterNot(c =>
+      Catalog.all.find(_.name == c._1).exists(_.streaming))
+      .sortBy { case (n, c) => (-c, n) }.take(20)
+      .map { case (n, _) => n -> 9.99 }.toMap
+    val (tc, we) = Bench.echoCohorts(colds, warms, k = 20)
+    val worstBase = 800 + 27 * Bench.Cold2EchoMax // old base + maxed cold2
+    val rendered =
+      Bench.renderEchoMaps(tc, we, Bench.SummaryMaxChars - worstBase)
+    (rendered.length + worstBase) should be <= Bench.SummaryMaxChars
+    // the heavy rows survive the extra squeeze
+    rendered.count(_ == ':') should be >= (tc.size + we.size + 2 - 8)
+  }
+
   // ---- round-18 cold_min (VERDICT r17 ask #2) ----
 
   test("coldMinTotal takes the per-query min over the second samples") {
