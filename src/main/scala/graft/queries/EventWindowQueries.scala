@@ -874,6 +874,21 @@ private[queries] trait EventWindowQueries extends EventQueriesBase {
     * integer aggregates; the nested build is `concat`, so the document
     * bytes are identical on both engines. Map-only until the 5-row
     * rollup.
+    *
+    * Round 21 (VERDICT r20 #4 — no per-field re-parse): the rebuilt
+    * `doc` was parsed TWICE per row (one `get_json_object` for the
+    * array length, another for the element); it is now parsed ONCE by
+    * `from_json` with the pruned `struct<vals:array<string>>` schema,
+    * and both aggregates read the parsed array. Equivalence is
+    * structural, not data luck: a corrupt doc nulls both forms
+    * (PERMISSIVE from_json vs JSONPath-on-invalid), a valid doc always
+    * has `vals` with >= 2 elements (the literal `1,` prefix and `,3`
+    * suffix), `size(null)` is null like `json_array_length(null)`, and
+    * `try_element_at(arr, 2)` is the 1-based mirror of `$.vals[1]`
+    * (string-typed array elements capture non-string tokens as raw
+    * text, which `try_cast` nulls exactly like the JSONPath extract).
+    * The input-side `$.k` extraction stays a single `get_json_object`
+    * (one parse of the REAL payload — irreducible).
     */
   val q145JsonSurface: Q = Q(
     "q145_json_surface",
@@ -887,15 +902,13 @@ private[queries] trait EventWindowQueries extends EventQueriesBase {
           lit("{\"meta\":{\"t\":\""), col("event_type"), lit("\",\"k\":"),
           coalesce(col("k_str"), lit("null")), lit("},\"vals\":[1,"),
           coalesce(col("k_str"), lit("0")), lit(",3]}")))
+        .withColumn("vals", expr("from_json(doc, 'vals array<string>').vals"))
       ev.groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
           count(when(col("k_str").isNull, 1)).as("n_missing_k"),
           sum(expr("try_cast(k_str AS BIGINT)")).as("sum_k"),
-          count(when(
-            expr("json_array_length(get_json_object(doc, '$.vals'))") === 3,
-            1)).as("n_vals3"),
-          sum(expr(
-            "try_cast(get_json_object(doc, '$.vals[1]') AS BIGINT)"))
+          count(when(size(col("vals")) === 3, 1)).as("n_vals3"),
+          sum(expr("try_cast(try_element_at(vals, 2) AS BIGINT)"))
             .as("sum_second_val"))
         .orderBy("event_type")
     },
