@@ -85,13 +85,15 @@ private[queries] trait EventStreamingQueries extends EventQueriesBase {
     */
   private[queries] def streamShufflePartitions(s: SparkSession,
       stagingDir: String): Int =
-    sys.env.get("SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS") match {
+    sys.env.get("SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS")
+      .map(_.trim).filter(_.nonEmpty) match {
+      // an empty/blank export is "unset", not an override
       case Some(raw) =>
         // r20 ADVICE: a malformed override must fail NAMING THE VARIABLE
         // (not as an unhandled NumberFormatException mid-query), and a
         // non-positive value is the same operator error as a non-numeric
         // one — consistent handling, never a silent fallback
-        val n = raw.trim.toIntOption.getOrElse(-1)
+        val n = raw.toIntOption.getOrElse(-1)
         require(n >= 1, "SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS must be a " +
           s"positive integer, got '$raw'")
         n

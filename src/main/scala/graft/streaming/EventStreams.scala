@@ -88,16 +88,21 @@ object EventStreams {
                    tsCol: String = "ts_us",
                    typeCol: String = "event_type",
                    joinType: String = "inner"): DataFrame = {
+    // r21 (guide §2.3, shuffle/state fewer bytes): the µs BIGINT is NOT
+    // carried through the join — `timestamp_micros`/`unix_micros` is an
+    // exact round-trip, so each side buffers (key, tss, type) instead of
+    // duplicating the event time in two encodings. Both symmetric-join
+    // state stores and the join shuffle shrink by one long per row; the
+    // output µs columns are reconstructed after the join (null-safe for
+    // the outer form's unmatched side).
     val l = left
       .withColumn("l_tss", timestamp_micros(col(tsCol)))
       .withWatermark("l_tss", watermark)
-      .select(col(key), col("l_tss"),
-        col(tsCol).as("l_ts_us"), col(typeCol).as("l_type"))
+      .select(col(key), col("l_tss"), col(typeCol).as("l_type"))
     val r = right
       .withColumn("r_tss", timestamp_micros(col(tsCol)))
       .withWatermark("r_tss", watermark)
-      .select(col(key).as("r_key"), col("r_tss"),
-        col(tsCol).as("r_ts_us"), col(typeCol).as("r_type"))
+      .select(col(key).as("r_key"), col("r_tss"), col(typeCol).as("r_type"))
     // MICROSECOND interval: dividing down to whole seconds would silently
     // turn a sub-second window into an always-empty join
     l.join(r,
@@ -105,8 +110,9 @@ object EventStreams {
         && col("r_tss") > col("l_tss")
         && col("r_tss") <= col("l_tss") + expr(s"INTERVAL $windowUs MICROSECOND"),
       joinType)
-      .select(col(key), col("l_ts_us"), col("l_type"),
-        col("r_ts_us"), col("r_type"))
+      .select(col(key), unix_micros(col("l_tss")).as("l_ts_us"),
+        col("l_type"), unix_micros(col("r_tss")).as("r_ts_us"),
+        col("r_type"))
   }
 
   /** Exactly-once-per-key within the watermark horizon. */
