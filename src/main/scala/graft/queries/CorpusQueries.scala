@@ -206,9 +206,8 @@ object CorpusQueries {
     "q94_cdc_chunks",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val docs = Tables.load(s, dir, "documents")
-      val tk = docs.select(col("doc_id"),
-        posexplode(Text.tokens(col("text"))).as(Seq("pos", "tok")))
+      val tk = TextQueries.tokenTable(s, dir)
+        .select(col("doc_id"), col("pos"), col("tok"))
       val flagged = tk.select(col("doc_id"), col("pos"),
         when(pmod(Text.hash32(col("tok")), lit(16)) === 0, 1)
           .otherwise(0).as("b"))
@@ -388,9 +387,8 @@ object CorpusQueries {
   val q169PostingLists: Q = Q(
     "q169_posting_lists",
     (s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      val pairs = docs
-        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      val pairs = TextQueries.tokenTable(s, dir)
+        .select(col("doc_id"), col("tok"))
         .distinct()
       pairs.groupBy(col("tok"))
         .agg(count(lit(1)).as("df"),
@@ -427,9 +425,8 @@ object CorpusQueries {
   val q173Burstiness: Q = Q(
     "q173_burstiness",
     (s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      docs
-        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      TextQueries.tokenTable(s, dir)
+        .select(col("doc_id"), col("tok"))
         .groupBy(col("doc_id"), col("tok"))
         .agg(count(lit(1)).as("tf"))
         .groupBy(col("tok"))
@@ -470,9 +467,8 @@ object CorpusQueries {
   val q191PhraseSearch: Q = Q(
     "q191_phrase_search",
     (s, dir) => {
-      val pos = Tables.eager(Tables.load(s, dir, "documents")
-        .select(col("doc_id"),
-          posexplode(Text.tokens(col("text"))).as(Seq("i", "tok"))))
+      val pos = Tables.eager(TextQueries.tokenTable(s, dir)
+        .select(col("doc_id"), col("pos").as("i"), col("tok")))
       val next = pos.select(col("doc_id"), (col("i") - 1).as("i"),
         col("tok").as("tok_b"))
       val big = pos.join(next, Seq("doc_id", "i"))
@@ -584,8 +580,8 @@ object CorpusQueries {
     "q219_hapax_profile",
     (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      val tf = docs
-        .select(col("source"), explode(Text.tokens(col("text"))).as("tok"))
+      val tf = TextQueries.tokenTable(s, dir)
+        .select(col("source"), col("tok"))
         .groupBy(col("source"), col("tok"))
         .agg(count(lit(1)).as("cnt"))
       val perDoc = docs.groupBy(col("source"))
@@ -641,9 +637,8 @@ object CorpusQueries {
     "q220_proximity_search",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val docs = Tables.load(s, dir, "documents")
-      val pos = docs.select(col("doc_id"),
-        posexplode(Text.tokens(col("text"))).as(Seq("pos", "tok")))
+      val pos = TextQueries.tokenTable(s, dir)
+        .select(col("doc_id"), col("pos"), col("tok"))
       val top2 = pos.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("tok").asc).limit(2)
         .select(col("tok"),

@@ -302,11 +302,9 @@ object DedupQueries {
   val q26Simhash: Q = Q(
     "q26_simhash",
     (s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
       // one row per token occurrence (frequency weights naturally), h = 60-bit hash
-      val ex = docs
-        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("t"))
-        .select(col("doc_id"), Text.hash60(col("t")).as("h"))
+      val ex = TextQueries.tokenTable(s, dir)
+        .select(col("doc_id"), Text.hash60(col("tok")).as("h"))
       // vote_j: +-1 sum over occurrences by bit j of the token hash
       val voteCols = (0 until 60).map { j =>
         sum(when(shiftrightunsigned(col("h"), 59 - j).bitwiseAND(1) === 1, 1)

@@ -50,6 +50,42 @@ object TextQueries {
   private def duckHits(set: Seq[String]): String =
     s"len(list_filter($duckToks, t -> t IN (${set.map("'" + _ + "'").mkString(",")})))"
 
+  /** Number of from-scratch token-table computations this JVM has run
+    * (spec hook: the whole token-consumer family, one compute).
+    */
+  private[queries] val tokenComputeCount =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Exploded token stream of `documents` — one row per token
+    * occurrence, `(doc_id, source, lang, pos, tok)` — LANDED once per
+    * (JVM, documents-fixture signature) via [[Tables.landed]]
+    * (round 21; the q81 shingle-table / graph edge-list pattern
+    * applied to the text family): fifteen token kernels (q18 q19 q20
+    * q26 q45 q54 q94 q162 q163 q169 q173 q191 q219 q220 q240) consume
+    * this exact relation and previously EACH re-ran the documents scan
+    * + split + explode per execution. At 100 TB the exploded token
+    * stream IS the landed silver table behind every index/statistics
+    * build; consumers prune to the columns they read (the parquet scan
+    * serves (doc_id, tok) readers without touching pos/source/lang).
+    * `pos` is the 0-based token position ([[posexplode]]), so
+    * positional kernels (q94 chunking, q191 phrases, q220 proximity)
+    * read the same table.
+    */
+  private[queries] def tokenTable(s: SparkSession, dir: String): DataFrame =
+    Tables.landed(s,
+      s"toktab:$dir@${Tables.fileSignature(dir, "documents")}",
+      tokenComputeCount) {
+      // NOT widened before landing (measured, r21): repartitioning the
+      // 1M-row sf0.1 stream to the core count landed 32 sub-MB files
+      // and every consumer slowed ~45% (per-file open/decode overhead
+      // dwarfs the parallelism at fixture scale); at 100 TB the
+      // exploded stream inherits the wide scan's partitioning anyway,
+      // so the single-file layout is a fixture artifact, not the shape
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("lang"),
+          posexplode(Text.tokens(col("text"))).as(Seq("pos", "tok")))
+    }
+
   /** q21's document quality score, single-sourced so the budgeted
     * selection (q82) ranks by EXACTLY the score the scoring query (q21)
     * emits — bounded length score + stopword ratio + bounded mean token
@@ -71,14 +107,13 @@ object TextQueries {
                        + (${duckHits(wordsEn)}::DOUBLE / len($duckToks)) * 0.3
                        + least(1.0::DOUBLE, (n_chars::DOUBLE / len($duckToks)) / 8.0) * 0.2"""
 
-  /** Corpus stats per language: doc/token/vocab counts over one explode. */
+  /** Corpus stats per language: doc/token/vocab counts over the landed
+    * token stream ([[tokenTable]]). */
   val q18TextStats: Q = Q(
     "q18_text_stats",
     (s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      docs
-        .select(col("lang"), col("doc_id"),
-          explode(Text.tokens(col("text"))).as("tok"))
+      tokenTable(s, dir)
+        .select(col("lang"), col("doc_id"), col("tok"))
         .groupBy(col("lang"))
         .agg(
           count_distinct(col("doc_id")).as("n_docs"),
@@ -99,9 +134,8 @@ object TextQueries {
   val q19TermFreq: Q = Q(
     "q19_term_freq",
     (s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      docs
-        .select(explode(Text.tokens(col("text"))).as("tok"))
+      tokenTable(s, dir)
+        .select(col("tok"))
         .groupBy(col("tok"))
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("tok").asc)
@@ -129,12 +163,10 @@ object TextQueries {
   val q20LangId: Q = Q(
     "q20_langid",
     (s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
       def hits(set: Seq[String]) =
         sum(when(col("tok").isin(set.map(lit): _*), 1L).otherwise(0L))
-      val perDoc = docs
-        .select(col("doc_id"), col("lang"),
-          explode(Text.tokens(col("text"))).as("tok"))
+      val perDoc = tokenTable(s, dir)
+        .select(col("doc_id"), col("lang"), col("tok"))
         .groupBy(col("doc_id"), col("lang"))
         .agg(hits(wordsDe).as("s_de"), hits(wordsEn).as("s_en"),
           hits(wordsEs).as("s_es"), hits(wordsFr).as("s_fr"),
@@ -297,9 +329,8 @@ object TextQueries {
   val q45TfidfTopk: Q = Q(
     "q45_tfidf_topk",
     (s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      val tf = Tables.eager(docs
-        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      val tf = Tables.eager(tokenTable(s, dir)
+        .select(col("doc_id"), col("tok"))
         .groupBy(col("doc_id"), col("tok"))
         .agg(count(lit(1)).as("tf")))
       // tf is distinct on (doc, tok): df = rows per tok, N = distinct docs
@@ -452,8 +483,8 @@ object TextQueries {
       // (longer docs counted once per token)
       val rsd = 0.02
       val accuracy = 10000
-      val vocab = docs
-        .select(col("lang"), explode(Text.tokens(col("text"))).as("tok"))
+      val vocab = tokenTable(s, dir)
+        .select(col("lang"), col("tok"))
         .groupBy(col("lang"))
         .agg(
           approx_count_distinct(col("tok"), rsd).as("approx_vocab"),
@@ -1059,9 +1090,8 @@ object TextQueries {
   val q162Bm25Topk: Q = Q(
     "q162_bm25_topk",
     (s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      val tf = Tables.eager(docs
-        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      val tf = Tables.eager(tokenTable(s, dir)
+        .select(col("doc_id"), col("tok"))
         .groupBy(col("doc_id"), col("tok"))
         .agg(count(lit(1)).as("tf")))
       val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
@@ -1128,9 +1158,8 @@ object TextQueries {
   val q163RrfFusion: Q = Q(
     "q163_rrf_fusion",
     (s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      val per = Tables.eager(docs
-        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      val per = Tables.eager(tokenTable(s, dir)
+        .select(col("doc_id"), col("tok"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("dl"), count_distinct(col("tok")).as("uniq")))
       val byLen = per.orderBy(col("dl").desc, col("doc_id").asc).limit(100)
@@ -1503,12 +1532,10 @@ object TextQueries {
   val q240CohensKappa: Q = Q(
     "q240_cohens_kappa",
     (s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
       def hits(set: Seq[String]) =
         sum(when(col("tok").isin(set.map(lit): _*), 1L).otherwise(0L))
-      val perDoc = docs
-        .select(col("doc_id"), col("lang"),
-          explode(Text.tokens(col("text"))).as("tok"))
+      val perDoc = tokenTable(s, dir)
+        .select(col("doc_id"), col("lang"), col("tok"))
         .groupBy(col("doc_id"), col("lang"))
         .agg(hits(wordsDe).as("s_de"), hits(wordsEn).as("s_en"),
           hits(wordsEs).as("s_es"), hits(wordsFr).as("s_fr"),
