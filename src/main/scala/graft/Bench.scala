@@ -259,14 +259,23 @@ object Bench {
       .sortBy { case (n, ex) => (-ex, n) }
       .take(ColdRetryMax).map(_._1)
 
-  /** Per-query nominal colds from a committed bench capture (JSONL:
-    * the flushed `{"progress":"query",...}` lines). Parse-or-skip like
-    * benchguard's readers; last record wins per name. Empty map when
-    * the file is absent — the retry mechanism then stays off.
+  /** Per-query nominal colds from a committed bench capture (JSONL).
+    * The nominal is the MIN over every errorless sample the capture
+    * carries for the name — the first-pass cold (`progress:query`) AND
+    * the second samples (`warm`, `cold2`, `warm_retry`): the committed
+    * capture can itself contain contention-hit first samples whose
+    * in-run re-measures recovered the clean cost (this round's capture
+    * has q30 cold 5.38 s vs its 1.0 s warm), and a raw-cold nominal
+    * would de-sensitize the retry threshold for exactly those rows.
+    * Parse-or-skip like benchguard's readers; min wins per name.
+    * Empty map when the file is absent — the retry mechanism then
+    * stays off.
     */
   private[graft] def nominalColds(path: java.nio.file.Path)
       : Map[String, Double] = {
     if (!java.nio.file.Files.exists(path)) return Map.empty
+    val sampleKey = Map("query" -> "cold", "warm" -> "warm",
+      "cold2" -> "cold2", "warm_retry" -> "warm_retry")
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val out = scala.collection.mutable.Map.empty[String, Double]
     val src = scala.io.Source.fromFile(path.toFile)
@@ -275,9 +284,14 @@ object Bench {
       if (t.startsWith("{")) {
         try {
           val node = mapper.readTree(t)
-          if (node.path("progress").asText() == "query" &&
-              node.hasNonNull("name") && node.hasNonNull("cold"))
-            out(node.get("name").asText()) = node.get("cold").asDouble()
+          sampleKey.get(node.path("progress").asText()).foreach { k =>
+            if (node.hasNonNull("name") && node.hasNonNull(k) &&
+                !node.has("err")) {
+              val n = node.get("name").asText()
+              val v = node.get(k).asDouble()
+              out(n) = out.get(n).fold(v)(math.min(_, v))
+            }
+          }
         } catch { case _: Throwable => () }
       }
     } finally src.close()

@@ -211,20 +211,27 @@ class BenchPolicySpec extends AnyFunSuite with Matchers {
       "/nonexistent/bench_nominals.jsonl")) shouldBe Map.empty
   }
 
-  test("nominalColds reads per-query colds from a committed capture, " +
-      "parse-or-skip, last record wins") {
+  test("nominalColds min-merges every errorless sample in the committed " +
+      "capture (a contended first-pass cold must not de-sensitize the " +
+      "retry threshold when its own in-run re-measure recovered the " +
+      "clean cost)") {
     val tmp = java.nio.file.Files.createTempFile("graft-noms", ".jsonl")
     try {
       java.nio.file.Files.writeString(tmp,
         """log noise
           |{"progress":"canary","phase":"start","spin_sec":0.5}
-          |{"progress":"query","name":"qa","cold":1.25,"streaming":false}
+          |{"progress":"query","name":"qa","cold":5.38,"streaming":false}
           |{"progress":"query","name":"qb","cold":0.5,"streaming":true}
+          |{"progress":"query","name":"qc","cold":2.0,"streaming":false}
           |not json {{{
-          |{"progress":"query","name":"qa","cold":1.5,"streaming":false}
+          |{"progress":"warm","name":"qa","warm":1.0}
+          |{"progress":"cold2","name":"qb","cold2":0.4}
+          |{"progress":"warm_retry","name":"qc","warm_retry":1.2,"first":3.0}
+          |{"progress":"warm","name":"qd","warm":9.9,"err":"boom"}
           |{"metric":"total","value":99.0}
           |""".stripMargin)
-      Bench.nominalColds(tmp) shouldBe Map("qa" -> 1.5, "qb" -> 0.5)
+      Bench.nominalColds(tmp) shouldBe
+        Map("qa" -> 1.0, "qb" -> 0.4, "qc" -> 1.2)
     } finally java.nio.file.Files.delete(tmp)
   }
 
